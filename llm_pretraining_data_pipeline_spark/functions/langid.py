@@ -1,0 +1,128 @@
+"""Language identification.
+
+The reference uses the ``langdetect`` library per row (text_clean_and_filter.py:385-408,
+seeded at :32) — the single slowest operator in the whole pipeline (95 min of
+the 105-min run, BASELINE.md). That library is not available here and is
+non-deterministic beyond its seed, so the engine ships two detectors:
+
+  1. ``langid_struct`` — a deterministic, pure-Catalyst heuristic
+     (script-range detection for non-Latin scripts + stopword-profile argmax
+     for Latin-script languages). This is the default and the oracle-checkable
+     path; it is also the 100 TB path (no Python in the loop at all).
+  2. ``langdetect_udf`` — an Arrow-batched pandas UDF wrapping ``langdetect``
+     when installed, for drop-in parity with the reference (seed 2025).
+
+Output contract matches the reference: struct(lang_pred string, lang_score
+double), ("unk", 0.0) for empty/undecidable input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions.text_norm import _col, ws_tokens
+
+# Compact high-frequency stopword profiles (public-knowledge function words).
+STOPWORD_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "with", "are", "this", "have", "from", "not", "they", "his", "her", "you"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein",
+           "eine", "als", "auch", "auf", "sich", "des", "dem", "zu", "im", "für"],
+    "fr": ["le", "la", "les", "des", "est", "et", "en", "que", "qui", "dans",
+           "pour", "pas", "une", "sur", "avec", "son", "ne", "ce", "il", "au"],
+    "es": ["el", "la", "los", "las", "es", "y", "en", "que", "por", "con",
+           "para", "una", "del", "se", "su", "al", "lo", "como", "más", "pero"],
+    "it": ["il", "la", "di", "che", "è", "e", "per", "un", "una", "non",
+           "sono", "con", "del", "della", "gli", "le", "si", "nel", "ma", "anche"],
+    "pt": ["o", "a", "os", "as", "é", "e", "de", "do", "da", "em",
+           "que", "para", "um", "uma", "com", "não", "por", "mais", "dos", "como"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn",
+           "met", "voor", "niet", "aan", "er", "maar", "ook", "als", "bij", "dan"],
+}
+
+# Unicode script blocks for non-Latin script detection.
+SCRIPT_RANGES: dict[str, str] = {
+    "zh": "[\\u4e00-\\u9fff]",
+    "ja": "[\\u3040-\\u30ff]",
+    "ko": "[\\uac00-\\ud7af]",
+    "ru": "[\\u0400-\\u04ff]",
+    "ar": "[\\u0600-\\u06ff]",
+    "el": "[\\u0370-\\u03ff]",
+}
+
+_SCRIPT_MIN_FRACTION = 0.30
+
+
+def _char_fraction(s: Column, char_class: str) -> Column:
+    total = F.length(s)
+    hits = F.length(s) - F.length(F.regexp_replace(s, char_class, ""))
+    return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def langid_struct(c: Column | str) -> Column:
+    """struct(lang_pred, lang_score) via script ranges + stopword profiles.
+
+    Deterministic argmax: candidates are packed as struct(score, lang) and
+    reduced with array_max (struct ordering = field order, ties broken by
+    language code — stable across engines and partitionings).
+    """
+    s = F.coalesce(_col(c).cast("string"), F.lit(""))
+    toks = F.transform(ws_tokens(F.lower(s)), lambda t: F.regexp_replace(t, "[^\\p{L}']", ""))
+    n = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+
+    candidates = []
+    for lang, range_class in SCRIPT_RANGES.items():
+        frac = _char_fraction(s, range_class)
+        score = F.when(frac >= _SCRIPT_MIN_FRACTION, F.least(F.lit(1.0), frac * 2)).otherwise(
+            F.lit(0.0)
+        )
+        candidates.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    for lang, words in STOPWORD_PROFILES.items():
+        profile = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+        frac = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+        score = F.least(F.lit(1.0), frac * F.lit(4.0))
+        candidates.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+
+    best = F.array_max(F.array(*candidates))
+    return F.when(
+        (F.length(F.trim(s)) == 0) | (best["score"] <= 0.0),
+        F.struct(F.lit("unk").alias("lang"), F.lit(0.0).alias("score")),
+    ).otherwise(F.struct(best["lang"].alias("lang"), best["score"].alias("score")))
+
+
+def langdetect_udf():
+    """Optional parity detector: Arrow-batched langdetect wrapper, or None.
+
+    Loads the library lazily inside the UDF (once per executor python worker);
+    returns None when langdetect is not installed.
+    """
+    try:
+        import langdetect  # noqa: F401
+    except ImportError:
+        return None
+
+    import pandas as pd
+
+    @F.pandas_udf("struct<lang:string,score:double>")
+    def _detect(texts: pd.Series) -> pd.DataFrame:
+        from langdetect import DetectorFactory, detect_langs
+
+        DetectorFactory.seed = 2025  # reference parity: text_clean_and_filter.py:32
+        langs, scores = [], []
+        for t in texts:
+            lang, score = "unk", 0.0
+            if isinstance(t, str) and t.strip():
+                try:
+                    cands = detect_langs(t)
+                    if cands:
+                        best = max(cands, key=lambda x: x.prob)
+                        lang, score = best.lang, float(best.prob)
+                except Exception:
+                    pass
+            langs.append(lang)
+            scores.append(score)
+        return pd.DataFrame({"lang": langs, "score": scores})
+
+    return _detect

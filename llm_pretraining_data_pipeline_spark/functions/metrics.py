@@ -1,0 +1,120 @@
+"""Quality / token metrics as Catalyst expressions (no UDFs).
+
+Reference semantics:
+  * ``compute_quality_metrics`` — text_clean_and_filter.py:206-236
+  * ``non_latin_ratio``         — text_clean_and_filter.py:451-469
+  * ``compute_token_stats``     — deep_clean_and_pii.py:219-260
+  * ``is_repetitive_token_spam``— deep_clean_and_pii.py:418-440
+
+All ratios guard their denominators (Spark 4 runs ANSI mode: x/0 errors
+rather than producing null).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions.text_norm import _col, ws_tokens
+
+# 34-word stopword set, verbatim from deep_clean_and_pii.py:211-216.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "for", "on", "at",
+    "is", "it", "this", "that", "with", "as", "by", "from", "be", "are",
+    "was", "were", "will", "would", "can", "could", "has", "have", "had",
+    "about", "into", "over", "after", "before", "between", "up", "down",
+]
+
+
+def _safe_ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def n_chars(c: Column | str) -> Column:
+    """len(str(text)); null treated as "" per reference (:216-218)."""
+    return F.length(F.coalesce(_col(c), F.lit(""))).cast("long")
+
+
+def n_words(c: Column | str) -> Column:
+    return F.size(ws_tokens(c)).cast("long")
+
+
+def alpha_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are alphabetic (unicode letters)."""
+    s = F.coalesce(_col(c), F.lit(""))
+    letters = F.length(F.regexp_replace(s, "[^\\p{L}]", ""))
+    return _safe_ratio(letters, F.length(s))
+
+
+def repetition_ratio(c: Column | str) -> Column:
+    """1 - unique_words/total_words over whitespace tokens; 0.0 when empty."""
+    toks = ws_tokens(c)
+    total = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return F.when(total > 0, F.lit(1.0) - uniq.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def non_latin_ratio(c: Column | str) -> Column:
+    """Of the alphabetic chars, the fraction that are non-ASCII (crude ≈ non-Latin)."""
+    s = F.coalesce(_col(c), F.lit(""))
+    letters = F.regexp_replace(s, "[^\\p{L}]", "")
+    total = F.length(letters)
+    non_latin = F.length(F.regexp_replace(letters, "[\\x00-\\x7f]", ""))
+    return _safe_ratio(non_latin, total)
+
+
+# ------------------------------------------------------------- token stats
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(ws_tokens(c)).cast("long")
+
+
+def unique_tokens(c: Column | str) -> Column:
+    return F.size(F.array_distinct(ws_tokens(c))).cast("long")
+
+
+def unique_token_ratio(c: Column | str) -> Column:
+    toks = ws_tokens(c)
+    return _safe_ratio(F.size(F.array_distinct(toks)), F.size(toks))
+
+
+def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Column:
+    """(#tokens whose lowercase form is a stopword) / total tokens."""
+    stop = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = ws_tokens(c)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return _safe_ratio(hits, F.size(toks))
+
+
+def max_token_frequency_ratio(c: Column | str) -> Column:
+    """max(count of any single token) / total tokens, 0.0 for empty/null text.
+
+    Single-pass HOF over sorted tokens (run-length max) — O(n log n) per row,
+    no shuffle, no UDF; this is the scale path for the repetitive-token-spam
+    filter (vs. the reference's per-row Counter, deep_clean_and_pii.py:418-440,
+    or an explode+groupBy which would shuffle the whole token stream).
+    """
+    toks = F.array_sort(ws_tokens(c))
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(toks, acc0, merge, lambda acc: acc["best"])
+    return _safe_ratio(best, F.size(toks))
+
+
+def is_repetitive_token_spam(
+    c: Column | str, threshold: float = 0.70, min_tokens: int = 3
+) -> Column:
+    """True when one token dominates the doc (frac > threshold, ≥ min_tokens)."""
+    toks = ws_tokens(c)
+    return (F.size(toks) >= min_tokens) & (max_token_frequency_ratio(c) > F.lit(threshold))

@@ -1,0 +1,73 @@
+"""Structural cleanup: HTML strip, boilerplate line removal, repeat collapse.
+
+Reference: deep_clean_and_pii.py:77-205. The reference mutates module-global
+debug counters inside these functions (an explicit anti-pattern for a
+distributed engine, SURVEY.md §2.5 A10); the equivalent observability here is
+the ``cleanup_stats`` aggregate built from ``changed``-style expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions.text_norm import _col
+
+# Verbatim patterns from deep_clean_and_pii.py:78-87; the reference matches
+# each against the lowercased line, so a single (?i) alternation is exact.
+BOILERPLATE_PATTERNS = [
+    r"cookie(s)? policy",
+    r"accept( all)? cookies",
+    r"privacy policy",
+    r"terms of service",
+    r"all rights reserved",
+    r"sign up for our newsletter",
+    r"subscribe to our newsletter",
+    r"contact us",
+]
+BOILERPLATE_COMBINED = "(" + "|".join(BOILERPLATE_PATTERNS) + ")"
+
+LINE_BREAK = "\\r\\n|\\r|\\n"
+
+
+def strip_html(c: Column | str) -> Column:
+    """Delete ``<[^>]+>`` tag spans, replacing with a space; null passthrough."""
+    return F.regexp_replace(_col(c).cast("string"), "<[^>]+>", " ")
+
+
+def remove_boilerplate_lines(c: Column | str) -> Column:
+    """Drop lines matching any boilerplate pattern (case-insensitive), rejoin
+    with newline, trim — all via array HOFs, no UDF."""
+    s = _col(c).cast("string")
+    lines = F.split(s, LINE_BREAK)
+    kept = F.filter(lines, lambda l: ~F.lower(l).rlike(BOILERPLATE_COMBINED))
+    return F.trim(F.array_join(kept, "\n"))
+
+
+def normalize_repeated_chars(c: Column | str) -> Column:
+    """Collapse ≥3 repeated punctuation to 2; any char ≥4 in a row to 3.
+
+    Java regex supports the backreferences the reference uses
+    (deep_clean_and_pii.py:163-165); these two patterns are therefore pure
+    JVM expressions (note: NOT RE2-expressible — the oracle uses a
+    pre-computed fixture for this operator, SURVEY.md §7 trap list).
+    """
+    s = _col(c).cast("string")
+    s = F.regexp_replace(s, "([!?.,])\\1{2,}", "$1$1")
+    return F.regexp_replace(s, "(.)\\1{3,}", "$1$1$1")
+
+
+def structural_cleanup(c: Column | str) -> Column:
+    """strip_html → remove_boilerplate_lines → normalize_repeated_chars."""
+    return normalize_repeated_chars(remove_boilerplate_lines(strip_html(c)))
+
+
+def cleanup_stats(df: DataFrame, raw_col: str, cleaned_col: str) -> DataFrame:
+    """Distributed replacement for the reference's global debug counters:
+    one aggregation pass computing had_tags / changed counts."""
+    raw = F.col(raw_col)
+    return df.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.count_if(raw.contains("<") & raw.contains(">")).alias("docs_with_tag_chars"),
+        F.count_if(F.col(cleaned_col) != raw).alias("docs_changed"),
+    )

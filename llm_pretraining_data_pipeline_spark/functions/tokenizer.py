@@ -1,0 +1,117 @@
+"""Tokenisation: GPT-2-style regex pre-tokeniser + optional HF backend.
+
+Reference: Tokenisation_JSONL_export.py:71-119 — HuggingFace GPT-2
+``AutoTokenizer`` per row, truncation off, n_tokens = len(input_ids).
+
+The transformers library is not part of this environment, so the default
+backend is a deterministic stand-in with real Spark plumbing:
+
+  * token *pieces* come from the public GPT-2 pre-tokenisation regex
+    (contractions | letter runs | digit runs | symbol runs, each with an
+    optional leading space) evaluated by Java regex — JVM-side, codegen'd;
+  * piece → id is a stable portable hash into the GPT-2 vocab range (50257).
+
+This makes ``n_tokens`` a BPE-ish count (sub-word merges are approximated by
+the piece split) and keeps input_ids/attention_mask schema + distribution
+plumbing identical to a real tokenizer. ``hf_tokenize_map`` upgrades to the
+real GPT-2 vocabulary when transformers is installed (mapInPandas, tokenizer
+loaded lazily once per executor — never per row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions.hashing import h64
+from llm_pretraining_data_pipeline_spark.functions.text_norm import _col
+
+GPT2_VOCAB_SIZE = 50257
+
+# Public GPT-2 pre-tokeniser pattern (Radford et al. 2019 / openai-gpt2
+# encoder.py), translated to Java regex ('\p{L}' letter / '\p{N}' number).
+GPT2_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+
+# RE2-safe variant for oracle-checked queries (drops the lookahead branch;
+# trailing-space runs then count as one piece — same on both engines).
+GPT2_SPLIT_PATTERN_RE2 = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_pieces(c: Column | str, pattern: str = GPT2_SPLIT_PATTERN) -> Column:
+    """array<string> of GPT-2-style pre-token pieces; empty for null text."""
+    s = F.coalesce(_col(c).cast("string"), F.lit(""))
+    return F.coalesce(
+        F.regexp_extract_all(s, F.lit(pattern), F.lit(0)),
+        F.array().cast("array<string>"),
+    )
+
+
+def n_tokens(c: Column | str, pattern: str = GPT2_SPLIT_PATTERN) -> Column:
+    """Token count without materialising ids — use in count-only paths so the
+    optimizer never builds the id arrays."""
+    return F.size(token_pieces(c, pattern)).cast("long")
+
+
+def input_ids(c: Column | str, vocab_size: int = GPT2_VOCAB_SIZE) -> Column:
+    """Stable piece→id mapping into [0, vocab_size) via the portable hash."""
+    return F.transform(token_pieces(c), lambda t: (h64(t) % vocab_size).cast("int"))
+
+
+def attention_mask(ids: Column | str) -> Column:
+    return F.transform(_col(ids), lambda _: F.lit(1))
+
+
+def with_tokenisation(df: DataFrame, text_col: str, prefer_hf: bool = True) -> DataFrame:
+    """Add input_ids / attention_mask / n_tokens columns.
+
+    Uses the real HF GPT-2 tokenizer when available and ``prefer_hf``; falls
+    back to the deterministic regex backend otherwise.
+    """
+    if prefer_hf and _hf_available():
+        return hf_tokenize_map(df, text_col)
+    ids = input_ids(text_col)
+    return (
+        df.withColumn("input_ids", ids)
+        .withColumn("attention_mask", attention_mask("input_ids"))
+        .withColumn("n_tokens", F.size(F.col("input_ids")).cast("long"))
+    )
+
+
+def _hf_available() -> bool:
+    try:
+        import transformers  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def hf_tokenize_map(df: DataFrame, text_col: str, model_name: str = "gpt2") -> DataFrame:
+    """Real HF tokenisation via mapInPandas (Arrow batches, tokenizer loaded
+    once per python worker — the pattern the reference's own scale-up notes
+    prescribe, README.md:138)."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["input_ids array<int>", "attention_mask array<int>", "n_tokens long"]
+    )
+
+    def tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_name)
+        if tok.pad_token is None:  # reference: pad -> eos (:228-229)
+            tok.pad_token = tok.eos_token
+        for pdf in batches:
+            texts = ["" if not isinstance(t, str) else t for t in pdf[text_col]]
+            enc = tok(texts, add_special_tokens=True, truncation=False)
+            pdf = pdf.copy()
+            pdf["input_ids"] = enc["input_ids"]
+            pdf["attention_mask"] = enc["attention_mask"]
+            pdf["n_tokens"] = [len(ids) for ids in enc["input_ids"]]
+            yield pdf
+
+    return df.mapInPandas(tokenize_batches, schema=out_schema)

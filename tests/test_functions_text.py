@@ -1,0 +1,375 @@
+"""Unit tests for the scalar-function layer against hand-computed (reference-
+semantics) expectations. Each case mirrors the cited reference function's
+behavior on edge inputs (SURVEY.md §2.2)."""
+
+import re
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions import (
+    hashing,
+    metrics,
+    pii,
+    scoring,
+    structural,
+    text_norm,
+    tokenizer,
+    toxicity,
+)
+
+TEXTS = [
+    None,
+    "",
+    "   ",
+    "hello world",
+    "Hello\t\nWorld  again",
+    "ﬁne ﬂow ①",  # NFKC: ligatures + circled digit
+    "a\x00b\x1fc\x7fd",  # control chars
+    "NaN",
+    "123-45.6",
+    "the the the the the",
+    "café über naïve",
+    "日本語のテキストです。これはテストです。",
+    "Contact us at test@example.com or +44 20 7946 0958 now",
+    "<p>Hello <b>bold</b> world</p>",
+    "line one\ncookie policy applies here\nline three",
+    "Sooooo goooood!!!!! wow....",
+    "word " * 30,
+]
+
+
+def _df(spark, texts=TEXTS):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+
+
+def _py_normalize(text):
+    if text is None:
+        return None
+    text = unicodedata.normalize("NFKC", str(text))
+    text = re.sub(r"[\x00-\x1f\x7f-\x9f]", " ", text)
+    text = re.sub(r"\s+", " ", text).strip()
+    return text if text else None
+
+
+class TestNormalize:
+    def test_normalize_matches_reference(self, spark):
+        rows = (
+            _df(spark)
+            .select("id", text_norm.normalize_text_expr("text").alias("norm"))
+            .orderBy("id")
+            .collect()
+        )
+        for row, text in zip(rows, TEXTS):
+            assert row.norm == _py_normalize(text), repr(text)
+
+    def test_char_len_word_count(self, spark):
+        rows = (
+            _df(spark)
+            .select(
+                "id",
+                text_norm.char_len(text_norm.normalize_text_expr("text")).alias("cl"),
+                text_norm.word_count(text_norm.normalize_text_expr("text")).alias("wc"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        for row, text in zip(rows, TEXTS):
+            norm = _py_normalize(text)
+            assert row.cl == (len(norm) if norm is not None else None)
+            assert row.wc == (len(norm.split()) if norm else 0)
+
+    def test_canonicalize(self, spark):
+        rows = (
+            _df(spark)
+            .select(
+                "id",
+                text_norm.canonicalize_for_exact("text").alias("canon"),
+                text_norm.canonicalize_for_near("text", 10).alias("near"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        for row, text in zip(rows, TEXTS):
+            expected = "" if text is None else re.sub(r"\s+", " ", str(text).lower().strip())
+            assert row.canon == expected, repr(text)
+            assert row.near == expected[:10]
+
+    def test_pick_text(self, spark):
+        df = spark.createDataFrame(
+            [(None, "", "fallback"), ("primary", "x", "y"), ("  ", None, "z"), (None, None, None)],
+            "a string, b string, c string",
+        )
+        got = [r.picked for r in df.select(text_norm.pick_text("a", "b", "c").alias("picked")).collect()]
+        assert got == ["fallback", "primary", "z", ""]
+
+
+class TestMetrics:
+    def test_quality_metrics(self, spark):
+        rows = (
+            _df(spark)
+            .select(
+                "id",
+                metrics.n_chars("text").alias("nc"),
+                metrics.n_words("text").alias("nw"),
+                metrics.alpha_ratio("text").alias("ar"),
+                metrics.repetition_ratio("text").alias("rr"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        for row, text in zip(rows, TEXTS):
+            t = "" if text is None else str(text)
+            toks = t.split()
+            assert row.nc == len(t)
+            assert row.nw == len(toks)
+            exp_ar = sum(ch.isalpha() for ch in t) / len(t) if t else 0.0
+            assert row.ar == pytest.approx(exp_ar, abs=1e-12), repr(text)
+            exp_rr = 1.0 - len(set(toks)) / len(toks) if toks else 0.0
+            assert row.rr == pytest.approx(exp_rr, abs=1e-12)
+
+    def test_token_stats(self, spark):
+        stop = set(metrics.EN_STOPWORDS)
+        rows = (
+            _df(spark)
+            .select(
+                "id",
+                metrics.token_count("text").alias("tc"),
+                metrics.unique_tokens("text").alias("ut"),
+                metrics.unique_token_ratio("text").alias("ur"),
+                metrics.stopword_ratio("text").alias("sr"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        for row, text in zip(rows, TEXTS):
+            toks = ("" if text is None else str(text).strip()).split()
+            assert row.tc == len(toks)
+            assert row.ut == len(set(toks))
+            assert row.ur == pytest.approx(len(set(toks)) / len(toks) if toks else 0.0)
+            exp_sr = sum(1 for t in toks if t.lower() in stop) / len(toks) if toks else 0.0
+            assert row.sr == pytest.approx(exp_sr)
+
+    def test_repetitive_token_spam(self, spark):
+        cases = [
+            ("yes yes yes yes yes", True),
+            ("ok ok", False),  # < 3 tokens
+            ("one two three four", False),
+            ("spam spam spam ham", True),  # 3/4 = 0.75 > 0.70
+            ("a a b b", False),  # 0.5
+            (None, False),
+        ]
+        df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "id long, t string")
+        rows = df.select("id", metrics.is_repetitive_token_spam("t").alias("spam")).orderBy("id").collect()
+        for row, (text, expected) in zip(rows, cases):
+            assert bool(row.spam) == expected, repr(text)
+
+    def test_non_latin_ratio(self, spark):
+        rows = _df(spark).select("id", metrics.non_latin_ratio("text").alias("nl")).orderBy("id").collect()
+        for row, text in zip(rows, TEXTS):
+            t = "" if text is None else str(text)
+            letters = [ch for ch in t if ch.isalpha()]
+            exp = (
+                sum(1 for ch in letters if ord(ch) > 127) / len(letters) if letters else 0.0
+            )
+            assert row.nl == pytest.approx(exp, abs=1e-12), repr(text)
+
+
+class TestPII:
+    def test_hits_and_mask(self, spark):
+        text = (
+            "Email a.b+c@test.org or admin@site.co.uk, call +1 555-123-4567, "
+            "card 4111 1111 1111 1111, iban GB29NWBK60161331926819."
+        )
+        df = spark.createDataFrame([(text,)], "t string")
+        row = df.select(
+            pii.email_hits("t").alias("e"),
+            pii.simple_phone_hits("t").alias("sp"),
+            pii.phone_hits("t").alias("p"),
+            pii.cc_hits("t").alias("cc"),
+            pii.iban_hits("t").alias("ib"),
+            pii.has_pii("t").alias("hp"),
+            pii.mask_pii("t").alias("masked"),
+        ).collect()[0]
+        assert row.e == len(re.findall(pii.EMAIL_RE, text))
+        assert row.sp == len(re.findall(pii.SIMPLE_PHONE_RE, text))
+        assert row.p == len(re.findall(pii.PHONE_RE, text))
+        assert row.cc == len(re.findall(pii.CREDIT_CARD_RE, text))
+        assert row.ib == len(re.findall(pii.IBAN_RE, text))
+        assert row.hp is True
+        expected = text
+        for pat, repl in pii.MASK_ORDER:
+            expected = re.sub(pat, repl, expected)
+        assert row.masked == expected
+        assert "<EMAIL>" in row.masked and "<IBAN>" in row.masked
+
+    def test_null_input(self, spark):
+        df = spark.createDataFrame([(None,)], "t string")
+        row = df.select(
+            pii.email_hits("t").alias("e"), pii.mask_pii("t").alias("m"), pii.has_pii("t").alias("h")
+        ).collect()[0]
+        assert row.e == 0 and row.m is None and row.h is False
+
+
+class TestToxicity:
+    def test_scores_match_reference(self, spark):
+        cases = [
+            "you are an idiot and a moron",
+            "fuck shit damn",
+            "kill murder stab shoot hurt",
+            "a perfectly clean sentence about flowers",
+            "",
+            None,
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "id long, t string")
+        exprs = toxicity.toxicity_scores("t")
+        rows = df.select("id", *[v.alias(k) for k, v in exprs.items()]).orderBy("id").collect()
+        for row, text in zip(rows, cases):
+            t = ("" if text is None else str(text)).lower()
+            toks = re.findall(r"\w+", t)
+            n = max(1, len(toks))
+            counts = {
+                name: sum(tok in set(lex) for tok in toks)
+                for name, lex in toxicity.ALL_LEXICONS.items()
+            }
+            tox = min(1.0, sum(counts.values()) / n * 5.0)
+            assert row.toxicity == pytest.approx(tox), repr(text)
+            assert row.severe_toxicity == (1.0 if tox >= 0.9 else 0.0)
+            assert row.insult == pytest.approx(min(1.0, counts["insult"] / n * 5.0))
+            assert row.threat == pytest.approx(min(1.0, counts["threat"] / n * 5.0))
+            assert row.identity_attack == pytest.approx(min(1.0, counts["slur"] / n * 5.0))
+            assert row.sexual_explicit == pytest.approx(min(1.0, counts["sexual"] / n * 5.0))
+
+
+class TestScoring:
+    def test_length_score_piecewise(self, spark):
+        cases = [0, 1, 10, 19, 20, 500, 1000, 1001, 2500, 4000, 9999]
+        df = spark.createDataFrame([(c,) for c in cases], "tc long")
+        rows = df.select("tc", scoring.length_score("tc").alias("ls")).collect()
+        for row in rows:
+            tc = row.tc
+            if tc <= 0:
+                exp = 0.0
+            elif tc < 20:
+                exp = tc / 20.0
+            elif tc > 1000:
+                capped = min(tc, 4000)
+                exp = max(0.0, 1.0 - (capped - 1000) / 3000.0)
+            else:
+                exp = 1.0
+            assert row.ls == pytest.approx(exp), tc
+
+    def test_quality_score(self, spark):
+        df = spark.createDataFrame(
+            [(0.9, 100, 0.5, False), (0.5, 5, 1.0, True), (None, None, None, None)],
+            "ls double, tc long, ur double, hp boolean",
+        )
+        rows = df.select(scoring.quality_score("ls", "tc", "ur", "hp").alias("q")).collect()
+        assert rows[0].q == pytest.approx(0.4 * 0.9 + 0.3 * 1.0 + 0.2 * 0.5 + 0.1 * 1.0)
+        assert rows[1].q == pytest.approx(0.4 * 0.5 + 0.3 * 0.25 + 0.2 * 1.0 + 0.1 * 0.0)
+        assert rows[2].q == pytest.approx(0.1)  # all defaults: lang 0, len 0, uniq 0, no pii
+
+
+class TestStructural:
+    def test_strip_html(self, spark):
+        df = spark.createDataFrame([("<p>Hello <b>bold</b></p>",)], "t string")
+        row = df.select(structural.strip_html("t").alias("s")).collect()[0]
+        assert row.s == " Hello  bold  "
+
+    def test_boilerplate_removal(self, spark):
+        text = "keep this line\nOur Cookie Policy applies\nAll Rights Reserved.\nand this too"
+        df = spark.createDataFrame([(text,)], "t string")
+        row = df.select(structural.remove_boilerplate_lines("t").alias("s")).collect()[0]
+        assert row.s == "keep this line\nand this too"
+
+    def test_repeated_chars(self, spark):
+        df = spark.createDataFrame([("Sooooo goood!!!!! wow.... ha!!",)], "t string")
+        row = df.select(structural.normalize_repeated_chars("t").alias("s")).collect()[0]
+        s = re.sub(r"([!?.,])\1{2,}", r"\1\1", "Sooooo goood!!!!! wow.... ha!!")
+        s = re.sub(r"(.)\1{3,}", r"\1\1\1", s)
+        assert row.s == s
+        assert row.s == "Sooo goood!! wow.. ha!!"
+
+    def test_full_cleanup_matches_python(self, spark):
+        texts = [t for t in TEXTS if t is not None]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+        rows = df.select("id", structural.structural_cleanup("t").alias("s")).orderBy("id").collect()
+        for row, text in zip(rows, texts):
+            s = re.sub(r"<[^>]+>", " ", str(text))
+            lines = s.splitlines()
+            pat = re.compile(structural.BOILERPLATE_COMBINED)
+            kept = [l for l in lines if not pat.search(l.lower())]
+            s = "\n".join(kept).strip()
+            s = re.sub(r"([!?.,])\1{2,}", r"\1\1", s)
+            s = re.sub(r"(.)\1{3,}", r"\1\1\1", s)
+            assert row.s == s, repr(text)
+
+
+class TestHashing:
+    def test_doc_id_sha1(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([("http://x", "body"), (None, "b")], "url string, text string")
+        rows = df.select(hashing.make_doc_id("url", "text").alias("d")).collect()
+        assert rows[0].d == hashlib.sha1("http://x||body".encode()).hexdigest()
+        assert rows[1].d == hashlib.sha1("nan||b".encode()).hexdigest()
+
+    def test_h64_portable_vs_duckdb(self, spark):
+        import duckdb
+
+        words = ["hello", "world", "", "Ünïcode"]
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got = {r.w: r.h for r in df.select("w", hashing.h64("w").alias("h")).collect()}
+        con = duckdb.connect()
+        for w in words:
+            expected = con.execute(
+                "select cast(concat('0x', substr(md5(?),1,15)) as bigint)", [w]
+            ).fetchone()[0]
+            assert got[w] == expected, w
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "t string")
+        rows = df.select(hashing.token_shingles("t", 3).alias("s")).collect()
+        assert rows[0].s == ["a b c", "b c d"]
+        assert rows[1].s == ["a b"]
+        assert rows[2].s == []
+
+    def test_minhash_signature_properties(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "completely different text with other words entirely here now")],
+            "id long, t string",
+        )
+        sig = hashing.minhash_signature(hashing.token_shingles("t", 3), num_hashes=16)
+        rows = df.select("id", sig.alias("sig")).orderBy("id").collect()
+        assert rows[0].sig == rows[1].sig  # identical docs -> identical signatures
+        assert rows[0].sig != rows[2].sig
+        assert len(rows[0].sig) == 16
+
+    def test_simhash_and_fingerprint_deterministic(self, spark):
+        df = spark.createDataFrame([("hello world foo",), ("hello world foo",), ("bye",)], "t string")
+        rows = df.select(
+            hashing.simhash32("t").alias("sh"), hashing.rolling_fingerprint("t").alias("fp")
+        ).collect()
+        assert rows[0].sh == rows[1].sh
+        assert rows[0].fp == rows[1].fp
+        assert rows[0].fp != rows[2].fp
+        assert 0 <= rows[0].sh < 2**32
+
+
+class TestTokenizer:
+    def test_regex_backend(self, spark):
+        df = spark.createDataFrame([("Hello world, it's 42 degrees!",), (None,), ("",)], "t string")
+        out = tokenizer.with_tokenisation(df, "t", prefer_hf=False)
+        rows = out.collect()
+        pieces = re.findall(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+            "Hello world, it's 42 degrees!",
+        )
+        assert rows[0].n_tokens == len(pieces)
+        assert len(rows[0].input_ids) == rows[0].n_tokens
+        assert all(0 <= i < tokenizer.GPT2_VOCAB_SIZE for i in rows[0].input_ids)
+        assert rows[0].attention_mask == [1] * rows[0].n_tokens
+        assert rows[1].n_tokens == 0 and rows[2].n_tokens == 0
