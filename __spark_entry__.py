@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship end-to-end document pipeline; ``queries`` /
+``oracle_sql`` expose the operator inventory (SURVEY.md §2) with DuckDB
+oracle SQL for every SQL-expressible operator. Implementation lives in
+``llm_pretraining_data_pipeline_spark``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full 8-stage pipeline over sf0.001 documents, returning
+    the per-outcome summary (kept subsets + drop reasons with counts and mean
+    quality) — the engine's metrics_summary contract in one DataFrame.
+
+    The language filter is disabled for the synthetic corpus (random word
+    soup has no coherent language; the filter itself is exercised by
+    tests/test_pipeline_e2e.py with language-bearing fixtures).
+    """
+    from llm_pretraining_data_pipeline_spark.plans import pipeline as P
+    from llm_pretraining_data_pipeline_spark.session import get_spark
+
+    get_spark()  # patch runtime conf (AQE/arrow/UTC) on the driver's session
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = docs.select(
+        F.concat(F.lit("http://testdata/"), F.col("doc_id")).alias("url"), "text"
+    )
+    cfg = P.PipelineConfig(use_nfkc=True, apply_lang_filter=False)
+    out = P.run_pipeline(raw, cfg)
+    outcome = F.coalesce(
+        F.col("drop_reason"), F.concat(F.lit("kept:"), F.col("subset"))
+    )
+    return (
+        out.groupBy(outcome.alias("outcome"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy(F.desc("cnt"), F.col("outcome"))
+    )
+
+
+def _registry():
+    from llm_pretraining_data_pipeline_spark import queries as q
+    from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
+
+    return q.QUERIES
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.spark for name, qd in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: qd.oracle for name, qd in _registry().items() if qd.oracle is not None}

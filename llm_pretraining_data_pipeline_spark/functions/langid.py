@@ -26,7 +26,9 @@ from llm_pretraining_data_pipeline_spark.functions.text_norm import _col, ws_tok
 # Compact high-frequency stopword profiles (public-knowledge function words).
 STOPWORD_PROFILES: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
-           "with", "are", "this", "have", "from", "not", "they", "his", "her", "you"],
+           "with", "are", "this", "have", "from", "not", "they", "his", "her", "you",
+           "a", "an", "on", "at", "as", "be", "by", "or", "but", "all",
+           "one", "we", "had", "were", "which"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein",
            "eine", "als", "auch", "auf", "sich", "des", "dem", "zu", "im", "für"],
     "fr": ["le", "la", "les", "des", "est", "et", "en", "que", "qui", "dans",

@@ -89,8 +89,8 @@ def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Colum
     return _safe_ratio(hits, F.size(toks))
 
 
-def max_token_frequency_ratio(c: Column | str) -> Column:
-    """max(count of any single token) / total tokens, 0.0 for empty/null text.
+def max_token_frequency(c: Column | str) -> Column:
+    """max(count of any single token), 0 for empty/null text.
 
     Single-pass HOF over sorted tokens (run-length max) — O(n log n) per row,
     no shuffle, no UDF; this is the scale path for the repetitive-token-spam
@@ -108,8 +108,12 @@ def max_token_frequency_ratio(c: Column | str) -> Column:
             t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
 
-    best = F.aggregate(toks, acc0, merge, lambda acc: acc["best"])
-    return _safe_ratio(best, F.size(toks))
+    return F.aggregate(toks, acc0, merge, lambda acc: acc["best"]).cast("long")
+
+
+def max_token_frequency_ratio(c: Column | str) -> Column:
+    """max(count of any single token) / total tokens, 0.0 for empty/null text."""
+    return _safe_ratio(max_token_frequency(c), F.size(ws_tokens(c)))
 
 
 def is_repetitive_token_spam(

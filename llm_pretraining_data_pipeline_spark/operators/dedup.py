@@ -1,0 +1,369 @@
+"""Deduplication operators.
+
+Reference parity (duplication.py):
+  * exact dedup keep-first with ``dup_of`` lineage — duplication.py:119-143
+    (an O(n) driver-side dict loop there; a hash-partitioned window here — the
+    exact "repartition by hash, drop within bucket" plan the reference's own
+    README prescribes for scale, README.md:134)
+  * 500-char-prefix near dedup — duplication.py:145-177
+
+Scale extensions (SURVEY.md §2.9 / BASELINE.json north star):
+  * MinHash + LSH banding near-dup (shingle → signature → band → bucket join)
+  * SimHash near-dup (per-row signature, bucket by band substrings)
+  * exact n-gram Jaccard pair join
+  * embedding-cosine near-dup pairs
+
+"Keep first in encounter order" needs a deterministic order column in a
+distributed engine (pandas had an implicit index). All operators take an
+``order_col`` (default ``dedup_id``) — callers materialise ``row_order`` at
+ingest when arrival order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions import hashing
+from llm_pretraining_data_pipeline_spark.functions.text_norm import (
+    canonicalize_for_exact,
+    canonicalize_for_near,
+)
+
+
+def _first_in_group(df: DataFrame, key: str, order_col: str) -> tuple[Column, Column]:
+    """(is_duplicate, canonical_id) via one window over the group key.
+
+    The shuffle this induces is hash-partitioned on ``key``; AQE's skew-join
+    handling splits oversized groups (the all-empty-docs hash is a known hot
+    key). ``row_number`` + windowed ``first`` share a single Exchange+Sort.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col))
+    rn = F.row_number().over(w)
+    canonical = F.first(F.col("dedup_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rn > 1, canonical
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text_pii_masked",
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+    respect_drop_reason: bool = False,
+) -> DataFrame:
+    """Mark exact duplicates after canonicalisation, keeping the first.
+
+    Adds: dedup_id, exact_canon_text, exact_hash, is_dup_exact, dup_of and
+    carries drop_reason='exact_duplicate' for marked rows.
+
+    ``respect_drop_reason=True`` reproduces the reference *pipeline* boundary:
+    dedup there runs on the kept-rows parquet only (run_pipeline.py stage
+    chain), so already-dropped rows must neither claim canonical slots nor be
+    marked. They get per-row solo group keys, keeping them in the frame for
+    the drop-reason histogram while excluded from grouping.
+    """
+    order_col = order_col or ("row_order" if "row_order" in df.columns else id_col)
+    out = df.withColumn("dedup_id", F.col(id_col).cast("string"))
+    out = out.withColumn("exact_canon_text", canonicalize_for_exact(text_col))
+    out = out.withColumn("exact_hash", hashing.sha256_hex("exact_canon_text"))
+
+    group_col = "exact_hash"
+    if respect_drop_reason and "drop_reason" in df.columns:
+        out = out.withColumn(
+            "_exact_group",
+            F.when(F.col("drop_reason").isNull(), F.col("exact_hash")).otherwise(
+                F.concat(F.lit("\x00solo\x00"), F.col("dedup_id"))
+            ),
+        )
+        group_col = "_exact_group"
+    is_dup, canonical = _first_in_group(out, group_col, order_col)
+    out = out.withColumn("is_dup_exact", is_dup)
+    out = out.withColumn(
+        "dup_of", F.when(F.col("is_dup_exact"), canonical).otherwise(F.lit(None).cast("string"))
+    )
+    reason = F.when(
+        F.col("is_dup_exact") & F.col("drop_reason").isNull()
+        if "drop_reason" in df.columns
+        else F.col("is_dup_exact"),
+        F.lit("exact_duplicate"),
+    )
+    if "drop_reason" in df.columns:
+        out = out.withColumn("drop_reason", F.coalesce(F.col("drop_reason"), reason))
+    else:
+        out = out.withColumn("drop_reason", reason.otherwise(F.lit(None).cast("string")))
+    return out.drop("_exact_group")
+
+
+def near_dedup_prefix(
+    df: DataFrame,
+    text_col: str = "text_pii_masked",
+    order_col: str | None = None,
+    min_len: int = 200,
+    key_chars: int = 500,
+    respect_drop_reason: bool = False,
+) -> DataFrame:
+    """Prefix-key near dedup over docs with canonical length >= min_len.
+
+    Exact duplicates are excluded from near-marking (duplication.py:170);
+    dup_of is only filled where exact dedup left it null (:176-177).
+    Expects ``exact_dedup`` columns to be present.
+    """
+    order_col = order_col or ("row_order" if "row_order" in df.columns else "dedup_id")
+    out = df.withColumn("near_key", canonicalize_for_near(text_col, key_chars))
+
+    eligible = (F.length(F.col("exact_canon_text")) >= min_len) & (F.col("near_key") != "")
+    if respect_drop_reason and "drop_reason" in df.columns:
+        # Pipeline-boundary semantics: exact-duplicate rows stay in the frame
+        # (they must be skippable, not canonical) but other dropped rows are
+        # out of the near-dup universe entirely.
+        eligible = eligible & (
+            F.col("drop_reason").isNull() | (F.col("drop_reason") == "exact_duplicate")
+        )
+    # Ineligible rows get a per-row unique key so the window never groups them.
+    group_key = F.when(eligible, F.col("near_key")).otherwise(
+        F.concat(F.lit("\x00solo\x00"), F.col("dedup_id"))
+    )
+    out = out.withColumn("_near_group", group_key)
+    w = Window.partitionBy("_near_group").orderBy(F.col(order_col))
+    rn = F.row_number().over(w)
+    canonical = F.first(F.col("dedup_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_near = eligible & (rn > 1) & ~F.col("is_dup_exact")
+    out = out.withColumn("is_dup_near", is_near)
+    out = out.withColumn(
+        "dup_of", F.coalesce(F.col("dup_of"), F.when(is_near, canonical))
+    )
+    out = out.withColumn(
+        "drop_reason",
+        F.coalesce(F.col("drop_reason"), F.when(is_near, F.lit("near_duplicate"))),
+    )
+    return out.drop("_near_group")
+
+
+def dedup_stage(
+    df: DataFrame,
+    text_col: str = "text_pii_masked",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    near_dup_min_len: int = 200,
+    near_key_chars: int = 500,
+    respect_drop_reason: bool = False,
+) -> DataFrame:
+    """Reference dedup stage: exact then prefix-near (duplication.py:68-197)."""
+    out = exact_dedup(
+        df, text_col=text_col, order_col=order_col, id_col=id_col,
+        respect_drop_reason=respect_drop_reason,
+    )
+    return near_dedup_prefix(
+        out, text_col=text_col, order_col=order_col, min_len=near_dup_min_len,
+        key_chars=near_key_chars, respect_drop_reason=respect_drop_reason,
+    )
+
+
+# ----------------------------------------------------------------- at scale
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Plan shape (the standard 100 TB recipe):
+      1. per-row signature via HOFs — narrow, no shuffle;
+      2. explode to ``bands`` rows per doc — fan-out factor is `bands`, tiny
+         next to the token stream;
+      3. self-equi-join on (band_id, band_signature) — hash-partitioned join
+         on a high-cardinality composite key; Catalyst/AQE pick the strategy;
+      4. distinct (id_a < id_b) pairs.
+
+    Returns columns: id_a, id_b (candidates only — verify with
+    ``ngram_jaccard_pairs`` or exact comparison downstream).
+    """
+    rows_per_band = num_hashes // bands
+    sig = hashing.minhash_signature(
+        hashing.token_shingles(text_col, shingle_size), num_hashes, seed
+    )
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).filter(
+        F.size("_sig") > 0
+    )
+    banded = with_sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws(
+                        "-",
+                        F.transform(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_sig")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
+
+    Without ``candidates`` this is the brute-force shingle-inverted-index
+    join (fine to sf0.1); with a candidates frame (e.g. from LSH) it verifies
+    only those pairs — the scale path.
+    """
+    shingle_sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(hashing.token_shingles(text_col, shingle_size)).alias("_set"),
+    ).filter(F.size("_set") > 0)
+
+    if candidates is None:
+        exploded = shingle_sets.select("_id", F.explode("_set").alias("_sh"))
+        cand = (
+            exploded.alias("a")
+            .join(
+                exploded.alias("b"),
+                (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        cand = candidates.select("id_a", "id_b")
+
+    a_sets = shingle_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("set_a"))
+    b_sets = shingle_sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("set_b"))
+    joined = cand.join(a_sets, "id_a").join(b_sets, "id_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32-bit signature into ``bands``
+    pieces (pigeonhole: hamming <= bands-1 guarantees one identical band),
+    bucket-join on identical bands, verify hamming distance exactly.
+
+    Returns id_a, id_b, hamming.
+    """
+    bits_per_band = 32 // bands
+    sigs = df.select(
+        F.col(id_col).alias("_id"), hashing.simhash32(text_col).alias("_sh")
+    )
+    band_mod = 1 << bits_per_band
+    banded = sigs.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    # extract band b's bits arithmetically (shift = divide)
+                    ((F.col("_sh") / F.pow(F.lit(2.0), b * bits_per_band)).cast("long")
+                     % band_mod).alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "_sh", "band.band_id", "band.band_val")
+
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("sh_a"),
+            F.col("r._sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: F.when(
+                ((F.col("sh_a") / F.pow(F.lit(2.0), i)).cast("long") % 2)
+                != ((F.col("sh_b") / F.pow(F.lit(2.0), i)).cast("long") % 2),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    Brute-force pair join — correct baseline; compose with an LSH bucketing
+    (similarity.random_hyperplane_buckets) to prune candidates at scale.
+    """
+    from llm_pretraining_data_pipeline_spark.operators.similarity import cosine
+
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,319 @@
+"""The 8-stage LLM-pretraining data pipeline, Spark-first.
+
+Reference orchestration: run_pipeline.py:24-49 — eight subprocesses passing
+parquet files. Here every stage is a pure ``DataFrame -> DataFrame`` function
+returning an *unexecuted* plan; ``run_pipeline`` composes them lazily so
+Catalyst fuses the whole pipeline (one scan, one projection chain, shuffles
+only at dedup/shard), while ``run_pipeline_checkpointed`` writes the same
+per-stage parquet boundaries the reference has when inspectability matters.
+
+Stage map (reference file : our stage function):
+  ingest.py                    : ingest
+  text_clean_and_filter.py     : clean_filter        (stage 2, F1+F2+F3)
+  deep_clean_and_pii.py        : deep_clean_pii      (stage 4, F4+F5)
+  duplication.py               : operators.dedup.dedup_stage (stage 5)
+  scoring_and_mixture.py       : score_mixture       (stage 6)
+  Tokenisation_JSONL_export.py : tokenise            (stage 7, F6)
+  sharding.py                  : operators.sharding  (stage 7b)
+  Export_to_jsonl.py           : export via sources.io.write_jsonl (stage 8)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions import (
+    hashing,
+    langid,
+    metrics,
+    pii,
+    scoring,
+    structural,
+    text_norm,
+    tokenizer,
+    toxicity,
+)
+from llm_pretraining_data_pipeline_spark.operators import dedup as dedup_ops
+from llm_pretraining_data_pipeline_spark.operators import sharding as shard_ops
+from llm_pretraining_data_pipeline_spark.operators.rules import apply_rules
+
+
+@dataclass
+class PipelineConfig:
+    """Thresholds, all defaulting to the reference's values (cited inline)."""
+
+    min_chars: int = 20            # text_clean_and_filter.py:92
+    min_words: int = 2             # :93
+    max_chars: int = 100_000       # :94
+    allowed_langs: tuple = ("en",)  # :695
+    min_lang_conf: float = 0.80    # :696
+    non_latin_threshold: float = 0.50  # :698
+    apply_lang_filter: bool = True  # language_filter_stage is always called (:692)
+    min_words_quality: int = 5     # :563
+    max_words_quality: int = 5000  # :565
+    min_alpha_ratio: float = 0.5   # :567
+    max_repetition: float = 0.8    # :569
+    blocked_url_patterns: tuple = (r"/ads/", r"example-spam-site\.com")  # :574-577
+    max_pii_hits: int = 20         # :585
+    max_toxicity: float = 0.8      # :591
+    low_unique_ratio: float = 0.20      # deep_clean_and_pii.py:343
+    high_stopword_ratio: float = 0.95   # :344
+    min_tokens_for_stats: int = 10      # :345
+    drop_pii: bool = False              # :342 (off by default)
+    near_dup_min_len: int = 200         # duplication.py:71
+    near_key_chars: int = 500           # :72
+    mixture_name: str = "web_sample"    # scoring_and_mixture.py:113
+    high_quality_threshold: float = 0.8  # :114
+    min_tokens: int = 10                 # Tokenisation_JSONL_export.py:60
+    max_tokens: int = 2048               # :61
+    docs_per_shard: int = 50_000         # sharding.py:31
+    use_nfkc: bool = True
+    use_langdetect: bool = False  # True -> langdetect pandas UDF (if installed)
+    prefer_hf_tokenizer: bool = False
+    source_name: str = "mainpipe_v1"     # ingest.py:131
+    extra_columns: dict = field(default_factory=dict)
+
+
+def ingest(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Stage 1: identity + provenance + deterministic encounter order.
+
+    row_order uses monotonically_increasing_id (partition-prefixed, stable
+    for a given input split) — the distributed stand-in for the pandas index.
+    """
+    return (
+        df.withColumn("doc_id", hashing.make_doc_id("url", "text"))
+        .withColumn("source", F.lit(cfg.source_name))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withColumn("row_order", F.monotonically_increasing_id())
+    )
+
+
+def clean_filter(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Stage 2: normalise + prefilter (F1) + metrics + language (F2) +
+    PII/toxicity/model_q + quality filter (F3).
+
+    The entire stage is one projection chain + one when-cascade — Catalyst
+    fuses it into a single whole-stage-codegen'd pass over the data.
+    """
+    out = df.withColumn("text_norm", text_norm.normalize_text_expr("text", nfkc=cfg.use_nfkc))
+    out = out.withColumn("char_len", text_norm.char_len("text_norm"))
+    out = out.withColumn("word_count", text_norm.word_count("text_norm"))
+
+    # F1 prefilter (text_clean_and_filter.py:133-184). `non_string` cannot
+    # occur in a typed engine (schema enforces string) but stays for parity.
+    raw, norm = F.col("text"), F.col("text_norm")
+    not_empty = norm.isNotNull()
+    out = apply_rules(
+        out,
+        [
+            ("missing", raw.isNull()),
+            ("empty_after_clean", norm.isNull()),
+            ("null_like", F.lower(F.trim(norm)).isin(*text_norm.NULL_LIKE_STRINGS)),
+            ("numeric_like", norm.rlike(r"^[\d\.\-]+$")),
+            ("too_short_chars", (F.col("char_len") < cfg.min_chars) & not_empty),
+            ("too_short_words", (F.col("word_count") < cfg.min_words) & not_empty),
+            ("too_long", (F.col("char_len") > cfg.max_chars) & not_empty),
+        ],
+    )
+
+    # Reference reassigns text = text_norm downstream (:655-656).
+    out = out.withColumn("text", F.coalesce(norm, F.lit(None).cast("string")))
+
+    # Quality metrics on the normalised text (:660-661).
+    out = (
+        out.withColumn("n_chars", metrics.n_chars("text"))
+        .withColumn("n_words", metrics.n_words("text"))
+        .withColumn("alpha_ratio", metrics.alpha_ratio("text"))
+        .withColumn("repetition_ratio", metrics.repetition_ratio("text"))
+    )
+
+    # Language ID (:692-699): heuristic by default; langdetect UDF for parity.
+    lang_struct = None
+    if cfg.use_langdetect:
+        udf = langid.langdetect_udf()
+        if udf is not None:
+            lang_struct = udf(F.col("text"))
+    if lang_struct is None:
+        lang_struct = langid.langid_struct("text")
+    out = out.withColumn("_lang", lang_struct)
+    out = (
+        out.withColumn("lang_pred", F.col("_lang.lang"))
+        .withColumn("lang_score", F.col("_lang.score"))
+        .withColumn("non_latin_ratio", metrics.non_latin_ratio("text"))
+        .drop("_lang")
+    )
+    if cfg.apply_lang_filter:
+        allowed = list(cfg.allowed_langs)
+        out = apply_rules(
+            out,
+            [
+                ("lang_unknown", F.col("lang_pred") == "unk"),
+                ("non_english", ~F.col("lang_pred").isin(*allowed)),
+                (
+                    "low_lang_confidence",
+                    F.col("lang_pred").isin(*allowed) & (F.col("lang_score") < cfg.min_lang_conf),
+                ),
+                ("non_latin_heavy", F.col("non_latin_ratio") > cfg.non_latin_threshold),
+            ],
+        )
+    out = out.withColumn("lang", F.col("lang_pred"))
+
+    # PII heuristics + toxicity + model hook (:708-720).
+    out = out.withColumn("email_hits", pii.email_hits("text"))
+    out = out.withColumn("phone_hits", pii.simple_phone_hits("text"))
+    tox = toxicity.toxicity_scores("text")
+    for name, expr in tox.items():
+        out = out.withColumn(name, expr)
+    out = out.withColumn("model_q", scoring.model_quality_score())
+
+    # F3 quality filter (quality_filter_row, :537-595).
+    url = F.coalesce(F.col("url").cast("string"), F.lit(""))
+    blocked = F.lit(False)
+    for pat in cfg.blocked_url_patterns:
+        blocked = blocked | url.rlike(pat)
+    out = apply_rules(
+        out,
+        [
+            ("empty_text", F.col("text").isNull() | (F.trim(F.col("text")) == "")),
+            ("too_short", F.col("n_words") < cfg.min_words_quality),
+            ("too_long", F.col("n_words") > cfg.max_words_quality),
+            ("low_alpha_ratio", F.col("alpha_ratio") < cfg.min_alpha_ratio),
+            ("high_repetition", F.col("repetition_ratio") > cfg.max_repetition),
+            ("blocked_url", blocked),
+            ("pii_heavy", (F.col("email_hits") + F.col("phone_hits")) > cfg.max_pii_hits),
+            ("high_toxicity", F.col("toxicity") >= cfg.max_toxicity),
+        ],
+    )
+    return out
+
+
+def deep_clean_pii(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Stage 4: structural cleanup + token stats + low-info filters (F4) +
+    PII mask (deep_clean_and_pii.py:339-619)."""
+    out = df.withColumn("text_deep_clean", structural.structural_cleanup("text_norm"))
+    out = (
+        out.withColumn("token_count", metrics.token_count("text_deep_clean"))
+        .withColumn("unique_tokens", metrics.unique_tokens("text_deep_clean"))
+        .withColumn("unique_token_ratio", metrics.unique_token_ratio("text_deep_clean"))
+        .withColumn("stopword_ratio", metrics.stopword_ratio("text_deep_clean"))
+    )
+    enough = F.col("token_count") >= cfg.min_tokens_for_stats
+    out = apply_rules(
+        out,
+        [
+            ("repetitive_token_spam", metrics.is_repetitive_token_spam("text_deep_clean")),
+            ("low_unique_token_ratio", enough & (F.col("unique_token_ratio") < cfg.low_unique_ratio)),
+            ("high_stopword_ratio", enough & (F.col("stopword_ratio") > cfg.high_stopword_ratio)),
+        ],
+    )
+    out = (
+        out.withColumn("text_pii_masked", pii.mask_pii("text_deep_clean"))
+        .withColumn("pii_email_hits", pii.email_hits("text_deep_clean"))
+        .withColumn("pii_phone_hits", pii.phone_hits("text_deep_clean"))
+        .withColumn("pii_cc_hits", pii.cc_hits("text_deep_clean"))
+        .withColumn("pii_iban_hits", pii.iban_hits("text_deep_clean"))
+    )
+    out = out.withColumn(
+        "has_pii",
+        (F.col("pii_email_hits") + F.col("pii_phone_hits") + F.col("pii_cc_hits")
+         + F.col("pii_iban_hits")) > 0,
+    )
+    if cfg.drop_pii:
+        out = apply_rules(out, [("pii", F.col("has_pii"))])
+    return out
+
+
+def dedup(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Stage 5: exact + prefix near dedup (windowed, dup_of lineage)."""
+    return dedup_ops.dedup_stage(
+        df,
+        text_col="text_pii_masked",
+        id_col="doc_id",
+        near_dup_min_len=cfg.near_dup_min_len,
+        near_key_chars=cfg.near_key_chars,
+        # The reference's dedup subprocess reads the kept-rows parquet only;
+        # in the fused plan, dropped rows flow through for the histogram but
+        # must not claim canonical slots.
+        respect_drop_reason=True,
+    )
+
+
+def score_mixture(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Stage 6: quality score + mixture/subset (scoring_and_mixture.py:111-151)."""
+    out = df.withColumn(
+        "quality_score",
+        scoring.quality_score("lang_score", "token_count", "unique_token_ratio", "has_pii"),
+    )
+    out = out.withColumn("mixture_name", F.lit(cfg.mixture_name))
+    return out.withColumn("subset", scoring.subset("quality_score", cfg.high_quality_threshold))
+
+
+def tokenise(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Stage 7: tokenise + token-length filter (F6)."""
+    out = tokenizer.with_tokenisation(df, "text_pii_masked", prefer_hf=cfg.prefer_hf_tokenizer)
+    return apply_rules(
+        out,
+        [
+            ("too_few_tokens", F.col("n_tokens") < cfg.min_tokens),
+            ("too_many_tokens", F.col("n_tokens") > cfg.max_tokens),
+        ],
+    )
+
+
+def shard(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    return shard_ops.assign_shards(df, docs_per_shard=cfg.docs_per_shard)
+
+
+STAGES = [
+    ("ingest", ingest),
+    ("clean_filter", clean_filter),
+    ("deep_clean_pii", deep_clean_pii),
+    ("dedup", dedup),
+    ("score_mixture", score_mixture),
+    ("tokenise", tokenise),
+]
+
+
+def run_pipeline(
+    raw: DataFrame, cfg: PipelineConfig = PipelineConfig(), upto: str | None = None
+) -> DataFrame:
+    """Compose stages lazily into a single Catalyst plan.
+
+    Kept/dropped splitting happens once at the end (or at each checkpoint in
+    the checkpointed variant) — intermediate stages keep dropped rows so the
+    drop-reason histogram over the full corpus stays computable, exactly like
+    the reference's dropped-parquet side outputs.
+    """
+    out = raw
+    for name, fn in STAGES:
+        out = fn(out, cfg)
+        if upto is not None and name == upto:
+            break
+    return out
+
+
+def kept(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("drop_reason").isNull())
+
+
+def dropped(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("drop_reason").isNotNull())
+
+
+def run_pipeline_checkpointed(
+    spark, raw: DataFrame, out_dir: str, cfg: PipelineConfig = PipelineConfig()
+) -> dict[str, str]:
+    """Reference-style stage boundaries: one parquet checkpoint per stage
+    (restartable/inspectable; bounds lineage for very long plans)."""
+    paths: dict[str, str] = {}
+    current = raw
+    for i, (name, fn) in enumerate(STAGES, start=1):
+        current = fn(current, cfg)
+        path = f"{out_dir}/mainpipe_{name}_v{i}.parquet"
+        current.write.mode("overwrite").parquet(path)
+        paths[name] = path
+        current = spark.read.parquet(path)
+    return paths

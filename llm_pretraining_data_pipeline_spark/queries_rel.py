@@ -1,0 +1,668 @@
+"""Relational / window / events / embeddings query surface (SURVEY.md §2.9).
+
+Registered into the same ``QUERIES`` dict as the document-pipeline operators;
+this module holds the star-schema extension surface: joins (inner/semi/anti/
+outer/asof), window functions, grouping sets/rollup/cube/pivot, time windows
+over ``events`` (batch + Structured Streaming), and embedding similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark import oracle_fragments as O
+from llm_pretraining_data_pipeline_spark.operators import dedup as dedup_ops
+from llm_pretraining_data_pipeline_spark.operators import similarity
+from llm_pretraining_data_pipeline_spark.queries import _t, register
+from llm_pretraining_data_pipeline_spark.sources import io as src
+
+# ================================================================ TPC-H-ish
+
+
+@register(
+    "rel_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           cast(count(*) as bigint) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '2001-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan + filter + 8-agg groupBy (public TPC-H spec)",
+)
+def rel_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < timestamp '1999-01-01 00:00:00'
+      AND l.l_shipdate > timestamp '1999-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + agg + top-N; the customer dim is "
+        "broadcast (see .explain)",
+)
+def rel_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rel_q5_local_supplier",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way snowflake join with co-located nation condition",
+)
+def rel_q5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "rel_semi_join",
+    """
+    SELECT o_orderstatus, cast(count(*) as bigint) AS cnt
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderstatus
+    """,
+    doc="left-semi join (EXISTS)",
+)
+def rel_semi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "rel_anti_join",
+    """
+    SELECT c_mktsegment, cast(count(*) as bigint) AS cnt
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="left-anti join (NOT EXISTS)",
+)
+def rel_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "rel_outer_join",
+    """
+    SELECT n.n_name, cast(count(c.c_custkey) as bigint) AS n_customers,
+           round(coalesce(sum(c.c_acctbal), 0), 2) AS total_acctbal
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="left-outer join preserving empty nations",
+)
+def rel_outer_join(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0)), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "rel_rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           cast(count(*) as bigint) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    doc="rollup over two dims (super-aggregate rows null-filled identically)",
+)
+def rel_rollup_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "rel_cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(count(*) as bigint) AS cnt,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="cube over two dims",
+)
+def rel_cube_lineitem(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+@register(
+    "rel_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, cast(count(*) as bigint) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="explicit grouping sets",
+)
+def rel_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, cast(count(*) as bigint) AS cnt
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "rel_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot with explicit value list (Spark .pivot ≡ CASE sums)",
+)
+def rel_pivot(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "rel_distinct_counts",
+    """
+    SELECT l_returnflag,
+           cast(count(DISTINCT l_partkey) as bigint) AS n_parts,
+           cast(count(DISTINCT l_suppkey) as bigint) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="multi distinct-aggregate (exact; approx_count_distinct is bench-only "
+        "since HLL implementations differ across engines)",
+)
+def rel_distinct_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+# ================================================================= windows
+
+
+@register(
+    "win_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             cast(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) as int) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    doc="top-K per group via row_number window",
+)
+def win_top3_orders(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_running_quantity",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+    FROM lineitem WHERE l_suppkey < 10
+    """,
+    doc="running sum window with fully-determined frame order",
+)
+def win_running_quantity(spark, sf_dir):
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 10)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(w), 4).alias("running_qty"),
+        )
+    )
+
+
+@register(
+    "win_lag_price_delta",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+    FROM orders
+    """,
+    doc="lag window (price delta between a customer's consecutive orders)",
+)
+def win_lag_price_delta(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta"),
+    )
+
+
+# ================================================================== events
+
+
+@register(
+    "ev_tumbling_5min",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+           cast(count(*) as bigint) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 5-minute window aggregation (batch form; streaming twin "
+        "below shares this oracle)",
+)
+def ev_tumbling_5min(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+@register(
+    "ev_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           cast(count(*) as bigint) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP(date_trunc('hour', ts), event_type)
+    """,
+    doc="hypertable-style hourly rollup with super-aggregates",
+)
+def ev_hourly_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    return ev.rollup("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "ev_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR cast(ts as double) - cast(prev_ts as double) > 1800.0
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), s AS (
+      SELECT *, cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           cast(count(*) as bigint) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30-min gap) via lag + running sum "
+        "(the batch twin of streaming session_window)",
+)
+def ev_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w_order).isNull()
+        | (F.col("ts").cast("double") - F.lag("ts").over(w_order).cast("double") > 1800.0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("brk", brk)
+        .withColumn("session_id", F.sum("brk").over(w_run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "ev_asof_last_click",
+    """
+    SELECT p.event_id, p.user_id, max(c.ts) AS last_click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="as-of join: most recent prior click for each purchase (Spark lacks a "
+        "native as-of; this is the join+max formulation — see "
+        "operators/relational.py for the sort-merge scale path)",
+)
+def ev_asof_last_click(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return asof_join(
+        purchases, clicks,
+        left_on="user_id", right_on="c_user",
+        left_ts="ts", right_ts="c_ts",
+    ).select("event_id", "user_id", F.col("c_ts").alias("last_click_ts")).filter(
+        F.col("last_click_ts").isNotNull()
+    )
+
+
+@register(
+    "ev_user_stats",
+    """
+    SELECT user_id, cast(count(*) as bigint) AS n_events,
+           cast(count(DISTINCT event_type) as bigint) AS n_types,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="per-entity profile aggregation",
+)
+def ev_user_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "ev_stream_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           cast(count(*) as bigint) AS cnt
+    FROM events GROUP BY 1
+    """,
+    doc="the SAME tumbling aggregation executed as a Structured Streaming "
+        "query (readStream over the parquet, watermark, memory sink) — "
+        "batch oracle applies because processAllAvailable drains everything",
+)
+def ev_stream_tumbling(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_tumbling_stream_once,
+    )
+
+    return run_tumbling_stream_once(spark, sf_dir)
+
+
+# ============================================================== embeddings
+
+
+@register(
+    "emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({O.cosine_double('e.embedding', 'q.qv')}, 6) AS score
+    FROM embeddings e, q
+    ORDER BY {O.cosine_double('e.embedding', 'q.qv')} DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="exact cosine top-k (brute force; Spark plans TakeOrderedAndProject — "
+        "per-partition partial top-k, no global sort)",
+)
+def emb_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id", similarity.cosine(F.col("ev"), F.col("qv")).alias("raw_score")
+    )
+    return (
+        scored.orderBy(F.desc("raw_score"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
+@register(
+    "emb_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {O.cosine_double('e.embedding', 'q.qv')} AS raw_score
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, raw_score,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY raw_score DESC, vec_id) as int) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(raw_score, 6) AS score, rank
+    FROM ranked WHERE rank <= 4
+    """,
+    doc="kNN join: per-query top-4 neighbors via broadcast + window",
+)
+def emb_knn_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.knn_join(queries, emb, k=4)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("int")
+    )
+
+
+@register(
+    "emb_near_dup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({O.cosine_double('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {O.cosine_double('a.embedding', 'b.embedding')} >= 0.8
+    """,
+    doc="embedding-cosine near-duplicate pairs (threshold 0.8)",
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup_ops.embedding_near_dup_pairs(emb, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "emb_label_stats",
+    """
+    SELECT label, cast(count(*) as bigint) AS cnt,
+           round(sum(sqrt(list_sum(list_transform(embedding,
+                 x -> cast(x as double) * cast(x as double))))), 4) AS total_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="per-label aggregate over vector norms (array HOFs inside an agg)",
+)
+def emb_label_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(similarity.norm(vec)), 4).alias("total_norm"),
+    )
+
+
+@register(
+    "emb_lsh_bucket_sizes",
+    None,  # hyperplane constants are generated; checked rows-only + pytest
+    doc="random-hyperplane LSH bucket histogram (the ANN scale path: bucket "
+        "once at ingest, partition by bucket, prune at query time)",
+)
+def emb_lsh_bucket_sizes(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first().embedding)
+    planes = similarity.random_hyperplanes(dim, n_planes=6, seed=7)
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        emb.select(similarity.hyperplane_bucket(vec, planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,86 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S7).
+
+Schema-explicit readers (no inference at scale) and the reference's sink
+shapes: parquet checkpoints, projected JSONL exports, CSV reports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from llm_pretraining_data_pipeline_spark.schemas import RAW_DOCUMENT_SCHEMA
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S1: line-delimited JSON scan with a declared schema (never infer —
+    the reference's pd.read_json inference is a scale liability)."""
+    return spark.read.schema(schema or RAW_DOCUMENT_SCHEMA).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S3: stage checkpoint. Partitioned writes give downstream partition
+    pruning on subset/mixture/shard columns."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, fields: list[str]) -> None:
+    """S4: projected JSONL export with exact field order.
+
+    ``to_json(struct(...))`` preserves the given field order per line, which
+    matches the reference's json.dumps field ordering contract.
+    """
+    df.select(F.to_json(F.struct(*[F.col(f) for f in fields])).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def write_csv_report(df: DataFrame, path: str) -> None:
+    """S5: small report CSV (single file, with header)."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) column converted to a real
+    microsecond timestamp (Spark reads nanos as long via
+    spark.sql.legacy.parquet.nanosAsLong; DuckDB truncates ns → µs the same
+    way, keeping oracle comparisons exact)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        micros = (F.col("ts") / F.lit(1000)).cast("long")
+        df = df.withColumn("ts", F.timestamp_micros(micros))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_all_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

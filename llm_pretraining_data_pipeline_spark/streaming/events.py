@@ -1,0 +1,177 @@
+"""Structured Streaming surface over the events stream.
+
+The reference is strictly batch (SURVEY.md §2.8); this is the prompt-mandated
+streaming extension: windowed aggregations with watermarks, session windows,
+and a custom stateful sessionizer via ``applyInPandasWithState``.
+
+Local tests drive these with the parquet file source + ``processAllAvailable``
+(one synchronous drain), which makes streaming results comparable against the
+batch/DuckDB oracle — at scale the same code points at Kafka/files and runs
+continuously with the watermark bounding state.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.sources import io as src
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nano→micro ts conversion
+    (schema taken from a static read — streaming sources must declare one)."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return stream
+
+
+def tumbling_counts(stream: DataFrame, width: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+def sliding_value_sums(stream: DataFrame, width: str = "10 minutes",
+                       slide: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
+    )
+
+
+def session_window_counts(stream: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def _drain_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
+    """Run a bounded streaming query to completion into a memory sink and
+    return the resulting table (test/driver harness helper)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def run_tumbling_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ev_tumbling batch query: complete-mode drain of
+    the 5-minute tumbling counts. Results equal the batch aggregation because
+    processAllAvailable consumes the whole bounded source."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+def run_session_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(session_window_counts(stream), "complete")
+
+
+# -------------------------------------------------- custom stateful operator
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def sessionize_stateful(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful sessionizer via applyInPandasWithState.
+
+    Keeps (session start, last event, count) per user in state; emits a row
+    whenever a gap closes a session, and flushes the open session on event-
+    time timeout. This is the template for stateful operators the built-in
+    session_window cannot express (e.g. value-dependent gaps).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                rows.append((user_id, start_us, last_us, n))
+                state.remove()
+        else:
+            events = pd.concat(list(pdfs)).sort_values("ts")
+            ts_us = (events["ts"].astype("int64") // 1000).tolist()
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = None
+                n = 0
+            for t in ts_us:
+                if last_us is not None and t - last_us > gap_us:
+                    rows.append((user_id, start_us, last_us, n))
+                    start_us, n = t, 0
+                if start_us is None:
+                    start_us = t
+                last_us = t
+                n += 1
+            state.update((start_us, last_us, n))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        out = pd.DataFrame(
+            rows, columns=["user_id", "start_us", "last_us", "n"]
+        )
+        out["session_start"] = pd.to_datetime(out["start_us"], unit="us")
+        out["session_end"] = pd.to_datetime(out["last_us"], unit="us")
+        yield out[["user_id", "session_start", "session_end", "n"]].rename(
+            columns={"n": "n_events"}
+        )
+
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,159 @@
+"""Dedup operator tests: reference keep-first semantics + scale extensions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.operators import dedup, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, row_order long, text string")
+
+
+class TestExactDedup:
+    def test_keep_first_and_lineage(self, spark):
+        df = _docs(
+            spark,
+            [
+                ("a", 0, "Hello World"),
+                ("b", 1, "hello   world"),   # same canonical form -> dup of a
+                ("c", 2, "something else"),
+                ("d", 3, "HELLO WORLD "),    # dup of a
+                ("e", 4, None),              # null canonicalises to ""
+                ("f", 5, "   "),             # also "" -> dup group with e
+            ],
+        )
+        out = dedup.exact_dedup(df, text_col="text", order_col="row_order").orderBy("row_order")
+        rows = {r.doc_id: r for r in out.collect()}
+        assert not rows["a"].is_dup_exact and rows["a"].dup_of is None
+        assert rows["b"].is_dup_exact and rows["b"].dup_of == "a"
+        assert not rows["c"].is_dup_exact
+        assert rows["d"].is_dup_exact and rows["d"].dup_of == "a"
+        assert not rows["e"].is_dup_exact  # first empty doc is canonical
+        assert rows["f"].is_dup_exact and rows["f"].dup_of == "e"
+        assert rows["b"].drop_reason == "exact_duplicate"
+        assert rows["a"].drop_reason is None
+
+    def test_existing_drop_reason_not_overwritten(self, spark):
+        df = _docs(spark, [("a", 0, "x y z"), ("b", 1, "x y z")]).withColumn(
+            "drop_reason",
+            F.when(F.col("doc_id") == "b", F.lit("already_dropped")),
+        )
+        out = dedup.exact_dedup(df, text_col="text", order_col="row_order")
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows["b"].drop_reason == "already_dropped"  # first-writer-wins
+        assert rows["b"].is_dup_exact  # flag still set, like the reference
+
+
+class TestNearDedup:
+    def test_prefix_grouping(self, spark):
+        base = "word " * 50  # 250 chars canonical
+        df = _docs(
+            spark,
+            [
+                ("a", 0, base + "ending one"),
+                ("b", 1, base + "totally different ending two"),  # same 200-char prefix
+                ("c", 2, "short text"),                           # too short for near-dup
+            ],
+        )
+        out = dedup.dedup_stage(df, text_col="text", id_col="doc_id", near_dup_min_len=200,
+                                near_key_chars=200)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert not rows["a"].is_dup_near
+        assert rows["b"].is_dup_near and rows["b"].dup_of == "a"
+        assert rows["b"].drop_reason == "near_duplicate"
+        assert not rows["c"].is_dup_near
+
+    def test_exact_dup_excluded_from_near(self, spark):
+        text = "word " * 120  # 600 chars: near_key = first 500
+        df = _docs(spark, [("a", 0, text), ("b", 1, text)])
+        out = dedup.dedup_stage(df, text_col="text", id_col="doc_id")
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows["b"].is_dup_exact and not rows["b"].is_dup_near
+        assert rows["b"].drop_reason == "exact_duplicate"
+
+
+class TestMinHashLSH:
+    def test_near_identical_docs_are_candidates(self, spark):
+        doc = ("the quick brown fox jumps over the lazy dog and then runs far away "
+               "through the green fields towards the old farm house near the river")
+        df = spark.createDataFrame(
+            [(1, doc), (2, doc + " tail"), (3, "entirely unrelated content about "
+              "spark catalyst optimizer plans and shuffle partitions in clusters")],
+            "doc_id long, text string",
+        )
+        cand = dedup.minhash_lsh_candidates(df, "text", num_hashes=32, bands=16)
+        pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_jaccard_verification(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
+            "doc_id long, text string",
+        )
+        out = dedup.ngram_jaccard_pairs(df, "text", shingle_size=3, threshold=0.8)
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+        assert pairs == {(1, 2): 1.0}
+
+    def test_lsh_plus_verify_compose(self, spark):
+        doc = "one two three four five six seven eight nine ten eleven twelve"
+        df = spark.createDataFrame(
+            [(1, doc), (2, doc), (3, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        cand = dedup.minhash_lsh_candidates(df, "text")
+        verified = dedup.ngram_jaccard_pairs(df, "text", threshold=0.9, candidates=cand)
+        assert {(r.id_a, r.id_b) for r in verified.collect()} == {(1, 2)}
+
+
+class TestSimHash:
+    def test_identical_and_different(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spark engine data pipeline quality"), (2, "spark engine data pipeline quality"),
+             (3, "zebra yak xylophone walrus vulture")],
+            "doc_id long, text string",
+        )
+        out = dedup.simhash_pairs(df, "text", max_hamming=0)
+        pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) not in pairs
+
+
+class TestEmbeddingSimilarity:
+    def test_cosine_topk_exact(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        query = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        top = similarity.cosine_topk(emb, query, k=5).collect()
+        assert top[0].vec_id == 0  # self-match first
+        assert top[0].score == pytest.approx(1.0, abs=1e-9)
+        scores = [r.score for r in top]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_knn_join(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+        out = similarity.knn_join(queries, emb, k=4)
+        rows = out.collect()
+        assert len(rows) == 12
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4]
+            assert sorted(rs, key=lambda r: r.rank)[0].vec_id == q  # self first
+
+    def test_embedding_near_dup_pairs_self_similarity(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        doubled = emb.union(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+        out = dedup.embedding_near_dup_pairs(doubled, threshold=0.9999)
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        for i in [r.vec_id for r in emb.collect()]:
+            assert (i, i + 10000) in pairs
+
+    def test_lsh_topk_contains_self(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        query = emb.filter(F.col("vec_id") == 7).collect()[0].embedding
+        top = similarity.lsh_topk(emb, query, k=5)
+        ids = [r.vec_id for r in top.collect()]
+        assert 7 in ids  # query's own bucket contains itself
