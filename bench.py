@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The suite covers each engine subsystem at its heaviest available scale:
+the full 8-stage document pipeline (corpus replicated 24x to ~120k docs so
+dedup sees real duplicate volume and throughput is comparable to the
+reference's 241k-doc / 38 docs/s baseline in BASELINE.md), the TPC-H-ish
+join/agg/window surface on 600k lineitem, event sessionization/windows on
+100k events, MinHash-LSH near-dup, and embedding kNN.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+PIPELINE_COPIES = int(os.environ.get("BENCH_PIPELINE_COPIES", "24"))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from llm_pretraining_data_pipeline_spark.operators import dedup as dedup_ops
+    from llm_pretraining_data_pipeline_spark.operators import similarity
+    from llm_pretraining_data_pipeline_spark.plans import pipeline as P
+    from llm_pretraining_data_pipeline_spark.queries import QUERIES
+    from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401
+    from llm_pretraining_data_pipeline_spark.session import get_spark
+    from llm_pretraining_data_pipeline_spark.sources import io as src
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- full pipeline over a replicated corpus (dedup-heavy by design)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = spark.range(PIPELINE_COPIES).withColumnRenamed("id", "copy")
+    raw = (
+        docs.crossJoin(copies)
+        .select(
+            F.concat(
+                F.lit("http://bench/"), F.col("doc_id"), F.lit("/"), F.col("copy")
+            ).alias("url"),
+            "text",
+        )
+    )
+    n_docs = timed(
+        "pipeline_e2e",
+        lambda: P.run_pipeline(
+            raw, P.PipelineConfig(use_nfkc=True, apply_lang_filter=False)
+        ).count(),
+    )
+    meta["pipeline_docs"] = n_docs
+    meta["pipeline_docs_per_sec"] = round(n_docs / timings["pipeline_e2e"], 1)
+
+    # ---- relational / window surface from the registry (heaviest entries)
+    for qname in [
+        "rel_q1_pricing_summary",
+        "rel_q3_shipping_priority",
+        "rel_q5_local_supplier",
+        "rel_cube_lineitem",
+        "win_top3_orders_per_customer",
+        "win_running_quantity",
+        "ev_tumbling_5min",
+        "ev_sessionize",
+        "ev_asof_last_click",
+        "emb_knn_join",
+    ]:
+        qd = QUERIES[qname]
+        timed(qname, lambda qd=qd: qd.spark(spark, SF_DIR).count())
+
+    # ---- scale extensions at bench size
+    timed(
+        "minhash_lsh_dedup",
+        lambda: dedup_ops.minhash_lsh_candidates(
+            docs, "text", num_hashes=32, bands=8
+        ).count(),
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries_df = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    timed("emb_knn8_full", lambda: similarity.knn_join(queries_df, emb, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "meta": meta,
+                "cpus": CPUS,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -74,17 +74,22 @@ def minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int
     return a, b
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
-    """array<bigint> minhash signature, computed per-row with HOFs — no
-    shuffle, no UDF; the scale path for signature generation.
+def minhash_signature_from_hashes(
+    hashed: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """array<bigint> minhash signature from pre-hashed shingles (array<long>).
 
     All arithmetic stays under 2^62 (a < 2^31, h32 < 2^31) so ANSI-mode
     bigint ops cannot overflow.
+
+    Callers should materialise ``hashed`` in its own projection (separate
+    select) — higher-order-function lambdas run interpreted with no common-
+    subexpression elimination, so inlining the md5 pass here would recompute
+    it ``num_hashes`` times per row.
     """
     a_list, b_list = minhash_coeffs(num_hashes, seed)
     a_arr = F.array(*[F.lit(int(x)).cast("long") for x in a_list])
     b_arr = F.array(*[F.lit(int(x)).cast("long") for x in b_list])
-    hashed = F.transform(shingles, lambda s: h32(s))
     return F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
         lambda j: F.array_min(
@@ -95,6 +100,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
             )
         ),
     )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """Single-expression form (hashing inlined; fine for tests/small inputs —
+    prefer the split ``minhash_signature_from_hashes`` in operators)."""
+    hashed = F.transform(shingles, lambda s: h32(s))
+    return minhash_signature_from_hashes(hashed, num_hashes, seed)
 
 
 def simhash32(c: Column | str) -> Column:

@@ -187,13 +187,30 @@ def minhash_lsh_candidates(
 
     Returns columns: id_a, id_b (candidates only — verify with
     ``ngram_jaccard_pairs`` or exact comparison downstream).
+
+    The md5-hash pass, the 32-way signature, and the band explode live in
+    SEPARATE projections: HOF lambdas are interpreted (no codegen CSE), and
+    CollapseProject keeps multi-referenced non-cheap expressions
+    un-inlined — fusing these into one expression tree recomputes the md5
+    pass num_hashes × bands times per row (measured 90× slower at sf0.1).
     """
     rows_per_band = num_hashes // bands
-    sig = hashing.minhash_signature(
-        hashing.token_shingles(text_col, shingle_size), num_hashes, seed
-    )
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).filter(
-        F.size("_sig") > 0
+    hashed_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            hashing.token_shingles(text_col, shingle_size), lambda s: hashing.h32(s)
+        ).alias("_hashed"),
+    ).filter(F.size("_hashed") > 0)
+    # Materialisation barrier: CollapseProject counts lexical references, not
+    # HOF re-evaluations — inlined, the md5 pass would run once per outer
+    # sequence element (num_hashes×). Persisting the narrow (id, array<long>)
+    # frame keeps it a single pass (measured 30× difference at sf0.1).
+    hashed_df = hashed_df.persist()
+    with_sig = hashed_df.select(
+        "_id",
+        hashing.minhash_signature_from_hashes(F.col("_hashed"), num_hashes, seed).alias(
+            "_sig"
+        ),
     )
     banded = with_sig.select(
         "_id",
@@ -213,6 +230,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_sig")
+
+    # The self-join evaluates `banded` twice; without a materialisation point
+    # each side re-derives shingles→md5→signature→bands (measured 45× slower
+    # at sf0.1). banded is narrow (~8 short rows/doc) — cache it. At cluster
+    # scale substitute a checkpoint/intermediate table for the cache.
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -438,7 +438,7 @@ def ev_hourly_rollup(spark, sf_dir):
       FROM events
     ), m AS (
       SELECT *, CASE WHEN prev_ts IS NULL
-                       OR cast(ts as double) - cast(prev_ts as double) > 1800.0
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END AS brk
       FROM o
     ), s AS (
@@ -460,7 +460,10 @@ def ev_sessionize(spark, sf_dir):
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = F.when(
         F.lag("ts").over(w_order).isNull()
-        | (F.col("ts").cast("double") - F.lag("ts").over(w_order).cast("double") > 1800.0),
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
+            > 1_800_000_000
+        ),
         F.lit(1),
     ).otherwise(F.lit(0))
     w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -66,8 +66,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        micros = (F.col("ts") / F.lit(1000)).cast("long")
-        df = df.withColumn("ts", F.timestamp_micros(micros))
+        # integer division — double division loses precision above 2^53
+        # (epoch-nanos are ~1.7e18) and would round the microsecond up
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

