@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry():
     from llm_pretraining_data_pipeline_spark import queries as q
+    from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
     return q.QUERIES

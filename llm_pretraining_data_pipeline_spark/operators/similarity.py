@@ -77,6 +77,78 @@ def knn_join(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (IVF coarse quantizer).
+
+    Broadcast the (small) centroid table, score all pairs, keep the argmax by
+    window. At 100 TB this runs once at ingest and the table is written
+    ``partitionBy(cell)`` so probes prune to one cell's files.
+    """
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    c = centroids.select(
+        F.col(centroid_id), _as_double(F.col(centroid_vec)).alias("_c")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col, centroid_id, cosine(F.col("_v"), F.col("_c")).alias("_score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.col(centroid_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col(centroid_id).alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF probe: route the query to its ``n_probe`` nearest cells, score
+    only vectors assigned there. Approximate (recall grows with n_probe);
+    the brute-force twin is ``cosine_topk``."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    cents = centroids.select(centroid_id, centroid_vec).collect()
+
+    def cos_to_q(vec):
+        dn = math.sqrt(sum(x * x for x in vec))
+        if dn == 0 or qn == 0:
+            return 0.0
+        return sum(a * float(b) for a, b in zip(q, vec)) / (qn * dn)
+
+    ranked = sorted(cents, key=lambda r: (-cos_to_q(r[1]), r[0]))
+    probe_cells = [r[0] for r in ranked[:n_probe]]
+
+    assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id, centroid_vec)
+    qcol = F.array(*[F.lit(x) for x in q])
+    candidates = df.join(
+        assigned.filter(F.col("cell").isin(probe_cells)), id_col
+    )
+    return (
+        candidates.select(
+            F.col(id_col), cosine(_as_double(F.col(vec_col)), qcol).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

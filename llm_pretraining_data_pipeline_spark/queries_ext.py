@@ -1,0 +1,469 @@
+"""Query surface, batch 3: language-ID, tokenizer, set ops, subqueries,
+sliding windows, JSON export shape, SimHash pairs, IVF search, rank windows.
+
+Registered into the shared ``QUERIES`` dict (see queries.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark import oracle_fragments as O
+from llm_pretraining_data_pipeline_spark.functions import (
+    hashing,
+    langid,
+    metrics,
+    structural,
+    text_norm,
+    tokenizer,
+)
+from llm_pretraining_data_pipeline_spark.operators import dedup as dedup_ops
+from llm_pretraining_data_pipeline_spark.operators import similarity
+from llm_pretraining_data_pipeline_spark.queries import _docs, _t, register
+
+# ============================================================== language ID
+
+
+def _langid_oracle() -> str:
+    """Build the DuckDB twin of langid.langid_struct, candidate by candidate."""
+    cleaned = (
+        "list_transform(" + O.toks("lower(coalesce(text,''))") + ", "
+        "t -> regexp_replace(t, '[^\\p{L}'']', '', 'g'))"
+    )
+    n = f"len(list_filter(tk, t -> t <> ''))"
+    cands = []
+    for lang, rng in langid.SCRIPT_RANGES.items():
+        frac = (
+            f"(length(s) - length(regexp_replace(s, '{rng}', '', 'g')))::double"
+            f" / (case when length(s) > 0 then length(s) else 1 end)::double"
+        )
+        score = (
+            f"case when length(s) > 0 and {frac} >= 0.3 "
+            f"then least(1.0::double, {frac} * 2) else 0.0 end"
+        )
+        cands.append(f"struct_pack(score := {score}, lang := '{lang}')")
+    for lang, words in langid.STOPWORD_PROFILES.items():
+        profile = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        hits = f"len(list_filter(tk, t -> list_contains({profile}, t)))"
+        frac = f"case when n > 0 then {hits}::double / n::double else 0.0 end"
+        cands.append(
+            f"struct_pack(score := least(1.0::double, {frac} * 4.0::double), "
+            f"lang := '{lang}')"
+        )
+    cand_list = "[" + ",\n           ".join(cands) + "]"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text,'') AS s, {cleaned} AS tk FROM documents
+    ), counted AS (
+      SELECT doc_id, s, tk, {n} AS n FROM base
+    ), best AS (
+      SELECT doc_id, s, list_max({cand_list}) AS b FROM counted
+    )
+    SELECT doc_id,
+           CASE WHEN trim(s) = '' OR b.score <= 0.0 THEN 'unk' ELSE b.lang END AS lang_pred,
+           CASE WHEN trim(s) = '' OR b.score <= 0.0 THEN 0.0 ELSE b.score END AS lang_score
+    FROM best
+    """
+
+
+@register(
+    "p09_langid",
+    _langid_oracle(),
+    doc="P9 deterministic language ID (script ranges + stopword-profile "
+        "argmax; replaces the reference's langdetect, "
+        "text_clean_and_filter.py:385-408)",
+)
+def p09_langid(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = langid.langid_struct("text")
+    return d.select(
+        "doc_id", s["lang"].alias("lang_pred"), s["score"].alias("lang_score")
+    )
+
+
+@register(
+    "p10_non_latin_ratio",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             regexp_replace(coalesce(text,''), '[^\\p{{L}}]', '', 'g') AS letters
+      FROM documents
+    )
+    SELECT doc_id,
+           case when length(letters) > 0
+                then length(regexp_replace(letters, '[\\x00-\\x7f]', '', 'g'))::double
+                     / length(letters)::double
+                else 0.0 end AS non_latin_ratio
+    FROM b
+    """,
+    doc="P10 non-Latin letter fraction (text_clean_and_filter.py:451-469)",
+)
+def p10_non_latin_ratio(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", metrics.non_latin_ratio("text").alias("non_latin_ratio")
+    )
+
+
+# ================================================================ tokenizer
+
+_RE2_PAT_SQL = tokenizer.GPT2_SPLIT_PATTERN_RE2.replace("'", "''")
+
+
+@register(
+    "p22_tokenize",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(coalesce(text,''), '{_RE2_PAT_SQL}') AS pieces
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(len(pieces) as bigint) AS n_tokens,
+           array_to_string(list_transform(list_slice(pieces, 1, 5),
+             t -> cast({O.h64('t')} % 50257 as varchar)), ',') AS ids_head
+    FROM t
+    """,
+    doc="P22 GPT-2-style pre-tokenisation count + stable piece->id mapping "
+        "(Tokenisation_JSONL_export.py:71-119; RE2-safe pattern flavor)",
+)
+def p22_tokenize(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pieces = tokenizer.token_pieces("text", tokenizer.GPT2_SPLIT_PATTERN_RE2)
+    ids = F.transform(pieces, lambda t: (hashing.h64(t) % 50257).cast("string"))
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_tokens"),
+        F.array_join(F.slice(ids, 1, 5), ",").alias("ids_head"),
+    )
+
+
+# ========================================================== set operations
+
+
+@register(
+    "u01_union_by_name",
+    """
+    SELECT source_kind, cast(count(*) as bigint) AS cnt FROM (
+      SELECT doc_id, 'long' AS source_kind, n_chars FROM documents WHERE n_chars >= 300
+      UNION ALL BY NAME
+      SELECT 'short' AS source_kind, doc_id FROM documents WHERE n_chars < 300
+    ) GROUP BY source_kind
+    """,
+    doc="U1 union of frames with different column sets "
+        "(unionByName allowMissingColumns; text_clean_and_filter.py:766-768)",
+)
+def u01_union_by_name(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("n_chars") >= 300).select(
+        "doc_id", F.lit("long").alias("source_kind"), "n_chars"
+    )
+    b = d.filter(F.col("n_chars") < 300).select(
+        F.lit("short").alias("source_kind"), "doc_id"
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .groupBy("source_kind")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "u02_intersect_except",
+    """
+    SELECT 'both' AS which, cast(count(*) as bigint) AS cnt FROM (
+      SELECT doc_id FROM documents WHERE n_chars >= 200
+      INTERSECT SELECT doc_id FROM documents WHERE lang = 'en')
+    UNION ALL
+    SELECT 'only_long' AS which, cast(count(*) as bigint) AS cnt FROM (
+      SELECT doc_id FROM documents WHERE n_chars >= 200
+      EXCEPT SELECT doc_id FROM documents WHERE lang = 'en')
+    """,
+    doc="INTERSECT / EXCEPT set semantics",
+)
+def u02_intersect_except(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    long_ids = d.filter(F.col("n_chars") >= 200).select("doc_id")
+    en_ids = d.filter(F.col("lang") == "en").select("doc_id")
+    both = long_ids.intersect(en_ids).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("both").alias("which"), "cnt"
+    )
+    only = long_ids.exceptAll(en_ids.distinct()).distinct().agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("only_long").alias("which"), "cnt")
+    return both.unionByName(only)
+
+
+# ========================================================== more relational
+
+
+@register(
+    "rel_q6_revenue_delta",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           cast(count(*) as bigint) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '2000-01-01 00:00:00'
+      AND l_shipdate <  timestamp '2001-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 25
+    """,
+    doc="TPC-H Q6 shape: tight multi-predicate scan, all filters pushed",
+)
+def rel_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.02, 0.08))
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rel_in_subquery",
+    """
+    SELECT o_orderstatus, cast(count(*) as bigint) AS cnt
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o_orderstatus
+    """,
+    doc="IN-subquery (compiles to a broadcast semi join)",
+)
+def rel_in_subquery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    negative = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        "c_custkey"
+    )
+    return (
+        o.join(F.broadcast(negative), o.o_custkey == negative.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "win_above_avg_orders",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_custkey,
+           cast(count_if(o_totalprice > cust_avg) as bigint) AS n_above_avg
+    FROM w GROUP BY o_custkey
+    """,
+    doc="correlated-aggregate pattern via window (each customer's "
+        "above-personal-average order count)",
+)
+def win_above_avg_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .groupBy("o_custkey")
+        .agg(F.count_if(F.col("o_totalprice") > F.col("cust_avg")).alias("n_above_avg"))
+    )
+
+
+@register(
+    "win_rank_family",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           cast(rank() OVER w as int) AS rnk,
+           cast(dense_rank() OVER w as int) AS drnk,
+           cast(ntile(4) OVER w as int) AS quartile,
+           round(percent_rank() OVER w, 6) AS prank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="rank / dense_rank / ntile / percent_rank family on one window",
+)
+def win_rank_family(spark, sf_dir):
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+# ================================================================== events
+
+
+@register(
+    "ev_sliding_10m5m",
+    """
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, event_type, value
+      FROM events
+    ), exploded AS (
+      SELECT u.window_start, event_type, value
+      FROM e, unnest([tb, tb - INTERVAL '5 minutes']) AS u(window_start)
+    )
+    SELECT window_start, event_type,
+           cast(count(*) as bigint) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM exploded GROUP BY 1, 2
+    """,
+    doc="sliding window (10 min width / 5 min slide): every event lands in "
+        "exactly two windows; oracle materialises both membership rows",
+)
+def ev_sliding_10m5m(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+# ============================================================ export shapes
+
+
+@register(
+    "s04_jsonl_projection",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id,
+                               text := coalesce(text, ''),
+                               source := coalesce(source, ''))) AS line
+    FROM documents
+    """,
+    doc="S4 projected JSONL export line shape (field order preserved; "
+        "text_clean_and_filter.py:799-807)",
+)
+def s04_jsonl_projection(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("doc_id"),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                F.coalesce(F.col("source"), F.lit("")).alias("source"),
+            )
+        ).alias("line"),
+    )
+
+
+# ============================================================ simhash pairs
+
+
+@register(
+    "d07_simhash_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {O.toks('text')} AS tk FROM documents),
+    h AS (SELECT doc_id, list_transform(tk, x -> {O.h32('x')}) AS hv FROM t
+          WHERE len(tk) > 0),
+    sh AS (
+      SELECT doc_id,
+             cast(coalesce(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN coalesce(list_sum(list_transform(hv, v ->
+                 CASE WHEN v % (cast(power(2, i + 1) as bigint)) >= cast(power(2, i) as bigint)
+                      THEN 1 ELSE -1 END)), 0) > 0
+                    THEN cast(power(2, i) as bigint) ELSE 0 END)), 0) as bigint) AS sig
+      FROM h
+    ), banded AS (
+      SELECT doc_id, sig, b.band_id,
+             cast(floor(sig / power(2, b.band_id * 8)) as bigint) % 256 AS band_val
+      FROM sh, (SELECT unnest(range(0, 4)) AS band_id) b
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.sig AS sig_a, r.sig AS sig_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           cast(list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN (cast(floor(sig_a / power(2, i)) as bigint) % 2)
+                    <> (cast(floor(sig_b / power(2, i)) as bigint) % 2)
+                  THEN 1 ELSE 0 END)) as int) AS hamming
+    FROM cand
+    WHERE list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN (cast(floor(sig_a / power(2, i)) as bigint) % 2)
+                    <> (cast(floor(sig_b / power(2, i)) as bigint) % 2)
+                  THEN 1 ELSE 0 END)) <= 6
+    """,
+    doc="SimHash near-dup pairs: band the 32-bit signature into 4 bytes "
+        "(pigeonhole guarantees a shared band at hamming<=3), bucket-join, "
+        "verify exact hamming",
+)
+def d07_simhash_pairs(spark, sf_dir):
+    return dedup_ops.simhash_pairs(
+        _docs(spark, sf_dir), "text", id_col="doc_id", max_hamming=6, bands=4
+    )
+
+
+# ==================================================================== IVF
+
+
+@register(
+    "emb_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.centroid_id FROM cents c
+              ORDER BY {O.cosine_double('e.embedding', 'c.cvec')} DESC, c.centroid_id
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    qcell AS (
+      SELECT (SELECT c.centroid_id FROM cents c, q
+              ORDER BY {O.cosine_double('q.qv', 'c.cvec')} DESC, c.centroid_id
+              LIMIT 1) AS cell
+    )
+    SELECT a.vec_id, round({O.cosine_double('a.embedding', 'q.qv')}, 6) AS score
+    FROM assigned a, q, qcell
+    WHERE a.cell = qcell.cell
+    ORDER BY {O.cosine_double('a.embedding', 'q.qv')} DESC, a.vec_id
+    LIMIT 5
+    """,
+    doc="IVF-style ANN: 8 coarse centroids (first 8 vectors), probe the "
+        "query's cell only — the partition-pruned scale path vs brute force",
+)
+def emb_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    query_vec = emb.filter(F.col("vec_id") == 1).first().embedding
+    out = similarity.ivf_topk(
+        emb, centroids, [float(x) for x in query_vec], k=5, n_probe=1
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ============================================================== observability
+
+
+@register(
+    "a10_cleanup_stats",
+    """
+    SELECT cast(count(*) as bigint) AS total_docs,
+           cast(count_if(text LIKE '%<%' AND text LIKE '%>%') as bigint) AS docs_with_tag_chars,
+           cast(count_if(regexp_replace(text, '<[^>]+>', ' ', 'g') <> text) as bigint) AS docs_changed
+    FROM documents
+    """,
+    doc="A10 distributed replacement for the reference's global debug "
+        "counters (deep_clean_and_pii.py:55-72) as one aggregation",
+)
+def a10_cleanup_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("cleaned", structural.strip_html("text"))
+    return structural.cleanup_stats(d, "text", "cleaned")
