@@ -371,21 +371,42 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    lsh_planes: int = 0,
+    lsh_seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
-    Brute-force pair join — correct baseline; compose with an LSH bucketing
-    (similarity.random_hyperplane_buckets) to prune candidates at scale.
+    ``lsh_planes=0``: brute-force O(N²) pair join — the exact baseline.
+    ``lsh_planes=k``: random-hyperplane bucketing first, pairs only within a
+    bucket — the scale path. High-cosine pairs land in the same bucket with
+    probability (1 - θ/π)^k, so small k keeps recall high at threshold≈1
+    while cutting candidates by ~2^k.
     """
-    from llm_pretraining_data_pipeline_spark.operators.similarity import cosine
+    from llm_pretraining_data_pipeline_spark.operators.similarity import (
+        cosine,
+        hyperplane_bucket,
+        random_hyperplanes,
+    )
 
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
-    b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if lsh_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, lsh_planes, lsh_seed)
+        vecs = vecs.withColumn("_bucket", hyperplane_bucket(F.col("_v"), planes))
+        # bucket column computed once per side via persist (HOF, no CSE)
+        vecs = vecs.persist()
+        a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+                        F.col("_bucket").alias("b_a"))
+        b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+                        F.col("_bucket").alias("b_b"))
+        pairs = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+        b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -1,0 +1,93 @@
+"""Stage 8 export surface (Export_to_jsonl.py, Tokenisation_JSONL_export.py,
+sharding.py export paths).
+
+All exports are projected JSONL writes with exact field order via
+``to_json(struct(...))`` — one distributed pass, no driver loops (the
+reference iterates rows in Python: Export_to_jsonl.py:111, sharding.py:95).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions.text_norm import pick_text
+from llm_pretraining_data_pipeline_spark.operators.sharding import shard_manifest
+
+
+def text_export_frame(df: DataFrame, drop_empty_text: bool = True) -> DataFrame:
+    """Stage 8 text JSONL projection: doc_id/text/source with the pick_text
+    fallback chain (Export_to_jsonl.py:25-30,85-95) and the F7 empty filter."""
+    cols = [c for c in ("text_pii_masked", "text_deep_clean", "text_norm", "text")
+            if c in df.columns]
+    out = df.select(
+        F.col("doc_id"),
+        pick_text(*cols).alias("text"),
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+    )
+    if drop_empty_text:
+        out = out.filter(F.length(F.trim(F.col("text"))) > 0)
+    return out
+
+
+def write_text_jsonl(df: DataFrame, path: str, drop_empty_text: bool = True) -> None:
+    frame = text_export_frame(df, drop_empty_text)
+    frame.select(
+        F.to_json(F.struct("doc_id", "text", "source")).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def tokenised_export_frame(df: DataFrame, include_attention_mask: bool = True) -> DataFrame:
+    """Training JSONL projection (Tokenisation_JSONL_export.py:159-204)."""
+    cols = [
+        F.col("doc_id"),
+        F.col("input_ids"),
+        F.col("n_tokens"),
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+    ]
+    if include_attention_mask:
+        cols.insert(2, F.col("attention_mask"))
+    return df.select(*cols)
+
+
+def write_tokenised_jsonl(df: DataFrame, path: str,
+                          include_attention_mask: bool = True) -> None:
+    frame = tokenised_export_frame(df, include_attention_mask)
+    frame.select(F.to_json(F.struct(*frame.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def write_sharded_jsonl(df: DataFrame, path: str) -> dict:
+    """Sharded training export + manifest (sharding.py:104-177): one
+    partitioned distributed write (shard_id directories), manifest aggregates
+    collected driver-side (tiny)."""
+    frame = df.select(
+        "shard_id",
+        F.to_json(
+            F.struct("doc_id", "input_ids", "attention_mask", "n_tokens")
+        ).alias("value"),
+    )
+    frame.write.mode("overwrite").partitionBy("shard_id").text(path)
+    man_rows = shard_manifest(df).collect()
+    manifest = {
+        "num_shards": len(man_rows),
+        "total_docs": int(sum(r.num_docs for r in man_rows)),
+        "total_tokens": int(sum(r.total_tokens or 0 for r in man_rows)),
+        "shards": [
+            {
+                "shard_id": int(r.shard_id),
+                "num_docs": int(r.num_docs),
+                "total_tokens": int(r.total_tokens or 0),
+            }
+            for r in man_rows
+        ],
+    }
+    return manifest
+
+
+def write_manifest(manifest: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=2)

@@ -467,3 +467,132 @@ def emb_ivf_topk(spark, sf_dir):
 def a10_cleanup_stats(spark, sf_dir):
     d = _docs(spark, sf_dir).withColumn("cleaned", structural.strip_html("text"))
     return structural.cleanup_stats(d, "text", "cleaned")
+
+
+# ===================================================== semi-structured / misc
+
+
+@register(
+    "ev_json_props",
+    """
+    SELECT cast(json_extract_string(props, '$.k') as bigint) % 10 AS k_mod,
+           cast(count(*) as bigint) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="semi-structured JSON property extraction from the events props "
+        "column (get_json_object twin of DuckDB json_extract)",
+)
+def ev_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "p25_string_functions",
+    """
+    SELECT doc_id,
+           upper(substr(coalesce(text,''), 1, 10)) AS head_upper,
+           cast(strpos(coalesce(text,''), 'data') as bigint) AS data_pos,
+           cast(levenshtein(substr(coalesce(text,''), 1, 8), 'the fast') as bigint) AS lev8,
+           reverse(substr(coalesce(text,''), 1, 6)) AS head_rev,
+           cast(length(replace(coalesce(text,''), ' ', '')) as bigint) AS no_space_len
+    FROM documents
+    """,
+    doc="string-function surface: substr/upper/locate/levenshtein/reverse/replace",
+)
+def p25_string_functions(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = F.coalesce(F.col("text"), F.lit(""))
+    return d.select(
+        "doc_id",
+        F.upper(F.substring(s, 1, 10)).alias("head_upper"),
+        F.locate("data", s).cast("long").alias("data_pos"),
+        F.levenshtein(F.substring(s, 1, 8), F.lit("the fast")).cast("long").alias("lev8"),
+        F.reverse(F.substring(s, 1, 6)).alias("head_rev"),
+        F.length(F.replace(s, F.lit(" "), F.lit(""))).cast("long").alias("no_space_len"),
+    )
+
+
+@register(
+    "rel_having_large_orders",
+    """
+    SELECT o.o_custkey, cast(count(*) as bigint) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    GROUP BY o.o_custkey
+    HAVING count(*) >= 15 AND sum(o.o_totalprice) > 100000
+    """,
+    doc="HAVING over grouped aggregates (TPC-H Q18 shape)",
+)
+def rel_having_large_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum("o_totalprice").alias("_raw_total"),
+        )
+        .filter((F.col("n_orders") >= 15) & (F.col("_raw_total") > 100000))
+        .drop("_raw_total")
+    )
+
+
+@register(
+    "a11_quantiles",
+    """
+    SELECT l_returnflag,
+           round(q[1], 4) AS q25, round(q[2], 4) AS q50, round(q[3], 4) AS q75
+    FROM (
+      SELECT l_returnflag,
+             quantile_cont(cast(l_extendedprice as double), [0.25, 0.5, 0.75]) AS q
+      FROM lineitem GROUP BY l_returnflag)
+    """,
+    doc="exact interpolated quantiles (Spark percentile ≡ DuckDB "
+        "quantile_cont; percentile_approx is the 100 TB path, bench-only "
+        "since sketch implementations differ)",
+)
+def a11_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile(F.col("l_extendedprice").cast("double"),
+                     F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("q"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("q", 1), 4).alias("q25"),
+            F.round(F.element_at("q", 2), 4).alias("q50"),
+            F.round(F.element_at("q", 3), 4).alias("q75"),
+        )
+    )
+
+
+@register(
+    "ev_date_parts",
+    """
+    SELECT extract(isodow FROM ts) AS weekday, extract(hour FROM ts) AS hour,
+           cast(count(*) as bigint) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    doc="calendar decomposition (ISO weekday x hour activity grid)",
+)
+def ev_date_parts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("weekday"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

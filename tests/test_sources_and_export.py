@@ -1,0 +1,125 @@
+"""Sources & sinks: JSONL/parquet round-trips, partitioned writes with
+pruning, the checkpointed pipeline variant, sharded export, as-of join."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.operators import sharding
+from llm_pretraining_data_pipeline_spark.operators.relational import asof_join
+from llm_pretraining_data_pipeline_spark.plans import pipeline as P
+from llm_pretraining_data_pipeline_spark.schemas import RAW_DOCUMENT_SCHEMA
+from llm_pretraining_data_pipeline_spark.sources import io as src
+
+
+class TestJsonlRoundTrip:
+    def test_read_with_declared_schema(self, spark, tmp_path):
+        p = tmp_path / "raw.jsonl"
+        rows = [
+            {"url": "http://a", "text": "hello world"},
+            {"url": None, "text": "second doc"},
+            {"url": "http://c", "text": None},
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        df = src.read_jsonl(spark, str(p))
+        assert df.schema == RAW_DOCUMENT_SCHEMA
+        key = lambda t: (str(t[0]), str(t[1]))  # noqa: E731 (None-safe sort)
+        got = sorted([(r.url, r.text) for r in df.collect()], key=key)
+        assert got == sorted([(r["url"], r["text"]) for r in rows], key=key)
+
+    def test_write_jsonl_field_order(self, spark, tmp_path):
+        df = spark.createDataFrame([("d1", "some text", "src")],
+                                   "doc_id string, text string, source string")
+        out = str(tmp_path / "out")
+        src.write_jsonl(df, out, ["doc_id", "text", "source"])
+        lines = [l for f in os.listdir(out) if f.startswith("part-")
+                 for l in open(os.path.join(out, f)).read().splitlines()]
+        assert lines == ['{"doc_id":"d1","text":"some text","source":"src"}']
+
+
+class TestPartitionedWrites:
+    def test_partitioned_parquet_prunes(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, "high_quality" if i % 3 == 0 else "rest") for i in range(30)],
+            "id long, subset string",
+        )
+        out = str(tmp_path / "by_subset")
+        src.write_parquet(df, out, partition_by=["subset"])
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("subset=")
+        ) == ["subset=high_quality", "subset=rest"]
+        back = spark.read.parquet(out).filter(F.col("subset") == "rest")
+        import contextlib, io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            back.explain("formatted")
+        assert "PartitionFilters" in buf.getvalue()
+        assert back.count() == 20
+
+
+class TestCheckpointedPipeline:
+    def test_stage_checkpoints_written_and_composable(self, spark, tmp_path):
+        raw = spark.createDataFrame(
+            [("http://x/%d" % i,
+              f"the document number {i} has the usual words about the harbour and ships")
+             for i in range(8)],
+            "url string, text string",
+        )
+        paths = P.run_pipeline_checkpointed(
+            spark, raw, str(tmp_path), P.PipelineConfig(use_nfkc=False)
+        )
+        assert set(paths) == {s for s, _ in P.STAGES}
+        final = spark.read.parquet(paths["tokenise"])
+        assert final.count() == 8
+        assert "quality_score" in final.columns and "n_tokens" in final.columns
+        # checkpointed result == fused-lazy result
+        fused = P.run_pipeline(raw, P.PipelineConfig(use_nfkc=False))
+        a = {(r.url, r.drop_reason, r.n_tokens) for r in final.collect()}
+        b = {(r.url, r.drop_reason, r.n_tokens) for r in fused.collect()}
+        assert a == b
+
+
+class TestSharding:
+    def test_positional_vs_hashed(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pos = sharding.assign_shards(docs, docs_per_shard=100, order_col="doc_id")
+        sizes = [r.n for r in pos.groupBy("shard_id").agg(F.count("*").alias("n")).collect()]
+        assert all(s == 100 for s in sizes)  # exact positional sizes
+        hashed = sharding.assign_shards_hashed(docs, num_shards=8)
+        hsizes = {r.shard_id: r.n for r in
+                  hashed.groupBy("shard_id").agg(F.count("*").alias("n")).collect()}
+        assert set(hsizes) <= set(range(8)) and sum(hsizes.values()) == docs.count()
+
+    def test_manifest(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sharded = sharding.assign_shards(docs, docs_per_shard=200, order_col="doc_id")
+        man = sharding.shard_manifest(sharded, token_col="n_chars").collect()
+        assert sum(r.num_docs for r in man) == docs.count()
+        assert [r.shard_id for r in man] == sorted(r.shard_id for r in man)
+
+
+class TestAsofJoin:
+    def test_backward_basic(self, spark):
+        trades = spark.createDataFrame(
+            [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3")],
+            "key long, ts long, trade string",
+        )
+        quotes = spark.createDataFrame(
+            [(1, 5, 100.0), (1, 15, 101.0), (1, 20, 102.0), (2, 99, 9.0)],
+            "qkey long, qts long, price double",
+        )
+        out = asof_join(trades, quotes, "key", "qkey", "ts", "qts").collect()
+        got = {r.trade: r.price for r in out}
+        assert got == {"t1": 100.0, "t2": 102.0, "t3": None}  # inclusive <=
+
+    def test_forward(self, spark):
+        left = spark.createDataFrame([(1, 10, "a")], "key long, ts long, tag string")
+        right = spark.createDataFrame(
+            [(1, 8, "early"), (1, 12, "next"), (1, 30, "later")],
+            "rkey long, rts long, label string",
+        )
+        out = asof_join(left, right, "key", "rkey", "ts", "rts",
+                        direction="forward").collect()
+        assert out[0].label == "next"
