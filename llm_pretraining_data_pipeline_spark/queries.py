@@ -171,22 +171,29 @@ def p06_pii_hits(spark, sf_dir):
     )
 
 
+_MASK_SQL = "text"
+for _pat, _repl in pii.MASK_ORDER:
+    _MASK_SQL = f"regexp_replace({_MASK_SQL}, '{_pat}', '{_repl}', 'g')"
+
+
 @register(
     "p16_pii_mask",
     f"""
     SELECT doc_id,
-           regexp_replace(text, '{pii.EMAIL_RE}', '<EMAIL>', 'g') AS masked_email
+           {_MASK_SQL} AS masked,
+           {O.regexp_count('text', pii.CREDIT_CARD_RE)} AS cc_hits
     FROM documents
     """,
-    doc="P16 masking, email layer (deep_clean_and_pii.py:329); the full 4-layer "
-        "chain needs the greedy phone regex whose lazy/backtracking behavior "
-        "differs between RE2 and Java on degenerate digit runs — full chain is "
-        "unit-tested against Python re instead",
+    doc="P16 full 4-layer mask chain in the reference's exact order "
+        "email→phone→cc→iban (deep_clean_and_pii.py:329-332); Java and RE2 "
+        "agree on these patterns incl. the lazy cc quantifier (adversarial "
+        "cases probed in round 1)",
 )
 def p16_pii_mask(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.regexp_replace(F.col("text"), pii.EMAIL_RE, "<EMAIL>").alias("masked_email"),
+        pii.mask_pii("text").alias("masked"),
+        pii.cc_hits("text").alias("cc_hits"),
     )
 
 

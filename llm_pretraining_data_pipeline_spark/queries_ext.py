@@ -596,3 +596,20 @@ def ev_date_parts(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "a12_approx_sketches",
+    None,  # sketch implementations (HLL++/KLL vs DuckDB's) differ by design
+    doc="approximate aggregates — the 100 TB substitutes for exact distinct "
+        "counts and sorted-percentiles: approx_count_distinct (HLL++) and "
+        "percentile_approx; rows-only check (exact twins are "
+        "rel_distinct_counts / a11_quantiles)",
+)
+def a12_approx_sketches(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

@@ -11,8 +11,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("spark_warehouse"))
+    spark = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield spark
 
 
