@@ -43,6 +43,53 @@ STOPWORD_PROFILES: dict[str, list[str]] = {
            "met", "voor", "niet", "aan", "er", "maar", "ook", "als", "bij", "dan"],
 }
 
+# Common character trigrams per language (public corpus-frequency knowledge;
+# the n-gram flavor of detection the reference's langdetect uses). Scores
+# natural text AND function-word-poor text (titles, keyword soup) where the
+# stopword profiles under-rate.
+CHAR_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "he ", " th", "ing", "nd ", "ng ", "er ", " an", "and", "ed ",
+           "ion", " of", "of ", "tio", " to", "to ", " in", "in ", "ent", "es ",
+           "at ", "on ", "re ", " co", " re", "ati", "ter", " be", "is ", "or ",
+           "e t", "s t", " wh", "as ", " ha", " it", "th ", " is", "ly ", " wi"],
+    "de": ["en ", "er ", " de", "der", "ie ", "die", "nd ", "und", " un", "ch ",
+           "ein", "ung", "sch", " ei", "che", "ich", "den", "in ", "te ", " be",
+           "ne ", "gen", " ge", "ver", " ve", "cht", "das", " da", "ten", "ht "],
+    "fr": ["es ", " de", "de ", "le ", " le", "ent", "nt ", "la ", " la", "et ",
+           " et", "ion", "re ", "e d", " co", "que", " qu", "ue ", "ne ", "ur ",
+           "les", "tio", " pa", "ait", "our", " po", "ais", "on ", "ant", "eur"],
+    "es": [" de", "de ", "os ", "la ", " la", "el ", " el", "es ", "as ", "ión",
+           "en ", " en", "ue ", "que", " qu", " co", "ent", "a d", "ado", " se",
+           "nte", "los", " lo", "do ", "ció", " es", "sta", "con", "res", "e l"],
+}
+
+
+def char_trigrams(c: Column | str) -> Column:
+    """Sliding character trigrams of the lowercased, space-padded text."""
+    s = F.concat(
+        F.lit(" "), F.lower(F.coalesce(_col(c).cast("string"), F.lit(""))), F.lit(" ")
+    )
+    return F.when(F.length(s) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(2)),
+            lambda i: F.substr(s, i, F.lit(3)),
+        )
+    )
+
+
+def trigram_score(c: Column | str, lang: str) -> Column:
+    """Fraction of the text's char trigrams found in the language's common-
+    trigram profile, scaled ×5 and clipped (natural prose hits ~0.15-0.35 of
+    the top-40 profile, so ≥0.2 coverage saturates to 1.0; keyword soup
+    stays well below the 0.8 confidence bar)."""
+    profile = F.array(*[F.lit(g) for g in CHAR_TRIGRAM_PROFILES[lang]])
+    grams = char_trigrams(c)
+    hits = F.size(F.filter(grams, lambda g: F.array_contains(profile, g)))
+    frac = F.when(F.size(grams) > 0, hits.cast("double") / F.size(grams).cast("double")
+                  ).otherwise(F.lit(0.0))
+    return F.least(F.lit(1.0), frac * F.lit(5.0))
+
+
 # Unicode script blocks for non-Latin script detection.
 SCRIPT_RANGES: dict[str, str] = {
     "zh": "[\\u4e00-\\u9fff]",
@@ -62,12 +109,18 @@ def _char_fraction(s: Column, char_class: str) -> Column:
     return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
 
 
-def langid_struct(c: Column | str) -> Column:
-    """struct(lang_pred, lang_score) via script ranges + stopword profiles.
+def langid_struct(c: Column | str, use_trigrams: bool = False) -> Column:
+    """struct(lang_pred, lang_score) via script ranges + stopword profiles,
+    optionally blended with char-trigram evidence.
 
     Deterministic argmax: candidates are packed as struct(score, lang) and
     reduced with array_max (struct ordering = field order, ties broken by
     language code — stable across engines and partitionings).
+
+    ``use_trigrams=True`` blends stopword and char-trigram evidence per
+    language (stop + 0.5·trigram, clipped) — two independent weak signals
+    reinforce on natural prose while keyword soup stays low-confidence,
+    mirroring langdetect's n-gram robustness.
     """
     s = F.coalesce(_col(c).cast("string"), F.lit(""))
     toks = F.transform(ws_tokens(F.lower(s)), lambda t: F.regexp_replace(t, "[^\\p{L}']", ""))
@@ -85,6 +138,8 @@ def langid_struct(c: Column | str) -> Column:
         hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
         frac = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
         score = F.least(F.lit(1.0), frac * F.lit(4.0))
+        if use_trigrams and lang in CHAR_TRIGRAM_PROFILES:
+            score = F.least(F.lit(1.0), score + trigram_score(c, lang) * F.lit(0.5))
         candidates.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
 
     best = F.array_max(F.array(*candidates))

@@ -411,3 +411,90 @@ def embedding_near_dup_pairs(
         pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected similarity pairs into components by iterative
+    min-label propagation. Returns (id, component) where component is the
+    smallest member id — the canonical document of each duplicate cluster.
+
+    Convergence needs O(diameter) rounds; near-dup clusters are shallow
+    (usually stars), so this terminates in 2-3 rounds in practice. Each
+    round is one join + one aggregation; frames are persisted per round and
+    released after (the standard pre-GraphX label-propagation recipe).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+
+    labels = edges.select("src").distinct().withColumn("component", F.col("src"))
+    labels = labels.persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                        ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("component", "old"), "src")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("id"), "component")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end MinHash near-dedup: LSH candidates → exact-Jaccard verify →
+    connected components → keep the smallest id per cluster.
+
+    Adds: is_dup_minhash (bool), dup_of_minhash (nullable canonical id), and
+    first-writer-wins drop_reason='minhash_duplicate'. The three stages are
+    the standard web-scale dedup recipe (the reference's own scale-up plan,
+    README.md:136)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, shingle_size,
+                                  num_hashes, bands, seed)
+    verified = ngram_jaccard_pairs(df, text_col, id_col, shingle_size,
+                                   jaccard_threshold, candidates=cand)
+    comp = connected_components(verified)
+    joined = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    )
+    is_dup = F.col("component").isNotNull() & (F.col("component") != F.col(id_col))
+    out = joined.withColumn("is_dup_minhash", is_dup).withColumn(
+        "dup_of_minhash",
+        F.when(is_dup, F.col("component").cast("string")),
+    ).drop("component")
+    reason = F.when(F.col("is_dup_minhash"), F.lit("minhash_duplicate"))
+    if "drop_reason" in df.columns:
+        out = out.withColumn("drop_reason", F.coalesce(F.col("drop_reason"), reason))
+    else:
+        out = out.withColumn("drop_reason", reason)
+    return out

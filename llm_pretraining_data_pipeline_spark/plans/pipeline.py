@@ -72,6 +72,7 @@ class PipelineConfig:
     docs_per_shard: int = 50_000         # sharding.py:31
     use_nfkc: bool = True
     use_langdetect: bool = False  # True -> langdetect pandas UDF (if installed)
+    langid_trigrams: bool = False  # blend char-trigram evidence into lang ID
     prefer_hf_tokenizer: bool = False
     source_name: str = "mainpipe_v1"     # ingest.py:131
     extra_columns: dict = field(default_factory=dict)
@@ -137,7 +138,7 @@ def clean_filter(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataF
         if udf is not None:
             lang_struct = udf(F.col("text"))
     if lang_struct is None:
-        lang_struct = langid.langid_struct("text")
+        lang_struct = langid.langid_struct("text", use_trigrams=cfg.langid_trigrams)
     out = out.withColumn("_lang", lang_struct)
     out = (
         out.withColumn("lang_pred", F.col("_lang.lang"))

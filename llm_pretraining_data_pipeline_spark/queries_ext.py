@@ -613,3 +613,56 @@ def a12_approx_sketches(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+def _trigram_oracle() -> str:
+    padded = "concat(' ', lower(coalesce(text,'')), ' ')"
+    grams = (
+        f"case when length({padded}) < 3 then [] "
+        f"else list_transform(range(1, length({padded}) - 1), "
+        f"i -> substr({padded}, i, 3)) end"
+    )
+    cols = []
+    for lang, profile in langid.CHAR_TRIGRAM_PROFILES.items():
+        plist = "[" + ",".join("'" + g.replace("'", "''") + "'" for g in profile) + "]"
+        frac = (
+            f"case when len(g) > 0 then "
+            f"len(list_filter(g, x -> list_contains({plist}, x)))::double"
+            f" / len(g)::double else 0.0 end"
+        )
+        cols.append(f"least(1.0::double, {frac} * 5.0::double) AS score_{lang}")
+    return f"""
+    WITH t AS (SELECT doc_id, {grams} AS g FROM documents)
+    SELECT doc_id, {', '.join(cols)} FROM t
+    """
+
+
+@register(
+    "p09b_langid_trigram",
+    _trigram_oracle(),
+    doc="char-trigram language evidence per language (the n-gram flavor of "
+        "detection the reference's langdetect uses; blended into "
+        "langid_struct(use_trigrams=True))",
+)
+def p09b_langid_trigram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        *[
+            langid.trigram_score("text", lang).alias(f"score_{lang}")
+            for lang in langid.CHAR_TRIGRAM_PROFILES
+        ],
+    )
+
+
+@register(
+    "d08_minhash_dedup",
+    None,  # connected-components resolution is iterative — no SQL oracle
+    doc="end-to-end MinHash near-dedup: LSH candidates → exact-Jaccard "
+        "verify → connected components → keep smallest id per cluster "
+        "(the reference's own scale-up plan, README.md:136)",
+)
+def d08_minhash_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = dedup_ops.minhash_dedup(d, "text", jaccard_threshold=0.5)
+    return out.select("doc_id", "is_dup_minhash", "dup_of_minhash", "drop_reason")

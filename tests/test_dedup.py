@@ -166,3 +166,31 @@ class TestEmbeddingSimilarity:
         top = similarity.lsh_topk(emb, query, k=5)
         ids = [r.vec_id for r in top.collect()]
         assert 7 in ids  # query's own bucket contains itself
+
+
+class TestConnectedComponents:
+    def test_chain_and_star(self, spark):
+        # chain 1-2-3-4, star 10-(11,12), singleton edge 20-21
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+            "id_a long, id_b long",
+        )
+        comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_minhash_dedup_end_to_end(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog and runs through the "
+                "field towards the river near the old mill where the miller works")
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, base + " extra"),
+             (4, "completely different words about catalyst optimizer shuffles "
+                 "partitions executors broadcast joins and adaptive execution")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               dedup.minhash_dedup(df, "text", jaccard_threshold=0.5).collect()}
+        assert not out[1].is_dup_minhash          # smallest id is canonical
+        assert out[2].is_dup_minhash and out[2].dup_of_minhash == "1"
+        assert out[3].is_dup_minhash and out[3].dup_of_minhash == "1"
+        assert out[2].drop_reason == "minhash_duplicate"
+        assert not out[4].is_dup_minhash and out[4].drop_reason is None

@@ -1,0 +1,49 @@
+"""Char-trigram language detection: natural prose in four languages plus
+robustness on keyword-soup and empty inputs."""
+
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions import langid
+
+CASES = [
+    ("en1", "The committee published its annual report on renewable energy yesterday.", "en"),
+    ("en2", "She walked along the river in the morning and watched the boats pass by.", "en"),
+    ("en3", "Officials said the new policy would take effect next month after a review.", "en"),
+    ("de1", "Der Ausschuss veröffentlichte gestern seinen Jahresbericht über Energien.", "de"),
+    ("fr1", "Le comité a publié hier son rapport annuel sur les énergies renouvelables.", "fr"),
+    ("es1", "El comité publicó ayer su informe anual sobre energías renovables.", "es"),
+    ("zh1", "这是一个完整的中文句子，用来测试语言检测功能是否正常工作。", "zh"),
+]
+
+
+class TestTrigramLangid:
+    def test_natural_prose_detected(self, spark):
+        df = spark.createDataFrame(CASES, "label string, text string, expected string")
+        s = langid.langid_struct("text", use_trigrams=True)
+        rows = df.select("label", "expected", s["lang"].alias("lang"),
+                         s["score"].alias("score")).collect()
+        for r in rows:
+            assert r.lang == r.expected, f"{r.label}: got {r.lang}"
+            assert r.score >= 0.5, f"{r.label}: low confidence {r.score}"
+
+    def test_english_prose_clears_confidence_bar(self, spark):
+        en = [c for c in CASES if c[2] == "en"]
+        df = spark.createDataFrame(en, "label string, text string, expected string")
+        s = langid.langid_struct("text", use_trigrams=True)
+        for r in df.select(s["score"].alias("score")).collect():
+            assert r.score >= 0.8  # survives the reference's min_conf filter
+
+    def test_keyword_soup_stays_below_bar(self, spark):
+        df = spark.createDataFrame(
+            [("x", "spark query filter window merge table sort key scan broadcast")],
+            "label string, text string",
+        )
+        score = langid.trigram_score("text", "en")
+        row = df.select(score.alias("s")).collect()[0]
+        assert row.s < 0.8  # n-gram evidence alone doesn't fake fluent text
+
+    def test_empty_and_null(self, spark):
+        df = spark.createDataFrame([(None,), ("",), ("  ",)], "text string")
+        s = langid.langid_struct("text", use_trigrams=True)
+        for r in df.select(s["lang"].alias("lang"), s["score"].alias("sc")).collect():
+            assert r.lang == "unk" and r.sc == 0.0

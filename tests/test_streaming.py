@@ -59,3 +59,37 @@ class TestStatefulSessionizer:
         }
         for r in out:
             assert (r.user_id, r.session_start) in batch_sessions
+
+
+class TestMultiBatchStreaming:
+    def test_one_file_per_trigger_incremental_batches(self, spark, sf_dir, tmp_path):
+        """Split events across several files, drain with maxFilesPerTrigger=1
+        so the aggregation accumulates over multiple microbatches — results
+        must equal the single-batch drain."""
+        ev = src.read_events(spark, sf_dir)
+        stage = tmp_path / "events_split"
+        ev.repartition(4).write.mode("overwrite").parquet(str(stage))
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "cnt")
+        )
+        got = ev_module_drain(agg)
+        batch = (
+            ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "cnt")
+        )
+        s = {(r.window_start, r.cnt) for r in got.collect()}
+        b = {(r.window_start, r.cnt) for r in batch.collect()}
+        assert s == b
+
+
+def ev_module_drain(agg):
+    return ev._drain_to_memory(agg, "complete")
