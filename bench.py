@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-PIPELINE_COPIES = int(os.environ.get("BENCH_PIPELINE_COPIES", "24"))
+PIPELINE_COPIES = int(os.environ.get("BENCH_PIPELINE_COPIES", "100"))
 
 
 def main() -> int:
@@ -68,6 +68,10 @@ def main() -> int:
     )
     meta["pipeline_docs"] = n_docs
     meta["pipeline_docs_per_sec"] = round(n_docs / timings["pipeline_e2e"], 1)
+    # BASELINE.md: reference runs its 8 stages at ~38 docs/s end-to-end on
+    # the same 32-vCPU machine class (241,048 docs in 6,337 s).
+    meta["reference_docs_per_sec"] = 38.0
+    meta["speedup_vs_reference"] = round(meta["pipeline_docs_per_sec"] / 38.0, 1)
 
     # ---- relational / window surface from the registry (heaviest entries)
     for qname in [

@@ -624,13 +624,15 @@ def emb_knn_join(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({O.cosine_double('a.embedding', 'b.embedding')}, 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {O.cosine_double('a.embedding', 'b.embedding')} >= 0.8
+    WHERE {O.cosine_double('a.embedding', 'b.embedding')} >= 0.45
     """,
-    doc="embedding-cosine near-duplicate pairs (threshold 0.8)",
+    doc="embedding-cosine near-duplicate pairs (threshold 0.45 — random "
+        "64-dim vectors concentrate near 0, so 0.45 yields a small non-empty "
+        "pair set at every sf; production near-dup uses ~0.95)",
 )
 def emb_near_dup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    out = dedup_ops.embedding_near_dup_pairs(emb, threshold=0.8)
+    out = dedup_ops.embedding_near_dup_pairs(emb, threshold=0.45)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
