@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from llm_pretraining_data_pipeline_spark import oracle_fragments as O
 from llm_pretraining_data_pipeline_spark.operators import dedup as dedup_ops
 from llm_pretraining_data_pipeline_spark.operators import similarity
-from llm_pretraining_data_pipeline_spark.queries import _t, register
+from llm_pretraining_data_pipeline_spark.queries import _docs, _t, register
 from llm_pretraining_data_pipeline_spark.sources import io as src
 
 # ================================================================ TPC-H-ish
@@ -670,4 +670,182 @@ def emb_lsh_bucket_sizes(spark, sf_dir):
         emb.select(similarity.hyperplane_bucket(vec, planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "rel_q12_shipmode_case",
+    """
+    SELECT l_returnflag,
+           cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+           cast(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) as bigint) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= timestamp '2000-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape: conditional-sum aggregation over a join",
+)
+def rel_q12_shipmode_case(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "rel_q14_promo_ratio",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= timestamp '2000-01-01 00:00:00'
+      AND l.l_shipdate <  timestamp '2000-07-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional-revenue ratio (division of two sums)",
+)
+def rel_q14_promo_ratio(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-07-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "rel_q19_disjunctive",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           cast(count(*) as bigint) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_size >= 40 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-branch predicates across joined "
+        "tables (tests OR-predicate planning)",
+)
+def rel_q19_disjunctive(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_size") >= 40) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "win_range_frame",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           cast(count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) as bigint) AS n_similar
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="RANGE window frame: peers within ±1000 of each order's total",
+)
+def win_range_frame(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_similar"),
+        )
+    )
+
+
+@register(
+    "win_value_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="first/last/nth_value + lead on one window (frame semantics parity)",
+)
+def win_value_family(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "p26_array_ops",
+    f"""
+    WITH t AS (SELECT doc_id, {O.toks('text')} AS tk FROM documents)
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_distinct(list_slice(tk, 1, 8))), '|'), '') AS sorted_head,
+           coalesce(array_to_string(list_filter(tk, x -> length(x) > 5), '|'), '') AS long_tokens,
+           cast(len(list_distinct(tk)) as bigint) AS n_distinct,
+           coalesce(array_to_string(list_reverse(list_slice(tk, 1, 4)), '|'), '') AS rev_head
+    FROM t
+    """,
+    doc="array-function surface: slice/sort/distinct/filter/reverse with "
+        "canonical string rendering (DuckDB array_to_string([]) is NULL, "
+        "Spark array_join([]) is '' — oracle coalesces)",
+)
+def p26_array_ops(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+
+    d = _docs(spark, sf_dir)
+    tk = ws_tokens("text")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.slice(tk, 1, 8))), "|").alias(
+            "sorted_head"
+        ),
+        F.array_join(F.filter(tk, lambda x: F.length(x) > 5), "|").alias("long_tokens"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_distinct"),
+        F.array_join(F.reverse(F.slice(tk, 1, 4)), "|").alias("rev_head"),
     )
