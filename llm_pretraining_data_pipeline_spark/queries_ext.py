@@ -309,8 +309,8 @@ def win_rank_family(spark, sf_dir):
       SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, event_type, value
       FROM events
     ), exploded AS (
-      SELECT u.window_start, event_type, value
-      FROM e, unnest([tb, tb - INTERVAL '5 minutes']) AS u(window_start)
+      SELECT cast(u.ws as timestamp) AS window_start, event_type, value
+      FROM e, unnest([tb, tb - INTERVAL '5 minutes']) AS u(ws)
     )
     SELECT window_start, event_type,
            cast(count(*) as bigint) AS cnt,

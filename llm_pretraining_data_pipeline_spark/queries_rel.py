@@ -389,7 +389,7 @@ def win_lag_price_delta(spark, sf_dir):
 @register(
     "ev_tumbling_5min",
     """
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+    SELECT cast(time_bucket(INTERVAL '5 minutes', ts) as timestamp) AS window_start, event_type,
            cast(count(*) as bigint) AS cnt,
            round(sum(value), 2) AS total_value
     FROM events
@@ -413,7 +413,7 @@ def ev_tumbling_5min(spark, sf_dir):
 @register(
     "ev_hourly_rollup",
     """
-    SELECT date_trunc('hour', ts) AS hour, event_type,
+    SELECT cast(date_trunc('hour', ts) as timestamp) AS hour, event_type,
            cast(count(*) as bigint) AS cnt,
            round(sum(value), 2) AS total_value
     FROM events
@@ -447,7 +447,7 @@ def ev_hourly_rollup(spark, sf_dir):
       FROM m
     )
     SELECT user_id, session_id,
-           min(ts) AS session_start, max(ts) AS session_end,
+           cast(min(ts) as timestamp) AS session_start, cast(max(ts) as timestamp) AS session_end,
            cast(count(*) as bigint) AS n_events,
            round(sum(value), 2) AS total_value
     FROM s GROUP BY user_id, session_id
@@ -483,7 +483,7 @@ def ev_sessionize(spark, sf_dir):
 @register(
     "ev_asof_last_click",
     """
-    SELECT p.event_id, p.user_id, max(c.ts) AS last_click_ts
+    SELECT p.event_id, p.user_id, cast(max(c.ts) as timestamp) AS last_click_ts
     FROM events p JOIN events c
       ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
     WHERE p.event_type = 'purchase'
@@ -517,7 +517,7 @@ def ev_asof_last_click(spark, sf_dir):
     """
     SELECT user_id, cast(count(*) as bigint) AS n_events,
            cast(count(DISTINCT event_type) as bigint) AS n_types,
-           min(ts) AS first_ts, max(ts) AS last_ts,
+           cast(min(ts) as timestamp) AS first_ts, cast(max(ts) as timestamp) AS last_ts,
            round(sum(value), 2) AS total_value
     FROM events GROUP BY user_id
     """,
@@ -540,7 +540,7 @@ def ev_user_stats(spark, sf_dir):
 @register(
     "ev_stream_tumbling",
     """
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+    SELECT cast(time_bucket(INTERVAL '5 minutes', ts) as timestamp) AS window_start,
            cast(count(*) as bigint) AS cnt
     FROM events GROUP BY 1
     """,
