@@ -179,3 +179,26 @@ def sessionize_stateful(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_to_parquet_exactly_once(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str
+) -> "object":
+    """foreachBatch parquet sink with epoch-keyed idempotent writes.
+
+    The memory/file sinks can duplicate rows on retry; foreachBatch +
+    overwrite-by-epoch-directory gives exactly-once delivery for aggregation
+    outputs (each epoch's directory is rewritten atomically on retry, and
+    the checkpoint ties epoch ids to source offsets). Returns the started
+    StreamingQuery; caller drives it (processAllAvailable/stop).
+    """
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -93,3 +93,29 @@ class TestMultiBatchStreaming:
 
 def ev_module_drain(agg):
     return ev._drain_to_memory(agg, "complete")
+
+
+class TestForeachBatchSink:
+    def test_exactly_once_parquet_epochs(self, spark, sf_dir, tmp_path):
+        stream = ev.read_events_stream(spark, sf_dir)
+        agg = (
+            stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        q = ev.stream_to_parquet_exactly_once(
+            agg, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        import os
+
+        epochs = sorted(d for d in os.listdir(tmp_path / "out") if d.startswith("epoch="))
+        assert epochs, "no epoch directories written"
+        latest = spark.read.parquet(str(tmp_path / "out" / epochs[-1]))
+        batch = src.read_events(spark, sf_dir).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        assert {(r.event_type, r.cnt) for r in latest.collect()} == {
+            (r.event_type, r.cnt) for r in batch.collect()
+        }
