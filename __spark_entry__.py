@@ -60,8 +60,22 @@ def _registry():
     return q.QUERIES
 
 
+def _patched(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query callable so an externally-provided SparkSession gets the
+    engine's runtime-settable confs (UTC, arrow, AQE, nanosAsLong) before the
+    query builds its plan — the driver's session is not built by us."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from llm_pretraining_data_pipeline_spark.session import _apply_runtime_conf, default_parallelism
+
+        _apply_runtime_conf(spark, default_parallelism())
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.spark for name, qd in _registry().items()}
+    return {name: _patched(qd.spark) for name, qd in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

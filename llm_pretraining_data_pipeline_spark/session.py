@@ -75,6 +75,9 @@ def _apply_runtime_conf(spark: SparkSession, shuffle_partitions: int) -> None:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # the events testdata table is parquet TIMESTAMP(NANOS); without this
+        # an externally-built session fails the read with PARQUET_TYPE_ILLEGAL
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     for k, v in runtime.items():
         try:

@@ -62,7 +62,17 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with its TIMESTAMP(NANOS) column converted to a real
     microsecond timestamp (Spark reads nanos as long via
     spark.sql.legacy.parquet.nanosAsLong; DuckDB truncates ns → µs the same
-    way, keeping oracle comparisons exact)."""
+    way, keeping oracle comparisons exact).
+
+    The nanosAsLong conf is set here, defensively, because the session may be
+    externally provided (driver contract) and built without it; it is
+    runtime-settable in Spark 4.x. Without it the read fails with
+    PARQUET_TYPE_ILLEGAL on INT64 (TIMESTAMP(NANOS,false)).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - static conf in exotic deploys
+        pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":

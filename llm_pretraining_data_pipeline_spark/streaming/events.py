@@ -24,20 +24,27 @@ from llm_pretraining_data_pipeline_spark.sources import io as src
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the nano→micro ts conversion
     (schema taken from a static read — streaming sources must declare one)."""
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src.read_events(spark, sf_dir)  # sets nanosAsLong defensively
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_schema = raw.schema
     # The file stream source needs a directory; expose the single parquet
     # file through a symlinked staging dir (testdata itself is read-only).
+    # The staging path is deterministic per source dir and reused across
+    # calls, so repeated streams don't leak temp dirs.
+    import hashlib
     import os
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
+    os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = spark.readStream.schema(static.schema).parquet(stage)
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(raw.dtypes).get("ts") != "bigint":
+        return stream
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(stream: DataFrame, width: str = "5 minutes",
