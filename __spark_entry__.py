@@ -52,12 +52,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Queries that did not receive a driver correctness row in round 1
+# (CORRECTNESS_r01.json covered 50 of 83); listed first so a capped/sampled
+# driver run checks them before the already-green remainder.
+_PRIORITY_R2 = [
+    "p09b_langid_trigram", "d08_minhash_dedup", "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority", "rel_q5_local_supplier", "rel_semi_join",
+    "rel_anti_join", "rel_outer_join", "rel_rollup_orders", "rel_cube_lineitem",
+    "rel_grouping_sets", "rel_pivot", "rel_distinct_counts",
+    "win_top3_orders_per_customer", "win_running_quantity", "win_lag_price_delta",
+    "ev_tumbling_5min", "ev_hourly_rollup", "ev_sessionize", "ev_asof_last_click",
+    "ev_user_stats", "ev_stream_tumbling", "emb_cosine_topk", "emb_knn_join",
+    "emb_near_dup_pairs", "emb_label_stats", "emb_lsh_bucket_sizes",
+    "rel_q12_shipmode_case", "rel_q14_promo_ratio", "rel_q19_disjunctive",
+    "win_range_frame", "win_value_family", "p26_array_ops",
+    # round-1 red (now fixed): surface early for a fresh verdict
+    "ev_sliding_10m5m", "ev_json_props", "ev_date_parts",
+]
+
+
 def _registry():
     from llm_pretraining_data_pipeline_spark import queries as q
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    return q.QUERIES
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R2 if n in q.QUERIES}
+    ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
+    return ordered
 
 
 def _patched(fn: Callable[[SparkSession, str], DataFrame]):
