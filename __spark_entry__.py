@@ -63,7 +63,8 @@ _PRIORITY_R2 = [
     "win_top3_orders_per_customer", "win_running_quantity", "win_lag_price_delta",
     "ev_tumbling_5min", "ev_hourly_rollup", "ev_sessionize", "ev_asof_last_click",
     "ev_user_stats", "ev_stream_tumbling", "emb_cosine_topk", "emb_knn_join",
-    "emb_near_dup_pairs", "emb_label_stats", "emb_lsh_bucket_sizes",
+    "emb_near_dup_pairs", "emb_near_dup_lsh", "emb_label_stats",
+    "emb_lsh_bucket_sizes",
     "rel_q12_shipmode_case", "rel_q14_promo_ratio", "rel_q19_disjunctive",
     "win_range_frame", "win_value_family", "p26_array_ops",
     # round-1 red (now fixed): surface early for a fresh verdict

@@ -249,6 +249,13 @@ def minhash_lsh_candidates(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
+    # Materialise the (small) distinct pair set, then release the wide
+    # intermediates — otherwise their cached blocks accumulate in executor
+    # memory across many operator invocations (e.g. an oracle sweep).
+    pairs = pairs.persist()
+    pairs.count()
+    banded.unpersist()
+    hashed_df.unpersist()
     return pairs
 
 
@@ -373,6 +380,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     lsh_planes: int = 0,
     lsh_seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -380,7 +388,12 @@ def embedding_near_dup_pairs(
     ``lsh_planes=k``: random-hyperplane bucketing first, pairs only within a
     bucket — the scale path. High-cosine pairs land in the same bucket with
     probability (1 - θ/π)^k, so small k keeps recall high at threshold≈1
-    while cutting candidates by ~2^k.
+    while cutting candidates by ~2^k. The bucket join is a hash-partitioned
+    equi-join on the bucket id, never a cartesian pair join.
+
+    ``dim`` (LSH only): vector dimensionality. Pass it to skip the one-row
+    probe scan; when omitted it is read from the first row (empty input →
+    empty result, no error).
     """
     from llm_pretraining_data_pipeline_spark.operators.similarity import (
         cosine,
@@ -393,7 +406,14 @@ def embedding_near_dup_pairs(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     if lsh_planes > 0:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            head = df.select(vec_col).first()
+            if head is None or head[0] is None:
+                # empty input: empty, correctly-typed pair frame
+                a = vecs.select(F.col("_id").alias("id_a")).limit(0)
+                b = vecs.select(F.col("_id").alias("id_b")).limit(0)
+                return a.crossJoin(b).withColumn("cosine", F.lit(0.0))
+            dim = len(head[0])
         planes = random_hyperplanes(dim, lsh_planes, lsh_seed)
         vecs = vecs.withColumn("_bucket", hyperplane_bucket(F.col("_v"), planes))
         # bucket column computed once per side via persist (HOF, no CSE)
@@ -403,10 +423,19 @@ def embedding_near_dup_pairs(
         b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
                         F.col("_bucket").alias("b_b"))
         pairs = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
-    else:
-        a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
-        b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        out = (
+            pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+        # materialise the (small) thresholded pair set, release the bucketed
+        # vector cache so repeated invocations don't accumulate blocks
+        out = out.persist()
+        out.count()
+        vecs.unpersist()
+        return out
+    a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -636,6 +636,50 @@ def emb_near_dup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+# Hyperplanes for the LSH variant are FIXED at registration time (dim=64,
+# seed=7) so the oracle can receive the identical constants as SQL literals —
+# the same trick the minhash banding oracles use with their hash coefficients.
+_NDL_PLANES = similarity.random_hyperplanes(64, n_planes=4, seed=7)
+
+
+def _duck_plane_dot(plane: list[float]) -> str:
+    lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"j -> cast(embedding[j] as double) * ({lit})[j]))"
+    )
+
+
+_NDL_BUCKET = " + ".join(
+    f"(CASE WHEN {_duck_plane_dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_NDL_PLANES)
+)
+
+
+@register(
+    "emb_near_dup_lsh",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {_NDL_BUCKET} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({O.cosine_double('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {O.cosine_double('a.embedding', 'b.embedding')} >= 0.45
+    """,
+    doc="hyperplane-LSH-bucketed embedding near-dup pairs — the scale path: "
+        "candidates restricted to one bucket (equi-join on the 4-bit sign "
+        "bucket, ~2^4 candidate reduction), exact cosine verify inside. The "
+        "brute-force twin (emb_near_dup_pairs) is the recall baseline.",
+)
+def emb_near_dup_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup_ops.embedding_near_dup_pairs(
+        emb, threshold=0.45, lsh_planes=4, lsh_seed=7, dim=64
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 @register(
     "emb_label_stats",
     """
