@@ -66,7 +66,7 @@ _PRIORITY_R2 = [
     "emb_near_dup_pairs", "emb_near_dup_lsh", "emb_label_stats",
     "emb_lsh_bucket_sizes",
     "rel_q12_shipmode_case", "rel_q14_promo_ratio", "rel_q19_disjunctive",
-    "win_range_frame", "win_value_family", "p26_array_ops",
+    "win_range_frame", "win_value_family", "p26_array_ops", "p22b_tokenize_bpe",
     # round-1 red (now fixed): surface early for a fresh verdict
     "ev_sliding_10m5m", "ev_json_props", "ev_date_parts",
 ]

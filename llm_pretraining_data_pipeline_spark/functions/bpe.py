@@ -1,0 +1,295 @@
+"""Byte-level BPE — the GPT-2 tokenisation algorithm, dependency-free.
+
+Reference contract: Tokenisation_JSONL_export.py:71-119 tokenises with the
+HF GPT-2 tokenizer (pad→eos :228-229, add_special_tokens=True — a no-op for
+GPT-2 — truncation off, n_tokens = len(input_ids)). transformers is not in
+this environment, so this module implements the *algorithm* itself:
+
+  * ``bytes_to_unicode`` — GPT-2's exact reversible byte↔unicode table
+    (public: openai/gpt-2 encoder.py; also in HF GPT2Tokenizer);
+  * ``BpeCodec`` — encode/decode with the exact greedy lowest-merge-rank
+    loop over pre-tokenised pieces;
+  * ``load_gpt2_codec(encoder_json, vocab_bpe)`` — feed it the published
+    GPT-2 assets (encoder.json + vocab.bpe) and ids are value-identical to
+    HF ``gpt2``;
+  * ``train_bpe`` — deterministic trainer over a word-frequency table. The
+    scale split follows real BPE trainers: the corpus-sized phase is ONE
+    Spark aggregation (pre-token piece counts, ``word_frequencies``); the
+    merge loop runs over the distinct-piece dict, which is bounded
+    (vocabulary-sized, not corpus-sized) and driver-side;
+  * ``bpe_tokenize_map`` — mapInPandas batch encode, codec built once per
+    Python worker from broadcast-able plain data.
+
+A mini codec trained on the test corpus is bundled under ``bpe_assets/``
+(regenerate with scripts/gen_bpe_assets.py) so the full BPE path is
+exercised end-to-end without external downloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import Counter
+from collections.abc import Iterator
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bpe_assets")
+END_OF_TEXT = "<|endoftext|>"
+
+# GPT-2 pre-tokeniser, Python-regex flavor. Python `re` lacks \p{L}/\p{N}:
+# unicode letters are [^\W\d_] and numbers \d (Nd; GPT-2's \p{N} also takes
+# Nl/No — exotic numerals split one piece earlier, documented delta).
+PY_SPLIT_PATTERN = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
+    re.UNICODE,
+)
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's bijective byte → unicode-char table: printable latin-1 bytes
+    map to themselves, the rest to codepoints 256+n in byte order. Keeps BPE
+    symbols printable and the mapping reversible (public algorithm)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+@lru_cache(maxsize=1)
+def unicode_to_bytes() -> dict[str, int]:
+    return {c: b for b, c in bytes_to_unicode().items()}
+
+
+def _get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
+    return set(zip(word, word[1:]))
+
+
+class BpeCodec:
+    """Encoder/decoder over a (vocab, merges) pair.
+
+    ``vocab``: token string → id. ``merges``: ordered list of (a, b) pairs;
+    position is the merge rank (lower merges first). The encode loop is the
+    exact published GPT-2 greedy algorithm: repeatedly merge the
+    lowest-ranked bigram present in the word.
+    """
+
+    def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]]):
+        self.vocab = vocab
+        self.decoder = {i: t for t, i in vocab.items()}
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+    def _bpe(self, token: str) -> tuple[str, ...]:
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        word = tuple(token)
+        pairs = _get_pairs(word)
+        while pairs:
+            bigram = min(pairs, key=lambda p: self.ranks.get(p, float("inf")))
+            if bigram not in self.ranks:
+                break
+            first, second = bigram
+            new_word: list[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        if len(self._cache) < 65536:
+            self._cache[token] = word
+        return word
+
+    def encode(self, text: str) -> list[int]:
+        b2u = bytes_to_unicode()
+        ids: list[int] = []
+        for piece in PY_SPLIT_PATTERN.findall(text):
+            symbols = "".join(b2u[b] for b in piece.encode("utf-8"))
+            for tok in self._bpe(symbols):
+                ids.append(self.vocab[tok])
+        return ids
+
+    def decode(self, ids: list[int]) -> str:
+        u2b = unicode_to_bytes()
+        chars = "".join(self.decoder[i] for i in ids)
+        return bytes(u2b[c] for c in chars).decode("utf-8", errors="replace")
+
+    def to_plain(self) -> tuple[dict[str, int], list[tuple[str, str]]]:
+        """Plain picklable data for shipping to Python workers."""
+        merges = [None] * len(self.ranks)
+        for pair, rank in self.ranks.items():
+            merges[rank] = pair
+        return self.vocab, merges  # type: ignore[return-value]
+
+
+def load_gpt2_codec(encoder_json: str, vocab_bpe: str) -> BpeCodec:
+    """Codec from the published GPT-2 assets (encoder.json + vocab.bpe).
+    With those files the ids are value-identical to HF ``gpt2``."""
+    with open(encoder_json, encoding="utf-8") as f:
+        vocab = json.load(f)
+    merges: list[tuple[str, str]] = []
+    with open(vocab_bpe, encoding="utf-8") as f:
+        for line in f.read().split("\n")[1:]:  # first line is the version tag
+            parts = line.split()
+            if len(parts) == 2:
+                merges.append((parts[0], parts[1]))
+    return BpeCodec(vocab, merges)
+
+
+# ------------------------------------------------------------------ training
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-scale phase of BPE training: pre-token piece counts as one
+    Spark aggregation (JVM regex, map-side partial aggregation). The result
+    is vocabulary-sized; everything after runs on it, not on the corpus."""
+    from llm_pretraining_data_pipeline_spark.functions import tokenizer
+
+    return (
+        df.select(F.explode(tokenizer.token_pieces(text_col)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_word(
+    word: tuple[str, ...], pair: tuple[str, str]
+) -> tuple[str, ...]:
+    first, second = pair
+    out: list[str] = []
+    i = 0
+    while i < len(word):
+        if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+            out.append(first + second)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    piece_freqs: dict[str, int], num_merges: int
+) -> tuple[dict[str, int], list[tuple[str, str]]]:
+    """Deterministic BPE trainer over a piece-frequency table.
+
+    Ties on pair frequency break lexicographically, so the same input always
+    yields the same merges. Returns (vocab, merges): ids are the 256 byte
+    symbols in byte order, then merges in rank order, then END_OF_TEXT —
+    the id-assignment convention of a freshly trained vocab.
+    """
+    b2u = bytes_to_unicode()
+    words: dict[tuple[str, ...], int] = {}
+    for piece, freq in piece_freqs.items():
+        sym = tuple(b2u[b] for b in piece.encode("utf-8"))
+        if sym:
+            words[sym] = words.get(sym, 0) + freq
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: Counter[tuple[str, str]] = Counter()
+        for word, freq in words.items():
+            for pair in zip(word, word[1:]):
+                pair_counts[pair] += freq
+        if not pair_counts:
+            break
+        # deterministic: highest count, ties to the lexicographically
+        # smallest pair
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        words = {_merge_word(w, best): f for w, f in words.items()}
+
+    vocab: dict[str, int] = {}
+    for b in range(256):
+        vocab[b2u[b]] = b
+    for a, b_ in merges:
+        vocab[a + b_] = len(vocab)
+    vocab[END_OF_TEXT] = len(vocab)
+    return vocab, merges
+
+
+def train_bpe_on_frame(
+    df: DataFrame, text_col: str, num_merges: int
+) -> tuple[dict[str, int], list[tuple[str, str]]]:
+    """End-to-end trainer: Spark piece counts → driver merge loop."""
+    freqs = {r["piece"]: r["freq"] for r in word_frequencies(df, text_col).collect()}
+    return train_bpe(freqs, num_merges)
+
+
+# ------------------------------------------------------------ bundled assets
+
+
+@lru_cache(maxsize=1)
+def mini_codec() -> BpeCodec:
+    """The bundled mini codec (trained on the test corpus by
+    scripts/gen_bpe_assets.py; committed, deterministic)."""
+    with open(os.path.join(ASSET_DIR, "vocab_mini.json"), encoding="utf-8") as f:
+        vocab = json.load(f)
+    merges: list[tuple[str, str]] = []
+    with open(os.path.join(ASSET_DIR, "merges_mini.txt"), encoding="utf-8") as f:
+        for line in f.read().split("\n")[1:]:
+            parts = line.split(" ")
+            if len(parts) == 2:
+                merges.append((parts[0], parts[1]))
+    return BpeCodec(vocab, merges)
+
+
+# ------------------------------------------------------------- Spark surface
+
+
+def bpe_tokenize_map(
+    df: DataFrame, text_col: str, codec: BpeCodec | None = None
+) -> DataFrame:
+    """Real BPE tokenisation via mapInPandas (Arrow batches; codec rebuilt
+    once per Python worker from plain data, never per row). Appends
+    input_ids, attention_mask, n_tokens — the reference's tokenise-stage
+    contract (Tokenisation_JSONL_export.py:97-119)."""
+    import pandas as pd
+
+    vocab, merges = (codec or mini_codec()).to_plain()
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["input_ids array<int>", "attention_mask array<int>", "n_tokens long"]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        worker_codec = BpeCodec(vocab, list(merges))
+        for pdf in batches:
+            texts = ["" if not isinstance(t, str) else t for t in pdf[text_col]]
+            ids = [worker_codec.encode(t) for t in texts]
+            pdf = pdf.copy()
+            pdf["input_ids"] = ids
+            pdf["attention_mask"] = [[1] * len(x) for x in ids]
+            pdf["n_tokens"] = [len(x) for x in ids]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -63,13 +63,21 @@ def attention_mask(ids: Column | str) -> Column:
     return F.transform(_col(ids), lambda _: F.lit(1))
 
 
-def with_tokenisation(df: DataFrame, text_col: str, prefer_hf: bool = True) -> DataFrame:
+def with_tokenisation(
+    df: DataFrame, text_col: str, prefer_hf: bool = True, backend: str = "regex"
+) -> DataFrame:
     """Add input_ids / attention_mask / n_tokens columns.
 
-    Uses the real HF GPT-2 tokenizer when available and ``prefer_hf``; falls
-    back to the deterministic regex backend otherwise.
+    ``backend``: "regex" (JVM-side pre-token pieces + hashed ids, the fast
+    default), "bpe" (real byte-level BPE over the bundled vocab — or real
+    GPT-2 assets via functions.bpe.load_gpt2_codec), or "hf" (transformers).
+    ``prefer_hf=True`` upgrades to HF whenever it is installed.
     """
-    if prefer_hf and _hf_available():
+    if backend == "bpe":
+        from llm_pretraining_data_pipeline_spark.functions import bpe
+
+        return bpe.bpe_tokenize_map(df, text_col)
+    if (backend == "hf" or prefer_hf) and _hf_available():
         return hf_tokenize_map(df, text_col)
     ids = input_ids(text_col)
     return (

@@ -74,6 +74,7 @@ class PipelineConfig:
     use_langdetect: bool = False  # True -> langdetect pandas UDF (if installed)
     langid_trigrams: bool = False  # blend char-trigram evidence into lang ID
     prefer_hf_tokenizer: bool = False
+    tokenizer_backend: str = "regex"  # "regex" | "bpe" | "hf"
     source_name: str = "mainpipe_v1"     # ingest.py:131
     extra_columns: dict = field(default_factory=dict)
 
@@ -254,7 +255,10 @@ def score_mixture(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
 
 def tokenise(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Stage 7: tokenise + token-length filter (F6)."""
-    out = tokenizer.with_tokenisation(df, "text_pii_masked", prefer_hf=cfg.prefer_hf_tokenizer)
+    out = tokenizer.with_tokenisation(
+        df, "text_pii_masked", prefer_hf=cfg.prefer_hf_tokenizer,
+        backend=cfg.tokenizer_backend,
+    )
     return apply_rules(
         out,
         [

