@@ -73,6 +73,21 @@ def main() -> int:
     meta["reference_docs_per_sec"] = 38.0
     meta["speedup_vs_reference"] = round(meta["pipeline_docs_per_sec"] / 38.0, 1)
 
+    # ---- pipeline with the optional MinHash near-dedup stage: the exact-dup
+    # replicas collapse in stage 5, so stage 5b runs LSH+verify+components
+    # over the distinct survivors (the realistic shape at scale).
+    n_mh = timed(
+        "pipeline_minhash_e2e",
+        lambda: P.run_pipeline(
+            raw,
+            P.PipelineConfig(
+                use_nfkc=True, apply_lang_filter=False, use_minhash_dedup=True
+            ),
+        ).count(),
+    )
+    meta["pipeline_minhash_docs"] = n_mh
+    meta["pipeline_minhash_docs_per_sec"] = round(n_mh / timings["pipeline_minhash_e2e"], 1)
+
     # ---- relational / window surface from the registry (heaviest entries)
     for qname in [
         "rel_q1_pricing_summary",

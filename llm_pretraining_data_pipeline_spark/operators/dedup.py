@@ -454,15 +454,23 @@ def connected_components(
 
     Convergence needs O(diameter) rounds; near-dup clusters are shallow
     (usually stars), so this terminates in 2-3 rounds in practice. Each
-    round is one join + one aggregation; frames are persisted per round and
-    released after (the standard pre-GraphX label-propagation recipe).
+    round is one join + one aggregation (the standard pre-GraphX
+    label-propagation recipe).
+
+    Lineage is truncated with ``localCheckpoint`` at the loop entry and every
+    round: without it each round's plan embeds the full upstream plan plus
+    all prior rounds, and driver-side re-analysis dominates the wall clock
+    (measured ~10× the actual compute on a deep pipeline input). On a real
+    cluster with dynamic executors substitute reliable ``checkpoint``.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct().persist()
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
 
-    labels = edges.select("src").distinct().withColumn("component", F.col("src"))
-    labels = labels.persist()
+    labels = (
+        edges.select("src").distinct().withColumn("component", F.col("src"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
@@ -476,18 +484,16 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                         ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.join(labels.withColumnRenamed("component", "old"), "src")
             .filter(F.col("component") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = updated
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("src").alias("id"), "component")
 
 

@@ -65,6 +65,12 @@ class PipelineConfig:
     drop_pii: bool = False              # :342 (off by default)
     near_dup_min_len: int = 200         # duplication.py:71
     near_key_chars: int = 500           # :72
+    use_minhash_dedup: bool = False      # optional stage 5b (scale near-dup)
+    minhash_shingle_size: int = 3
+    minhash_num_hashes: int = 32
+    minhash_bands: int = 8
+    minhash_jaccard: float = 0.8
+    minhash_seed: int = 42
     mixture_name: str = "web_sample"    # scoring_and_mixture.py:113
     high_quality_threshold: float = 0.8  # :114
     min_tokens: int = 10                 # Tokenisation_JSONL_export.py:60
@@ -243,6 +249,61 @@ def dedup(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     )
 
 
+def minhash_near_dedup(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Stage 5b (optional, ``use_minhash_dedup``): web-scale near dedup —
+    LSH candidates → exact-Jaccard verify → connected components → keep the
+    smallest doc_id per cluster (the reference's own scale-up plan,
+    README.md:136; the prefix near-dup of stage 5 only catches shared-prefix
+    copies).
+
+    Only still-kept rows participate (dropped rows neither claim canonical
+    slots nor get re-marked — the same pipeline-boundary semantics as
+    ``respect_drop_reason`` in stage 5). First-writer-wins drop_reason.
+    """
+    if not cfg.use_minhash_dedup:
+        return df
+    # Materialisation barrier: the candidate/verify/components stages below
+    # reference this frame many times (self-joins + the iterative CC loop);
+    # without the barrier each reference re-executes the entire upstream
+    # pipeline plan (measured ~10× the stage cost). At cluster scale this is
+    # the stage-boundary checkpoint the reference's own file layout implies.
+    universe = (
+        df.filter(F.col("drop_reason").isNull())
+        .select("doc_id", "text_pii_masked")
+        .persist()
+    )
+    cand = dedup_ops.minhash_lsh_candidates(
+        universe, "text_pii_masked", id_col="doc_id",
+        shingle_size=cfg.minhash_shingle_size, num_hashes=cfg.minhash_num_hashes,
+        bands=cfg.minhash_bands, seed=cfg.minhash_seed,
+    )
+    verified = dedup_ops.ngram_jaccard_pairs(
+        universe, "text_pii_masked", id_col="doc_id",
+        shingle_size=cfg.minhash_shingle_size, threshold=cfg.minhash_jaccard,
+        candidates=cand,
+    )
+    comp = dedup_ops.connected_components(verified)
+    marks = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"), F.col("component").cast("string").alias("_mh_canon")
+    )
+    # duplicate marks are tiny; pin them, release the text universe
+    marks = marks.persist()
+    marks.count()
+    universe.unpersist()
+    out = df.join(marks, "doc_id", "left")
+    is_dup = F.col("_mh_canon").isNotNull()
+    out = out.withColumn("is_dup_minhash", is_dup)
+    if "dup_of" in df.columns:
+        out = out.withColumn(
+            "dup_of", F.coalesce(F.col("dup_of"), F.when(is_dup, F.col("_mh_canon")))
+        )
+    out = out.withColumn(
+        "drop_reason",
+        F.coalesce(F.col("drop_reason"), F.when(is_dup, F.lit("minhash_duplicate"))),
+    )
+    return out.drop("_mh_canon")
+
+
 def score_mixture(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Stage 6: quality score + mixture/subset (scoring_and_mixture.py:111-151)."""
     out = df.withColumn(
@@ -277,6 +338,7 @@ STAGES = [
     ("clean_filter", clean_filter),
     ("deep_clean_pii", deep_clean_pii),
     ("dedup", dedup),
+    ("minhash_near_dedup", minhash_near_dedup),  # no-op unless cfg enables it
     ("score_mixture", score_mixture),
     ("tokenise", tokenise),
 ]

@@ -168,3 +168,49 @@ class TestPipelineE2E:
         P.run_pipeline(raw, P.PipelineConfig(use_nfkc=False))
         after = tracker.getJobIdsForGroup(None)
         assert before == after
+
+
+MH_TAIL = " and the boats were resting"
+
+
+class TestMinhashStage:
+    """Optional stage 5b: MinHash-LSH near dedup (use_minhash_dedup)."""
+
+    def test_minhash_duplicate_fires(self, spark):
+        # GOOD vs GOOD+tail: not exact dups, shared-shingle Jaccard ~0.87 —
+        # only the minhash stage can catch them (prefix near-dup needs 200+
+        # chars AND an identical prefix window).
+        raw = spark.createDataFrame(
+            [("http://mh/1", GOOD), ("http://mh/2", GOOD + MH_TAIL),
+             ("http://ok/x", GOOD2)],
+            "url string, text string",
+        )
+        cfg = P.PipelineConfig(use_nfkc=False, use_minhash_dedup=True,
+                               minhash_jaccard=0.7)
+        out = P.run_pipeline(raw, cfg)
+        rows = {r.url: r for r in out.collect()}
+        pair = [rows["http://mh/1"], rows["http://mh/2"]]
+        dropped = [r for r in pair if r.drop_reason == "minhash_duplicate"]
+        kept_members = [r for r in pair if r.drop_reason is None]
+        assert len(dropped) == 1 and len(kept_members) == 1
+        assert dropped[0].is_dup_minhash
+        assert dropped[0].dup_of == kept_members[0].doc_id
+        assert rows["http://ok/x"].drop_reason is None
+        assert not rows["http://ok/x"].is_dup_minhash
+
+    def test_dropped_rows_not_canonical_or_marked(self, spark):
+        # A blocked-url doc with near-identical text is outside the minhash
+        # universe: the kept twin stays kept (reference boundary semantics).
+        raw = spark.createDataFrame(
+            [("http://spam/ads/x", GOOD), ("http://mh/3", GOOD + MH_TAIL)],
+            "url string, text string",
+        )
+        cfg = P.PipelineConfig(use_nfkc=False, use_minhash_dedup=True,
+                               minhash_jaccard=0.7)
+        out = P.run_pipeline(raw, cfg)
+        rows = {r.url: r for r in out.collect()}
+        assert rows["http://spam/ads/x"].drop_reason == "blocked_url"
+        assert rows["http://mh/3"].drop_reason is None
+
+    def test_off_by_default_no_column(self, result):
+        assert "is_dup_minhash" not in result.columns
