@@ -18,6 +18,8 @@ double), ("unk", 0.0) for empty/undecidable input.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -61,6 +63,34 @@ CHAR_TRIGRAM_PROFILES: dict[str, list[str]] = {
     "es": [" de", "de ", "os ", "la ", " la", "el ", " el", "es ", "as ", "ión",
            "en ", " en", "ue ", "que", " qu", " co", "ent", "a d", "ado", " se",
            "nte", "los", " lo", "do ", "ció", " es", "sta", "con", "res", "e l"],
+    # Added alongside the en/de/fr/es originals so every stopword-profiled
+    # Latin language gets the same trigram reinforcement — without these,
+    # pt/it/nl prose competed against trigram-boosted es/en scores.
+    "it": ["che", " ch", "he ", " di", "di ", " la", "la ", " il", "il ", "per",
+           " pe", "er ", "una", " un", "na ", "non", " no", "on ", "con", " co",
+           "del", "ell", "lla", "gli", " gl", "li ", " ne", "ne ", "anc", "nch",
+           " an", "ent", "nte", "ion", "zio", "to ", "re ", "ta ", "ato", "e d"],
+    "pt": ["que", " qu", "ue ", " de", "de ", "do ", " do", "da ", " da", "os ",
+           "as ", "ão ", "ção", "çõe", " co", "com", "om ", "par", " pa", "ra ",
+           " se", "se ", "em ", " em", "um ", " um", "uma", "não", " nã", "ent",
+           "nte", "ara", "dos", "das", "a d", "o d", "e a", "men", "ade", "is "],
+    "nl": ["de ", " de", "het", " he", "et ", "en ", "van", " va", "an ", "een",
+           " ee", "n d", "er ", "der", "ver", " ve", "ijk", " ge", "gen", "ing",
+           "ng ", "te ", " te", "aar", "oor", " vo", "sch", "cht", "aan", " aa",
+           "at ", "dat", " da", "ijn", "zij", " zi", "ede", "nde", "den", "ten"],
+    # Script languages with alphabetic writing get trigram profiles too
+    # (blended into the script-range candidates): they lift mixed-script
+    # text where the 0.30 script-fraction gate alone scores zero. zh/ja/ko/ar
+    # stay script-only — char trigrams over ideographs/abjad text have no
+    # stable function-word signal of this shape.
+    "ru": ["ого", "его", " на", "на ", " по", "по ", " не", "не ", "ени", "ние",
+           "ия ", " пр", "при", "ств", "ост", " то", "то ", "ать", "ет ", " в ",
+           "ов ", " со", "ско", " ко", "ых ", "ово", "тся", "ной", "ами", "ли ",
+           "ть ", "ла ", " и ", "ом ", "ый ", " от", "ста", "ере", " ре", "ние"],
+    "el": ["και", " κα", "αι ", "την", " τη", "τη ", "του", " το", "το ", "ου ",
+           "ης ", "ται", "ετα", " πα", " πρ", "περ", "ματ", " στ", "στο", "ων ",
+           "ναι", "είν", "ίνα", "ια ", "ον ", " απ", "από", "πό ", "οι ", "ει ",
+           "να ", " να", "τα ", " τα", "ση ", "σε ", " σε", "ές ", "ός ", "ική"],
 }
 
 
@@ -77,17 +107,32 @@ def char_trigrams(c: Column | str) -> Column:
     )
 
 
+def trigram_evidence(c: Column | str, lang: str) -> Column:
+    """Unclipped trigram evidence: profile-coverage fraction × 5. Natural
+    prose hits ~0.15-0.35 of the top-40 profile (evidence 0.75-1.75);
+    keyword soup stays well below the 0.8 confidence bar.
+
+    Implemented as ONE JVM regex scan per language: a zero-width lookahead
+    alternation ``(?=(g1|g2|...))`` counts every position where a profile
+    trigram starts — overlapping occurrences included — which is exactly
+    ``size(filter(char_trigrams(s), g -> g ∈ profile))``, but stays inside
+    whole-stage codegen. The HOF formulation (transform+filter per language,
+    interpreted, re-evaluated per reference — no CSE for lambda bodies) made
+    langid_struct(use_trigrams=True) ~20× slower in the pipeline hot path.
+    """
+    pat = "(?=(" + "|".join(_re.escape(g) for g in CHAR_TRIGRAM_PROFILES[lang]) + "))"
+    s = F.concat(
+        F.lit(" "), F.lower(F.coalesce(_col(c).cast("string"), F.lit(""))), F.lit(" ")
+    )
+    n = F.length(s) - F.lit(2)  # number of sliding trigrams in the padded text
+    hits = F.regexp_count(s, F.lit(pat))
+    frac = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return frac * F.lit(5.0)
+
+
 def trigram_score(c: Column | str, lang: str) -> Column:
-    """Fraction of the text's char trigrams found in the language's common-
-    trigram profile, scaled ×5 and clipped (natural prose hits ~0.15-0.35 of
-    the top-40 profile, so ≥0.2 coverage saturates to 1.0; keyword soup
-    stays well below the 0.8 confidence bar)."""
-    profile = F.array(*[F.lit(g) for g in CHAR_TRIGRAM_PROFILES[lang]])
-    grams = char_trigrams(c)
-    hits = F.size(F.filter(grams, lambda g: F.array_contains(profile, g)))
-    frac = F.when(F.size(grams) > 0, hits.cast("double") / F.size(grams).cast("double")
-                  ).otherwise(F.lit(0.0))
-    return F.least(F.lit(1.0), frac * F.lit(5.0))
+    """``trigram_evidence`` clipped to [0, 1] (the oracle-checked form)."""
+    return F.least(F.lit(1.0), trigram_evidence(c, lang))
 
 
 # Unicode script blocks for non-Latin script detection.
@@ -118,9 +163,18 @@ def langid_struct(c: Column | str, use_trigrams: bool = False) -> Column:
     language code — stable across engines and partitionings).
 
     ``use_trigrams=True`` blends stopword and char-trigram evidence per
-    language (stop + 0.5·trigram, clipped) — two independent weak signals
-    reinforce on natural prose while keyword soup stays low-confidence,
-    mirroring langdetect's n-gram robustness.
+    language — two independent weak signals reinforce on natural prose while
+    keyword soup stays low-confidence, mirroring langdetect's n-gram
+    robustness. In this mode the argmax runs on the UNCLIPPED evidence sums
+    (clipping only the emitted score to [0, 1]): with clipped scores every
+    fluent Romance sentence saturates several languages to exactly 1.0 and
+    the winner degenerates to a lexical tie-break on the language code.
+    Japanese additionally gets kana-gated kanji credit — Han characters sit
+    in the zh script range, so kanji-heavy Japanese otherwise outscores as
+    Chinese even when kana prove it isn't.
+
+    ``use_trigrams=False`` is the round-1 oracle-checked semantics,
+    unchanged (p09_langid's DuckDB oracle encodes it literally).
     """
     s = F.coalesce(_col(c).cast("string"), F.lit(""))
     toks = F.transform(ws_tokens(F.lower(s)), lambda t: F.regexp_replace(t, "[^\\p{L}']", ""))
@@ -129,24 +183,42 @@ def langid_struct(c: Column | str, use_trigrams: bool = False) -> Column:
     candidates = []
     for lang, range_class in SCRIPT_RANGES.items():
         frac = _char_fraction(s, range_class)
-        score = F.when(frac >= _SCRIPT_MIN_FRACTION, F.least(F.lit(1.0), frac * 2)).otherwise(
-            F.lit(0.0)
-        )
+        if use_trigrams:
+            score = F.when(frac >= _SCRIPT_MIN_FRACTION, frac * 2).otherwise(F.lit(0.0))
+            if lang == "ja":
+                # kana (3040-30ff) is uniquely Japanese; when present, the
+                # Han characters in the text are kanji and count toward ja
+                han = _char_fraction(s, SCRIPT_RANGES["zh"])
+                score = F.when(frac >= 0.05, (frac + han) * 2).otherwise(score)
+            if lang in CHAR_TRIGRAM_PROFILES:
+                # alphabetic script languages (ru/el): trigram evidence lifts
+                # mixed-script text the script-fraction gate alone misses
+                score = score + trigram_evidence(c, lang)
+        else:
+            score = F.when(
+                frac >= _SCRIPT_MIN_FRACTION, F.least(F.lit(1.0), frac * 2)
+            ).otherwise(F.lit(0.0))
         candidates.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
     for lang, words in STOPWORD_PROFILES.items():
         profile = F.array(*[F.lit(w) for w in words])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
         frac = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
-        score = F.least(F.lit(1.0), frac * F.lit(4.0))
-        if use_trigrams and lang in CHAR_TRIGRAM_PROFILES:
-            score = F.least(F.lit(1.0), score + trigram_score(c, lang) * F.lit(0.5))
+        if use_trigrams:
+            score = frac * F.lit(4.0) + trigram_evidence(c, lang)
+        else:
+            score = F.least(F.lit(1.0), frac * F.lit(4.0))
         candidates.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
 
     best = F.array_max(F.array(*candidates))
     return F.when(
         (F.length(F.trim(s)) == 0) | (best["score"] <= 0.0),
         F.struct(F.lit("unk").alias("lang"), F.lit(0.0).alias("score")),
-    ).otherwise(F.struct(best["lang"].alias("lang"), best["score"].alias("score")))
+    ).otherwise(
+        F.struct(
+            best["lang"].alias("lang"),
+            F.least(F.lit(1.0), best["score"]).alias("score"),
+        )
+    )
 
 
 def langdetect_udf():

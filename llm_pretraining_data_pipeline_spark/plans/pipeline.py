@@ -78,7 +78,10 @@ class PipelineConfig:
     docs_per_shard: int = 50_000         # sharding.py:31
     use_nfkc: bool = True
     use_langdetect: bool = False  # True -> langdetect pandas UDF (if installed)
-    langid_trigrams: bool = False  # blend char-trigram evidence into lang ID
+    # blend char-trigram evidence into lang ID (default on: two independent
+    # weak signals are markedly more robust on natural prose than stopword
+    # profiles alone; the reference's langdetect is likewise n-gram based)
+    langid_trigrams: bool = True
     prefer_hf_tokenizer: bool = False
     tokenizer_backend: str = "regex"  # "regex" | "bpe" | "hf"
     source_name: str = "mainpipe_v1"     # ingest.py:131

@@ -85,8 +85,8 @@ def rel_q3(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(src.maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -123,14 +123,14 @@ def rel_q5(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(src.maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            src.maybe_broadcast(s, sf_dir, "supplier"),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(src.maybe_broadcast(n, sf_dir, "nation"), s.s_nationkey == n.n_nationkey)
+        .join(src.maybe_broadcast(r, sf_dir, "region"), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -738,7 +738,7 @@ def rel_q12_shipmode_case(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -769,7 +769,7 @@ def rel_q14_promo_ratio(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(src.maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .agg(
             F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
                 "promo_revenue_pct"
@@ -794,7 +794,7 @@ def rel_q14_promo_ratio(spark, sf_dir):
 def rel_q19_disjunctive(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(src.maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 30))

@@ -6,6 +6,8 @@ shapes: parquet checkpoints, projected JSONL exports, CSV reports.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -16,6 +18,44 @@ TESTDATA_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings",
 ]
+
+# On-disk parquet size under which a table is safe to broadcast. Parquet is
+# column-compressed, so 64 MiB on disk is roughly 200-500 MB in executor
+# memory — comfortably under Spark's 8 GB broadcast hard cap but large enough
+# that every dimension table at test SFs qualifies.
+BROADCAST_LIMIT_BYTES = 64 << 20
+
+
+def table_size_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a testdata table (single parquet file or directory)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def maybe_broadcast(
+    df: DataFrame, sf_dir: str, name: str, limit_bytes: int = BROADCAST_LIMIT_BYTES
+) -> DataFrame:
+    """Size-aware broadcast hint: hint only when the table's on-disk footprint
+    is under ``limit_bytes``; above it, return the frame unhinted and let
+    Catalyst/AQE pick the join strategy (AQE can still convert to broadcast at
+    runtime when a filter shrinks the build side).
+
+    An unconditional ``F.broadcast(orders)`` is correct at test SFs but would
+    OOM the driver at 100 TB — the hint must be a function of size, not of the
+    query shape (VERDICT r1 item 8).
+    """
+    if table_size_bytes(sf_dir, name) <= limit_bytes:
+        return F.broadcast(df)
+    return df
 
 
 def read_jsonl(

@@ -1,9 +1,13 @@
 """Char-trigram language detection: natural prose in four languages plus
-robustness on keyword-soup and empty inputs."""
+robustness on keyword-soup and empty inputs, and a 13-language accuracy
+fixture mirroring the reference's langdetect + min_conf=0.8 filter
+(text_clean_and_filter.py:385-408)."""
 
 from pyspark.sql import functions as F
 
 from llm_pretraining_data_pipeline_spark.functions import langid
+
+from fixtures_langid import PROSE_CASES
 
 CASES = [
     ("en1", "The committee published its annual report on renewable energy yesterday.", "en"),
@@ -41,6 +45,20 @@ class TestTrigramLangid:
         score = langid.trigram_score("text", "en")
         row = df.select(score.alias("s")).collect()[0]
         assert row.s < 0.8  # n-gram evidence alone doesn't fake fluent text
+
+    def test_prose_accuracy_under_confidence_filter(self, spark):
+        """≥95% of the 13-language prose fixture must get the right label AND
+        clear the reference's 0.8 confidence bar (so the language filter would
+        keep it under min_lang_conf=0.8)."""
+        df = spark.createDataFrame(PROSE_CASES, "label string, text string, expected string")
+        s = langid.langid_struct("text", use_trigrams=True)
+        rows = df.select(
+            "label", "expected", s["lang"].alias("lang"), s["score"].alias("score")
+        ).collect()
+        good = [r for r in rows if r.lang == r.expected and r.score >= 0.8]
+        acc = len(good) / len(rows)
+        misses = [(r.label, r.lang, round(r.score, 3)) for r in rows if r not in good]
+        assert acc >= 0.95, f"accuracy {acc:.1%}; misses: {misses}"
 
     def test_empty_and_null(self, spark):
         df = spark.createDataFrame([(None,), ("",), ("  ",)], "text string")

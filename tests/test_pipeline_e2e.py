@@ -61,9 +61,12 @@ CORPUS = [
     # No function words at all -> no profile scores -> unk.
     ("http://ok/10", "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ === [[[ ]]] {{{ }}}",
      "lang_unknown"),
-    # One stopword in eleven words: detected en but at low confidence.
-    ("http://ok/11", "the peculiar wanderers assembled quietly beneath ancient "
-     "twisted branches yesterday evening", "low_lang_confidence"),
+    # Jargon-dense text with one stopword: detected en but at ~0.73, below
+    # min_lang_conf=0.8. (The previous fixture text here was fluent English
+    # with few stopwords; trigram evidence now correctly lifts it above the
+    # bar — it lives on as kept row http://ok/21 below.)
+    ("http://ok/11", "the quantum flux manifold tensor entropy vector "
+     "eigenvalue matrix gradient spectrum decay", "low_lang_confidence"),
     ("http://ok/12", "the supercalifragilistic expialidocious extraordinarily",
      "too_short"),  # 4 words (< 5), but >= 20 chars so the prefilter passes
     ("http://ok/13", "the ::: the ;;; the !!! the ??? the %%% the ^^^ the &&& the ***",
@@ -90,6 +93,11 @@ CORPUS = [
     ("http://near/1", LONG_PREFIX + " first unique ending with more words", None),
     ("http://near/2", LONG_PREFIX + " second distinct ending entirely other words",
      "near_duplicate"),
+    # Fluent English with only one distinct stopword: the round-1 stopword-only
+    # detector under-rated this (low_lang_confidence); trigram evidence now
+    # correctly keeps it.
+    ("http://ok/21", "the peculiar wanderers assembled quietly beneath ancient "
+     "twisted branches yesterday evening", None),
     ("http://ok/19", "the cats sat near the warm fire", "too_few_tokens"),
     ("http://ok/20",
      " ".join(("the" if i % 3 == 0 else f"storyword{i}") for i in range(2600)),

@@ -44,6 +44,29 @@ class TestPlanQuality:
         assert plan.count("BroadcastHashJoin") >= 4
         assert "SortMergeJoin" not in plan
 
+    def test_broadcast_hint_is_size_aware(self, spark, sf_dir):
+        """maybe_broadcast hints only under the size limit; above it the join
+        strategy is left to Catalyst/AQE (fact tables must never carry an
+        unconditional broadcast hint — at 100 TB that OOMs the driver)."""
+        from llm_pretraining_data_pipeline_spark.sources import io as src
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert src.table_size_bytes(sf_dir, "orders") > 0
+
+        hinted = li.join(
+            src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey
+        )
+        assert "BroadcastHashJoin" in plan_of(hinted)
+
+        unhinted = li.join(
+            src.maybe_broadcast(o, sf_dir, "orders", limit_bytes=0),
+            li.l_orderkey == o.o_orderkey,
+        )
+        # no hint -> Catalyst's own sizing decides; at this SF orders exceeds
+        # the default 10 MB autoBroadcastJoinThreshold only via the hint
+        assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
     def test_topk_uses_partial_top_k_not_global_sort(self, spark, sf_dir):
         plan = plan_of(QUERIES["emb_cosine_topk"].spark(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan
