@@ -73,21 +73,6 @@ def main() -> int:
     meta["reference_docs_per_sec"] = 38.0
     meta["speedup_vs_reference"] = round(meta["pipeline_docs_per_sec"] / 38.0, 1)
 
-    # ---- pipeline with the optional MinHash near-dedup stage: the exact-dup
-    # replicas collapse in stage 5, so stage 5b runs LSH+verify+components
-    # over the distinct survivors (the realistic shape at scale).
-    n_mh = timed(
-        "pipeline_minhash_e2e",
-        lambda: P.run_pipeline(
-            raw,
-            P.PipelineConfig(
-                use_nfkc=True, apply_lang_filter=False, use_minhash_dedup=True
-            ),
-        ).count(),
-    )
-    meta["pipeline_minhash_docs"] = n_mh
-    meta["pipeline_minhash_docs_per_sec"] = round(n_mh / timings["pipeline_minhash_e2e"], 1)
-
     # ---- relational / window surface from the registry (heaviest entries)
     for qname in [
         "rel_q1_pricing_summary",
@@ -114,6 +99,23 @@ def main() -> int:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries_df = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
     timed("emb_knn8_full", lambda: similarity.knn_join(queries_df, emb, k=10).count())
+
+    # ---- pipeline with the optional MinHash near-dedup stage, LAST: its
+    # LSH+verify+components job leaves the JVM cache/GC-pressured, so running
+    # it earlier contaminated every subsequent timing (round-2 lesson — the
+    # per-query numbers were 2-4x their fresh-session values). The exact-dup
+    # replicas collapse in stage 5, so stage 5b runs over distinct survivors.
+    n_mh = timed(
+        "pipeline_minhash_e2e",
+        lambda: P.run_pipeline(
+            raw,
+            P.PipelineConfig(
+                use_nfkc=True, apply_lang_filter=False, use_minhash_dedup=True
+            ),
+        ).count(),
+    )
+    meta["pipeline_minhash_docs"] = n_mh
+    meta["pipeline_minhash_docs_per_sec"] = round(n_mh / timings["pipeline_minhash_e2e"], 1)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -102,6 +102,37 @@ def minhash_signature_from_hashes(
     )
 
 
+def minhash_signature_single_pass(
+    hashed: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """array<bigint> minhash signature — single fold over the hashed shingles.
+
+    ``aggregate`` walks ``hashed`` ONCE, folding each element into all
+    ``num_hashes`` running minima via ``zip_with``. Because ``hashed`` appears
+    exactly once (as the aggregate input, bound to a lambda variable), Catalyst
+    inlining the md5 pass here costs nothing extra — unlike
+    ``minhash_signature_from_hashes``, whose per-j ``transform`` re-walks the
+    array ``num_hashes`` times and so needs a materialisation barrier upstream.
+    This is the form operators should use; it makes the whole candidates plan
+    lazy and persist-free. Identical output values to the _from_hashes form.
+
+    Empty input arrays fold to the init vector (all 2^31-1) — callers filter
+    empty-shingle rows out first so that sentinel never banding-collides.
+    """
+    a_list, b_list = minhash_coeffs(num_hashes, seed)
+    a_arr = F.array(*[F.lit(int(x)).cast("long") for x in a_list])
+    b_arr = F.array(*[F.lit(int(x)).cast("long") for x in b_list])
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(MERSENNE_31).cast("long"), num_hashes),
+        lambda acc, hv: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (a * hv + b) % F.lit(MERSENNE_31)),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
     """Single-expression form (hashing inlined; fine for tests/small inputs —
     prefer the split ``minhash_signature_from_hashes`` in operators)."""

@@ -166,6 +166,25 @@ def dedup_stage(
 # ----------------------------------------------------------------- at scale
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition to default parallelism when the scan has fewer splits.
+
+    The signature/bucket computations below are per-row CPU-heavy; a small
+    parquet input (one file < maxPartitionBytes → one split) would otherwise
+    run them on a single core. At 100 TB the scan already has orders of
+    magnitude more splits than cores and this is a no-op — the conditional
+    keeps the scale path shuffle-free. Plan inspection only (no job is run).
+    """
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - non-standard sessions
+        return df
+    if 0 < nparts < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -177,42 +196,47 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
-    Plan shape (the standard 100 TB recipe):
-      1. per-row signature via HOFs — narrow, no shuffle;
-      2. explode to ``bands`` rows per doc — fan-out factor is `bands`, tiny
-         next to the token stream;
-      3. self-equi-join on (band_id, band_signature) — hash-partitioned join
-         on a high-cardinality composite key; Catalyst/AQE pick the strategy;
-      4. distinct (id_a < id_b) pairs.
+    Fully LAZY and persist-free — constructing the plan runs no jobs, and the
+    returned frame holds no cached state. Plan shape (the 100 TB recipe):
+      1. per-row signature in ONE fold over the hashed shingles
+         (``minhash_signature_single_pass``: the md5 pass is bound to a lambda
+         variable, so it runs exactly once per row even when Catalyst inlines
+         projections — no persist barrier needed);
+      2. a Generate-node barrier (``explode`` of a 1-element struct array)
+         between the signature and the band explode — the band lambdas
+         reference the generator's output attribute, which CollapseProject
+         cannot inline, so the signature is computed once, not ``bands`` times
+         (measured 1.45× at sf0.1);
+      3. explode to ``bands`` (band_id, band_sig) rows per doc — fan-out is
+         `bands`, tiny next to the token stream;
+      4. groupBy (band_id, band_sig) + collect the ids + emit sorted pairwise
+         combinations per bucket — ONE hash shuffle of the narrow banded rows,
+         evaluating the upstream exactly once (the former self-join executed
+         the scan+signature subtree twice and needed two persists);
+      5. distinct (id_a < id_b) pairs.
 
+    Two shuffles total (bucket groupBy + distinct), upstream evaluated once.
     Returns columns: id_a, id_b (candidates only — verify with
     ``ngram_jaccard_pairs`` or exact comparison downstream).
 
-    The md5-hash pass, the 32-way signature, and the band explode live in
-    SEPARATE projections: HOF lambdas are interpreted (no codegen CSE), and
-    CollapseProject keeps multi-referenced non-cheap expressions
-    un-inlined — fusing these into one expression tree recomputes the md5
-    pass num_hashes × bands times per row (measured 90× slower at sf0.1).
+    Skew note: a bucket of k ids emits k·(k-1)/2 pairs in one task — at scale,
+    run exact dedup first (identical docs are the only way buckets explode) or
+    cap bucket size; AQE cannot split a single collect_list group.
     """
     rows_per_band = num_hashes // bands
-    hashed_df = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(
-            hashing.token_shingles(text_col, shingle_size), lambda s: hashing.h32(s)
-        ).alias("_hashed"),
-    ).filter(F.size("_hashed") > 0)
-    # Materialisation barrier: CollapseProject counts lexical references, not
-    # HOF re-evaluations — inlined, the md5 pass would run once per outer
-    # sequence element (num_hashes×). Persisting the narrow (id, array<long>)
-    # frame keeps it a single pass (measured 30× difference at sf0.1).
-    hashed_df = hashed_df.persist()
-    with_sig = hashed_df.select(
-        "_id",
-        hashing.minhash_signature_from_hashes(F.col("_hashed"), num_hashes, seed).alias(
-            "_sig"
-        ),
+    df = _spread_small_input(df)
+    hashed = F.transform(
+        hashing.token_shingles(text_col, shingle_size), lambda s: hashing.h32(s)
     )
-    banded = with_sig.select(
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        hashing.minhash_signature_single_pass(hashed, num_hashes, seed).alias("_sig"),
+        F.size(hashed).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    base = base.select(
+        F.explode(F.array(F.struct(F.col("_id"), F.col("_sig")))).alias("_r")
+    ).select("_r._id", "_r._sig")
+    banded = base.select(
         "_id",
         F.explode(
             F.transform(
@@ -231,32 +255,25 @@ def minhash_lsh_candidates(
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_sig")
 
-    # The self-join evaluates `banded` twice; without a materialisation point
-    # each side re-derives shingles→md5→signature→bands (measured 45× slower
-    # at sf0.1). banded is narrow (~8 short rows/doc) — cache it. At cluster
-    # scale substitute a checkpoint/intermediate table for the cache.
-    banded = banded.persist()
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l._id") < F.col("r._id")),
+    grouped = (
+        banded.groupBy("band_id", "band_sig")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    # Materialise the (small) distinct pair set, then release the wide
-    # intermediates — otherwise their cached blocks accumulate in executor
-    # memory across many operator invocations (e.g. an oracle sweep).
-    pairs = pairs.persist()
-    pairs.count()
-    banded.unpersist()
-    hashed_df.unpersist()
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -273,7 +290,7 @@ def ngram_jaccard_pairs(
     join (fine to sf0.1); with a candidates frame (e.g. from LSH) it verifies
     only those pairs — the scale path.
     """
-    shingle_sets = df.select(
+    shingle_sets = _spread_small_input(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(hashing.token_shingles(text_col, shingle_size)).alias("_set"),
     ).filter(F.size("_set") > 0)
@@ -318,7 +335,7 @@ def simhash_pairs(
     Returns id_a, id_b, hamming.
     """
     bits_per_band = 32 // bands
-    sigs = df.select(
+    sigs = _spread_small_input(df).select(
         F.col(id_col).alias("_id"), hashing.simhash32(text_col).alias("_sh")
     )
     band_mod = 1 << bits_per_band
@@ -401,38 +418,47 @@ def embedding_near_dup_pairs(
         random_hyperplanes,
     )
 
-    vecs = df.select(
+    vecs = _spread_small_input(df).select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     if lsh_planes > 0:
         if dim is None:
-            head = df.select(vec_col).first()
+            head = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
             if head is None or head[0] is None:
-                # empty input: empty, correctly-typed pair frame
+                # no non-null vectors: empty, correctly-typed pair frame
                 a = vecs.select(F.col("_id").alias("id_a")).limit(0)
                 b = vecs.select(F.col("_id").alias("id_b")).limit(0)
                 return a.crossJoin(b).withColumn("cosine", F.lit(0.0))
             dim = len(head[0])
         planes = random_hyperplanes(dim, lsh_planes, lsh_seed)
-        vecs = vecs.withColumn("_bucket", hyperplane_bucket(F.col("_v"), planes))
-        # bucket column computed once per side via persist (HOF, no CSE)
-        vecs = vecs.persist()
+        # Generate-node barrier (explode of a 1-element struct array): the
+        # bucket HOF is evaluated once per row per side; downstream references
+        # hit the generator's output attribute instead of re-inlining the
+        # hyperplane dot products. Lazy and persist-free — the self-join still
+        # scans the (columnar-pruned) source twice, which is the price of
+        # keeping the operator side-effect free; at 100 TB compute the bucket
+        # at ingest and store it.
+        vecs = vecs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_id"),
+                        F.col("_v"),
+                        hyperplane_bucket(F.col("_v"), planes).alias("_bucket"),
+                    )
+                )
+            ).alias("_r")
+        ).select("_r._id", "_r._v", "_r._bucket")
         a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
                         F.col("_bucket").alias("b_a"))
         b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
                         F.col("_bucket").alias("b_b"))
         pairs = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
-        out = (
+        return (
             pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
-        # materialise the (small) thresholded pair set, release the bucketed
-        # vector cache so repeated invocations don't accumulate blocks
-        out = out.persist()
-        out.count()
-        vecs.unpersist()
-        return out
     a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
     b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

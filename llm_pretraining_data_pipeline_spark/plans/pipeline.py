@@ -285,14 +285,16 @@ def minhash_near_dedup(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) ->
         shingle_size=cfg.minhash_shingle_size, threshold=cfg.minhash_jaccard,
         candidates=cand,
     )
+    # connected_components is eager (localCheckpoint per round): by the time
+    # it returns, the candidate+verify plan over `universe` has fully executed
+    # into checkpointed blocks — release the text universe immediately. The
+    # marks frame derives narrowly from the checkpointed labels; no persist
+    # needed (its blocks are reclaimed by the ContextCleaner on driver GC).
     comp = dedup_ops.connected_components(verified)
+    universe.unpersist()
     marks = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id"), F.col("component").cast("string").alias("_mh_canon")
     )
-    # duplicate marks are tiny; pin them, release the text universe
-    marks = marks.persist()
-    marks.count()
-    universe.unpersist()
     out = df.join(marks, "doc_id", "left")
     is_dup = F.col("_mh_canon").isNotNull()
     out = out.withColumn("is_dup_minhash", is_dup)

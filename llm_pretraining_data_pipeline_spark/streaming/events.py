@@ -39,8 +39,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    # lexists (not exists): a dangling symlink — testdata moved/recreated —
+    # must be replaced, not skipped (exists() follows the link and says False,
+    # and the subsequent symlink() would raise FileExistsError).
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == target:
+            pass  # already points at the current file
+        else:
+            os.remove(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     if dict(raw.dtypes).get("ts") != "bigint":
         return stream
