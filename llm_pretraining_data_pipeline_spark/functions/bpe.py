@@ -170,11 +170,21 @@ def load_gpt2_codec(encoder_json: str, vocab_bpe: str) -> BpeCodec:
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus-scale phase of BPE training: pre-token piece counts as one
     Spark aggregation (JVM regex, map-side partial aggregation). The result
-    is vocabulary-sized; everything after runs on it, not on the corpus."""
+    is vocabulary-sized; everything after runs on it, not on the corpus.
+
+    Uses the Python-equivalent pre-tokeniser (``GPT2_SPLIT_PATTERN_PYEQ``) so
+    the trainer sees exactly the pieces ``BpeCodec.encode`` will later split —
+    the JVM ``\\p{N}`` and Python ``\\d`` classes disagree on Nl/No numerals,
+    and merges trained over pieces the encoder never produces are dead weight.
+    """
     from llm_pretraining_data_pipeline_spark.functions import tokenizer
 
     return (
-        df.select(F.explode(tokenizer.token_pieces(text_col)).alias("piece"))
+        df.select(
+            F.explode(
+                tokenizer.token_pieces(text_col, tokenizer.GPT2_SPLIT_PATTERN_PYEQ)
+            ).alias("piece")
+        )
         .groupBy("piece")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -248,6 +258,23 @@ def train_bpe_on_frame(
 
 
 @lru_cache(maxsize=1)
+def gpt2_subset_codec() -> BpeCodec:
+    """Codec over the committed GPT-2 SUBSET fixture
+    (scripts/gen_gpt2_subset.py): the 256 byte-level tokens with their exact
+    published ids (derived from the bytes_to_unicode vocabulary order;
+    anchors '!'=0, tab=197, '\\n'=198, space=220) plus merge chains for a
+    hand-curated set of published token ids (Hello=15496, ' world'=995,
+    ' the'=262, ...). On the golden strings in tests/golden/gpt2_golden.parquet
+    the output ids are exactly HF ``gpt2``'s; on arbitrary text the codec is
+    an algorithm exerciser only (chain-interior tokens carry sentinel ids
+    >= 50300 — deliberately outside the real 50,257-id space)."""
+    return load_gpt2_codec(
+        os.path.join(ASSET_DIR, "gpt2_subset_encoder.json"),
+        os.path.join(ASSET_DIR, "gpt2_subset_vocab.bpe"),
+    )
+
+
+@lru_cache(maxsize=1)
 def mini_codec() -> BpeCodec:
     """The bundled mini codec (trained on the test corpus by
     scripts/gen_bpe_assets.py; committed, deterministic)."""
@@ -293,3 +320,26 @@ def bpe_tokenize_map(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def bpe_decode_col(ids_col: str, codec: BpeCodec | None = None):
+    """Arrow-batched pandas UDF decoding an array<int> id column back to text.
+
+    Pairs with ``bpe_tokenize_map`` to express the lossless-round-trip
+    invariant (BPE is a bijection up to UTF-8 validity) as a Spark column —
+    the DuckDB oracle can then check sha256(decoded) == sha256(original)
+    without re-implementing the merge loop in SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    vocab, merges = (codec or mini_codec()).to_plain()
+
+    # no annotations: `from __future__ import annotations` stringifies them,
+    # which pandas_udf can't resolve — pass the return type explicitly.
+    def _decode_series(ids):
+        worker_codec = BpeCodec(vocab, list(merges))
+        return ids.map(
+            lambda x: worker_codec.decode([int(i) for i in x]) if x is not None else ""
+        )
+
+    return pandas_udf(_decode_series, "string")(ids_col)

@@ -38,6 +38,18 @@ GPT2_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N
 # trailing-space runs then count as one piece — same on both engines).
 GPT2_SPLIT_PATTERN_RE2 = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
 
+# Python-re-equivalent variant: the trainer must pre-tokenise EXACTLY like the
+# Python-side encoder (functions/bpe.py PY_SPLIT_PATTERN), whose classes are
+# letters = [^\W\d_] = \p{L}+\p{Nl}+\p{No} (Python str.isalnum word chars
+# minus Nd minus underscore) and digits = \d = \p{Nd} only. The published
+# \p{N} form above files non-decimal numerals (Ⅻ, ¼) under the number branch
+# instead — a one-piece-earlier split the trainer must not see if trained
+# merges are to be replayable by encode().
+GPT2_SPLIT_PATTERN_PYEQ = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}\p{Nl}\p{No}]+| ?\p{Nd}+"
+    r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
 
 def token_pieces(c: Column | str, pattern: str = GPT2_SPLIT_PATTERN) -> Column:
     """array<string> of GPT-2-style pre-token pieces; empty for null text."""

@@ -6,6 +6,8 @@ Registered into the shared ``QUERIES`` dict (see queries.py conventions).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -156,6 +158,63 @@ def p22b_tokenize_bpe(spark, sf_dir):
         "doc_id",
         "n_tokens",
         F.array_join(F.slice("input_ids", 1, 8).cast("array<string>"), ",").alias("ids_head"),
+    )
+
+
+_GPT2_GOLDEN_PARQUET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "gpt2_golden.parquet",
+)
+
+
+@register(
+    "p22c_gpt2_golden_parity",
+    f"""
+    SELECT example_id, ids_str, cast(n_tokens as bigint) AS n_tokens
+    FROM read_parquet('{_GPT2_GOLDEN_PARQUET}')
+    """,
+    doc="P22 GPT-2 exact-id parity on the golden fixture: Spark runs the "
+        "byte-level BPE (mapInPandas) over the committed SUBSET of the "
+        "published GPT-2 vocabulary (scripts/gen_gpt2_subset.py — byte ids "
+        "derived from the public bytes_to_unicode order, curated merge "
+        "chains for published token ids); the oracle reads the expected ids, "
+        "which are hand-written published tokenizations (e.g. 'Hello world' "
+        "= [15496, 995], Tokenisation_JSONL_export.py:71-119 contract) — "
+        "never computed by the codec under test",
+)
+def p22c_gpt2_golden_parity(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import bpe
+
+    golden = spark.read.parquet(_GPT2_GOLDEN_PARQUET).select("example_id", "text")
+    out = bpe.bpe_tokenize_map(golden, "text", codec=bpe.gpt2_subset_codec())
+    return out.select(
+        "example_id",
+        F.array_join(F.col("input_ids").cast("array<string>"), ",").alias("ids_str"),
+        F.col("n_tokens"),
+    )
+
+
+@register(
+    "p22d_bpe_roundtrip",
+    """
+    SELECT doc_id, sha256(coalesce(text, '')) AS roundtrip_sha
+    FROM documents
+    """,
+    doc="P22 BPE losslessness over the real corpus: Spark encodes every doc "
+        "with the bundled mini codec (mapInPandas), decodes the ids back "
+        "(pandas UDF), and hashes the result; the oracle hashes the ORIGINAL "
+        "text — matching hashes prove encode/decode is a bijection on real "
+        "data without re-implementing the merge loop in SQL (the id-value "
+        "parity claim is p22c's golden fixture)",
+)
+def p22d_bpe_roundtrip(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import bpe
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = bpe.bpe_tokenize_map(d, "text")
+    return out.select(
+        "doc_id",
+        F.sha2(bpe.bpe_decode_col("input_ids"), 256).alias("roundtrip_sha"),
     )
 
 

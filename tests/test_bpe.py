@@ -159,3 +159,70 @@ def test_real_gpt2_value_parity():
     # hand-checked HF gpt2 ids
     assert codec.encode("Hello world") == [15496, 995]
     assert codec.encode("The quick brown fox") == [464, 2068, 7586, 21831]
+
+
+class TestGpt2SubsetFixture:
+    """Exact-id parity on the committed GPT-2 subset (scripts/gen_gpt2_subset.py).
+
+    Expected ids below are published GPT-2 tokenizations written literally —
+    independent of the codec under test. The subset's byte-level ids are
+    derived from the public bytes_to_unicode vocabulary order; the anchors
+    here ('!'=0, tab=197, newline=198, space=220) are independently-published
+    facts that pin the derivation.
+    """
+
+    def test_byte_id_anchors(self):
+        codec = bpe.gpt2_subset_codec()
+        b2u = bpe.bytes_to_unicode()
+        assert codec.vocab["!"] == 0
+        assert codec.vocab["~"] == 93
+        assert codec.vocab[b2u[9]] == 197    # tab
+        assert codec.vocab[b2u[10]] == 198   # newline 'Ċ'
+        assert codec.vocab[b2u[32]] == 220   # space 'Ġ'
+        assert codec.vocab[","] == 11 and codec.vocab["."] == 13
+        assert codec.vocab["<|endoftext|>"] == 50256
+
+    def test_first_published_merges(self):
+        codec = bpe.gpt2_subset_codec()
+        # vocab.bpe's opening merges: 'Ġ t', 'Ġ a', 'h e' → ids 256, 257, 258
+        assert codec.vocab["Ġt"] == 256
+        assert codec.vocab["Ġa"] == 257
+        assert codec.vocab["he"] == 258
+
+    def test_golden_string_parity(self):
+        codec = bpe.gpt2_subset_codec()
+        # the canonical published examples, hand-written
+        assert codec.encode("Hello world") == [15496, 995]
+        assert codec.encode("hello world") == [31373, 995]
+        assert codec.encode("This is a test.") == [1212, 318, 257, 1332, 13]
+        assert codec.encode("Hello, world!") == [15496, 11, 995, 0]
+
+    def test_golden_parquet_sweep_and_roundtrip(self):
+        import pyarrow.parquet as pq
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "golden", "gpt2_golden.parquet"
+        )
+        codec = bpe.gpt2_subset_codec()
+        for row in pq.read_table(path).to_pylist():
+            want = (
+                [int(x) for x in row["ids_str"].split(",")] if row["ids_str"] else []
+            )
+            got = codec.encode(row["text"])
+            assert got == want, row["example_id"]
+            assert codec.decode(got) == row["text"]
+            assert row["n_tokens"] == len(want)
+
+    def test_spark_query_matches_fixture(self, spark):
+        from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401
+        from llm_pretraining_data_pipeline_spark.queries import QUERIES
+
+        out = {
+            r["example_id"]: r
+            for r in QUERIES["p22c_gpt2_golden_parity"]
+            .spark(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        assert out["g01_hello_world"]["ids_str"] == "15496,995"
+        assert out["g10_empty"]["ids_str"] == "" and out["g10_empty"]["n_tokens"] == 0
+        assert len(out) == 10
