@@ -106,6 +106,31 @@ def ivf_assign(
     )
 
 
+def probe_cells_for(
+    centroids: DataFrame,
+    query_vec: list[float],
+    n_probe: int = 1,
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> list:
+    """The query's ``n_probe`` max-cosine cells (driver-side: the centroid
+    table is small by construction — collect is the right plan)."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    cents = centroids.select(centroid_id, centroid_vec).collect()
+
+    def cos_to_q(vec):
+        dn = math.sqrt(sum(float(x) * float(x) for x in vec))
+        if dn == 0 or qn == 0:
+            return 0.0
+        return sum(a * float(b) for a, b in zip(q, vec)) / (qn * dn)
+
+    ranked = sorted(cents, key=lambda r: (-cos_to_q(r[1]), r[0]))
+    return [r[0] for r in ranked[:n_probe]]
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,
@@ -116,32 +141,79 @@ def ivf_topk(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
     n_probe: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: route the query to its ``n_probe`` nearest cells, score
     only vectors assigned there. Approximate (recall grows with n_probe);
-    the brute-force twin is ``cosine_topk``."""
-    import math
+    the brute-force twin is ``cosine_topk``.
 
+    ``assigned`` — a precomputed (id, cell) assignment (from ``ivf_assign``,
+    typically computed ONCE at ingest). Without it this function recomputes
+    the full-corpus assignment per query, which is only acceptable as a demo;
+    at scale pass the precomputed frame, or better, write the corpus with
+    ``write_ivf_index`` and probe via ``ivf_topk_indexed`` so the scan itself
+    prunes to the probed cells' files."""
     q = [float(x) for x in query_vec]
-    qn = math.sqrt(sum(x * x for x in q))
-    cents = centroids.select(centroid_id, centroid_vec).collect()
+    probe_cells = probe_cells_for(centroids, q, n_probe, centroid_id, centroid_vec)
 
-    def cos_to_q(vec):
-        dn = math.sqrt(sum(x * x for x in vec))
-        if dn == 0 or qn == 0:
-            return 0.0
-        return sum(a * float(b) for a, b in zip(q, vec)) / (qn * dn)
-
-    ranked = sorted(cents, key=lambda r: (-cos_to_q(r[1]), r[0]))
-    probe_cells = [r[0] for r in ranked[:n_probe]]
-
-    assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id, centroid_vec)
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id, centroid_vec)
     qcol = F.array(*[F.lit(x) for x in q])
     candidates = df.join(
         assigned.filter(F.col("cell").isin(probe_cells)), id_col
     )
     return (
         candidates.select(
+            F.col(id_col), cosine(_as_double(F.col(vec_col)), qcol).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    mode: str = "overwrite",
+) -> None:
+    """Materialise the IVF index: assign every vector once, write the corpus
+    ``partitionBy(cell)`` so probes read only the probed cells' files
+    (partition pruning — the 100 TB ingest-time half of IVF)."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id, centroid_vec)
+    (
+        df.join(assigned, id_col)
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Probe a ``write_ivf_index`` table: ``cell`` is a partition column, so
+    the ``isin`` filter prunes at the file listing — the scan never touches
+    unprobed cells (assert PartitionFilters in .explain)."""
+    q = [float(x) for x in query_vec]
+    probe_cells = probe_cells_for(centroids, q, n_probe, centroid_id, centroid_vec)
+    qcol = F.array(*[F.lit(x) for x in q])
+    corpus = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    return (
+        corpus.select(
             F.col(id_col), cosine(_as_double(F.col(vec_col)), qcol).alias("score")
         )
         .orderBy(F.desc("score"), F.col(id_col))

@@ -111,3 +111,55 @@ class TestPlanQuality:
         q = emb.first().embedding
         plan = plan_of(similarity.lsh_topk(emb, q, k=5))
         assert "Filter" in plan and "TakeOrderedAndProject" in plan
+
+
+class TestIvfIndex:
+    """write_ivf_index + ivf_topk_indexed: the IVF scale path must prune at
+    the file listing, and the precomputed-assignment probe must agree with
+    the recompute-per-query demo path."""
+
+    def test_indexed_probe_partition_prunes_and_matches(self, spark, sf_dir, tmp_path):
+        from llm_pretraining_data_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
+        index_path = str(tmp_path / "ivf_index")
+        similarity.write_ivf_index(emb, centroids, index_path)
+
+        probed = similarity.ivf_topk_indexed(
+            spark, index_path, centroids, qv, k=5, n_probe=1
+        )
+        plan = plan_of(probed)
+        pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "cell" in pf_line  # pruned at file listing, not post-scan
+
+        demo = similarity.ivf_topk(emb, centroids, qv, k=5, n_probe=1)
+        assert [(r[0], round(r[1], 9)) for r in probed.collect()] == [
+            (r[0], round(r[1], 9)) for r in demo.collect()
+        ]
+
+    def test_precomputed_assignment_skips_reassign(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
+        assigned = similarity.ivf_assign(emb, centroids)
+        with_pre = similarity.ivf_topk(
+            emb, centroids, qv, k=5, n_probe=1, assigned=assigned
+        )
+        # the precomputed path's plan must not contain the assignment's
+        # argmax window (one Window = the probe's own; the recompute demo
+        # path embeds a second one)
+        assert plan_of(with_pre).count("Window") <= plan_of(
+            similarity.ivf_topk(emb, centroids, qv, k=5, n_probe=1)
+        ).count("Window")
+        demo = similarity.ivf_topk(emb, centroids, qv, k=5, n_probe=1)
+        assert [r[0] for r in with_pre.collect()] == [r[0] for r in demo.collect()]
