@@ -680,18 +680,44 @@ def ev_date_parts(spark, sf_dir):
 
 @register(
     "a12_approx_sketches",
-    None,  # sketch implementations (HLL++/KLL vs DuckDB's) differ by design
+    """
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS cnt,
+           cast(count(DISTINCT l_partkey) as bigint) AS exact_parts,
+           true AS approx_parts_ok,
+           true AS approx_median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approximate aggregates — the 100 TB substitutes for exact distinct "
-        "counts and sorted-percentiles: approx_count_distinct (HLL++) and "
-        "percentile_approx; rows-only check (exact twins are "
-        "rel_distinct_counts / a11_quantiles)",
+        "counts and sorted-percentiles: approx_count_distinct (HLL++, "
+        "rsd=0.05) and percentile_approx (10k accuracy). Sketch outputs are "
+        "engine-specific by design, so the oracle checks TOLERANCE, not "
+        "equality: Spark emits booleans asserting |approx-exact| <= 3*rsd "
+        "and median within the exact p45..p55 band; the referee computes the "
+        "exact counts independently and expects the booleans true. Exact "
+        "twins: rel_distinct_counts / a11_quantiles",
 )
 def a12_approx_sketches(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("_approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "cnt",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            <= F.greatest(F.lit(1), F.col("exact_parts") * 0.15)
+        ).alias("approx_parts_ok"),
+        F.col("_approx_median").between(F.col("_p45"), F.col("_p55")).alias(
+            "approx_median_ok"
+        ),
     )
 
 
@@ -735,12 +761,66 @@ def p09b_langid_trigram(spark, sf_dir):
     )
 
 
+_D08_A, _D08_B = hashing.minhash_coeffs(32, seed=42)
+
+
 @register(
     "d08_minhash_dedup",
-    None,  # connected-components resolution is iterative — no SQL oracle
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {O.toks('text')} AS tk FROM documents
+    ), sh0 AS (
+      SELECT doc_id, {O.shingles('tk', 3)} AS sh_raw FROM t
+    ), sig AS (
+      SELECT doc_id, {O.minhash_signature('sh_raw', _D08_A, _D08_B)} AS sig
+      FROM sh0 WHERE len(sh_raw) > 0
+    ), banded AS (
+      SELECT doc_id, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM sig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+       AND l.doc_id < r.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct(sh_raw) AS sh FROM sh0 WHERE len(sh_raw) > 0
+    ), verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sets a ON a.doc_id = c.id_a
+                  JOIN sets b ON b.doc_id = c.id_b
+      WHERE cast(len(list_intersect(a.sh, b.sh)) as double)
+            / cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double)
+            >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(c.component IS NOT NULL AND c.component <> d.doc_id, false)
+             AS is_dup_minhash,
+           CASE WHEN c.component <> d.doc_id THEN c.component END
+             AS dup_of_minhash,
+           CASE WHEN c.component <> d.doc_id THEN 'minhash_duplicate' END
+             AS drop_reason
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
     doc="end-to-end MinHash near-dedup: LSH candidates → exact-Jaccard "
         "verify → connected components → keep smallest id per cluster "
-        "(the reference's own scale-up plan, README.md:136)",
+        "(the reference's own scale-up plan, README.md:136). The oracle "
+        "resolves components with a recursive transitive-closure CTE — "
+        "feasible for the referee because near-dup clusters are tiny; the "
+        "engine's iterative min-label loop is the form that scales",
 )
 def d08_minhash_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)

@@ -699,11 +699,33 @@ def emb_label_stats(spark, sf_dir):
     )
 
 
+def _lsh_bucket_oracle() -> str:
+    """Twin of hyperplane_bucket with the plane constants BAKED IN as
+    literals: the planes are a deterministic function of (dim=64, n=6,
+    seed=7), so the referee needs no numpy — it just evaluates the same 384
+    doubles. The testdata embedding dim is fixed at 64 across SFs."""
+    planes = similarity.random_hyperplanes(64, n_planes=6, seed=7)
+    ev = "list_transform(embedding, x -> cast(x as double))"
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({ev}, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    SELECT cast({bucket} as bigint) AS bucket, cast(count(*) as bigint) AS cnt
+    FROM embeddings GROUP BY 1
+    """
+
+
 @register(
     "emb_lsh_bucket_sizes",
-    None,  # hyperplane constants are generated; checked rows-only + pytest
+    _lsh_bucket_oracle(),
     doc="random-hyperplane LSH bucket histogram (the ANN scale path: bucket "
-        "once at ingest, partition by bucket, prune at query time)",
+        "once at ingest, partition by bucket, prune at query time); oracle "
+        "re-derives every bucket from the plane constants baked into the SQL",
 )
 def emb_lsh_bucket_sizes(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
