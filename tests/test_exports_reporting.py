@@ -87,3 +87,75 @@ class TestReporting:
             assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
         except ImportError:
             assert paths == []
+
+
+class TestFullReportParity:
+    """render_report must produce the reference's COMPLETE output set
+    (plots_charts.py main): 9 metric histograms, 4 PII bars + summary bar,
+    metrics.json with describe blocks, pii_stats.csv, drop_reason_counts.csv.
+    """
+
+    def test_all_reference_files_written(self, pipeline_result, tmp_path):
+        pytest.importorskip("matplotlib")
+        out = reporting.render_report(
+            pipeline_result, str(tmp_path / "plots"), str(tmp_path / "reports")
+        )
+        plot_names = sorted(os.path.basename(p) for p in out["plots"])
+        expected_hists = sorted(
+            f"hist_{c}.png" for c, _ in reporting.REFERENCE_HISTOGRAMS
+        )
+        expected_bars = sorted(
+            [f"bar_{c}.png" for c in reporting.PII_COLUMNS] + ["bar_pii_summary.png"]
+        )
+        assert plot_names == sorted(expected_hists + expected_bars)
+        for p in out["plots"] + out["reports"]:
+            assert os.path.exists(p) and os.path.getsize(p) > 0
+
+        with open(os.path.join(tmp_path, "reports", "metrics.json")) as f:
+            metrics = json.load(f)
+        # pandas-describe-shaped blocks (plots_charts.py:97-106)
+        for col in ("n_tokens", "quality_score"):
+            assert set(metrics[col]) == {
+                "count", "mean", "std", "min", "25%", "50%", "75%", "max"
+            }
+        assert metrics["counts"]["input_rows"] == (
+            metrics["counts"]["kept_rows"] + metrics["counts"]["dropped_rows"]
+        )
+        assert set(metrics["pii_aggregate"]) == {
+            "pii_email_hits", "pii_phone_hits", "pii_cc_hits", "pii_iban_hits",
+            "has_pii",
+        }
+
+    def test_report_csvs_have_rows(self, pipeline_result, tmp_path):
+        out = reporting.render_report(
+            pipeline_result, str(tmp_path / "plots"), str(tmp_path / "reports")
+        )
+        drop_csv = [p for p in out["reports"] if p.endswith("drop_reason_counts.csv")][0]
+        # Spark CSV sink convention: a directory with a single part file
+        part = [f for f in os.listdir(drop_csv) if f.startswith("part-")][0]
+        with open(os.path.join(drop_csv, part)) as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
+        assert lines[0].startswith("drop_reason")
+        assert len(lines) >= 2
+
+    def test_plot_aggregates_without_matplotlib(self, pipeline_result):
+        """The Spark side of every reference plot is computable regardless of
+        matplotlib: 9 histogram frames + PII value counts + summary sums."""
+        from llm_pretraining_data_pipeline_spark.operators.aggregates import histogram
+
+        kept = pipeline_result.filter(F.col("drop_reason").isNull())
+        for col, bins in reporting.REFERENCE_HISTOGRAMS:
+            assert col in pipeline_result.columns, col
+            rows = histogram(kept.filter(F.col(col).isNotNull()), col, bins=bins).collect()
+            assert rows, col
+            assert sum(r["count"] for r in rows) == kept.filter(
+                F.col(col).isNotNull()
+            ).count()
+
+        aggs = reporting.pii_bar_aggregates(pipeline_result)
+        assert set(aggs["value_counts"]) == set(reporting.PII_COLUMNS)
+        assert set(aggs["summary"]) == set(reporting.PII_COLUMNS)
+        total_rows = pipeline_result.count()
+        for col, counts in aggs["value_counts"].items():
+            assert sum(r["cnt"] for r in counts) <= total_rows
+            assert len(counts) <= 30
