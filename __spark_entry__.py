@@ -52,23 +52,31 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries that did not receive a driver correctness row in round 1
-# (CORRECTNESS_r01.json covered 50 of 83); listed first so a capped/sampled
-# driver run checks them before the already-green remainder.
-_PRIORITY_R2 = [
-    "p09b_langid_trigram", "d08_minhash_dedup", "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority", "rel_q5_local_supplier", "rel_semi_join",
-    "rel_anti_join", "rel_outer_join", "rel_rollup_orders", "rel_cube_lineitem",
-    "rel_grouping_sets", "rel_pivot", "rel_distinct_counts",
-    "win_top3_orders_per_customer", "win_running_quantity", "win_lag_price_delta",
-    "ev_tumbling_5min", "ev_hourly_rollup", "ev_sessionize", "ev_asof_last_click",
-    "ev_user_stats", "ev_stream_tumbling", "emb_cosine_topk", "emb_knn_join",
-    "emb_near_dup_pairs", "emb_near_dup_lsh", "emb_label_stats",
-    "emb_lsh_bucket_sizes",
-    "rel_q12_shipmode_case", "rel_q14_promo_ratio", "rel_q19_disjunctive",
-    "win_range_frame", "win_value_family", "p26_array_ops", "p22b_tokenize_bpe",
-    # round-1 red (now fixed): surface early for a fresh verdict
-    "ev_sliding_10m5m", "ev_json_props", "ev_date_parts",
+# Round-3 priority: every query whose implementation or oracle CHANGED this
+# round ships with a same-round correctness row (the driver caps each round
+# at 50 rows — edits must never ride on a stale green). Then the queries the
+# r1∪r2 union left thinnest, then the rest of the registry.
+_PRIORITY_R3 = [
+    # new this round
+    "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip",
+    # rows-only → real oracle this round
+    "d08_minhash_dedup", "a12_approx_sketches", "emb_lsh_bucket_sizes",
+    # minhash/embedding dedup rewrite (lazy single-pass plan, input spread)
+    "d03_minhash_lsh_pairs", "d04_ngram_jaccard_pairs", "d05_simhash",
+    "d07_simhash_pairs", "emb_near_dup_pairs", "emb_near_dup_lsh",
+    # IVF precomputed-assignment refactor
+    "emb_ivf_topk",
+    # still rows-only by declared design (mini-vocab id dump)
+    "p22b_tokenize_bpe",
+    # r1-green queries not re-checked since the r2 rotation — refresh oldest
+    "d01_exact_dedup", "d02_near_dedup", "d06_fingerprint",
+    "f01_prefilter", "f03_quality_filter", "f04_low_information",
+    "a01_source_counts", "a02_boolean_mask_sums", "a05_numeric_summary",
+    "a07_histogram", "a08_top_sources", "a09_lang_breakdown",
+    "a10_cleanup_stats", "a11_quantiles",
+    "o02_shard_assign", "o02b_shard_manifest", "o03_toy_sample",
+    "s04_jsonl_projection", "u01_union_by_name", "u02_intersect_except",
+    "p09_langid", "p10_non_latin_ratio", "p22_tokenize", "p23_pick_text",
 ]
 
 
@@ -77,7 +85,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R2 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R3 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 
