@@ -231,11 +231,16 @@ def minhash_lsh_candidates(
     base = df.select(
         F.col(id_col).alias("_id"),
         hashing.minhash_signature_single_pass(hashed, num_hashes, seed).alias("_sig"),
-        F.size(hashed).alias("_n"),
-    ).filter(F.col("_n") > 0)
+    )
     base = base.select(
         F.explode(F.array(F.struct(F.col("_id"), F.col("_sig")))).alias("_r")
     ).select("_r._id", "_r._sig")
+    # Empty-shingle rows fold to the init sentinel (every lane == 2^31-1,
+    # unreachable for non-empty input since perms are mod 2^31-1). Filtering
+    # on the sentinel AFTER the Generate barrier keeps the predicate from
+    # being pushed below the spread repartition, where it would re-run the
+    # whole md5 pass on the unspread input partitions.
+    base = base.filter(F.col("_sig")[0] != F.lit(hashing.MERSENNE_31))
     banded = base.select(
         "_id",
         F.explode(

@@ -125,3 +125,47 @@ class TestRobustIngest:
         out = P.run_pipeline(df, P.PipelineConfig(use_nfkc=False, apply_lang_filter=False))
         reasons = [r.drop_reason for r in out.collect()]
         assert "missing" in reasons
+
+
+class TestLazyLshPlans:
+    """Round-3 contract for the LSH operators: constructing the plan runs NO
+    jobs, the returned frame owns NO cached state, and the plan shape is the
+    bounded-shuffle single-pass design (not the old persist+self-join)."""
+
+    def test_minhash_candidates_plan_is_lazy(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        pairs = dedup.minhash_lsh_candidates(docs, "text")
+        _ = pairs.columns  # force analysis, which must still not run jobs
+        after = len(tracker.getJobIdsForGroup(None))
+        assert after == before
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+    def test_minhash_candidates_no_cache_no_selfjoin(self, spark, sf_dir):
+        import contextlib
+        import io
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = dedup.minhash_lsh_candidates(docs, "text")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pairs.explain("formatted")
+        plan = buf.getvalue()
+        assert "InMemoryTableScan" not in plan          # zero persisted state
+        assert plan.count("Location: InMemoryFileIndex") == 1  # read ONCE
+        # the shingle/md5 expression must appear exactly once (the single-pass
+        # fold in the signature Project) — a Filter pushed below the spread
+        # repartition would duplicate it on the unspread input
+        assert plan.count("md5") == 1
+        # bounded shuffles: band groupBy + pair distinct (+ the small-input
+        # spread repartition on this single-file local fixture); count in
+        # the tree section only (the details repeat each node name)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") <= 3
+
+    def test_embedding_lsh_leaves_no_cached_blocks(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = dedup.embedding_near_dup_pairs(emb, threshold=0.99, lsh_planes=4)
+        out.count()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
