@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1∪r2 union left thinnest, then the rest of the registry.
 _PRIORITY_R3 = [
     # new this round
-    "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip",
+    "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip", "ev_stream_dedup",
     # rows-only → real oracle this round
     "d08_minhash_dedup", "a12_approx_sketches", "emb_lsh_bucket_sizes",
     # minhash/embedding dedup rewrite (lazy single-pass plan, input spread)

@@ -556,6 +556,26 @@ def ev_stream_tumbling(spark, sf_dir):
     return run_tumbling_stream_once(spark, sf_dir)
 
 
+@register(
+    "ev_stream_dedup",
+    """
+    SELECT event_type, cast(count(DISTINCT event_id) as bigint) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="streaming exact dedup (dropDuplicatesWithinWatermark on event_id — "
+        "state bounded by the watermark, the only formulation that survives "
+        "an unbounded feed): every event is delivered 3x (at-least-once "
+        "simulation), survivors counted per type; oracle = distinct ids per "
+        "type on the batch table",
+)
+def ev_stream_dedup(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_dedup_stream_once,
+    )
+
+    return run_dedup_stream_once(spark, sf_dir, copies=3)
+
+
 # ============================================================== embeddings
 
 

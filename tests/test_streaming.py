@@ -119,3 +119,32 @@ class TestForeachBatchSink:
         assert {(r.event_type, r.cnt) for r in latest.collect()} == {
             (r.event_type, r.cnt) for r in batch.collect()
         }
+
+
+class TestStreamDedup:
+    def test_triplicated_feed_dedups_to_batch_distinct(self, spark, sf_dir):
+        """3x at-least-once delivery → dropDuplicatesWithinWatermark keeps
+        exactly the distinct event_ids (bounded-state formulation)."""
+        from llm_pretraining_data_pipeline_spark.streaming.events import (
+            run_dedup_stream_once,
+        )
+
+        got = {
+            (r.event_type, r.cnt)
+            for r in run_dedup_stream_once(spark, sf_dir, copies=3).collect()
+        }
+        batch = src.read_events(spark, sf_dir).groupBy("event_type").agg(
+            F.count_distinct("event_id").alias("cnt")
+        )
+        assert got == {(r.event_type, r.cnt) for r in batch.collect()}
+
+    def test_global_dedup_variant(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.streaming import events as ev
+
+        stream = ev.read_events_stream(spark, sf_dir)
+        doubled = stream.union(stream)
+        deduped = ev.dedup_stream(doubled, ["event_id"], within_watermark=False)
+        agg = deduped.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+        out = ev._drain_to_memory(agg, "complete").collect()
+        n_distinct = src.read_events(spark, sf_dir).select("event_id").distinct().count()
+        assert out[0].cnt == n_distinct
