@@ -343,6 +343,13 @@ def simhash_pairs(
     sigs = _spread_small_input(df).select(
         F.col(id_col).alias("_id"), hashing.simhash32(text_col).alias("_sh")
     )
+    # Generate-node barrier: the per-band arithmetic below references _sh
+    # 2×bands times; without the barrier CollapseProject would inline the
+    # (expensive, interpreted) simhash fold into every reference. Same
+    # single-evaluation design as minhash_lsh_candidates.
+    sigs = sigs.select(
+        F.explode(F.array(F.struct(F.col("_id"), F.col("_sh")))).alias("_r")
+    ).select("_r._id", "_r._sh")
     band_mod = 1 << bits_per_band
     banded = sigs.select(
         "_id",
@@ -360,20 +367,36 @@ def simhash_pairs(
         ).alias("band"),
     ).select("_id", "_sh", "band.band_id", "band.band_val")
 
+    # Bucket-join via groupBy + pairwise combinations: ONE shuffle of the
+    # narrow banded rows, upstream evaluated once (a self-join would execute
+    # the scan+simhash subtree twice). Members carry (id, sh) so the exact
+    # hamming verify needs no signature re-join.
+    grouped = (
+        banded.groupBy("band_id", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id"), F.col("_sh")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    x["_sh"].alias("sh_a"),
+                    y["_sh"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
-        )
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.aggregate(
