@@ -48,7 +48,10 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # ---- full pipeline over a replicated corpus (dedup-heavy by design)
+    # ---- full pipeline over a replicated corpus (dedup-heavy by design).
+    # repartition(CPUS): the single-file local input is a test artifact — a
+    # real corpus arrives as thousands of splits; without the spread the whole
+    # pre-shuffle text chain runs on one core.
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     copies = spark.range(PIPELINE_COPIES).withColumnRenamed("id", "copy")
     raw = (
@@ -59,12 +62,26 @@ def main() -> int:
             ).alias("url"),
             "text",
         )
+        .repartition(CPUS)
     )
+
+    def _materialize(df):
+        """Force the REAL work: a bare count() lets Catalyst prune the whole
+        text chain (unused window/projection expressions are removed), which
+        benchmarks nothing. Summing over the final text and token counts
+        anchors every stage's expressions in the evaluated plan."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text_pii_masked")).alias("chars"),
+            F.sum("n_tokens").alias("toks"),
+        ).collect()[0]
+        return int(row["n"])
+
     n_docs = timed(
         "pipeline_e2e",
-        lambda: P.run_pipeline(
-            raw, P.PipelineConfig(use_nfkc=True, apply_lang_filter=False)
-        ).count(),
+        lambda: _materialize(
+            P.run_pipeline(raw, P.PipelineConfig(use_nfkc=True, apply_lang_filter=False))
+        ),
     )
     meta["pipeline_docs"] = n_docs
     meta["pipeline_docs_per_sec"] = round(n_docs / timings["pipeline_e2e"], 1)
@@ -100,6 +117,21 @@ def main() -> int:
     queries_df = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
     timed("emb_knn8_full", lambda: similarity.knn_join(queries_df, emb, k=10).count())
 
+    # ---- real byte-level BPE over the corpus (mapInPandas, Arrow batches).
+    # The reference's tokenise stage is its single slowest (3,474 s for 241k
+    # docs ≈ 69 docs/s, BASELINE.md); this measures ours on the same shape.
+    from llm_pretraining_data_pipeline_spark.functions import bpe as bpe_mod
+
+    n_bpe_docs = docs.count()
+    tok_total = timed(
+        "bpe_tokenize",
+        lambda: bpe_mod.bpe_tokenize_map(
+            docs.repartition(CPUS).select("doc_id", "text"), "text"
+        ).agg(F.sum("n_tokens")).collect()[0][0],
+    )
+    meta["bpe_docs_per_sec"] = round(n_bpe_docs / timings["bpe_tokenize"], 1)
+    meta["bpe_tokens_total"] = int(tok_total or 0)
+
     # ---- pipeline with the optional MinHash near-dedup stage, LAST: its
     # LSH+verify+components job leaves the JVM cache/GC-pressured, so running
     # it earlier contaminated every subsequent timing (round-2 lesson — the
@@ -107,12 +139,14 @@ def main() -> int:
     # replicas collapse in stage 5, so stage 5b runs over distinct survivors.
     n_mh = timed(
         "pipeline_minhash_e2e",
-        lambda: P.run_pipeline(
-            raw,
-            P.PipelineConfig(
-                use_nfkc=True, apply_lang_filter=False, use_minhash_dedup=True
-            ),
-        ).count(),
+        lambda: _materialize(
+            P.run_pipeline(
+                raw,
+                P.PipelineConfig(
+                    use_nfkc=True, apply_lang_filter=False, use_minhash_dedup=True
+                ),
+            )
+        ),
     )
     meta["pipeline_minhash_docs"] = n_mh
     meta["pipeline_minhash_docs_per_sec"] = round(n_mh / timings["pipeline_minhash_e2e"], 1)

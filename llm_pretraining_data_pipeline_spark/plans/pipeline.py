@@ -265,15 +265,18 @@ def minhash_near_dedup(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) ->
     """
     if not cfg.use_minhash_dedup:
         return df
-    # Materialisation barrier: the candidate/verify/components stages below
-    # reference this frame many times (self-joins + the iterative CC loop);
-    # without the barrier each reference re-executes the entire upstream
-    # pipeline plan (measured ~10× the stage cost). At cluster scale this is
-    # the stage-boundary checkpoint the reference's own file layout implies.
-    universe = (
-        df.filter(F.col("drop_reason").isNull())
-        .select("doc_id", "text_pii_masked")
-        .persist()
+    # Stage-boundary checkpoint: everything downstream references this frame
+    # several times — the LSH/verify plans over the kept universe AND the
+    # final mark-join — and each un-checkpointed reference would re-execute
+    # the ENTIRE upstream text chain (measured: the chain is ~90% of the
+    # stage cost at bench shape). localCheckpoint materialises it once and
+    # truncates lineage; blocks are reclaimed by the ContextCleaner when the
+    # result frame is released. This is the same stage boundary the
+    # reference's per-stage parquet layout implies; on a cluster with dynamic
+    # executors use reliable checkpoint/parquet instead.
+    df = df.localCheckpoint(eager=True)
+    universe = df.filter(F.col("drop_reason").isNull()).select(
+        "doc_id", "text_pii_masked"
     )
     cand = dedup_ops.minhash_lsh_candidates(
         universe, "text_pii_masked", id_col="doc_id",
@@ -285,13 +288,10 @@ def minhash_near_dedup(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) ->
         shingle_size=cfg.minhash_shingle_size, threshold=cfg.minhash_jaccard,
         candidates=cand,
     )
-    # connected_components is eager (localCheckpoint per round): by the time
-    # it returns, the candidate+verify plan over `universe` has fully executed
-    # into checkpointed blocks — release the text universe immediately. The
-    # marks frame derives narrowly from the checkpointed labels; no persist
-    # needed (its blocks are reclaimed by the ContextCleaner on driver GC).
+    # connected_components is eager (localCheckpoint per round); the marks
+    # frame derives narrowly from the checkpointed labels — no persist needed
+    # (blocks are reclaimed by the ContextCleaner on driver GC).
     comp = dedup_ops.connected_components(verified)
-    universe.unpersist()
     marks = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id"), F.col("component").cast("string").alias("_mh_canon")
     )
