@@ -136,11 +136,15 @@ class TestLazyLshPlans:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         tracker = spark.sparkContext.statusTracker()
         before = len(tracker.getJobIdsForGroup(None))
+        # localCheckpoint blocks from earlier tests in the shared session
+        # linger until driver GC — the contract is that THIS operator adds
+        # no persisted state, so compare against a baseline, not zero.
+        persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
         pairs = dedup.minhash_lsh_candidates(docs, "text")
         _ = pairs.columns  # force analysis, which must still not run jobs
         after = len(tracker.getJobIdsForGroup(None))
         assert after == before
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == persisted_before
 
     def test_minhash_candidates_no_cache_no_selfjoin(self, spark, sf_dir):
         import contextlib
