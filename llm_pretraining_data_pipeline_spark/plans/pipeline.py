@@ -265,18 +265,22 @@ def minhash_near_dedup(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) ->
     """
     if not cfg.use_minhash_dedup:
         return df
-    # Stage-boundary checkpoint: everything downstream references this frame
-    # several times — the LSH/verify plans over the kept universe AND the
-    # final mark-join — and each un-checkpointed reference would re-execute
-    # the ENTIRE upstream text chain (measured: the chain is ~90% of the
-    # stage cost at bench shape). localCheckpoint materialises it once and
-    # truncates lineage; blocks are reclaimed by the ContextCleaner when the
-    # result frame is released. This is the same stage boundary the
-    # reference's per-stage parquet layout implies; on a cluster with dynamic
-    # executors use reliable checkpoint/parquet instead.
-    df = df.localCheckpoint(eager=True)
-    universe = df.filter(F.col("drop_reason").isNull()).select(
-        "doc_id", "text_pii_masked"
+    # Stage-boundary checkpoint — but only of the NARROW dedup universe
+    # (kept doc_id + text), not the wide frame. The universe is referenced
+    # twice (LSH candidates + Jaccard verify), so un-checkpointed it would
+    # re-execute the upstream text chain per reference; checkpointing it lets
+    # Catalyst prune every metric/score column out of that evaluation
+    # (measured at bench shape: narrow chain ~18 s vs 120 s for a wide-frame
+    # checkpoint — the wide version materialises langid/toxicity/metric
+    # expressions the dedup never reads). The wide frame itself stays LAZY:
+    # the final mark-join references it once, so the full chain runs exactly
+    # one time in the consumer's action, with the consumer's own column
+    # pruning. Blocks are reclaimed by the ContextCleaner on release; on a
+    # cluster with dynamic executors use reliable checkpoint/parquet instead.
+    universe = (
+        df.filter(F.col("drop_reason").isNull())
+        .select("doc_id", "text_pii_masked")
+        .localCheckpoint(eager=True)
     )
     cand = dedup_ops.minhash_lsh_candidates(
         universe, "text_pii_masked", id_col="doc_id",

@@ -170,6 +170,7 @@ class TestLazyLshPlans:
 
     def test_embedding_lsh_leaves_no_cached_blocks(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
         out = dedup.embedding_near_dup_pairs(emb, threshold=0.99, lsh_planes=4)
         out.count()
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == persisted_before
