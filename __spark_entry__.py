@@ -58,6 +58,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1∪r2 union left thinnest, then the rest of the registry.
 _PRIORITY_R3 = [
     # new this round
+    "corp_rep_signals", "corp_cross_dup_ngrams", "corp_para_dedup",
+    "corp_stratified_sample", "corp_mixture_weights", "corp_vocab_top50",
     "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip", "ev_stream_dedup",
     # rows-only → real oracle this round
     "d08_minhash_dedup", "a12_approx_sketches", "emb_lsh_bucket_sizes",
@@ -82,6 +84,7 @@ _PRIORITY_R3 = [
 
 def _registry():
     from llm_pretraining_data_pipeline_spark import queries as q
+    from llm_pretraining_data_pipeline_spark import queries_corpus  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 

@@ -1,0 +1,361 @@
+"""Corpus-level training-data quality signals, beyond the reference's per-doc
+metrics (text_clean_and_filter.py computes only within-doc ratios; the
+reference has no cross-document or n-gram repetition analysis).
+
+These are the standard signals a web-scale pretraining pipeline computes
+before/alongside dedup — the Gopher "repetition" rules (Rae et al. 2021,
+table A1), C4/RefinedWeb-style paragraph dedup, and deterministic
+hash-based sampling for dataset mixtures:
+
+  * ``repetition_signals``   — per-doc dup-line / top-n-gram / dup-n-gram
+    character fractions, computed entirely with JVM higher-order functions
+    (array_sort + aggregate run-length scan) — zero shuffle, codegen'd,
+    so it scales as a pure map over any corpus size.
+  * ``cross_doc_dup_ngram_stats`` — per-doc fraction of distinct n-grams
+    that also occur in at least one other document (the "how much of this
+    doc is boilerplate seen elsewhere" signal). Shuffle-structured like
+    word-count: explode → partial-agg groupBy on a 60-bit gram hash →
+    key-partitioned join back; no all-pairs anywhere.
+  * ``paragraph_dedup``      — corpus-wide keep-first paragraph-level
+    dedup (RefinedWeb §3.3): first occurrence (doc order, then position)
+    of each paragraph survives, documents are reassembled in original
+    paragraph order. One shuffle on the paragraph hash + one per-doc agg.
+  * ``hash_stratified_sample`` — deterministic per-stratum subsampling by
+    sha256 threshold (reproducible across runs/engines, no RNG state):
+    keep iff the first 8 hex chars of sha256(key) sort below the
+    stratum's threshold. Used for language/source rebalancing.
+  * ``mixture_weights``      — temperature-scaled (alpha=0.5, i.e. sqrt)
+    sampling weights per stratum, the multilingual-mixture staple.
+  * ``vocab_top_tokens``     — global token frequency top-k (word-count
+    shape: explode → partial agg → TakeOrdered).
+
+All outputs are DuckDB-oracle-expressible; the matching SQL lives in
+``queries_corpus.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions.hashing import h64, sha256_hex
+from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+
+__all__ = [
+    "ngrams",
+    "repetition_signals",
+    "cross_doc_dup_ngram_stats",
+    "paragraph_dedup",
+    "hash_stratified_sample",
+    "stratum_threshold_hex",
+    "mixture_weights",
+    "vocab_top_tokens",
+]
+
+
+def ngrams(words: Column, n: int) -> Column:
+    """Word n-grams (space-joined) of an array<string>; [] when too short."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(words, i, n), " ")
+    )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(grams: Column) -> Column:
+    """Run-length scan over the sorted gram array, in one codegen'd aggregate.
+
+    Returns struct(best bigint, best_g string, dup_chars bigint):
+      best/best_g — the highest occurrence count and its gram (ties broken
+      toward the lexicographically smallest gram: strict `>` keeps the
+      first maximum in sorted order);
+      dup_chars   — sum of length(g) * count(g) over grams occurring >1
+      time (accumulated incrementally: the 1→2 transition charges both
+      occurrences, each further repeat charges one more).
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("best_g"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def step(acc, x):
+        same = acc.prev == x
+        run2 = F.when(same, acc.run + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        glen = F.length(x).cast("long")
+        dup2 = F.when(
+            same,
+            acc.dup_chars
+            + glen * F.when(acc.run == 1, F.lit(2)).otherwise(F.lit(1)).cast("long"),
+        ).otherwise(acc.dup_chars)
+        best2 = F.when(run2 > acc.best, run2).otherwise(acc.best)
+        bestg2 = F.when(run2 > acc.best, x).otherwise(acc.best_g)
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            best2.alias("best"),
+            bestg2.alias("best_g"),
+            dup2.alias("dup_chars"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc.best.alias("best"),
+            acc.best_g.alias("best_g"),
+            acc.dup_chars.alias("dup_chars"),
+        ),
+    )
+
+
+def _gram_chars(grams: Column) -> Column:
+    return F.aggregate(
+        F.transform(grams, lambda g: F.length(g).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram_sizes: tuple[int, ...] = (2, 3),
+    dup_ngram_sizes: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021 A1).
+
+    Per document:
+      * ``n_lines``, ``dup_line_frac``, ``dup_line_char_frac`` — over
+        trimmed non-empty lines: fraction of lines (and of line
+        characters) lost when exact-duplicate lines collapse;
+      * ``top{n}gram_char_frac`` — chars covered by the single most
+        frequent word n-gram (count × gram length) / text length;
+      * ``dup{n}gram_char_frac`` — of all n-gram characters, the fraction
+        belonging to n-grams that occur more than once in the doc.
+
+    Pure per-row expression tree (no shuffle, no UDF): the n-gram counting
+    is a run-length scan over the sorted gram array inside ``aggregate``.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines).cast("long")
+    n_uniq = F.size(F.array_distinct(lines)).cast("long")
+    line_chars = _gram_chars(lines)
+    uniq_chars = _gram_chars(F.array_distinct(lines))
+
+    words = ws_tokens(text)
+    cols = [
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        _frac(n_lines - n_uniq, n_lines).alias("dup_line_frac"),
+        _frac(line_chars - uniq_chars, line_chars).alias("dup_line_char_frac"),
+    ]
+    for n in top_ngram_sizes:
+        st = _run_stats(ngrams(words, n))
+        cols.append(
+            _frac(st["best"] * F.length(st["best_g"]).cast("long"), F.length(text))
+            .alias(f"top{n}gram_char_frac")
+        )
+    for n in dup_ngram_sizes:
+        g = ngrams(words, n)
+        cols.append(
+            _frac(_run_stats(g)["dup_chars"], _gram_chars(g)).alias(
+                f"dup{n}gram_char_frac"
+            )
+        )
+    return df.select(*cols)
+
+
+def cross_doc_dup_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Per-doc share of distinct word n-grams that appear in ≥2 documents.
+
+    Scale shape = word-count: explode distinct grams per doc, groupBy the
+    60-bit gram hash (map-side partial agg), key-partitioned join back,
+    per-doc agg. Joining/grouping on ``h64(gram)`` instead of the raw
+    string keeps the shuffle rows narrow; at web scale the 60-bit space
+    makes cross-gram collisions (which would only perturb a count)
+    vanishingly rare.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(ws_tokens(F.coalesce(F.col(text_col), F.lit(""))), n))).alias(
+            "gram"
+        ),
+    ).select(id_col, h64(F.col("gram")).alias("gh"))
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        grams.join(counts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            _frac(F.coalesce("n_dup_grams", F.lit(0)), F.coalesce("n_grams", F.lit(0))).alias(
+                "cross_dup_frac"
+            ),
+        )
+    )
+
+
+_PARA_SEP = "\n\n"
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup, keep-first (RefinedWeb §3.3).
+
+    Paragraphs are trimmed ``\\n\\n`` splits (empties dropped). The first
+    occurrence corpus-wide — ordered by (doc id, position) — survives;
+    every document is reassembled from its surviving paragraphs in
+    original order (a fully-deduplicated doc keeps an empty string).
+
+    One shuffle on the paragraph sha256 (window keep-first, same shape as
+    D1 exact dedup) + one per-doc aggregation. No driver-side loops.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), _PARA_SEP)).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") > 0)
+    )
+    w = Window.partitionBy(sha256_hex(F.col("para"))).orderBy(id_col, "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s.para
+            ),
+            _PARA_SEP,
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    orig = df.select(
+        id_col,
+        F.size(
+            F.filter(
+                F.transform(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), _PARA_SEP),
+                    lambda p: F.trim(p),
+                ),
+                lambda p: F.length(p) > 0,
+            )
+        )
+        .cast("long")
+        .alias("n_paras_orig"),
+    )
+    return orig.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        F.coalesce("n_paras_kept", F.lit(0)).cast("long").alias("n_paras_kept"),
+        "n_paras_orig",
+    )
+
+
+def stratum_threshold_hex(fraction: float) -> str:
+    """8-hex-char threshold: keep iff substr(sha256(key),1,8) < threshold.
+
+    Lexicographic comparison of fixed-width lowercase hex equals numeric
+    comparison of the first 32 hash bits, so the kept rate converges to
+    ``fraction`` — identically in any engine with sha256 (no RNG state,
+    reproducible, and a smaller fraction's sample is a strict subset of a
+    larger one's).
+    """
+    f = min(max(fraction, 0.0), 1.0)
+    if f >= 1.0:
+        return "g" * 8  # sorts above every hex digit: keep all
+    return format(int(f * 2**32), "08x")
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified subsample: per-stratum sha256 thresholding.
+
+    Pure narrow filter — no shuffle, no RNG; the same row set is kept on
+    every run, every engine, any partitioning. Strata absent from
+    ``fractions`` fall back to ``default_fraction``.
+    """
+    bucket = F.substring(sha256_hex(F.col(key_col)), 1, 8)
+    thr = F.lit(stratum_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(stratum_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.withColumn("sample_bucket", bucket).filter(F.col("sample_bucket") < thr)
+
+
+def mixture_weights(
+    df: DataFrame, strata_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum, alpha = 0.5.
+
+    weight_s ∝ sqrt(n_s / N), normalised to sum 1 — the standard
+    multilingual rebalancing (sqrt, not pow, so both engines produce the
+    correctly-rounded IEEE value). Tiny output (one row per stratum);
+    the window renormalisation runs over the aggregated frame only.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = Window.partitionBy()
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(total).cast("double")
+    scaled = F.sqrt(p)
+    return counts.select(
+        strata_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(p, 6).alias("p_raw"),
+        F.round(scaled / F.sum(scaled).over(total), 6).alias("mix_weight"),
+    )
+
+
+def vocab_top_tokens(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Global lowercase-token frequency top-k (deterministic order).
+
+    The canonical word-count: explode → map-side partial agg → final agg →
+    TakeOrderedAndProject for the limit. Ordering ties break on the token
+    string, so results are total-ordered and reproducible.
+    """
+    toks = df.select(
+        F.explode(ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )

@@ -126,3 +126,31 @@ def cosine_double(a: str, b: str) -> str:
         f"case when {norm_double(a)} * {norm_double(b)} > 0 then "
         f"{dot_double(a, b)} / ({norm_double(a)} * {norm_double(b)}) else 0.0 end"
     )
+
+
+def word_ngrams(w: str, n: int) -> str:
+    """Twin of operators/corpus.ngrams: space-joined word n-grams, [] if short.
+
+    DuckDB range(1, len-n+2) is already [] when len < n, matching the
+    Spark-side CaseWhen guard.
+    """
+    return (
+        f"list_transform(range(1, len({w}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' '))"
+    )
+
+
+def list_char_sum(lst: str) -> str:
+    """Sum of element lengths of a varchar list, 0 for empty (bigint)."""
+    return (
+        f"coalesce(cast(list_aggregate(list_transform({lst}, "
+        f"x -> cast(length(x) as bigint)), 'sum') as bigint), 0)"
+    )
+
+
+def trimmed_lines(e: str) -> str:
+    """Twin of corpus.repetition_signals' line split: trim, drop empties."""
+    return (
+        f"list_filter(list_transform(str_split(coalesce({e},''), chr(10)), "
+        f"l -> trim(l)), l -> l <> '')"
+    )

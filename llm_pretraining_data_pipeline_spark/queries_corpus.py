@@ -1,0 +1,223 @@
+"""Query surface, batch 4: corpus-level training-data analytics —
+Gopher repetition signals, cross-document n-gram duplication, paragraph
+dedup, deterministic stratified sampling, mixture weights, vocabulary.
+
+These extend the reference (which computes only within-doc scalar ratios,
+text_clean_and_filter.py:206-236) with the corpus-wide signals a web-scale
+pretraining pipeline needs. Registered into the shared ``QUERIES`` dict.
+"""
+
+from __future__ import annotations
+
+from llm_pretraining_data_pipeline_spark import oracle_fragments as O
+from llm_pretraining_data_pipeline_spark.operators import corpus
+from llm_pretraining_data_pipeline_spark.queries import _docs, register
+
+# ====================================================== repetition signals
+
+_TOP_NS = (2, 3)
+_DUP_NS = (5, 10)
+
+
+def _rep_signals_oracle() -> str:
+    lines = O.trimmed_lines("text")
+    ctes = [
+        f"w AS (SELECT doc_id, coalesce(text,'') AS t, {O.toks('text')} AS w, "
+        f"{lines} AS lines FROM documents)"
+    ]
+    for n in _TOP_NS + _DUP_NS:
+        g = O.word_ngrams("w", n)
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, gram, cast(count(*) as bigint) AS cnt "
+            f"FROM (SELECT doc_id, unnest({g}) AS gram FROM w) GROUP BY doc_id, gram)"
+        )
+    for n in _TOP_NS:
+        ctes.append(
+            f"t{n} AS (SELECT doc_id, cnt, gram FROM (SELECT doc_id, cnt, gram, "
+            f"row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn "
+            f"FROM c{n}) WHERE rn = 1)"
+        )
+    for n in _DUP_NS:
+        ctes.append(
+            f"d{n} AS (SELECT doc_id, "
+            f"cast(coalesce(sum(length(gram) * cnt) FILTER (WHERE cnt > 1), 0) as bigint) AS dup_chars, "
+            f"cast(coalesce(sum(length(gram) * cnt), 0) as bigint) AS tot_chars "
+            f"FROM c{n} GROUP BY doc_id)"
+        )
+    nl = "cast(len(lines) as bigint)"
+    uniq = "list_distinct(lines)"
+    line_chars = O.list_char_sum("lines")
+    uniq_chars = O.list_char_sum(uniq)
+    sel = [
+        "w.doc_id",
+        f"{nl} AS n_lines",
+        f"case when len(lines) > 0 then cast({nl} - len({uniq}) as double) / cast({nl} as double) "
+        "else 0.0 end AS dup_line_frac",
+        f"case when {line_chars} > 0 then cast({line_chars} - {uniq_chars} as double) "
+        f"/ cast({line_chars} as double) else 0.0 end AS dup_line_char_frac",
+    ]
+    joins = []
+    for n in _TOP_NS:
+        sel.append(
+            f"case when length(t) > 0 then cast(coalesce(t{n}.cnt * length(t{n}.gram), 0) as double) "
+            f"/ cast(length(t) as double) else 0.0 end AS top{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = w.doc_id")
+    for n in _DUP_NS:
+        sel.append(
+            f"case when coalesce(d{n}.tot_chars, 0) > 0 then cast(d{n}.dup_chars as double) "
+            f"/ cast(d{n}.tot_chars as double) else 0.0 end AS dup{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN d{n} ON d{n}.doc_id = w.doc_id")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT " + ", ".join(sel) + "\nFROM w "
+        + " ".join(joins)
+    )
+
+
+@register(
+    "corp_rep_signals",
+    _rep_signals_oracle(),
+    doc="Gopher repetition rules (Rae et al. 2021 A1): dup-line and "
+    "top/dup-n-gram char fractions; shuffle-free HOF run-length scan",
+)
+def corp_rep_signals(spark, sf_dir):
+    return corpus.repetition_signals(
+        _docs(spark, sf_dir), top_ngram_sizes=_TOP_NS, dup_ngram_sizes=_DUP_NS
+    )
+
+
+# ================================================= cross-doc n-gram dedup
+
+_CROSS_N = 5
+
+
+@register(
+    "corp_cross_dup_ngrams",
+    f"""
+    WITH w AS (SELECT doc_id, {O.toks('text')} AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({O.word_ngrams('w', _CROSS_N)})) AS gram FROM w),
+    c AS (SELECT gram, cast(count(*) as bigint) AS nd FROM g GROUP BY gram),
+    p AS (SELECT doc_id, cast(count(*) as bigint) AS n_grams,
+                 cast(count(*) FILTER (WHERE nd >= 2) as bigint) AS n_dup
+          FROM g JOIN c USING (gram) GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(n_grams, 0) as bigint) AS n_grams,
+           cast(coalesce(n_dup, 0) as bigint) AS n_dup_grams,
+           case when coalesce(n_grams, 0) > 0
+                then cast(coalesce(n_dup, 0) as double) / cast(n_grams as double)
+                else 0.0 end AS cross_dup_frac
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+    doc="per-doc share of distinct 5-grams appearing in >=2 docs "
+    "(boilerplate signal); word-count shuffle shape on 60-bit gram hashes",
+)
+def corp_cross_dup_ngrams(spark, sf_dir):
+    return corpus.cross_doc_dup_ngram_stats(_docs(spark, sf_dir), n=_CROSS_N)
+
+
+# ======================================================== paragraph dedup
+
+_SEP_SQL = "chr(10) || chr(10)"
+
+
+@register(
+    "corp_para_dedup",
+    f"""
+    WITH sp AS (SELECT doc_id,
+                       list_transform(str_split(coalesce(text,''), {_SEP_SQL}),
+                                      p -> trim(p)) AS paras
+                FROM documents),
+    px AS (SELECT doc_id, u.i AS pos, paras[u.i] AS para
+           FROM sp, unnest(range(1, len(paras) + 1)) AS u(i)
+           WHERE paras[u.i] <> ''),
+    k AS (SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+          FROM px),
+    r AS (SELECT doc_id,
+                 string_agg(para, {_SEP_SQL} ORDER BY pos) AS dedup_text,
+                 cast(count(*) as bigint) AS n_paras_kept
+          FROM k WHERE rn = 1 GROUP BY doc_id),
+    o AS (SELECT doc_id, cast(len(list_filter(paras, p -> p <> '')) as bigint)
+                 AS n_paras_orig
+          FROM sp)
+    SELECT o.doc_id,
+           coalesce(dedup_text, '') AS dedup_text,
+           cast(coalesce(n_paras_kept, 0) as bigint) AS n_paras_kept,
+           n_paras_orig
+    FROM o LEFT JOIN r USING (doc_id)
+    """,
+    doc="corpus-wide keep-first paragraph dedup with doc reassembly "
+    "(RefinedWeb-style); window on para sha256 + per-doc agg",
+)
+def corp_para_dedup(spark, sf_dir):
+    return corpus.paragraph_dedup(_docs(spark, sf_dir))
+
+
+# ================================================== deterministic sampling
+
+_SAMPLE_FRACTIONS = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.05}
+
+
+def _sample_case() -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN '{corpus.stratum_threshold_hex(v)}'"
+        for k, v in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    return f"CASE lang {arms} ELSE '{corpus.stratum_threshold_hex(0.0)}' END"
+
+
+@register(
+    "corp_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source,
+           substr(sha256(cast(doc_id as varchar)), 1, 8) AS sample_bucket
+    FROM documents
+    WHERE substr(sha256(cast(doc_id as varchar)), 1, 8) < {_sample_case()}
+    """,
+    doc="deterministic per-language subsample via sha256 threshold — "
+    "reproducible across engines/runs, narrow filter, no RNG",
+)
+def corp_stratified_sample(spark, sf_dir):
+    return corpus.hash_stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        "lang",
+        _SAMPLE_FRACTIONS,
+    )
+
+
+@register(
+    "corp_mixture_weights",
+    """
+    WITH c AS (SELECT lang, cast(count(*) as bigint) AS n_docs
+               FROM documents GROUP BY lang),
+    p AS (SELECT lang, n_docs,
+                 cast(n_docs as double) / cast(sum(n_docs) OVER () as double) AS p
+          FROM c)
+    SELECT lang, n_docs, round(p, 6) AS p_raw,
+           round(sqrt(p) / sum(sqrt(p)) OVER (), 6) AS mix_weight
+    FROM p
+    """,
+    doc="temperature-0.5 (sqrt) mixture weights per language, normalised; "
+    "window renorm over the tiny aggregated frame only",
+)
+def corp_mixture_weights(spark, sf_dir):
+    return corpus.mixture_weights(_docs(spark, sf_dir), "lang")
+
+
+# ============================================================= vocabulary
+
+_VOCAB_K = 50
+
+
+@register(
+    "corp_vocab_top50",
+    f"""
+    SELECT token, cast(count(*) as bigint) AS cnt
+    FROM (SELECT unnest({O.toks("lower(text)")}) AS token FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_K}
+    """,
+    doc="global lowercase token top-50 (word-count shape, total-ordered)",
+)
+def corp_vocab_top50(spark, sf_dir):
+    return corpus.vocab_top_tokens(_docs(spark, sf_dir), k=_VOCAB_K)

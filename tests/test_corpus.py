@@ -1,0 +1,183 @@
+"""operators/corpus.py: Gopher repetition signals, cross-doc n-gram
+duplication, paragraph dedup, deterministic sampling, mixture weights,
+vocabulary — hand-computed fixtures plus a brute-force Python referee."""
+
+import collections
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.operators import corpus
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------- repetition signals
+
+
+def test_repetition_signals_hand_computed(spark):
+    rows = [
+        (1, "a b\nc d\na b"),          # dup line
+        (2, "x y x y x"),              # repeated bigram
+        (3, None),                     # null text
+        (4, "solo"),                   # single word, no bigrams
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in corpus.repetition_signals(
+            _df(spark, rows), top_ngram_sizes=(2,), dup_ngram_sizes=(2,)
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r1["dup_line_char_frac"] == pytest.approx(3 / 9)
+    r2 = out[2]
+    # bigrams of [x y x y x]: "x y"x2, "y x"x2 -> best=2 for "x y" (lex-first)
+    assert r2["top2gram_char_frac"] == pytest.approx(2 * 3 / 9)
+    assert r2["dup2gram_char_frac"] == pytest.approx(1.0)  # every bigram duplicated
+    r3 = out[3]
+    assert r3["n_lines"] == 0
+    assert r3["dup_line_frac"] == 0.0 and r3["top2gram_char_frac"] == 0.0
+    r4 = out[4]
+    assert r4["top2gram_char_frac"] == 0.0 and r4["dup2gram_char_frac"] == 0.0
+
+
+def _py_signals(text, top_n, dup_n):
+    """Brute-force referee (Counter-based) for one document."""
+    text = text or ""
+    words = text.split()
+
+    def grams(n):
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+    c = collections.Counter(grams(top_n))
+    if c:
+        best_g = min(
+            (g for g in c if c[g] == max(c.values())),
+        )
+        top = c[best_g] * len(best_g) / len(text) if len(text) else 0.0
+    else:
+        top = 0.0
+    cd = collections.Counter(grams(dup_n))
+    tot = sum(len(g) * n for g, n in cd.items())
+    dup = sum(len(g) * n for g, n in cd.items() if n > 1)
+    return top, (dup / tot if tot else 0.0)
+
+
+def test_repetition_signals_vs_bruteforce(spark):
+    rng = random.Random(7)
+    vocab = ["spark", "row", "data", "the", "batch", "join"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(40)
+    ]
+    out = corpus.repetition_signals(
+        _df(spark, rows), top_ngram_sizes=(3,), dup_ngram_sizes=(5,)
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for i, text in rows:
+        top, dup = _py_signals(text, 3, 5)
+        assert by_id[i]["top3gram_char_frac"] == pytest.approx(top), (i, text)
+        assert by_id[i]["dup5gram_char_frac"] == pytest.approx(dup), (i, text)
+
+
+# ------------------------------------------------------ cross-doc n-grams
+
+
+def test_cross_doc_dup_ngram_stats(spark):
+    shared = "one two three four five"
+    rows = [
+        (1, shared + " alpha beta"),
+        (2, "zzz " + shared),
+        (3, "totally different words here now indeed"),
+        (4, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in corpus.cross_doc_dup_ngram_stats(_df(spark, rows), n=5).collect()
+    }
+    # doc1 has 3 distinct 5-grams, only "one two three four five" shared
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+    assert out[1]["cross_dup_frac"] == pytest.approx(1 / 3)
+    assert out[2]["n_dup_grams"] == 1
+    assert out[3]["n_dup_grams"] == 0
+    assert out[4]["n_grams"] == 0 and out[4]["cross_dup_frac"] == 0.0
+
+
+# -------------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    rows = [
+        (1, "P1\n\nP2"),
+        (2, "P2\n\nP3\n\nP1"),
+        (3, "P1"),
+        (4, "  \n\n "),  # only-whitespace paragraphs -> empty doc
+    ]
+    out = {
+        r["doc_id"]: r for r in corpus.paragraph_dedup(_df(spark, rows)).collect()
+    }
+    assert out[1]["dedup_text"] == "P1\n\nP2" and out[1]["n_paras_kept"] == 2
+    assert out[2]["dedup_text"] == "P3"  # P2, P1 first seen in doc 1
+    assert out[2]["n_paras_orig"] == 3 and out[2]["n_paras_kept"] == 1
+    assert out[3]["dedup_text"] == "" and out[3]["n_paras_kept"] == 0
+    assert out[4]["dedup_text"] == "" and out[4]["n_paras_orig"] == 0
+
+
+def test_paragraph_dedup_order_preserved(spark):
+    rows = [(1, "B\n\nA\n\nC")]
+    out = corpus.paragraph_dedup(_df(spark, rows)).collect()[0]
+    assert out["dedup_text"] == "B\n\nA\n\nC"  # original order, not sorted
+
+
+# -------------------------------------------------- deterministic sampling
+
+
+def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = corpus.hash_stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id")
+    tenth = corpus.hash_stratified_sample(docs, "lang", {"en": 0.1}, key_col="doc_id")
+    ids_half = {r["doc_id"] for r in half.select("doc_id").collect()}
+    ids_half2 = {r["doc_id"] for r in half.select("doc_id").collect()}
+    ids_tenth = {r["doc_id"] for r in tenth.select("doc_id").collect()}
+    assert ids_half == ids_half2  # same rows every run
+    assert ids_tenth <= ids_half  # smaller fraction is a strict subset
+    n_en = docs.filter(F.col("lang") == "en").count()
+    if n_en >= 50:
+        rate = len(ids_half) / n_en
+        assert abs(rate - 0.5) < 0.2  # hash threshold converges to fraction
+
+
+def test_stratum_threshold_hex_bounds():
+    assert corpus.stratum_threshold_hex(0.0) == "00000000"
+    assert corpus.stratum_threshold_hex(1.0) == "gggggggg"  # above all hex
+    assert corpus.stratum_threshold_hex(0.5) == "80000000"
+    assert corpus.stratum_threshold_hex(-3) == "00000000"
+    assert corpus.stratum_threshold_hex(7) == "gggggggg"
+
+
+# ------------------------------------------------ mixture weights / vocab
+
+
+def test_mixture_weights_sqrt_temperature(spark):
+    rows = [(i, "t") for i in range(9)] + [(9, "t")]
+    df = spark.createDataFrame(
+        [(i, "en" if i < 9 else "de") for i in range(10)], "doc_id long, lang string"
+    )
+    out = {r["lang"]: r for r in corpus.mixture_weights(df, "lang").collect()}
+    s = math.sqrt(0.9) + math.sqrt(0.1)
+    assert out["en"]["mix_weight"] == pytest.approx(math.sqrt(0.9) / s, abs=1e-6)
+    assert out["de"]["mix_weight"] == pytest.approx(math.sqrt(0.1) / s, abs=1e-6)
+    assert sum(r["mix_weight"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_vocab_top_tokens_matches_counter(spark):
+    rows = [(1, "b a a C c b a"), (2, "a B b")]
+    out = corpus.vocab_top_tokens(_df(spark, rows), k=2).collect()
+    # counts: a=4, b=4, c=2 -> top2 = a,b (tie broken by token asc)
+    assert [(r["token"], r["cnt"]) for r in out] == [("a", 4), ("b", 4)]
