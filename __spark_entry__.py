@@ -60,6 +60,7 @@ _PRIORITY_R3 = [
     # new this round
     "corp_rep_signals", "corp_cross_dup_ngrams", "corp_para_dedup",
     "corp_stratified_sample", "corp_mixture_weights", "corp_vocab_top50",
+    "corp_pack_spans", "corp_pack_manifest",
     "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip", "ev_stream_dedup",
     # rows-only → real oracle this round
     "d08_minhash_dedup", "a12_approx_sketches", "emb_lsh_bucket_sizes",

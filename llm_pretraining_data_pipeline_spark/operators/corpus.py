@@ -359,3 +359,107 @@ def vocab_top_tokens(
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-chunk) — the step that turns a
+# cleaned document corpus into fixed-length training sequences.
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    nshards: int = 32,
+) -> DataFrame:
+    """Assign every document a token span in the packed training stream.
+
+    Documents are laid end-to-end in the deterministic total order
+    ``(shard, id)`` with ``shard = h64(id) % nshards``, then the stream is
+    chunked into ``seq_len``-token sequences. Output per doc: its global
+    token span [tok_start, tok_end) and the first/last sequence ids it
+    touches (null for zero-token docs).
+
+    100 TB shape: the running total is a TWO-PHASE cumsum — a window cumsum
+    inside each hash shard (parallel across shards) plus per-shard prefix
+    offsets (``nshards`` rows through the driver, broadcast back) — never a
+    global ORDER BY window, which would funnel the corpus through one
+    partition. Bit-equal to the single-window form since all sums are
+    integer.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    spark = df.sparkSession
+    shard = (h64(F.col(id_col)) % nshards).cast("int")
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.coalesce(F.col(token_col), F.lit(0)).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    within = base.withColumn("cum_in_shard", F.sum("n_tok").over(w))
+
+    totals = {
+        r["shard"]: r["tot"]
+        for r in base.groupBy("shard").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    offsets, acc = [], 0
+    for s in range(nshards):
+        offsets.append((s, acc))
+        acc += int(totals.get(s, 0) or 0)
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "shard int, shard_offset long")
+    )
+
+    out = within.join(off_df, "shard").select(
+        id_col,
+        "shard",
+        "n_tok",
+        (F.col("shard_offset") + F.col("cum_in_shard") - F.col("n_tok")).alias(
+            "tok_start"
+        ),
+        (F.col("shard_offset") + F.col("cum_in_shard")).alias("tok_end"),
+    )
+    has = F.col("n_tok") > 0
+    return out.select(
+        id_col,
+        "shard",
+        "n_tok",
+        "tok_start",
+        "tok_end",
+        F.when(has, F.floor(F.col("tok_start") / seq_len)).alias("seq_first"),
+        F.when(has, F.floor((F.col("tok_end") - 1) / seq_len)).alias("seq_last"),
+    )
+
+
+def pack_manifest(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    nshards: int = 32,
+) -> DataFrame:
+    """Exploded packing manifest: one row per (sequence, document) slice.
+
+    For every training sequence, which documents contribute which token
+    range — the loader-side contract for building packed batches. Columns:
+    seq_id, doc id, offset_in_seq, slice_len, doc_tok_start (offset of the
+    slice within the document's own token stream).
+    """
+    spans = pack_sequences(df, seq_len, token_col, id_col, nshards)
+    seqs = spans.filter(F.col("n_tok") > 0).select(
+        id_col,
+        "tok_start",
+        "tok_end",
+        F.explode(F.sequence("seq_first", "seq_last")).alias("seq_id"),
+    )
+    sl_start = F.greatest(F.col("tok_start"), F.col("seq_id") * seq_len)
+    sl_end = F.least(F.col("tok_end"), (F.col("seq_id") + 1) * seq_len)
+    return seqs.select(
+        "seq_id",
+        id_col,
+        (sl_start - F.col("seq_id") * seq_len).cast("long").alias("offset_in_seq"),
+        (sl_end - sl_start).cast("long").alias("slice_len"),
+        (sl_start - F.col("tok_start")).cast("long").alias("doc_tok_start"),
+    )

@@ -221,3 +221,68 @@ _VOCAB_K = 50
 )
 def corp_vocab_top50(spark, sf_dir):
     return corpus.vocab_top_tokens(_docs(spark, sf_dir), k=_VOCAB_K)
+
+
+# ========================================================= sequence packing
+
+_SEQ_LEN = 128
+_PACK_SHARDS = 8
+
+
+def _pack_base_sql() -> str:
+    shard = f"({O.h64('cast(doc_id as varchar)')} % {_PACK_SHARDS})"
+    return (
+        f"b AS (SELECT doc_id, cast({shard} as int) AS shard, "
+        f"cast(len({O.toks('text')}) as bigint) AS n_tok FROM documents),\n"
+        "c AS (SELECT doc_id, shard, n_tok, sum(n_tok) OVER "
+        "(ORDER BY shard, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS cum FROM b),\n"
+        "s AS (SELECT doc_id, shard, n_tok, "
+        "cast(cum - n_tok as bigint) AS tok_start, cast(cum as bigint) AS tok_end, "
+        f"cast(case when n_tok > 0 then (cum - n_tok) // {_SEQ_LEN} end as bigint) AS seq_first, "
+        f"cast(case when n_tok > 0 then (cum - 1) // {_SEQ_LEN} end as bigint) AS seq_last FROM c)"
+    )
+
+
+def _pack_docs(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import metrics
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", metrics.n_words("text").alias("n_tok")
+    )
+
+
+@register(
+    "corp_pack_spans",
+    f"WITH {_pack_base_sql()}\nSELECT doc_id, shard, n_tok, tok_start, tok_end, "
+    "seq_first, seq_last FROM s",
+    doc="GPT-style concat-and-chunk packing spans; two-phase cumsum "
+    "(per-shard window + broadcast prefix offsets), no global-order window",
+)
+def corp_pack_spans(spark, sf_dir):
+    return corpus.pack_sequences(
+        _pack_docs(spark, sf_dir), _SEQ_LEN, nshards=_PACK_SHARDS
+    )
+
+
+@register(
+    "corp_pack_manifest",
+    f"""
+    WITH {_pack_base_sql()},
+    m AS (SELECT doc_id, tok_start, tok_end, u.s AS seq_id
+          FROM s, unnest(range(seq_first, seq_last + 1)) AS u(s)
+          WHERE n_tok > 0)
+    SELECT seq_id, doc_id,
+           greatest(tok_start, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN} AS offset_in_seq,
+           least(tok_end, (seq_id + 1) * {_SEQ_LEN})
+             - greatest(tok_start, seq_id * {_SEQ_LEN}) AS slice_len,
+           greatest(tok_start, seq_id * {_SEQ_LEN}) - tok_start AS doc_tok_start
+    FROM m
+    """,
+    doc="exploded (sequence, doc) slice manifest — the loader-side contract "
+    "for assembling packed training batches",
+)
+def corp_pack_manifest(spark, sf_dir):
+    return corpus.pack_manifest(
+        _pack_docs(spark, sf_dir), _SEQ_LEN, nshards=_PACK_SHARDS
+    )

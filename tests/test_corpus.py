@@ -181,3 +181,60 @@ def test_vocab_top_tokens_matches_counter(spark):
     out = corpus.vocab_top_tokens(_df(spark, rows), k=2).collect()
     # counts: a=4, b=4, c=2 -> top2 = a,b (tie broken by token asc)
     assert [(r["token"], r["cnt"]) for r in out] == [("a", 4), ("b", 4)]
+
+
+# -------------------------------------------------------- sequence packing
+
+
+def _tok_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+
+def test_pack_sequences_contiguous_stream(spark):
+    rows = [(i, (i * 7) % 40) for i in range(30)]  # includes a 0-token doc
+    out = corpus.pack_sequences(_tok_df(spark, rows), 16, nshards=4).collect()
+    by_order = sorted(out, key=lambda r: (r["shard"], r["doc_id"]))
+    pos = 0
+    for r in by_order:
+        assert r["tok_start"] == pos, r
+        assert r["tok_end"] == pos + r["n_tok"]
+        pos = r["tok_end"]
+    assert pos == sum(n for _, n in rows)
+    zero = [r for r in by_order if r["n_tok"] == 0]
+    assert zero and all(r["seq_first"] is None and r["seq_last"] is None for r in zero)
+    for r in by_order:
+        if r["n_tok"] > 0:
+            assert r["seq_first"] == r["tok_start"] // 16
+            assert r["seq_last"] == (r["tok_end"] - 1) // 16
+
+
+def test_pack_manifest_reconstructs_docs_and_fills_seqs(spark):
+    rows = [(i, 5 + (i % 11)) for i in range(25)]
+    L = 16
+    man = corpus.pack_manifest(_tok_df(spark, rows), L, nshards=4).collect()
+    # every doc's slices cover exactly its token count, in order
+    per_doc = {}
+    for r in man:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    total = sum(n for _, n in rows)
+    for doc_id, slices in per_doc.items():
+        n = dict(rows)[doc_id]
+        slices.sort(key=lambda r: r["doc_tok_start"])
+        assert sum(s["slice_len"] for s in slices) == n
+        assert slices[0]["doc_tok_start"] == 0
+        for a, b in zip(slices, slices[1:]):
+            assert a["doc_tok_start"] + a["slice_len"] == b["doc_tok_start"]
+    # every sequence except the last is exactly full, none overflows
+    per_seq = {}
+    for r in man:
+        per_seq.setdefault(r["seq_id"], 0)
+        per_seq[r["seq_id"]] += r["slice_len"]
+        assert 0 <= r["offset_in_seq"] < L and r["slice_len"] >= 1
+    last = max(per_seq)
+    for sid, filled in per_seq.items():
+        assert filled == (L if sid != last else total - last * L)
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    with pytest.raises(ValueError):
+        corpus.pack_sequences(_tok_df(spark, [(1, 2)]), 0)
