@@ -68,29 +68,24 @@ def main() -> int:
     def _materialize(df):
         """Force the REAL work: a bare count() lets Catalyst prune the whole
         text chain (unused window/projection expressions are removed), which
-        benchmarks nothing. Summing over the final text and token counts
-        anchors every stage's expressions in the evaluated plan."""
+        benchmarks nothing. The agg anchors every output the pipeline
+        contracts to produce: final text, token counts, AND the full
+        drop-reason/quality cascade (otherwise Catalyst prunes the langid/
+        toxicity/quality expression trees, which only feed drop_reason)."""
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("text_pii_masked")).alias("chars"),
             F.sum("n_tokens").alias("toks"),
+            F.sum(F.length(F.coalesce("drop_reason", F.lit("")))).alias("reasons"),
+            F.sum("quality_score").alias("quality"),
+            F.sum(F.length("subset")).alias("subsets"),
         ).collect()[0]
         return int(row["n"])
 
-    n_docs = timed(
-        "pipeline_e2e",
-        lambda: _materialize(
-            P.run_pipeline(raw, P.PipelineConfig(use_nfkc=True, apply_lang_filter=False))
-        ),
-    )
-    meta["pipeline_docs"] = n_docs
-    meta["pipeline_docs_per_sec"] = round(n_docs / timings["pipeline_e2e"], 1)
-    # BASELINE.md: reference runs its 8 stages at ~38 docs/s end-to-end on
-    # the same 32-vCPU machine class (241,048 docs in 6,337 s).
-    meta["reference_docs_per_sec"] = 38.0
-    meta["speedup_vs_reference"] = round(meta["pipeline_docs_per_sec"] / 38.0, 1)
-
-    # ---- relational / window surface from the registry (heaviest entries)
+    # ---- relational / window surface from the registry FIRST (round-2/3
+    # lesson: the heavy pipeline jobs leave the JVM cache/GC-pressured, so
+    # anything timed after them reads 2-4x its fresh-session value; light
+    # queries run in the cleanest JVM, heaviest jobs go last).
     for qname in [
         "rel_q1_pricing_summary",
         "rel_q3_shipping_priority",
@@ -102,6 +97,8 @@ def main() -> int:
         "ev_sessionize",
         "ev_asof_last_click",
         "emb_knn_join",
+        "corp_rep_signals",
+        "corp_pack_spans",
     ]:
         qd = QUERIES[qname]
         timed(qname, lambda qd=qd: qd.spark(spark, SF_DIR).count())
@@ -131,6 +128,20 @@ def main() -> int:
     )
     meta["bpe_docs_per_sec"] = round(n_bpe_docs / timings["bpe_tokenize"], 1)
     meta["bpe_tokens_total"] = int(tok_total or 0)
+
+    # ---- full document pipeline (the replicated-corpus heavy job)
+    n_docs = timed(
+        "pipeline_e2e",
+        lambda: _materialize(
+            P.run_pipeline(raw, P.PipelineConfig(use_nfkc=True, apply_lang_filter=False))
+        ),
+    )
+    meta["pipeline_docs"] = n_docs
+    meta["pipeline_docs_per_sec"] = round(n_docs / timings["pipeline_e2e"], 1)
+    # BASELINE.md: reference runs its 8 stages at ~38 docs/s end-to-end on
+    # the same 32-vCPU machine class (241,048 docs in 6,337 s).
+    meta["reference_docs_per_sec"] = 38.0
+    meta["speedup_vs_reference"] = round(meta["pipeline_docs_per_sec"] / 38.0, 1)
 
     # ---- pipeline with the optional MinHash near-dedup stage, LAST: its
     # LSH+verify+components job leaves the JVM cache/GC-pressured, so running

@@ -43,6 +43,15 @@ def nfkc_normalize(c: Column | str) -> Column:
     Arrow-batched pandas UDF, created lazily because UDF registration needs
     an active SparkSession (and the rest of this module must stay importable
     without one).
+
+    ASCII fast path: NFKC is the identity on pure-ASCII strings (no ASCII
+    char has a compatibility decomposition), so those rows are masked to
+    null BEFORE the Arrow transfer — the Python worker receives and returns
+    nulls for them instead of round-tripping the full text — and the
+    original string is restored with ``coalesce``. On a mostly-ASCII web
+    corpus this removes nearly the whole serialisation + normalize cost
+    while keeping byte-identical output (verified in
+    test_functions_text.py against ``unicodedata`` on mixed fixtures).
     """
     global _NFKC_UDF
     if _NFKC_UDF is None:
@@ -52,7 +61,9 @@ def nfkc_normalize(c: Column | str) -> Column:
             return s.map(lambda x: unicodedata.normalize("NFKC", x) if isinstance(x, str) else x)
 
         _NFKC_UDF = _nfkc
-    return _NFKC_UDF(_col(c))
+    s = _col(c)
+    masked = F.when(s.rlike("[^\\x00-\\x7f]"), s)  # null for pure-ASCII rows
+    return F.coalesce(_NFKC_UDF(masked), s)
 
 
 def _col(c: Column | str) -> Column:

@@ -163,3 +163,65 @@ class TestIvfIndex:
         ).count("Window")
         demo = similarity.ivf_topk(emb, centroids, qv, k=5, n_probe=1)
         assert [r[0] for r in with_pre.collect()] == [r[0] for r in demo.collect()]
+
+
+class TestCorpusPlanQuality:
+    """Scale shapes of the corpus-analytics operators (operators/corpus.py)."""
+
+    def test_repetition_signals_is_shuffle_free(self, spark, sf_dir):
+        """The Gopher signals are a pure map: the HOF run-length scan must
+        produce a plan with no Exchange at all — at 100 TB this operator
+        costs exactly one pass over the scan, embarrassingly parallel."""
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus.repetition_signals(docs))
+        assert "Exchange" not in plan
+        assert "pythonUDF" not in plan.lower()  # JVM-only, no Arrow round-trip
+
+    def test_repetition_signals_prunes_scan(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus.repetition_signals(docs))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" in read_schema and "source" not in read_schema
+
+    def test_stratified_sample_is_narrow_filter(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(
+            corpus.hash_stratified_sample(docs, "lang", {"en": 0.5})
+        )
+        assert "Exchange" not in plan  # sampling never moves data
+
+    def test_pack_sequences_broadcasts_offsets_no_global_window(self, spark, sf_dir):
+        """The two-phase cumsum must broadcast the nshards-row offset table
+        and keep every window partitioned by shard — a global-order window
+        (empty partition spec) would funnel the corpus through one task."""
+        from llm_pretraining_data_pipeline_spark.functions import metrics
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", metrics.n_words("text").alias("n_tok"))
+        )
+        df = corpus.pack_sequences(docs, 128, nshards=8)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # every Window node must carry a non-empty partition spec
+        for chunk in plan.split("Arguments")[1:]:
+            head = chunk.splitlines()[0]
+            if "windowspecdefinition" in head:
+                assert "shard" in head
+
+    def test_cross_doc_dup_ngrams_groups_on_hash(self, spark, sf_dir):
+        """Shuffle keys are the 60-bit gram hashes, not raw gram strings —
+        the exchanged rows stay narrow at web scale."""
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus.cross_doc_dup_ngram_stats(docs, n=5))
+        assert "hashpartitioning(gh" in plan
