@@ -32,6 +32,7 @@ def main() -> int:
     from llm_pretraining_data_pipeline_spark.operators import similarity
     from llm_pretraining_data_pipeline_spark.plans import pipeline as P
     from llm_pretraining_data_pipeline_spark.queries import QUERIES
+    from llm_pretraining_data_pipeline_spark import queries_corpus  # noqa: F401
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401
     from llm_pretraining_data_pipeline_spark.session import get_spark
     from llm_pretraining_data_pipeline_spark.sources import io as src

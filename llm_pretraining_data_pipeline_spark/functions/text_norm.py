@@ -44,14 +44,13 @@ def nfkc_normalize(c: Column | str) -> Column:
     an active SparkSession (and the rest of this module must stay importable
     without one).
 
-    ASCII fast path: NFKC is the identity on pure-ASCII strings (no ASCII
-    char has a compatibility decomposition), so those rows are masked to
-    null BEFORE the Arrow transfer — the Python worker receives and returns
-    nulls for them instead of round-tripping the full text — and the
-    original string is restored with ``coalesce``. On a mostly-ASCII web
-    corpus this removes nearly the whole serialisation + normalize cost
-    while keeping byte-identical output (verified in
-    test_functions_text.py against ``unicodedata`` on mixed fixtures).
+    Deliberately the PLAIN udf with no ASCII-mask fast path: masking
+    pure-ASCII rows to null before the Arrow transfer (NFKC is identity on
+    ASCII) was A/B-tested twice — rounds 1 and 3, NOTES_r1.md — and loses
+    warm both times (~0.82 s vs 0.73 s per 100k docs at sf0.1: the per-row
+    ``rlike`` scan costs more than the null payloads save; steady-state
+    NFKC is only ~1.2 µs/row). Masking only wins on cold Python workers,
+    which is not the steady-state that matters.
     """
     global _NFKC_UDF
     if _NFKC_UDF is None:
@@ -61,9 +60,7 @@ def nfkc_normalize(c: Column | str) -> Column:
             return s.map(lambda x: unicodedata.normalize("NFKC", x) if isinstance(x, str) else x)
 
         _NFKC_UDF = _nfkc
-    s = _col(c)
-    masked = F.when(s.rlike("[^\\x00-\\x7f]"), s)  # null for pure-ASCII rows
-    return F.coalesce(_NFKC_UDF(masked), s)
+    return _NFKC_UDF(_col(c))
 
 
 def _col(c: Column | str) -> Column:

@@ -393,3 +393,37 @@ def run_pipeline_checkpointed(
         paths[name] = path
         current = spark.read.parquet(path)
     return paths
+
+
+def run_pipeline_observed(
+    raw: DataFrame, cfg: PipelineConfig = PipelineConfig()
+):
+    """``run_pipeline`` plus free single-pass metrics via ``Observation``.
+
+    Returns ``(df, observation)``. The observation's metrics are computed
+    DURING whatever single action the caller runs on ``df`` (an export
+    write, a count, ...) — at 100 TB this replaces a second full-corpus
+    aggregation job with accumulator traffic that is already part of the
+    first one. After the action, ``observation.get`` yields::
+
+        n_rows, n_kept, n_dropped, total_tokens_kept, mean_quality_kept
+
+    (the metrics_summary headline numbers the reference recomputes with a
+    separate pandas pass, metrics_and_summary.py).
+    """
+    from pyspark.sql import Observation
+
+    out = run_pipeline(raw, cfg)
+    is_kept = F.col("drop_reason").isNull()
+    obs = Observation("pipeline_metrics")
+    observed = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_kept.cast("long")).alias("n_kept"),
+        F.sum((~is_kept).cast("long")).alias("n_dropped"),
+        F.sum(F.when(is_kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "total_tokens_kept"
+        ),
+        F.avg(F.when(is_kept, F.col("quality_score"))).alias("mean_quality_kept"),
+    )
+    return observed, obs

@@ -222,3 +222,28 @@ class TestMinhashStage:
 
     def test_off_by_default_no_column(self, result):
         assert "is_dup_minhash" not in result.columns
+
+
+def test_run_pipeline_observed_single_pass_metrics(spark):
+    """Observation metrics must match a separate aggregation, but arrive
+    from the ONE action the caller already runs (no second job)."""
+    from llm_pretraining_data_pipeline_spark.plans import pipeline as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    raw = docs.select(
+        F.concat(F.lit("http://obs/"), F.col("doc_id")).alias("url"), "text"
+    )
+    cfg = P.PipelineConfig(use_nfkc=False, apply_lang_filter=False)
+    observed, obs = P.run_pipeline_observed(raw, cfg)
+    n = observed.count()  # the single action
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["n_kept"] + m["n_dropped"] == n
+    ref = P.run_pipeline(raw, cfg)
+    assert m["n_kept"] == ref.filter(F.col("drop_reason").isNull()).count()
+    toks = (
+        ref.filter(F.col("drop_reason").isNull())
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    assert m["total_tokens_kept"] == (toks or 0)
