@@ -57,6 +57,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -78,6 +79,11 @@ def _apply_runtime_conf(spark: SparkSession, shuffle_partitions: int) -> None:
         # the events testdata table is parquet TIMESTAMP(NANOS); without this
         # an externally-built session fails the read with PARQUET_TYPE_ILLEGAL
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # ...and some generations write it as TIMESTAMP(MICROS, adjusted=false),
+        # which Spark would surface as TIMESTAMP_NTZ — a type watermarks and
+        # unix_micros reject. With the session TZ pinned to UTC the instants
+        # are identical either way, so read NTZ columns as plain TIMESTAMP.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
     for k, v in runtime.items():
         try:

@@ -99,26 +99,39 @@ def write_csv_report(df: DataFrame, path: str) -> None:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its TIMESTAMP(NANOS) column converted to a real
-    microsecond timestamp (Spark reads nanos as long via
-    spark.sql.legacy.parquet.nanosAsLong; DuckDB truncates ns → µs the same
-    way, keeping oracle comparisons exact).
+    """events table with its ``ts`` column normalised to a microsecond
+    TIMESTAMP regardless of the parquet physical type the generator used:
 
-    The nanosAsLong conf is set here, defensively, because the session may be
-    externally provided (driver contract) and built without it; it is
-    runtime-settable in Spark 4.x. Without it the read fails with
-    PARQUET_TYPE_ILLEGAL on INT64 (TIMESTAMP(NANOS,false)).
+    * TIMESTAMP(NANOS) — Spark reads it as long via
+      spark.sql.legacy.parquet.nanosAsLong; we truncate ns → µs exactly the
+      way DuckDB does, keeping oracle comparisons exact.
+    * TIMESTAMP(MICROS, adjusted=false) — surfaces as TIMESTAMP_NTZ, which
+      watermarks/unix_micros reject; with the session TZ pinned to UTC a cast
+      to TIMESTAMP preserves the instant bit-for-bit.
+    * TIMESTAMP(MICROS, adjusted=true) — already the type we want.
+
+    The confs are set here, defensively, because the session may be
+    externally provided (driver contract) and built without them; both are
+    runtime-settable in Spark 4.x. Without nanosAsLong a NANOS file fails the
+    read with PARQUET_TYPE_ILLEGAL on INT64 (TIMESTAMP(NANOS,false)).
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - static conf in exotic deploys
-        pass
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:  # pragma: no cover - static conf in exotic deploys
+            pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # integer division — double division loses precision above 2^53
         # (epoch-nanos are ~1.7e18) and would round the microsecond up
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # scan planned before the NTZ conf landed (e.g. cached relation)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

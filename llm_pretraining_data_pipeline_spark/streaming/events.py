@@ -24,7 +24,7 @@ from llm_pretraining_data_pipeline_spark.sources import io as src
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the nano→micro ts conversion
     (schema taken from a static read — streaming sources must declare one)."""
-    src.read_events(spark, sf_dir)  # sets nanosAsLong defensively
+    src.read_events(spark, sf_dir)  # sets nanosAsLong / NTZ-off defensively
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw_schema = raw.schema
     # The file stream source needs a directory; expose the single parquet
@@ -52,9 +52,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         os.symlink(target, link)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    if dict(raw.dtypes).get("ts") != "bigint":
-        return stream
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":  # NTZ conf not settable on this session
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(stream: DataFrame, width: str = "5 minutes",
