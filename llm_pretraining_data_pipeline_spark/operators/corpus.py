@@ -50,6 +50,7 @@ __all__ = [
     "stratum_threshold_hex",
     "mixture_weights",
     "vocab_top_tokens",
+    "benchmark_overlap",
 ]
 
 
@@ -358,6 +359,62 @@ def vocab_top_tokens(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
+    )
+
+
+def _distinct_grams(text_col: str, n: int) -> Column:
+    return F.array_distinct(
+        ngrams(ws_tokens(F.coalesce(F.col(text_col), F.lit(""))), n)
+    )
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Test-set decontamination: per corpus doc, how many of its distinct
+    word ``n``-grams also occur anywhere in the eval/benchmark set (the
+    GPT-3 appendix-C / PaLM overlap check; production pipelines use 8-13
+    grams — ``n`` is a knob because the fixture corpus is short-text).
+
+    Output per doc: ``n_grams`` (distinct), ``n_hit`` (distinct grams shared
+    with the eval set), ``contam_frac``, and ``contaminated`` (>= min_hits).
+
+    100 TB shape: benchmark suites are tiny next to the corpus (millions of
+    grams, not billions), so the distinct eval-gram hash set is BROADCAST and
+    the probe is a map-side left-semi join over the exploded corpus grams —
+    the corpus is never shuffled on gram; the only shuffle is the per-doc
+    re-aggregation of the (rare) matching rows on ``id_col``. Gram identity
+    travels as the 60-bit ``h64`` hash to keep the broadcast and the shuffle
+    rows narrow.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(_distinct_grams(text_col, n)).alias("gram"))
+        .select(h64(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(_distinct_grams(text_col, n)).alias("gram")
+    ).select(id_col, h64(F.col("gram")).alias("gh"))
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = df.select(
+        F.col(id_col), F.size(_distinct_grams(text_col, n)).cast("long").alias("n_grams")
+    )
+    n_hit = F.coalesce("n_hit", F.lit(0)).cast("long")
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_hit.alias("n_hit"),
+        _frac(n_hit, F.col("n_grams")).alias("contam_frac"),
+        (n_hit >= min_hits).alias("contaminated"),
     )
 
 

@@ -223,6 +223,47 @@ def corp_vocab_top50(spark, sf_dir):
     return corpus.vocab_top_tokens(_docs(spark, sf_dir), k=_VOCAB_K)
 
 
+# ========================================================== decontamination
+
+_DECON_N = 5
+_DECON_MOD = 20  # h64(doc_id) % 20 == 0 → ~5% of docs act as the eval set
+
+
+@register(
+    "corp_decontaminate",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      list_distinct({O.word_ngrams(O.toks('text'), _DECON_N)}) AS grams,
+                      ({O.h64('cast(doc_id as varchar)')} % {_DECON_MOD} = 0) AS is_eval
+               FROM documents),
+    e AS (SELECT DISTINCT unnest(grams) AS gram FROM w WHERE is_eval),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM w WHERE NOT is_eval),
+    h AS (SELECT doc_id, cast(count(*) as bigint) AS n_hit
+          FROM g WHERE gram IN (SELECT gram FROM e) GROUP BY doc_id)
+    SELECT w.doc_id,
+           cast(len(grams) as bigint) AS n_grams,
+           cast(coalesce(n_hit, 0) as bigint) AS n_hit,
+           case when len(grams) > 0
+                then cast(coalesce(n_hit, 0) as double) / cast(len(grams) as double)
+                else 0.0 end AS contam_frac,
+           coalesce(n_hit, 0) >= 1 AS contaminated
+    FROM w LEFT JOIN h USING (doc_id) WHERE NOT is_eval
+    """,
+    doc="test-set decontamination (GPT-3 appendix C shape): per-doc 5-gram "
+    "overlap with a held-out eval subset; broadcast eval-gram semi-join",
+)
+def corp_decontaminate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from llm_pretraining_data_pipeline_spark.functions.hashing import h64
+
+    docs = _docs(spark, sf_dir)
+    is_eval = (h64(F.col("doc_id")) % _DECON_MOD) == 0
+    return corpus.benchmark_overlap(
+        docs.filter(~is_eval), docs.filter(is_eval), n=_DECON_N
+    )
+
+
 # ========================================================= sequence packing
 
 _SEQ_LEN = 128

@@ -238,3 +238,49 @@ def test_pack_manifest_reconstructs_docs_and_fills_seqs(spark):
 def test_pack_sequences_rejects_bad_seq_len(spark):
     with pytest.raises(ValueError):
         corpus.pack_sequences(_tok_df(spark, [(1, 2)]), 0)
+
+
+# ---------------------------------------------------------- decontamination
+
+
+def test_benchmark_overlap_planted(spark):
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),  # planted 5-gram hit
+        (2, "completely unrelated text with no shared grams at all"),
+        (3, "too short"),                                    # no 5-grams
+        (4, None),
+    ]
+    eval_rows = [
+        (100, "benchmark says the quick brown fox jumps high"),
+        (101, "another eval doc entirely"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in corpus.benchmark_overlap(
+            _df(spark, corpus_rows), _df(spark, eval_rows), n=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 shares exactly "the quick brown fox jumps" (one distinct 5-gram)
+    r1 = out[1]
+    assert r1["n_grams"] == 5 and r1["n_hit"] == 1 and r1["contaminated"]
+    assert r1["contam_frac"] == pytest.approx(1 / 5)
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and out[3]["contam_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and not out[4]["contaminated"]
+
+
+def test_benchmark_overlap_broadcasts_eval_side(spark):
+    plan = corpus.benchmark_overlap(
+        _df(spark, [(1, "a b c d e f")]), _df(spark, [(2, "a b c d e")]), n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    # the eval gram set probes via a broadcast semi-join — the corpus is
+    # never shuffled on gram (the join-back on doc_id may shuffle; that one
+    # carries only per-doc hit counts, not gram rows)
+    gram_join = [
+        ln for ln in plan.splitlines() if "Join" in ln and "[gh#" in ln
+    ]
+    assert gram_join, plan
+    assert all(
+        "BroadcastHashJoin" in ln and "LeftSemi" in ln for ln in gram_join
+    ), plan
