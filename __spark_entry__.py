@@ -57,7 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # at 50 rows — edits must never ride on a stale green). Then the queries the
 # r1∪r2 union left thinnest, then the rest of the registry.
 _PRIORITY_R3 = [
-    # new this round
+    # new this round (latest additions first: decontamination + TPC-H batch)
+    "corp_decontaminate",
+    "rel_q4_order_priority", "rel_q10_returned_items",
+    "rel_q13_count_distribution", "rel_q15_top_supplier",
+    "rel_q17_small_quantity", "rel_q18_large_orders", "rel_q22_idle_customers",
     "corp_rep_signals", "corp_cross_dup_ngrams", "corp_para_dedup",
     "corp_stratified_sample", "corp_mixture_weights", "corp_vocab_top50",
     "corp_pack_spans", "corp_pack_manifest",

@@ -935,3 +935,270 @@ def p26_array_ops(spark, sf_dir):
         F.size(F.array_distinct(tk)).cast("long").alias("n_distinct"),
         F.array_join(F.reverse(F.slice(tk, 1, 4)), "|").alias("rev_head"),
     )
+
+
+# ====================================================== TPC-H round-3 batch
+# The remaining distinctive TPC-H plan shapes (public spec), adapted to the
+# slim testdata schema: correlated EXISTS (q4), join + top-N revenue (q10),
+# outer-join count distribution (q13), scalar max-over-agg subquery (q15),
+# correlated per-group average (q17), IN-over-HAVING (q18), and
+# anti-join + global scalar subquery (q22).
+
+
+@register(
+    "rel_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, cast(count(*) as bigint) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= timestamp '1998-01-01 00:00:00'
+      AND o.o_orderdate <  timestamp '1998-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS → left-semi join with a non-equi "
+        "residual (l_shipdate > o_orderdate) + priority rollup",
+)
+def rel_q4_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "rel_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                          as bigint)) / 10000.0, 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= timestamp '1998-01-01 00:00:00'
+      AND o.o_orderdate <  timestamp '1999-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: 4-way join, revenue per returned-item customer, "
+        "top-20 (TakeOrderedAndProject; dims broadcast). Revenue sums exact "
+        "integer e-4 currency units so the aggregate is order-independent "
+        "(a double sum here straddled a round-half boundary across engines)",
+)
+def rel_q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(src.maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .join(src.maybe_broadcast(n, sf_dir, "nation"), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rel_q13_count_distribution",
+    """
+    SELECT c_count, cast(count(*) as bigint) AS custdist
+    FROM (SELECT c.c_custkey, cast(count(o.o_orderkey) as bigint) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: outer join with a join-side filter + two-level "
+        "aggregation (orders-per-customer distribution; count skips nulls)",
+)
+def rel_q13_count_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "rel_q15_top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey,
+                        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= timestamp '1999-01-01 00:00:00'
+                   AND l_shipdate <  timestamp '1999-04-01 00:00:00'
+                 GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape: supplier revenue view + scalar max-over-aggregate "
+        "subquery (the agg result is tiny, so the max is a broadcast)",
+)
+def rel_q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("m"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best), rev.total_revenue == F.col("m"))
+        .join(src.maybe_broadcast(s, sf_dir, "supplier"), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "rel_q17_small_quantity",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           cast(count(*) as bigint) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average subquery, decorrelated "
+        "into a per-part aggregate joined back on the part key",
+)
+def rel_q17_small_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(src.maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "rel_q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: IN over a grouped HAVING subquery → semi-join on "
+        "the aggregated order keys, then re-join and re-aggregate",
+)
+def rel_q18_large_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(big, o.o_orderkey == F.col("big_key"), "left_semi")
+        .join(src.maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rel_q22_idle_customers",
+    """
+    SELECT c.c_nationkey, cast(count(*) as bigint) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= timestamp '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: global scalar-average subquery + NOT EXISTS "
+        "anti-join (rich customers with no recent orders), per-nation rollup",
+)
+def rel_q22_idle_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

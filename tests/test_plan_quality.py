@@ -103,6 +103,24 @@ class TestPlanQuality:
         plan = plan_of(QUERIES["rel_semi_join"].spark(spark, sf_dir))
         assert "LeftSemi" in plan
 
+    def test_q4_exists_is_semi_with_residual(self, spark, sf_dir):
+        """Correlated EXISTS compiles to one semi-join carrying the non-equi
+        residual — never a join + distinct or a nested loop over orders."""
+        plan = plan_of(QUERIES["rel_q4_order_priority"].spark(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "NestedLoop" not in plan
+
+    def test_q10_all_broadcast_topk(self, spark, sf_dir):
+        plan = plan_of(QUERIES["rel_q10_returned_items"].spark(spark, sf_dir))
+        assert plan.count("SortMergeJoin") == 0
+        assert "TakeOrderedAndProject" in plan  # top-20 never globally sorts
+
+    def test_q22_anti_join_and_tiny_scalar_broadcast(self, spark, sf_dir):
+        plan = plan_of(QUERIES["rel_q22_idle_customers"].spark(spark, sf_dir))
+        assert "LeftAnti" in plan
+        # the 1-row global-average frame joins via broadcast, not shuffle
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
     def test_lsh_topk_prunes_bucket(self, spark, sf_dir):
         """LSH probe must filter to one bucket before scoring."""
         from llm_pretraining_data_pipeline_spark.operators import similarity
