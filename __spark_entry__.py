@@ -57,8 +57,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # at 50 rows — edits must never ride on a stale green). Then the queries the
 # r1∪r2 union left thinnest, then the rest of the registry.
 _PRIORITY_R3 = [
-    # new this round (latest additions first: decontamination + TPC-H batch)
-    "corp_decontaminate",
+    # new this round (latest additions first: decontamination, incremental
+    # dedup, stream enrichment, TPC-H batch)
+    "corp_decontaminate", "d09_incremental_dedup", "ev_stream_enrich",
     "rel_q4_order_priority", "rel_q10_returned_items",
     "rel_q13_count_distribution", "rel_q15_top_supplier",
     "rel_q17_small_quantity", "rel_q18_large_orders", "rel_q22_idle_customers",

@@ -587,3 +587,39 @@ def minhash_dedup(
     else:
         out = out.withColumn("drop_reason", reason)
     return out
+
+
+def dedup_against_snapshot(
+    df: DataFrame,
+    snapshot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snapshot_hash_col: str = "exact_hash",
+) -> DataFrame:
+    """Incremental (cross-run) exact dedup: flag documents whose canonical
+    sha256 already exists in a prior corpus snapshot's hash manifest — the
+    nightly-crawl shape, where each new batch dedups against everything
+    ingested before without re-reading old text.
+
+    ``snapshot`` carries one hash per previously-kept doc in
+    ``snapshot_hash_col`` (write it from ``exact_dedup``'s output; text is
+    never needed). Adds ``exact_hash`` and ``is_known`` to ``df``.
+
+    100 TB shape: the snapshot is as large as the historical corpus, so it is
+    NOT broadcast — this is a hash-equi LEFT SEMI against a narrow
+    (hash-only) build side, co-partitionable when both sides are bucketed by
+    hash at write time, and eligible for Spark's runtime bloom-filter
+    injection (spark.sql.optimizer.runtime.bloomFilter.enabled) which
+    prefilters the probe side before the shuffle. Only the manifest column is
+    ever shuffled, never document text.
+    """
+    hashed = df.withColumn(
+        "exact_hash", hashing.sha256_hex(canonicalize_for_exact(text_col))
+    )
+    known = snapshot.select(F.col(snapshot_hash_col).alias("_snap_hash")).distinct()
+    flagged = hashed.join(
+        known, hashed.exact_hash == F.col("_snap_hash"), "left"
+    )
+    return flagged.withColumn("is_known", F.col("_snap_hash").isNotNull()).drop(
+        "_snap_hash"
+    )

@@ -826,3 +826,44 @@ def d08_minhash_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     out = dedup_ops.minhash_dedup(d, "text", jaccard_threshold=0.5)
     return out.select("doc_id", "is_dup_minhash", "dup_of_minhash", "drop_reason")
+
+
+# ===================================================== incremental dedup
+
+
+_SNAP_MOD = 3  # doc_id % 3 == 0 simulates "yesterday's crawl" snapshot
+
+
+@register(
+    "d09_incremental_dedup",
+    f"""
+    WITH snap AS (
+      SELECT DISTINCT sha256({O.canon_exact('text')}) AS h
+      FROM documents WHERE doc_id % {_SNAP_MOD} = 0
+    ),
+    batch AS (
+      SELECT doc_id, sha256({O.canon_exact('text')}) AS exact_hash
+      FROM documents WHERE doc_id % {_SNAP_MOD} <> 0
+    )
+    SELECT b.doc_id, b.exact_hash,
+           EXISTS (SELECT 1 FROM snap s WHERE s.h = b.exact_hash) AS is_known
+    FROM batch b
+    """,
+    doc="incremental cross-run exact dedup: new batch probed against a "
+        "prior snapshot's hash manifest (hash-only semi side, never text; "
+        "runtime-bloom/bucket-eligible at scale)",
+)
+def d09_incremental_dedup(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.hashing import sha256_hex
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import (
+        canonicalize_for_exact,
+    )
+
+    d = _docs(spark, sf_dir)
+    snapshot = (
+        d.filter(F.col("doc_id") % _SNAP_MOD == 0)
+        .select(sha256_hex(canonicalize_for_exact("text")).alias("exact_hash"))
+    )
+    batch = d.filter(F.col("doc_id") % _SNAP_MOD != 0)
+    out = dedup_ops.dedup_against_snapshot(batch, snapshot, text_col="text")
+    return out.select("doc_id", "exact_hash", "is_known")

@@ -1202,3 +1202,29 @@ def rel_q22_idle_customers(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "ev_stream_enrich",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             CASE WHEN count(*) >= 100 THEN 'heavy'
+                  WHEN count(*) >= 50 THEN 'medium'
+                  ELSE 'light' END AS segment
+      FROM events GROUP BY user_id
+    )
+    SELECT cast(time_bucket(INTERVAL '15 minutes', e.ts) as timestamp) AS window_start,
+           s.segment, cast(count(*) as bigint) AS cnt,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN seg s USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="stream-static enrichment: events stream joined (broadcast) to a "
+        "static user-segment dimension, 15-min tumbling counts per segment "
+        "(Structured Streaming; batch oracle via bounded drain)",
+)
+def ev_stream_enrich(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming import events as ev
+
+    return ev.run_enriched_stream_once(spark, sf_dir)

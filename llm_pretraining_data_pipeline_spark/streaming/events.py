@@ -260,3 +260,46 @@ def run_dedup_stream_once(spark: SparkSession, sf_dir: str,
     deduped = dedup_stream(replicated, ["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     return _drain_to_memory(agg, "complete")
+
+
+# -------------------------------------------------- stream-static enrichment
+
+
+def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static per-user dimension derived from historical volume: segment =
+    heavy (>=100 events), medium (>=50) or light. Stand-in for the profile
+    table a production enrichment join reads from a warehouse."""
+    hist = src.read_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hist")
+    )
+    return hist.select(
+        "user_id",
+        F.when(F.col("n_hist") >= 100, F.lit("heavy"))
+        .when(F.col("n_hist") >= 50, F.lit("medium"))
+        .otherwise(F.lit("light"))
+        .alias("segment"),
+    )
+
+
+def run_enriched_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + windowed aggregation: the events stream enriched
+    with the (small, broadcast) user-segment dimension, then 15-minute
+    tumbling counts and value sums per segment.
+
+    The static side of a stream-static join is re-resolvable per micro-batch
+    and broadcast when small — the standard continuous-enrichment shape
+    (dimension updates picked up without restarting the query). Results equal
+    the batch oracle because processAllAvailable drains the bounded source.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    dim = F.broadcast(user_segments(spark, sf_dir))
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "cnt", "total_value")
+    )
+    return _drain_to_memory(agg, "complete")

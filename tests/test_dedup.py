@@ -194,3 +194,38 @@ class TestConnectedComponents:
         assert out[3].is_dup_minhash and out[3].dup_of_minhash == "1"
         assert out[2].drop_reason == "minhash_duplicate"
         assert not out[4].is_dup_minhash and out[4].drop_reason is None
+
+
+class TestSnapshotDedup:
+    def test_flags_known_canonical_hashes(self, spark):
+        snapshot_docs = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "prior doc")], "doc_id long, text string"
+        )
+        from llm_pretraining_data_pipeline_spark.functions.hashing import sha256_hex
+        from llm_pretraining_data_pipeline_spark.functions.text_norm import (
+            canonicalize_for_exact,
+        )
+
+        manifest = snapshot_docs.select(
+            sha256_hex(canonicalize_for_exact("text")).alias("exact_hash")
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "hello world"),        # canonical match (case/ws-insensitive)
+                (11, "brand new doc"),
+                (12, None),                 # null canonicalises to ""
+                (13, "PRIOR    doc"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.is_known
+            for r in dedup.dedup_against_snapshot(batch, manifest).collect()
+        }
+        assert out == {10: True, 11: False, 12: False, 13: True}
+
+    def test_empty_snapshot_keeps_everything(self, spark):
+        batch = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        manifest = batch.limit(0).select(F.col("text").alias("exact_hash"))
+        rows = dedup.dedup_against_snapshot(batch, manifest).collect()
+        assert len(rows) == 2 and not any(r.is_known for r in rows)

@@ -148,3 +148,30 @@ class TestStreamDedup:
         out = ev._drain_to_memory(agg, "complete").collect()
         n_distinct = src.read_events(spark, sf_dir).select("event_id").distinct().count()
         assert out[0].cnt == n_distinct
+
+
+class TestStreamStaticEnrichment:
+    def test_enriched_stream_equals_batch_join(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.sources import io as src
+        from llm_pretraining_data_pipeline_spark.streaming import events as ev
+
+        got = {
+            (r.window_start, r.segment): (r.cnt, r.total_value)
+            for r in ev.run_enriched_stream_once(spark, sf_dir).collect()
+        }
+        batch = (
+            src.read_events(spark, sf_dir)
+            .join(ev.user_segments(spark, sf_dir), "user_id")
+            .groupBy(F.window("ts", "15 minutes").alias("w"), "segment")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "segment", "cnt",
+                    "total_value")
+        )
+        want = {
+            (r.window_start, r.segment): (r.cnt, r.total_value)
+            for r in batch.collect()
+        }
+        assert got == want and len(got) > 0
