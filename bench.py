@@ -4,8 +4,9 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 The suite covers each engine subsystem at its heaviest available scale:
-the full 8-stage document pipeline (corpus replicated 24x to ~120k docs so
-dedup sees real duplicate volume and throughput is comparable to the
+the full 8-stage document pipeline (corpus replicated $BENCH_PIPELINE_COPIES
+times, default 100x = 500k docs at sf0.1, so dedup sees real duplicate volume
+and throughput is comparable to the
 reference's 241k-doc / 38 docs/s baseline in BASELINE.md), the TPC-H-ish
 join/agg/window surface on 600k lineitem, event sessionization/windows on
 100k events, MinHash-LSH near-dup, and embedding kNN.

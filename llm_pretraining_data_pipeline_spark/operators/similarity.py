@@ -271,3 +271,66 @@ def lsh_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_recall(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Recall@k of the single-probe IVF path against exact brute force, per
+    query — the standard ANN index-quality audit, run on a sampled query set
+    before trusting an index at scale.
+
+    One lazy plan, no driver loops: exact top-k via the broadcast kNN join;
+    IVF top-k by assigning queries to their max-cosine cell (same broadcast
+    centroid argmax as ``ivf_assign``) and scoring only same-cell corpus
+    vectors; recall = |exact ∩ ivf| / k. The corpus is scanned twice (exact
+    pass + assigned pass) — at 100 TB the exact pass is why the audit runs on
+    a SAMPLE of queries, and the assigned side comes precomputed from
+    ``write_ivf_index``.
+    """
+    exact = knn_join(queries, df, k, vec_col, query_id, id_col).select(
+        query_id, id_col
+    )
+    assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id, centroid_vec)
+    qcells = ivf_assign(
+        queries, centroids, vec_col, query_id, centroid_id, centroid_vec
+    )
+    q = queries.select(F.col(query_id), _as_double(F.col(vec_col)).alias("_qv")).join(
+        qcells, query_id
+    )
+    cand = (
+        F.broadcast(q)
+        .join(assigned, "cell")
+        .join(df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv")), id_col)
+        .select(query_id, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("_score"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("_score"), F.col(id_col))
+    ivf_hits = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id, id_col)
+    )
+    overlap = (
+        exact.join(ivf_hits, [query_id, id_col])
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce("n_hit", F.lit(0)).cast("long")
+    return (
+        queries.select(query_id)
+        .join(overlap, query_id, "left")
+        .select(
+            query_id,
+            n_hit.alias("n_hit"),
+            F.round(n_hit.cast("double") / float(k), 6).alias("recall_at_k"),
+        )
+        .orderBy(query_id)
+    )
