@@ -61,6 +61,7 @@ _PRIORITY_R3 = [
     # dedup, stream enrichment, TPC-H batch)
     "corp_decontaminate", "d09_incremental_dedup", "ev_stream_enrich",
     "emb_ivf_recall",
+    "rel_q7_volume_shipping", "rel_q8_market_share", "rel_q9_product_profit",
     "rel_q4_order_priority", "rel_q10_returned_items",
     "rel_q13_count_distribution", "rel_q15_top_supplier",
     "rel_q17_small_quantity", "rel_q18_large_orders", "rel_q22_idle_customers",

@@ -1228,3 +1228,171 @@ def ev_stream_enrich(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.streaming import events as ev
 
     return ev.run_enriched_stream_once(spark, sf_dir)
+
+
+@register(
+    "rel_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(vol_e4) / 10000.0, 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l.l_shipdate) AS l_year,
+                 cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                      as bigint) AS vol_e4
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate >= timestamp '1998-01-01 00:00:00'
+            AND l.l_shipdate <  timestamp '2000-01-01 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume by year "
+        "(double nation join with a disjunctive pair predicate)",
+)
+def rel_q7_volume_shipping(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    vol_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(src.maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .join(src.maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(src.maybe_broadcast(n1, sf_dir, "nation"), s.s_nationkey == F.col("n1_key"))
+        .join(src.maybe_broadcast(n2, sf_dir, "nation"), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(vol_e4) / 10000.0, 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "rel_q8_market_share",
+    """
+    SELECT o_year,
+           round(cast(sum(CASE WHEN nation = 'NATION_1' THEN vol_e4 ELSE 0 END)
+                      as double)
+                 / cast(sum(vol_e4) as double), 6) AS mkt_share
+    FROM (SELECT year(o.o_orderdate) AS o_year, n2.n_name AS nation,
+                 cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                      as bigint) AS vol_e4
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: 7-way snowflake + conditional market-share ratio "
+        "per year (numerator and denominator as exact e-4 integer sums so "
+        "the ratio is order-independent)",
+)
+def rel_q8_market_share(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    base = (
+        li.join(src.maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(src.maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .join(src.maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(src.maybe_broadcast(n1, sf_dir, "nation"), c.c_nationkey == F.col("n1_key"))
+        .join(src.maybe_broadcast(r, sf_dir, "region"), F.col("n1_region") == r.r_regionkey)
+        .join(src.maybe_broadcast(n2, sf_dir, "nation"), s.s_nationkey == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), F.col("nation"), vol_e4.alias("vol_e4"))
+    )
+    num = F.sum(F.when(F.col("nation") == "NATION_1", F.col("vol_e4")).otherwise(F.lit(0)))
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(num.cast("double") / F.sum("vol_e4").cast("double"), 6).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "rel_q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amt_e4) / 10000.0, 2) AS sum_profit
+    FROM (SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                 cast(round((l.l_extendedprice * (1 - l.l_discount)
+                             - 0.6 * p.p_retailprice * l.l_quantity) * 10000, 0)
+                      as bigint) AS amt_e4
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%gear%')
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit per supplier nation per year over parts "
+        "matched by name substring (cost modeled as 0.6*p_retailprice — the "
+        "slim testdata has no partsupp table; public TPC-H uses "
+        "ps_supplycost)",
+)
+def rel_q9_product_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amt_e4 = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000,
+        0,
+    ).cast("long")
+    return (
+        li.join(src.maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(src.maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(src.maybe_broadcast(n, sf_dir, "nation"), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amt_e4) / 10000.0, 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
