@@ -101,6 +101,8 @@ def main() -> int:
         "emb_knn_join",
         "corp_rep_signals",
         "corp_pack_spans",
+        "corp_decontaminate",
+        "rel_q8_market_share",
     ]:
         qd = QUERIES[qname]
         timed(qname, lambda qd=qd: qd.spark(spark, SF_DIR).count())
