@@ -59,8 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_R3 = [
     # new this round (latest additions first: decontamination, incremental
     # dedup, stream enrichment, TPC-H batch)
-    "corp_decontaminate", "d09_incremental_dedup", "ev_stream_enrich",
-    "emb_ivf_recall",
+    "corp_decontaminate", "corp_span_dedup", "d09_incremental_dedup",
+    "ev_stream_enrich", "emb_ivf_recall",
     "rel_q7_volume_shipping", "rel_q8_market_share", "rel_q9_product_profit",
     "rel_q4_order_priority", "rel_q10_returned_items",
     "rel_q13_count_distribution", "rel_q15_top_supplier",

@@ -51,6 +51,7 @@ __all__ = [
     "mixture_weights",
     "vocab_top_tokens",
     "benchmark_overlap",
+    "span_dedup",
 ]
 
 
@@ -519,4 +520,73 @@ def pack_manifest(
         (sl_start - F.col("seq_id") * seq_len).cast("long").alias("offset_in_seq"),
         (sl_end - sl_start).cast("long").alias("slice_len"),
         (sl_start - F.col("tok_start")).cast("long").alias("doc_tok_start"),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 20,
+) -> DataFrame:
+    """ExactSubstr-style cross-document span dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    duplicated ``w``-token window keeps its first occurrence corpus-wide
+    (doc id, then position); tokens covered by any LOSING window are
+    removed and each document is reassembled from its surviving tokens.
+
+    Suffix-array ExactSubstr removes maximal duplicated substrings; the
+    fixed-window form is its shuffle-friendly approximation — a duplicated
+    span of length >= w is covered by its duplicated windows and removed,
+    modulo sub-w boundary effects at span edges.
+
+    Scale shape: one explode to (doc, start, h64(window)) rows — narrow,
+    hash-keyed; ONE shuffle for the keep-first window on the 60-bit hash
+    (the D1 pattern); one per-doc regroup of losing starts; the rebuild is
+    a per-row HOF filter, no further shuffle. Window identity travels as
+    ``h64``, never the window text.
+    """
+    if w < 2:
+        raise ValueError("w must be >= 2")
+    words = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    k = F.size(words) - F.lit(w - 1)
+    win_hashes = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: h64(F.array_join(F.slice(words, i, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    wins = df.select(
+        F.col(id_col), F.posexplode(win_hashes).alias("_p0", "_gh")
+    ).select(id_col, (F.col("_p0") + 1).alias("start"), "_gh")
+    keep_w = Window.partitionBy("_gh").orderBy(id_col, "start")
+    losers = (
+        wins.withColumn("_rn", F.row_number().over(keep_w))
+        .filter(F.col("_rn") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("start").alias("_dup_starts"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+    )
+
+    joined = df.join(losers, id_col, "left")
+    dup_starts = F.coalesce(
+        F.col("_dup_starts"), F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        F.transform(words, lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            dup_starts,
+            lambda st: (s.i + 1 >= st) & (s.i + 1 < st + F.lit(w)),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s.t), " ").alias("dedup_text"),
+        F.size(words).cast("long").alias("n_tok_orig"),
+        F.size(kept).cast("long").alias("n_tok_kept"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
     )

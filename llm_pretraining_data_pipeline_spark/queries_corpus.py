@@ -327,3 +327,46 @@ def corp_pack_manifest(spark, sf_dir):
     return corpus.pack_manifest(
         _pack_docs(spark, sf_dir), _SEQ_LEN, nshards=_PACK_SHARDS
     )
+
+
+# ============================================================= span dedup
+
+_SPAN_W = 12
+
+
+@register(
+    "corp_span_dedup",
+    f"""
+    WITH wd AS (SELECT doc_id, {O.toks('text')} AS w FROM documents),
+    g AS (SELECT doc_id, u.i AS start,
+                 {O.h64("array_to_string(list_slice(w, u.i, u.i + " + str(_SPAN_W - 1) + "), ' ')")} AS gh
+          FROM wd, unnest(range(1, len(w) - {_SPAN_W} + 2)) AS u(i)),
+    r AS (SELECT doc_id, start,
+                 row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn
+          FROM g),
+    l AS (SELECT doc_id, list(start) AS dup_starts,
+                 cast(count(*) as bigint) AS n_dup_windows
+          FROM r WHERE rn > 1 GROUP BY doc_id),
+    k AS (SELECT wd.doc_id, wd.w,
+                 coalesce(l.dup_starts, []) AS ds, l.n_dup_windows,
+                 list_filter(
+                   list_transform(range(1, len(wd.w) + 1),
+                     p -> CASE WHEN len(list_filter(coalesce(l.dup_starts, []),
+                                        s -> p >= s AND p < s + {_SPAN_W})) = 0
+                               THEN wd.w[p] END),
+                   t -> t IS NOT NULL) AS kept
+          FROM wd LEFT JOIN l USING (doc_id))
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS dedup_text,
+           cast(len(w) as bigint) AS n_tok_orig,
+           cast(len(kept) as bigint) AS n_tok_kept,
+           cast(coalesce(n_dup_windows, 0) as bigint) AS n_dup_windows
+    FROM k
+    """,
+    doc="ExactSubstr-style span dedup (Lee et al. 2022): duplicated "
+    f"{_SPAN_W}-token windows keep their first corpus-wide occurrence; "
+    "covered tokens are removed and docs reassembled. One hash-keyed "
+    "keep-first shuffle, HOF rebuild",
+)
+def corp_span_dedup(spark, sf_dir):
+    return corpus.span_dedup(_docs(spark, sf_dir), w=_SPAN_W)

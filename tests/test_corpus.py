@@ -284,3 +284,49 @@ def test_benchmark_overlap_broadcasts_eval_side(spark):
     assert all(
         "BroadcastHashJoin" in ln and "LeftSemi" in ln for ln in gram_join
     ), plan
+
+
+# --------------------------------------------------------------- span dedup
+
+
+def test_span_dedup_removes_later_copy(spark):
+    shared = "one two three four five"
+    rows = [
+        (1, f"{shared} tail1 a b"),
+        (2, f"head {shared} tail2"),        # contains the same 5-token window
+        (3, "entirely distinct words here live calmly"),
+    ]
+    out = {
+        r["doc_id"]: r for r in corpus.span_dedup(_df(spark, rows), w=5).collect()
+    }
+    r1 = out[1]
+    # doc 1 is the first occurrence — untouched
+    assert r1["n_dup_windows"] == 0 and r1["dedup_text"] == rows[0][1]
+    r2 = out[2]
+    # doc 2's window "one..five" (start 2) loses; its 5 tokens are removed
+    assert r2["n_dup_windows"] == 1
+    assert r2["dedup_text"] == "head tail2"
+    assert r2["n_tok_orig"] == 7 and r2["n_tok_kept"] == 2
+    assert out[3]["n_dup_windows"] == 0
+    assert out[3]["dedup_text"] == rows[2][1]
+
+
+def test_span_dedup_within_doc_repeat_and_short_docs(spark):
+    rows = [
+        (1, "x y z x y z"),    # windows of 3: "x y z"(1), "y z x"(2), "z x y"(3), "x y z"(4) — start 4 loses
+        (2, "too short"),      # < w tokens: no windows, passthrough
+        (3, None),
+    ]
+    out = {
+        r["doc_id"]: r for r in corpus.span_dedup(_df(spark, rows), w=3).collect()
+    }
+    r1 = out[1]
+    assert r1["n_dup_windows"] == 1
+    assert r1["dedup_text"] == "x y z"      # positions 4-6 removed
+    assert out[2]["dedup_text"] == "too short" and out[2]["n_dup_windows"] == 0
+    assert out[3]["n_tok_orig"] == 0 and out[3]["dedup_text"] == ""
+
+
+def test_span_dedup_rejects_bad_w(spark):
+    with pytest.raises(ValueError):
+        corpus.span_dedup(_df(spark, [(1, "a b")]), w=1)
