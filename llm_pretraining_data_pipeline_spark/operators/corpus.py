@@ -543,8 +543,11 @@ def span_dedup(
     Scale shape: one explode to (doc, start, h64(window)) rows — narrow,
     hash-keyed; ONE shuffle for the keep-first window on the 60-bit hash
     (the D1 pattern); one per-doc regroup of losing starts; the rebuild is
-    a per-row HOF filter, no further shuffle. Window identity travels as
-    ``h64``, never the window text.
+    a per-row HOF filter. Window identity travels as ``h64``, never the
+    window text. The join back to the corpus broadcasts the (tiny) losing
+    side on lightly-duplicated corpora; on heavily-duplicated ones it
+    falls back to an id-keyed shuffle — the unavoidable reassembly cost,
+    shared with ``paragraph_dedup``.
     """
     if w < 2:
         raise ValueError("w must be >= 2")

@@ -235,6 +235,15 @@ class TestCorpusPlanQuality:
             if "windowspecdefinition" in head:
                 assert "shard" in head
 
+    def test_span_dedup_shuffles_hashes_not_text(self, spark, sf_dir):
+        """The keep-first shuffle keys on the 60-bit window hash exactly
+        once; window text never appears in an exchange."""
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = corpus.span_dedup(docs, w=12)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("hashpartitioning(_gh") == 1, plan
+
     def test_cross_doc_dup_ngrams_groups_on_hash(self, spark, sf_dir):
         """Shuffle keys are the 60-bit gram hashes, not raw gram strings —
         the exchanged rows stay narrow at web scale."""
