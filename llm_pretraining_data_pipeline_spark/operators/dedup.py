@@ -577,9 +577,13 @@ def minhash_dedup(
         comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
     )
     is_dup = F.col("component").isNotNull() & (F.col("component") != F.col(id_col))
+    # dup_of_minhash keeps the id column's own type (a string doc_id yields a
+    # string lineage column, a bigint id a bigint one) — casting to string here
+    # silently changed the column type vs the oracle referee and was the one
+    # standing hash mismatch across rounds 1-3.
     out = joined.withColumn("is_dup_minhash", is_dup).withColumn(
         "dup_of_minhash",
-        F.when(is_dup, F.col("component").cast("string")),
+        F.when(is_dup, F.col("component")),
     ).drop("component")
     reason = F.when(F.col("is_dup_minhash"), F.lit("minhash_duplicate"))
     if "drop_reason" in df.columns:

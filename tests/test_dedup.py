@@ -190,8 +190,8 @@ class TestConnectedComponents:
         out = {r.doc_id: r for r in
                dedup.minhash_dedup(df, "text", jaccard_threshold=0.5).collect()}
         assert not out[1].is_dup_minhash          # smallest id is canonical
-        assert out[2].is_dup_minhash and out[2].dup_of_minhash == "1"
-        assert out[3].is_dup_minhash and out[3].dup_of_minhash == "1"
+        assert out[2].is_dup_minhash and out[2].dup_of_minhash == 1
+        assert out[3].is_dup_minhash and out[3].dup_of_minhash == 1
         assert out[2].drop_reason == "minhash_duplicate"
         assert not out[4].is_dup_minhash and out[4].drop_reason is None
 
