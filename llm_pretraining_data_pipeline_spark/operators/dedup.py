@@ -193,6 +193,8 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int = 1024,
+    bucket_observation=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -219,9 +221,21 @@ def minhash_lsh_candidates(
     Returns columns: id_a, id_b (candidates only — verify with
     ``ngram_jaccard_pairs`` or exact comparison downstream).
 
-    Skew note: a bucket of k ids emits k·(k-1)/2 pairs in one task — at scale,
-    run exact dedup first (identical docs are the only way buckets explode) or
-    cap bucket size; AQE cannot split a single collect_list group.
+    Skew guard (``max_bucket_size``): a bucket of k ids would emit k·(k-1)/2
+    pairs in one task, and AQE cannot split a single collect_list group — the
+    one way this plan could die at 100 TB (e.g. boilerplate-identical docs
+    when exact dedup was skipped). Buckets larger than ``max_bucket_size``
+    therefore emit a linear STAR instead: every id pairs with the bucket's
+    minimum id only (k-1 candidates). For the blown-bucket case the star is
+    lossless for dedup — near-identical docs all verify against the canonical
+    min-id doc and land in one connected component — while per-task output
+    drops from O(k²) to O(k). Pass ``max_bucket_size=None`` to disable (the
+    exact-pairs mode the DuckDB referee mirrors; fixture buckets are far
+    below the default cap so oracle parity is unaffected). Pass a
+    ``pyspark.sql.Observation`` as ``bucket_observation`` to get
+    ``lsh_oversized_buckets`` / ``lsh_pairs_pruned`` metrics piggybacked on
+    the caller's first action — the "log dropped candidates" channel that
+    needs no extra job.
     """
     rows_per_band = num_hashes // bands
     df = _spread_small_input(df)
@@ -274,6 +288,28 @@ def minhash_lsh_candidates(
             ),
         )
     )
+    if max_bucket_size is not None:
+        oversized = F.size("ids") > F.lit(max_bucket_size)
+        if bucket_observation is not None:
+            k = F.size("ids").cast("long")
+            grouped = grouped.observe(
+                bucket_observation,
+                F.sum(oversized.cast("long")).alias("lsh_oversized_buckets"),
+                F.sum(
+                    F.when(oversized, k * (k - 1) / 2 - (k - 1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                ).alias("lsh_pairs_pruned"),
+            )
+        # CaseWhen evaluates one branch per row, so the k² combos array is
+        # never materialised for an oversized bucket.
+        star = F.transform(
+            F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+            lambda y: F.struct(
+                F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")
+            ),
+        )
+        combos = F.when(oversized, star).otherwise(combos)
     return (
         grouped.select(F.explode(combos).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -560,6 +596,8 @@ def minhash_dedup(
     bands: int = 8,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int = 1024,
+    bucket_observation=None,
 ) -> DataFrame:
     """End-to-end MinHash near-dedup: LSH candidates → exact-Jaccard verify →
     connected components → keep the smallest id per cluster.
@@ -569,7 +607,9 @@ def minhash_dedup(
     the standard web-scale dedup recipe (the reference's own scale-up plan,
     README.md:136)."""
     cand = minhash_lsh_candidates(df, text_col, id_col, shingle_size,
-                                  num_hashes, bands, seed)
+                                  num_hashes, bands, seed,
+                                  max_bucket_size=max_bucket_size,
+                                  bucket_observation=bucket_observation)
     verified = ngram_jaccard_pairs(df, text_col, id_col, shingle_size,
                                    jaccard_threshold, candidates=cand)
     comp = connected_components(verified)

@@ -107,6 +107,64 @@ class TestMinHashLSH:
         assert {(r.id_a, r.id_b) for r in verified.collect()} == {(1, 2)}
 
 
+class TestLshBucketCap:
+    """The 100 TB skew guard: oversized LSH buckets degrade to a linear star
+    instead of a k²/2 pairwise blow-up inside one task."""
+
+    def _identical_corpus(self, spark, n):
+        doc = ("repeated boilerplate footer text about cookies privacy "
+               "newsletter subscribe terms conditions contact us sitemap")
+        return spark.createDataFrame(
+            [(i, doc) for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_oversized_bucket_emits_star_not_quadratic(self, spark):
+        df = self._identical_corpus(spark, 1000)
+        cand = dedup.minhash_lsh_candidates(df, "text", max_bucket_size=100)
+        rows = cand.collect()
+        # star over every (band_id, band_sig) bucket of the 1000 identical
+        # docs: each band yields the same 999 (0, j) edges -> distinct = 999,
+        # not 1000*999/2 = 499500.
+        assert len(rows) == 999
+        assert {r.id_a for r in rows} == {0}
+        assert {r.id_b for r in rows} == set(range(1, 1000))
+
+    def test_capped_dedup_still_collapses_cluster(self, spark):
+        df = self._identical_corpus(spark, 300)
+        out = dedup.minhash_dedup(df, "text", max_bucket_size=50,
+                                  jaccard_threshold=0.8)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert not rows[0].is_dup_minhash        # min id is canonical
+        for i in range(1, 300):
+            assert rows[i].is_dup_minhash and rows[i].dup_of_minhash == 0
+
+    def test_observation_reports_pruned_candidates(self, spark):
+        from pyspark.sql import Observation
+
+        obs = Observation("lsh_cap")
+        df = self._identical_corpus(spark, 200)
+        cand = dedup.minhash_lsh_candidates(
+            df, "text", max_bucket_size=100, bucket_observation=obs
+        )
+        n = cand.count()
+        assert n == 199
+        got = obs.get
+        # 8 bands x 1 oversized bucket each; each pruned 200*199/2 - 199 pairs
+        assert got["lsh_oversized_buckets"] == 8
+        assert got["lsh_pairs_pruned"] == 8 * (200 * 199 // 2 - 199)
+
+    def test_under_cap_identical_to_uncapped(self, spark):
+        docs = [(i, f"some normal document number {i} with shared phrasing "
+                    "about spark catalyst optimizer plans") for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        capped = {(r.id_a, r.id_b)
+                  for r in dedup.minhash_lsh_candidates(df, "text").collect()}
+        uncapped = {(r.id_a, r.id_b)
+                    for r in dedup.minhash_lsh_candidates(
+                        df, "text", max_bucket_size=None).collect()}
+        assert capped == uncapped
+
+
 class TestSimHash:
     def test_identical_and_different(self, spark):
         df = spark.createDataFrame(

@@ -174,3 +174,73 @@ class TestLazyLshPlans:
         out = dedup.embedding_near_dup_pairs(emb, threshold=0.99, lsh_planes=4)
         out.count()
         assert len(spark.sparkContext._jsc.getPersistentRDDs()) == persisted_before
+
+
+class TestDedupResilienceAtScale:
+    """Regression guard for the LSH bucket cap: a worst-case corpus (every doc
+    replicated 100x, exact dedup deliberately skipped) must go through the
+    whole minhash pipeline with LINEAR candidate volume.
+
+    Candidate budget: with the star fallback, a duplicate cluster of k docs
+    contributes exactly k-1 candidate pairs (per band, identical across
+    bands, deduped by the trailing distinct) — so total candidates must stay
+    O(n_docs), never the k²/2-per-bucket blow-up that a 100 TB boilerplate
+    bucket would otherwise hit inside one un-splittable collect_list task.
+    Budget asserted: <= 4 * n_docs candidate pairs (4x slack for cross-doc
+    near-dup clusters already present in the fixture corpus).
+    """
+
+    REPLICAS = 100
+
+    def test_replicated_corpus_candidates_linear(self, spark, sf_dir):
+        from pyspark.sql import Observation
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_base = docs.count()
+        replicated = docs.crossJoin(
+            spark.range(self.REPLICAS).select(F.col("id").alias("_rep"))
+        ).select(
+            (F.col("doc_id") * self.REPLICAS + F.col("_rep")).alias("doc_id"),
+            "text",
+        )
+        n_docs = n_base * self.REPLICAS
+
+        obs = Observation("resilience")
+        cand = dedup.minhash_lsh_candidates(
+            replicated, "text", max_bucket_size=64, bucket_observation=obs
+        )
+        n_cand = cand.count()
+        assert n_cand <= 4 * n_docs, (
+            f"{n_cand} candidates for {n_docs} docs — quadratic blow-up"
+        )
+        got = obs.get
+        # every replicated cluster (>= 100 ids) exceeds the cap in each band
+        assert got["lsh_oversized_buckets"] > 0
+        assert got["lsh_pairs_pruned"] > 0
+
+    def test_replicated_corpus_dedup_end_to_end(self, spark, sf_dir):
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(50)
+        )
+        replicated = docs.crossJoin(
+            spark.range(self.REPLICAS).select(F.col("id").alias("_rep"))
+        ).select(
+            (F.col("doc_id") * self.REPLICAS + F.col("_rep")).alias("doc_id"),
+            "text",
+        )
+        out = dedup.minhash_dedup(
+            replicated, "text", max_bucket_size=64, jaccard_threshold=0.8
+        )
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_dup_minhash").cast("long")).alias("dups"),
+        ).collect()[0]
+        assert agg.n == 50 * self.REPLICAS
+        # each 100-replica cluster keeps exactly one canonical doc; clusters
+        # can merge further via genuine near-dups, so kept <= 50
+        kept = agg.n - agg.dups
+        assert kept <= 50
