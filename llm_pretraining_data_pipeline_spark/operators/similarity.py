@@ -157,6 +157,16 @@ def ivf_topk(
     probe_cells = probe_cells_for(centroids, q, n_probe, centroid_id, centroid_vec)
 
     if assigned is None:
+        import warnings
+
+        warnings.warn(
+            "ivf_topk called without a precomputed `assigned` frame: "
+            "recomputing the FULL corpus-to-centroid assignment for this one "
+            "query. This is a demo-only path — at scale pass ivf_assign() "
+            "output, or write the corpus with write_ivf_index and probe via "
+            "ivf_topk_indexed (partition-pruned scan).",
+            stacklevel=2,
+        )
         assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id, centroid_vec)
     qcol = F.array(*[F.lit(x) for x in q])
     candidates = df.join(

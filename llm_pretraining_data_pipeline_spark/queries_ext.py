@@ -516,16 +516,28 @@ def d07_simhash_pairs(spark, sf_dir):
     LIMIT 5
     """,
     doc="IVF-style ANN: 8 coarse centroids (first 8 vectors), probe the "
-        "query's cell only — the partition-pruned scale path vs brute force",
+        "query's cell only. Exercises the INDEXED path — write_ivf_index "
+        "partitionBy(cell) then ivf_topk_indexed, whose isin(cell) filter "
+        "prunes at the file listing (PartitionFilters; plan-tested at "
+        "tests/test_plan_quality.py) — so the oracle referees the plan a "
+        "100 TB deployment would actually run, not the per-query demo path",
 )
 def emb_ivf_topk(spark, sf_dir):
+    import os
+    import tempfile
+
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     query_vec = emb.filter(F.col("vec_id") == 1).first().embedding
-    out = similarity.ivf_topk(
-        emb, centroids, [float(x) for x in query_vec], k=5, n_probe=1
+    index_path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    similarity.write_ivf_index(emb, centroids, index_path)
+    out = similarity.ivf_topk_indexed(
+        spark, index_path, centroids, [float(x) for x in query_vec], k=5, n_probe=1
     )
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
