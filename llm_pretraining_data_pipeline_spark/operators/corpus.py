@@ -565,25 +565,62 @@ def span_dedup(
         F.col(id_col), F.posexplode(win_hashes).alias("_p0", "_gh")
     ).select(id_col, (F.col("_p0") + 1).alias("start"), "_gh")
     keep_w = Window.partitionBy("_gh").orderBy(id_col, "start")
+
+    # Merge the losing starts into disjoint [lo, hi) token intervals BEFORE
+    # the per-token coverage test: a heavily self-duplicated doc has
+    # O(n_tokens) losing windows, and scanning them per token made the
+    # rebuild quadratic in doc length. Overlapping windows collapse (sorted
+    # starts, single fold), so the filter scans a small merged list. Computed
+    # below the join (on the aggregated losers side) so the fold runs once
+    # per doc, not once per token.
+    def _merge_intervals(starts: Column) -> Column:
+        last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+        return F.aggregate(
+            starts,
+            F.array().cast("array<struct<lo:int,hi:int>>"),
+            lambda acc, st: F.when(
+                (F.size(acc) > 0) & (st <= last(acc)["hi"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            last(acc)["lo"].alias("lo"),
+                            F.greatest(last(acc)["hi"], st + F.lit(w)).alias("hi"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(F.struct(st.alias("lo"), (st + F.lit(w)).alias("hi"))),
+                )
+            ),
+        )
+
     losers = (
         wins.withColumn("_rn", F.row_number().over(keep_w))
         .filter(F.col("_rn") > 1)
         .groupBy(id_col)
         .agg(
-            F.collect_list("start").alias("_dup_starts"),
+            F.array_sort(F.collect_list("start")).alias("_dup_starts"),
             F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            _merge_intervals(F.col("_dup_starts")).alias("_dup_ivs"),
+            "n_dup_windows",
         )
     )
 
     joined = df.join(losers, id_col, "left")
-    dup_starts = F.coalesce(
-        F.col("_dup_starts"), F.array().cast("array<int>")
+    dup_ivs = F.coalesce(
+        F.col("_dup_ivs"), F.array().cast("array<struct<lo:int,hi:int>>")
     )
     kept = F.filter(
         F.transform(words, lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))),
         lambda s: ~F.exists(
-            dup_starts,
-            lambda st: (s.i + 1 >= st) & (s.i + 1 < st + F.lit(w)),
+            dup_ivs,
+            lambda iv: (s.i + 1 >= iv["lo"]) & (s.i + 1 < iv["hi"]),
         ),
     )
     return joined.select(

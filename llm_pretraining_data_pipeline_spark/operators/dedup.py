@@ -647,16 +647,26 @@ def dedup_against_snapshot(
 
     ``snapshot`` carries one hash per previously-kept doc in
     ``snapshot_hash_col`` (write it from ``exact_dedup``'s output; text is
-    never needed). Adds ``exact_hash`` and ``is_known`` to ``df``.
+    never needed). Adds ``exact_hash`` and ``is_known`` to ``df``; raises if
+    ``df`` already carries either column (or the internal ``_snap_hash``),
+    since silently overwriting a caller's hash column corrupts the flag.
 
     100 TB shape: the snapshot is as large as the historical corpus, so it is
-    NOT broadcast — this is a hash-equi LEFT SEMI against a narrow
-    (hash-only) build side, co-partitionable when both sides are bucketed by
-    hash at write time, and eligible for Spark's runtime bloom-filter
-    injection (spark.sql.optimizer.runtime.bloomFilter.enabled) which
-    prefilters the probe side before the shuffle. Only the manifest column is
-    ever shuffled, never document text.
+    NOT broadcast — this is a hash-equi left join used as a semi probe with a
+    kept flag (a true LEFT SEMI would drop the non-matching rows; we keep
+    every row and mark the known ones) against a narrow (hash-only) build
+    side, co-partitionable when both sides are bucketed by hash at write
+    time, and eligible for Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) which prefilters the
+    probe side before the shuffle. Only the manifest column is ever shuffled,
+    never document text.
     """
+    clashes = {"exact_hash", "is_known", "_snap_hash"} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"dedup_against_snapshot would overwrite existing column(s) "
+            f"{sorted(clashes)} on df — rename or drop them first"
+        )
     hashed = df.withColumn(
         "exact_hash", hashing.sha256_hex(canonicalize_for_exact(text_col))
     )

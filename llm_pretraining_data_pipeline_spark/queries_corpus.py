@@ -236,10 +236,12 @@ _DECON_MOD = 20  # h64(doc_id) % 20 == 0 → ~5% of docs act as the eval set
                       list_distinct({O.word_ngrams(O.toks('text'), _DECON_N)}) AS grams,
                       ({O.h64('cast(doc_id as varchar)')} % {_DECON_MOD} = 0) AS is_eval
                FROM documents),
-    e AS (SELECT DISTINCT unnest(grams) AS gram FROM w WHERE is_eval),
-    g AS (SELECT doc_id, unnest(grams) AS gram FROM w WHERE NOT is_eval),
+    e AS (SELECT DISTINCT {O.h64('gram')} AS gh
+          FROM (SELECT unnest(grams) AS gram FROM w WHERE is_eval)),
+    g AS (SELECT doc_id, {O.h64('gram')} AS gh
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM w WHERE NOT is_eval)),
     h AS (SELECT doc_id, cast(count(*) as bigint) AS n_hit
-          FROM g WHERE gram IN (SELECT gram FROM e) GROUP BY doc_id)
+          FROM g WHERE gh IN (SELECT gh FROM e) GROUP BY doc_id)
     SELECT w.doc_id,
            cast(len(grams) as bigint) AS n_grams,
            cast(coalesce(n_hit, 0) as bigint) AS n_hit,
@@ -250,7 +252,11 @@ _DECON_MOD = 20  # h64(doc_id) % 20 == 0 → ~5% of docs act as the eval set
     FROM w LEFT JOIN h USING (doc_id) WHERE NOT is_eval
     """,
     doc="test-set decontamination (GPT-3 appendix C shape): per-doc 5-gram "
-    "overlap with a held-out eval subset; broadcast eval-gram semi-join",
+    "overlap with a held-out eval subset; broadcast eval-gram semi-join. "
+    "Both sides probe on the same 60-bit h64 gram hash (as the engine does "
+    "at scale to keep the broadcast narrow), so the referee is symmetric — "
+    "a raw-string oracle join would flip `contaminated` on an h64 collision "
+    "(~2^-60 per gram pair) with no tolerance in the hash compare",
 )
 def corp_decontaminate(spark, sf_dir):
     from pyspark.sql import functions as F

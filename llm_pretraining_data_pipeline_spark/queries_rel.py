@@ -1066,35 +1066,43 @@ def rel_q13_count_distribution(spark, sf_dir):
     "rel_q15_top_supplier",
     """
     WITH rev AS (SELECT l_suppkey,
-                        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                        sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                                 as bigint)) AS rev_e4
                  FROM lineitem
                  WHERE l_shipdate >= timestamp '1999-01-01 00:00:00'
                    AND l_shipdate <  timestamp '1999-04-01 00:00:00'
                  GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           round(cast(r.rev_e4 as bigint) / 10000.0, 2) AS total_revenue
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
     ORDER BY s.s_suppkey
     """,
     doc="TPC-H Q15 shape: supplier revenue view + scalar max-over-aggregate "
-        "subquery (the agg result is tiny, so the max is a broadcast)",
+        "subquery (the agg result is tiny, so the max is a broadcast). The "
+        "view and its max compare EXACT e-4 integer-unit sums (the q7-q10 "
+        "idiom): equality on round(sum(double)) is shuffle-order-dependent "
+        "near a half-cent boundary and can silently drop the top supplier",
 )
 def rel_q15_top_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
-    )
-    best = rev.agg(F.max("total_revenue").alias("m"))
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_e4).alias("rev_e4"))
+    best = rev.agg(F.max("rev_e4").alias("m"))
     s = _t(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(best), rev.total_revenue == F.col("m"))
+        rev.join(F.broadcast(best), rev.rev_e4 == F.col("m"))
         .join(src.maybe_broadcast(s, sf_dir, "supplier"), rev.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_e4") / 10000.0, 2).alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 

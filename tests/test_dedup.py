@@ -255,6 +255,14 @@ class TestConnectedComponents:
 
 
 class TestSnapshotDedup:
+    def test_raises_on_column_collision(self, spark):
+        df = spark.createDataFrame(
+            [("a", "text", "deadbeef")], "doc_id string, text string, exact_hash string"
+        )
+        manifest = spark.createDataFrame([("deadbeef",)], "exact_hash string")
+        with pytest.raises(ValueError, match="exact_hash"):
+            dedup.dedup_against_snapshot(df, manifest)
+
     def test_flags_known_canonical_hashes(self, spark):
         snapshot_docs = spark.createDataFrame(
             [(1, "Hello   World"), (2, "prior doc")], "doc_id long, text string"
