@@ -52,41 +52,39 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-3 priority: every query whose implementation or oracle CHANGED this
+# Round-4 priority: every query whose implementation or oracle CHANGED this
 # round ships with a same-round correctness row (the driver caps each round
 # at 50 rows — edits must never ride on a stale green). Then the queries the
-# r1∪r2 union left thinnest, then the rest of the registry.
-_PRIORITY_R3 = [
-    # new this round (latest additions first: decontamination, incremental
-    # dedup, stream enrichment, TPC-H batch)
-    "corp_decontaminate", "corp_span_dedup", "d09_incremental_dedup",
-    "ev_stream_enrich", "emb_ivf_recall",
+# r1∪r2∪r3 union left thinnest, then the rest of the registry.
+_PRIORITY_R4 = [
+    # changed this round: d08 lineage type fix (the r1-r3 red row), IVF query
+    # flipped to the indexed probe, LSH bucket cap default in the minhash
+    # path, rel_q15 integer-unit sums, decontaminate oracle symmetry,
+    # span-dedup interval-merge rebuild
+    "d08_minhash_dedup", "emb_ivf_topk", "rel_q15_top_supplier",
+    "corp_decontaminate", "corp_span_dedup",
+    "d03_minhash_lsh_pairs", "d04_ngram_jaccard_pairs", "d09_incremental_dedup",
+    # new this round: OR-amplified embedding LSH + its recall audit
+    "emb_near_dup_lsh_or", "emb_lsh_or_recall",
+    # neighbors of changed code
+    "emb_near_dup_pairs", "emb_near_dup_lsh", "emb_ivf_recall",
+    "emb_lsh_bucket_sizes", "d05_simhash", "d07_simhash_pairs",
+    # r2-green queries whose freshest row is oldest
+    "p01_doc_identity", "p04_char_word_counts", "p05_quality_metrics",
+    "p06_pii_hits", "p07_toxicity", "p09_langid", "p09b_langid_trigram",
+    "p11_strip_html", "p12_boilerplate_lines", "p15_token_stats",
+    "p16_pii_mask", "p17_canonicalize",
+    "p20_quality_score", "u01_union_by_name", "o02_shard_assign",
+    "o02b_shard_manifest", "o03_toy_sample", "a11_quantiles",
+    # r3 greens to keep warm
+    "ev_stream_enrich", "ev_stream_dedup", "ev_stream_tumbling",
     "rel_q7_volume_shipping", "rel_q8_market_share", "rel_q9_product_profit",
-    "rel_q4_order_priority", "rel_q10_returned_items",
-    "rel_q13_count_distribution", "rel_q15_top_supplier",
-    "rel_q17_small_quantity", "rel_q18_large_orders", "rel_q22_idle_customers",
     "corp_rep_signals", "corp_cross_dup_ngrams", "corp_para_dedup",
-    "corp_stratified_sample", "corp_mixture_weights", "corp_vocab_top50",
     "corp_pack_spans", "corp_pack_manifest",
-    "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip", "ev_stream_dedup",
-    # rows-only → real oracle this round
-    "d08_minhash_dedup", "a12_approx_sketches", "emb_lsh_bucket_sizes",
-    # minhash/embedding dedup rewrite (lazy single-pass plan, input spread)
-    "d03_minhash_lsh_pairs", "d04_ngram_jaccard_pairs", "d05_simhash",
-    "d07_simhash_pairs", "emb_near_dup_pairs", "emb_near_dup_lsh",
-    # IVF precomputed-assignment refactor
-    "emb_ivf_topk",
-    # still rows-only by declared design (mini-vocab id dump)
-    "p22b_tokenize_bpe",
-    # r1-green queries not re-checked since the r2 rotation — refresh oldest
-    "d01_exact_dedup", "d02_near_dedup", "d06_fingerprint",
+    "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip", "a12_approx_sketches",
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
-    "a01_source_counts", "a02_boolean_mask_sums", "a05_numeric_summary",
-    "a07_histogram", "a08_top_sources", "a09_lang_breakdown",
-    "a10_cleanup_stats", "a11_quantiles",
-    "o02_shard_assign", "o02b_shard_manifest", "o03_toy_sample",
-    "s04_jsonl_projection", "u01_union_by_name", "u02_intersect_except",
-    "p09_langid", "p10_non_latin_ratio", "p22_tokenize", "p23_pick_text",
+    "d01_exact_dedup", "d02_near_dedup", "d06_fingerprint",
+    "a01_source_counts", "a05_numeric_summary", "a07_histogram",
 ]
 
 
@@ -96,7 +94,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R3 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R4 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

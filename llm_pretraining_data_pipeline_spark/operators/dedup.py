@@ -462,6 +462,7 @@ def embedding_near_dup_pairs(
     lsh_planes: int = 0,
     lsh_seed: int = 7,
     dim: int | None = None,
+    lsh_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -471,6 +472,16 @@ def embedding_near_dup_pairs(
     probability (1 - θ/π)^k, so small k keeps recall high at threshold≈1
     while cutting candidates by ~2^k. The bucket join is a hash-partitioned
     equi-join on the bucket id, never a cartesian pair join.
+
+    ``lsh_bands=B`` (with ``lsh_planes=k``): OR-amplification — B independent
+    k-plane bucketings; a pair is a candidate if it collides in ANY band.
+    Single-band AND-bucket recall falls off below cosine≈0.95; with B bands
+    the miss probability drops to (1 - (1-θ/π)^k)^B, so moderate-similarity
+    pairs survive. Plan shape: the per-band fan-out carries only the narrow
+    (id, band, bucket) rows — vectors are joined back exactly once per side
+    AFTER the distinct candidate set, so the B× row multiplication never
+    touches the embedding payload. This is the same bands-of-rows recipe as
+    the MinHash LSH text path (``minhash_lsh_candidates``).
 
     ``dim`` (LSH only): vector dimensionality. Pass it to skip the one-row
     probe scan; when omitted it is read from the first row (empty input →
@@ -495,6 +506,44 @@ def embedding_near_dup_pairs(
                 b = vecs.select(F.col("_id").alias("id_b")).limit(0)
                 return a.crossJoin(b).withColumn("cosine", F.lit(0.0))
             dim = len(head[0])
+        if lsh_bands > 1:
+            all_planes = random_hyperplanes(dim, lsh_planes * lsh_bands, lsh_seed)
+            band_planes = [
+                all_planes[b * lsh_planes:(b + 1) * lsh_planes]
+                for b in range(lsh_bands)
+            ]
+            banded = vecs.select(
+                "_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("_band"),
+                                hyperplane_bucket(F.col("_v"), bp).alias("_bucket"),
+                            )
+                            for b, bp in enumerate(band_planes)
+                        ]
+                    )
+                ).alias("_bb"),
+            ).select("_id", "_bb._band", "_bb._bucket")
+            ca = banded.select(F.col("_id").alias("id_a"), "_band", "_bucket")
+            cb = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+            cand = (
+                ca.join(cb, ["_band", "_bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            va = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+            vb = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+            return (
+                cand.join(va, "id_a")
+                .join(vb, "id_b")
+                .select(
+                    "id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine")
+                )
+                .filter(F.col("cosine") >= threshold)
+            )
         planes = random_hyperplanes(dim, lsh_planes, lsh_seed)
         # Generate-node barrier (explode of a 1-element struct array): the
         # bucket HOF is evaluated once per row per side; downstream references

@@ -700,6 +700,87 @@ def emb_near_dup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+# OR-amplified variant: 8 independent 2-plane bucketings (seed 7, the first
+# 16 planes of the same stream). A pair is a candidate if it collides in ANY
+# band — miss probability (1 - (1-θ/π)^2)^8, ≈0.01 at cosine 0.45 where the
+# single 4-plane AND bucket misses ~82% of true pairs.
+_ORB_PLANES = similarity.random_hyperplanes(64, n_planes=16, seed=7)
+_ORB_BANDS = [
+    " + ".join(
+        f"(CASE WHEN {_duck_plane_dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_ORB_PLANES[b * 2:(b + 1) * 2])
+    )
+    for b in range(8)
+]
+_ORB_V = "SELECT vec_id, embedding, " + ", ".join(
+    f"{expr} AS bb{b}" for b, expr in enumerate(_ORB_BANDS)
+) + " FROM embeddings"
+_ORB_ANY = " OR ".join(f"a.bb{b} = b.bb{b}" for b in range(8))
+
+
+@register(
+    "emb_near_dup_lsh_or",
+    f"""
+    WITH v AS ({_ORB_V})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({O.cosine_double('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({_ORB_ANY})
+    WHERE {O.cosine_double('a.embedding', 'b.embedding')} >= 0.45
+    """,
+    doc="OR-amplified hyperplane LSH near-dup pairs: 8 bands x 2 planes, "
+        "candidate = same bucket in ANY band. The engine fans out only the "
+        "narrow (id, band, bucket) rows and joins vectors back once per side "
+        "after the distinct candidate set; the referee receives the 16 plane "
+        "vectors as SQL literals (the emb_lsh_bucket_sizes trick)",
+)
+def emb_near_dup_lsh_or(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup_ops.embedding_near_dup_pairs(
+        emb, threshold=0.45, lsh_planes=2, lsh_seed=7, dim=64, lsh_bands=8
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "emb_lsh_or_recall",
+    f"""
+    WITH v AS ({_ORB_V}),
+    brute AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {O.cosine_double('a.embedding', 'b.embedding')} >= 0.45
+    ),
+    lsh AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({_ORB_ANY})
+      WHERE {O.cosine_double('a.embedding', 'b.embedding')} >= 0.45
+    )
+    SELECT cast((SELECT count(*) FROM brute) as bigint) AS n_true,
+           cast((SELECT count(*) FROM lsh) as bigint) AS n_found,
+           round(cast((SELECT count(*) FROM lsh) as double)
+                 / cast((SELECT count(*) FROM brute) as double), 6) AS recall
+    """,
+    doc="recall audit for the OR-amplified LSH near-dup path vs the exact "
+        "brute-force pair set (every LSH pair is verified by exact cosine, "
+        "so lsh ⊆ brute and the count ratio IS recall@threshold)",
+)
+def emb_lsh_or_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = dedup_ops.embedding_near_dup_pairs(emb, threshold=0.45)
+    lsh = dedup_ops.embedding_near_dup_pairs(
+        emb, threshold=0.45, lsh_planes=2, lsh_seed=7, dim=64, lsh_bands=8
+    )
+    return (
+        brute.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).cast("long").alias("n_found")))
+        .select(
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
 @register(
     "emb_label_stats",
     """

@@ -218,6 +218,21 @@ class TestEmbeddingSimilarity:
         for i in [r.vec_id for r in emb.collect()]:
             assert (i, i + 10000) in pairs
 
+    def test_or_amplified_lsh_recall(self, spark, sf_dir):
+        """8 bands x 2 planes must recover >= 90% of the exact pair set at
+        the fixture threshold — the recall the single AND bucket loses below
+        cosine ~0.95 (it finds ~30% here)."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        brute = {(r.id_a, r.id_b) for r in
+                 dedup.embedding_near_dup_pairs(emb, threshold=0.45).collect()}
+        assert brute, "fixture must contain near-dup pairs"
+        ampl = {(r.id_a, r.id_b) for r in
+                dedup.embedding_near_dup_pairs(
+                    emb, threshold=0.45, lsh_planes=2, lsh_seed=7,
+                    dim=64, lsh_bands=8).collect()}
+        assert ampl <= brute          # exact verify inside: no false positives
+        assert len(ampl) / len(brute) >= 0.9
+
     def test_lsh_topk_contains_self(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         query = emb.filter(F.col("vec_id") == 7).collect()[0].embedding
