@@ -84,6 +84,19 @@ def main() -> int:
         ).collect()[0]
         return int(row["n"])
 
+    # ---- untimed JVM warm-up. The first job in a fresh JVM pays whole-stage
+    # codegen compilation, shuffle-infrastructure init, and the parquet reader
+    # path: rel_q1 measured 4.5 s cold vs 0.58-0.67 s warm with an identical
+    # plan (round-4 adjudication of the r3 "regression" — the r3 reorder made
+    # rel_q1 the first query, so it absorbed startup cost that r2 charged to
+    # the pipeline). Warm up on a synthetic aggregate + the two sub-100-row
+    # dim tables only: the benchmarked fact tables are NOT touched, so page
+    # cache for the timed scans stays cold.
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().count()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").crossJoin(
+        spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    ).count()
+
     # ---- relational / window surface from the registry FIRST (round-2/3
     # lesson: the heavy pipeline jobs leave the JVM cache/GC-pressured, so
     # anything timed after them reads 2-4x its fresh-session value; light
