@@ -164,6 +164,66 @@ def load_gpt2_codec(encoder_json: str, vocab_bpe: str) -> BpeCodec:
     return BpeCodec(vocab, merges)
 
 
+# Where the engine looks for the PUBLISHED full GPT-2 assets (the ~1 MB
+# encoder.json + ~0.5 MB vocab.bpe from the public openai/gpt-2 release, or
+# byte-identical copies shipped with HF `gpt2`). This container has neither
+# the files nor network access, and a learned vocabulary cannot be
+# reconstructed programmatically — so full-vocab parity is an *asset drop-in*
+# away, not a code change: place the two files at the paths below (or point
+# SPARK_GRAFT_GPT2_ASSETS at a directory holding them) and every default
+# tokenisation path upgrades to exact reference ids automatically.
+FULL_ASSET_ENV = "SPARK_GRAFT_GPT2_ASSETS"
+FULL_ENCODER_NAMES = ("encoder.json", "gpt2_encoder.json")
+FULL_VOCAB_NAMES = ("vocab.bpe", "gpt2_vocab.bpe", "merges.txt")
+
+
+def find_gpt2_assets() -> tuple[str, str] | None:
+    """(encoder_json, vocab_bpe) paths for the full published GPT-2 vocab,
+    or None. Search order: $SPARK_GRAFT_GPT2_ASSETS, then ``bpe_assets/``.
+    A directory qualifies only when BOTH files are present and the encoder
+    holds the real 50,257-entry vocabulary (so the committed subset fixture
+    can never masquerade as the full assets)."""
+    dirs = []
+    env = os.environ.get(FULL_ASSET_ENV)
+    if env:
+        dirs.append(env)
+    dirs.append(ASSET_DIR)
+    for d in dirs:
+        enc = next(
+            (os.path.join(d, n) for n in FULL_ENCODER_NAMES
+             if os.path.isfile(os.path.join(d, n))),
+            None,
+        )
+        voc = next(
+            (os.path.join(d, n) for n in FULL_VOCAB_NAMES
+             if os.path.isfile(os.path.join(d, n))),
+            None,
+        )
+        if enc and voc:
+            try:
+                with open(enc, encoding="utf-8") as f:
+                    vocab = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if len(vocab) >= 50000:
+                return enc, voc
+    return None
+
+
+def full_gpt2_codec() -> BpeCodec:
+    """Codec over the full published vocabulary; raises with drop-in
+    instructions when the assets are absent."""
+    found = find_gpt2_assets()
+    if found is None:
+        raise FileNotFoundError(
+            "Full GPT-2 assets not found. Place the published encoder.json "
+            f"and vocab.bpe under {ASSET_DIR} or a directory named by "
+            f"${FULL_ASSET_ENV}. (This container has no network; the "
+            "vocabulary is learned data and cannot be regenerated.)"
+        )
+    return load_gpt2_codec(*found)
+
+
 # ------------------------------------------------------------------ training
 
 

@@ -76,20 +76,49 @@ def attention_mask(ids: Column | str) -> Column:
 
 
 def with_tokenisation(
-    df: DataFrame, text_col: str, prefer_hf: bool = True, backend: str = "regex"
+    df: DataFrame, text_col: str, prefer_hf: bool = True, backend: str = "auto"
 ) -> DataFrame:
     """Add input_ids / attention_mask / n_tokens columns.
 
-    ``backend``: "regex" (JVM-side pre-token pieces + hashed ids, the fast
-    default), "bpe" (real byte-level BPE over the bundled vocab — or real
-    GPT-2 assets via functions.bpe.load_gpt2_codec), or "hf" (transformers).
-    ``prefer_hf=True`` upgrades to HF whenever it is installed.
+    ``backend``:
+      * "auto" (default) — the closest-to-reference backend available:
+        full published GPT-2 assets (exact reference ids) > transformers
+        (exact reference ids) > the JVM regex stand-in. The reference's
+        51.86M-token contract (BASELINE.md) is reproducible exactly when
+        either of the first two is present; the container this engine is
+        developed in has neither (no network, learned vocab not
+        regenerable), so "auto" degrades honestly and loudly (one warning).
+      * "regex" — JVM-side pre-token pieces + hashed ids, zero Python.
+      * "bpe" — real byte-level BPE via mapInPandas: the full assets when
+        present, else the bundled subset fixture (algorithm-exact, exact
+        published ids on the golden strings; NOT the full vocab).
+      * "hf" — transformers gpt2 (raises if not installed).
+    ``prefer_hf=True`` upgrades "regex" to HF whenever it is installed.
     """
-    if backend == "bpe":
-        from llm_pretraining_data_pipeline_spark.functions import bpe
+    from llm_pretraining_data_pipeline_spark.functions import bpe
 
-        return bpe.bpe_tokenize_map(df, text_col)
-    if (backend == "hf" or prefer_hf) and _hf_available():
+    if backend == "auto":
+        if bpe.find_gpt2_assets() is not None:
+            return bpe.bpe_tokenize_map(df, text_col, codec=bpe.full_gpt2_codec())
+        if _hf_available():
+            return hf_tokenize_map(df, text_col)
+        import warnings
+
+        warnings.warn(
+            "tokenizer backend 'auto': neither the full GPT-2 assets "
+            f"(${bpe.FULL_ASSET_ENV}) nor transformers are available — "
+            "falling back to the regex stand-in; n_tokens/input_ids will "
+            "not match the reference's GPT-2 vocabulary",
+            stacklevel=2,
+        )
+        backend = "regex"
+    if backend == "bpe":
+        found = bpe.find_gpt2_assets()
+        codec = bpe.full_gpt2_codec() if found else None
+        return bpe.bpe_tokenize_map(df, text_col, codec=codec)
+    if backend == "hf":
+        return hf_tokenize_map(df, text_col)
+    if prefer_hf and _hf_available():
         return hf_tokenize_map(df, text_col)
     ids = input_ids(text_col)
     return (

@@ -83,7 +83,12 @@ class PipelineConfig:
     # profiles alone; the reference's langdetect is likewise n-gram based)
     langid_trigrams: bool = True
     prefer_hf_tokenizer: bool = False
-    tokenizer_backend: str = "regex"  # "regex" | "bpe" | "hf"
+    # "auto": full published GPT-2 assets > transformers > regex stand-in —
+    # exact reference ids whenever either real backend is present (drop the
+    # public encoder.json/vocab.bpe into functions/bpe_assets/ or point
+    # $SPARK_GRAFT_GPT2_ASSETS at them); warns and uses the regex stand-in
+    # otherwise. See functions/tokenizer.py:with_tokenisation.
+    tokenizer_backend: str = "auto"  # "auto" | "regex" | "bpe" | "hf"
     source_name: str = "mainpipe_v1"     # ingest.py:131
     extra_columns: dict = field(default_factory=dict)
 

@@ -147,6 +147,58 @@ class TestSparkSurface:
         assert agg["bpe_total"] > 0
 
 
+class TestFullAssetDiscovery:
+    """find_gpt2_assets / the 'auto' backend: the engine upgrades to exact
+    reference ids the moment the published assets exist on disk, and degrades
+    loudly (single warning) when they don't."""
+
+    def test_subset_fixture_never_masquerades_as_full(self):
+        # the committed subset lives in ASSET_DIR but has << 50000 entries
+        assert bpe.find_gpt2_assets() is None
+
+    def _fake_full_assets(self, tmp_path):
+        import json as _json
+
+        with open(os.path.join(bpe.ASSET_DIR, "gpt2_subset_encoder.json"),
+                  encoding="utf-8") as f:
+            vocab = _json.load(f)
+        vocab.update({f"__filler_{i}__": 60000 + i for i in range(50000)})
+        (tmp_path / "encoder.json").write_text(_json.dumps(vocab))
+        with open(os.path.join(bpe.ASSET_DIR, "gpt2_subset_vocab.bpe"),
+                  encoding="utf-8") as f:
+            (tmp_path / "vocab.bpe").write_text(f.read())
+        return str(tmp_path)
+
+    def test_env_dir_discovered_and_used_by_auto(self, tmp_path, spark, monkeypatch):
+        from llm_pretraining_data_pipeline_spark.functions import tokenizer
+
+        monkeypatch.setenv(bpe.FULL_ASSET_ENV, self._fake_full_assets(tmp_path))
+        found = bpe.find_gpt2_assets()
+        assert found is not None and found[0].endswith("encoder.json")
+        df = spark.createDataFrame([("Hello world",)], "text string")
+        out = tokenizer.with_tokenisation(df, "text", backend="auto").collect()[0]
+        # published GPT-2 ids — the auto path ran the real BPE, not the regex
+        assert list(out.input_ids) == [15496, 995]
+        assert out.n_tokens == 2
+
+    def test_auto_without_assets_warns_and_falls_back(self, spark, monkeypatch):
+        import warnings
+
+        from llm_pretraining_data_pipeline_spark.functions import tokenizer
+
+        monkeypatch.delenv(bpe.FULL_ASSET_ENV, raising=False)
+        df = spark.createDataFrame([("Hello world",)], "text string")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            auto = tokenizer.with_tokenisation(df, "text", backend="auto")
+            assert any("regex stand-in" in str(x.message) for x in w)
+        regex = tokenizer.with_tokenisation(df, "text", backend="regex",
+                                            prefer_hf=False)
+        assert [r.asDict() for r in auto.collect()] == [
+            r.asDict() for r in regex.collect()
+        ]
+
+
 @pytest.mark.skipif(
     not os.environ.get("GPT2_ASSETS_DIR"),
     reason="published GPT-2 encoder.json/vocab.bpe not available in this env",
