@@ -64,8 +64,10 @@ _PRIORITY_R4 = [
     "d08_minhash_dedup", "emb_ivf_topk", "rel_q15_top_supplier",
     "corp_decontaminate", "corp_span_dedup",
     "d03_minhash_lsh_pairs", "d04_ngram_jaccard_pairs", "d09_incremental_dedup",
-    # new this round: OR-amplified embedding LSH + its recall audit
-    "emb_near_dup_lsh_or", "emb_lsh_or_recall",
+    # new this round: OR-amplified embedding LSH + its recall audit, token
+    # contract, TPC-H Q21
+    "emb_near_dup_lsh_or", "emb_lsh_or_recall", "p22e_token_contract",
+    "rel_q21_waiting_suppliers",
     # neighbors of changed code
     "emb_near_dup_pairs", "emb_near_dup_lsh", "emb_ivf_recall",
     "emb_lsh_bucket_sizes", "d05_simhash", "d07_simhash_pairs",

@@ -499,6 +499,15 @@ def embedding_near_dup_pairs(
     )
     if lsh_planes > 0:
         if dim is None:
+            import warnings
+
+            warnings.warn(
+                "embedding_near_dup_pairs(lsh_planes=...) without `dim` runs "
+                "a driver-side first() DURING plan construction to read the "
+                "vector dimensionality — pass dim explicitly to keep plan "
+                "building action-free.",
+                stacklevel=2,
+            )
             head = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
             if head is None or head[0] is None:
                 # no non-null vectors: empty, correctly-typed pair frame

@@ -1485,3 +1485,74 @@ def rel_q9_product_profit(spark, sf_dir):
         .agg(F.round(F.sum(amt_e4) / 10000.0, 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+@register(
+    "rel_q21_waiting_suppliers",
+    """
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, cast(count(*) as bigint) AS numwait
+    FROM l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM l1 l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: suppliers who were the SOLE late supplier on a "
+        "multi-supplier finished order — dual correlated subqueries (EXISTS "
+        "another supplier, NOT EXISTS another LATE supplier) compiled to a "
+        "left-semi + left-anti join pair with an equi key (orderkey) plus a "
+        "non-equi residual (suppkey <>). The slim testdata has no "
+        "l_commitdate/l_receiptdate, so 'late' is modeled as shipping >90 "
+        "days after o_orderdate (public Q21 uses receipt > commit)",
+)
+def rel_q21_waiting_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(src.maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+            .alias("is_late"),
+        )
+    )
+    late = l1.filter(F.col("is_late"))
+    l2 = l1.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = late.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    sole_late = (
+        late.join(
+            l2,
+            (F.col("ok2") == F.col("l_orderkey")) & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("ok3") == F.col("l_orderkey")) & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(
+            src.maybe_broadcast(s, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -73,9 +73,14 @@ class TestLangdetectParity:
     reference's actual detector, text_clean_and_filter.py:385-408) and the
     heuristic langid_struct. Runs only where langdetect is installed — the
     UDF path otherwise ships untested plumbing, which this closes when the
-    dependency is present. Per SURVEY §7(d) the comparison is agreement-rate,
-    never per-row hash equality (langdetect is probabilistic across
-    versions even when seeded)."""
+    dependency is present. It cannot be vendored into this environment: the
+    container has no network and langdetect's per-language profiles are
+    learned data (like the GPT-2 vocab) — not regenerable from code. The
+    in-container stand-in is TestTrigramLangid's ground-truth accuracy gate
+    (>= 95% on the labeled prose fixtures), which is a strictly stronger
+    check than agreement with another detector. Per SURVEY §7(d) the
+    comparison here is agreement-rate, never per-row hash equality
+    (langdetect is probabilistic across versions even when seeded)."""
 
     def test_langdetect_agreement_on_prose(self, spark):
         pytest.importorskip("langdetect")

@@ -115,6 +115,17 @@ class TestPlanQuality:
         assert plan.count("SortMergeJoin") == 0
         assert "TakeOrderedAndProject" in plan  # top-20 never globally sorts
 
+    def test_q21_dual_correlation_is_semi_plus_anti(self, spark, sf_dir):
+        """Q21's EXISTS-other-supplier / NOT-EXISTS-other-late-supplier pair
+        compiles to one LeftSemi and one LeftAnti on the orderkey equi key
+        with the suppkey non-equi residual — never a nested loop, and the
+        top-20 never globally sorts."""
+        plan = plan_of(QUERIES["rel_q21_waiting_suppliers"].spark(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "NestedLoop" not in plan
+        assert "TakeOrderedAndProject" in plan
+
     def test_q22_anti_join_and_tiny_scalar_broadcast(self, spark, sf_dir):
         plan = plan_of(QUERIES["rel_q22_idle_customers"].spark(spark, sf_dir))
         assert "LeftAnti" in plan
