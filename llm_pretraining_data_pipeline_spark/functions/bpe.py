@@ -173,7 +173,9 @@ def load_gpt2_codec(encoder_json: str, vocab_bpe: str) -> BpeCodec:
 # SPARK_GRAFT_GPT2_ASSETS at a directory holding them) and every default
 # tokenisation path upgrades to exact reference ids automatically.
 FULL_ASSET_ENV = "SPARK_GRAFT_GPT2_ASSETS"
-FULL_ENCODER_NAMES = ("encoder.json", "gpt2_encoder.json")
+# openai names first, then the HF gpt2 names (vocab.json is HF's encoder
+# dict; merges.txt is HF's vocab.bpe — same formats, same contents)
+FULL_ENCODER_NAMES = ("encoder.json", "gpt2_encoder.json", "vocab.json")
 FULL_VOCAB_NAMES = ("vocab.bpe", "gpt2_vocab.bpe", "merges.txt")
 
 

@@ -83,40 +83,51 @@ def with_tokenisation(
     ``backend``:
       * "auto" (default) — the closest-to-reference backend available:
         full published GPT-2 assets (exact reference ids) > transformers
-        (exact reference ids) > the JVM regex stand-in. The reference's
-        51.86M-token contract (BASELINE.md) is reproducible exactly when
-        either of the first two is present; the container this engine is
-        developed in has neither (no network, learned vocab not
-        regenerable), so "auto" degrades honestly and loudly (one warning).
+        (exact reference ids, skipped when ``prefer_hf=False``) > the JVM
+        regex stand-in. The reference's 51.86M-token contract (BASELINE.md)
+        is reproducible exactly when either of the first two is present; the
+        container this engine is developed in has neither (no network,
+        learned vocab not regenerable), so "auto" degrades honestly and
+        loudly (one warning).
       * "regex" — JVM-side pre-token pieces + hashed ids, zero Python.
       * "bpe" — real byte-level BPE via mapInPandas: the full assets when
         present, else the bundled subset fixture (algorithm-exact, exact
         published ids on the golden strings; NOT the full vocab).
-      * "hf" — transformers gpt2 (raises if not installed).
-    ``prefer_hf=True`` upgrades "regex" to HF whenever it is installed.
+      * "hf" — transformers gpt2 (raises eagerly if not installed).
+    ``prefer_hf`` governs the HF rung everywhere: False pins "auto"/"regex"
+    to deterministic non-HF backends even where transformers is installed
+    (the pipeline's config default, so its plans never silently flip to
+    Python tokenisation between environments).
     """
     from llm_pretraining_data_pipeline_spark.functions import bpe
 
     if backend == "auto":
-        if bpe.find_gpt2_assets() is not None:
-            return bpe.bpe_tokenize_map(df, text_col, codec=bpe.full_gpt2_codec())
-        if _hf_available():
+        found = bpe.find_gpt2_assets()
+        if found is not None:
+            return bpe.bpe_tokenize_map(df, text_col, codec=bpe.load_gpt2_codec(*found))
+        if prefer_hf and _hf_available():
             return hf_tokenize_map(df, text_col)
         import warnings
 
         warnings.warn(
             "tokenizer backend 'auto': neither the full GPT-2 assets "
-            f"(${bpe.FULL_ASSET_ENV}) nor transformers are available — "
-            "falling back to the regex stand-in; n_tokens/input_ids will "
-            "not match the reference's GPT-2 vocabulary",
+            f"(${bpe.FULL_ASSET_ENV}) nor an enabled transformers backend "
+            "is available — falling back to the regex stand-in; "
+            "n_tokens/input_ids will not match the reference's GPT-2 "
+            "vocabulary",
             stacklevel=2,
         )
         backend = "regex"
     if backend == "bpe":
         found = bpe.find_gpt2_assets()
-        codec = bpe.full_gpt2_codec() if found else None
+        codec = bpe.load_gpt2_codec(*found) if found else None
         return bpe.bpe_tokenize_map(df, text_col, codec=codec)
     if backend == "hf":
+        if not _hf_available():
+            raise ImportError(
+                "tokenizer backend 'hf' requires the transformers package; "
+                "it is not installed in this environment"
+            )
         return hf_tokenize_map(df, text_col)
     if prefer_hf and _hf_available():
         return hf_tokenize_map(df, text_col)

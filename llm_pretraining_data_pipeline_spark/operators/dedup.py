@@ -226,10 +226,14 @@ def minhash_lsh_candidates(
     one way this plan could die at 100 TB (e.g. boilerplate-identical docs
     when exact dedup was skipped). Buckets larger than ``max_bucket_size``
     therefore emit a linear STAR instead: every id pairs with the bucket's
-    minimum id only (k-1 candidates). For the blown-bucket case the star is
-    lossless for dedup — near-identical docs all verify against the canonical
-    min-id doc and land in one connected component — while per-task output
-    drops from O(k²) to O(k). Pass ``max_bucket_size=None`` to disable (the
+    minimum id only (k-1 candidates). In the case that actually blows buckets
+    up — thousands of near-identical docs sharing every band signature — the
+    star loses nothing: all members verify against the canonical min-id doc
+    and land in one connected component. In a MIXED oversized bucket it is an
+    approximation: a sub-cluster pair (x, y) both above the Jaccard threshold
+    but each below it against the hub doc would connect only through one of
+    the other ``bands-1`` (un-blown) bucketings. Per-task output drops from
+    O(k²) to O(k), which is the trade the cap exists to make. Pass ``max_bucket_size=None`` to disable (the
     exact-pairs mode the DuckDB referee mirrors; fixture buckets are far
     below the default cap so oracle parity is unaffected). Pass a
     ``pyspark.sql.Observation`` as ``bucket_observation`` to get
@@ -292,13 +296,16 @@ def minhash_lsh_candidates(
         oversized = F.size("ids") > F.lit(max_bucket_size)
         if bucket_observation is not None:
             k = F.size("ids").cast("long")
+            # (k-1)(k-2)/2 pairs pruned per oversized bucket (full k(k-1)/2
+            # minus the k-1 star edges); shiftright keeps the arithmetic in
+            # exact longs — a double `/` loses exactness past 2^53, i.e. at
+            # precisely the giant-bucket sizes this guard exists for.
             grouped = grouped.observe(
                 bucket_observation,
                 F.sum(oversized.cast("long")).alias("lsh_oversized_buckets"),
                 F.sum(
-                    F.when(oversized, k * (k - 1) / 2 - (k - 1))
+                    F.when(oversized, F.shiftright((k - 1) * (k - 2), 1))
                     .otherwise(F.lit(0))
-                    .cast("long")
                 ).alias("lsh_pairs_pruned"),
             )
         # CaseWhen evaluates one branch per row, so the k² combos array is
@@ -493,6 +500,12 @@ def embedding_near_dup_pairs(
         random_hyperplanes,
     )
 
+    if lsh_bands > 1 and lsh_planes <= 0:
+        raise ValueError(
+            "lsh_bands > 1 requires lsh_planes > 0 — without planes there "
+            "is no bucketing and the call would silently run the O(N²) "
+            "brute-force pair join"
+        )
     vecs = _spread_small_input(df).select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),

@@ -564,9 +564,11 @@ def emb_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     query_vec = emb.filter(F.col("vec_id") == 1).first().embedding
+    # per-call private dir: a fixed shared path would race concurrent
+    # sessions (bench + driver on this shared VM) — one process's overwrite
+    # deleting partitions under another's probe scan
     index_path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
+        tempfile.mkdtemp(prefix="spark_graft_ivf_"), "index"
     )
     similarity.write_ivf_index(emb, centroids, index_path)
     out = similarity.ivf_topk_indexed(

@@ -152,9 +152,26 @@ class TestFullAssetDiscovery:
     reference ids the moment the published assets exist on disk, and degrades
     loudly (single warning) when they don't."""
 
-    def test_subset_fixture_never_masquerades_as_full(self):
-        # the committed subset lives in ASSET_DIR but has << 50000 entries
-        assert bpe.find_gpt2_assets() is None
+    def test_subset_fixture_never_masquerades_as_full(self, tmp_path, monkeypatch):
+        # a dir holding ONLY the committed subset (even under the full-asset
+        # filenames) must not be discovered: << 50000 entries. Asserted on a
+        # controlled dir so the test keeps passing after a user performs the
+        # documented real-asset drop-in into ASSET_DIR.
+        import shutil
+
+        shutil.copy(
+            os.path.join(bpe.ASSET_DIR, "gpt2_subset_encoder.json"),
+            tmp_path / "encoder.json",
+        )
+        shutil.copy(
+            os.path.join(bpe.ASSET_DIR, "gpt2_subset_vocab.bpe"),
+            tmp_path / "vocab.bpe",
+        )
+        monkeypatch.setenv(bpe.FULL_ASSET_ENV, str(tmp_path))
+        found = bpe.find_gpt2_assets()
+        # either nothing found, or (when real assets exist in ASSET_DIR) the
+        # fallback dir — never the subset-holding env dir
+        assert found is None or not found[0].startswith(str(tmp_path))
 
     def _fake_full_assets(self, tmp_path):
         import json as _json
