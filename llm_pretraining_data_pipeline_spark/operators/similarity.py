@@ -84,12 +84,17 @@ def ivf_assign(
     id_col: str = "vec_id",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    n_cells: int = 1,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF coarse quantizer).
 
     Broadcast the (small) centroid table, score all pairs, keep the argmax by
     window. At 100 TB this runs once at ingest and the table is written
     ``partitionBy(cell)`` so probes prune to one cell's files.
+
+    ``n_cells > 1`` keeps the top-n cells per vector (one row each) — the
+    query-side of multi-probe search; corpus vectors are always stored under
+    their single argmax cell.
     """
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     c = centroids.select(
@@ -101,7 +106,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.col(centroid_id))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_cells)
         .select(id_col, F.col(centroid_id).alias("cell"))
     )
 
@@ -293,10 +298,12 @@ def ivf_recall(
     query_id: str = "query_id",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Recall@k of the single-probe IVF path against exact brute force, per
-    query — the standard ANN index-quality audit, run on a sampled query set
-    before trusting an index at scale.
+    """Recall@k of the ``n_probe``-cell IVF path against exact brute force,
+    per query — the standard ANN index-quality audit, run on a sampled query
+    set before trusting an index at scale (sweep n_probe to pick the
+    recall/scan-cost point; each extra probe reads one more cell partition).
 
     One lazy plan, no driver loops: exact top-k via the broadcast kNN join;
     IVF top-k by assigning queries to their max-cosine cell (same broadcast
@@ -311,7 +318,8 @@ def ivf_recall(
     )
     assigned = ivf_assign(df, centroids, vec_col, id_col, centroid_id, centroid_vec)
     qcells = ivf_assign(
-        queries, centroids, vec_col, query_id, centroid_id, centroid_vec
+        queries, centroids, vec_col, query_id, centroid_id, centroid_vec,
+        n_cells=n_probe,
     )
     q = queries.select(F.col(query_id), _as_double(F.col(vec_col)).alias("_qv")).join(
         qcells, query_id

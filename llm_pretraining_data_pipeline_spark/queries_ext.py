@@ -978,3 +978,63 @@ def emb_ivf_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_recall(emb, centroids, queries, k=_RECALL_K)
+
+
+@register(
+    "emb_ivf_recall2",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN {_RECALL_QUERIES}),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM cents c
+              ORDER BY {O.cosine_double('e.embedding', 'c.cvec')} DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    qcell AS (
+      SELECT query_id, qv, cid AS cell FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {O.cosine_double('q.qv', 'c.cvec')} DESC, c.cid) AS rn
+        FROM q, cents c) WHERE rn <= 2
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {O.cosine_double('e.embedding', 'q.qv')} DESC, e.vec_id) AS rn
+        FROM q, embeddings e) WHERE rn <= {_RECALL_K}
+    ),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qc.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY qc.query_id
+                 ORDER BY {O.cosine_double('a.embedding', 'qc.qv')} DESC, a.vec_id) AS rn
+        FROM qcell qc JOIN assigned a ON a.cell = qc.cell) WHERE rn <= {_RECALL_K}
+    ),
+    o AS (
+      SELECT e.query_id, cast(count(*) as bigint) AS n_hit
+      FROM exact e JOIN ivf i USING (query_id, vec_id) GROUP BY e.query_id
+    )
+    SELECT q.query_id, cast(coalesce(o.n_hit, 0) as bigint) AS n_hit,
+           round(cast(coalesce(o.n_hit, 0) as double) / {_RECALL_K}.0, 6) AS recall_at_k
+    FROM q LEFT JOIN o USING (query_id) ORDER BY q.query_id
+    """,
+    doc="recall@10 of TWO-probe IVF vs exact brute force on the same query "
+        "sample as emb_ivf_recall — together the pair audits the "
+        "recall/scan-cost curve of the n_probe knob (each extra probe reads "
+        "one more cell partition of the write_ivf_index table)",
+)
+def emb_ivf_recall2(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QUERIES))).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_recall(emb, centroids, queries, k=_RECALL_K, n_probe=2)
