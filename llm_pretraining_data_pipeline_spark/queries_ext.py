@@ -1038,3 +1038,88 @@ def emb_ivf_recall2(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_recall(emb, centroids, queries, k=_RECALL_K, n_probe=2)
+
+
+
+# ====================================================== multimodal plumbing
+# The media operators are exercised against a payload column derived
+# deterministically from the documents table (payload = UTF-8 bytes of
+# `text`, kind cycling by doc_id) so the binary-column plumbing gets a real
+# DuckDB referee: Spark hashes/sizes the bytes of a true `binary` column;
+# DuckDB hashes the same UTF-8 bytes via sha256(varchar)/octet_length(encode).
+# The stub codec itself (crc-mixed fake features) stays pytest-only.
+
+
+@register(
+    "mm_media_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             sha256(coalesce(text, '')) AS payload_sha,
+             octet_length(encode(coalesce(text, ''))) AS byte_len
+      FROM documents
+    )
+    SELECT media_id, payload_sha, cast(byte_len as bigint) AS byte_len,
+           (row_number() OVER (PARTITION BY payload_sha ORDER BY media_id) > 1)
+             AS is_dup
+    FROM m
+    """,
+    doc="binary-payload exact dedup (multimodal/media.py::media_dedup_exact "
+        "shape): sha256 keep-first window over an opaque payload column + "
+        "byte sizes — the payload never shuffles, only its hash does; "
+        "payload derived from documents.text bytes so DuckDB can referee "
+        "the binary plumbing end to end",
+)
+def mm_media_dedup(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+    )
+    out = mm.media_dedup_exact(d)
+    byte_len = F.octet_length(
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    ).cast("long")
+    lens = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"), byte_len.alias("byte_len")
+    )
+    return out.join(lens, "media_id").select(
+        "media_id", "payload_sha", "byte_len", F.col("is_dup")
+    )
+
+
+@register(
+    "mm_frame_plan",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             1000 + (doc_id % 7) * 500 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, cast(u.frame_ts_ms as bigint) AS frame_ts_ms
+    FROM v, unnest(range(0, duration_ms + 1, 1000)) AS u(frame_ts_ms)
+    """,
+    doc="metadata-only video frame-sampling plan "
+        "(multimodal/media.py::frame_sample_plan shape): each 'video' "
+        "expands to its sampled frame timestamps from duration metadata "
+        "alone — pure Catalyst sequence+explode, no payload decode; "
+        "durations synthesized deterministically from doc_id",
+)
+def mm_frame_plan(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 2)
+    videos = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (1000 + (F.col("doc_id") % 7) * 500).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return mm.frame_sample_plan(videos, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
