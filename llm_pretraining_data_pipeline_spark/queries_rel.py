@@ -481,6 +481,50 @@ def ev_sessionize(spark, sf_dir):
 
 
 @register(
+    "ev_stream_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), s AS (
+      SELECT *, cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM m
+    ), sess AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             cast(count(*) as bigint) AS n_events
+      FROM s GROUP BY user_id, session_id
+    ), mx AS (SELECT max(ts) AS max_ts FROM events),
+    last AS (SELECT user_id, max(session_id) AS last_sid FROM sess GROUP BY user_id)
+    SELECT sess.user_id,
+           cast(session_start as timestamp) AS session_start,
+           cast(session_end as timestamp) AS session_end,
+           n_events
+    FROM sess JOIN last USING (user_id), mx
+    WHERE sess.session_id <> last.last_sid
+       OR epoch_us(sess.session_end) < epoch_us(mx.max_ts) - 3600000000
+    """,
+    doc="custom stateful streaming sessionizer (applyInPandasWithState, "
+        "event-time timeout) run as a bounded drain, refereed by batch SQL "
+        "implementing its exact emission contract: sessions closed by a gap, "
+        "plus final sessions old enough that the closing watermark "
+        "(max_ts - 30min) passed their last event + 30min gap. The one "
+        "stateful-operator shape session_window cannot express",
+)
+def ev_stream_sessionize(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming import events as evs
+
+    return evs.run_stateful_session_stream_once(spark, sf_dir)
+
+
+@register(
     "ev_asof_last_click",
     """
     SELECT p.event_id, p.user_id, cast(max(c.ts) as timestamp) AS last_click_ts

@@ -131,6 +131,21 @@ def run_session_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(session_window_counts(stream), "complete")
 
 
+def run_stateful_session_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded drain of the applyInPandasWithState sessionizer.
+
+    Emission contract on a bounded input (what the DuckDB referee mirrors):
+    a session row is emitted iff (a) a later event of the same user closed it
+    by exceeding the gap, or (b) it is the user's final session AND the
+    event-time timeout fired during the drain — i.e. the final watermark
+    (global max ts − 30 min) passed its last event + gap, equivalently
+    session_end < max_ts − 60 min. Final sessions newer than that stay open
+    in state and are correctly NOT emitted.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(sessionize_stateful(stream), "append")
+
+
 # -------------------------------------------------- custom stateful operator
 
 
