@@ -69,6 +69,7 @@ _PRIORITY_R4 = [
     "emb_near_dup_lsh_or", "emb_lsh_or_recall", "p22e_token_contract",
     "rel_q21_waiting_suppliers", "emb_ivf_recall2",
     "mm_media_dedup", "mm_frame_plan", "ev_stream_sessionize",
+    "f06_token_bounds",
     # neighbors of changed code
     "emb_near_dup_pairs", "emb_near_dup_lsh", "emb_ivf_recall",
     "emb_lsh_bucket_sizes", "d05_simhash", "d07_simhash_pairs",

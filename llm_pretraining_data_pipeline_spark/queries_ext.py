@@ -194,6 +194,41 @@ def p22e_token_contract(spark, sf_dir):
     )
 
 
+@register(
+    "f06_token_bounds",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(coalesce(text,''), '{_RE2_PAT_SQL}')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+           CASE WHEN n_tokens < 10 THEN 'too_few_tokens'
+                WHEN n_tokens > 2048 THEN 'too_many_tokens'
+                ELSE NULL END AS drop_reason
+    FROM t
+    """,
+    doc="F6 token-length bounds (Tokenisation_JSONL_export.py:122-156, "
+        "bounds :60-61): first-match-wins too_few/too_many cascade over the "
+        "token count — the last drop-reason stage without its own oracle row",
+)
+def f06_token_bounds(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.operators.rules import first_match_expr
+
+    d = _docs(spark, sf_dir)
+    n = F.size(
+        tokenizer.token_pieces("text", tokenizer.GPT2_SPLIT_PATTERN_RE2)
+    ).cast("long")
+    d = d.select("doc_id", n.alias("n_tokens"))
+    reason = first_match_expr(
+        [
+            ("too_few_tokens", F.col("n_tokens") < 10),
+            ("too_many_tokens", F.col("n_tokens") > 2048),
+        ]
+    )
+    return d.select("doc_id", "n_tokens", reason.alias("drop_reason"))
+
+
 _GPT2_GOLDEN_PARQUET = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests", "golden", "gpt2_golden.parquet",
