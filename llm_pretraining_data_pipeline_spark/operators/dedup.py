@@ -632,6 +632,7 @@ def connected_components(
         edges.select("src").distinct().withColumn("component", F.col("src"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
@@ -655,6 +656,18 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # min-label propagation needs O(diameter) rounds; a component whose
+        # diameter exceeds max_iter would otherwise return silently WRONG
+        # labels (two canonical docs for one chain of near-dups)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — results may split "
+            "long-diameter clusters; raise max_iter for chain-shaped inputs",
+            stacklevel=2,
+        )
     return labels.select(F.col("src").alias("id"), "component")
 
 

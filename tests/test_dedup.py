@@ -251,6 +251,25 @@ class TestConnectedComponents:
         comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
         assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
+    def test_warns_when_diameter_exceeds_max_iter(self, spark):
+        import warnings
+
+        # a 6-node path graph has diameter 5 > max_iter=2
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            dedup.connected_components(chain, max_iter=2).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+        # with enough rounds the same chain converges silently and correctly
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            comp = {r.id: r.component
+                    for r in dedup.connected_components(chain).collect()}
+        assert not any("did not converge" in str(x.message) for x in w)
+        assert set(comp.values()) == {0}
+
     def test_minhash_dedup_end_to_end(self, spark):
         base = ("the quick brown fox jumps over the lazy dog and runs through the "
                 "field towards the river near the old mill where the miller works")
