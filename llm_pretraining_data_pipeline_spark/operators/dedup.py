@@ -613,10 +613,14 @@ def connected_components(
     min-label propagation. Returns (id, component) where component is the
     smallest member id — the canonical document of each duplicate cluster.
 
-    Convergence needs O(diameter) rounds; near-dup clusters are shallow
-    (usually stars), so this terminates in 2-3 rounds in practice. Each
-    round is one join + one aggregation (the standard pre-GraphX
-    label-propagation recipe).
+    Each round is neighbor-min propagation (join + aggregation) followed by
+    POINTER JUMPING — every label is re-resolved through its own current
+    label (labels[x] := labels[labels[x]]), which compresses paths
+    geometrically. Convergence is O(log diameter) rounds, not O(diameter):
+    near-dup clusters are usually shallow stars (1-2 rounds), and even a
+    pathological million-hop chain of near-identical docs converges in ~20.
+    This is the standard pre-GraphX label-propagation recipe with the
+    shortcutting step that makes it safe at scale.
 
     Lineage is truncated with ``localCheckpoint`` at the loop entry and every
     round: without it each round's plan embeds the full upstream plan plus
@@ -639,13 +643,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        propagated = labels.join(neighbor_min, "src", "left").select(
+            "src",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: resolve each label through its own current label.
+        # Every component value is a node id present as src (labels only
+        # shrink from the identity seed), so the self-join always hits.
         updated = (
-            labels.join(neighbor_min, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                        ).alias("component"),
+            propagated.alias("a")
+            .join(
+                propagated.select(
+                    F.col("src").alias("component"), F.col("component").alias("_c2")
+                ),
+                "component",
+                "left",
             )
+            .select("src", F.coalesce("_c2", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (

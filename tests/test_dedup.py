@@ -254,13 +254,13 @@ class TestConnectedComponents:
     def test_warns_when_diameter_exceeds_max_iter(self, spark):
         import warnings
 
-        # a 6-node path graph has diameter 5 > max_iter=2
+        # one round cannot finish any multi-hop chain
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(6)], "id_a long, id_b long"
         )
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            dedup.connected_components(chain, max_iter=2).collect()
+            dedup.connected_components(chain, max_iter=1).collect()
         assert any("did not converge" in str(x.message) for x in w)
         # with enough rounds the same chain converges silently and correctly
         with warnings.catch_warnings(record=True) as w:
@@ -269,6 +269,21 @@ class TestConnectedComponents:
                     for r in dedup.connected_components(chain).collect()}
         assert not any("did not converge" in str(x.message) for x in w)
         assert set(comp.values()) == {0}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """Pointer jumping: a 120-hop path converges well inside 10 rounds
+        (O(log diameter)); plain min-label propagation would need 120."""
+        import warnings
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            comp = {r.id: r.component
+                    for r in dedup.connected_components(chain, max_iter=10).collect()}
+        assert not any("did not converge" in str(x.message) for x in w)
+        assert set(comp.values()) == {0} and len(comp) == 121
 
     def test_minhash_dedup_end_to_end(self, spark):
         base = ("the quick brown fox jumps over the lazy dog and runs through the "
