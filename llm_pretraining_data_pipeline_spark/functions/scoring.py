@@ -7,6 +7,8 @@ preference), subset split at 0.8 — scoring_and_mixture.py:138-143.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -66,8 +68,118 @@ def subset(quality: Column | str, threshold: float = 0.8) -> Column:
     )
 
 
-def model_quality_score() -> Column:
-    """Stub hook for ML-model quality (reference returns constant 0.5,
-    text_clean_and_filter.py:370-378). At scale this becomes a batched
-    pandas-UDF inference call; the constant keeps parity."""
-    return F.lit(0.5)
+# P8 model-quality weights. The reference's hook is a constant-0.5 stub
+# (text_clean_and_filter.py:370-378); this is the real replacement: a
+# logistic model over the quality features the pipeline already computes.
+# Weights are fixed literals (fit offline against the heuristic quality
+# labels, then frozen) so the scorer compiles to a pure Catalyst expression
+# — JVM-side, codegen-fused, and DuckDB-expressible for the oracle.
+MODEL_QUALITY_WEIGHTS = {
+    "bias": -2.0,
+    "alpha_ratio": 2.5,       # alphabetic density: prose-like text up
+    "length": 2.0,            # saturating log-length preference
+    "lang": 1.5,              # language-confidence signal
+    "repetition_ratio": -2.0,  # repeated-word spam down
+    "pii": -1.0,              # PII-bearing docs down
+}
+
+
+def model_quality_score(
+    lang_score: Column | str | None = None,
+    alpha_ratio: Column | str | None = None,
+    repetition_ratio: Column | str | None = None,
+    n_words: Column | str | None = None,
+    has_pii: Column | None = None,
+    *,
+    backend: str = "logistic",
+) -> Column:
+    """P8 model-quality score (reference hook: text_clean_and_filter.py:370-378).
+
+    backend="logistic" (default): sigmoid(w.x + b) over
+    (lang_score, alpha_ratio, repetition_ratio, saturating log-length,
+    has_pii) with ``MODEL_QUALITY_WEIGHTS`` — deterministic, pure column
+    arithmetic, whole-stage-codegen'd. Rounded to 6dp because ``exp``/``ln``
+    are libm calls whose last-ulp may differ between JVM and other engines.
+
+    backend="constant": the reference's literal 0.5 (bit-parity mode).
+
+    At 100 TB the logistic stays JVM-side (no Python in the hot path); a
+    learned model upgrade goes through ``model_quality_batch`` (Arrow-batched
+    pandas UDF) without touching the pipeline wiring.
+    """
+    if backend == "constant":
+        return F.lit(0.5)
+    if backend != "logistic":
+        raise ValueError(f"unknown model-quality backend: {backend!r}")
+    w = MODEL_QUALITY_WEIGHTS
+    lang = _clamp01(F.coalesce(_col(lang_score).cast("double"), F.lit(0.0)))
+    alpha = _clamp01(F.coalesce(_col(alpha_ratio).cast("double"), F.lit(0.0)))
+    rep = _clamp01(F.coalesce(_col(repetition_ratio).cast("double"), F.lit(0.0)))
+    nw = F.coalesce(_col(n_words).cast("double"), F.lit(0.0))
+    # saturating length preference: ln(1+n)/ln(1001), capped at 1 (~1000 words)
+    length = F.least(
+        F.lit(1.0),
+        F.log(F.lit(1.0) + F.greatest(nw, F.lit(0.0))) / F.lit(math.log(1001.0)),
+    )
+    pii_flag = F.when(
+        F.coalesce(has_pii.cast("boolean") if has_pii is not None else F.lit(False), F.lit(False)),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["alpha_ratio"]) * alpha
+        + F.lit(w["length"]) * length
+        + F.lit(w["lang"]) * lang
+        + F.lit(w["repetition_ratio"]) * rep
+        + F.lit(w["pii"]) * pii_flag
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def model_quality_batch(df, feature_cols: list[str], predict_fn=None, out_col: str = "model_q"):
+    """Pluggable batch-inference path for P8: score quality with a real model
+    via an Arrow-batched pandas UDF (the scale pattern for any learned
+    scorer — fastText/sklearn/distilled-LM — loaded once per worker).
+
+    ``predict_fn(pdf: pandas.DataFrame) -> array-like of float`` receives a
+    pandas batch of ``feature_cols``; the default reproduces the logistic
+    expression backend exactly (same weights, numpy), so the plumbing is
+    testable without model assets. Feature extraction stays JVM-side; only
+    the final dense matrix crosses the Arrow boundary — at 100 TB that is
+    k doubles/row, not text.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import DoubleType
+
+    if predict_fn is None:
+        import math
+
+        import numpy as np
+
+        w = MODEL_QUALITY_WEIGHTS
+
+        def predict_fn(pdf):
+            lang = np.clip(pdf["lang_score"].fillna(0.0).to_numpy(float), 0.0, 1.0)
+            alpha = np.clip(pdf["alpha_ratio"].fillna(0.0).to_numpy(float), 0.0, 1.0)
+            rep = np.clip(pdf["repetition_ratio"].fillna(0.0).to_numpy(float), 0.0, 1.0)
+            nw = np.maximum(pdf["n_words"].fillna(0.0).to_numpy(float), 0.0)
+            length = np.minimum(1.0, np.log1p(nw) / math.log(1001.0))
+            piif = pdf["has_pii"].fillna(False).to_numpy(bool).astype(float)
+            z = (
+                w["bias"] + w["alpha_ratio"] * alpha + w["length"] * length
+                + w["lang"] * lang + w["repetition_ratio"] * rep + w["pii"] * piif
+            )
+            return np.round(1.0 / (1.0 + np.exp(-z)), 6)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def _score(*cols):
+        import pandas as pd
+
+        pdf = pd.concat(cols, axis=1)
+        pdf.columns = feature_cols
+        return pd.Series(predict_fn(pdf), dtype=float)
+
+    return df.withColumn(out_col, _score(*[SF.col(c) for c in feature_cols]))

@@ -34,9 +34,18 @@ from llm_pretraining_data_pipeline_spark.functions.text_norm import (
 def _first_in_group(df: DataFrame, key: str, order_col: str) -> tuple[Column, Column]:
     """(is_duplicate, canonical_id) via one window over the group key.
 
-    The shuffle this induces is hash-partitioned on ``key``; AQE's skew-join
-    handling splits oversized groups (the all-empty-docs hash is a known hot
-    key). ``row_number`` + windowed ``first`` share a single Exchange+Sort.
+    The shuffle this induces is hash-partitioned on ``key``;
+    ``row_number`` + windowed ``first`` share a single Exchange+Sort.
+
+    Skew caveat: AQE splits skewed *join/aggregate* partitions but CANNOT
+    split a single window partition — ``row_number`` needs the whole group
+    co-located, so a giant duplicate group (e.g. millions of copies of one
+    boilerplate page, or the all-empty-docs hash) is one straggler task
+    carrying full-width rows. In the pipeline this is mostly pre-empted
+    (``respect_drop_reason=True`` gives already-dropped rows solo keys and
+    empty docs are dropped at F1 before dedup); for standalone runs on raw
+    input use ``exact_dedup(..., narrow_shuffle=True)`` so the straggler
+    carries three narrow columns instead of the document text.
     """
     w = Window.partitionBy(key).orderBy(F.col(order_col))
     rn = F.row_number().over(w)
@@ -52,6 +61,7 @@ def exact_dedup(
     order_col: str | None = None,
     id_col: str = "doc_id",
     respect_drop_reason: bool = False,
+    narrow_shuffle: bool = False,
 ) -> DataFrame:
     """Mark exact duplicates after canonicalisation, keeping the first.
 
@@ -63,6 +73,17 @@ def exact_dedup(
     chain), so already-dropped rows must neither claim canonical slots nor be
     marked. They get per-row solo group keys, keeping them in the frame for
     the drop-reason histogram while excluded from grouping.
+
+    ``narrow_shuffle=True`` hardens against giant duplicate groups: the
+    keep-first window runs over a (group_key, order, dedup_id) projection
+    only, and the duplicate marks join back by ``dedup_id``. The window
+    partition for a hot key (100M copies of one boilerplate page) then
+    carries three narrow columns instead of full document text, and the
+    join-back redistributes on near-unique ``dedup_id`` — no straggler.
+    AQE cannot split a window partition, so this is the only way to bound
+    the straggler's bytes (see ``_first_in_group``). Costs one extra
+    shuffle of the wide frame, so it's off by default; results are
+    identical either way (tested).
     """
     order_col = order_col or ("row_order" if "row_order" in df.columns else id_col)
     out = df.withColumn("dedup_id", F.col(id_col).cast("string"))
@@ -78,11 +99,33 @@ def exact_dedup(
             ),
         )
         group_col = "_exact_group"
-    is_dup, canonical = _first_in_group(out, group_col, order_col)
-    out = out.withColumn("is_dup_exact", is_dup)
-    out = out.withColumn(
-        "dup_of", F.when(F.col("is_dup_exact"), canonical).otherwise(F.lit(None).cast("string"))
-    )
+    if narrow_shuffle:
+        # Window over the narrow projection; only duplicate rows produce a
+        # mark, so the join-back side is |duplicates|, not |corpus| (AQE may
+        # even broadcast it at moderate dup rates).
+        narrow = out.select(*dict.fromkeys([group_col, order_col, "dedup_id"]))
+        w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+        marks = (
+            narrow.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_canon",
+                F.first("dedup_id").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .filter(F.col("_rn") > 1)
+            .select(F.col("dedup_id").alias("_ns_id"), F.col("_canon").alias("_ns_canon"))
+        )
+        out = out.join(marks, out["dedup_id"] == marks["_ns_id"], "left").drop("_ns_id")
+        out = out.withColumn("is_dup_exact", F.col("_ns_canon").isNotNull())
+        out = out.withColumn("dup_of", F.col("_ns_canon")).drop("_ns_canon")
+    else:
+        is_dup, canonical = _first_in_group(out, group_col, order_col)
+        out = out.withColumn("is_dup_exact", is_dup)
+        out = out.withColumn(
+            "dup_of",
+            F.when(F.col("is_dup_exact"), canonical).otherwise(F.lit(None).cast("string")),
+        )
     reason = F.when(
         F.col("is_dup_exact") & F.col("drop_reason").isNull()
         if "drop_reason" in df.columns

@@ -89,6 +89,10 @@ class PipelineConfig:
     # $SPARK_GRAFT_GPT2_ASSETS at them); warns and uses the regex stand-in
     # otherwise. See functions/tokenizer.py:with_tokenisation.
     tokenizer_backend: str = "auto"  # "auto" | "regex" | "bpe" | "hf"
+    # P8 model-quality backend: "logistic" = the real scorer (deterministic
+    # logistic over quality features, pure Catalyst); "constant" = the
+    # reference's 0.5 stub (text_clean_and_filter.py:370-378) for bit-parity.
+    model_quality_backend: str = "logistic"
     source_name: str = "mainpipe_v1"     # ingest.py:131
     extra_columns: dict = field(default_factory=dict)
 
@@ -183,7 +187,16 @@ def clean_filter(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataF
     tox = toxicity.toxicity_scores("text")
     for name, expr in tox.items():
         out = out.withColumn(name, expr)
-    out = out.withColumn("model_q", scoring.model_quality_score())
+    out = out.withColumn(
+        "model_q",
+        scoring.model_quality_score(
+            "lang_score", "alpha_ratio", "repetition_ratio", "n_words",
+            # has_pii proper is a stage-4 column; at this point the reference
+            # only has the simple hit counters (:708-709), so P8 uses those.
+            (F.col("email_hits") + F.col("phone_hits")) > 0,
+            backend=cfg.model_quality_backend,
+        ),
+    )
 
     # F3 quality filter (quality_filter_row, :537-595).
     url = F.coalesce(F.col("url").cast("string"), F.lit(""))

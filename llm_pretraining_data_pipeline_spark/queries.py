@@ -17,6 +17,7 @@ Determinism rules applied throughout (see oracle_fragments):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -340,6 +341,54 @@ def p20_quality_score(spark, sf_dir):
         "doc_id",
         qs.alias("quality_score"),
         scoring.subset(qs, 0.8).alias("subset"),
+    )
+
+
+@register(
+    "p08_model_quality",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             {O.alpha_ratio('text')} AS alpha,
+             {O.repetition_ratio('text')} AS rep,
+             {O.stopword_ratio('text', metrics.EN_STOPWORDS)} AS stop_frac,
+             cast(len({O.toks('text')}) as double) AS nw,
+             case when {O.regexp_count('text', pii.EMAIL_RE)}
+                       + {O.regexp_count('text', pii.IBAN_RE)} > 0
+                  then 1.0 else 0.0 end AS piif
+      FROM documents
+    ), z AS (
+      SELECT doc_id,
+             -2.0::double
+             + 2.5::double * greatest(0.0::double, least(1.0::double, alpha))
+             + 2.0::double * least(1.0::double,
+                 ln(1.0::double + greatest(nw, 0.0::double)) / {math.log(1001.0)!r}::double)
+             + 1.5::double * greatest(0.0::double, least(1.0::double,
+                 least(1.0::double, stop_frac * 4.0::double)))
+             + (-2.0::double) * greatest(0.0::double, least(1.0::double, rep))
+             + (-1.0::double) * piif AS z
+      FROM m
+    )
+    SELECT doc_id, round(1.0::double / (1.0::double + exp(-z)), 6) AS model_q
+    FROM z
+    """,
+    doc="P8 real model-quality scorer: deterministic logistic over quality "
+        "features (replaces the reference's constant-0.5 stub, "
+        "text_clean_and_filter.py:370-378); EN-stopword lang proxy as in p20",
+)
+def p08_model_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lang = F.least(F.lit(1.0), metrics.stopword_ratio("text") * F.lit(4.0))
+    has_pii = (pii.email_hits("text") + pii.iban_hits("text")) > 0
+    return d.select(
+        "doc_id",
+        scoring.model_quality_score(
+            lang,
+            metrics.alpha_ratio("text"),
+            metrics.repetition_ratio("text"),
+            metrics.n_words("text"),
+            has_pii,
+        ).alias("model_q"),
     )
 
 

@@ -270,6 +270,64 @@ class TestScoring:
         assert rows[1].q == pytest.approx(0.4 * 0.5 + 0.3 * 0.25 + 0.2 * 1.0 + 0.1 * 0.0)
         assert rows[2].q == pytest.approx(0.1)  # all defaults: lang 0, len 0, uniq 0, no pii
 
+    def test_model_quality_backends(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(0.9, 0.8, 0.1, 200, False), (0.0, 0.2, 0.9, 3, True), (None, None, None, None, None)],
+            "ls double, ar double, rr double, nw long, hp boolean",
+        )
+        const = df.select(
+            scoring.model_quality_score(backend="constant").alias("q")
+        ).collect()
+        assert all(r.q == 0.5 for r in const)
+
+        rows = df.select(
+            scoring.model_quality_score(
+                "ls", "ar", "rr", "nw", F.col("hp"), backend="logistic"
+            ).alias("q")
+        ).collect()
+        w = scoring.MODEL_QUALITY_WEIGHTS
+        for row, (ls, ar, rr, nw, hp) in zip(
+            rows, [(0.9, 0.8, 0.1, 200, False), (0.0, 0.2, 0.9, 3, True), (0, 0, 0, 0, False)]
+        ):
+            length = min(1.0, math.log(1.0 + nw) / math.log(1001.0))
+            z = (
+                w["bias"] + w["alpha_ratio"] * ar + w["length"] * length
+                + w["lang"] * ls + w["repetition_ratio"] * rr
+                + w["pii"] * (1.0 if hp else 0.0)
+            )
+            assert row.q == pytest.approx(round(1.0 / (1.0 + math.exp(-z)), 6), abs=1e-6)
+        # good doc scores higher than spammy doc
+        assert rows[0].q > rows[1].q
+        with pytest.raises(ValueError):
+            scoring.model_quality_score(backend="nope")
+
+    def test_model_quality_batch_matches_expression(self, spark):
+        """The Arrow-batched inference path reproduces the Catalyst logistic
+        exactly (same frozen weights) — proving the pluggable-model plumbing
+        without model assets."""
+        df = spark.createDataFrame(
+            [
+                (0.9, 0.8, 0.1, 200.0, False),
+                (0.2, 0.5, 0.5, 50.0, True),
+                (None, None, None, None, None),
+            ],
+            "lang_score double, alpha_ratio double, repetition_ratio double, "
+            "n_words double, has_pii boolean",
+        )
+        expr = df.select(
+            scoring.model_quality_score(
+                "lang_score", "alpha_ratio", "repetition_ratio", "n_words",
+                F.col("has_pii"),
+            ).alias("q")
+        ).collect()
+        batch = scoring.model_quality_batch(
+            df, ["lang_score", "alpha_ratio", "repetition_ratio", "n_words", "has_pii"]
+        ).select("model_q").collect()
+        for e, b in zip(expr, batch):
+            assert b.model_q == pytest.approx(e.q, abs=1e-9)
+
 
 class TestStructural:
     def test_strip_html(self, spark):
