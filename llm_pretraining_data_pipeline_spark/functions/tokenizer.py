@@ -102,10 +102,22 @@ def with_tokenisation(
     from llm_pretraining_data_pipeline_spark.functions import bpe
 
     if backend == "auto":
+        import logging
+
         found = bpe.find_gpt2_assets()
         if found is not None:
+            # symmetric to the degradation warning below: make the resolved
+            # backend visible on the upgraded path too, since 'auto' output
+            # (n_tokens, F6 keep/drop) depends on which backend won
+            logging.getLogger(__name__).info(
+                "tokenizer backend 'auto' resolved to full GPT-2 BPE assets: %s",
+                found[0],
+            )
             return bpe.bpe_tokenize_map(df, text_col, codec=bpe.load_gpt2_codec(*found))
         if prefer_hf and _hf_available():
+            logging.getLogger(__name__).info(
+                "tokenizer backend 'auto' resolved to the transformers (HF) backend"
+            )
             return hf_tokenize_map(df, text_col)
         import warnings
 

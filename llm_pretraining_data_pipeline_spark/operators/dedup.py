@@ -236,7 +236,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
-    max_bucket_size: int = 1024,
+    max_bucket_size: int | None = 1024,
     bucket_observation=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
@@ -671,6 +671,10 @@ def connected_components(
     (measured ~10× the actual compute on a deep pipeline input). On a real
     cluster with dynamic executors substitute reliable ``checkpoint``.
     """
+    if max_iter < 1:
+        # zero rounds would silently return identity labels (every node its
+        # own component) without tripping the non-convergence warning below
+        raise ValueError(f"connected_components needs max_iter >= 1, got {max_iter}")
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
@@ -739,7 +743,7 @@ def minhash_dedup(
     bands: int = 8,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
-    max_bucket_size: int = 1024,
+    max_bucket_size: int | None = 1024,
     bucket_observation=None,
 ) -> DataFrame:
     """End-to-end MinHash near-dedup: LSH candidates → exact-Jaccard verify →

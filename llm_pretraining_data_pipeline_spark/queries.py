@@ -596,8 +596,14 @@ _MH_A, _MH_B = hashing.minhash_coeffs(32, seed=42)
 )
 def d03_minhash_lsh_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir)
+    # max_bucket_size=None pins the refereed contract: the oracle mirrors
+    # exact all-pairs-within-bucket semantics, so the refereed mode must be
+    # the uncapped one regardless of fixture bucket sizes (the capped
+    # engine default is equivalence-tested in tests/test_dedup.py and
+    # regression-guarded at scale in tests/test_scale_paths.py).
     return dedup_ops.minhash_lsh_candidates(
-        d, "text", id_col="doc_id", shingle_size=3, num_hashes=32, bands=8, seed=42
+        d, "text", id_col="doc_id", shingle_size=3, num_hashes=32, bands=8, seed=42,
+        max_bucket_size=None,
     )
 
 

@@ -560,6 +560,33 @@ def d07_simhash_pairs(spark, sf_dir):
 # ==================================================================== IVF
 
 
+_IVF_STAGING_REGISTERED: set = set()
+
+
+def _ivf_staging_path(sf_dir: str) -> str:
+    """Deterministic per-(sf_dir, process) IVF index staging dir.
+
+    Keyed by sf_dir hash so repeated invocations in one process REUSE the
+    same directory (overwrite mode) instead of accumulating a fresh
+    mkdtemp per call; keyed by pid so concurrent sessions on this shared
+    VM (bench + driver) never overwrite each other's partitions mid-scan.
+    Removed at interpreter exit via atexit."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_{key}_pid{os.getpid()}"
+    )
+    if root not in _IVF_STAGING_REGISTERED:
+        _IVF_STAGING_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, "index")
+
+
 @register(
     "emb_ivf_topk",
     f"""
@@ -591,20 +618,12 @@ def d07_simhash_pairs(spark, sf_dir):
         "100 TB deployment would actually run, not the per-query demo path",
 )
 def emb_ivf_topk(spark, sf_dir):
-    import os
-    import tempfile
-
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     query_vec = emb.filter(F.col("vec_id") == 1).first().embedding
-    # per-call private dir: a fixed shared path would race concurrent
-    # sessions (bench + driver on this shared VM) — one process's overwrite
-    # deleting partitions under another's probe scan
-    index_path = os.path.join(
-        tempfile.mkdtemp(prefix="spark_graft_ivf_"), "index"
-    )
+    index_path = _ivf_staging_path(sf_dir)
     similarity.write_ivf_index(emb, centroids, index_path)
     out = similarity.ivf_topk_indexed(
         spark, index_path, centroids, [float(x) for x in query_vec], k=5, n_probe=1
@@ -906,7 +925,12 @@ _D08_A, _D08_B = hashing.minhash_coeffs(32, seed=42)
 )
 def d08_minhash_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    out = dedup_ops.minhash_dedup(d, "text", jaccard_threshold=0.5)
+    # max_bucket_size=None: the oracle's CTE is the uncapped exact-pairs
+    # mode — pin that contract rather than rely on fixture buckets staying
+    # under the engine's default cap (see d03).
+    out = dedup_ops.minhash_dedup(
+        d, "text", jaccard_threshold=0.5, max_bucket_size=None
+    )
     return out.select("doc_id", "is_dup_minhash", "dup_of_minhash", "drop_reason")
 
 

@@ -237,6 +237,33 @@ class TestLshBucketCap:
                         df, "text", max_bucket_size=None).collect()}
         assert capped == uncapped
 
+    def test_fixture_buckets_stay_under_default_cap(self, spark, sf_dir):
+        """The oracle-refereed queries pin max_bucket_size=None explicitly,
+        but the engine-default capped mode must ALSO match the referee on
+        the driver fixtures — i.e. no fixture bucket may exceed the default
+        cap. If corpus growth ever trips this, the capped default would
+        silently diverge from exact-pairs semantics on refereed data."""
+        import inspect
+
+        default_cap = inspect.signature(
+            dedup.minhash_lsh_candidates
+        ).parameters["max_bucket_size"].default
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_candidates(docs, "text").collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_candidates(
+                docs, "text", max_bucket_size=None
+            ).collect()
+        }
+        assert capped == uncapped, (
+            f"fixture LSH buckets exceed the default cap ({default_cap}); "
+            "capped default no longer equals the exact-pairs referee mode"
+        )
+
 
 class TestSimHash:
     def test_identical_and_different(self, spark):
@@ -323,6 +350,14 @@ class TestConnectedComponents:
         )
         comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
         assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_rejects_nonpositive_max_iter(self, spark):
+        """max_iter <= 0 would return identity labels with no warning (the
+        loop body never runs) — it must raise instead."""
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        for bad in (0, -1):
+            with pytest.raises(ValueError, match="max_iter"):
+                dedup.connected_components(pairs, max_iter=bad)
 
     def test_warns_when_diameter_exceeds_max_iter(self, spark):
         import warnings
