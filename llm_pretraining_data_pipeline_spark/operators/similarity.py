@@ -236,6 +236,72 @@ def ivf_topk_indexed(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    init_centroids: DataFrame,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the IVF coarse quantizer, as pure
+    DataFrame ops: broadcast-centroid argmax assignment → element-wise mean
+    per cell (posexplode + groupBy — the shuffle rows are (cell, pos, val)
+    triples, narrow at any scale) → next round. Cells that lose every vector
+    keep their previous centroid. Deterministic: the argmax breaks ties by
+    centroid id and the means are rounded to ``round_dp`` so distributed
+    summation order cannot leak into the result.
+
+    Each round collects the k×d centroid matrix to the driver (tiny by
+    construction) — this truncates the iteration lineage exactly like the
+    connected-components loop. At 100 TB the standard practice applies:
+    train on a 1-10% SAMPLE of the corpus (`df.sample(...)`), then assign
+    the full corpus once with ``write_ivf_index``; the trainer itself does
+    not need the full corpus to place coarse cells.
+    """
+    if n_iter < 1:
+        raise ValueError(f"train_ivf_centroids needs n_iter >= 1, got {n_iter}")
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    id_field = init_centroids.schema[centroid_id]
+    out_schema = T.StructType(
+        [
+            T.StructField(centroid_id, id_field.dataType, id_field.nullable),
+            T.StructField(centroid_vec, T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    cents = init_centroids.select(
+        F.col(centroid_id), _as_double(F.col(centroid_vec)).alias(centroid_vec)
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, cents, vec_col, id_col, centroid_id, centroid_vec)
+        members = (
+            df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+            .join(assigned, id_col)
+            .select("cell", F.posexplode("_v").alias("_i", "_x"))
+        )
+        means = members.groupBy("cell", "_i").agg(
+            F.round(F.avg("_x"), round_dp).alias("_m")
+        )
+        new_vecs = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_s"))
+            .select(
+                F.col("cell").alias(centroid_id),
+                F.transform("_s", lambda s: s["_m"]).alias("_new"),
+            )
+        )
+        stepped = cents.join(new_vecs, centroid_id, "left").select(
+            centroid_id,
+            F.coalesce(F.col("_new"), F.col(centroid_vec)).alias(centroid_vec),
+        )
+        cents = spark.createDataFrame(stepped.collect(), schema=out_schema)
+    return cents
+
+
 def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

@@ -333,6 +333,61 @@ class TestEmbeddingSimilarity:
         assert ampl <= brute          # exact verify inside: no false positives
         assert len(ampl) / len(brute) >= 0.9
 
+    def test_train_ivf_centroids_recovers_clusters_from_bad_init(self, spark):
+        """Lloyd refinement must fix a pathological coarse quantizer: 4 true
+        clusters, all 4 init centroids taken from ONE cluster. After a few
+        rounds the mean cosine of vectors to their assigned centroid (the
+        k-means objective) must improve and the cells must rebalance from
+        one-giant-cell toward the true 40/40/40/40 structure."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        centers = rng.randn(4, 8) * 4.0
+        vecs = []
+        for ci, c in enumerate(centers):
+            for j in range(40):
+                vecs.append((ci * 40 + j, (c + rng.randn(8) * 0.3).tolist()))
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        # bad init: 4 near-identical centroids, all inside cluster 0
+        init = df.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+
+        def objective(cents):
+            assigned = similarity.ivf_assign(df, cents)
+            joined = (
+                df.join(assigned, "vec_id")
+                .join(
+                    cents.select(
+                        F.col("centroid_id").alias("cell"),
+                        F.col("centroid_vec").alias("_cv"),
+                    ),
+                    "cell",
+                )
+                .select(similarity.cosine(F.col("embedding"), F.col("_cv")).alias("c"))
+            )
+            return joined.agg(F.avg("c")).collect()[0][0]
+
+        def max_cell(cents):
+            assigned = similarity.ivf_assign(df, cents)
+            return max(
+                r.n for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+
+        trained = similarity.train_ivf_centroids(df, init, n_iter=4)
+        assert objective(trained) > objective(init) + 0.05
+        assert max_cell(trained) < max_cell(init)
+        assert max_cell(trained) <= 80  # rebalanced away from one-giant-cell
+
+    def test_train_ivf_centroids_rejects_nonpositive_iters(self, spark):
+        df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        init = df.select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+        )
+        with pytest.raises(ValueError, match="n_iter"):
+            similarity.train_ivf_centroids(df, init, n_iter=0)
+
     def test_lsh_topk_contains_self(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         query = emb.filter(F.col("vec_id") == 7).collect()[0].embedding
