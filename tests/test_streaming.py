@@ -95,6 +95,137 @@ def ev_module_drain(agg):
     return ev._drain_to_memory(agg, "complete")
 
 
+class TestStateEvictionAcrossBatches:
+    """Prove watermark/state mechanics ACROSS microbatches, not just inside
+    one bounded drain: the watermark advances between two file drops, a
+    deliberately-late event is discarded, and the stateful sessionizer's
+    event-time timeout fires in batch 2 for a session opened in batch 1."""
+
+    def test_sessionizer_two_batch_timeout_and_late_drop(self, spark, tmp_path):
+        import datetime as dt
+
+        def _ts(h, m):
+            return dt.datetime(2026, 1, 1, h, m)
+
+        stage = str(tmp_path / "drops")
+        schema = "user_id bigint, ts timestamp"
+        emissions = []  # (epoch_id, row) in arrival order
+
+        def sink(batch_df, epoch_id):
+            for r in batch_df.collect():
+                emissions.append((epoch_id, r))
+
+        batch1 = spark.createDataFrame(
+            [(1, _ts(10, 0)), (1, _ts(10, 5)), (2, _ts(10, 10))], schema
+        )
+        batch1.coalesce(1).write.mode("append").parquet(stage)
+        stream = spark.readStream.schema(batch1.schema).parquet(stage)
+        q = (
+            ev.sessionize_stateful(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # Batch 1: max ts 10:10 → watermark 09:40, which is before every
+            # session's (last event + gap); all state stays open, nothing out.
+            assert emissions == []
+            epochs_b1 = q.lastProgress["batchId"]
+
+            batch2 = spark.createDataFrame(
+                [
+                    (3, _ts(9, 30)),  # LATE: behind the 09:40 watermark → dropped
+                    (2, _ts(12, 0)),  # fresh: advances watermark to 11:30
+                ],
+                schema,
+            )
+            batch2.coalesce(1).write.mode("append").parquet(stage)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for _, r in emissions
+        }
+        # u1 had NO batch-2 events: its batch-1 session can only have been
+        # flushed by the event-time TIMEOUT firing once the watermark
+        # (11:30) passed last_event+gap (10:35) — state eviction across
+        # batches, the thing a single bounded drain cannot show.
+        # u2's first session closes by gap when its 12:00 event arrives.
+        assert got == {
+            (1, _ts(10, 0), _ts(10, 5), 2),
+            (2, _ts(10, 10), _ts(10, 10), 1),
+        }
+        # the late u3 event left no trace: no session, no state emission
+        assert not any(r.user_id == 3 for _, r in emissions)
+        # u2's 12:00 session is still open (watermark 11:30 < 12:30) → absent
+        assert not any(
+            r.user_id == 2 and r.session_start == _ts(12, 0) for _, r in emissions
+        )
+        # all emissions happened strictly after batch 1's epochs
+        assert all(epoch > epochs_b1 for epoch, _ in emissions)
+
+    def test_windowed_agg_two_batch_late_row_dropped(self, spark, tmp_path):
+        """Append-mode tumbling counts across two drops: a row older than the
+        advanced watermark must not resurrect or correct its closed window."""
+        import datetime as dt
+
+        def _ts(h, m):
+            return dt.datetime(2026, 1, 1, h, m)
+
+        stage = str(tmp_path / "drops")
+        schema = "user_id bigint, ts timestamp"
+        finalized = []
+
+        def sink(batch_df, epoch_id):
+            for r in batch_df.collect():
+                finalized.append((r.window_start, r.cnt))
+
+        batch1 = spark.createDataFrame(
+            [(1, _ts(10, 0)), (1, _ts(10, 2)), (1, _ts(10, 40))], schema
+        )
+        batch1.coalesce(1).write.mode("append").parquet(stage)
+        stream = spark.readStream.schema(batch1.schema).parquet(stage)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "cnt")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # watermark after batch 1 = 10:40 − 10min = 10:30 → the 10:00
+            # window (2 events) is finalized and emitted; 10:40 stays open
+            assert (_ts(10, 0), 2) in finalized
+            n_after_b1 = len(finalized)
+
+            batch2 = spark.createDataFrame(
+                [
+                    (1, _ts(10, 1)),   # LATE for the closed 10:00 window
+                    (1, _ts(11, 30)),  # advances the watermark to 11:20
+                ],
+                schema,
+            )
+            batch2.coalesce(1).write.mode("append").parquet(stage)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the late row neither re-emitted nor corrected the closed window...
+        assert finalized.count((_ts(10, 0), 2)) == 1
+        assert (_ts(10, 0), 3) not in finalized
+        # ...and the watermark advance finalized the batch-1 leftover window
+        assert (_ts(10, 40), 1) in finalized[n_after_b1:]
+
+
 class TestForeachBatchSink:
     def test_exactly_once_parquet_epochs(self, spark, sf_dir, tmp_path):
         stream = ev.read_events_stream(spark, sf_dir)
