@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 PIPELINE_COPIES = int(os.environ.get("BENCH_PIPELINE_COPIES", "100"))
+# light queries run this many times; "queries" reports the MEDIAN and
+# "queries_first_run" the cold first shot (round-4 adjudication: single-shot
+# numbers read up to ~2.5x high on first-touch I/O, making round-over-round
+# comparison noisy at the 1-3 s scale)
+REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
 
 
 def main() -> int:
@@ -42,12 +47,29 @@ def main() -> int:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     meta: dict[str, float] = {}
 
     def timed(name: str, fn):
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        return out
+
+    def timed_median(name: str, fn):
+        """REPEATS runs; median goes to ``timings`` (regression-triage
+        stable), the cold first shot to ``first_run`` (I/O-inclusive).
+        Used for the light/mid queries only — the two pipeline jobs stay
+        single-shot (they dominate the suite and their first-touch I/O IS
+        part of the workload being measured)."""
+        out = None
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            out = fn()
+            runs.append(round(time.time() - t0, 3))
+        first_run[name] = runs[0]
+        timings[name] = sorted(runs)[len(runs) // 2]
         return out
 
     # ---- full pipeline over a replicated corpus (dedup-heavy by design).
@@ -118,10 +140,10 @@ def main() -> int:
         "rel_q8_market_share",
     ]:
         qd = QUERIES[qname]
-        timed(qname, lambda qd=qd: qd.spark(spark, SF_DIR).count())
+        timed_median(qname, lambda qd=qd: qd.spark(spark, SF_DIR).count())
 
     # ---- scale extensions at bench size
-    timed(
+    timed_median(
         "minhash_lsh_dedup",
         lambda: dedup_ops.minhash_lsh_candidates(
             docs, "text", num_hashes=32, bands=8
@@ -129,7 +151,7 @@ def main() -> int:
     )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries_df = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
-    timed("emb_knn8_full", lambda: similarity.knn_join(queries_df, emb, k=10).count())
+    timed_median("emb_knn8_full", lambda: similarity.knn_join(queries_df, emb, k=10).count())
 
     # ---- real byte-level BPE over the corpus (mapInPandas, Arrow batches).
     # The reference's tokenise stage is its single slowest (3,474 s for 241k
@@ -147,10 +169,18 @@ def main() -> int:
     meta["bpe_tokens_total"] = int(tok_total or 0)
 
     # ---- full document pipeline (the replicated-corpus heavy job)
+    # tokenizer_backend pinned to "regex": 'auto' would silently switch the
+    # measured work (and F6 keep/drop volume) if GPT-2 assets appear on disk,
+    # making perf baselines incomparable across environments
     n_docs = timed(
         "pipeline_e2e",
         lambda: _materialize(
-            P.run_pipeline(raw, P.PipelineConfig(use_nfkc=True, apply_lang_filter=False))
+            P.run_pipeline(
+                raw,
+                P.PipelineConfig(
+                    use_nfkc=True, apply_lang_filter=False, tokenizer_backend="regex"
+                ),
+            )
         ),
     )
     meta["pipeline_docs"] = n_docs
@@ -171,7 +201,8 @@ def main() -> int:
             P.run_pipeline(
                 raw,
                 P.PipelineConfig(
-                    use_nfkc=True, apply_lang_filter=False, use_minhash_dedup=True
+                    use_nfkc=True, apply_lang_filter=False, use_minhash_dedup=True,
+                    tokenizer_backend="regex",
                 ),
             )
         ),
@@ -187,6 +218,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_first_run": first_run,
+                "repeats": REPEATS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "meta": meta,
                 "cpus": CPUS,
