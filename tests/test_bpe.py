@@ -295,3 +295,50 @@ class TestGpt2SubsetFixture:
         assert out["g01_hello_world"]["ids_str"] == "15496,995"
         assert out["g10_empty"]["ids_str"] == "" and out["g10_empty"]["n_tokens"] == 0
         assert len(out) == 10
+
+
+@pytest.mark.skipif(
+    bpe.find_gpt2_assets() is None,
+    reason="full GPT-2 assets absent (no network in this container; drop in "
+    "encoder.json/vocab.bpe via scripts/fetch_gpt2_assets.py or "
+    "$SPARK_GRAFT_GPT2_ASSETS to run corpus-level full-vocab parity)",
+)
+class TestFullVocabParity:
+    """Corpus-level parity shape for the 51.86M-token contract (BASELINE.md):
+    with the published 50,257-entry vocabulary present, the engine's ids are
+    exact GPT-2 ids and distributed tokenisation equals local tokenisation
+    token-for-token at fixture scale. Skips (with the drop-in runbook in the
+    reason string) where the assets are absent."""
+
+    def test_full_codec_golden_ids(self):
+        codec = bpe.full_gpt2_codec()
+        assert codec.encode("Hello world") == [15496, 995]
+        assert codec.encode("hello world") == [31373, 995]
+        assert codec.encode("This is a test.") == [1212, 318, 257, 1332, 13]
+        assert codec.encode("Hello, world!") == [15496, 11, 995, 0]
+        assert len(codec.vocab) == 50257
+
+    def test_corpus_contract_shape(self, spark):
+        codec = bpe.full_gpt2_codec()
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        )
+        out = bpe.bpe_tokenize_map(docs, "text", codec=codec)
+        agg = out.agg(
+            F.sum("n_tokens").alias("total"),
+            F.sum(F.size("input_ids")).alias("total_ids"),
+            F.max(F.array_max("input_ids")).alias("max_id"),
+        ).collect()[0]
+        # contract shape: total_tokens == sum(len(input_ids)), ids in-vocab
+        assert agg.total == agg.total_ids > 0
+        assert agg.max_id < 50257
+        # distributed == local, token for token (the corpus-level parity the
+        # reference's 51.86M number rests on, at fixture scale)
+        local_total = sum(
+            len(codec.encode(r.text)) for r in docs.collect() if r.text is not None
+        )
+        assert agg.total == local_total
+        # roundtrip on a sample
+        for r in docs.limit(20).collect():
+            if r.text:
+                assert codec.decode(codec.encode(r.text)) == r.text
