@@ -52,43 +52,39 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-4 priority: every query whose implementation or oracle CHANGED this
-# round ships with a same-round correctness row (the driver caps each round
-# at 50 rows — edits must never ride on a stale green). Then the queries the
-# r1∪r2∪r3 union left thinnest, then the rest of the registry.
-_PRIORITY_R4 = [
-    # changed this round: d08 lineage type fix (the r1-r3 red row), IVF query
-    # flipped to the indexed probe, LSH bucket cap default in the minhash
-    # path, rel_q15 integer-unit sums, decontaminate oracle symmetry,
-    # span-dedup interval-merge rebuild
-    "d08_minhash_dedup", "emb_ivf_topk", "rel_q15_top_supplier",
-    "corp_decontaminate", "corp_span_dedup",
-    "d03_minhash_lsh_pairs", "d04_ngram_jaccard_pairs", "d09_incremental_dedup",
-    # new this round: OR-amplified embedding LSH + its recall audit, token
-    # contract, TPC-H Q21
-    "emb_near_dup_lsh_or", "emb_lsh_or_recall", "p22e_token_contract",
-    "rel_q21_waiting_suppliers", "emb_ivf_recall2",
-    "mm_media_dedup", "mm_frame_plan", "ev_stream_sessionize",
-    "f06_token_bounds",
-    # neighbors of changed code
-    "emb_near_dup_pairs", "emb_near_dup_lsh", "emb_ivf_recall",
-    "emb_lsh_bucket_sizes", "d05_simhash", "d07_simhash_pairs",
-    # r2-green queries whose freshest row is oldest
-    "p01_doc_identity", "p04_char_word_counts", "p05_quality_metrics",
-    "p06_pii_hits", "p07_toxicity", "p09_langid", "p09b_langid_trigram",
-    "p11_strip_html", "p12_boilerplate_lines", "p15_token_stats",
-    "p16_pii_mask", "p17_canonicalize",
-    "p20_quality_score", "u01_union_by_name", "o02_shard_assign",
-    "o02b_shard_manifest", "o03_toy_sample", "a11_quantiles",
-    # r3 greens to keep warm
-    "ev_stream_enrich", "ev_stream_dedup", "ev_stream_tumbling",
-    "rel_q7_volume_shipping", "rel_q8_market_share", "rel_q9_product_profit",
-    "corp_rep_signals", "corp_cross_dup_ngrams", "corp_para_dedup",
-    "corp_pack_spans", "corp_pack_manifest",
-    "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip", "a12_approx_sketches",
-    "f01_prefilter", "f03_quality_filter", "f04_low_information",
-    "d01_exact_dedup", "d02_near_dedup", "d06_fingerprint",
-    "a01_source_counts", "a05_numeric_summary", "a07_histogram",
+# Round-5 priority: (a) every query whose implementation or oracle CHANGED
+# this round ships with a same-round correctness row (the driver caps each
+# round at 50 rows — edits must never ride on a stale green), then (b) the
+# 42 queries whose freshest green is still r1/r2 (VERDICT r4 item 1: a
+# three-round-old green is an assumption, not a fact), then the rest.
+_PRIORITY_R5 = [
+    # new this round: real P8 logistic scorer, trained-centroid IVF recall
+    "p08_model_quality", "emb_ivf_recall_trained",
+    # changed this round: exact_dedup narrow_shuffle path + CC zero-iter
+    # guard (dedup.py), d03 pins max_bucket_size=None to the oracle contract,
+    # emb_ivf_topk staging path made deterministic + cleanup-registered,
+    # p20 shares the reworked scoring module
+    "d01_exact_dedup", "d02_near_dedup", "d03_minhash_lsh_pairs",
+    "d08_minhash_dedup", "d09_incremental_dedup", "emb_ivf_topk",
+    "p20_quality_score",
+    # stale r1/r2 greens (most recent row three rounds old) — refresh all 42;
+    # p22_tokenize doubles as coverage for this round's tokenizer.py edit
+    "p22_tokenize", "p23_pick_text", "p10_non_latin_ratio",
+    "u02_intersect_except", "s04_jsonl_projection",
+    "rel_q1_pricing_summary", "rel_q3_shipping_priority",
+    "rel_q5_local_supplier", "rel_q6_revenue_delta", "rel_q12_shipmode_case",
+    "rel_q14_promo_ratio", "rel_q19_disjunctive", "rel_in_subquery",
+    "rel_having_large_orders", "rel_semi_join", "rel_anti_join",
+    "rel_outer_join", "rel_rollup_orders", "rel_cube_lineitem",
+    "rel_grouping_sets", "rel_pivot", "rel_distinct_counts",
+    "win_above_avg_orders", "win_rank_family", "win_top3_orders_per_customer",
+    "win_running_quantity", "win_lag_price_delta", "win_range_frame",
+    "win_value_family",
+    "ev_tumbling_5min", "ev_sliding_10m5m", "ev_hourly_rollup",
+    "ev_sessionize", "ev_asof_last_click", "ev_user_stats",
+    "ev_json_props", "ev_date_parts",
+    "emb_cosine_topk", "emb_knn_join", "emb_label_stats",
+    "p25_string_functions", "p26_array_ops",
 ]
 
 
@@ -98,7 +94,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R4 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R5 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 
