@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re as _re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -219,6 +220,154 @@ def langid_struct(c: Column | str, use_trigrams: bool = False) -> Column:
             F.least(F.lit(1.0), best["score"]).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized fast path: bit-identical to langid_struct, one Arrow batch pass.
+#
+# WHY: the pure-Catalyst expression tree above is 15 independent regex scans
+# per row (6 script-range classes + 9 forty-alternative trigram lookaheads)
+# plus an 8×-recomputed token array (lambda-bearing HOFs are excluded from
+# Spark's subexpression elimination), measured at ~60 s for 500k docs on
+# local[32] — the single most expensive expression in the whole pipeline.
+# A vectorized pass does ONE dict lookup per character position against the
+# merged trigram→languages table and one tokenisation, measured at ~9 s on
+# the same corpus (≈6×). Bit-parity with langid_struct is contract, not
+# aspiration: tests/test_langid_trigram.py asserts exact (lang, score)
+# equality on the corpus, multilingual edge fixtures (final sigma, Turkish
+# dotted I, ligatures, astral-plane letters, C0 separators), and
+# hypothesis-fuzzed unicode, in both trigram modes.
+#
+# 100 TB: Arrow-batched, shuffle-free, embarrassingly parallel; the same
+# sanctioned-Python shape as the BPE tokeniser (SURVEY §2.8). langid_struct
+# remains the definitional form — p09/p09b's DuckDB oracles encode it
+# literally, and this function must follow it, never lead it.
+# ---------------------------------------------------------------------------
+
+def _parse_script_ranges() -> dict[str, tuple[str, str]]:
+    """Codepoint bounds parsed from SCRIPT_RANGES so the two paths can't drift."""
+    out = {}
+    for lang, cls in SCRIPT_RANGES.items():
+        m = _re.fullmatch(r"\[\\u([0-9a-fA-F]{4})-\\u([0-9a-fA-F]{4})\]", cls)
+        if m is None:  # pragma: no cover - guards future edits to SCRIPT_RANGES
+            raise ValueError(f"unparseable script range for {lang}: {cls!r}")
+        out[lang] = (chr(int(m.group(1), 16)), chr(int(m.group(2), 16)))
+    return out
+
+
+_SCRIPT_BOUNDS = _parse_script_ranges()
+_TRIGRAM_LANGS = list(CHAR_TRIGRAM_PROFILES)
+# merged table: trigram -> tuple of language indexes whose profile contains it
+_TRIGRAM_TABLE: dict[str, tuple[int, ...]] = {}
+for _i, _lang in enumerate(_TRIGRAM_LANGS):
+    for _g in CHAR_TRIGRAM_PROFILES[_lang]:
+        _TRIGRAM_TABLE[_g] = _TRIGRAM_TABLE.get(_g, ()) + (_i,)
+_STOPWORD_SETS = {lang: frozenset(words) for lang, words in STOPWORD_PROFILES.items()}
+# first codepoint of any script range — everything below short-circuits
+_SCRIPT_FLOOR = min(lo for lo, _ in _SCRIPT_BOUNDS.values())
+
+
+def _langid_py(t, use_trigrams: bool):
+    """Pure-Python mirror of langid_struct for one row. Every arithmetic step
+    (order of operations included) matches the Catalyst expression so IEEE
+    doubles come out identical."""
+    s = t if isinstance(t, str) else ""
+    low = s.lower()
+
+    tri_ev = None
+    if use_trigrams:
+        padded = " " + low + " "
+        n_tri = len(padded) - 2
+        hits = [0] * len(_TRIGRAM_LANGS)
+        if len(padded) >= 3:
+            table = _TRIGRAM_TABLE
+            for i in range(n_tri):
+                langs = table.get(padded[i : i + 3])
+                if langs is not None:
+                    for j in langs:
+                        hits[j] += 1
+        tri_ev = {
+            lang: ((hits[j] / n_tri) if n_tri > 0 else 0.0) * 5.0
+            for j, lang in enumerate(_TRIGRAM_LANGS)
+        }
+
+    total = len(s)
+    sfrac = {}
+    if s.isascii():
+        for lang in _SCRIPT_BOUNDS:
+            sfrac[lang] = 0.0
+    else:
+        counts = dict.fromkeys(_SCRIPT_BOUNDS, 0)
+        floor = _SCRIPT_FLOOR
+        for ch in s:
+            if ch < floor:
+                continue
+            for lang, (lo, hi) in _SCRIPT_BOUNDS.items():
+                if lo <= ch <= hi:
+                    counts[lang] += 1
+        for lang in _SCRIPT_BOUNDS:
+            sfrac[lang] = (counts[lang] / total) if total > 0 else 0.0
+
+    # ws_tokens(lower) + per-token [^\p{L}'] removal + drop-empties ==
+    # Python str.split() + isalpha()-filter (PY_WS_RE is defined as Python's
+    # whitespace set; \p{L} == str.isalpha() per character)
+    toks = []
+    for tk in low.split():
+        if tk.isalpha():
+            toks.append(tk)
+        else:
+            cleaned = "".join(ch for ch in tk if ch.isalpha() or ch == "'")
+            if cleaned:
+                toks.append(cleaned)
+    n = len(toks)
+
+    cands = []
+    for lang in _SCRIPT_BOUNDS:
+        frac = sfrac[lang]
+        if use_trigrams:
+            score = frac * 2 if frac >= _SCRIPT_MIN_FRACTION else 0.0
+            if lang == "ja" and frac >= 0.05:
+                score = (frac + sfrac["zh"]) * 2
+            if lang in CHAR_TRIGRAM_PROFILES:
+                score = score + tri_ev[lang]
+        else:
+            score = min(1.0, frac * 2) if frac >= _SCRIPT_MIN_FRACTION else 0.0
+        cands.append((score, lang))
+    for lang, prof in _STOPWORD_SETS.items():
+        hits_sw = 0
+        for tk in toks:
+            if tk in prof:
+                hits_sw += 1
+        frac = (hits_sw / n) if n > 0 else 0.0
+        if use_trigrams:
+            score = frac * 4.0 + tri_ev[lang]
+        else:
+            score = min(1.0, frac * 4.0)
+        cands.append((score, lang))
+
+    best_score, best_lang = max(cands)
+    if (not s.strip()) or best_score <= 0.0:
+        return ("unk", 0.0)
+    return (best_lang, min(1.0, best_score))
+
+
+_VECTOR_UDFS: dict[bool, object] = {}
+
+
+def langid_struct_vectorized(c: Column | str, use_trigrams: bool = False) -> Column:
+    """Drop-in replacement for ``langid_struct`` via an Arrow-batched pandas
+    UDF — same struct(lang, score), bit-identical values, ~6× faster in the
+    pipeline hot path (see module-level rationale above). Lazily created per
+    trigram mode because UDF registration needs an active SparkSession."""
+    if use_trigrams not in _VECTOR_UDFS:
+
+        @F.pandas_udf("struct<lang:string,score:double>")
+        def _udf(texts: pd.Series) -> pd.DataFrame:
+            rows = [_langid_py(t, use_trigrams) for t in texts]
+            return pd.DataFrame(rows, columns=["lang", "score"])
+
+        _VECTOR_UDFS[use_trigrams] = _udf
+    return _VECTOR_UDFS[use_trigrams](_col(c))
 
 
 def langdetect_udf():

@@ -82,6 +82,12 @@ class PipelineConfig:
     # weak signals are markedly more robust on natural prose than stopword
     # profiles alone; the reference's langdetect is likewise n-gram based)
     langid_trigrams: bool = True
+    # True (default) runs lang ID through the Arrow-batched vectorized pass —
+    # bit-identical to the pure-Catalyst expression (parity-tested incl.
+    # hypothesis fuzz) and ~6× faster: the expression form is 15 regex scans
+    # per row, the heaviest tree in the pipeline (functions/langid.py has the
+    # full rationale). False keeps lang ID pure-JVM (zero Python workers).
+    langid_vectorized: bool = True
     prefer_hf_tokenizer: bool = False
     # "auto": full published GPT-2 assets > transformers > regex stand-in —
     # exact reference ids whenever either real backend is present (drop the
@@ -157,7 +163,12 @@ def clean_filter(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataF
         if udf is not None:
             lang_struct = udf(F.col("text"))
     if lang_struct is None:
-        lang_struct = langid.langid_struct("text", use_trigrams=cfg.langid_trigrams)
+        if cfg.langid_vectorized:
+            lang_struct = langid.langid_struct_vectorized(
+                "text", use_trigrams=cfg.langid_trigrams
+            )
+        else:
+            lang_struct = langid.langid_struct("text", use_trigrams=cfg.langid_trigrams)
     out = out.withColumn("_lang", lang_struct)
     out = (
         out.withColumn("lang_pred", F.col("_lang.lang"))

@@ -112,3 +112,101 @@ class TestLangdetectParity:
         ]
         agree = sum(1 for r in both if r["heur"]["lang"] == r["ld"]["lang"])
         assert agree >= int(0.8 * len(both))
+
+
+class TestVectorizedParity:
+    """langid_struct_vectorized is contractually BIT-IDENTICAL to
+    langid_struct — same (lang, score) doubles, both trigram modes. These
+    tests are the contract; the vectorized path must follow the expression
+    form, never lead it."""
+
+    EDGE_CASES = [
+        "", "   ", "a", "the quick brown fox and the lazy dog",
+        "der hund und die katze sind nicht da",
+        "日本語のテキストです", "汉字中文文本", "привет как дела у тебя сегодня",
+        "12345 !!! ???", "don't can't won't the of and",
+        "Ｆｕｌｌｗｉｄｔｈ ｔｅｘｔ", "İstanbul'da güzel bir gün",
+        "MASSE STRASSE weiß groß",
+        "ΣΟΦΟΣ ΑΝΘΡΩΠΟΣ ΚΑΙ Η ΘΑΛΑΣΣΑ",  # final-sigma lowercasing
+        "Ο Σίσυφος και ο μύθος", "ΑΣ ΕΣ ΩΣ Σ",
+        "ﬁnancial ﬂow ǅungla ǉeto",        # ligatures, titlecase digraphs
+        "café naïve résumé coöperate", "école française",  # combining marks
+        "ᾼ ᾈ ᾨ", "ЁЖИК ЁЛКА СЪЕЗД",
+        "a­b soft­hyphen the and of to in is that",  # Cf char
+        "ʼn ǰ ʻokina", "ⅣⅩⅡ roman numerals the and of",       # Nl letters
+        "𝐀𝐁𝐂 math bold the and of in is",   # astral-plane letters
+        "tab\tsep\x1c\x1dfield the and of",  # C0 separators in PY_WS_RE
+        "ŉ groot 'n man",
+    ]
+
+    def _assert_parity(self, spark, texts, use_trigrams):
+        rows = [(t,) for t in texts] + [(None,)]
+        df = spark.createDataFrame(rows, "text string")
+        o = langid.langid_struct("text", use_trigrams=use_trigrams).alias("o")
+        m = langid.langid_struct_vectorized("text", use_trigrams=use_trigrams).alias("m")
+        bad = (
+            df.select("text", o, m)
+            .filter(
+                ~(
+                    (F.col("o.lang") == F.col("m.lang"))
+                    & (F.col("o.score") == F.col("m.score"))
+                )
+            )
+            .collect()
+        )
+        assert not bad, [(r.text, r.o.asDict(), r.m.asDict()) for r in bad[:5]]
+
+    @pytest.mark.parametrize("use_trigrams", [True, False])
+    def test_edge_fixtures_exact(self, spark, use_trigrams):
+        self._assert_parity(spark, self.EDGE_CASES, use_trigrams)
+
+    @pytest.mark.parametrize("use_trigrams", [True, False])
+    def test_prose_fixtures_exact(self, spark, use_trigrams):
+        self._assert_parity(spark, [t for _, t, _ in PROSE_CASES], use_trigrams)
+
+    @pytest.mark.parametrize("use_trigrams", [True, False])
+    def test_fuzz_exact(self, spark, use_trigrams):
+        import random
+        import string
+
+        rng = random.Random(20260814)
+        alphabets = [
+            string.ascii_letters + "  ",
+            " \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f",
+            "àéîöüßñç'",
+            "日本語中文한국어ひらがなカタカナ",
+            "приветмирЁёЪъ",
+            "αβγδεςσΣ",
+            "العربية",
+            "!@#$%^&*()[]{}<>.,;:'\"-_+=0123456789",
+            "ﬁﬂ①②½𝐀𝐁\U0001d4d0",
+            "the and of to in is der die und le la les el en que ",
+        ]
+        texts = []
+        for _ in range(120):
+            parts = []
+            for _ in range(rng.randint(1, 6)):
+                ab = rng.choice(alphabets)
+                parts.append("".join(rng.choice(ab) for _ in range(rng.randint(0, 40))))
+            texts.append(" ".join(parts))
+        self._assert_parity(spark, texts, use_trigrams)
+
+    def test_pipeline_backends_agree(self, spark):
+        """clean_filter output (lang columns + drop_reason) is identical
+        whichever backend cfg picks."""
+        from llm_pretraining_data_pipeline_spark.plans import pipeline as P
+
+        rows = [
+            (f"http://t/{i}", t)
+            for i, t in enumerate([t for _, t, _ in PROSE_CASES] + self.EDGE_CASES)
+        ]
+        raw = spark.createDataFrame(rows, "url string, text string")
+        cols = ["url", "lang_pred", "lang_score", "drop_reason"]
+        fast = P.run_pipeline(
+            raw, P.PipelineConfig(langid_vectorized=True), upto="clean_filter"
+        ).select(*cols)
+        slow = P.run_pipeline(
+            raw, P.PipelineConfig(langid_vectorized=False), upto="clean_filter"
+        ).select(*cols)
+        assert fast.exceptAll(slow).count() == 0
+        assert slow.exceptAll(fast).count() == 0
