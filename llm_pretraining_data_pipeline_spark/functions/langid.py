@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from llm_pretraining_data_pipeline_spark.functions.metrics_vec import is_jvm_letter
 from llm_pretraining_data_pipeline_spark.functions.text_norm import _col, ws_tokens
 
 # Compact high-frequency stopword profiles (public-knowledge function words).
@@ -309,14 +310,17 @@ def _langid_py(t, use_trigrams: bool):
             sfrac[lang] = (counts[lang] / total) if total > 0 else 0.0
 
     # ws_tokens(lower) + per-token [^\p{L}'] removal + drop-empties ==
-    # Python str.split() + isalpha()-filter (PY_WS_RE is defined as Python's
-    # whitespace set; \p{L} == str.isalpha() per character)
+    # Python str.split() + JVM-letter filter (PY_WS_RE is defined as
+    # Python's whitespace set, sweep-verified; \p{L} == metrics_vec's
+    # is_jvm_letter — str.isalpha() minus newer-Unicode letters the JVM's
+    # tables don't know). ASCII fast path: the two predicates agree on all
+    # of ASCII.
     toks = []
     for tk in low.split():
-        if tk.isalpha():
+        if tk.isascii() and tk.isalpha():
             toks.append(tk)
         else:
-            cleaned = "".join(ch for ch in tk if ch.isalpha() or ch == "'")
+            cleaned = "".join(ch for ch in tk if is_jvm_letter(ch) or ch == "'")
             if cleaned:
                 toks.append(cleaned)
     n = len(toks)

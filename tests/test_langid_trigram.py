@@ -137,6 +137,8 @@ class TestVectorizedParity:
         "𝐀𝐁𝐂 math bold the and of in is",   # astral-plane letters
         "tab\tsep\x1c\x1dfield the and of",  # C0 separators in PY_WS_RE
         "ŉ groot 'n man",
+        "ࡰࡱ arabic extended-b the and of",  # newer-Unicode letters (\p{L} skew)
+        "ჽაჿ the and of \U00010570\U00010571",  # Vithkuqi (Unicode 14 letters)
     ]
 
     def _assert_parity(self, spark, texts, use_trigrams):
