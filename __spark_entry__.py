@@ -58,8 +58,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # 42 queries whose freshest green is still r1/r2 (VERDICT r4 item 1: a
 # three-round-old green is an assumption, not a fact), then the rest.
 _PRIORITY_R5 = [
-    # new this round: real P8 logistic scorer, trained-centroid IVF recall
-    "p08_model_quality", "emb_ivf_recall_trained",
+    # new this round: real P8 logistic scorer, trained-centroid IVF recall,
+    # SemDeDup semantic dedup
+    "p08_model_quality", "emb_ivf_recall_trained", "emb_semdedup",
     # changed this round: exact_dedup narrow_shuffle path + CC zero-iter
     # guard (dedup.py), d03 pins max_bucket_size=None to the oracle contract,
     # emb_ivf_topk staging path made deterministic + cleanup-registered,

@@ -824,3 +824,74 @@ def dedup_against_snapshot(
     return flagged.withColumn("is_known", F.col("_snap_hash").isNotNull()).drop(
         "_snap_hash"
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    cluster-then-compare. Every vector is assigned to its max-cosine cluster
+    (the IVF coarse quantizer — ``similarity.ivf_assign``); within each
+    cluster a vector is a semantic duplicate iff some LOWER-id member of the
+    same cluster has cosine >= ``threshold`` with it (keep-first by id, same
+    lineage contract as ``exact_dedup``'s ``dup_of``).
+
+    Output: (id, cell, is_semdup, semdup_of) — ``semdup_of`` is the minimum
+    qualifying lower id, null for kept rows. One row per input vector.
+
+    Scale shape (100 TB): the O(N²) comparison is confined to clusters — the
+    join is a hash-partitioned EQUI-join on ``cell``, never a cartesian. The
+    paper's operating point (k ≈ 50k clusters over 100M+ embeddings) keeps
+    expected cluster size in the thousands, so per-cell pairwise work is
+    bounded; cluster count must grow with the corpus (k ∝ N keeps cell
+    sizes ~constant). Train ``centroids`` on a sample with
+    ``similarity.train_ivf_centroids``. Only (id, cell, vec) rows shuffle —
+    callers join the verdict back to their wide frame by id. Deterministic:
+    argmax assignment tie-breaks by centroid id; per-row double arithmetic
+    is identical-op-order (no aggregation-order dependence).
+    """
+    from llm_pretraining_data_pipeline_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+    )
+
+    assigned = ivf_assign(
+        df, centroids, vec_col, id_col, centroid_id, centroid_vec
+    )
+    vecs = (
+        _spread_small_input(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .join(assigned.withColumnRenamed(id_col, "_id"), "_id")
+    )
+    a = vecs.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"), F.col("cell")
+    )
+    b = vecs.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), F.col("cell")
+    )
+    dup_of = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .groupBy(F.col("_idb").alias("_id"))
+        .agg(F.min("_ida").alias("semdup_of"))
+    )
+    return (
+        assigned.withColumnRenamed(id_col, "_id")
+        .join(dup_of, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.col("semdup_of").isNotNull().alias("is_semdup"),
+            "semdup_of",
+        )
+    )

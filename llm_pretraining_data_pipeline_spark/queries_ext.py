@@ -1190,6 +1190,63 @@ def emb_ivf_recall_trained(spark, sf_dir):
     return similarity.ivf_recall(emb, trained, queries, k=_RECALL_K)
 
 
+# 0.45 on the synthetic fixture for the same reason as emb_near_dup_pairs:
+# random 64-dim vectors concentrate near cosine 0 (fixture max ~0.51), so a
+# production threshold (~0.95, the operator default) would make the referee
+# vacuous — every row false. 0.45 yields a small non-empty semdup set.
+_SEMDEDUP_TAU = 0.45
+
+
+@register(
+    "emb_semdedup",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> cast(x as double)) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    a AS (
+      SELECT e.vec_id, list_transform(e.embedding, x -> cast(x as double)) AS v,
+             (SELECT c.cid FROM cents c
+              ORDER BY {O.cosine_double('e.embedding', 'c.cvec')} DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    d AS (
+      SELECT hi.vec_id, min(lo.vec_id) AS semdup_of
+      FROM a hi JOIN a lo ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+      WHERE {O.cosine_double('lo.v', 'hi.v')} >= {_SEMDEDUP_TAU}
+      GROUP BY hi.vec_id
+    )
+    SELECT a.vec_id, cast(a.cell as bigint) AS cell,
+           (d.semdup_of IS NOT NULL) AS is_semdup,
+           cast(d.semdup_of as bigint) AS semdup_of
+    FROM a LEFT JOIN d USING (vec_id) ORDER BY a.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): cluster-then-compare semantic dedup — "
+        "argmax-cosine cluster assignment (first-8 coarse quantizer, the "
+        "same init every emb_ivf_* query referees), then keep-first within "
+        "each cluster at cosine >= 0.45 (fixture threshold — see "
+        "_SEMDEDUP_TAU; operator default is the production 0.95); "
+        "semdup_of is the min qualifying "
+        "lower id. Pairwise work is confined to clusters (equi-join on "
+        "cell), never a corpus-wide cartesian — cluster count scales with "
+        "corpus size to bound per-cell work",
+)
+def emb_semdedup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    out = dedup_ops.semdedup(emb, cents, threshold=_SEMDEDUP_TAU)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "is_semdup",
+        F.col("semdup_of").cast("long").alias("semdup_of"),
+    ).orderBy("vec_id")
+
+
 # ====================================================== multimodal plumbing
 # The media operators are exercised against a payload column derived
 # deterministically from the documents table (payload = UTF-8 bytes of

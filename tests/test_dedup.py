@@ -507,3 +507,71 @@ class TestSnapshotDedup:
         manifest = batch.limit(0).select(F.col("text").alias("exact_hash"))
         rows = dedup.dedup_against_snapshot(batch, manifest).collect()
         assert len(rows) == 2 and not any(r.is_known for r in rows)
+
+
+class TestSemDeDup:
+    """SemDeDup (Abbas et al. 2023): cluster-then-compare semantic dedup."""
+
+    def _fixture(self, spark):
+        # Two well-separated clusters on axes e0/e1; within cluster 0 three
+        # near-identical vectors (pairwise cosine ~1) plus one genuinely
+        # different direction that still lands in cluster 0's cell.
+        vecs = [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.999, 0.001, 0.0, 0.0]),   # semdup of 10
+            (12, [0.998, 0.002, 0.0, 0.0]),   # semdup of 10
+            (13, [0.75, 0.0, 0.66, 0.0]),     # cluster 0, but cos~0.75: kept
+            (20, [0.0, 1.0, 0.0, 0.0]),
+            (21, [0.0, 1.0, 0.001, 0.0]),     # semdup of 20
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs],
+            "vec_id long, embedding array<float>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        return emb, cents
+
+    def test_keep_first_within_cluster(self, spark):
+        emb, cents = self._fixture(spark)
+        out = {r.vec_id: r for r in dedup.semdedup(emb, cents, threshold=0.95).collect()}
+        assert len(out) == 6  # one row per input vector
+        assert not out[10].is_semdup and out[10].semdup_of is None
+        assert out[11].is_semdup and out[11].semdup_of == 10
+        assert out[12].is_semdup and out[12].semdup_of == 10
+        assert not out[13].is_semdup  # same cell, below threshold
+        assert not out[20].is_semdup
+        assert out[21].is_semdup and out[21].semdup_of == 20
+        # cluster assignment is part of the contract
+        assert out[13].cell == 0 and out[21].cell == 1
+
+    def test_cross_cluster_dups_not_seen(self, spark):
+        # SemDeDup's precision/cost trade: near-identical vectors split
+        # across cells are NOT compared (the paper accepts this; recall
+        # comes from cluster granularity). Pin the semantics.
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.009, 0.0, 0.0]), (2, [1.0, 0.011, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.01, 0.0, 0.0]), (1, [1.0, 0.0101, 0.0, 0.0])],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        out = {r.vec_id: r for r in dedup.semdedup(emb, cents, threshold=0.95).collect()}
+        if out[1].cell != out[2].cell:
+            assert not out[2].is_semdup
+
+    def test_no_cartesian_in_plan(self, spark):
+        emb, cents = self._fixture(spark)
+        plan = dedup.semdedup(emb, cents)._jdf.queryExecution().executedPlan().toString()
+        # The pairwise compare must be an EQUI-join on cell (hash/merge),
+        # never a cartesian over the corpus. The only nested-loop joins in
+        # the plan are ivf_assign's broadcast of the tiny centroid table —
+        # every one must be a BuildRight broadcast, not CartesianProduct.
+        assert "CartesianProduct" not in plan
+        import re
+
+        pair_joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin) \[cell", plan)
+        assert pair_joins, f"no equi-join on cell in plan:\n{plan}"
