@@ -59,8 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # three-round-old green is an assumption, not a fact), then the rest.
 _PRIORITY_R5 = [
     # new this round: real P8 logistic scorer, trained-centroid IVF recall,
-    # SemDeDup semantic dedup
+    # SemDeDup semantic dedup, URL stage (normalize/dedup/domain-blocklist)
     "p08_model_quality", "emb_ivf_recall_trained", "emb_semdedup",
+    "p27_url_normalize", "d10_url_dedup", "a13_domain_stats",
     # changed this round: exact_dedup narrow_shuffle path + CC zero-iter
     # guard (dedup.py), d03 pins max_bucket_size=None to the oracle contract,
     # emb_ivf_topk staging path made deterministic + cleanup-registered,

@@ -1,0 +1,135 @@
+"""URL normalisation and domain operators (C4 / RefinedWeb-style).
+
+Web-scale pretraining corpora filter and deduplicate at the URL level before
+ever touching document text: RefinedWeb (Penedo et al. 2023, §3.1) runs URL
+dedup + a domain blocklist as its first stage, and C4 (Raffel et al. 2020,
+§2.2) filters source URLs against a banned-domain list. These operators are
+the Spark-side equivalents. The reference pipeline has no URL stage (its
+ingest keeps ``url`` as an opaque provenance string, ingest.py:131) — this is
+§2.9 scale surface, not reference parity.
+
+Design constraints:
+  * Pure Catalyst expressions (regex + array HOFs) — no UDF, fully
+    codegen-fused, and mirrorable in DuckDB for the oracle referees
+    (p27/d10/a13). Patterns are RE2-safe (no backreferences/lookaround) so
+    Java regex and DuckDB's RE2 agree.
+  * Deterministic: same string in, same string out; no DNS, no punycode,
+    no PSL lookup (the registrable-domain helper is the last-two-labels
+    approximation — a real deployment swaps in the public-suffix list as a
+    broadcast join, same plan shape).
+
+At 100 TB every helper here is a narrow per-row projection (no shuffle);
+``url_dedup`` induces exactly one hash shuffle on the 64-hex url key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions.text_norm import _col
+
+# Tracking query parameters stripped by normalize_url (the common
+# click-provenance params that fragment otherwise-identical URLs).
+TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)="
+
+
+def normalize_url(c: Column | str) -> Column:
+    """Canonical URL for dedup/grouping.
+
+    Steps (each mirrored literally in the DuckDB oracle):
+      1. trim surrounding whitespace;
+      2. drop the fragment (``#...`` — never sent to servers);
+      3. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``) by
+         splitting the query on ``&`` and filtering — rebuilding avoids the
+         dangling-separator mess of in-place regex deletion;
+      4. strip trailing ``/`` from the path;
+      5. lowercase (scheme and host are case-insensitive; corpus URL dedup
+         conventionally folds the path too).
+    """
+    t = F.trim(_col(c).cast("string"))
+    base = F.regexp_extract(t, r"^[^?#]*", 0)
+    query = F.regexp_extract(t, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    rebuilt = F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+    return F.lower(F.regexp_replace(rebuilt, r"/+$", ""))
+
+
+def url_domain(c: Column | str, strip_www: bool = True) -> Column:
+    """Hostname of a URL: text between ``://`` and the first ``/ ? # :``
+    (port dropped), lowercased, with a leading ``www.`` removed by default.
+    Scheme-less inputs yield '' (null-safe: null → '')."""
+    host = F.lower(
+        F.regexp_extract(
+            F.trim(F.coalesce(_col(c).cast("string"), F.lit(""))),
+            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)",
+            1,
+        )
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Last-two-labels approximation of the registrable domain
+    (``cdn.src1.example.com`` → ``example.com``). Good enough for grouping
+    synthetic corpora; production swaps in the public-suffix list as a
+    broadcast join (same plan shape, still no shuffle on the fact side)."""
+    return F.regexp_extract(_col(host), r"[^.]+\.[^.]+$", 0)
+
+
+def domain_is_blocked(host: Column | str, blocklist: list[str]) -> Column:
+    """True iff ``host`` equals a blocked domain or is a subdomain of one.
+
+    The blocklist is compiled into a literal OR-chain of equality/suffix
+    predicates — for real blocklists (10k+ entries) use a broadcast join
+    against a blocklist table on ``registrable_domain`` instead; this
+    literal form is for small embedded lists and oracle parity.
+    """
+    h = _col(host)
+    pred = F.lit(False)
+    for d in blocklist:
+        dl = d.lower()
+        pred = pred | (h == dl) | h.endswith("." + dl)
+    return pred
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """URL-level keep-first dedup (RefinedWeb §3.1 runs this BEFORE any
+    content processing — it prunes refetches of the same page without
+    reading a byte of text).
+
+    Adds ``url_norm``, ``is_dup_url``, ``dup_of_url`` (the keeper's id, own
+    type preserved, null for keepers). One hash shuffle on the normalised
+    URL; at 100 TB run it on the (id, url) projection and join the verdict
+    back, exactly like ``exact_dedup(..., narrow_shuffle=True)`` — URLs are
+    short, so the wide-frame window is usually fine too.
+    """
+    from pyspark.sql import Window
+
+    order_col = order_col or (
+        "row_order" if "row_order" in df.columns else id_col
+    )
+    out = df.withColumn("url_norm", normalize_url(url_col))
+    w = Window.partitionBy("url_norm").orderBy(F.col(order_col))
+    rn = F.row_number().over(w)
+    keeper = F.first(F.col(id_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        out.withColumn("is_dup_url", rn > 1)
+        .withColumn(
+            "dup_of_url", F.when(rn > 1, keeper).otherwise(F.lit(None))
+        )
+    )

@@ -1329,3 +1329,179 @@ def mm_frame_plan(spark, sf_dir):
     return mm.frame_sample_plan(videos, every_ms=1000).select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
+
+
+# ================================================================= URL ops
+# C4 / RefinedWeb-style URL stage (functions/urls.py). The documents fixture
+# has no URL column, so each query synthesizes one deterministically from
+# (doc_id, source) — mixed case, tracking params, fragments, trailing
+# slashes, and a cdn. subdomain variant, so every normalisation step has
+# rows exercising it. The identical construction expression runs on both
+# engines (the mm_* queries established this derived-fixture pattern).
+
+_URL_BLOCKLIST = ["src2.example.com", "spam.example.org"]
+
+
+def _url_spark():
+    sub = F.when(F.col("doc_id") % 5 == 0, F.lit("Cdn.")).otherwise(F.lit("WWW."))
+    q = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=Feed&ref="),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("&utm_medium=Mail"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("?ref="),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("&fbclid=ZZ9"),
+            ),
+        )
+        .otherwise(F.lit("/"))
+    )
+    frag = F.when(F.col("doc_id") % 4 == 0, F.lit("#Section-2")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("HTTPS://"), sub, F.col("source"), F.lit(".Example.COM/Docs/"),
+        (F.col("doc_id") % 20).cast("string"), q, frag,
+    )
+
+
+_URL_SQL = (
+    "'HTTPS://' || CASE WHEN doc_id % 5 = 0 THEN 'Cdn.' ELSE 'WWW.' END "
+    "|| source || '.Example.COM/Docs/' || cast(doc_id % 20 as varchar) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '?utm_source=Feed&ref=' "
+    "|| cast(doc_id % 5 as varchar) || '&utm_medium=Mail' "
+    "WHEN doc_id % 3 = 1 THEN '?ref=' || cast(doc_id % 5 as varchar) "
+    "|| '&fbclid=ZZ9' ELSE '/' END "
+    "|| CASE WHEN doc_id % 4 = 0 THEN '#Section-2' ELSE '' END"
+)
+
+
+def _url_norm_sql(u: str) -> str:
+    """DuckDB twin of urls.normalize_url, step by step."""
+    base = f"regexp_extract(trim({u}), '^[^?#]*')"
+    query = f"regexp_extract(trim({u}), '\\?([^#]*)', 1)"
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))"
+    )
+    rebuilt = (
+        f"CASE WHEN len({kept}) > 0 "
+        f"THEN {base} || '?' || array_to_string({kept}, '&') ELSE {base} END"
+    )
+    return f"lower(regexp_replace({rebuilt}, '/+$', ''))"
+
+
+def _url_domain_sql(u: str) -> str:
+    host = (
+        f"lower(regexp_extract(trim(coalesce({u}, '')), "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))"
+    )
+    return f"regexp_replace({host}, '^www\\.', '')"
+
+
+def _blocked_sql(host: str) -> str:
+    terms = [
+        f"({host} = '{d}' OR {host} LIKE '%.{d}')" for d in _URL_BLOCKLIST
+    ]
+    return "(" + " OR ".join(terms) + ")"
+
+
+@register(
+    "p27_url_normalize",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    SELECT doc_id, url,
+           {_url_norm_sql('url')} AS url_norm,
+           {_url_domain_sql('url')} AS domain,
+           regexp_extract({_url_domain_sql('url')}, '[^.]+\\.[^.]+$') AS reg_domain
+    FROM u
+    """,
+    doc="URL normalisation (RefinedWeb §3.1 / C4 §2.2 shape): trim, strip "
+        "fragment, filter utm_*/gclid/fbclid query params by split-and-"
+        "rebuild, strip trailing slash, lowercase; plus hostname (www. "
+        "stripped, port dropped) and last-two-labels registrable domain — "
+        "all pure RE2-safe Catalyst regex/HOF expressions, zero UDF",
+)
+def p27_url_normalize(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls
+
+    u = _docs(spark, sf_dir).select("doc_id", _url_spark().alias("url"))
+    dom = urls.url_domain("url")
+    return u.select(
+        "doc_id", "url",
+        urls.normalize_url("url").alias("url_norm"),
+        dom.alias("domain"),
+        urls.registrable_domain(dom).alias("reg_domain"),
+    )
+
+
+@register(
+    "d10_url_dedup",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ), n AS (
+      SELECT doc_id, {_url_norm_sql('url')} AS url_norm FROM u
+    )
+    SELECT doc_id, url_norm,
+           doc_id <> min(doc_id) OVER (PARTITION BY url_norm) AS is_dup_url,
+           CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY url_norm)
+                THEN min(doc_id) OVER (PARTITION BY url_norm) END AS dup_of_url
+    FROM n
+    """,
+    doc="URL-level keep-first dedup (RefinedWeb runs this before reading any "
+        "document text): one hash shuffle on the normalised URL; dup_of_url "
+        "keeps the id column's own type (the d08 lesson). Normalisation "
+        "collapses case/tracking-param/trailing-slash variants so distinct "
+        "raw strings dedup together",
+)
+def d10_url_dedup(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls
+
+    u = _docs(spark, sf_dir).select("doc_id", _url_spark().alias("url"))
+    out = urls.url_dedup(u, url_col="url", id_col="doc_id")
+    return out.select("doc_id", "url_norm", "is_dup_url", "dup_of_url")
+
+
+@register(
+    "a13_domain_stats",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents
+    ), d AS (
+      SELECT doc_id, n_chars, {_url_domain_sql('url')} AS domain FROM u
+    )
+    SELECT domain,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS total_chars,
+           cast(sum(CASE WHEN {_blocked_sql('domain')} THEN 1 ELSE 0 END)
+                as bigint) AS n_blocked
+    FROM d GROUP BY domain ORDER BY n_docs DESC, domain
+    """,
+    doc="per-domain corpus stats + blocklist audit (C4-style banned-domain "
+        "filter as a literal OR-chain over exact + subdomain suffix match; "
+        "production swaps in a broadcast join against a PSL/blocklist "
+        "table). One map-side-combinable groupBy on the domain key",
+)
+def a13_domain_stats(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls
+
+    d = _docs(spark, sf_dir).select(
+        "n_chars", urls.url_domain(_url_spark()).alias("domain")
+    )
+    return (
+        d.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(
+                urls.domain_is_blocked(F.col("domain"), _URL_BLOCKLIST).cast("int")
+            ).cast("long").alias("n_blocked"),
+        )
+        .orderBy(F.desc("n_docs"), "domain")
+    )

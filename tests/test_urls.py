@@ -1,0 +1,92 @@
+"""URL operator tests (functions/urls.py): normalisation edge cases the
+derived oracle fixture cannot reach, domain extraction, blocklist
+subdomain matching, and URL-dedup keep-first semantics."""
+
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions import urls
+
+
+def _one(spark, url, expr_fn):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(expr_fn("url").alias("v")).collect()[0].v
+
+
+class TestNormalizeUrl:
+    def test_full_stack(self, spark):
+        u = "  HTTPS://WWW.Example.COM/Docs/7?utm_source=Feed&ref=2&utm_medium=Mail#Frag  "
+        assert _one(spark, u, urls.normalize_url) == "https://www.example.com/docs/7?ref=2"
+
+    def test_all_params_tracking_drops_query(self, spark):
+        u = "http://a.com/x?utm_a=1&gclid=z&fbclid=q"
+        assert _one(spark, u, urls.normalize_url) == "http://a.com/x"
+
+    def test_leading_tracking_param_rebuilds_separator(self, spark):
+        # in-place regex deletion would leave "http://a.com/x&id=1"; the
+        # split-and-rebuild contract restores the '?'
+        u = "http://a.com/x?fbclid=ZZ&id=1"
+        assert _one(spark, u, urls.normalize_url) == "http://a.com/x?id=1"
+
+    def test_trailing_slashes_stripped(self, spark):
+        assert _one(spark, "http://a.com/p///", urls.normalize_url) == "http://a.com/p"
+
+    def test_null_and_empty(self, spark):
+        df = spark.createDataFrame([(None,), ("",)], "url string")
+        vals = [r.v for r in df.select(urls.normalize_url("url").alias("v")).collect()]
+        assert vals == [None, ""] or vals == ["", ""]  # null-in propagates or folds
+
+    def test_utm_not_stripped_from_path(self, spark):
+        # only QUERY params are filtered; a path segment that merely looks
+        # like one must survive
+        u = "http://a.com/utm_source=decoy/page"
+        assert _one(spark, u, urls.normalize_url) == "http://a.com/utm_source=decoy/page"
+
+
+class TestUrlDomain:
+    def test_strips_www_and_port(self, spark):
+        assert _one(spark, "https://WWW.Sub.Example.com:8443/x", urls.url_domain) == "sub.example.com"
+
+    def test_keeps_non_www_subdomain(self, spark):
+        assert _one(spark, "https://cdn.example.com/x", urls.url_domain) == "cdn.example.com"
+
+    def test_schemeless_is_empty(self, spark):
+        assert _one(spark, "example.com/x", urls.url_domain) == ""
+
+    def test_registrable_domain(self, spark):
+        df = spark.createDataFrame([("cdn.src1.example.com",), ("example.com",), ("localhost",)], "h string")
+        vals = [r.v for r in df.select(urls.registrable_domain("h").alias("v")).collect()]
+        assert vals == ["example.com", "example.com", ""]
+
+
+class TestBlocklist:
+    def test_exact_subdomain_and_miss(self, spark):
+        df = spark.createDataFrame(
+            [("bad.org",), ("cdn.bad.org",), ("notbad.org",), ("bad.org.evil.com",)],
+            "h string",
+        )
+        out = [
+            r.v
+            for r in df.select(
+                urls.domain_is_blocked("h", ["bad.org"]).alias("v")
+            ).collect()
+        ]
+        # exact hit, subdomain hit, no substring false-positive, no
+        # prefix-spoof hit
+        assert out == [True, True, False, False]
+
+
+class TestUrlDedup:
+    def test_keep_first_across_variants(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "http://A.com/x?utm_a=1"),
+                (2, "http://a.com/x/"),
+                (3, "http://a.com/y"),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r.doc_id: r for r in urls.url_dedup(df).collect()}
+        assert not out[1].is_dup_url and out[1].dup_of_url is None
+        assert out[2].is_dup_url and out[2].dup_of_url == 1  # id type preserved
+        assert not out[3].is_dup_url
+        assert out[1].url_norm == out[2].url_norm == "http://a.com/x"
