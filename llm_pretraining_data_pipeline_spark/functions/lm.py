@@ -1,0 +1,91 @@
+"""Language-model quality scoring (CCNet-style perplexity bucketing).
+
+CCNet (Wenzek et al. 2020, §3.3) scores every document with a KenLM 5-gram
+model trained on Wikipedia and splits the corpus into head/middle/tail
+perplexity buckets; downstream pipelines (LLaMA, RedPajama) keep head+middle
+or reweight by bucket. A learned KenLM cannot be vendored into this
+container (same constraint as the full GPT-2 vocab and langdetect profiles
+— see NOTES_r4.md), so the default backend is a deterministic UNIGRAM model
+with Zipf-shaped probabilities over the embedded English function-word
+vocabulary: rank r in the vocab gets unnormalised mass 1/(r+1), the vocab
+holds ``IN_VOCAB_MASS`` of the probability, and everything else shares the
+OOV remainder uniformly over an assumed ``OOV_VOCAB_SIZE``-word lexicon.
+The SHAPE of the operator — per-token log-prob lookup, linear-fold mean,
+perplexity bucket thresholds — is exactly the production operator; swapping
+in KenLM means replacing the lookup expression with an Arrow-batched
+mapInPandas scorer (the BPE-tokeniser pattern), nothing else moves.
+
+Everything here is a pure Catalyst expression (array_position against a
+literal vocab + HOF fold): JVM-side, codegen-fused, shuffle-free, and
+mirrored literally in the DuckDB oracle (p28). Log-prob constants are
+computed once in Python and embedded as literals on BOTH engines, so
+parity is exact by construction; the per-token fold is linear
+(``F.aggregate`` / ``list_sum``) so IEEE summation order matches.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions.metrics import EN_STOPWORDS
+from llm_pretraining_data_pipeline_spark.functions.text_norm import _col, ws_tokens
+
+# Ranked vocabulary: EN_STOPWORDS list order is the frequency rank.
+LM_VOCAB: list[str] = list(EN_STOPWORDS)
+IN_VOCAB_MASS = 0.7      # probability mass held by the ranked vocab
+OOV_VOCAB_SIZE = 10_000  # assumed lexicon size sharing the OOV remainder
+
+_Z = sum(1.0 / (r + 1.0) for r in range(1, len(LM_VOCAB) + 1)) / IN_VOCAB_MASS
+LOG10_Z = math.log10(_Z)
+LOG10_P_OOV = math.log10((1.0 - IN_VOCAB_MASS) / OOV_VOCAB_SIZE)
+
+# CCNet-style bucket thresholds on pseudo-perplexity. CCNet derives its
+# cutoffs from corpus percentiles; these literals were chosen the same way
+# against the synthetic fixture (≈33/66th pctile at sf0.01) so every bucket
+# is populated in the refereed queries.
+PPL_HEAD = 19_000.0
+PPL_MIDDLE = 23_000.0
+
+
+def token_logprob(tok: Column) -> Column:
+    """log10 P(token) under the unigram model: Zipf mass by vocab rank,
+    uniform OOV floor. ``array_position`` is 0 when absent (never null for
+    non-null input), matching DuckDB's coalesced list_position."""
+    rank = F.array_position(F.lit(LM_VOCAB), tok)
+    return F.when(
+        rank > 0,
+        -F.log10(rank.cast("double") + F.lit(1.0)) - F.lit(LOG10_Z),
+    ).otherwise(F.lit(LOG10_P_OOV))
+
+
+def doc_lm_struct(c: Column | str) -> Column:
+    """Per-document LM score as struct(n_lm_tokens, mean_logprob, pseudo_ppl,
+    ppl_bucket). Tokens are lowercased whitespace tokens (the engine's
+    standard ``ws_tokens`` contract); empty docs get null score and bucket
+    'empty'. mean_logprob is a linear fold over the token list divided by n
+    (rounded 6dp); pseudo_ppl = 10^(-mean) rounded 4dp; bucket is CCNet's
+    head/middle/tail by threshold on the unrounded perplexity."""
+    toks = ws_tokens(F.lower(_col(c)))
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, token_logprob),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    mean = total / n.cast("double")
+    ppl = F.pow(F.lit(10.0), -mean)
+    bucket = (
+        F.when(n == 0, F.lit("empty"))
+        .when(ppl < PPL_HEAD, F.lit("head"))
+        .when(ppl < PPL_MIDDLE, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return F.struct(
+        n.cast("long").alias("n_lm_tokens"),
+        F.when(n > 0, F.round(mean, 6)).alias("mean_logprob"),
+        F.when(n > 0, F.round(ppl, 4)).alias("pseudo_ppl"),
+        bucket.alias("ppl_bucket"),
+    )

@@ -1505,3 +1505,57 @@ def a13_domain_stats(spark, sf_dir):
         )
         .orderBy(F.desc("n_docs"), "domain")
     )
+
+
+# ================================================= LM quality (CCNet-style)
+
+def _lm_oracle() -> str:
+    from llm_pretraining_data_pipeline_spark.functions import lm
+
+    vocab = "[" + ",".join(f"'{w}'" for w in lm.LM_VOCAB) + "]"
+    logp = (
+        f"CASE WHEN coalesce(list_position({vocab}, tk), 0) > 0 "
+        f"THEN -log10(cast(list_position({vocab}, tk) as double) + 1.0) "
+        f"- {lm.LOG10_Z!r} ELSE {lm.LOG10_P_OOV!r} END"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {O.toks("lower(text)")} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n,
+             list_sum(list_transform(toks, tk -> {logp})) AS total
+      FROM t
+    )
+    SELECT doc_id, cast(n as bigint) AS n_lm_tokens,
+           CASE WHEN n > 0 THEN round(total / n, 6) END AS mean_logprob,
+           CASE WHEN n > 0 THEN round(pow(10, -(total / n)), 4) END AS pseudo_ppl,
+           CASE WHEN n = 0 THEN 'empty'
+                WHEN pow(10, -(total / n)) < {lm.PPL_HEAD!r} THEN 'head'
+                WHEN pow(10, -(total / n)) < {lm.PPL_MIDDLE!r} THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM s
+    """
+
+
+@register(
+    "p28_lm_logprob",
+    _lm_oracle(),
+    doc="CCNet-style LM quality (Wenzek et al. 2020 §3.3): per-token log10 "
+        "prob under a deterministic Zipf unigram model (ranked embedded "
+        "vocab holds 0.7 mass, uniform OOV floor), linear-fold mean per "
+        "doc, pseudo-perplexity, and head/middle/tail bucket at fixture-"
+        "percentile thresholds — a learned KenLM drops in as a mapInPandas "
+        "scorer without moving the plan. Pure Catalyst: array_position "
+        "against a literal vocab + HOF fold, zero UDF, shuffle-free",
+)
+def p28_lm_logprob(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import lm
+
+    d = _docs(spark, sf_dir).withColumn("_lm", lm.doc_lm_struct("text"))
+    return d.select(
+        "doc_id",
+        F.col("_lm.n_lm_tokens").alias("n_lm_tokens"),
+        F.col("_lm.mean_logprob").alias("mean_logprob"),
+        F.col("_lm.pseudo_ppl").alias("pseudo_ppl"),
+        F.col("_lm.ppl_bucket").alias("ppl_bucket"),
+    )
