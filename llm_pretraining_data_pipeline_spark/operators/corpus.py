@@ -630,3 +630,116 @@ def span_dedup(
         F.size(kept).cast("long").alias("n_tok_kept"),
         F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
     )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_top2gram_frac: float = 0.2,
+    max_top3gram_frac: float = 0.18,
+    max_dup5gram_frac: float = 0.15,
+    max_dup10gram_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Appendix A1) as one
+    first-match-wins cascade, the same drop_reason contract as the pipeline's
+    F1-F6 stages. Defaults are the paper's published thresholds; the fixture
+    query passes corpus-scaled ones.
+
+    Output: input columns + ``gopher_drop_reason`` (null = kept). Rules in
+    paper order: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio (# and ellipsis), bullet-start / ellipsis-end line fractions,
+    alphabetic-word fraction, distinct-stopword minimum, then the
+    repetition battery reusing ``repetition_signals`` (dup-line fraction,
+    top-2/3-gram and dup-5/10-gram character fractions).
+
+    Scale shape: a single shuffle-free per-row expression tree — the
+    repetition signals join back on ``id_col`` only to keep this function
+    composable; inline the signal expressions if the extra narrow join
+    matters (it broadcasts at any realistic dimension table size... the
+    join is fact-to-derived-fact on the same partitioning, so AQE plans a
+    zero-exchange sort-merge reusing the scan).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = ws_tokens(text)
+    n_words = F.size(words).cast("long")
+    mean_wlen = F.when(
+        n_words > 0,
+        _gram_chars(words).cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(text, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0,
+        (n_hash + n_ellipsis).cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    bullet_frac = _frac(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^([*•‣▪-]\s)"))),
+        n_lines,
+    )
+    ellipsis_frac = _frac(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))), n_lines
+    )
+    alpha_word_frac = _frac(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), n_words
+    )
+    stop_set = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower), F.array(*[F.lit(s) for s in stop_set])
+        )
+    )
+
+    sig = repetition_signals(df, text_col=text_col, id_col=id_col)
+    out = df.join(
+        sig.select(
+            id_col, "dup_line_frac", "top2gram_char_frac",
+            "top3gram_char_frac", "dup5gram_char_frac", "dup10gram_char_frac",
+        ),
+        id_col,
+    )
+    reason = (
+        F.when(
+            (n_words < min_words) | (n_words > max_words),
+            F.lit("gopher_word_count"),
+        )
+        .when(
+            (mean_wlen < min_mean_word_len) | (mean_wlen > max_mean_word_len),
+            F.lit("gopher_mean_word_length"),
+        )
+        .when(symbol_ratio > max_symbol_word_ratio, F.lit("gopher_symbol_ratio"))
+        .when(
+            (bullet_frac > max_bullet_line_frac)
+            | (ellipsis_frac > max_ellipsis_line_frac),
+            F.lit("gopher_bullet_ellipsis"),
+        )
+        .when(alpha_word_frac < min_alpha_word_frac, F.lit("gopher_alpha_words"))
+        .when(n_stop < min_distinct_stopwords, F.lit("gopher_stopwords"))
+        .when(F.col("dup_line_frac") > max_dup_line_frac, F.lit("gopher_dup_lines"))
+        .when(
+            (F.col("top2gram_char_frac") > max_top2gram_frac)
+            | (F.col("top3gram_char_frac") > max_top3gram_frac),
+            F.lit("gopher_top_ngram"),
+        )
+        .when(
+            (F.col("dup5gram_char_frac") > max_dup5gram_frac)
+            | (F.col("dup10gram_char_frac") > max_dup10gram_frac),
+            F.lit("gopher_dup_ngram"),
+        )
+    )
+    return out.withColumn("gopher_drop_reason", reason)

@@ -9,6 +9,8 @@ pretraining pipeline needs. Registered into the shared ``QUERIES`` dict.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from llm_pretraining_data_pipeline_spark import oracle_fragments as O
 from llm_pretraining_data_pipeline_spark.operators import corpus
 from llm_pretraining_data_pipeline_spark.queries import _docs, register
@@ -376,3 +378,85 @@ _SPAN_W = 12
 )
 def corp_span_dedup(spark, sf_dir):
     return corpus.span_dedup(_docs(spark, sf_dir), w=_SPAN_W)
+
+
+# ===================================================== Gopher quality filter
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+# fixture-scaled knobs (docs are 10-99 words of near-stopword-free word
+# soup; the paper's min_words=50 / min 2 distinct stopwords would drop the
+# whole corpus at the first two rules and mask every later one)
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MIN_STOPS = 1
+
+
+def _gopher_oracle() -> str:
+    stops = "[" + ",".join(f"'{s}'" for s in _GOPHER_STOPS) + "]"
+    return f"""
+    WITH rs AS ({_rep_signals_oracle()}),
+    m AS (
+      SELECT doc_id, coalesce(text,'') AS t, {O.toks('text')} AS w,
+             {O.trimmed_lines('text')} AS lines
+      FROM documents
+    ), m2 AS (
+      SELECT doc_id, len(w) AS n_words,
+        CASE WHEN len(w) > 0 THEN cast({O.list_char_sum('w')} as double) / len(w)
+             ELSE 0.0 END AS mean_wlen,
+        CASE WHEN len(w) > 0 THEN
+          cast((len(str_split(t, '#')) - 1) + (len(str_split(t, '...')) - 1)
+               as double) / len(w) ELSE 0.0 END AS symbol_ratio,
+        CASE WHEN len(lines) > 0 THEN
+          cast(len(list_filter(lines, l -> regexp_matches(l, '^([*•‣▪-]\\s)')))
+               as double) / len(lines) ELSE 0.0 END AS bullet_frac,
+        CASE WHEN len(lines) > 0 THEN
+          cast(len(list_filter(lines, l -> ends_with(l, '...')))
+               as double) / len(lines) ELSE 0.0 END AS ellipsis_frac,
+        CASE WHEN len(w) > 0 THEN
+          cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               as double) / len(w) ELSE 0.0 END AS alpha_frac,
+        len(list_intersect(list_transform(w, x -> lower(x)), {stops})) AS n_stop
+      FROM m
+    )
+    SELECT m2.doc_id, cast(m2.n_words as bigint) AS n_words,
+      CASE
+        WHEN m2.n_words < {_GOPHER_MIN_WORDS} OR m2.n_words > 100000
+          THEN 'gopher_word_count'
+        WHEN m2.mean_wlen < 3.0 OR m2.mean_wlen > 10.0
+          THEN 'gopher_mean_word_length'
+        WHEN m2.symbol_ratio > 0.1 THEN 'gopher_symbol_ratio'
+        WHEN m2.bullet_frac > 0.9 OR m2.ellipsis_frac > 0.3
+          THEN 'gopher_bullet_ellipsis'
+        WHEN m2.alpha_frac < 0.8 THEN 'gopher_alpha_words'
+        WHEN m2.n_stop < {_GOPHER_MIN_STOPS} THEN 'gopher_stopwords'
+        WHEN rs.dup_line_frac > 0.3 THEN 'gopher_dup_lines'
+        WHEN rs.top2gram_char_frac > 0.2 OR rs.top3gram_char_frac > 0.18
+          THEN 'gopher_top_ngram'
+        WHEN rs.dup5gram_char_frac > 0.15 OR rs.dup10gram_char_frac > 0.10
+          THEN 'gopher_dup_ngram'
+      END AS gopher_drop_reason
+    FROM m2 JOIN rs ON rs.doc_id = m2.doc_id
+    """
+
+
+@register(
+    "f11_gopher_filter",
+    _gopher_oracle(),
+    doc="Gopher quality cascade (Rae et al. 2021 Appendix A1) as one "
+        "first-match-wins drop_reason: word-count and mean-word-length "
+        "bounds, symbol-to-word ratio, bullet/ellipsis line fractions, "
+        "alphabetic-word fraction, distinct-stopword minimum, then the "
+        "repetition battery (dup lines, top-2/3-gram, dup-5/10-gram char "
+        "fractions) reusing repetition_signals; thresholds are the paper's "
+        "except a fixture-scaled word-count floor. Shuffle-free per-row "
+        "expression tree",
+)
+def f11_gopher_filter(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+
+    out = corpus.gopher_quality_filter(
+        _docs(spark, sf_dir),
+        min_words=_GOPHER_MIN_WORDS,
+        min_distinct_stopwords=_GOPHER_MIN_STOPS,
+    )
+    n_words = F.size(ws_tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long")
+    return out.select("doc_id", n_words.alias("n_words"), "gopher_drop_reason")

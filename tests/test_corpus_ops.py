@@ -1,0 +1,72 @@
+
+
+_SENT = (
+    "the alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu of green house"
+)
+
+
+class TestGopherQualityFilter:
+    """Each Gopher A1 rule tripped by an engineered doc; first-match-wins."""
+
+    def test_every_rule_fires(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            gopher_quality_filter,
+        )
+
+        # 60 DISTINCT words (no repeated n-grams), 3 distinct stopwords
+        filler = _SENT + (
+            " that quick brown foxes jump over lazy dogs near riverbank "
+            "meadow forest mountain valley ocean desert prairie tundra glacier "
+            "canyon plateau island peninsula harbor lagoon estuary wetland "
+            "grove orchard vineyard pasture"
+        )
+        docs = [
+            (0, filler),                                        # kept
+            (1, "too short"),                                   # word_count
+            (2, "ab " * 60),                                    # mean_word_length (2.0)
+            (3, ("the of #tag " * 20)),                         # symbol_ratio (20/60)
+            (4, "\n".join(["* the bullet point of it"] * 20)),  # bullet_ellipsis
+            (5, filler.replace("fox", "1234")),                 # alpha_words? no — most words alpha
+            (6, "zzz yyy xxx www vvv uuu ttt sss rrr qqq " * 5),  # stopwords (0 distinct)
+            (7, "\n".join(["the dup line of text here ok"] * 10) + "\n" + filler),  # dup_lines
+            (8, "the of " + "spam ham " * 30),                  # top_ngram (top2 covers most chars)
+            (9, _SENT + " " + _SENT),                           # dup_ngram (every 10-gram twice, no hot bigram)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r.doc_id: r.gopher_drop_reason
+            for r in gopher_quality_filter(df, min_words=10).collect()
+        }
+        assert out[0] is None
+        assert out[1] == "gopher_word_count"
+        assert out[2] == "gopher_mean_word_length"
+        assert out[3] == "gopher_symbol_ratio"
+        assert out[4] == "gopher_bullet_ellipsis"
+        assert out[6] == "gopher_stopwords"
+        assert out[7] == "gopher_dup_lines"
+        assert out[8] == "gopher_top_ngram"
+        assert out[9] == "gopher_dup_ngram"
+
+    def test_alpha_word_rule(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            gopher_quality_filter,
+        )
+
+        # 12 words, 5 numeric -> alpha frac 7/12 < 0.8; stopwords present;
+        # 4-char numbers keep mean word length above the 3.0 floor
+        doc = "the of 1111 2222 3333 4444 5555 and have that whiskey november"
+        df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+        row = gopher_quality_filter(df, min_words=5).collect()[0]
+        assert row.gopher_drop_reason == "gopher_alpha_words"
+
+    def test_first_match_wins(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            gopher_quality_filter,
+        )
+
+        # trips BOTH word_count (short) and stopwords (none) -> earlier wins
+        df = spark.createDataFrame([(0, "zz yy")], "doc_id long, text string")
+        row = gopher_quality_filter(df).collect()[0]
+        assert row.gopher_drop_reason == "gopher_word_count"
