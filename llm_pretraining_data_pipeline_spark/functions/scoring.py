@@ -183,3 +183,57 @@ def model_quality_batch(df, feature_cols: list[str], predict_fn=None, out_col: s
         return pd.Series(predict_fn(pdf), dtype=float)
 
     return df.withColumn(out_col, _score(*[SF.col(c) for c in feature_cols]))
+
+
+def fit_logistic_weights(
+    df,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 25,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    round_dp: int = 9,
+) -> dict[str, float]:
+    """Train the P8 quality model IN Spark: full-batch logistic regression by
+    gradient descent, each iteration ONE map-side-combinable aggregation over
+    the corpus (no MLlib, no Python in the data path).
+
+    Returns ``{"bias": b, <feature>: w, ...}`` — the same shape as
+    ``MODEL_QUALITY_WEIGHTS``, so the result plugs straight into
+    ``model_quality_score``'s literal-expression backend: train once on a
+    labeled sample, freeze the literals, score 100 TB as pure Catalyst
+    expressions. (That is how the shipped default weights were derived —
+    fit offline against the heuristic quality labels, then frozen.)
+
+    Mechanics per iteration: current weights are embedded as LITERALS in a
+    single projection computing p = sigmoid(w.x + b); the gradient
+    avg((p - y) * x_j) for every feature plus the bias comes back from one
+    ``agg`` (k+1 doubles to the driver — nothing else leaves the cluster);
+    weights step by ``lr`` with optional L2. Gradients are rounded to
+    ``round_dp`` before stepping so distributed summation order cannot leak
+    into the learned weights — bit-reproducible across partitionings (the
+    same determinism trick as ``train_ivf_centroids``). Lineage is constant:
+    each iteration builds a fresh plan over ``df``; persist the (narrow)
+    feature frame for multi-iteration training at scale.
+    """
+    feats = [F.coalesce(F.col(c).cast("double"), F.lit(0.0)) for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    w = {c: 0.0 for c in feature_cols}
+    b = 0.0
+    for _ in range(n_iter):
+        z = F.lit(b)
+        for c, x in zip(feature_cols, feats):
+            z = z + F.lit(w[c]) * x
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - y
+        row = df.agg(
+            F.avg(err).alias("_b"),
+            *[F.avg(err * x).alias(f"_g{i}") for i, x in enumerate(feats)],
+        ).collect()[0]
+        b -= lr * round(row["_b"], round_dp)
+        for i, c in enumerate(feature_cols):
+            g = round(row[f"_g{i}"], round_dp) + l2 * w[c]
+            w[c] = w[c] - lr * g
+    out = {"bias": round(b, round_dp)}
+    out.update({c: round(w[c], round_dp) for c in feature_cols})
+    return out

@@ -1559,3 +1559,82 @@ def p28_lm_logprob(spark, sf_dir):
         F.col("_lm.pseudo_ppl").alias("pseudo_ppl"),
         F.col("_lm.ppl_bucket").alias("ppl_bucket"),
     )
+
+
+@register(
+    "emb_kmeans_stats",
+    f"""
+    WITH init AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    a0 AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM init c
+              ORDER BY {O.cosine_double('e.embedding', 'c.cvec')} DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    elem AS (
+      SELECT cell, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS x
+      FROM a0
+    ),
+    mean AS (
+      SELECT cell, i, round(avg(cast(x as double)), 6) AS mv
+      FROM elem GROUP BY cell, i
+    ),
+    newc AS (
+      SELECT cell AS cid, list(mv ORDER BY i) AS cvec FROM mean GROUP BY cell
+    ),
+    cents AS (
+      SELECT init.cid,
+             coalesce(newc.cvec, list_transform(init.cvec, x -> cast(x as double)))
+               AS cvec
+      FROM init LEFT JOIN newc USING (cid)
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM cents c
+              ORDER BY {O.cosine_double('e.embedding', 'c.cvec')} DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    )
+    SELECT a.cell AS cluster_id,
+           cast(count(*) as bigint) AS n_vectors,
+           round(avg({O.cosine_double('a.embedding', 'c.cvec')}), 6) AS mean_cos
+    FROM assigned a JOIN cents c ON c.cid = a.cell
+    GROUP BY a.cell ORDER BY a.cell
+    """,
+    doc="document-clustering stats: per-cluster size and mean cosine to the "
+        "TRAINED centroid (one Lloyd round from the first-8 init, the same "
+        "replayed-in-SQL trainer emb_ivf_recall_trained referees) — the "
+        "corpus-curation view (cluster balance / coherence) of the same "
+        "coarse quantizer the IVF index and SemDeDup use. mean_cos rounded "
+        "6dp: the per-cluster avg is the one aggregation-order-dependent "
+        "double",
+)
+def emb_kmeans_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    trained = similarity.train_ivf_centroids(emb, init, n_iter=1)
+    assigned = similarity.ivf_assign(emb, trained)
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+    ).join(assigned, "vec_id")
+    c = trained.select(
+        F.col("centroid_id").alias("cell"), F.col("centroid_vec").alias("_c")
+    )
+    return (
+        v.join(F.broadcast(c), "cell")
+        .groupBy(F.col("cell").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg(similarity.cosine(F.col("_v"), F.col("_c"))), 6).alias(
+                "mean_cos"
+            ),
+        )
+        .orderBy("cluster_id")
+    )

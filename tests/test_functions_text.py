@@ -431,3 +431,74 @@ class TestTokenizer:
         assert all(0 <= i < tokenizer.GPT2_VOCAB_SIZE for i in rows[0].input_ids)
         assert rows[0].attention_mask == [1] * rows[0].n_tokens
         assert rows[1].n_tokens == 0 and rows[2].n_tokens == 0
+
+
+class TestFitLogisticWeights:
+    """Distributed logistic trainer: numpy parity, learning, determinism."""
+
+    def _data(self, spark, n=400):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        x1 = rng.uniform(0, 1, n)
+        x2 = rng.uniform(0, 1, n)
+        # separable-ish: label from 3*x1 - 2*x2 - 0.5 + noise
+        z = 3.0 * x1 - 2.0 * x2 - 0.5 + rng.normal(0, 0.3, n)
+        y = (z > 0).astype(float)
+        rows = [(float(a), float(b2), float(c)) for a, b2, c in zip(x1, x2, y)]
+        return rows, spark.createDataFrame(rows, "x1 double, x2 double, y double")
+
+    def test_matches_numpy_replica_and_learns(self, spark):
+        import math
+
+        rows, df = self._data(spark)
+        from llm_pretraining_data_pipeline_spark.functions.scoring import (
+            fit_logistic_weights,
+        )
+
+        got = fit_logistic_weights(df, ["x1", "x2"], "y", n_iter=15, lr=1.0)
+
+        # numpy replica with the identical update arithmetic (incl. rounding)
+        import numpy as np
+
+        X = np.array([[r[0], r[1]] for r in rows])
+        Y = np.array([r[2] for r in rows])
+        w = np.zeros(2)
+        b = 0.0
+        for _ in range(15):
+            p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+            err = p - Y
+            b -= 1.0 * round(float(err.mean()), 9)
+            for j in range(2):
+                w[j] -= 1.0 * round(float((err * X[:, j]).mean()), 9)
+        assert abs(got["bias"] - round(b, 9)) < 1e-7
+        assert abs(got["x1"] - round(w[0], 9)) < 1e-7
+        assert abs(got["x2"] - round(w[1], 9)) < 1e-7
+        # learned the generating signs
+        assert got["x1"] > 0.5 and got["x2"] < -0.2
+
+    def test_deterministic_across_partitionings(self, spark):
+        _, df = self._data(spark, n=200)
+        from llm_pretraining_data_pipeline_spark.functions.scoring import (
+            fit_logistic_weights,
+        )
+
+        a = fit_logistic_weights(df.repartition(1), ["x1", "x2"], "y", n_iter=5)
+        b = fit_logistic_weights(df.repartition(13), ["x1", "x2"], "y", n_iter=5)
+        assert a == b
+
+    def test_plugs_into_model_quality_score(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.functions import scoring
+
+        _, df = self._data(spark, n=100)
+        trained = scoring.fit_logistic_weights(df, ["x1", "x2"], "y", n_iter=5)
+        assert set(trained) == {"bias", "x1", "x2"}
+        # the returned dict is literal-expression material: score a frame
+        z = F.lit(trained["bias"]) + F.lit(trained["x1"]) * F.col("x1") + F.lit(
+            trained["x2"]
+        ) * F.col("x2")
+        scored = df.select((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"))
+        vals = [r.s for r in scored.collect()]
+        assert all(0.0 < v < 1.0 for v in vals)
