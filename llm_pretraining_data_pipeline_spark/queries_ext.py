@@ -1638,3 +1638,29 @@ def emb_kmeans_stats(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "ev_stream_attribution",
+    """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           cast(date_diff('second', v.ts, c.ts) as bigint) AS delay_sec
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    """,
+    doc="stream-STREAM interval join (Structured Streaming): view→click "
+        "attribution — two watermarked event streams joined on user with "
+        "the range condition click_ts in [view_ts, view_ts+12h]; the "
+        "watermark/range pair bounds each side's join state and the "
+        "bounded drain makes the append-mode result equal the batch "
+        "interval join the oracle runs",
+)
+def ev_stream_attribution(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming import events as ev
+
+    out = ev.run_attribution_join_once(spark, sf_dir, window_hours=12)
+    return out.select(
+        "user_id", "view_id", "click_id", F.col("delay_sec").cast("long")
+    )

@@ -318,3 +318,58 @@ def run_enriched_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "segment", "cnt", "total_value")
     )
     return _drain_to_memory(agg, "complete")
+
+
+def run_attribution_join_once(
+    spark: SparkSession, sf_dir: str, window_hours: int = 12,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Stream-STREAM join: view→click attribution. Two watermarked streams
+    (views, clicks) joined on user with the event-time range condition
+    ``view_ts <= click_ts <= view_ts + window`` — the canonical interval
+    join Structured Streaming runs with bounded state: each side buffers
+    only rows younger than its watermark, and the range condition lets the
+    engine evict view state once ``click watermark > view_ts + window``
+    (and click state symmetrically). Inner join in append mode; draining
+    the bounded source makes the result equal to the batch interval join,
+    which is the DuckDB referee (ev_stream_attribution).
+
+    At 100 TB-scale ingest the state size is rate × window per side — the
+    window/watermark pair is the knob that keeps it bounded, exactly like
+    ``dropDuplicatesWithinWatermark``'s retention.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"v_user = c_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {window_hours} hours"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias(
+            "delay_sec"
+        ),
+    )
+    return _drain_to_memory(joined, "append")

@@ -306,3 +306,42 @@ class TestStreamStaticEnrichment:
             for r in batch.collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamStreamAttribution:
+    """Stream-stream interval join: in-window clicks match, out-of-window
+    don't, and the join is per-user."""
+
+    def test_interval_join_semantics(self, spark, tmp_path):
+        import datetime as dt
+
+        from llm_pretraining_data_pipeline_spark.streaming import events as ev
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def row(eid, secs, uid, etype):
+            return (eid, t0 + dt.timedelta(seconds=secs), uid, etype, 1.0, "{}")
+
+        rows = [
+            row(1, 0, 7, "view"),
+            row(2, 60, 7, "click"),        # in window -> pair (1,2)
+            row(3, 3600 * 13, 7, "click"),  # 13h later: outside 12h window
+            row(4, 30, 8, "click"),        # other user: no pair
+            row(5, 10, 9, "view"),         # view with no click
+            row(6, -5, 7, "click"),        # BEFORE the view: no pair
+        ]
+        import pandas as pd
+
+        # a single parquet FILE (like the driver-generated fixture) — the
+        # stream stager symlinks {sf_dir}/events.parquet into its source dir
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        sf_dir = str(tmp_path / "sf")
+        (tmp_path / "sf").mkdir()
+        pdf.to_parquet(f"{sf_dir}/events.parquet", index=False)
+
+        out = ev.run_attribution_join_once(spark, sf_dir, window_hours=12)
+        pairs = {(r.view_id, r.click_id): r.delay_sec for r in out.collect()}
+        assert pairs == {(1, 2): 60}
