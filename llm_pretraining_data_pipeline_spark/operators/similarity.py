@@ -418,3 +418,146 @@ def ivf_recall(
         )
         .orderBy(query_id)
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two (double) vectors — linear HOF fold,
+    deterministic per row (mirrored by oracle_fragments.l2sq_double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subspaces(vec: Column, m: int, dim: int) -> Column:
+    """Split a ``dim``-vector into ``m`` contiguous subvectors (the PQ
+    decomposition, Jégou et al. 2011): array of structs (sub, subvec).
+    Pure expression — pairs with posexplode for the narrow encode join."""
+    d = dim // m
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.transform(
+                    F.slice(vec, j * d + 1, d), lambda x: x.cast("double")
+                ).alias("subvec"),
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_codebooks_first_k(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ codebooks from the first ``k`` vectors' subvectors — the same
+    arbitrary-but-deterministic init convention as the IVF first-8 coarse
+    quantizer (train with Lloyd per subspace for production; the codebook
+    table is (m×k) rows and broadcasts regardless).
+
+    Returns (sub, code_id, code_vec)."""
+    first = df.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("code_id"),
+        pq_subspaces(F.col(vec_col), m, dim).alias("_subs"),
+    )
+    return first.select(
+        "code_id", F.explode("_subs").alias("_s")
+    ).select(F.col("_s.sub").alias("sub"), "code_id", F.col("_s.subvec").alias("code_vec"))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook ids (argmin squared-L2 per
+    subspace, ties to the lower code id). Output: (id, codes array<int>,
+    ordered by subspace).
+
+    Scale shape: the vector fans out to m NARROW (id, sub, subvec) rows,
+    joins the broadcast (m×k)-row codebook, and the argmin window
+    partitions by (id, sub) — state per task is k rows. The full-width
+    vector never re-shuffles; 100 TB encode is one broadcast-join pass
+    writing back k log2(k)-bit codes per subspace (the 8/64ths compression
+    that makes PQ indexes RAM-resident)."""
+    subs = df.select(
+        F.col(id_col), F.posexplode(pq_subspaces(F.col(vec_col), m, dim))
+    ).select(id_col, F.col("col.sub").alias("sub"), F.col("col.subvec").alias("subvec"))
+    scored = subs.join(F.broadcast(codebooks), "sub").withColumn(
+        "_d", l2sq(F.col("subvec"), F.col("code_vec"))
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d"), F.col("code_id"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub", "code_id")
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code_id"))).alias("_c"))
+        .select(
+            id_col,
+            F.transform("_c", lambda c: c["code_id"].cast("int")).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
+    (m×n_codes) distance table to the codebook entries (one broadcast
+    cross of two tiny frames), then approximate each corpus vector's
+    distance as the SUM of its codes' table entries — the corpus side
+    touches only the (id, codes) table, never original vectors.
+
+    Determinism: the m per-subspace entries are summed in subspace order
+    via a sorted-array fold (a groupBy sum of doubles would be
+    partitioning-order-dependent); ties broken by id. Returns
+    (query_id, vec_id, adc_dist, rank<=k)."""
+    qsubs = queries.select(
+        F.col(query_id), F.posexplode(pq_subspaces(F.col(query_vec), m, dim))
+    ).select(query_id, F.col("col.sub").alias("sub"), F.col("col.subvec").alias("qsub"))
+    table = qsubs.join(F.broadcast(codebooks), "sub").select(
+        query_id, "sub", "code_id", l2sq(F.col("qsub"), F.col("code_vec")).alias("_d")
+    )
+    exploded = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("sub", "code_id")
+    )
+    per_sub = exploded.join(F.broadcast(table), ["sub", "code_id"]).select(
+        query_id, id_col, "sub", "_d"
+    )
+    dist = (
+        per_sub.groupBy(query_id, id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "_d"))).alias("_t"))
+        .select(
+            query_id,
+            id_col,
+            F.aggregate(
+                F.col("_t"), F.lit(0.0), lambda acc, e: acc + e["_d"]
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "adc_dist", F.col("rank").cast("int"))
+    )

@@ -154,3 +154,13 @@ def trimmed_lines(e: str) -> str:
         f"list_filter(list_transform(str_split(coalesce({e},''), chr(10)), "
         f"l -> trim(l)), l -> l <> '')"
     )
+
+
+def l2sq_double(a: str, b: str) -> str:
+    """Twin of similarity.l2sq on double arrays: element-wise squared diff,
+    linear sum (same fold order as F.aggregate)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> (cast({a}[i] as double) - cast({b}[i] as double)) * "
+        f"(cast({a}[i] as double) - cast({b}[i] as double))))"
+    )

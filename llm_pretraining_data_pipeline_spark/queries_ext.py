@@ -1664,3 +1664,100 @@ def ev_stream_attribution(spark, sf_dir):
     return out.select(
         "user_id", "view_id", "click_id", F.col("delay_sec").cast("long")
     )
+
+
+# ========================================================== product quantization
+
+_PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
+_PQ_SUBS_SQL = f"(SELECT unnest([0,1,2,3]) AS j)"
+
+
+def _pq_slice(e: str) -> str:
+    d = _PQ_DIM // _PQ_M
+    return f"list_transform({e}[s.j*{d}+1 : (s.j+1)*{d}], x -> cast(x as double))"
+
+
+def _pq_base_sql() -> str:
+    return f"""
+    cb AS (
+      SELECT s.j AS sub, e.vec_id AS code_id, {_pq_slice('e.embedding')} AS code_vec
+      FROM embeddings e, {_PQ_SUBS_SQL} s WHERE e.vec_id < {_PQ_K}
+    ),
+    sv AS (
+      SELECT e.vec_id, s.j AS sub, {_pq_slice('e.embedding')} AS subvec
+      FROM embeddings e, {_PQ_SUBS_SQL} s
+    ),
+    best AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT sv.vec_id, sv.sub, cb.code_id,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY {O.l2sq_double('sv.subvec', 'cb.code_vec')} ASC,
+                          cb.code_id) AS rn
+        FROM sv JOIN cb ON cb.sub = sv.sub) WHERE rn = 1
+    )"""
+
+
+@register(
+    "emb_pq_codes",
+    f"""
+    WITH {_pq_base_sql()}
+    SELECT vec_id, list(cast(code_id as int) ORDER BY sub) AS codes
+    FROM best GROUP BY vec_id
+    """,
+    doc="product-quantization encode (Jégou et al. 2011): 64-dim vectors "
+        "split into 4 subspaces, each coded as the argmin-L2 entry of an "
+        "8-entry codebook (first-8 init, the IVF convention) — 4 small ints "
+        "replace 64 floats (the compression that makes billion-vector "
+        "indexes RAM-resident). The vector fans out to narrow (id, sub, "
+        "subvec) rows against a broadcast m×k codebook; argmin windows "
+        "hold k rows of state",
+)
+def emb_pq_codes(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks_first_k(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    return similarity.pq_encode(emb, cb, m=_PQ_M, dim=_PQ_DIM)
+
+
+@register(
+    "emb_pq_topk",
+    f"""
+    WITH {_pq_base_sql()},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN (1, 2, 3)),
+    qs AS (SELECT query_id, s.j AS sub, {_pq_slice('qv')} AS qsub
+           FROM q, {_PQ_SUBS_SQL} s),
+    tab AS (
+      SELECT qs.query_id, qs.sub, cb.code_id,
+             {O.l2sq_double('qs.qsub', 'cb.code_vec')} AS d
+      FROM qs JOIN cb ON cb.sub = qs.sub
+    ),
+    dist AS (
+      SELECT t.query_id, b.vec_id,
+             list_sum(list(t.d ORDER BY b.sub)) AS adc
+      FROM best b JOIN tab t ON t.sub = b.sub AND t.code_id = b.code_id
+      GROUP BY t.query_id, b.vec_id
+    )
+    SELECT query_id, vec_id, round(adc, 6) AS adc_dist, cast(rank as int) AS rank
+    FROM (SELECT query_id, vec_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc ASC, vec_id) AS rank
+          FROM dist)
+    WHERE rank <= 10
+    """,
+    doc="PQ asymmetric-distance top-10: per query an m×k distance table to "
+        "the codebook entries, each corpus vector's distance = sum of its "
+        "codes' table entries in subspace order (sorted-array fold — a "
+        "plain double sum would be aggregation-order-dependent) — the "
+        "corpus side reads only (id, codes), never original vectors",
+)
+def emb_pq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks_first_k(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    codes = similarity.pq_encode(emb, cb, m=_PQ_M, dim=_PQ_DIM)
+    queries = emb.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = similarity.pq_adc_topk(codes, cb, queries, k=10, m=_PQ_M, dim=_PQ_DIM)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
+    )

@@ -575,3 +575,48 @@ class TestSemDeDup:
 
         pair_joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin) \[cell", plan)
         assert pair_joins, f"no equi-join on cell in plan:\n{plan}"
+
+
+class TestProductQuantization:
+    """PQ encode/ADC semantics (operators/similarity.py)."""
+
+    def _emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        rows = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(20)]
+        # vec 15 = exact copy of codebook vector 2; vec 16 = near-copy of 3
+        rows[15] = (15, rows[2][1])
+        rows[16] = (16, [x + 0.01 for x in rows[3][1]])
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_codebook_vector_encodes_to_itself(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import similarity as S
+
+        emb = self._emb(spark)
+        cb = S.pq_codebooks_first_k(emb, m=4, k=8, dim=8)
+        codes = {r.vec_id: r.codes for r in S.pq_encode(emb, cb, m=4, dim=8).collect()}
+        assert len(codes) == 20 and all(len(c) == 4 for c in codes.values())
+        assert codes[2] == [2, 2, 2, 2]   # member of the codebook: distance 0
+        assert codes[15] == [2, 2, 2, 2]  # exact copy → same codes
+
+    def test_adc_ranks_near_copy_first(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators import similarity as S
+
+        emb = self._emb(spark)
+        cb = S.pq_codebooks_first_k(emb, m=4, k=8, dim=8)
+        codes = S.pq_encode(emb, cb, m=4, dim=8)
+        q = emb.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        top = S.pq_adc_topk(codes, cb, q, k=20, m=4, dim=8).collect()
+        by_rank = sorted(top, key=lambda r: r.rank)
+        # 3 itself and its near-copy 16 share codes -> identical ADC 0.0,
+        # tie broken by id
+        assert [r.vec_id for r in by_rank[:2]] == [3, 16]
+        assert by_rank[0].adc_dist == 0.0 and by_rank[1].adc_dist == 0.0
+        # ADC distances are non-decreasing in rank
+        dists = [r.adc_dist for r in by_rank]
+        assert dists == sorted(dists)
