@@ -743,3 +743,55 @@ def gopher_quality_filter(
         )
     )
     return out.withColumn("gopher_drop_reason", reason)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF (the sklearn
+    formulation: idf = ln((N+1)/(df+1)) + 1) — corpus keyword extraction
+    for curation dashboards and topic triage.
+
+    Output: (id, term, tfidf round6, rank<=k), rank by score desc then term
+    asc. Deterministic: tf and df are integers, so every double is a fixed
+    expression of ints — no aggregation-order dependence.
+
+    Scale shape: one word-count shuffle on (doc, term), one shuffle join on
+    term against the document-frequency table (both sides narrow; the term
+    table is NOT assumed broadcastable — at web scale the vocabulary is
+    billions of terms), one top-k window per doc. The scalar corpus count
+    joins in via a broadcast of one row.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df_t").cast("double") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -460,3 +460,36 @@ def f11_gopher_filter(spark, sf_dir):
     )
     n_words = F.size(ws_tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long")
     return out.select("doc_id", n_words.alias("n_words"), "gopher_drop_reason")
+
+
+@register(
+    "corp_tfidf_top3",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({O.toks("lower(text)")}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf
+           FROM t GROUP BY doc_id, term),
+    dft AS (SELECT term, cast(count(*) as bigint) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             cast(tf as double) *
+               (ln((cast(n_docs as double) + 1.0) / (cast(df_t as double) + 1.0))
+                + 1.0) AS tfidf
+      FROM tf JOIN dft USING (term), n
+    )
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, cast(rank as int) AS rank
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """,
+    doc="per-doc top-3 keywords by smoothed TF-IDF (sklearn idf formula) — "
+        "word-count shuffle + term-frequency join (term table NOT assumed "
+        "broadcastable at web scale) + per-doc top-k window; all doubles "
+        "are fixed expressions of integer counts, so no rounding hazards",
+)
+def corp_tfidf_top3(spark, sf_dir):
+    return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3)

@@ -70,3 +70,37 @@ class TestGopherQualityFilter:
         df = spark.createDataFrame([(0, "zz yy")], "doc_id long, text string")
         row = gopher_quality_filter(df).collect()[0]
         assert row.gopher_drop_reason == "gopher_word_count"
+
+
+class TestTfIdfTopTerms:
+    def test_rare_term_beats_common(self, spark):
+        import math
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            tfidf_top_terms,
+        )
+
+        docs = [
+            (1, "common common common zebra"),
+            (2, "common words here"),
+            (3, "common words there"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in tfidf_top_terms(df, k=2).collect()}
+        # 'zebra' (df=1) outranks 'common' (df=3) in doc 1 despite tf 1 vs 3:
+        # 1*(ln(4/2)+1) = 1.693 vs 3*(ln(4/4)+1) = 3.0 — no wait, tf wins here;
+        # assert the actual smoothed-formula values instead of folklore
+        zebra = 1.0 * (math.log(4.0 / 2.0) + 1.0)
+        common = 3.0 * (math.log(4.0 / 4.0) + 1.0)
+        assert out[(1, 1)] == ("common", round(common, 6))
+        assert out[(1, 2)] == ("zebra", round(zebra, 6))
+
+    def test_rank_is_deterministic_on_ties(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            tfidf_top_terms,
+        )
+
+        df = spark.createDataFrame([(1, "bb aa")], "doc_id long, text string")
+        rows = sorted(tfidf_top_terms(df, k=2).collect(), key=lambda r: r.rank)
+        # equal scores -> lexicographic term order breaks the tie
+        assert [r.term for r in rows] == ["aa", "bb"]
