@@ -620,3 +620,23 @@ class TestProductQuantization:
         # ADC distances are non-decreasing in rank
         dists = [r.adc_dist for r in by_rank]
         assert dists == sorted(dists)
+
+    def test_pq_plan_broadcasts_codebooks(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators import similarity as S
+
+        emb = self._emb(spark)
+        cb = S.pq_codebooks_first_k(emb, m=4, k=8, dim=8)
+        codes = S.pq_encode(emb, cb, m=4, dim=8)
+        q = emb.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        plan = (
+            S.pq_adc_topk(codes, cb, q, k=5, m=4, dim=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # codebook + distance-table joins are hinted broadcasts; the corpus
+        # side must never sort-merge against them or go cartesian
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
