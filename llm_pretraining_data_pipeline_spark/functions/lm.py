@@ -42,10 +42,12 @@ _Z = sum(1.0 / (r + 1.0) for r in range(1, len(LM_VOCAB) + 1)) / IN_VOCAB_MASS
 LOG10_Z = math.log10(_Z)
 LOG10_P_OOV = math.log10((1.0 - IN_VOCAB_MASS) / OOV_VOCAB_SIZE)
 
-# CCNet-style bucket thresholds on pseudo-perplexity. CCNet derives its
-# cutoffs from corpus percentiles; these literals were chosen the same way
-# against the synthetic fixture (≈33/66th pctile at sf0.01) so every bucket
-# is populated in the refereed queries.
+# CCNet-style bucket thresholds on pseudo-perplexity — DEFAULTS ONLY, and
+# fixture-derived ones at that (≈33/66th pctile of the synthetic sf0.01
+# corpus, so every bucket is populated in the refereed queries). CCNet
+# derives cutoffs from percentiles of the target corpus; production callers
+# must pass their own via ``doc_lm_struct(c, head=..., middle=...)`` — real
+# KenLM head perplexities are orders of magnitude lower than these.
 PPL_HEAD = 19_000.0
 PPL_MIDDLE = 23_000.0
 
@@ -61,7 +63,11 @@ def token_logprob(tok: Column) -> Column:
     ).otherwise(F.lit(LOG10_P_OOV))
 
 
-def doc_lm_struct(c: Column | str) -> Column:
+def doc_lm_struct(
+    c: Column | str,
+    head: float = PPL_HEAD,
+    middle: float = PPL_MIDDLE,
+) -> Column:
     """Per-document LM score as struct(n_lm_tokens, mean_logprob, pseudo_ppl,
     ppl_bucket). Tokens are lowercased whitespace tokens (the engine's
     standard ``ws_tokens`` contract); empty docs get null score and bucket
@@ -79,8 +85,8 @@ def doc_lm_struct(c: Column | str) -> Column:
     ppl = F.pow(F.lit(10.0), -mean)
     bucket = (
         F.when(n == 0, F.lit("empty"))
-        .when(ppl < PPL_HEAD, F.lit("head"))
-        .when(ppl < PPL_MIDDLE, F.lit("middle"))
+        .when(ppl < F.lit(head), F.lit("head"))
+        .when(ppl < F.lit(middle), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return F.struct(

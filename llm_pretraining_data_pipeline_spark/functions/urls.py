@@ -43,12 +43,14 @@ def normalize_url(c: Column | str) -> Column:
       3. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``) by
          splitting the query on ``&`` and filtering — rebuilding avoids the
          dangling-separator mess of in-place regex deletion;
-      4. strip trailing ``/`` from the path;
+      4. strip trailing ``/`` from the PATH (applied to the pre-query base,
+         so a ``/`` at the end of a query value survives — ``?next=/`` is
+         data, not path);
       5. lowercase (scheme and host are case-insensitive; corpus URL dedup
          conventionally folds the path too).
     """
     t = F.trim(_col(c).cast("string"))
-    base = F.regexp_extract(t, r"^[^?#]*", 0)
+    base = F.regexp_replace(F.regexp_extract(t, r"^[^?#]*", 0), r"/+$", "")
     query = F.regexp_extract(t, r"\?([^#]*)", 1)
     kept = F.filter(
         F.split(query, "&"),
@@ -57,17 +59,20 @@ def normalize_url(c: Column | str) -> Column:
     rebuilt = F.when(
         F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(base)
-    return F.lower(F.regexp_replace(rebuilt, r"/+$", ""))
+    return F.lower(rebuilt)
 
 
 def url_domain(c: Column | str, strip_www: bool = True) -> Column:
-    """Hostname of a URL: text between ``://`` and the first ``/ ? # :``
-    (port dropped), lowercased, with a leading ``www.`` removed by default.
-    Scheme-less inputs yield '' (null-safe: null → '')."""
+    """Hostname of a URL: text in the authority after any ``userinfo@``
+    and before the first ``/ ? # :`` (port dropped), lowercased, with a
+    leading ``www.`` removed by default. Userinfo MUST be skipped or a
+    banned-domain filter is trivially evaded by ``https://x@blocked.com/``
+    (the host would read as ``x``). Scheme-less inputs yield ''
+    (null-safe: null → '')."""
     host = F.lower(
         F.regexp_extract(
             F.trim(F.coalesce(_col(c).cast("string"), F.lit(""))),
-            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)",
+            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)",
             1,
         )
     )

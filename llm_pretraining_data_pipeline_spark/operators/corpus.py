@@ -632,6 +632,12 @@ def span_dedup(
     )
 
 
+# Gopher's "stop word" rule counts distinct members of this small function-
+# word set (Rae et al. 2021 A1). Single source of truth — the f11 oracle SQL
+# interpolates this exact list, so editing one side cannot silently diverge.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
 def gopher_quality_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -645,6 +651,7 @@ def gopher_quality_filter(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_distinct_stopwords: int = 2,
+    stopword_set: list[str] | None = None,
     max_dup_line_frac: float = 0.3,
     max_top2gram_frac: float = 0.2,
     max_top3gram_frac: float = 0.18,
@@ -678,7 +685,12 @@ def gopher_quality_filter(
         _gram_chars(words).cast("double") / n_words.cast("double"),
     ).otherwise(F.lit(0.0))
     n_hash = F.size(F.split(text, "#", -1)) - 1
-    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
+    # both the ASCII three-dot sequence and the typographic ellipsis
+    # U+2026 count (scraped web text uses either form)
+    n_ellipsis = (
+        (F.size(F.split(text, r"\.\.\.", -1)) - 1)
+        + (F.size(F.split(text, "\u2026", -1)) - 1)
+    )
     symbol_ratio = F.when(
         n_words > 0,
         (n_hash + n_ellipsis).cast("double") / n_words.cast("double"),
@@ -693,12 +705,17 @@ def gopher_quality_filter(
         n_lines,
     )
     ellipsis_frac = _frac(
-        F.size(F.filter(lines, lambda l: l.endswith("..."))), n_lines
+        F.size(
+            F.filter(
+                lines, lambda l: l.endswith("...") | l.endswith("\u2026")
+            )
+        ),
+        n_lines
     )
     alpha_word_frac = _frac(
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), n_words
     )
-    stop_set = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_set = stopword_set if stopword_set is not None else GOPHER_STOPWORDS
     n_stop = F.size(
         F.array_intersect(
             F.transform(words, F.lower), F.array(*[F.lit(s) for s in stop_set])

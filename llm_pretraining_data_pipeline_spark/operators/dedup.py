@@ -864,6 +864,14 @@ def semdedup(
     assigned = ivf_assign(
         df, centroids, vec_col, id_col, centroid_id, centroid_vec
     )
+    # The (id, cell) assignment feeds BOTH pairwise sides and the final
+    # output join; without persisting, every reference re-runs the
+    # broadcast-argmax over the full corpus (the dominant narrow cost at
+    # scale). The frame is two columns, so caching it is cheap; callers
+    # running inside a larger job can spark.catalog.clearCache() or
+    # unpersist afterwards. (Same trade as connected_components'
+    # per-round localCheckpoint.)
+    assigned = assigned.persist()
     vecs = (
         _spread_small_input(df)
         .select(

@@ -433,7 +433,14 @@ def l2sq(a: Column, b: Column) -> Column:
 def pq_subspaces(vec: Column, m: int, dim: int) -> Column:
     """Split a ``dim``-vector into ``m`` contiguous subvectors (the PQ
     decomposition, Jégou et al. 2011): array of structs (sub, subvec).
-    Pure expression — pairs with posexplode for the narrow encode join."""
+    Pure expression — pairs with posexplode for the narrow encode join.
+    ``dim`` must divide evenly by ``m``: a silent remainder would drop the
+    trailing dimensions from every distance."""
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ subspace split needs dim % m == 0, got dim={dim}, m={m} "
+            f"(the last {dim % m} dimensions would be silently ignored)"
+        )
     d = dim // m
     return F.array(
         *[

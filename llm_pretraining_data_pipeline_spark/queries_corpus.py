@@ -382,7 +382,7 @@ def corp_span_dedup(spark, sf_dir):
 
 # ===================================================== Gopher quality filter
 
-_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_STOPS = corpus.GOPHER_STOPWORDS  # single source of truth
 # fixture-scaled knobs (docs are 10-99 words of near-stopword-free word
 # soup; the paper's min_words=50 / min 2 distinct stopwords would drop the
 # whole corpus at the first two rules and mask every later one)
@@ -404,12 +404,14 @@ def _gopher_oracle() -> str:
              ELSE 0.0 END AS mean_wlen,
         CASE WHEN len(w) > 0 THEN
           cast((len(str_split(t, '#')) - 1) + (len(str_split(t, '...')) - 1)
+               + (len(str_split(t, '\u2026')) - 1)
                as double) / len(w) ELSE 0.0 END AS symbol_ratio,
         CASE WHEN len(lines) > 0 THEN
           cast(len(list_filter(lines, l -> regexp_matches(l, '^([*•‣▪-]\\s)')))
                as double) / len(lines) ELSE 0.0 END AS bullet_frac,
         CASE WHEN len(lines) > 0 THEN
-          cast(len(list_filter(lines, l -> ends_with(l, '...')))
+          cast(len(list_filter(lines, l -> ends_with(l, '...')
+                                     OR ends_with(l, '\u2026')))
                as double) / len(lines) ELSE 0.0 END AS ellipsis_frac,
         CASE WHEN len(w) > 0 THEN
           cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))

@@ -1382,8 +1382,9 @@ _URL_SQL = (
 
 
 def _url_norm_sql(u: str) -> str:
-    """DuckDB twin of urls.normalize_url, step by step."""
-    base = f"regexp_extract(trim({u}), '^[^?#]*')"
+    """DuckDB twin of urls.normalize_url, step by step (trailing-slash strip
+    applies to the pre-query base only, so query-value slashes survive)."""
+    base = f"regexp_replace(regexp_extract(trim({u}), '^[^?#]*'), '/+$', '')"
     query = f"regexp_extract(trim({u}), '\\?([^#]*)', 1)"
     kept = (
         f"list_filter(string_split({query}, '&'), "
@@ -1393,13 +1394,13 @@ def _url_norm_sql(u: str) -> str:
         f"CASE WHEN len({kept}) > 0 "
         f"THEN {base} || '?' || array_to_string({kept}, '&') ELSE {base} END"
     )
-    return f"lower(regexp_replace({rebuilt}, '/+$', ''))"
+    return f"lower({rebuilt})"
 
 
 def _url_domain_sql(u: str) -> str:
     host = (
         f"lower(regexp_extract(trim(coalesce({u}, '')), "
-        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))"
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1))"
     )
     return f"regexp_replace({host}, '^www\\.', '')"
 
@@ -1601,7 +1602,8 @@ def p28_lm_logprob(spark, sf_dir):
     )
     SELECT a.cell AS cluster_id,
            cast(count(*) as bigint) AS n_vectors,
-           round(avg({O.cosine_double('a.embedding', 'c.cvec')}), 6) AS mean_cos
+           round(list_sum(list({O.cosine_double('a.embedding', 'c.cvec')}
+                               ORDER BY a.vec_id)) / count(*), 6) AS mean_cos
     FROM assigned a JOIN cents c ON c.cid = a.cell
     GROUP BY a.cell ORDER BY a.cell
     """,
@@ -1609,9 +1611,9 @@ def p28_lm_logprob(spark, sf_dir):
         "TRAINED centroid (one Lloyd round from the first-8 init, the same "
         "replayed-in-SQL trainer emb_ivf_recall_trained referees) — the "
         "corpus-curation view (cluster balance / coherence) of the same "
-        "coarse quantizer the IVF index and SemDeDup use. mean_cos rounded "
-        "6dp: the per-cluster avg is the one aggregation-order-dependent "
-        "double",
+        "coarse quantizer the IVF index and SemDeDup use. mean_cos is a "
+        "vec_id-ordered fold divided by the count on BOTH engines, so it is "
+        "bit-identical by construction, never an aggregation-order avg",
 )
 def emb_kmeans_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1627,14 +1629,25 @@ def emb_kmeans_stats(spark, sf_dir):
     c = trained.select(
         F.col("centroid_id").alias("cell"), F.col("centroid_vec").alias("_c")
     )
+    scored = v.join(F.broadcast(c), "cell").select(
+        "cell", "vec_id",
+        similarity.cosine(F.col("_v"), F.col("_c")).alias("_cos"),
+    )
     return (
-        v.join(F.broadcast(c), "cell")
-        .groupBy(F.col("cell").alias("cluster_id"))
+        scored.groupBy(F.col("cell").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.round(F.avg(similarity.cosine(F.col("_v"), F.col("_c"))), 6).alias(
-                "mean_cos"
-            ),
+            # vec_id-ordered fold / count: bit-identical across engines and
+            # partitionings (a plain avg would be summation-order-dependent)
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "_cos"))),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e["_cos"],
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_cos"),
         )
         .orderBy("cluster_id")
     )
@@ -1669,7 +1682,9 @@ def ev_stream_attribution(spark, sf_dir):
 # ========================================================== product quantization
 
 _PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
-_PQ_SUBS_SQL = f"(SELECT unnest([0,1,2,3]) AS j)"
+# derived from _PQ_M so the oracle's subspace fan-out can never drift from
+# the Spark side's decomposition
+_PQ_SUBS_SQL = f"(SELECT unnest([{','.join(str(j) for j in range(_PQ_M))}]) AS j)"
 
 
 def _pq_slice(e: str) -> str:

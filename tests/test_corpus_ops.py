@@ -104,3 +104,26 @@ class TestTfIdfTopTerms:
         rows = sorted(tfidf_top_terms(df, k=2).collect(), key=lambda r: r.rank)
         # equal scores -> lexicographic term order breaks the tie
         assert [r.term for r in rows] == ["aa", "bb"]
+
+
+class TestGopherUnicodeEllipsis:
+    def test_typographic_ellipsis_counts(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            gopher_quality_filter,
+        )
+
+        # short lines: 12 ellipses over 60 words -> symbol ratio 0.2 > 0.1
+        # (proves U+2026 is counted at all; the ASCII-only regression would
+        # score 0 and keep the doc)
+        doc = "\n".join(["the story of it continues…"] * 12)
+        df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+        row = gopher_quality_filter(df, min_words=10).collect()[0]
+        assert row.gopher_drop_reason == "gopher_symbol_ratio"
+
+        # longer lines: 12 ellipses over 144 words -> symbol ratio 0.083
+        # passes, but every line ends with U+2026 -> ellipsis_frac 1.0 > 0.3
+        line = "the story of it that we have told here simply continues on…"
+        doc2 = "\n".join([line] * 12)
+        df2 = spark.createDataFrame([(1, doc2)], "doc_id long, text string")
+        row2 = gopher_quality_filter(df2, min_words=10).collect()[0]
+        assert row2.gopher_drop_reason == "gopher_bullet_ellipsis"

@@ -640,3 +640,9 @@ class TestProductQuantization:
         # side must never sort-merge against them or go cartesian
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_pq_rejects_indivisible_dim(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import similarity as S
+
+        with pytest.raises(ValueError, match="dim % m"):
+            S.pq_subspaces(F.col("x"), m=4, dim=10)

@@ -90,3 +90,29 @@ class TestUrlDedup:
         assert out[2].is_dup_url and out[2].dup_of_url == 1  # id type preserved
         assert not out[3].is_dup_url
         assert out[1].url_norm == out[2].url_norm == "http://a.com/x"
+
+
+class TestReviewHardening:
+    """Regressions from the round-5 code review."""
+
+    def test_userinfo_cannot_evade_blocklist(self, spark):
+        # https://x@blocked.com must yield host 'blocked.com', not 'x'
+        assert _one(spark, "https://x@spam.example.org/p", urls.url_domain) == "spam.example.org"
+        assert _one(spark, "https://u:pw@Spam.Example.org:443/p", urls.url_domain) == "spam.example.org"
+        df = spark.createDataFrame([("https://anything@bad.org/",)], "url string")
+        blocked = df.select(
+            urls.domain_is_blocked(urls.url_domain("url"), ["bad.org"]).alias("b")
+        ).collect()[0].b
+        assert blocked
+
+    def test_trailing_slash_in_query_value_survives(self, spark):
+        # '/' at the end of a query VALUE is data, not path
+        assert (
+            _one(spark, "http://a.com/p?next=/x/", urls.normalize_url)
+            == "http://a.com/p?next=/x/"
+        )
+        # while a path trailing slash is still stripped even with a query
+        assert (
+            _one(spark, "http://a.com/p/?id=1", urls.normalize_url)
+            == "http://a.com/p?id=1"
+        )
