@@ -63,7 +63,7 @@ _PRIORITY_R5 = [
     "p08_model_quality", "emb_ivf_recall_trained", "emb_semdedup",
     "p27_url_normalize", "d10_url_dedup", "a13_domain_stats",
     "p28_lm_logprob", "f11_gopher_filter", "emb_kmeans_stats",
-    "ev_stream_attribution", "emb_pq_codes", "emb_pq_topk", "corp_tfidf_top3",
+    "ev_stream_attribution", "emb_pq_codes", "emb_pq_topk", "corp_tfidf_top3", "corp_chunk_spans",
     # changed this round: exact_dedup narrow_shuffle path + CC zero-iter
     # guard (dedup.py), d03 pins max_bucket_size=None to the oracle contract,
     # emb_ivf_topk staging path made deterministic + cleanup-registered,

@@ -812,3 +812,55 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def chunk_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking for long documents: one row per
+    (doc, chunk) with whitespace-token span bounds [start_tok, end_tok)
+    and the chunk text — the standard long-context preparation (BERT-style
+    overlapping windows; ``stride < chunk_tokens`` keeps
+    ``chunk_tokens - stride`` tokens of overlap so no boundary context is
+    lost). The final window is clipped to the document end; empty docs
+    produce no rows; a trailing window that would add no tokens beyond the
+    previous chunk's clipped end (start - stride + chunk_tokens >= n) is
+    dropped, so chunks always advance coverage.
+
+    Pure per-row expression + explode: a filtered ``sequence(0, n-1,
+    stride)`` builds the start offsets, a HOF slice/join rebuilds each
+    chunk's text — no shuffle at all; at 100 TB this is a map-only stage
+    whose output feeds the tokeniser.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got stride={stride}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    toks = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    raw_starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    # drop windows fully covered by the previous chunk's clipped span
+    starts = F.filter(
+        raw_starts,
+        lambda st: (st == 0) | (st + F.lit(chunk_tokens - stride) < n),
+    )
+    out = df.select(
+        F.col(id_col), toks.alias("_toks"), F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    end = F.least(F.col("start_tok") + F.lit(chunk_tokens), F.size("_toks"))
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        F.array_join(
+            F.slice("_toks", F.col("start_tok") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )

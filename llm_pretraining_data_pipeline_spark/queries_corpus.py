@@ -495,3 +495,44 @@ def f11_gopher_filter(spark, sf_dir):
 )
 def corp_tfidf_top3(spark, sf_dir):
     return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_CHUNK_T, _CHUNK_S = 64, 48
+
+
+@register(
+    "corp_chunk_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {O.toks('text')} AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_filter(
+               CASE WHEN len(toks) > 0
+                    THEN range(0, len(toks), {_CHUNK_S}) ELSE []::BIGINT[] END,
+               s -> s = 0 OR s + {_CHUNK_T - _CHUNK_S} < len(toks)) AS starts
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, n,
+             generate_subscripts(starts, 1) - 1 AS chunk_id,
+             unnest(starts) AS start_tok
+      FROM st
+    )
+    SELECT doc_id, cast(chunk_id as int) AS chunk_id,
+           cast(start_tok as bigint) AS start_tok,
+           cast(least(start_tok + {_CHUNK_T}, n) as bigint) AS end_tok,
+           array_to_string(toks[start_tok + 1 : start_tok + {_CHUNK_T}], ' ')
+             AS chunk_text
+    FROM e
+    """,
+    doc="sliding-window long-document chunking: 64-token windows at stride "
+        "48 (16-token overlap), final window clipped, windows adding no new "
+        "coverage dropped — map-only explode, zero shuffle; the standard "
+        "long-context prep feeding the tokeniser",
+)
+def corp_chunk_spans(spark, sf_dir):
+    return corpus.chunk_spans(
+        _docs(spark, sf_dir), chunk_tokens=_CHUNK_T, stride=_CHUNK_S
+    )

@@ -127,3 +127,38 @@ class TestGopherUnicodeEllipsis:
         df2 = spark.createDataFrame([(1, doc2)], "doc_id long, text string")
         row2 = gopher_quality_filter(df2, min_words=10).collect()[0]
         assert row2.gopher_drop_reason == "gopher_bullet_ellipsis"
+
+
+class TestChunkSpans:
+    def test_overlap_clip_and_coverage(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import chunk_spans
+
+        words = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, words), (2, "a b"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        out = chunk_spans(df, chunk_tokens=6, stride=4)
+        rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+        d1 = [r for r in rows if r.doc_id == 1]
+        # n=10, chunk=6, stride=4 -> starts 0,4,8; start 8 adds tokens 10>9? 
+        # 8 + (6-4) = 10 >= 10 -> dropped; [0,6) and [4,10) cover everything
+        assert [(r.start_tok, r.end_tok) for r in d1] == [(0, 6), (4, 10)]
+        assert d1[0].chunk_text == "w0 w1 w2 w3 w4 w5"
+        assert d1[1].chunk_text == "w4 w5 w6 w7 w8 w9"
+        # short doc: single clipped window
+        d2 = [r for r in rows if r.doc_id == 2]
+        assert [(r.start_tok, r.end_tok) for r in d2] == [(0, 2)]
+        # empty and null docs produce no chunks
+        assert not [r for r in rows if r.doc_id in (3, 4)]
+
+    def test_invalid_stride_raises(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import chunk_spans
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_spans(df, chunk_tokens=4, stride=0)
+        with pytest.raises(ValueError):
+            chunk_spans(df, chunk_tokens=4, stride=5)
