@@ -31,7 +31,11 @@ from llm_pretraining_data_pipeline_spark.functions.text_norm import _col
 
 # Tracking query parameters stripped by normalize_url (the common
 # click-provenance params that fragment otherwise-identical URLs).
-TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)="
+# Case-insensitive: query param NAMES arrive in any case, and a
+# case-sensitive match would both let UTM_SOURCE= through and break
+# normalize_url's idempotence (the param would survive pass 1 but be
+# stripped after the lowercasing on pass 2).
+TRACKING_PARAM_RE = "(?i)^(utm_[^=]*|gclid|fbclid)="
 
 
 def normalize_url(c: Column | str) -> Column:

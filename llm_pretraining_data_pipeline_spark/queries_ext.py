@@ -1388,7 +1388,7 @@ def _url_norm_sql(u: str) -> str:
     query = f"regexp_extract(trim({u}), '\\?([^#]*)', 1)"
     kept = (
         f"list_filter(string_split({query}, '&'), "
-        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))"
+        f"p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|gclid|fbclid)='))"
     )
     rebuilt = (
         f"CASE WHEN len({kept}) > 0 "

@@ -116,3 +116,30 @@ class TestReviewHardening:
             _one(spark, "http://a.com/p/?id=1", urls.normalize_url)
             == "http://a.com/p?id=1"
         )
+
+    def test_uppercase_tracking_params_stripped_and_idempotent(self, spark):
+        u = "http://A.com/x?UTM_Source=Feed&id=1&FBCLID=z"
+        once = _one(spark, u, urls.normalize_url)
+        assert once == "http://a.com/x?id=1"
+        assert _one(spark, once, urls.normalize_url) == once
+
+    def test_normalize_idempotent_fuzz(self, spark):
+        # idempotence over a grab-bag of shapes: normalize(normalize(u)) ==
+        # normalize(u)
+        cases = [
+            "HTTPS://WWW.Ex.COM/A/B/?utm_a=1&x=2#f",
+            "http://a.com///",
+            "a.com/x?gclid=1",
+            "http://u:p@H.com:80/p/?q=/v/",
+            "",
+            "   http://b.io/x?UTM_z=9   ",
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "url string")
+        from pyspark.sql import functions as F
+
+        rows = df.select(
+            urls.normalize_url("url").alias("once"),
+            urls.normalize_url(urls.normalize_url("url")).alias("twice"),
+        ).collect()
+        for r in rows:
+            assert r.once == r.twice, r
