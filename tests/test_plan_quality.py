@@ -263,3 +263,46 @@ class TestCorpusPlanQuality:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         plan = plan_of(corpus.cross_doc_dup_ngram_stats(docs, n=5))
         assert "hashpartitioning(gh" in plan
+
+
+class TestCurationPlanQuality:
+    """Round-5 operators: the plan shapes their docstrings claim."""
+
+    def test_lm_score_is_shuffle_free(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.functions import lm
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(docs.select("doc_id", lm.doc_lm_struct("text").alias("s")))
+        assert "Exchange" not in plan
+
+    def test_chunk_spans_is_shuffle_free(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus.chunk_spans(docs))
+        assert "Exchange" not in plan
+
+    def test_url_dedup_single_shuffle_on_norm(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.functions import urls
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.concat(F.lit("http://x/"), F.col("doc_id")).alias("url")
+        )
+        # raw executedPlan string: explain("formatted") splits the node
+        # name and its hashpartitioning arguments across sections
+        plan = urls.url_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "hashpartitioning(url_norm" in plan
+
+    def test_gopher_filter_no_shuffle_joins(self, spark, sf_dir):
+        """The signals join back on doc_id without a cartesian; with AQE the
+        small fixture broadcasts — at any size there must be no
+        CartesianProduct and no shuffle keyed on text."""
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus.gopher_quality_filter(docs))
+        assert "CartesianProduct" not in plan
+        assert "hashpartitioning(text" not in plan
