@@ -864,3 +864,117 @@ def chunk_spans(
             F.slice("_toks", F.col("start_tok") + 1, F.lit(chunk_tokens)), " "
         ).alias("chunk_text"),
     )
+
+
+def group_median_gate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adaptive per-group gating: flag rows below their GROUP's median of
+    ``value_col`` (per-source quality floors — a fixed global threshold
+    over- or under-prunes sources with different quality distributions;
+    CCNet buckets per language the same way).
+
+    The median is the rank-based LOWER median (element at position
+    ceil(n/2) ordered by (value, id)) — an exact member of the group, never
+    an interpolated double, so the gate comparison is bit-identical across
+    engines and partitionings. Adds ``group_median`` and ``below_median``.
+
+    Scale shape: one hash shuffle on the group key shared by both windows
+    (rank + count); the gate itself is a projection. For heavy-tailed
+    group sizes the same narrow-projection trick as
+    ``exact_dedup(narrow_shuffle=True)`` applies.
+    """
+    w = Window.partitionBy(group_col)
+    wo = w.orderBy(F.col(value_col), F.col(id_col))
+    rn = F.row_number().over(wo)
+    cnt = F.count(F.lit(1)).over(w)
+    med_rank = F.ceil(cnt.cast("double") / F.lit(2.0)).cast("int")
+    tagged = df.withColumn("_rn", rn).withColumn("_med_rank", med_rank)
+    medians = tagged.filter(F.col("_rn") == F.col("_med_rank")).select(
+        group_col, F.col(value_col).alias("group_median")
+    )
+    return (
+        tagged.drop("_rn", "_med_rank")
+        .join(medians, group_col)
+        .withColumn("below_median", F.col(value_col) < F.col("group_median"))
+    )
+
+
+def group_quota_topn(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Quota sampling: keep the top-``n`` rows per group by ``value_col``
+    (desc, id tiebreak) — per-source caps bound any one source's share of
+    the corpus regardless of its raw volume. One window shuffle on the
+    group key; emits ``group_rank`` (1-based)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(value_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("group_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("group_rank") <= n)
+    )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    token_col: str,
+    group_col: str = "source",
+    total_budget: int = 1_000_000,
+) -> DataFrame:
+    """Training-data recipe allocation: split a total token budget across
+    groups by temperature-scaled (sqrt, alpha=0.5) token shares — the
+    multilingual/multi-source rebalancing LLaMA/Dolma-style data recipes
+    use — and derive per-group sampling rate and epoch count.
+
+    Per group: ``available`` (sum of ``token_col``), ``budget_weight``
+    (sqrt share, renormalised), ``target_tokens`` (weight × budget,
+    rounded to bigint), ``sampling_rate`` = target/available capped at 1
+    (downsample), ``epochs`` = ceil(target/available) floored at 1
+    (upsample repeats). Rate and epochs come from INTEGER token counts —
+    the ceil is integer arithmetic, never a double boundary.
+
+    Tiny output (one row per group); the only corpus-wide work is the
+    map-side-combinable token sum.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("available")
+    )
+    total = Window.partitionBy()
+    share = F.col("available").cast("double") / F.sum("available").over(total).cast("double")
+    scaled = F.sqrt(share)
+    weight = scaled / F.sum(scaled).over(total)
+    target = F.round(weight * F.lit(float(total_budget)), 0).cast("long")
+    out = counts.select(
+        group_col,
+        "available",
+        F.round(weight, 6).alias("budget_weight"),
+        target.alias("target_tokens"),
+    )
+    return out.select(
+        group_col,
+        "available",
+        "budget_weight",
+        "target_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("target_tokens").cast("double")
+                / F.col("available").cast("double"),
+            ),
+            6,
+        ).alias("sampling_rate"),
+        # `div` = exact bigint division (Spark's `/` is double division,
+        # which loses exactness on large counts); DuckDB mirrors with `//`
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(target_tokens + available - 1) div available"),
+        ).alias("epochs"),
+    )

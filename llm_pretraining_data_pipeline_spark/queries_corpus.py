@@ -536,3 +536,117 @@ def corp_chunk_spans(spark, sf_dir):
     return corpus.chunk_spans(
         _docs(spark, sf_dir), chunk_tokens=_CHUNK_T, stride=_CHUNK_S
     )
+
+
+# ============================================= recipe allocation + gating
+
+@register(
+    "f12_source_median_gate",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents
+    ),
+    med AS (
+      SELECT source, n_chars AS group_median FROM r
+      WHERE rn = cast(ceil(cast(cnt as double) / 2.0) as int)
+    )
+    SELECT r.doc_id, r.source, cast(r.n_chars as bigint) AS n_chars,
+           cast(m.group_median as bigint) AS group_median,
+           r.n_chars < m.group_median AS below_median
+    FROM r JOIN med m ON m.source = r.source
+    """,
+    doc="adaptive per-source gating at the source's own median (rank-based "
+        "LOWER median — an exact group member, never an interpolated "
+        "double, so the gate is bit-identical across engines). Production "
+        "gates on quality_score; the referee uses the n_chars column so "
+        "the oracle stays one window deep",
+)
+def f12_source_median_gate(spark, sf_dir):
+    out = corpus.group_median_gate(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        value_col="n_chars",
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long"),
+        F.col("group_median").cast("long"), "below_median",
+    )
+
+
+@register(
+    "o04_source_quota",
+    """
+    SELECT doc_id, source, cast(n_chars as bigint) AS n_chars,
+           cast(rnk as int) AS group_rank
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents)
+    WHERE rnk <= 5
+    """,
+    doc="quota sampling: top-5 docs per source by n_chars (desc, doc_id "
+        "tiebreak) — per-source caps bound any one source's corpus share; "
+        "one window shuffle on the group key",
+)
+def o04_source_quota(spark, sf_dir):
+    out = corpus.group_quota_topn(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        value_col="n_chars", n=5,
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long"), "group_rank"
+    )
+
+
+_BUDGET_TOKENS = 100_000
+
+
+@register(
+    "corp_token_budget",
+    f"""
+    WITH c AS (
+      SELECT source,
+             cast(sum(len({O.toks('text')})) as bigint) AS available
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, available,
+             sqrt(cast(available as double)
+                  / cast(sum(available) OVER () as double)) AS scaled
+      FROM c
+    ),
+    t AS (
+      SELECT source, available,
+             scaled / sum(scaled) OVER () AS weight
+      FROM w
+    )
+    SELECT source, available,
+           round(weight, 6) AS budget_weight,
+           cast(round(weight * {_BUDGET_TOKENS}.0, 0) as bigint) AS target_tokens,
+           round(least(1.0::double,
+                 cast(cast(round(weight * {_BUDGET_TOKENS}.0, 0) as bigint) as double)
+                 / cast(available as double)), 6) AS sampling_rate,
+           greatest(cast(1 as bigint),
+                 (cast(round(weight * {_BUDGET_TOKENS}.0, 0) as bigint)
+                  + available - 1) // available) AS epochs
+    FROM t
+    """,
+    doc="training-recipe token-budget allocation: sqrt-temperature shares "
+        "of a 100k-token budget per source, with integer-exact sampling "
+        "rate (downsample) and epoch count (upsample) — the LLaMA/Dolma "
+        "data-mixing shape; one map-side-combinable token sum is the only "
+        "corpus-wide work",
+)
+def corp_token_budget(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.size(ws_tokens(F.coalesce(F.col("text"), F.lit("")))).alias("n_tok"),
+    )
+    return corpus.token_budget_allocation(
+        d, token_col="n_tok", total_budget=_BUDGET_TOKENS
+    ).orderBy("source")

@@ -162,3 +162,51 @@ class TestChunkSpans:
             chunk_spans(df, chunk_tokens=4, stride=0)
         with pytest.raises(ValueError):
             chunk_spans(df, chunk_tokens=4, stride=5)
+
+
+class TestRecipeOps:
+    def test_median_gate_odd_and_even_groups(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            group_median_gate,
+        )
+
+        rows = [
+            (1, "a", 10), (2, "a", 20), (3, "a", 30),          # odd: median 20
+            (4, "b", 10), (5, "b", 20), (6, "b", 30), (7, "b", 40),  # even: LOWER median 20
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+        out = {r.doc_id: r for r in group_median_gate(df, "v").collect()}
+        assert out[1].group_median == 20 and out[1].below_median
+        assert out[2].group_median == 20 and not out[2].below_median  # at median: kept
+        assert out[4].group_median == 20 and out[4].below_median
+        assert out[5].group_median == 20 and not out[5].below_median
+
+    def test_quota_topn_with_ties(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            group_quota_topn,
+        )
+
+        rows = [(1, "a", 5), (2, "a", 5), (3, "a", 9), (4, "b", 1)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+        out = sorted(
+            group_quota_topn(df, "v", n=2).collect(),
+            key=lambda r: (r.source, r.group_rank),
+        )
+        # desc value, id tiebreak: a -> [9(doc3), 5(doc1)]; b -> [1(doc4)]
+        assert [(r.doc_id, r.group_rank) for r in out] == [(3, 1), (1, 2), (4, 1)]
+
+    def test_token_budget_up_and_downsample(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            token_budget_allocation,
+        )
+
+        # two sources, 90/10 token split, budget 100 -> sqrt weights 0.75/0.25
+        rows = [("big", 90), ("small", 10)]
+        df = spark.createDataFrame(rows, "source string, n_tok long")
+        out = {r.source: r for r in token_budget_allocation(df, "n_tok", total_budget=100).collect()}
+        assert out["big"].available == 90 and out["small"].available == 10
+        assert abs(out["big"].budget_weight - 0.75) < 1e-6
+        assert out["big"].target_tokens == 75 and out["small"].target_tokens == 25
+        # big: 75/90 -> downsample rate, 1 epoch; small: 25/10 -> rate 1, 3 epochs
+        assert out["big"].sampling_rate == round(75 / 90, 6) and out["big"].epochs == 1
+        assert out["small"].sampling_rate == 1.0 and out["small"].epochs == 3
