@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Scale probe for the round-5 curation operators: times each one against a
+100x-replicated sf0.1 corpus (500k docs / ~30M tokens) on local[32] — the
+same replication recipe as bench.py's pipeline stage. Not part of bench.py
+(whose suite composition stays comparable round-over-round); run ad hoc:
+
+    python scripts/scale_probe.py
+
+Last recorded run (quiet machine, local[32]):
+    gopher_filter_500k    1.8 s    lm_logprob_500k   0.4 s
+    chunk_spans_500k      2.1 s    tfidf_top3_500k  11.4 s
+    url_dedup_500k        0.4 s    semdedup_2k       1.8 s
+    pq_encode_2k          0.7 s
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from llm_pretraining_data_pipeline_spark.functions import lm, urls
+    from llm_pretraining_data_pipeline_spark.operators import corpus
+    from llm_pretraining_data_pipeline_spark.operators import dedup as D
+    from llm_pretraining_data_pipeline_spark.operators import similarity as S
+    from llm_pretraining_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = spark.range(100).withColumnRenamed("id", "copy")
+    big = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * 100 + F.col("copy")).alias("doc_id"),
+            "text", "source", "n_chars",
+        )
+        .repartition(CPUS)
+    )
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().count()
+
+    def t(name, df):
+        t0 = time.time()
+        df.collect()
+        print(f"{name:28s} {time.time() - t0:7.2f}s")
+
+    t("gopher_filter_500k",
+      corpus.gopher_quality_filter(big, min_words=20)
+      .select(F.count(F.when(F.col("gopher_drop_reason").isNotNull(), 1))))
+    t("lm_logprob_500k",
+      big.select(lm.doc_lm_struct("text").alias("s")).agg(F.sum("s.n_lm_tokens")))
+    t("chunk_spans_500k",
+      corpus.chunk_spans(big).agg(F.count(F.lit(1)), F.sum("end_tok")))
+    t("tfidf_top3_500k", corpus.tfidf_top_terms(big, k=3).agg(F.count(F.lit(1))))
+    u = big.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://S/"), (F.col("doc_id") % 97).cast("string"),
+            F.lit("/p?utm_a=1&id="), (F.col("doc_id") % 13).cast("string"),
+        ).alias("url"),
+    )
+    t("url_dedup_500k", urls.url_dedup(u).agg(F.sum(F.col("is_dup_url").cast("long"))))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    t("semdedup_2k_32cells",
+      D.semdedup(emb, cents, threshold=0.45).agg(F.sum(F.col("is_semdup").cast("long"))))
+    cb = S.pq_codebooks_first_k(emb, m=4, k=8, dim=64)
+    t("pq_encode_2k", S.pq_encode(emb, cb).agg(F.count(F.lit(1))))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
