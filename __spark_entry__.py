@@ -65,6 +65,7 @@ _PRIORITY_R5 = [
     "p28_lm_logprob", "f11_gopher_filter", "emb_kmeans_stats",
     "ev_stream_attribution", "emb_pq_codes", "emb_pq_topk", "corp_tfidf_top3", "corp_chunk_spans",
     "f12_source_median_gate", "o04_source_quota", "corp_token_budget",
+    "corp_dsir_select",
     # changed this round: exact_dedup narrow_shuffle path + CC zero-iter
     # guard (dedup.py), d03 pins max_bucket_size=None to the oracle contract,
     # emb_ivf_topk staging path made deterministic + cleanup-registered,

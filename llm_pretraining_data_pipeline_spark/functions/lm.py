@@ -95,3 +95,30 @@ def doc_lm_struct(
         F.when(n > 0, F.round(ppl, 4)).alias("pseudo_ppl"),
         bucket.alias("ppl_bucket"),
     )
+
+
+# DSIR background model: uniform over the same assumed lexicon — the
+# importance weight then reduces to how much MORE likely the doc's tokens
+# are under the Zipf target than under "any word is equally likely".
+LOG10_P_RAW = math.log10(1.0 / OOV_VOCAB_SIZE)
+
+
+def doc_importance_weight(c: Column | str) -> Column:
+    """DSIR-style log importance weight (Xie et al. 2023, Data Selection
+    via Importance Resampling): sum over tokens of
+    log10 p_target(tok) - log10 p_raw(tok), with the Zipf unigram as the
+    target feature model and a uniform background as the raw model. Docs
+    whose token distribution looks like the target get positive weights;
+    selection keeps the top-weighted docs (or Gumbel-samples by weight).
+
+    Linear HOF fold in token order — deterministic per row, zero shuffle,
+    mirrored literally by the corp_dsir_select oracle. Empty docs weigh 0.
+    Production swaps the two unigram literals for hashed-n-gram feature
+    models fit on target/raw corpora; the plan shape is unchanged.
+    """
+    toks = ws_tokens(F.lower(_col(c)))
+    return F.aggregate(
+        F.transform(toks, lambda tk: token_logprob(tk) - F.lit(LOG10_P_RAW)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -650,3 +650,68 @@ def corp_token_budget(spark, sf_dir):
     return corpus.token_budget_allocation(
         d, token_col="n_tok", total_budget=_BUDGET_TOKENS
     ).orderBy("source")
+
+
+_DSIR_KEEP = 125
+
+
+def _dsir_oracle() -> str:
+    from llm_pretraining_data_pipeline_spark.functions import lm
+
+    vocab = "[" + ",".join(f"'{w}'" for w in lm.LM_VOCAB) + "]"
+    logw = (
+        f"(CASE WHEN coalesce(list_position({vocab}, tk), 0) > 0 "
+        f"THEN -log10(cast(list_position({vocab}, tk) as double) + 1.0) "
+        f"- {lm.LOG10_Z!r} ELSE {lm.LOG10_P_OOV!r} END) - {lm.LOG10_P_RAW!r}"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {O.toks("lower(text)")} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n,
+             coalesce(list_sum(list_transform(toks, tk -> {logw})), 0.0)
+               AS log_w
+      FROM t
+    ), r AS (
+      SELECT doc_id, n, log_w,
+             row_number() OVER (ORDER BY log_w DESC, doc_id) AS rnk
+      FROM s
+    )
+    SELECT doc_id, cast(n as bigint) AS n_lm_tokens,
+           round(log_w, 6) AS log_importance,
+           rnk <= {_DSIR_KEEP} AS selected
+    FROM r
+    """
+
+
+@register(
+    "corp_dsir_select",
+    _dsir_oracle(),
+    doc="DSIR data selection (Xie et al. 2023): per-doc log importance "
+        "weight = sum over tokens of log p_target - log p_raw (Zipf "
+        "unigram target vs uniform background; production swaps in "
+        "hashed-n-gram feature models, same plan), then keep the "
+        "top-weighted quarter of the corpus. Weight computation is a "
+        "shuffle-free linear fold. The referee's global row_number is "
+        "fixture-scale only — at 100 TB selection finds the k-th weight "
+        "via top-k (TakeOrderedAndProject on (weight, id)) or an "
+        "approx-quantile cut and broadcast-filters on the threshold, "
+        "never a single-partition window",
+)
+def corp_dsir_select(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from llm_pretraining_data_pipeline_spark.functions import lm
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(ws_tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).cast("long").alias("n_lm_tokens"),
+        lm.doc_importance_weight("text").alias("log_w"),
+    )
+    rnk = F.row_number().over(W.partitionBy().orderBy(F.desc("log_w"), F.col("doc_id")))
+    return d.select(
+        "doc_id", "n_lm_tokens",
+        F.round("log_w", 6).alias("log_importance"),
+        (rnk <= _DSIR_KEEP).alias("selected"),
+    )

@@ -58,3 +58,26 @@ class TestDocScore:
         s = _score(spark, "zzz yyy xxx")
         assert s.ppl_bucket == "tail"
         assert s.pseudo_ppl > lm.PPL_MIDDLE
+
+
+class TestDsirImportance:
+    def test_targetlike_doc_outweighs_soup(self, spark):
+        def w(text):
+            df = spark.createDataFrame([(text,)], "text string")
+            return df.select(lm.doc_importance_weight("text").alias("w")).collect()[0].w
+
+        # stopword-dense prose: every token far likelier under the Zipf
+        # target than the uniform background -> positive weight
+        assert w("the and of to in the a is") > 0
+        # OOV soup: log p_target(OOV) < log p_raw(uniform) -> negative
+        assert w("zzq wvx plk mnt") < 0
+        assert w("") == 0.0 and w(None) == 0.0
+
+    def test_weight_is_sum_not_mean(self, spark):
+        def w(text):
+            df = spark.createDataFrame([(text,)], "text string")
+            return df.select(lm.doc_importance_weight("text").alias("w")).collect()[0].w
+
+        one = w("the")
+        three = w("the the the")
+        assert abs(three - 3 * one) < 1e-9  # DSIR sums feature log-ratios
