@@ -143,3 +143,43 @@ class TestReviewHardening:
         ).collect()
         for r in rows:
             assert r.once == r.twice, r
+
+
+class TestHypothesisFuzz:
+    def test_normalize_idempotent_on_random_urls(self, spark):
+        """Property: normalize_url is idempotent on arbitrary URL-shaped
+        strings (hypothesis-generated corpus, evaluated in ONE Spark job)."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        scheme = st.sampled_from(["http", "HTTPS", "ftp"])
+        host = st.from_regex(r"[A-Za-z0-9.-]{1,12}", fullmatch=True)
+        path = st.from_regex(r"(/[A-Za-z0-9_.~%-]{0,8}){0,3}/?", fullmatch=True)
+        key = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,6}", fullmatch=True)
+        val = st.from_regex(r"[A-Za-z0-9/%.-]{0,6}", fullmatch=True)
+        param = st.builds(lambda k, v: f"{k}={v}", key, val)
+        query = st.lists(param, max_size=3).map(
+            lambda ps: ("?" + "&".join(ps)) if ps else ""
+        )
+        frag = st.sampled_from(["", "#x", "#Sec-2"])
+        url = st.builds(
+            lambda s, h, p, q, f: f"{s}://{h}{p}{q}{f}", scheme, host, path, query, frag
+        )
+
+        cases = []
+
+        @settings(max_examples=60, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(url)
+        def collect(u):
+            cases.append(u)
+
+        collect()
+        df = spark.createDataFrame([(c,) for c in cases], "url string")
+        rows = df.select(
+            "url",
+            urls.normalize_url("url").alias("once"),
+            urls.normalize_url(urls.normalize_url("url")).alias("twice"),
+        ).collect()
+        bad = [(r.url, r.once, r.twice) for r in rows if r.once != r.twice]
+        assert not bad, bad[:5]
