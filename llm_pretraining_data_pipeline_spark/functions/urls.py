@@ -69,14 +69,15 @@ def normalize_url(c: Column | str) -> Column:
 def url_domain(c: Column | str, strip_www: bool = True) -> Column:
     """Hostname of a URL: text in the authority after any ``userinfo@``
     and before the first ``/ ? # :`` (port dropped), lowercased, with a
-    leading ``www.`` removed by default. Userinfo MUST be skipped or a
-    banned-domain filter is trivially evaded by ``https://x@blocked.com/``
-    (the host would read as ``x``). Scheme-less inputs yield ''
-    (null-safe: null → '')."""
+    leading ``www.`` removed by default. Userinfo MUST be skipped — and
+    greedily up to the LAST ``@`` in the authority (WHATWG semantics), or a
+    banned-domain filter is evaded by ``https://a@b@blocked.com/`` (a
+    single-@ skip would read the host as ``b``). Scheme-less inputs yield
+    '' (null-safe: null → '')."""
     host = F.lower(
         F.regexp_extract(
             F.trim(F.coalesce(_col(c).cast("string"), F.lit(""))),
-            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)",
+            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]+)",
             1,
         )
     )

@@ -651,12 +651,13 @@ def gopher_quality_filter(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_distinct_stopwords: int = 2,
-    stopword_set: list[str] | None = None,
     max_dup_line_frac: float = 0.3,
     max_top2gram_frac: float = 0.2,
     max_top3gram_frac: float = 0.18,
     max_dup5gram_frac: float = 0.15,
     max_dup10gram_frac: float = 0.10,
+    *,
+    stopword_set: list[str] | None = None,
 ) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021, Appendix A1) as one
     first-match-wins cascade, the same drop_reason contract as the pipeline's
@@ -882,23 +883,24 @@ def group_median_gate(
     an interpolated double, so the gate comparison is bit-identical across
     engines and partitionings. Adds ``group_median`` and ``below_median``.
 
-    Scale shape: one hash shuffle on the group key shared by both windows
-    (rank + count); the gate itself is a projection. For heavy-tailed
-    group sizes the same narrow-projection trick as
-    ``exact_dedup(narrow_shuffle=True)`` applies.
+    Scale shape: ONE window pass — rank, count, and the median broadcast
+    back to every group row all share a single hash shuffle on the group
+    key (``max(when(rn == med_rank, value))`` over the unordered group
+    frame picks the median without a self-join, which would rescan and
+    re-sort the corpus twice). For heavy-tailed group sizes the same
+    narrow-projection trick as ``exact_dedup(narrow_shuffle=True)``
+    applies.
     """
     w = Window.partitionBy(group_col)
     wo = w.orderBy(F.col(value_col), F.col(id_col))
     rn = F.row_number().over(wo)
     cnt = F.count(F.lit(1)).over(w)
     med_rank = F.ceil(cnt.cast("double") / F.lit(2.0)).cast("int")
-    tagged = df.withColumn("_rn", rn).withColumn("_med_rank", med_rank)
-    medians = tagged.filter(F.col("_rn") == F.col("_med_rank")).select(
-        group_col, F.col(value_col).alias("group_median")
-    )
+    median = F.max(
+        F.when(rn == med_rank, F.col(value_col))
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     return (
-        tagged.drop("_rn", "_med_rank")
-        .join(medians, group_col)
+        df.withColumn("group_median", median)
         .withColumn("below_median", F.col(value_col) < F.col("group_median"))
     )
 
@@ -948,9 +950,22 @@ def token_budget_allocation(
         F.sum(F.col(token_col).cast("long")).alias("available")
     )
     total = Window.partitionBy()
+    # available is integer, so its sum is order-safe; the sqrt'd shares are
+    # doubles, so THEIR normalising sum folds in group-key order (collected
+    # once — one row per group — then broadcast back), keeping weights
+    # bit-identical across partitionings and engines
     share = F.col("available").cast("double") / F.sum("available").over(total).cast("double")
     scaled = F.sqrt(share)
-    weight = scaled / F.sum(scaled).over(total)
+    with_scaled = counts.withColumn("_scaled", scaled)
+    denom = with_scaled.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(group_col, "_scaled"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["_scaled"],
+        ).alias("_denom")
+    )
+    counts = with_scaled.crossJoin(F.broadcast(denom))
+    weight = F.col("_scaled") / F.col("_denom")
     target = F.round(weight * F.lit(float(total_budget)), 0).cast("long")
     out = counts.select(
         group_col,

@@ -618,10 +618,12 @@ _BUDGET_TOKENS = 100_000
                   / cast(sum(available) OVER () as double)) AS scaled
       FROM c
     ),
+    d AS (
+      SELECT list_sum(list(scaled ORDER BY source)) AS denom FROM w
+    ),
     t AS (
-      SELECT source, available,
-             scaled / sum(scaled) OVER () AS weight
-      FROM w
+      SELECT source, available, scaled / denom AS weight
+      FROM w, d
     )
     SELECT source, available,
            round(weight, 6) AS budget_weight,

@@ -1386,9 +1386,11 @@ def _url_norm_sql(u: str) -> str:
     applies to the pre-query base only, so query-value slashes survive)."""
     base = f"regexp_replace(regexp_extract(trim({u}), '^[^?#]*'), '/+$', '')"
     query = f"regexp_extract(trim({u}), '\\?([^#]*)', 1)"
+    from llm_pretraining_data_pipeline_spark.functions.urls import TRACKING_PARAM_RE
+
     kept = (
         f"list_filter(string_split({query}, '&'), "
-        f"p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|gclid|fbclid)='))"
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))"
     )
     rebuilt = (
         f"CASE WHEN len({kept}) > 0 "
@@ -1400,7 +1402,7 @@ def _url_norm_sql(u: str) -> str:
 def _url_domain_sql(u: str) -> str:
     host = (
         f"lower(regexp_extract(trim(coalesce({u}, '')), "
-        f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1))"
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]+)', 1))"
     )
     return f"regexp_replace({host}, '^www\\.', '')"
 
@@ -1613,7 +1615,11 @@ def p28_lm_logprob(spark, sf_dir):
         "corpus-curation view (cluster balance / coherence) of the same "
         "coarse quantizer the IVF index and SemDeDup use. mean_cos is a "
         "vec_id-ordered fold divided by the count on BOTH engines, so it is "
-        "bit-identical by construction, never an aggregation-order avg",
+        "bit-identical by construction, never an aggregation-order avg. "
+        "CAVEAT: the sorted-collect buffers one cluster per aggregation "
+        "buffer — fine for coarse quantizers (cells ~ corpus/k, k chosen "
+        "to bound them) but for million-member clusters fall back to the "
+        "constant-memory avg and accept 6dp-rounded parity",
 )
 def emb_kmeans_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

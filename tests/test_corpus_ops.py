@@ -210,3 +210,32 @@ class TestRecipeOps:
         # big: 75/90 -> downsample rate, 1 epoch; small: 25/10 -> rate 1, 3 epochs
         assert out["big"].sampling_rate == round(75 / 90, 6) and out["big"].epochs == 1
         assert out["small"].sampling_rate == 1.0 and out["small"].epochs == 3
+
+
+class TestRecipeOpsPlans:
+    def test_median_gate_single_window_no_join(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            group_median_gate,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20)], "doc_id long, source string, v long"
+        )
+        plan = (
+            group_median_gate(df, "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # one shared group-key shuffle, no self-join back onto the corpus
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_token_budget_weights_partitioning_independent(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            token_budget_allocation,
+        )
+
+        rows = [(f"s{i}", 100 + 37 * i) for i in range(12)]
+        df = spark.createDataFrame(rows, "source string, n_tok long")
+        a = sorted(token_budget_allocation(df.repartition(1), "n_tok").collect())
+        b = sorted(token_budget_allocation(df.repartition(7), "n_tok").collect())
+        assert a == b

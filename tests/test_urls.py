@@ -183,3 +183,8 @@ class TestHypothesisFuzz:
         ).collect()
         bad = [(r.url, r.once, r.twice) for r in rows if r.once != r.twice]
         assert not bad, bad[:5]
+
+    def test_double_at_cannot_evade_blocklist(self, spark):
+        # WHATWG: the LAST '@' delimits userinfo — a@b@evil.com's host is
+        # evil.com, and a single-@ skip would wrongly read 'b'
+        assert _one(spark, "https://a@b@evil.com/x", urls.url_domain) == "evil.com"
