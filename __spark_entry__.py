@@ -52,38 +52,18 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-5 priority: (a) every query whose implementation or oracle CHANGED
+# Round-6 priority: (a) every query whose implementation or oracle CHANGED
 # this round ships with a same-round correctness row (the driver caps each
 # round at 50 rows — edits must never ride on a stale green), then (b) the
-# 42 queries whose freshest green is still r1/r2 (VERDICT r4 item 1: a
-# three-round-old green is an assumption, not a fact), then the rest.
-_PRIORITY_R5 = [
-    # new this round: real P8 logistic scorer, trained-centroid IVF recall,
-    # SemDeDup semantic dedup, URL stage (normalize/dedup/domain-blocklist)
-    "p08_model_quality", "emb_ivf_recall_trained", "emb_semdedup",
-    "p27_url_normalize", "d10_url_dedup", "a13_domain_stats",
-    "p28_lm_logprob", "f11_gopher_filter", "emb_kmeans_stats",
-    "ev_stream_attribution", "emb_pq_codes", "emb_pq_topk", "corp_tfidf_top3", "corp_chunk_spans",
-    "f12_source_median_gate", "o04_source_quota", "corp_token_budget",
-    "corp_dsir_select",
-    # changed this round: exact_dedup narrow_shuffle path + CC zero-iter
-    # guard (dedup.py), d03 pins max_bucket_size=None to the oracle contract,
-    # emb_ivf_topk staging path made deterministic + cleanup-registered,
-    # p20 shares the reworked scoring module
-    "d01_exact_dedup", "d02_near_dedup", "d03_minhash_lsh_pairs",
-    "d08_minhash_dedup", "d09_incremental_dedup", "emb_ivf_topk",
-    "p20_quality_score",
-    # stale r1/r2 greens (most recent row three rounds old) — refresh all 42;
-    # p22_tokenize doubles as coverage for this round's tokenizer.py edit
-    "p22_tokenize", "p23_pick_text", "p10_non_latin_ratio",
-    "u02_intersect_except", "s04_jsonl_projection",
-    "rel_q1_pricing_summary", "rel_q3_shipping_priority",
-    "rel_q5_local_supplier", "rel_q6_revenue_delta", "rel_q12_shipmode_case",
-    "rel_q14_promo_ratio", "rel_q19_disjunctive", "rel_in_subquery",
-    "rel_having_large_orders", "rel_semi_join", "rel_anti_join",
-    "rel_outer_join", "rel_rollup_orders", "rel_cube_lineitem",
-    "rel_grouping_sets", "rel_pivot", "rel_distinct_counts",
-    "win_above_avg_orders", "win_rank_family", "win_top3_orders_per_customer",
+# queries whose freshest green is still r1/r2 (the tail the r5 cap cut off),
+# then the rest. Appended to as round-6 work lands.
+_PRIORITY_R6 = [
+    # changed this round: URL fragment-first normalisation (ADVICE r5 #1)
+    # touches all three URL oracles; emb_pq_codes stringified for the
+    # referee (ADVICE r5 #2, never green before); d10 also gains the
+    # null/empty solo-key guard (ADVICE r5 #3)
+    "emb_pq_codes", "p27_url_normalize", "d10_url_dedup", "a13_domain_stats",
+    # stale: freshest green is r1/r2 (the r5 50-row cap left these 17)
     "win_running_quantity", "win_lag_price_delta", "win_range_frame",
     "win_value_family",
     "ev_tumbling_5min", "ev_sliding_10m5m", "ev_hourly_rollup",
@@ -100,7 +80,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R5 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R6 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

@@ -230,6 +230,14 @@ def fit_logistic_weights(
             F.avg(err).alias("_b"),
             *[F.avg(err * x).alias(f"_g{i}") for i, x in enumerate(feats)],
         ).collect()[0]
+        if row["_b"] is None:
+            # avg() over zero rows (or all-null labels) is null; round(None)
+            # would raise a bare TypeError deep in the loop. Fail loudly
+            # with the actual contract violation instead.
+            raise ValueError(
+                "fit_logistic_weights: training frame is empty or "
+                f"label column {label_col!r} is all-null"
+            )
         b -= lr * round(row["_b"], round_dp)
         for i, c in enumerate(feature_cols):
             g = round(row[f"_g{i}"], round_dp) + l2 * w[c]

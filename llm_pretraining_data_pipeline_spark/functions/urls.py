@@ -54,8 +54,13 @@ def normalize_url(c: Column | str) -> Column:
          conventionally folds the path too).
     """
     t = F.trim(_col(c).cast("string"))
-    base = F.regexp_replace(F.regexp_extract(t, r"^[^?#]*", 0), r"/+$", "")
-    query = F.regexp_extract(t, r"\?([^#]*)", 1)
+    # Fragment is stripped FIRST, then base/query are parsed from the
+    # pre-fragment text. Extracting the query from the full string would
+    # match a '?' sitting after the '#' (SPA hash routes like
+    # 'page#/route?x=1') and resurrect fragment data as a real query.
+    pre = F.regexp_extract(t, r"^[^#]*", 0)
+    base = F.regexp_replace(F.regexp_extract(pre, r"^[^?]*", 0), r"/+$", "")
+    query = F.regexp_extract(pre, r"\?(.*)", 1)
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
@@ -125,6 +130,11 @@ def url_dedup(
     URL; at 100 TB run it on the (id, url) projection and join the verdict
     back, exactly like ``exact_dedup(..., narrow_shuffle=True)`` — URLs are
     short, so the wide-frame window is usually fine too.
+
+    Rows with a null or empty URL get per-row solo group keys (the
+    ``exact_dedup`` pattern): "no URL" is absence of evidence, not a shared
+    identity, so URL-less docs are never marked dups of each other — and
+    the otherwise-giant null window partition disappears.
     """
     from pyspark.sql import Window
 
@@ -132,7 +142,12 @@ def url_dedup(
         "row_order" if "row_order" in df.columns else id_col
     )
     out = df.withColumn("url_norm", normalize_url(url_col))
-    w = Window.partitionBy("url_norm").orderBy(F.col(order_col))
+    group = F.when(
+        F.col("url_norm").isNull() | (F.col("url_norm") == ""),
+        F.concat(F.lit("\x00solo\x00"), F.col(id_col).cast("string")),
+    ).otherwise(F.col("url_norm"))
+    out = out.withColumn("_url_group", group)
+    w = Window.partitionBy("_url_group").orderBy(F.col(order_col))
     rn = F.row_number().over(w)
     keeper = F.first(F.col(id_col)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -142,4 +157,5 @@ def url_dedup(
         .withColumn(
             "dup_of_url", F.when(rn > 1, keeper).otherwise(F.lit(None))
         )
+        .drop("_url_group")
     )

@@ -1384,8 +1384,9 @@ _URL_SQL = (
 def _url_norm_sql(u: str) -> str:
     """DuckDB twin of urls.normalize_url, step by step (trailing-slash strip
     applies to the pre-query base only, so query-value slashes survive)."""
-    base = f"regexp_replace(regexp_extract(trim({u}), '^[^?#]*'), '/+$', '')"
-    query = f"regexp_extract(trim({u}), '\\?([^#]*)', 1)"
+    pre = f"regexp_extract(trim({u}), '^[^#]*')"
+    base = f"regexp_replace(regexp_extract({pre}, '^[^?]*'), '/+$', '')"
+    query = f"regexp_extract({pre}, '\\?(.*)', 1)"
     from llm_pretraining_data_pipeline_spark.functions.urls import TRACKING_PARAM_RE
 
     kept = (
@@ -1722,7 +1723,9 @@ def _pq_base_sql() -> str:
     "emb_pq_codes",
     f"""
     WITH {_pq_base_sql()}
-    SELECT vec_id, list(cast(code_id as int) ORDER BY sub) AS codes
+    SELECT vec_id,
+           array_to_string(list(cast(code_id as varchar) ORDER BY sub), ',')
+             AS codes_csv
     FROM best GROUP BY vec_id
     """,
     doc="product-quantization encode (Jégou et al. 2011): 64-dim vectors "
@@ -1734,9 +1737,19 @@ def _pq_base_sql() -> str:
         "hold k rows of state",
 )
 def emb_pq_codes(spark, sf_dir):
+    # The operator's native output keeps codes as array<int>; the registered
+    # query stringifies them because the external referee canonicalizes by
+    # sorting rows on column values and cannot hash numpy arrays (the same
+    # reason p22_tokenize ships ids_head as a string).
     emb = _t(spark, sf_dir, "embeddings")
     cb = similarity.pq_codebooks_first_k(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
-    return similarity.pq_encode(emb, cb, m=_PQ_M, dim=_PQ_DIM)
+    enc = similarity.pq_encode(emb, cb, m=_PQ_M, dim=_PQ_DIM)
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+    )
 
 
 @register(

@@ -487,6 +487,24 @@ class TestFitLogisticWeights:
         b = fit_logistic_weights(df.repartition(13), ["x1", "x2"], "y", n_iter=5)
         assert a == b
 
+    def test_empty_or_unlabeled_frame_raises_value_error(self, spark):
+        # avg() over zero rows is null — must surface as a contract error,
+        # not a bare TypeError from round(None) (round-5 ADVICE)
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.functions.scoring import (
+            fit_logistic_weights,
+        )
+
+        empty = spark.createDataFrame([], "x1 double, x2 double, y double")
+        with pytest.raises(ValueError, match="empty or"):
+            fit_logistic_weights(empty, ["x1", "x2"], "y", n_iter=2)
+        allnull = spark.createDataFrame(
+            [(0.1, 0.2, None), (0.3, 0.4, None)], "x1 double, x2 double, y double"
+        )
+        with pytest.raises(ValueError, match="all-null"):
+            fit_logistic_weights(allnull, ["x1", "x2"], "y", n_iter=2)
+
     def test_plugs_into_model_quality_score(self, spark):
         from pyspark.sql import functions as F
 

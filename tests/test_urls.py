@@ -188,3 +188,47 @@ class TestHypothesisFuzz:
         # WHATWG: the LAST '@' delimits userinfo — a@b@evil.com's host is
         # evil.com, and a single-@ skip would wrongly read 'b'
         assert _one(spark, "https://a@b@evil.com/x", urls.url_domain) == "evil.com"
+
+
+class TestRound6Hardening:
+    """Regressions from the round-5 ADVICE review."""
+
+    def test_spa_hash_route_query_not_resurrected(self, spark):
+        # A '?' AFTER '#' belongs to the fragment (SPA hash routing) and must
+        # vanish with it — extracting the query from the full string would
+        # rebuild 'https://a.com/page?x=1' out of fragment data
+        assert (
+            _one(spark, "https://a.com/page#/route?x=1", urls.normalize_url)
+            == "https://a.com/page"
+        )
+        # real query BEFORE the fragment still survives intact
+        assert (
+            _one(spark, "https://a.com/page?x=1#/route?y=2", urls.normalize_url)
+            == "https://a.com/page?x=1"
+        )
+        # and idempotence holds on the fragment-only shape
+        once = _one(spark, "http://b.com/p/#frag?utm_a=1", urls.normalize_url)
+        assert once == "http://b.com/p"
+        assert _one(spark, once, urls.normalize_url) == once
+
+    def test_url_dedup_null_and_empty_urls_never_dup(self, spark):
+        # URL-less docs must not collapse into one giant window group and be
+        # marked duplicates of whichever happened to sort first
+        df = spark.createDataFrame(
+            [
+                (1, None),
+                (2, ""),
+                (3, "   "),
+                (4, None),
+                (5, "http://a.com/x"),
+                (6, "http://A.com/x/"),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r.doc_id: r for r in urls.url_dedup(df).collect()}
+        for i in (1, 2, 3, 4):
+            assert not out[i].is_dup_url, out[i]
+            assert out[i].dup_of_url is None
+        assert not out[5].is_dup_url
+        assert out[6].is_dup_url and out[6].dup_of_url == 5
+        assert "_url_group" not in urls.url_dedup(df).columns
