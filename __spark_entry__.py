@@ -63,6 +63,10 @@ _PRIORITY_R6 = [
     # referee (ADVICE r5 #2, never green before); d10 also gains the
     # null/empty solo-key guard (ADVICE r5 #3)
     "emb_pq_codes", "p27_url_normalize", "d10_url_dedup", "a13_domain_stats",
+    # new this round: the four TPC-H queries needing partsupp (derived
+    # deterministically from lineitem's key pairs) — completes TPC-H 1–22
+    "rel_q2_min_cost_supplier", "rel_q11_important_stock",
+    "rel_q16_supplier_part_counts", "rel_q20_promotion_suppliers",
     # stale: freshest green is r1/r2 (the r5 50-row cap left these 17)
     "win_running_quantity", "win_lag_price_delta", "win_range_frame",
     "win_value_family",

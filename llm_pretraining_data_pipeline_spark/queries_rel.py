@@ -1600,3 +1600,268 @@ def rel_q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ===================================================== TPC-H fill: partsupp
+# The testdata star schema has no partsupp table, so the four TPC-H queries
+# that need one (Q2/Q11/Q16/Q20) derive it deterministically from lineitem's
+# DISTINCT (l_partkey, l_suppkey) pairs — referentially consistent with the
+# fact table by construction (every derived row has matching lineitem rows,
+# and Q20's per-pair usage correlation is never vacuously null). availqty
+# and supplycost are integer formulas over the keys; cost is kept in CENTS
+# (bigint) wherever it is compared or aggregated, so cross-engine double
+# drift cannot exist, and divided by 100.0 only for display. The identical
+# construction runs on both engines (the derived-fixture pattern the URL and
+# mm_* oracles established).
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             (l_partkey * 3 + l_suppkey * 5) % 100 + 1 AS ps_availqty,
+             (l_partkey * 13 + l_suppkey * 17) % 90000 + 1000 AS ps_cost_cents
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp: one distinct-shuffle over the narrow key pair, then
+    pure projections. At 100 TB the distinct is the op's only wide stage and
+    AQE coalesces it; everything downstream joins on ps_suppkey/ps_partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return pairs.withColumn(
+        "ps_availqty", (F.col("ps_partkey") * 3 + F.col("ps_suppkey") * 5) % 100 + 1
+    ).withColumn(
+        "ps_cost_cents",
+        (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 17) % 90000 + 1000,
+    )
+
+
+@register(
+    "rel_q2_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    eu AS (
+      SELECT ps.ps_partkey, ps.ps_cost_cents, s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    mc AS (SELECT ps_partkey, min(ps_cost_cents) AS min_cents
+           FROM eu GROUP BY ps_partkey)
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           round(e.ps_cost_cents / 100.0, 2) AS ps_supplycost
+    FROM part p
+    JOIN eu e ON e.ps_partkey = p.p_partkey
+    JOIN mc ON mc.ps_partkey = p.p_partkey AND e.ps_cost_cents = mc.min_cents
+    WHERE p.p_size <= 10 AND p.p_type LIKE '%ROMO'
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: min-supply-cost supplier per qualifying part within "
+        "a region — the correlated MIN subquery decorrelates into a per-part "
+        "aggregate joined back on (part, cost); cost compared in integer "
+        "cents so the min-equality is exact on both engines. Dims broadcast; "
+        "the only wide stages are the partsupp distinct and the per-part min",
+)
+def rel_q2_min_cost_supplier(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & F.col("p_type").like("%ROMO")
+    )
+    eu = (
+        ps.join(src.maybe_broadcast(s, sf_dir, "supplier"), ps.ps_suppkey == s.s_suppkey)
+        .join(src.maybe_broadcast(n, sf_dir, "nation"), s.s_nationkey == n.n_nationkey)
+        .join(src.maybe_broadcast(r, sf_dir, "region"), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    mc = eu.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    return (
+        eu.join(src.maybe_broadcast(p, sf_dir, "part"), eu.ps_partkey == p.p_partkey)
+        .join(
+            mc,
+            (F.col("mk") == F.col("ps_partkey"))
+            & (F.col("ps_cost_cents") == F.col("min_cents")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round(F.col("ps_cost_cents") / 100.0, 2).alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "rel_q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    de AS (
+      SELECT ps.ps_partkey, ps.ps_cost_cents * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, round(sum(v) / 100.0, 2) AS value
+    FROM de GROUP BY ps_partkey
+    HAVING sum(v) > (SELECT sum(v) * 0.001 FROM de)
+    ORDER BY value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 shape: per-part stock value within one nation, kept only "
+        "above a fraction of the nation's total — the scalar global-sum "
+        "subquery becomes a 1-row broadcast cross join against the grouped "
+        "frame. Values aggregate as integer cents (exact); the fraction is "
+        "0.001 (canonical 0.0001/SF) so the fixture keeps a real subset",
+)
+def rel_q11_important_stock(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    de = (
+        ps.join(src.maybe_broadcast(s, sf_dir, "supplier"), ps.ps_suppkey == s.s_suppkey)
+        .join(src.maybe_broadcast(n, sf_dir, "nation"), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    grouped = de.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    thr = de.agg((F.sum("v") * F.lit(0.001)).alias("thr"))
+    return (
+        grouped.join(F.broadcast(thr))
+        .filter(F.col("sv") > F.col("thr"))
+        .select("ps_partkey", F.round(F.col("sv") / 100.0, 2).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "rel_q16_supplier_part_counts",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           cast(count(DISTINCT ps.ps_suppkey) as bigint) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_type NOT LIKE 'MED%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+      AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: distinct supplier counts per (brand, type, size) "
+        "excluding a supplier denylist — NOT IN compiles to a left-anti join "
+        "(keys never null), the part dim broadcasts, and count(DISTINCT) "
+        "runs as Spark's two-phase distinct-aggregate. The slim supplier "
+        "table has no comment field, so the canonical '%Customer%Complaints%' "
+        "denylist is modeled as negative account balance",
+)
+def rel_q16_supplier_part_counts(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & ~F.col("p_type").like("MED%")
+        & F.col("p_size").isin([1, 4, 9, 14, 19, 24, 29, 34, 39, 49])
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == F.col("bad_key"), "left_anti")
+        .join(src.maybe_broadcast(p, sf_dir, "part"), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "rel_q20_promotion_suppliers",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    usage AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+        AND l_shipdate <  timestamp '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    cand AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN red ON red.p_partkey = ps.ps_partkey
+      JOIN usage u ON u.l_partkey = ps.ps_partkey
+                  AND u.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > 0.5 * u.qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT ps_suppkey FROM cand)
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 shape: suppliers in a region holding excess stock "
+        "(availqty > half a year's shipped quantity) of 'red' parts — the "
+        "correlated per-(part, supplier) usage subquery decorrelates into a "
+        "grouped aggregate equi-joined on both keys; the final IN is a "
+        "left-semi join. partsupp derives from lineitem's own key pairs, so "
+        "the usage correlation always has matching rows",
+)
+def rel_q20_promotion_suppliers(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select(F.col("p_partkey").alias("red_key"))
+    )
+    usage = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("uk_part"), F.col("l_suppkey").alias("uk_supp")
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    cand = (
+        ps.join(F.broadcast(red), ps.ps_partkey == F.col("red_key"), "left_semi")
+        .join(
+            usage,
+            (F.col("uk_part") == F.col("ps_partkey"))
+            & (F.col("uk_supp") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(cand, s.s_suppkey == cand.ps_suppkey, "left_semi")
+        .join(src.maybe_broadcast(n, sf_dir, "nation"), s.s_nationkey == n.n_nationkey)
+        .join(src.maybe_broadcast(r, sf_dir, "region"), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )

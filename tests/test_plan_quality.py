@@ -132,6 +132,27 @@ class TestPlanQuality:
         # the 1-row global-average frame joins via broadcast, not shuffle
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
+    def test_q2_broadcast_dims_and_topk(self, spark, sf_dir):
+        """Q2's region/nation/supplier/part dims all broadcast; the
+        decorrelated per-part MIN joins back without a nested loop, and the
+        top-100 never globally sorts."""
+        plan = plan_of(QUERIES["rel_q2_min_cost_supplier"].spark(spark, sf_dir))
+        assert "NestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q11_scalar_threshold_broadcasts(self, spark, sf_dir):
+        """Q11's global-sum threshold is a 1-row frame joined via broadcast
+        (nested-loop over ONE row is the cheap plan), never a shuffle."""
+        plan = plan_of(QUERIES["rel_q11_important_stock"].spark(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert plan.count("SortMergeJoin") == 0
+
+    def test_q20_semi_joins_preserved(self, spark, sf_dir):
+        plan = plan_of(QUERIES["rel_q20_promotion_suppliers"].spark(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "NestedLoop" not in plan
+
     def test_lsh_topk_prunes_bucket(self, spark, sf_dir):
         """LSH probe must filter to one bucket before scoring."""
         from llm_pretraining_data_pipeline_spark.operators import similarity
