@@ -993,3 +993,210 @@ def token_budget_allocation(
             F.expr("(target_tokens + available - 1) div available"),
         ).alias("epochs"),
     )
+
+
+# ================================================================ C4 stage
+# Raffel et al. 2020 (T5/C4), §2.2 — the other canonical public web-corpus
+# recipe alongside Gopher/RefinedWeb/CCNet. The reference pipeline has none
+# of these (its filters are per-doc ratio thresholds); this is §2.9 scale
+# surface. Three pieces, matching the paper's narrative order: line-level
+# retention rules, page-level drop rules, and corpus-wide three-sentence
+# span dedup.
+
+# Stand-in for the paper's "List of Dirty, Naughty, Obscene or Otherwise
+# Bad Words" (the real list is a drop-in replacement — same word-boundary
+# match, longer array literal). Kept tiny and obviously fake so fixture
+# corpora are unaffected unless a test plants one.
+C4_BADWORDS = ["badword1", "badword2", "badword3"]
+
+# RE2-safe sentence split: no lookbehind in DuckDB's RE2, so instead of
+# splitting on '(?<=[.!?]) ' both engines rewrite 'punct + space' to
+# 'punct + \x01' and split on the control char (which never occurs in text).
+_SENT_MARK = "\x01"
+
+
+def split_sentences(c: Column) -> Column:
+    """Array of trimmed, non-empty sentences (terminal-punct boundaries).
+    The boundary is punct + any whitespace run, so newline-separated
+    sentences count too; the consumed separator is not preserved
+    (reassembly joins with single spaces)."""
+    marked = F.regexp_replace(
+        F.coalesce(c, F.lit("")), r"([.!?])\s+", "$1" + _SENT_MARK
+    )
+    return F.filter(
+        F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+) -> DataFrame:
+    """C4 line-level retention (§2.2): keep only lines that (a) end in a
+    terminal punctuation mark ('.', '!', '?', or closing double quote),
+    (b) contain at least ``min_words_per_line`` words, and (c) do not
+    contain the word "javascript" (case-insensitive) — the
+    enable-JavaScript boilerplate tell.
+
+    Adds ``text_c4`` (surviving lines re-joined with newlines),
+    ``n_lines``, ``n_lines_kept``. Pure per-row HOF expression tree —
+    shuffle-free, codegen-fused, a straight map at 100 TB.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda l: F.trim(l),
+        ),
+        lambda l: F.length(l) > 0,
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (F.size(ws_tokens(l)) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_lines_kept", F.size(kept).cast("long"))
+        .withColumn("text_c4", F.array_join(kept, "\n"))
+    )
+
+
+def c4_page_filter(
+    df: DataFrame,
+    text_col: str = "text_c4",
+    min_sentences: int = 3,
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """C4 page-level drops (§2.2) as one first-match-wins cascade (the same
+    drop_reason contract as the pipeline's F1-F6 and the Gopher battery), in
+    paper order: fewer than ``min_sentences`` sentences, any bad word
+    (word-boundary match against the embedded stand-in list), the phrase
+    "lorem ipsum", any curly brace '{'.
+
+    Adds ``c4_drop_reason`` (null = kept). Shuffle-free per-row tree.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(text)
+    n_sents = F.size(split_sentences(text))
+    words = F.array(*[F.lit(w) for w in (badwords or C4_BADWORDS)])
+    has_bad = F.size(
+        F.array_intersect(F.transform(ws_tokens(low), F.lower), words)
+    ) > 0
+    reason = (
+        F.when(n_sents < min_sentences, F.lit("c4_min_sentences"))
+        .when(has_bad, F.lit("c4_bad_word"))
+        .when(low.contains("lorem ipsum"), F.lit("c4_lorem_ipsum"))
+        .when(text.contains("{"), F.lit("c4_curly_brace"))
+    )
+    return df.withColumn("c4_drop_reason", reason)
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The full C4 cleanup battery: line retention, then page drops over
+    the line-cleaned text. Composable with ``c4_span_dedup`` downstream
+    (the paper runs span dedup across the surviving pages)."""
+    out = c4_clean_lines(
+        df, text_col=text_col, id_col=id_col,
+        min_words_per_line=min_words_per_line,
+    )
+    return c4_page_filter(out, text_col="text_c4", min_sentences=min_sentences)
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_sents: int = 3,
+) -> DataFrame:
+    """C4 corpus-wide three-sentence span dedup (§2.2: "we discarded all
+    but one of any three-sentence span occurring more than once").
+
+    Every doc's sentences form overlapping ``span_sents``-sentence sliding
+    spans; the corpus-wide FIRST occurrence of each span text — ordered by
+    (doc id, span position) — survives, and every later occurrence marks
+    its member sentences for removal. Docs are reassembled from surviving
+    sentences in original order (single spaces — the split already
+    consumed the original separators).
+
+    Output: (id, n_sents, n_sents_removed, text_dedup).
+
+    Scale shape, mirroring ``paragraph_dedup``/``span_dedup``: sentences
+    and spans are doc-local HOF projections (no shuffle); the global
+    keep-first is ONE window shuffle partitioned by span text; removal
+    marks are a narrow (id, pos) anti-join; reassembly is one per-doc
+    aggregation. Nothing is all-pairs, and the span window carries only
+    (span, id, pos) — never whole documents.
+    """
+    n = span_sents
+    sents = (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(split_sentences(F.col(text_col))).alias(
+                "pos", "sent"
+            ),
+        )
+        .filter(F.col("sent").isNotNull())
+    )
+    base = df.select(
+        F.col(id_col), split_sentences(F.col(text_col)).alias("_sents")
+    )
+    # sequence(0, hi) DESCENDS when hi < 0 (it never yields an empty array),
+    # so docs shorter than the span length need an explicit empty-list guard
+    span_list = F.when(
+        F.size("_sents") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_sents") - n),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.array_join(F.slice("_sents", i + 1, n), " ").alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,span:string>>"))
+    spans = base.select(F.col(id_col), F.explode(span_list).alias("sp")).select(
+        id_col, F.col("sp.start").alias("start"), F.col("sp.span").alias("span")
+    )
+    w = Window.partitionBy("span").orderBy(id_col, "start")
+    losers = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = sents.join(losers, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s.sent,
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_sents_kept"),
+    )
+    orig = df.select(
+        F.col(id_col),
+        F.size(split_sentences(F.col(text_col))).cast("long").alias("n_sents"),
+    )
+    return orig.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_sents",
+        (F.col("n_sents") - F.coalesce(F.col("n_sents_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_sents_removed"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

@@ -717,3 +717,181 @@ def corp_dsir_select(spark, sf_dir):
         F.round("log_w", 6).alias("log_importance"),
         (rnk <= _DSIR_KEEP).alias("selected"),
     )
+
+
+# ============================================================== C4 battery
+# Raffel et al. 2020 §2.2 (operators/corpus.py: c4_quality_filter /
+# c4_span_dedup). The word-soup fixture has no lines, punctuation, or
+# repeated sentences, so both queries synthesize sentence-bearing text
+# deterministically from doc_id — identical construction on both engines
+# (the mm_*/URL derived-fixture pattern). Every line rule, every cascade
+# branch, and cross-doc span repetition all have rows exercising them.
+
+
+def _c4_fixture_lines_spark():
+    d = F.col("doc_id")
+    l1 = F.concat(
+        F.lit("Alpha beta gamma delta epsilon "), (d % 7).cast("string"), F.lit(".")
+    )
+    l2 = F.lit("short line.")
+    l3 = F.lit("No terminal punctuation on this line at all")
+    l4 = F.when(
+        d % 5 == 0, F.lit("Please enable JavaScript to continue viewing.")
+    ).otherwise(F.lit("A perfectly ordinary sentence sits right here."))
+    l5 = (
+        F.when(d % 11 == 0, F.lit("tiny one."))
+        .when(d % 3 == 0, F.lit("Lorem ipsum filler text appears in this sentence."))
+        .when(d % 3 == 1, F.lit("Code with braces { appears within this sentence."))
+        .otherwise(F.lit("Another clean closing sentence finishes the document."))
+    )
+    l6 = (
+        F.when(d % 11 == 0, F.lit("also small."))
+        .when(
+            d % 13 == 0,
+            F.lit("This sentence regrettably contains badword2 inside."),
+        )
+        .otherwise(F.lit("A final ordinary sentence concludes everything nicely."))
+    )
+    return F.concat_ws("\n", l1, l2, l3, l4, l5, l6)
+
+
+_C4_TEXT_SQL = (
+    "'Alpha beta gamma delta epsilon ' || cast(doc_id % 7 as varchar) || '.'"
+    " || chr(10) || 'short line.'"
+    " || chr(10) || 'No terminal punctuation on this line at all'"
+    " || chr(10) || CASE WHEN doc_id % 5 = 0"
+    " THEN 'Please enable JavaScript to continue viewing.'"
+    " ELSE 'A perfectly ordinary sentence sits right here.' END"
+    " || chr(10) || CASE WHEN doc_id % 11 = 0 THEN 'tiny one.'"
+    " WHEN doc_id % 3 = 0 THEN 'Lorem ipsum filler text appears in this sentence.'"
+    " WHEN doc_id % 3 = 1 THEN 'Code with braces { appears within this sentence.'"
+    " ELSE 'Another clean closing sentence finishes the document.' END"
+    " || chr(10) || CASE WHEN doc_id % 11 = 0 THEN 'also small.'"
+    " WHEN doc_id % 13 = 0 THEN 'This sentence regrettably contains badword2 inside.'"
+    " ELSE 'A final ordinary sentence concludes everything nicely.' END"
+)
+
+_C4_SENT_SPLIT = (
+    "list_filter(list_transform(string_split("
+    "regexp_replace({t}, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),"
+    " s -> trim(s)), s -> s <> '')"
+)
+
+
+def _c4_filter_oracle() -> str:
+    from llm_pretraining_data_pipeline_spark.operators.corpus import C4_BADWORDS
+
+    bad = "[" + ", ".join(f"'{w}'" for w in C4_BADWORDS) + "]"
+    kept = (
+        "list_filter(lines, l -> regexp_matches(l, '[.!?\"]$')"
+        f" AND len({O.toks('l')}) >= 5"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    sents = _C4_SENT_SPLIT.format(t="tc4")
+    has_bad = (
+        f"len(list_intersect(list_transform({O.toks('lower(tc4)')},"
+        f" w -> lower(w)), {bad})) > 0"
+    )
+    return f"""
+    WITH u AS (SELECT doc_id, {_C4_TEXT_SQL} AS text FROM documents),
+    ln AS (SELECT doc_id,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                                             l -> trim(l)), l -> l <> '') AS lines
+           FROM u),
+    c AS (SELECT doc_id, lines, {kept} AS kept FROM ln),
+    t AS (SELECT doc_id, cast(len(lines) as bigint) AS n_lines,
+                 cast(len(kept) as bigint) AS n_lines_kept,
+                 array_to_string(kept, chr(10)) AS tc4
+          FROM c)
+    SELECT doc_id, n_lines, n_lines_kept,
+           CASE WHEN len({sents}) < 3 THEN 'c4_min_sentences'
+                WHEN {has_bad} THEN 'c4_bad_word'
+                WHEN contains(lower(tc4), 'lorem ipsum') THEN 'c4_lorem_ipsum'
+                WHEN contains(tc4, '{{') THEN 'c4_curly_brace'
+           END AS c4_drop_reason
+    FROM t
+    """
+
+
+@register(
+    "f13_c4_filter",
+    _c4_filter_oracle(),
+    doc="C4 cleanup battery (Raffel et al. 2020 §2.2): line-level retention "
+        "(terminal punctuation, ≥5 words, no 'javascript') then the "
+        "first-match-wins page cascade (min 3 sentences, bad-word list, "
+        "'lorem ipsum', curly brace) over the line-cleaned text — all pure "
+        "HOF/regex expressions, shuffle-free. Fixture text synthesized from "
+        "doc_id so every rule and cascade branch fires on real rows",
+)
+def f13_c4_filter(spark, sf_dir):
+    u = _docs(spark, sf_dir).select(
+        "doc_id", _c4_fixture_lines_spark().alias("text")
+    )
+    out = corpus.c4_quality_filter(u)
+    return out.select("doc_id", "n_lines", "n_lines_kept", "c4_drop_reason")
+
+
+def _c4_sent_fixture_spark():
+    d = F.col("doc_id")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (d % 4 + 2).cast("int")),
+            lambda k: F.concat(
+                F.lit("Shared sentence number "),
+                ((d * 7 + k * 5) % 23).cast("string"),
+                F.lit(" ends here."),
+            ),
+        ),
+        " ",
+    )
+
+
+_C4_SENTS_SQL = (
+    "list_transform(range(0, 3 + doc_id % 4),"
+    " k -> 'Shared sentence number '"
+    " || cast((doc_id * 7 + k * 5) % 23 as varchar) || ' ends here.')"
+)
+
+
+@register(
+    "d11_c4_span_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, {_C4_SENTS_SQL} AS sents FROM documents),
+    sp AS (SELECT doc_id, u.i AS start,
+                  sents[u.i + 1] || ' ' || sents[u.i + 2] || ' '
+                    || sents[u.i + 3] AS span
+           FROM d, unnest(range(0, len(sents) - 2)) AS u(i)),
+    l AS (SELECT doc_id, start FROM (
+            SELECT doc_id, start,
+                   row_number() OVER (PARTITION BY span
+                     ORDER BY doc_id, start) AS rn
+            FROM sp) WHERE rn > 1),
+    marks AS (SELECT DISTINCT doc_id, start + u.j AS pos
+              FROM l, unnest(range(0, 3)) AS u(j)),
+    sx AS (SELECT doc_id, u.i AS pos, sents[u.i + 1] AS sent
+           FROM d, unnest(range(0, len(sents))) AS u(i)),
+    kept AS (SELECT s.doc_id, s.pos, s.sent
+             FROM sx s ANTI JOIN marks m
+               ON m.doc_id = s.doc_id AND m.pos = s.pos),
+    r AS (SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text_dedup,
+                 cast(count(*) as bigint) AS n_kept
+          FROM kept GROUP BY doc_id),
+    o AS (SELECT doc_id, cast(len(sents) as bigint) AS n_sents FROM d)
+    SELECT o.doc_id, o.n_sents,
+           cast(o.n_sents - coalesce(n_kept, 0) as bigint) AS n_sents_removed,
+           coalesce(text_dedup, '') AS text_dedup
+    FROM o LEFT JOIN r USING (doc_id)
+    """,
+    doc="C4 three-sentence span dedup (§2.2: all but one occurrence of any "
+        "three-sentence span discarded, corpus-wide keep-first by doc id "
+        "and position; member sentences of later occurrences removed, docs "
+        "reassembled in order). One window shuffle on span text + narrow "
+        "(id, pos) anti-join + per-doc reassembly agg — never all-pairs, "
+        "and the window carries (span, id, pos) only. Fixture sentences "
+        "drawn from a 23-deep shared pool so spans repeat across docs",
+)
+def d11_c4_span_dedup(spark, sf_dir):
+    u = _docs(spark, sf_dir).select(
+        "doc_id", _c4_sent_fixture_spark().alias("text")
+    )
+    return corpus.c4_span_dedup(u)

@@ -239,3 +239,106 @@ class TestRecipeOpsPlans:
         a = sorted(token_budget_allocation(df.repartition(1), "n_tok").collect())
         b = sorted(token_budget_allocation(df.repartition(7), "n_tok").collect())
         assert a == b
+
+
+class TestC4Battery:
+    """C4 cleanup (Raffel et al. 2020 §2.2): line retention rules, page
+    cascade order, and three-sentence span dedup semantics."""
+
+    def _clean(self, spark, text):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            c4_quality_filter,
+        )
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return c4_quality_filter(df).collect()[0]
+
+    def test_line_rules(self, spark):
+        r = self._clean(
+            spark,
+            "Good line with five words here.\n"
+            "short line.\n"                             # <5 words
+            "No terminal punct on this line\n"          # no terminal punct
+            "Please enable JavaScript to continue viewing.\n"  # javascript
+            'A quoted line with enough words ends right."\n'   # quote counts
+            "Another proper sentence with enough words!",
+        )
+        assert r.n_lines == 6
+        assert r.n_lines_kept == 3
+        kept = r.text_c4.split("\n")
+        assert kept[0].startswith("Good line")
+        assert kept[1].startswith("A quoted")
+        assert kept[2].startswith("Another proper")
+
+    def test_cascade_order_first_match_wins(self, spark):
+        # bad word fires before lorem ipsum / curly brace when both present
+        r = self._clean(
+            spark,
+            "This line contains badword1 and lorem ipsum now.\n"
+            "Second ordinary sentence fills the page nicely.\n"
+            "Third ordinary sentence completes the minimum count.",
+        )
+        assert r.c4_drop_reason == "c4_bad_word"
+        # fewer than 3 sentences beats everything
+        r2 = self._clean(spark, "Only sentence with badword1 right here now.")
+        assert r2.c4_drop_reason == "c4_min_sentences"
+
+    def test_clean_page_kept(self, spark):
+        r = self._clean(
+            spark,
+            "First ordinary sentence sits right here.\n"
+            "Second ordinary sentence follows along nicely.\n"
+            "Third ordinary sentence completes the page properly.",
+        )
+        assert r.c4_drop_reason is None
+        assert r.n_lines_kept == 3
+
+    def test_span_dedup_keep_first_and_rebuild(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            c4_span_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "A one. B two. C three. D four."),
+                (2, "X ex. B two. C three. D four. Y why."),  # shares B,C,D
+                (3, "Short only. Two here."),                  # <3 sents
+                (4, "A one. B two. C three. D four."),         # full dup
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in c4_span_dedup(df).collect()}
+        assert out[1].n_sents_removed == 0
+        assert out[1].text_dedup == "A one. B two. C three. D four."
+        assert out[2].n_sents_removed == 3
+        assert out[2].text_dedup == "X ex. Y why."
+        assert out[3].n_sents_removed == 0  # no 3-sentence span exists
+        assert out[4].n_sents_removed == 4
+        assert out[4].text_dedup == ""
+
+    def test_span_dedup_two_sentence_doc_has_no_spans(self, spark):
+        # sequence(0, n-3) DESCENDS for n<3 — the guard must yield zero
+        # spans, not a bogus descending index list
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            c4_span_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Only two. Sentences here."), (2, "Only two. Sentences here.")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in c4_span_dedup(df).collect()}
+        # identical 2-sentence docs are NOT span-deduped (no 3-spans exist)
+        assert out[1].n_sents_removed == 0 and out[2].n_sents_removed == 0
+
+    def test_newline_separated_sentences_count(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            split_sentences,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("One here.\nTwo there.\nThree somewhere.",)], "t string"
+        )
+        n = df.select(F.size(split_sentences(F.col("t"))).alias("n")).collect()[0].n
+        assert n == 3

@@ -315,7 +315,8 @@ class TestCurationPlanQuality:
         # name and its hashpartitioning arguments across sections
         plan = urls.url_dedup(docs)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
-        assert "hashpartitioning(url_norm" in plan
+        # partition key is the solo-guarded group derived from url_norm
+        assert "hashpartitioning(_url_group" in plan
 
     def test_gopher_filter_no_shuffle_joins(self, spark, sf_dir):
         """The signals join back on doc_id without a cartesian; with AQE the
@@ -326,4 +327,26 @@ class TestCurationPlanQuality:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         plan = plan_of(corpus.gopher_quality_filter(docs))
         assert "CartesianProduct" not in plan
+        assert "hashpartitioning(text" not in plan
+
+
+class TestC4PlanQuality:
+    """Round-6 C4 operators: claimed plan shapes."""
+
+    def test_c4_filter_is_shuffle_free(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus.c4_quality_filter(docs))
+        assert "Exchange" not in plan
+
+    def test_c4_span_dedup_window_carries_narrow_rows(self, spark, sf_dir):
+        """The keep-first window shuffles (span, id, start) only — whole
+        documents never enter an exchange — and there is no cartesian."""
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = corpus.c4_span_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "hashpartitioning(span" in plan
         assert "hashpartitioning(text" not in plan
