@@ -67,8 +67,10 @@ _PRIORITY_R6 = [
     # deterministically from lineitem's key pairs) — completes TPC-H 1–22
     "rel_q2_min_cost_supplier", "rel_q11_important_stock",
     "rel_q16_supplier_part_counts", "rel_q20_promotion_suppliers",
-    # new this round: C4 cleanup battery + three-sentence span dedup
+    # new this round: C4 cleanup battery + three-sentence span dedup,
+    # weighted soft sampling, cross-source n-gram overlap audit
     "f13_c4_filter", "d11_c4_span_dedup",
+    "o05_weighted_sample", "a14_source_overlap",
     # stale: freshest green is r1/r2 (the r5 50-row cap left these 17)
     "win_running_quantity", "win_lag_price_delta", "win_range_frame",
     "win_value_family",

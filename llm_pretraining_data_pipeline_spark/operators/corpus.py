@@ -1200,3 +1200,89 @@ def c4_span_dedup(
         .alias("n_sents_removed"),
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    key_col: str = "doc_id",
+    rate_scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-row weighted (soft) sampling: keep each row with
+    probability ``clamp(weight * rate_scale, 0, 1)`` — the FineWeb-Edu-style
+    "sample proportional to quality" selection, with no RNG state.
+
+    The acceptance draw is the first 32 bits of sha256(key) compared
+    against ``p * 2^32`` (the per-stratum trick of
+    ``hash_stratified_sample``, generalised to a per-ROW probability
+    column). Same rows kept on every run, any partitioning, any engine
+    with sha256; raising ``rate_scale`` keeps a strict superset.
+
+    Adds ``accept_p`` (the effective probability) and keeps accepted rows.
+    Pure narrow filter — zero shuffle at any corpus size.
+    """
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    p = F.least(F.greatest(w * F.lit(float(rate_scale)), F.lit(0.0)), F.lit(1.0))
+    draw = F.conv(
+        F.substring(sha256_hex(F.col(key_col)), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.withColumn("accept_p", p)
+        .filter(draw < F.col("accept_p") * F.lit(float(2**32)))
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap between corpus slices (sources,
+    dumps, snapshots) — the redundancy audit run before deciding which
+    slices to keep or dedup against each other (RefinedWeb reports exactly
+    this between CommonCrawl snapshots).
+
+    For every unordered pair of groups: |distinct-gram ∩|, |∪|, Jaccard.
+    Grams travel as 60-bit hashes.
+
+    Scale shape: one distinct over (group, gram-hash), then a groupBy on
+    the hash collecting the group SET — bounded by the number of groups
+    (dozens), NOT corpus size — and pair expansion is a doc-local double
+    explode capped at groups². No gram-keyed self-join of two corpus-sized
+    frames, no all-pairs over rows.
+    """
+    toks = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    g = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(ngrams(toks, n)).alias("gram"),
+        )
+        .select("grp", h64(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    ns = g.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grams"))
+    sets = g.groupBy("gh").agg(F.collect_set("grp").alias("grps"))
+    pairs = (
+        sets.select("gh", F.explode("grps").alias("s1"), "grps")
+        .select("gh", "s1", F.explode("grps").alias("s2"))
+        .filter(F.col("s1") < F.col("s2"))
+    )
+    inter = pairs.groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("inter"))
+    n1 = ns.select(F.col("grp").alias("s1"), F.col("n_grams").alias("n1"))
+    n2 = ns.select(F.col("grp").alias("s2"), F.col("n_grams").alias("n2"))
+    return (
+        inter.join(F.broadcast(n1), "s1")
+        .join(F.broadcast(n2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "inter",
+            (F.col("n1") + F.col("n2") - F.col("inter")).alias("union_cnt"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

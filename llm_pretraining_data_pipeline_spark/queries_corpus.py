@@ -895,3 +895,70 @@ def d11_c4_span_dedup(spark, sf_dir):
         "doc_id", _c4_sent_fixture_spark().alias("text")
     )
     return corpus.c4_span_dedup(u)
+
+
+# ============================================= weighted sampling + overlap
+
+
+@register(
+    "o05_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             least(greatest(cast(n_chars as double) / 400.0 * 0.8, 0.0), 1.0)
+               AS accept_p
+      FROM documents
+    )
+    SELECT doc_id, round(accept_p, 6) AS accept_p
+    FROM w
+    WHERE cast(concat('0x', substr(sha256(cast(doc_id as varchar)), 1, 8))
+               as bigint) < accept_p * 4294967296.0
+    ORDER BY doc_id
+    """,
+    doc="deterministic per-row weighted (soft) sampling — FineWeb-Edu-style "
+        "keep-proportional-to-quality: accept iff the first 32 bits of "
+        "sha256(key) fall below p·2^32, p = clamp(weight·scale, 0, 1). No "
+        "RNG state: same rows on every run/partitioning/engine, and a "
+        "larger scale keeps a strict superset. Pure narrow filter, zero "
+        "shuffle. Fixture weight = length proxy n_chars/400",
+)
+def o05_weighted_sample(spark, sf_dir):
+    out = corpus.weighted_sample(
+        _docs(spark, sf_dir),
+        weight_col=F.col("n_chars").cast("double") / F.lit(400.0),
+        rate_scale=0.8,
+    )
+    return out.select("doc_id", F.round("accept_p", 6).alias("accept_p"))
+
+
+@register(
+    "a14_source_overlap",
+    f"""
+    WITH t AS (
+      SELECT source, unnest({O.word_ngrams(O.toks('text'), 3)}) AS gram
+      FROM documents
+    ),
+    g AS (SELECT DISTINCT source, {O.h64('gram')} AS gh FROM t),
+    ns AS (SELECT source, cast(count(*) as bigint) AS n FROM g GROUP BY source),
+    p AS (SELECT a.source AS s1, b.source AS s2
+          FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source),
+    i AS (SELECT s1, s2, cast(count(*) as bigint) AS inter
+          FROM p GROUP BY s1, s2)
+    SELECT i.s1, i.s2, i.inter,
+           n1.n + n2.n - i.inter AS union_cnt,
+           round(cast(i.inter as double)
+                 / cast(n1.n + n2.n - i.inter as double), 6) AS jaccard
+    FROM i
+    JOIN ns n1 ON n1.source = i.s1
+    JOIN ns n2 ON n2.source = i.s2
+    ORDER BY s1, s2
+    """,
+    doc="pairwise 3-gram Jaccard between corpus sources (the RefinedWeb "
+        "snapshot-redundancy audit): distinct (source, gram-hash), then a "
+        "per-hash source SET (bounded by #sources, not corpus size) whose "
+        "doc-local double explode yields pairs — no corpus-sized gram "
+        "self-join; counts broadcast back. Oracle uses the equivalent "
+        "self-join formulation",
+)
+def a14_source_overlap(spark, sf_dir):
+    return corpus.source_overlap(_docs(spark, sf_dir), n=3).orderBy("s1", "s2")

@@ -342,3 +342,59 @@ class TestC4Battery:
         )
         n = df.select(F.size(split_sentences(F.col("t"))).alias("n")).collect()[0].n
         assert n == 3
+
+
+class TestWeightedSampleAndOverlap:
+    def test_weighted_sample_extremes_and_monotonicity(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            weighted_sample,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        assert weighted_sample(df, F.lit(0.0)).count() == 0
+        assert weighted_sample(df, F.lit(1.0)).count() == 2000
+        # clamp: weights beyond [0,1] saturate
+        assert weighted_sample(df, F.lit(7.5)).count() == 2000
+        assert weighted_sample(df, F.lit(-2.0)).count() == 0
+        # rate roughly tracks p (hash-uniformity at n=2000)
+        half = weighted_sample(df, F.lit(0.5)).count()
+        assert 850 < half < 1150
+        # larger scale keeps a strict superset of the smaller one's rows
+        small = {r.doc_id for r in weighted_sample(df, F.lit(0.3)).collect()}
+        big = {r.doc_id for r in weighted_sample(df, F.lit(0.6)).collect()}
+        assert small <= big
+
+    def test_weighted_sample_partitioning_independent(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            weighted_sample,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        w = (F.col("doc_id") % 10).cast("double") / 10.0
+        a = {r.doc_id for r in weighted_sample(df.repartition(1), w).collect()}
+        b = {r.doc_id for r in weighted_sample(df.repartition(13), w).collect()}
+        assert a == b and a  # nonempty and identical
+
+    def test_source_overlap_known_jaccard(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            source_overlap,
+        )
+
+        # srcA grams: {a b c, b c d}; srcB: {b c d, c d e}; srcC: {x y z}
+        df = spark.createDataFrame(
+            [
+                (1, "A", "a b c d"),
+                (2, "B", "b c d e"),
+                (3, "C", "x y z"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        rows = {(r.s1, r.s2): r for r in source_overlap(df, group_col="source").collect()}
+        ab = rows[("A", "B")]
+        assert ab.inter == 1 and ab.union_cnt == 3
+        assert abs(ab.jaccard - round(1 / 3, 6)) < 1e-9
+        # disjoint pairs produce no row at all (inner semantics: only
+        # pairs sharing >= 1 gram appear)
+        assert ("A", "C") not in rows and ("B", "C") not in rows
