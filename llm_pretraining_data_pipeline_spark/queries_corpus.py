@@ -962,3 +962,82 @@ def o05_weighted_sample(spark, sf_dir):
 )
 def a14_source_overlap(spark, sf_dir):
     return corpus.source_overlap(_docs(spark, sf_dir), n=3).orderBy("s1", "s2")
+
+
+# ================================================= RefinedWeb line rules
+
+
+def _rw_fixture_spark():
+    d = F.col("doc_id")
+    l1 = F.concat(
+        F.lit("A normal opening line of prose number "),
+        (d % 9).cast("string"), F.lit("."),
+    )
+    l2 = F.when(d % 4 == 0, F.lit("THIS ENTIRE LINE IS SHOUTING")).otherwise(
+        F.lit("A second calm line of ordinary text.")
+    )
+    l3 = F.when(d % 5 == 0, F.lit("1234 5678")).otherwise(
+        F.lit("Yet another gentle line of words.")
+    )
+    l4 = F.when(
+        d % 7 == 0, F.concat((d % 90).cast("string"), F.lit(" likes"))
+    ).otherwise(F.lit("A closing line finishes things."))
+    l5 = F.when(d % 6 == 0, F.lit("Read More")).otherwise(
+        F.lit("The final ordinary sentence rests here.")
+    )
+    return F.concat_ws("\n", l1, l2, l3, l4, l5)
+
+
+_RW_TEXT_SQL = (
+    "'A normal opening line of prose number ' || cast(doc_id % 9 as varchar)"
+    " || '.' || chr(10)"
+    " || CASE WHEN doc_id % 4 = 0 THEN 'THIS ENTIRE LINE IS SHOUTING'"
+    " ELSE 'A second calm line of ordinary text.' END || chr(10)"
+    " || CASE WHEN doc_id % 5 = 0 THEN '1234 5678'"
+    " ELSE 'Yet another gentle line of words.' END || chr(10)"
+    " || CASE WHEN doc_id % 7 = 0 THEN cast(doc_id % 90 as varchar) || ' likes'"
+    " ELSE 'A closing line finishes things.' END || chr(10)"
+    " || CASE WHEN doc_id % 6 = 0 THEN 'Read More'"
+    " ELSE 'The final ordinary sentence rests here.' END"
+)
+
+_RW_BAD_SQL = (
+    "(len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0 AND"
+    " cast(len(regexp_replace(l, '[^A-Z]', '', 'g')) as double)"
+    " > cast(len(regexp_replace(l, '[^A-Za-z]', '', 'g')) as double) * 0.6)"
+    " OR len(regexp_replace(l, '[^A-Za-z]', '', 'g')) = 0"
+    " OR regexp_matches(l, '^[0-9]+ (likes?|comments?|shares?|views?)$')"
+    " OR regexp_matches(lower(l),"
+    " '^(login|log in|sign in|sign up|register|read more|learn more|click here)$')"
+)
+
+
+@register(
+    "f14_refinedweb_lines",
+    f"""
+    WITH u AS (SELECT doc_id, {_RW_TEXT_SQL} AS text FROM documents),
+    ln AS (SELECT doc_id,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                                             x -> trim(x)), x -> x <> '') AS lines
+           FROM u),
+    c AS (SELECT doc_id, cast(len(lines) as bigint) AS n_lines,
+                 cast(len(list_filter(lines, l -> {_RW_BAD_SQL})) as bigint)
+                   AS n_lines_removed
+          FROM ln)
+    SELECT doc_id, n_lines, n_lines_removed,
+           CASE WHEN n_lines > 0 AND cast(n_lines_removed as double)
+                     > cast(n_lines as double) * 0.05
+                THEN 'rw_excess_line_removal' END AS rw_drop_reason
+    FROM c
+    """,
+    doc="RefinedWeb line-wise corrections (Penedo et al. 2023 §3.2/Table 2): "
+        "drop mostly-uppercase lines (>60% of letters), letterless lines, "
+        "social-counter lines ('3 likes'), and button/footer artifacts; the "
+        "whole doc drops when removals exceed 5% of its lines. Shuffle-free "
+        "HOF/regex tree, composable ahead of the C4/Gopher batteries. "
+        "Fixture lines synthesized from doc_id so every rule fires",
+)
+def f14_refinedweb_lines(spark, sf_dir):
+    u = _docs(spark, sf_dir).select("doc_id", _rw_fixture_spark().alias("text"))
+    out = corpus.refinedweb_line_correct(u)
+    return out.select("doc_id", "n_lines", "n_lines_removed", "rw_drop_reason")

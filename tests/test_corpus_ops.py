@@ -398,3 +398,46 @@ class TestWeightedSampleAndOverlap:
         # disjoint pairs produce no row at all (inner semantics: only
         # pairs sharing >= 1 gram appear)
         assert ("A", "C") not in rows and ("B", "C") not in rows
+
+
+class TestRefinedWebLineCorrect:
+    def _run(self, spark, text):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            refinedweb_line_correct,
+        )
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return refinedweb_line_correct(df).collect()[0]
+
+    def test_each_line_rule(self, spark):
+        r = self._run(
+            spark,
+            "A normal line of prose survives intact.\n"
+            "THIS IS ALL SHOUTING LOUDLY\n"       # mostly uppercase
+            "1234 5678\n"                          # no letters
+            "3 likes\n"                            # counter
+            "12 comments\n"                        # counter (plural)
+            "Read More\n"                          # button artifact
+            "Another normal line stays put.",
+        )
+        assert r.n_lines == 7 and r.n_lines_removed == 5
+        assert r.text_rw.split("\n") == [
+            "A normal line of prose survives intact.",
+            "Another normal line stays put.",
+        ]
+        assert r.rw_drop_reason == "rw_excess_line_removal"
+
+    def test_clean_doc_untouched(self, spark):
+        r = self._run(
+            spark,
+            "First ordinary line of text.\nSecond ordinary line of text.",
+        )
+        assert r.n_lines_removed == 0 and r.rw_drop_reason is None
+
+    def test_uppercase_threshold_boundary(self, spark):
+        # exactly at 60% uppercase letters is NOT removed (> is strict)
+        r = self._run(spark, "ABC de")  # 3 upper of 5 letters = 60%
+        assert r.n_lines_removed == 0
+        r2 = self._run(spark, "ABCD e")  # 4 of 5 = 80% -> removed, doc drops
+        assert r2.n_lines_removed == 1
+        assert r2.rw_drop_reason == "rw_excess_line_removal"
