@@ -6,11 +6,22 @@ same replication recipe as bench.py's pipeline stage. Not part of bench.py
 
     python scripts/scale_probe.py
 
-Last recorded run (quiet machine, local[32]):
-    gopher_filter_500k    1.8 s    lm_logprob_500k   0.4 s
-    chunk_spans_500k      2.1 s    tfidf_top3_500k  11.4 s
-    url_dedup_500k        0.4 s    semdedup_2k       1.8 s
-    pq_encode_2k          0.7 s
+Last recorded run (quiet machine, local[32], round 6):
+    gopher_filter_500k    3.9 s    lm_logprob_500k   1.7 s
+    chunk_spans_500k      7.8 s    tfidf_top3_500k   9.1 s
+    url_dedup_500k        1.7 s    semdedup_2k       4.1 s
+    pq_encode_2k          0.7 s    c4_filter_500k    2.2 s
+    rw_line_correct_500k 13.2 s    c4_span_dedup     3.9 s
+    weighted_sample_500k  0.7 s    source_overlap   32.3 s
+
+Round-6 adjudication of the round-5 "gopher 1.8 s" row: that number was
+real but only because rule 6 (stopwords) short-circuited BEFORE the
+round-5 code forced the n-gram scans through a join — the join boundary
+made rules 8/9's top-/dup-gram scans unconditionally evaluated for every
+row once anything referenced them (146 s measured). gopher_quality_filter
+now inlines let-bound signal expressions into the CaseWhen, so the scans
+run lazily again (3.9 s typical; 55 s worst-case when every row reaches
+rules 8/9 — the intrinsic cost of 4 interpreted run-length scans).
 """
 
 from __future__ import annotations
@@ -77,6 +88,42 @@ def main() -> int:
       D.semdedup(emb, cents, threshold=0.45).agg(F.sum(F.col("is_semdup").cast("long"))))
     cb = S.pq_codebooks_first_k(emb, m=4, k=8, dim=64)
     t("pq_encode_2k", S.pq_encode(emb, cb).agg(F.count(F.lit(1))))
+
+    # ---- round-6 operators. C4/RefinedWeb probes run on sentence-bearing
+    # text synthesized per row (the fixture corpus has no punctuation), so
+    # the split/span machinery does real work.
+    sent = F.concat_ws(
+        ". ",
+        F.col("text").substr(1, 80),
+        F.col("text").substr(40, 80),
+        F.col("text").substr(80, 80),
+        F.lit("closing line ends here."),
+    )
+    big_s = big.select("doc_id", sent.alias("text"))
+    t("c4_filter_500k",
+      corpus.c4_quality_filter(big_s)
+      .agg(F.count(F.when(F.col("c4_drop_reason").isNotNull(), 1))))
+    t("rw_line_correct_500k",
+      corpus.refinedweb_line_correct(big_s)
+      .agg(F.sum("n_lines_removed")))
+    # span dedup on a shared sentence pool (heavy: real cross-doc repeats)
+    pool = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4 + 2).cast("int")),
+        lambda k: F.concat(
+            F.lit("Shared sentence number "),
+            ((F.col("doc_id") * 7 + k * 5) % 9973).cast("string"),
+            F.lit(" ends here."),
+        ),
+    )
+    big_sp = big.select("doc_id", F.array_join(pool, " ").alias("text"))
+    t("c4_span_dedup_500k",
+      corpus.c4_span_dedup(big_sp).agg(F.sum("n_sents_removed")))
+    t("weighted_sample_500k",
+      corpus.weighted_sample(
+          big, F.col("n_chars").cast("double") / 400.0, rate_scale=0.8
+      ).agg(F.count(F.lit(1))))
+    t("source_overlap_500k",
+      corpus.source_overlap(big, n=3).agg(F.count(F.lit(1))))
     return 0
 
 
