@@ -1384,3 +1384,38 @@ def refinedweb_line_correct(
             F.when(excess, F.lit("rw_excess_line_removal")),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the CDC primitive for
+    incremental ingestion runs: which docs were added, removed, or changed
+    since the last snapshot (changed = same id, different content hash).
+
+    Output: (id, status ∈ {added, removed, changed, unchanged},
+    old_hash, new_hash). Pair with ``incremental_dedup`` to process only
+    the added/changed slice.
+
+    Scale shape: each side reduces to (id, sha256) — a narrow projection —
+    then ONE full outer hash join on the id. No text ever shuffles; at
+    100 TB this is two column-pruned scans + one narrow join, and the
+    downstream filter (status <> 'unchanged') usually prunes 99%+ of rows.
+    """
+    oh = old.select(
+        F.col(id_col), sha256_hex(F.col(text_col)).alias("old_hash")
+    )
+    nh = new.select(
+        F.col(id_col), sha256_hex(F.col(text_col)).alias("new_hash")
+    )
+    j = oh.join(nh, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(id_col, status.alias("status"), "old_hash", "new_hash")

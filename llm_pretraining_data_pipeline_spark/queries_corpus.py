@@ -1041,3 +1041,57 @@ def f14_refinedweb_lines(spark, sf_dir):
     u = _docs(spark, sf_dir).select("doc_id", _rw_fixture_spark().alias("text"))
     out = corpus.refinedweb_line_correct(u)
     return out.select("doc_id", "n_lines", "n_lines_removed", "rw_drop_reason")
+
+
+# ==================================================== corpus snapshot diff
+
+
+def _diff_new_spark(docs):
+    base = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    return base.unionByName(added)
+
+
+@register(
+    "d12_corpus_diff",
+    """
+    WITH oldh AS (
+      SELECT doc_id, sha256(text) AS old_hash FROM documents
+    ),
+    newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' updated' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, 'fresh ' || text AS text
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    newh AS (SELECT doc_id, sha256(text) AS new_hash FROM newv)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'removed'
+                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_hash, n.new_hash
+    FROM oldh o FULL OUTER JOIN newh n ON o.doc_id = n.doc_id
+    """,
+    doc="CDC-style corpus snapshot diff: added/removed/changed/unchanged "
+        "between two corpus versions by content hash — each side reduces "
+        "to a narrow (id, sha256) projection and meets in ONE full outer "
+        "hash join; text never shuffles. Pairs with incremental_dedup to "
+        "process only the delta. v2 fixture derives from v1: every 17th "
+        "doc removed, every 13th edited, every 19th re-added under a new id",
+)
+def d12_corpus_diff(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = corpus.corpus_diff(docs, _diff_new_spark(docs))
+    return out.select("doc_id", "status", "old_hash", "new_hash")

@@ -441,3 +441,32 @@ class TestRefinedWebLineCorrect:
         r2 = self._run(spark, "ABCD e")  # 4 of 5 = 80% -> removed, doc drops
         assert r2.n_lines_removed == 1
         assert r2.rw_drop_reason == "rw_excess_line_removal"
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "alpha"), (2, "bravo"), (3, "charlie")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "alpha"), (2, "bravo EDITED"), (4, "delta")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+        assert out[1].status == "unchanged"
+        assert out[2].status == "changed"
+        assert out[2].old_hash != out[2].new_hash
+        assert out[3].status == "removed" and out[3].new_hash is None
+        assert out[4].status == "added" and out[4].old_hash is None
+
+    def test_diff_join_is_narrow(self, spark, sf_dir):
+        # text must never enter the join exchange — only (id, hash)
+        from llm_pretraining_data_pipeline_spark.operators.corpus import corpus_diff
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = corpus_diff(docs, docs)._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(text" not in plan
+        assert "FullOuter" in plan
