@@ -1419,3 +1419,94 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
+
+
+def repetition_signals_grouped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram_sizes: tuple[int, ...] = (2, 3),
+    dup_ngram_sizes: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """``repetition_signals`` re-expressed as codegen'd word-count shapes —
+    bit-identical output (tested), different cost model.
+
+    This variant explodes (id, gram) per size, counts via hash aggregate
+    (map-side partial, whole-stage codegen), reduces per doc with
+    ``min(struct(-cnt, gram))`` — exactly the HOF's max-count /
+    lexicographically-smallest tie-break — and joins the per-size frames
+    back on the id.
+
+    MEASURED VERDICT: at 500k docs / local[32] with every row needing all
+    four signals, this loses to the HOF variant 99 s vs 50 s — the two
+    shuffles per gram size move ~85M WIDE gram-string rows (5/10-grams are
+    30-60 chars each), which costs more than interpreting the per-row
+    scans. Kept as the documented-and-rejected alternative (bit-parity
+    tested) so the next person doesn't re-derive it; it would win only
+    where per-row compute, not shuffle bandwidth, binds (e.g. much longer
+    documents, where the HOF sort is O(G log G) per row but the exploded
+    rows stay the same size).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines).cast("long")
+    n_uniq = F.size(F.array_distinct(lines)).cast("long")
+    line_chars = _gram_chars(lines)
+    uniq_chars = _gram_chars(F.array_distinct(lines))
+    words = ws_tokens(text)
+    base = df.select(
+        F.col(id_col),
+        F.length(text).alias("_text_len"),
+        n_lines.alias("n_lines"),
+        _frac(n_lines - n_uniq, n_lines).alias("dup_line_frac"),
+        _frac(line_chars - uniq_chars, line_chars).alias("dup_line_char_frac"),
+        *[
+            ngrams(words, n).alias(f"_g{n}")
+            for n in {*top_ngram_sizes, *dup_ngram_sizes}
+        ],
+    )
+    out = base
+    for n in sorted({*top_ngram_sizes, *dup_ngram_sizes}):
+        cnt = (
+            base.select(F.col(id_col), F.explode(f"_g{n}").alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        per_doc = cnt.groupBy(id_col).agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("g"))).alias("_best"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.length("gram").cast("long") * F.col("cnt"))
+            ).alias(f"_dupchars{n}"),
+            F.sum(F.length("gram").cast("long") * F.col("cnt")).alias(f"_gramchars{n}"),
+        )
+        per_doc = per_doc.select(
+            id_col,
+            (-F.col("_best.neg")).cast("long").alias(f"_bestcnt{n}"),
+            F.col("_best.g").alias(f"_bestg{n}"),
+            F.coalesce(F.col(f"_dupchars{n}"), F.lit(0)).cast("long").alias(f"_dupchars{n}"),
+            F.col(f"_gramchars{n}").cast("long").alias(f"_gramchars{n}"),
+        )
+        out = out.join(per_doc, id_col, "left")
+    cols = [
+        F.col(id_col), F.col("n_lines"),
+        F.col("dup_line_frac"), F.col("dup_line_char_frac"),
+    ]
+    for n in top_ngram_sizes:
+        cols.append(
+            _frac(
+                F.coalesce(F.col(f"_bestcnt{n}"), F.lit(0))
+                * F.length(F.coalesce(F.col(f"_bestg{n}"), F.lit(""))).cast("long"),
+                F.col("_text_len"),
+            ).alias(f"top{n}gram_char_frac")
+        )
+    for n in dup_ngram_sizes:
+        cols.append(
+            _frac(
+                F.coalesce(F.col(f"_dupchars{n}"), F.lit(0)),
+                F.coalesce(F.col(f"_gramchars{n}"), F.lit(0)),
+            ).alias(f"dup{n}gram_char_frac")
+        )
+    return out.select(*cols)

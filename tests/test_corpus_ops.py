@@ -470,3 +470,37 @@ class TestCorpusDiff:
         plan = corpus_diff(docs, docs)._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning(text" not in plan
         assert "FullOuter" in plan
+
+
+class TestRepetitionSignalsGrouped:
+    def test_bit_parity_with_hof_variant(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            repetition_signals,
+            repetition_signals_grouped,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+        a = repetition_signals(docs).orderBy("doc_id").collect()
+        b = repetition_signals_grouped(docs).orderBy("doc_id").collect()
+        assert a == b
+
+    def test_bit_parity_on_edges(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            repetition_signals,
+            repetition_signals_grouped,
+        )
+
+        edge = spark.createDataFrame(
+            [
+                (1, ""),
+                (2, "word"),
+                (3, "a b a b a b a b a b"),   # tie-heavy counts
+                (4, None),
+                (5, "x\nx\nx\ny"),            # duplicate lines
+                (6, "one two three four five six seven eight nine ten eleven"),
+            ],
+            "doc_id long, text string",
+        )
+        a = repetition_signals(edge).orderBy("doc_id").collect()
+        b = repetition_signals_grouped(edge).orderBy("doc_id").collect()
+        assert a == b
