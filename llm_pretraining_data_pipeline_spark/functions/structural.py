@@ -71,3 +71,23 @@ def cleanup_stats(df: DataFrame, raw_col: str, cleaned_col: str) -> DataFrame:
         F.count_if(raw.contains("<") & raw.contains(">")).alias("docs_with_tag_chars"),
         F.count_if(F.col(cleaned_col) != raw).alias("docs_changed"),
     )
+
+
+# href value up to the closing quote; group 1 = the URL. RE2-safe (no
+# lookaround), case-insensitive via inline flag so DuckDB mirrors it.
+_HREF_RE = r"""(?i)href="([^"]+)\""""
+
+
+def extract_links(c: Column | str) -> Column:
+    """All ``href="..."`` URL values in an HTML string, in document order —
+    the outlink extraction a web pipeline runs before ``strip_html``
+    (URL-frontier seeding, anchor statistics, link-based spam signals).
+
+    Returns array<string> ([] for null/linkless text). Double-quoted hrefs
+    only — the dominant serialized form; single-quoted/unquoted variants
+    are a regex union away, kept out to stay char-exact with the oracle.
+    Pure per-row projection: zero shuffle at any scale.
+    """
+    return F.regexp_extract_all(
+        F.coalesce(_col(c).cast("string"), F.lit("")), F.lit(_HREF_RE), F.lit(1)
+    )

@@ -1795,3 +1795,71 @@ def emb_pq_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
     )
+
+
+# ============================================================ link extract
+
+
+def _html_fixture_spark():
+    d = F.col("doc_id")
+    link1 = F.concat(
+        F.lit('<a HREF="HTTP://www.Example.com/p/'),
+        (d % 50).cast("string"),
+        F.lit('?utm_x=1">one</a>'),
+    )
+    link2 = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit(' <a href="https://cdn.example.org/q/'),
+            (d % 7).cast("string"),
+            F.lit('">two</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    decoy = F.when(
+        d % 5 == 0, F.lit(" <a href='http://singlequote.com'>skip</a>")
+    ).otherwise(F.lit(""))
+    return F.concat(F.lit("<p>Intro text.</p>"), link1, link2, decoy)
+
+
+_HTML_SQL = (
+    "'<p>Intro text.</p>'"
+    " || '<a HREF=\"HTTP://www.Example.com/p/' || cast(doc_id % 50 as varchar)"
+    " || '?utm_x=1\">one</a>'"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' <a href=\"https://cdn.example.org/q/'"
+    " || cast(doc_id % 7 as varchar) || '\">two</a>' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0"
+    " THEN ' <a href=''http://singlequote.com''>skip</a>' ELSE '' END"
+)
+
+
+@register(
+    "p29_extract_links",
+    f"""
+    WITH u AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    l AS (SELECT doc_id,
+                 regexp_extract_all(html, '(?i)href="([^"]+)"', 1) AS links
+          FROM u)
+    SELECT doc_id,
+           cast(len(links) as bigint) AS n_links,
+           array_to_string(links, ',') AS links_csv,
+           {_url_domain_sql("links[1]")} AS first_domain
+    FROM l
+    """,
+    doc="outlink extraction (href values in document order, the URL-frontier "
+        "/ anchor-stats primitive run before strip_html) composed with the "
+        "URL stage's domain parser on the first link — all regexp_extract_all"
+        " / HOF projections, zero UDF, zero shuffle. Single-quoted decoy "
+        "hrefs prove the char-exact contract",
+)
+def p29_extract_links(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls
+    from llm_pretraining_data_pipeline_spark.functions.structural import extract_links
+
+    u = _docs(spark, sf_dir).select("doc_id", _html_fixture_spark().alias("html"))
+    links = extract_links("html")
+    return u.select(
+        "doc_id",
+        F.size(links).cast("long").alias("n_links"),
+        F.array_join(links, ",").alias("links_csv"),
+        urls.url_domain(F.element_at(links, 1)).alias("first_domain"),
+    )

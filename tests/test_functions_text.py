@@ -520,3 +520,32 @@ class TestFitLogisticWeights:
         scored = df.select((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"))
         vals = [r.s for r in scored.collect()]
         assert all(0.0 < v < 1.0 for v in vals)
+
+
+class TestExtractLinks:
+    def test_order_case_and_decoys(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            extract_links,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, '<a HREF="http://a.com/x">one</a> mid '
+                    '<a href="https://b.io/y?z=1">two</a>'),
+                (2, "no links"),
+                (3, None),
+                (4, "<a href='http://single.com'>not matched</a>"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r.links
+            for r in df.select(
+                "doc_id", extract_links("text").alias("links")
+            ).collect()
+        }
+        assert rows[1] == ["http://a.com/x", "https://b.io/y?z=1"]  # doc order
+        assert rows[2] == [] and rows[3] == []
+        assert rows[4] == []  # single-quoted href stays out by contract
