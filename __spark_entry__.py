@@ -72,6 +72,7 @@ _PRIORITY_R6 = [
     "f13_c4_filter", "d11_c4_span_dedup",
     "o05_weighted_sample", "a14_source_overlap", "f14_refinedweb_lines",
     "d12_corpus_diff", "p29_extract_links",
+    "p30_train_unigram_lm", "p31_trained_lm_score",
     # stale: freshest green is r1/r2 (the r5 50-row cap left these 17)
     "win_running_quantity", "win_lag_price_delta", "win_range_frame",
     "win_value_family",

@@ -122,3 +122,110 @@ def doc_importance_weight(c: Column | str) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def train_unigram_lm(
+    df,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    alpha: float = 1.0,
+):
+    """Train the unigram LM IN Spark from a reference corpus — the
+    trained-model counterpart to the embedded Zipf stand-in, the same
+    closure ``fit_logistic_weights`` gives P8 (CCNet trains its KenLM on
+    Wikipedia; here the reference corpus is whatever frame you pass).
+
+    Laplace-smoothed: P(tok) = (c + alpha) / (N + alpha·(V+1)), with one
+    reserved OOV bucket P(oov) = alpha / (N + alpha·(V+1)); V = kept vocab
+    entries. Output: (token, cnt, rank, logprob10, oov_logprob10) — rank
+    by count desc then token asc, logprob10 rounded 6dp so the DuckDB
+    referee's log10 agrees past any last-ulp libm difference.
+
+    Scale shape: one word-count shuffle (map-side partial agg) over the
+    corpus; top-``vocab_size`` via orderBy+limit = TakeOrderedAndProject
+    (never a global sort); the rank window runs on the ≤vocab_size-row
+    result; totals ride a 1-row broadcast. The corpus never moves wide.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))).alias(
+            "token"
+        )
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("_n_total"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+    )
+    vocab = counts.orderBy(F.desc("cnt"), "token").limit(vocab_size)
+    w = Window.orderBy(F.desc("cnt"), "token")
+    a = float(alpha)
+    denom = F.col("_n_total").cast("double") + F.lit(a) * (
+        F.least(F.col("_n_distinct"), F.lit(vocab_size)).cast("double") + F.lit(1.0)
+    )
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "token",
+            "cnt",
+            "rank",
+            F.round(
+                F.log10((F.col("cnt").cast("double") + F.lit(a)) / denom), 6
+            ).alias("logprob10"),
+            F.round(F.log10(F.lit(a) / denom), 6).alias("oov_logprob10"),
+        )
+    )
+
+
+def score_with_unigram_lm(
+    df,
+    lm,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score documents with a trained unigram LM table (``train_unigram_lm``
+    output): per-doc token count, mean log10 prob, pseudo-perplexity.
+
+    The LM table broadcasts (≤vocab_size rows); tokens explode narrow
+    (id, pos, token), left-join the table, and fold back per doc in POSITION
+    order (array_sort over (pos, lp) structs — the engine's standard
+    order-deterministic double summation), so results are bit-stable across
+    partitionings and engines. Empty docs keep n_lm_tokens=0 and null score.
+    """
+    oov = lm.agg(F.max("oov_logprob10").alias("_oov"))
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("pos", "token"),
+    ).filter(F.col("token").isNotNull())
+    j = (
+        toks.join(F.broadcast(lm.select("token", "logprob10")), "token", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("logprob10"), F.col("_oov")).alias("lp"),
+        )
+    )
+    folded = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lm_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("_total"),
+    )
+    mean_lp = F.round(F.col("_total") / F.col("n_lm_tokens").cast("double"), 6)
+    return (
+        df.select(id_col)
+        .join(folded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lm_tokens", F.lit(0)).cast("long").alias("n_lm_tokens"),
+            mean_lp.alias("mean_logprob10"),
+            F.round(F.pow(F.lit(10.0), -mean_lp), 4).alias("pseudo_ppl"),
+        )
+    )

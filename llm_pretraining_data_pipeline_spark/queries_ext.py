@@ -1863,3 +1863,86 @@ def p29_extract_links(spark, sf_dir):
         F.array_join(links, ",").alias("links_csv"),
         urls.url_domain(F.element_at(links, 1)).alias("first_domain"),
     )
+
+
+# ==================================================== trained unigram LM
+
+_ULM_V = 200  # fixture vocab size
+
+
+def _ulm_sql() -> str:
+    """Shared CTE chain: train the Laplace unigram LM in SQL (twin of
+    lm.train_unigram_lm at vocab_size=200, alpha=1)."""
+    denom = (
+        "(cast(n_total as double) + 1.0 * "
+        f"(cast(least(n_distinct, {_ULM_V}) as double) + 1.0))"
+    )
+    return f"""
+    tk0 AS (SELECT unnest({O.toks('lower(text)')}) AS token FROM documents),
+    c AS (SELECT token, cast(count(*) as bigint) AS cnt FROM tk0 GROUP BY token),
+    tot AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                   cast(count(*) as bigint) AS n_distinct FROM c),
+    v AS (SELECT token, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+          FROM c ORDER BY cnt DESC, token ASC LIMIT {_ULM_V}),
+    lm AS (SELECT token, cnt, cast(rank as int) AS rank,
+                  round(log10((cast(cnt as double) + 1.0) / {denom}), 6)
+                    AS logprob10,
+                  round(log10(1.0 / {denom}), 6) AS oov_logprob10
+           FROM v, tot)
+    """
+
+
+@register(
+    "p30_train_unigram_lm",
+    f"""
+    WITH {_ulm_sql()}
+    SELECT token, cnt, rank, logprob10, oov_logprob10 FROM lm
+    """,
+    doc="train the CCNet-bucket unigram LM IN Spark (the trained-model "
+        "counterpart to p28's embedded Zipf stand-in, closing the LM loop "
+        "the way fit_logistic_weights closed P8): Laplace-smoothed token "
+        "log-probs with a reserved OOV bucket. One word-count shuffle; "
+        "top-V via TakeOrderedAndProject; rank window on ≤V rows; totals "
+        "ride a 1-row broadcast — the corpus never moves wide. logprob10 "
+        "rounded 6dp so both engines' log10 agree past last-ulp libm drift",
+)
+def p30_train_unigram_lm(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import lm as LM
+
+    return LM.train_unigram_lm(_docs(spark, sf_dir), vocab_size=_ULM_V)
+
+
+@register(
+    "p31_trained_lm_score",
+    f"""
+    WITH {_ulm_sql()},
+    dt AS (SELECT doc_id, {O.toks('lower(text)')} AS toks FROM documents),
+    tk AS (SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS token
+           FROM dt, unnest(range(1, len(toks) + 1)) AS u(i)),
+    j AS (SELECT tk.doc_id, tk.pos,
+                 coalesce(lm.logprob10,
+                          (SELECT max(oov_logprob10) FROM lm)) AS lp
+          FROM tk LEFT JOIN lm ON lm.token = tk.token),
+    f AS (SELECT doc_id, cast(count(*) as bigint) AS n_lm_tokens,
+                 list_sum(list(lp ORDER BY pos)) AS total
+          FROM j GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(f.n_lm_tokens, 0) as bigint) AS n_lm_tokens,
+           round(total / cast(n_lm_tokens as double), 6) AS mean_logprob10,
+           round(pow(10.0, -round(total / cast(n_lm_tokens as double), 6)), 4)
+             AS pseudo_ppl
+    FROM documents d LEFT JOIN f USING (doc_id)
+    """,
+    doc="score every document with the corpus-trained unigram LM: broadcast "
+        "≤V-row LM table, narrow (id, pos, token) explode, left join, and a "
+        "POSITION-ordered fold per doc (array_sort over (pos, lp) structs — "
+        "the engine's standard order-deterministic double summation), so "
+        "scores are bit-stable across partitionings and engines",
+)
+def p31_trained_lm_score(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import lm as LM
+
+    docs = _docs(spark, sf_dir)
+    table = LM.train_unigram_lm(docs, vocab_size=_ULM_V)
+    return LM.score_with_unigram_lm(docs, table)

@@ -81,3 +81,57 @@ class TestDsirImportance:
         one = w("the")
         three = w("the the the")
         assert abs(three - 3 * one) < 1e-9  # DSIR sums feature log-ratios
+
+
+class TestTrainedUnigramLm:
+    def test_table_matches_hand_computation(self, spark):
+        import math
+
+        from llm_pretraining_data_pipeline_spark.functions.lm import (
+            train_unigram_lm,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c")], "doc_id long, text string"
+        )
+        rows = {r.token: r for r in train_unigram_lm(df, vocab_size=2).collect()}
+        # N=6 tokens, V=min(3 distinct, 2)=2 kept, denom = 6 + (2+1) = 9
+        assert set(rows) == {"a", "b"}  # c cut by vocab_size
+        assert rows["a"].rank == 1 and rows["b"].rank == 2
+        assert rows["a"].logprob10 == round(math.log10(4 / 9), 6)
+        assert rows["b"].logprob10 == round(math.log10(3 / 9), 6)
+        assert rows["a"].oov_logprob10 == round(math.log10(1 / 9), 6)
+
+    def test_scoring_oov_and_empty(self, spark):
+        import math
+
+        from llm_pretraining_data_pipeline_spark.functions.lm import (
+            score_with_unigram_lm,
+            train_unigram_lm,
+        )
+
+        ref = spark.createDataFrame([(1, "a a a b b c")], "doc_id long, text string")
+        lm = train_unigram_lm(ref, vocab_size=2)
+        docs = spark.createDataFrame(
+            [(10, "a b"), (11, "zzz"), (12, "")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in score_with_unigram_lm(docs, lm).collect()}
+        lp_a = round(math.log10(4 / 9), 6)
+        lp_b = round(math.log10(3 / 9), 6)
+        lp_oov = round(math.log10(1 / 9), 6)
+        assert out[10].n_lm_tokens == 2
+        assert out[10].mean_logprob10 == round((lp_a + lp_b) / 2, 6)
+        assert out[11].mean_logprob10 == round(lp_oov, 6)  # OOV floor
+        assert out[12].n_lm_tokens == 0 and out[12].mean_logprob10 is None
+
+    def test_scores_partitioning_independent(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.functions.lm import (
+            score_with_unigram_lm,
+            train_unigram_lm,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+        lm = train_unigram_lm(docs)
+        a = sorted(score_with_unigram_lm(docs.repartition(1), lm).collect())
+        b = sorted(score_with_unigram_lm(docs.repartition(13), lm).collect())
+        assert a == b
