@@ -168,6 +168,49 @@ def main() -> int:
     meta["bpe_docs_per_sec"] = round(n_bpe_docs / timings["bpe_tokenize"], 1)
     meta["bpe_tokens_total"] = int(tok_total or 0)
 
+    # ---- round-6: the composed web-curation recipe (URL dedup -> RefinedWeb
+    # lines -> C4 -> Gopher -> 3-sentence span dedup -> exact dedup) over the
+    # replicated corpus with synthesized sentence structure (the fixture text
+    # has no punctuation, so line/sentence machinery needs it to do real work)
+    # 10x replication (50k docs), not the pipeline's 100x: the synthesized
+    # sentence text is maximally repetitive, so virtually every row reaches
+    # the Gopher n-gram scans (the honest worst case for the cascade) and
+    # 100x would triple the whole suite's wall time for no extra signal.
+    from llm_pretraining_data_pipeline_spark.plans import web_curation as WC
+
+    wc_copies = int(os.environ.get("BENCH_WC_COPIES", "10"))
+    wc_raw = (
+        docs.crossJoin(spark.range(wc_copies).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("doc_id") * wc_copies + F.col("copy")).alias("doc_id"),
+            F.concat(
+                F.lit("http://b/"), F.col("doc_id"), F.lit("/"),
+                (F.col("copy") % 7).cast("string"),
+            ).alias("url"),
+            F.concat_ws(
+                ". ",
+                F.col("text").substr(1, 90),
+                F.col("text").substr(45, 90),
+                F.col("text").substr(90, 90),
+                F.lit("the closing line of this page ends here."),
+            ).alias("text"),
+        )
+        .repartition(CPUS)
+    )
+    n_wc = wc_raw.count()  # untimed: input size, not curation work
+    timed(
+        "web_curation_e2e",
+        lambda: WC.curation_summary(
+            WC.run_web_curation(
+                wc_raw,
+                WC.WebCurationConfig(gopher_min_words=10, gopher_min_stopwords=1),
+                url_col="url",
+            )
+        ).collect(),
+    )
+    meta["web_curation_docs"] = int(n_wc)
+    meta["web_curation_docs_per_sec"] = round(n_wc / timings["web_curation_e2e"], 1)
+
     # ---- full document pipeline (the replicated-corpus heavy job)
     # tokenizer_backend pinned to "regex": 'auto' would silently switch the
     # measured work (and F6 keep/drop volume) if GPT-2 assets appear on disk,

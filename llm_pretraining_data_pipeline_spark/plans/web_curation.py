@@ -1,0 +1,147 @@
+"""The modern web-curation recipe, end to end — every major public
+pipeline's stage order composed into one lazy plan:
+
+  1. URL-level keep-first dedup        (RefinedWeb §3.1 — before any text)
+  2. line-wise corrections             (RefinedWeb §3.2)
+  3. C4 cleanup battery                (Raffel et al. 2020 §2.2)
+  4. Gopher quality cascade            (Rae et al. 2021 A1)
+  5. three-sentence span dedup         (C4 §2.2, corpus-wide keep-first)
+  6. exact dedup on the deduped text   (keep-first by id)
+
+First-match-wins ``drop_reason`` across ALL stages (the engine's standard
+cascade contract); every stage's operator is individually oracle-backed,
+so this module only composes and is tested at the composition level.
+
+Scale shape: stages 2-4 fuse into one shuffle-free expression chain over
+each row (the URL dedup window, the span-dedup window, and the exact-dedup
+window are the plan's only exchanges — all on narrow keys, never text-wide
+except span reassembly which carries sentences). Column pruning drops any
+stage's internals the caller doesn't select.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.functions import urls
+from llm_pretraining_data_pipeline_spark.operators import corpus, dedup
+
+
+@dataclass(frozen=True)
+class WebCurationConfig:
+    min_words_per_line: int = 5       # C4 line rule
+    min_sentences: int = 3            # C4 page rule
+    rw_max_removed_frac: float = 0.05 # RefinedWeb doc-drop threshold
+    gopher_min_words: int = 50
+    gopher_min_stopwords: int = 2
+    span_sents: int = 3
+    apply_gopher: bool = True
+    apply_span_dedup: bool = True
+
+
+def run_web_curation(
+    df: DataFrame,
+    cfg: WebCurationConfig = WebCurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+) -> DataFrame:
+    """Returns the input plus ``text_curated`` (the fully cleaned, deduped
+    text) and ``drop_reason`` (first cascade rule that dropped the doc;
+    null = kept). Rows are never physically removed — the caller filters
+    ``drop_reason IS NULL`` for the kept slice (the engine's standard
+    kept/dropped-split contract)."""
+    out = df
+    reason = F.lit(None).cast("string")
+    if url_col is not None:
+        out = urls.url_dedup(out, url_col=url_col, id_col=id_col)
+        reason = F.when(F.col("is_dup_url"), F.lit("url_duplicate"))
+    out = corpus.refinedweb_line_correct(
+        out, text_col=text_col, id_col=id_col,
+        max_removed_frac=cfg.rw_max_removed_frac,
+    )
+    reason = F.coalesce(reason, F.col("rw_drop_reason"))
+    out = corpus.c4_quality_filter(
+        out, text_col="text_rw", id_col=id_col,
+        min_words_per_line=cfg.min_words_per_line,
+        min_sentences=cfg.min_sentences,
+    )
+    reason = F.coalesce(reason, F.col("c4_drop_reason"))
+    if cfg.apply_gopher:
+        out = corpus.gopher_quality_filter(
+            out, text_col="text_c4", id_col=id_col,
+            min_words=cfg.gopher_min_words,
+            min_distinct_stopwords=cfg.gopher_min_stopwords,
+        )
+        reason = F.coalesce(reason, F.col("gopher_drop_reason"))
+    out = out.withColumn("drop_reason", reason)
+    # Stage-boundary checkpoint of the NARROW dedup universe — the same
+    # move as the main pipeline's stage 5b (plans/pipeline.py): the dedup
+    # stages below reference their input several times (span dedup derives
+    # sentences, spans, AND originals from it; exact dedup is another
+    # branch), and un-checkpointed each reference re-executes the whole
+    # RW+C4+Gopher expression chain — including the n-gram scans — per
+    # branch (measured ~6x the single-pass cost). Only (id, reason,
+    # cleaned text) is materialised; the wide frame stays lazy.
+    narrow = out.select(id_col, "drop_reason", "text_c4").localCheckpoint(
+        eager=False
+    )
+    survivors = narrow.filter(F.col("drop_reason").isNull())
+    if cfg.apply_span_dedup:
+        # span dedup runs on SURVIVORS only (the paper's order: cleanup
+        # first, then corpus-wide dedup), and the result joins back so
+        # dropped rows keep their reason for the summary
+        sd = corpus.c4_span_dedup(
+            survivors, text_col="text_c4", id_col=id_col,
+            span_sents=cfg.span_sents,
+        ).select(
+            id_col,
+            F.col("text_dedup").alias("text_curated"),
+            "n_sents_removed",
+        )
+    else:
+        sd = survivors.select(
+            id_col,
+            F.col("text_c4").alias("text_curated"),
+            F.lit(0).cast("long").alias("n_sents_removed"),
+        )
+    ed = dedup.exact_dedup(sd, text_col="text_curated", id_col=id_col)
+    marks = ed.select(
+        id_col, "text_curated", "n_sents_removed", "is_dup_exact", "dup_of"
+    )
+    out = out.join(marks, id_col, "left")
+    out = out.withColumn(
+        "drop_reason",
+        F.coalesce(
+            F.col("drop_reason"),
+            F.when(F.col("is_dup_exact"), F.lit("exact_duplicate")),
+            # a full duplicate loses EVERY sentence to span dedup and
+            # arrives here as an empty doc — C4 drops those at the end
+            # (and exact dedup can't catch them: '' != the keeper's text)
+            F.when(
+                F.col("text_curated") == "", F.lit("empty_after_span_dedup")
+            ),
+        ),
+    )
+    return out
+
+
+def curation_summary(out: DataFrame) -> DataFrame:
+    """Per-outcome counts + surviving text volume — the one-frame report."""
+    outcome = F.coalesce(F.col("drop_reason"), F.lit("kept"))
+    return (
+        out.groupBy(outcome.alias("outcome"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("drop_reason").isNull(),
+                    F.length(F.coalesce("text_curated", F.lit(""))),
+                ).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+        .orderBy(F.desc("n_docs"), "outcome")
+    )

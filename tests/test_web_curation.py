@@ -1,0 +1,125 @@
+"""Composition tests for the end-to-end web-curation plan
+(plans/web_curation.py): stage order, first-match-wins reasons across
+stages, span/exact dedup on survivors only, and plan shape."""
+
+from pyspark.sql import functions as F
+
+from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+    WebCurationConfig,
+    curation_summary,
+    run_web_curation,
+)
+
+GOOD = (
+    "The first careful sentence talks about one topic simply.\n"
+    "Another entirely different thought follows with its own words.\n"
+    "A third distinct idea then closes out this small page.\n"
+    "Finally the closing remark offers something new to read."
+)
+
+
+def _cfg():
+    return WebCurationConfig(gopher_min_words=10, gopher_min_stopwords=1)
+
+
+class TestWebCuration:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        return {
+            r.doc_id: r
+            for r in run_web_curation(df, _cfg(), url_col="url").collect()
+        }
+
+    def test_every_stage_claims_its_doc(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "http://a.com/x?utm_a=1", GOOD),
+                (2, "http://A.com/x/", "same URL as doc 1 drops before text."),
+                (3, "http://a.com/y",
+                 "ALL SHOUTING UPPERCASE LINE NUMBER ONE HERE\n"
+                 "MORE SHOUTING FOLLOWS ON ANOTHER LINE TOO"),
+                (4, "http://a.com/z",
+                 "Lorem ipsum dolor sit amet my friend. Second fine sentence "
+                 "is right here now. Third one closes the page out."),
+                (5, "http://a.com/w", GOOD),  # exact dup of doc 1's text
+            ],
+        )
+        assert out[1].drop_reason is None
+        assert out[1].text_curated  # cleaned text present for kept doc
+        assert out[2].drop_reason == "url_duplicate"
+        assert out[3].drop_reason == "rw_excess_line_removal"
+        assert out[4].drop_reason == "c4_lorem_ipsum"
+        # doc 5 survives every filter; span dedup strips all its sentences
+        # (every 3-span already seen in doc 1) and the terminal empty rule
+        # claims it — exact dedup cannot ('' != doc 1's text)
+        assert out[5].drop_reason == "empty_after_span_dedup"
+        assert out[5].n_sents_removed == 4
+
+    def test_gopher_stage_and_span_dedup(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "http://a.com/1", GOOD),
+                # 3 sentences (passes C4) dominated by one bigram -> gopher
+                (2, "http://a.com/2",
+                 "Word word word word word word ends right here. "
+                 "Second group word word word word appears now. "
+                 "Third group word word word word closes out."),
+                # shares a 3-sentence span with doc 1 -> sentences removed
+                (3, "http://a.com/3",
+                 GOOD.replace("\n", " ") + " One extra unique closing thought appears."),
+            ],
+        )
+        assert out[1].drop_reason is None and out[1].n_sents_removed == 0
+        assert out[2].drop_reason is not None
+        assert out[2].drop_reason.startswith("gopher_")
+        assert out[3].drop_reason is None
+        assert out[3].n_sents_removed >= 3  # the shared span's sentences
+
+    def test_summary_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://a/1", GOOD), (2, "http://a/2", GOOD)],
+            "doc_id long, url string, text string",
+        )
+        rows = {
+            r.outcome: r
+            for r in curation_summary(
+                run_web_curation(df, _cfg(), url_col="url")
+            ).collect()
+        }
+        assert rows["kept"].n_docs == 1
+        # with span dedup on, the full dup empties rather than exact-dups
+        assert rows["empty_after_span_dedup"].n_docs == 1
+        assert rows["kept"].kept_chars > 0
+
+    def test_without_url_and_without_optional_stages(self, spark):
+        df = spark.createDataFrame(
+            [(1, GOOD), (2, GOOD)], "doc_id long, text string"
+        )
+        cfg = WebCurationConfig(
+            gopher_min_words=10, gopher_min_stopwords=1,
+            apply_gopher=False, apply_span_dedup=False,
+        )
+        out = {r.doc_id: r for r in run_web_curation(df, cfg).collect()}
+        assert out[1].drop_reason is None
+        assert out[2].drop_reason == "exact_duplicate"
+        assert out[1].text_curated == out[1].text_c4
+
+    def test_filter_stages_are_shuffle_free(self, spark):
+        """Stages 2-4 (RW + C4 + Gopher) must fuse into a narrow chain —
+        exchanges come only from the dedup windows."""
+        import contextlib
+        import io
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit(GOOD).alias("text")
+        )
+        cfg = WebCurationConfig(apply_span_dedup=False)
+        out = run_web_curation(df, cfg)  # no url stage
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.select("doc_id", "drop_reason").explain("formatted")
+        plan = buf.getvalue()
+        # exactly the exact-dedup window shuffle; no text-keyed exchange
+        assert "hashpartitioning(text" not in plan
