@@ -504,3 +504,48 @@ class TestRepetitionSignalsGrouped:
         a = repetition_signals(edge).orderBy("doc_id").collect()
         b = repetition_signals_grouped(edge).orderBy("doc_id").collect()
         assert a == b
+
+
+class TestC4SpanDedupProperties:
+    def test_idempotent_and_unique_corpus_untouched(self, spark):
+        """Properties: (1) a corpus with all-unique sentences passes through
+        unchanged (modulo separator normalisation); (2) running span dedup
+        on its own output removes nothing further (idempotence)."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            c4_span_dedup,
+        )
+
+        uniq = spark.createDataFrame(
+            [
+                (i, " ".join(f"Sentence number {i * 10 + k} stands alone." for k in range(4)))
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        out1 = c4_span_dedup(uniq)
+        assert out1.filter("n_sents_removed > 0").count() == 0
+        r = {x.doc_id: x.text_dedup for x in out1.collect()}
+        assert r[3] == uniq.collect()[0].text.__class__(  # same text, doc 3
+            " ".join(f"Sentence number {3 * 10 + k} stands alone." for k in range(4))
+        )
+
+        # idempotence on a corpus WITH duplicates
+        pool = spark.createDataFrame(
+            [
+                (i, " ".join(
+                    f"Shared sentence {(i * 3 + k) % 7} ends here." for k in range(5)
+                ))
+                for i in range(30)
+            ],
+            "doc_id long, text string",
+        )
+        from pyspark.sql import functions as F
+
+        once = c4_span_dedup(pool).select(
+            "doc_id", F.col("text_dedup").alias("text")
+        )
+        twice = c4_span_dedup(once)
+        assert twice.filter("n_sents_removed > 0").count() == 0
+        a = {r.doc_id: r.text_dedup for r in twice.collect()}
+        b = {r.doc_id: r.text for r in once.collect()}
+        assert a == b
