@@ -73,6 +73,10 @@ _PRIORITY_R6 = [
     "o05_weighted_sample", "a14_source_overlap", "f14_refinedweb_lines",
     "d12_corpus_diff", "p29_extract_links",
     "p30_train_unigram_lm", "p31_trained_lm_score",
+    # changed this round: gopher/repetition signals rewritten (join ->
+    # inline let-bound lazy expressions) and the C4 bad-word rule made
+    # punctuation-tolerant — their oracles must not ride a stale green
+    "f11_gopher_filter", "corp_rep_signals", "f13_c4_filter",
     # stale: freshest green is r1/r2 (the r5 50-row cap left these 17)
     "win_running_quantity", "win_lag_price_delta", "win_range_frame",
     "win_value_family",

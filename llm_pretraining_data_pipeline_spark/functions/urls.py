@@ -142,10 +142,14 @@ def url_dedup(
         "row_order" if "row_order" in df.columns else id_col
     )
     out = df.withColumn("url_norm", normalize_url(url_col))
+    # Both branches carry a distinct prefix: unlike exact_dedup (whose
+    # group key is a sha256 hex string that cannot contain \x00), url_norm
+    # is raw text, so a crafted URL equal to the solo sentinel could
+    # otherwise collide into a null-URL doc's window group.
     group = F.when(
         F.col("url_norm").isNull() | (F.col("url_norm") == ""),
         F.concat(F.lit("\x00solo\x00"), F.col(id_col).cast("string")),
-    ).otherwise(F.col("url_norm"))
+    ).otherwise(F.concat(F.lit("\x01url\x01"), F.col("url_norm")))
     out = out.withColumn("_url_group", group)
     w = Window.partitionBy("_url_group").orderBy(F.col(order_col))
     rn = F.row_number().over(w)

@@ -130,6 +130,17 @@ def _frac(num: Column, den: Column) -> Column:
     return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
 
 
+def _nonempty_lines(text: Column) -> Column:
+    """Trimmed, non-empty lines of a text column — the one definition every
+    line-level operator (Gopher, C4, RefinedWeb, repetition signals) shares,
+    so a future change (e.g. \\r\\n handling) cannot silently diverge them
+    or their oracle twin (O.trimmed_lines)."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
 def _let(bound: Column, fn) -> Column:
     """Let-binding for Catalyst expressions: evaluate ``bound`` ONCE and
     feed it to ``fn`` as a lambda variable.
@@ -185,10 +196,7 @@ def repetition_signals(
     is a run-length scan over the sorted gram array inside ``aggregate``.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
+    lines = _nonempty_lines(text)
     n_lines = F.size(lines).cast("long")
     n_uniq = F.size(F.array_distinct(lines)).cast("long")
     line_chars = _gram_chars(lines)
@@ -729,10 +737,7 @@ def gopher_quality_filter(
         n_words > 0,
         (n_hash + n_ellipsis).cast("double") / n_words.cast("double"),
     ).otherwise(F.lit(0.0))
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
+    lines = _nonempty_lines(text)
     n_lines = F.size(lines)
     bullet_frac = _frac(
         F.size(F.filter(lines, lambda l: l.rlike(r"^([*•‣▪-]\s)"))),
@@ -1081,13 +1086,7 @@ def c4_clean_lines(
     ``n_lines``, ``n_lines_kept``. Pure per-row HOF expression tree —
     shuffle-free, codegen-fused, a straight map at 100 TB.
     """
-    lines = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-            lambda l: F.trim(l),
-        ),
-        lambda l: F.length(l) > 0,
-    )
+    lines = _nonempty_lines(F.coalesce(F.col(text_col), F.lit("")))
     kept = F.filter(
         lines,
         lambda l: l.rlike(r'[.!?"]$')
@@ -1110,18 +1109,27 @@ def c4_page_filter(
     """C4 page-level drops (§2.2) as one first-match-wins cascade (the same
     drop_reason contract as the pipeline's F1-F6 and the Gopher battery), in
     paper order: fewer than ``min_sentences`` sentences, any bad word
-    (word-boundary match against the embedded stand-in list), the phrase
-    "lorem ipsum", any curly brace '{'.
+    (whitespace tokens with leading/trailing punctuation stripped, so
+    sentence-final/comma-adjacent occurrences still match — 'said badword1.'
+    drops), the phrase "lorem ipsum", any curly brace '{'.
 
-    Adds ``c4_drop_reason`` (null = kept). Shuffle-free per-row tree.
+    ``badwords=[]`` disables the rule (None means the embedded stand-in
+    list). Adds ``c4_drop_reason`` (null = kept). Shuffle-free per-row tree.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     low = F.lower(text)
     n_sents = F.size(split_sentences(text))
-    words = F.array(*[F.lit(w) for w in (badwords or C4_BADWORDS)])
-    has_bad = F.size(
-        F.array_intersect(F.transform(ws_tokens(low), F.lower), words)
-    ) > 0
+    bad_list = C4_BADWORDS if badwords is None else badwords
+    words = F.array(*[F.lit(w) for w in bad_list])
+    stripped = F.transform(
+        ws_tokens(low),
+        lambda w: F.regexp_replace(w, "^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+    has_bad = (
+        F.size(F.array_intersect(stripped, words)) > 0
+        if bad_list
+        else F.lit(False)
+    )
     reason = (
         F.when(n_sents < min_sentences, F.lit("c4_min_sentences"))
         .when(has_bad, F.lit("c4_bad_word"))
@@ -1343,13 +1351,7 @@ def refinedweb_line_correct(
     null). Pure per-row HOF/regex tree — shuffle-free at any scale, and
     composable in front of the C4/Gopher batteries.
     """
-    lines = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-            lambda l: F.trim(l),
-        ),
-        lambda l: F.length(l) > 0,
-    )
+    lines = _nonempty_lines(F.coalesce(F.col(text_col), F.lit("")))
 
     def _bad(l):
         # letter count referenced three times — let-bound so the regex
@@ -1448,10 +1450,7 @@ def repetition_signals_grouped(
     rows stay the same size).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
+    lines = _nonempty_lines(text)
     n_lines = F.size(lines).cast("long")
     n_uniq = F.size(F.array_distinct(lines)).cast("long")
     line_chars = _gram_chars(lines)

@@ -63,6 +63,12 @@ def run_web_curation(
         out, text_col=text_col, id_col=id_col,
         max_removed_frac=cfg.rw_max_removed_frac,
     )
+    # the C4 stage below also emits an n_lines (over text_rw) — keep the RW
+    # stage's counters under their own names so the output pair
+    # (rw_n_lines, rw_n_lines_removed) stays mutually consistent
+    out = out.withColumnRenamed("n_lines", "rw_n_lines").withColumnRenamed(
+        "n_lines_removed", "rw_n_lines_removed"
+    )
     reason = F.coalesce(reason, F.col("rw_drop_reason"))
     out = corpus.c4_quality_filter(
         out, text_col="text_rw", id_col=id_col,
@@ -108,8 +114,17 @@ def run_web_curation(
             F.col("text_c4").alias("text_curated"),
             F.lit(0).cast("long").alias("n_sents_removed"),
         )
-    ed = dedup.exact_dedup(sd, text_col="text_curated", id_col=id_col)
-    marks = ed.select(
+    # exact dedup runs on NON-EMPTY curated texts only: span-emptied docs
+    # would otherwise hash-collide on '' and mark each other exact dups
+    # with dup_of pointing at an empty, itself-dropped doc — the terminal
+    # empty rule is the correct owner of every one of them
+    ed = dedup.exact_dedup(
+        sd.filter(F.col("text_curated") != ""),
+        text_col="text_curated", id_col=id_col,
+    )
+    marks = sd.join(
+        ed.select(id_col, "is_dup_exact", "dup_of"), id_col, "left"
+    ).select(
         id_col, "text_curated", "n_sents_removed", "is_dup_exact", "dup_of"
     )
     out = out.join(marks, id_col, "left")

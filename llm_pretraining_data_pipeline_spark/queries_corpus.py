@@ -790,7 +790,8 @@ def _c4_filter_oracle() -> str:
     sents = _C4_SENT_SPLIT.format(t="tc4")
     has_bad = (
         f"len(list_intersect(list_transform({O.toks('lower(tc4)')},"
-        f" w -> lower(w)), {bad})) > 0"
+        f" w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),"
+        f" {bad})) > 0"
     )
     return f"""
     WITH u AS (SELECT doc_id, {_C4_TEXT_SQL} AS text FROM documents),

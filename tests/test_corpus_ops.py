@@ -549,3 +549,35 @@ class TestC4SpanDedupProperties:
         a = {r.doc_id: r.text_dedup for r in twice.collect()}
         b = {r.doc_id: r.text for r in once.collect()}
         assert a == b
+
+
+class TestReviewRound6Fixes:
+    def test_badword_adjacent_punctuation_drops(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            c4_page_filter,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "He said badword1. Second sentence sits here. Third one too."),
+                (2, 'Quoted "badword2" appears. Second sentence sits here. Third one too.'),
+                (3, "Substring notbadword1x is fine. Second sentence here. Third one too."),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.c4_drop_reason for r in c4_page_filter(df, text_col="text").collect()}
+        assert out[1] == "c4_bad_word"
+        assert out[2] == "c4_bad_word"
+        assert out[3] is None  # stripping punctuation never substring-matches
+
+    def test_empty_badword_list_disables_rule(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            c4_page_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Contains badword1 right here. Second sentence. Third sentence.")],
+            "doc_id long, text string",
+        )
+        r = c4_page_filter(df, text_col="text", badwords=[]).collect()[0]
+        assert r.c4_drop_reason is None

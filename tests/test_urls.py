@@ -232,3 +232,15 @@ class TestRound6Hardening:
         assert not out[5].is_dup_url
         assert out[6].is_dup_url and out[6].dup_of_url == 5
         assert "_url_group" not in urls.url_dedup(df).columns
+
+
+class TestSoloSentinelCollision:
+    def test_crafted_url_cannot_join_a_null_url_group(self, spark):
+        # a URL whose normalized text equals the solo sentinel of doc 42
+        crafted = "\x00solo\x0042"
+        df = spark.createDataFrame(
+            [(42, None), (7, crafted)], "doc_id long, url string"
+        )
+        out = {r.doc_id: r for r in urls.url_dedup(df).collect()}
+        assert not out[42].is_dup_url and out[42].dup_of_url is None
+        assert not out[7].is_dup_url and out[7].dup_of_url is None

@@ -123,3 +123,36 @@ class TestWebCuration:
         plan = buf.getvalue()
         # exactly the exact-dedup window shuffle; no text-keyed exchange
         assert "hashpartitioning(text" not in plan
+
+
+class TestReviewFixes:
+    def test_multiple_full_dups_all_claimed_by_empty_rule(self, spark):
+        # three identical docs: 2 and 3 both span-empty; neither may be
+        # marked exact_duplicate of the other empty doc
+        df = spark.createDataFrame(
+            [(i, f"http://a/{i}", GOOD) for i in (1, 2, 3)],
+            "doc_id long, url string, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in run_web_curation(df, _cfg(), url_col="url").collect()
+        }
+        assert out[1].drop_reason is None
+        for i in (2, 3):
+            assert out[i].drop_reason == "empty_after_span_dedup", out[i]
+            assert out[i].dup_of is None
+
+    def test_rw_counters_not_overwritten_by_c4(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://a/1",
+              "ALL UPPERCASE SHOUT LINE REMOVED HERE\n" + GOOD)],
+            "doc_id long, url string, text string",
+        )
+        cfg = WebCurationConfig(
+            gopher_min_words=10, gopher_min_stopwords=1,
+            rw_max_removed_frac=0.5,  # keep the doc despite 1/5 removed
+        )
+        r = run_web_curation(df, cfg, url_col="url").collect()[0]
+        assert r.rw_n_lines == 5 and r.rw_n_lines_removed == 1
+        assert r.n_lines == 4  # the C4 stage's own count, over text_rw
+        assert r.drop_reason is None
