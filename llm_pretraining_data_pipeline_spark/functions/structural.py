@@ -91,3 +91,44 @@ def extract_links(c: Column | str) -> Column:
     return F.regexp_extract_all(
         F.coalesce(_col(c).cast("string"), F.lit("")), F.lit(_HREF_RE), F.lit(1)
     )
+
+
+# UTF-8 bytes mis-decoded as Latin-1/cp1252 — the classic web-scrape
+# mojibake ftfy repairs (The Pile and friends run exactly this pass).
+# Ordered longest-first so a 3-char sequence is never half-consumed by a
+# 2-char rule; every entry is the cp1252 rendering of the character's
+# UTF-8 bytes. Literal replace (no regex), so both engines are char-exact.
+MOJIBAKE_TABLE: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€”", "—"),  # â€” -> —
+    ("â€“", "–"),  # â€“ -> –
+    ("â€¦", "…"),  # â€¦ -> …
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã­", "í"),  # Ã­ -> í
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("ÃŸ", "ß"),  # ÃŸ -> ß
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+    ("Â°", "°"),  # Â° -> °
+    ("Â ", " "),       # Â + nbsp -> space
+]
+
+
+def fix_mojibake(c: Column | str) -> Column:
+    """Repair the common UTF-8-decoded-as-Latin-1 sequences (ftfy's core
+    fix, table above): an ordered chain of LITERAL replaces — no regex, so
+    nothing needs escaping and the DuckDB twin is replace() for replace().
+    Null passthrough. Per-row projection, zero shuffle; idempotent (no
+    replacement value re-triggers an earlier pattern).
+    """
+    out = _col(c).cast("string")
+    for bad, good in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out

@@ -1096,3 +1096,45 @@ def d12_corpus_diff(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     out = corpus.corpus_diff(docs, _diff_new_spark(docs))
     return out.select("doc_id", "status", "old_hash", "new_hash")
+
+
+# ================================================= quality decile report
+
+
+@register(
+    "a15_quality_deciles",
+    """
+    WITH d AS (
+      SELECT source, n_chars,
+             ntile(10) OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT source, cast(decile as int) AS decile,
+           cast(count(*) as bigint) AS n_docs,
+           cast(min(n_chars) as bigint) AS min_chars,
+           cast(max(n_chars) as bigint) AS max_chars
+    FROM d GROUP BY source, decile
+    ORDER BY source, decile
+    """,
+    doc="per-source quality-decile report (the FineWeb-style 'what does "
+        "each quality band look like' audit, with n_chars as the fixture's "
+        "quality proxy): ntile(10) windows partition BY SOURCE — never one "
+        "global sort — with (proxy, doc_id) ordering so bucket boundaries "
+        "are deterministic; then a map-side-combinable groupBy",
+)
+def a15_quality_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("source", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source", "decile")
+    )

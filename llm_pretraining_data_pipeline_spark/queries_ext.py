@@ -1946,3 +1946,67 @@ def p31_trained_lm_score(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     table = LM.train_unigram_lm(docs, vocab_size=_ULM_V)
     return LM.score_with_unigram_lm(docs, table)
+
+
+# ============================================================== mojibake
+
+
+def _moji_fixture_spark():
+    d = F.col("doc_id")
+    mid = (
+        F.when(d % 3 == 0, F.lit("itâ€™s â€œquotedâ€¦ fine"))
+        .when(d % 3 == 1, F.lit("CafÃ© and StraÃŸe mÃ¼ller"))
+        .otherwise(F.lit("perfectly clean middle"))
+    )
+    tail = F.when(d % 5 == 0, F.lit(" Â«30Â°Â»")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("Doc "), (d % 11).cast("string"), F.lit(" says: "), mid, tail
+    )
+
+
+_MOJI_SQL = (
+    "'Doc ' || cast(doc_id % 11 as varchar) || ' says: '"
+    " || CASE WHEN doc_id % 3 = 0 THEN 'itâ€™s â€œquotedâ€¦ fine'"
+    " WHEN doc_id % 3 = 1 THEN 'CafÃ© and StraÃŸe mÃ¼ller'"
+    " ELSE 'perfectly clean middle' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' Â«30Â°Â»' ELSE '' END"
+)
+
+
+def _moji_fix_sql(e: str) -> str:
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        MOJIBAKE_TABLE,
+    )
+
+    out = e
+    for bad, good in MOJIBAKE_TABLE:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        out = f"replace({out}, '{b}', '{g}')"
+    return out
+
+
+@register(
+    "p32_fix_mojibake",
+    f"""
+    WITH u AS (SELECT doc_id, {_MOJI_SQL} AS raw FROM documents)
+    SELECT doc_id, {_moji_fix_sql('raw')} AS fixed,
+           {_moji_fix_sql('raw')} <> raw AS changed
+    FROM u
+    """,
+    doc="ftfy-style mojibake repair (UTF-8 bytes mis-decoded as cp1252 — "
+        "the â€™/Ã©/Â« family): an ordered longest-first chain of LITERAL "
+        "replaces generated from one shared table on both engines, so "
+        "nothing needs regex escaping. Per-row projection, zero shuffle, "
+        "idempotent. Fixture plants every sequence class plus clean rows",
+)
+def p32_fix_mojibake(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        fix_mojibake,
+    )
+
+    u = _docs(spark, sf_dir).select("doc_id", _moji_fixture_spark().alias("raw"))
+    fixed = fix_mojibake("raw")
+    return u.select(
+        "doc_id", fixed.alias("fixed"), (fixed != F.col("raw")).alias("changed")
+    )

@@ -549,3 +549,42 @@ class TestExtractLinks:
         assert rows[1] == ["http://a.com/x", "https://b.io/y?z=1"]  # doc order
         assert rows[2] == [] and rows[3] == []
         assert rows[4] == []  # single-quoted href stays out by contract
+
+
+class TestFixMojibake:
+    def test_common_sequences_and_idempotence(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            fix_mojibake,
+        )
+
+        cases = [
+            ("CafÃ© â€” itâ€™s â€œquotedâ€¦ done", "Café — it’s “quoted… done"),
+            ("StraÃŸe mÃ¼ller Ã±andÃº", "Straße müller ñandú"),
+            ("Â«30Â°Â»", "«30°»"),
+            ("plain ascii stays", "plain ascii stays"),
+            ("already fixed é ’ …", "already fixed é ’ …"),
+        ]
+        df = spark.createDataFrame(
+            [(i, a) for i, (a, _) in enumerate(cases)], "id long, t string"
+        )
+        rows = (
+            df.select(
+                "id",
+                fix_mojibake("t").alias("once"),
+                fix_mojibake(fix_mojibake("t")).alias("twice"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        for r, (_, want) in zip(rows, cases):
+            assert r.once == want
+            assert r.twice == r.once  # idempotent
+
+    def test_longest_first_ordering(self, spark):
+        # 'â€¦' must not be half-eaten by any shorter rule
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            fix_mojibake,
+        )
+
+        df = spark.createDataFrame([("â€¦â€™â€œ",)], "t string")
+        assert df.select(fix_mojibake("t").alias("v")).collect()[0].v == "…’“"
