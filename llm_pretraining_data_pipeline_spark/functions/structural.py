@@ -132,3 +132,29 @@ def fix_mojibake(c: Column | str) -> Column:
     for bad, good in MOJIBAKE_TABLE:
         out = F.replace(out, F.lit(bad), F.lit(good))
     return out
+
+
+# content value of a <meta name="robots" ...> tag (either attribute order),
+# double-quoted form; group 1 carries the value in each variant. RE2-safe.
+_META_ROBOTS_NC = r'(?i)<meta\s+name="robots"\s+content="([^"]*)"'
+_META_ROBOTS_CN = r'(?i)<meta\s+content="([^"]*)"\s+name="robots"'
+
+
+def meta_robots(c: Column | str) -> Column:
+    """The content of the page's ``<meta name="robots">`` tag ('' if
+    absent), lowercased — both attribute orders accepted. Pair with
+    ``has_noindex`` for the opt-out filter an ethical web pipeline runs
+    before keeping a page."""
+    t = F.coalesce(_col(c).cast("string"), F.lit(""))
+    first = F.regexp_extract(t, _META_ROBOTS_NC, 1)
+    second = F.regexp_extract(t, _META_ROBOTS_CN, 1)
+    return F.lower(F.when(first != "", first).otherwise(second))
+
+
+def has_noindex(c: Column | str) -> Column:
+    """True iff the robots meta contains a 'noindex' or 'none' directive
+    (comma-separated token match, not substring)."""
+    toks = F.transform(
+        F.split(meta_robots(c), ","), lambda x: F.trim(x)
+    )
+    return F.arrays_overlap(toks, F.array(F.lit("noindex"), F.lit("none")))

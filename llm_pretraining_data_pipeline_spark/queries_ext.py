@@ -2010,3 +2010,71 @@ def p32_fix_mojibake(spark, sf_dir):
     return u.select(
         "doc_id", fixed.alias("fixed"), (fixed != F.col("raw")).alias("changed")
     )
+
+
+# ============================================================ meta robots
+
+
+def _robots_fixture_spark():
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 4 == 0, F.lit('<META name="robots" content="NOINDEX, nofollow">'))
+        .when(d % 4 == 1, F.lit('<meta content="index,follow" name="robots">'))
+        .when(d % 4 == 2, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("<head>"), meta, F.lit("</head><body>Doc "),
+        (d % 9).cast("string"), F.lit(" body text.</body>"),
+    )
+
+
+_ROBOTS_SQL = (
+    "'<head>' || CASE WHEN doc_id % 4 = 0"
+    " THEN '<META name=\"robots\" content=\"NOINDEX, nofollow\">'"
+    " WHEN doc_id % 4 = 1 THEN '<meta content=\"index,follow\" name=\"robots\">'"
+    " WHEN doc_id % 4 = 2 THEN '<meta name=\"robots\" content=\"none\">'"
+    " ELSE '' END"
+    " || '</head><body>Doc ' || cast(doc_id % 9 as varchar) || ' body text.</body>'"
+)
+
+
+@register(
+    "p33_meta_robots",
+    f"""
+    WITH u AS (SELECT doc_id, {_ROBOTS_SQL} AS html FROM documents),
+    r AS (
+      SELECT doc_id,
+             lower(CASE WHEN regexp_extract(html,
+                     '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"', 1) <> ''
+                   THEN regexp_extract(html,
+                     '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"', 1)
+                   ELSE regexp_extract(html,
+                     '(?i)<meta\\s+content="([^"]*)"\\s+name="robots"', 1)
+                   END) AS robots
+      FROM u
+    )
+    SELECT doc_id, robots,
+           len(list_intersect(list_transform(string_split(robots, ','),
+                                             x -> trim(x)),
+                              ['noindex', 'none'])) > 0 AS noindex
+    FROM r
+    """,
+    doc="meta-robots opt-out extraction (the page-level signal an ethical "
+        "web pipeline honors before keeping a page): content of "
+        "<meta name=robots> in either attribute order, lowercased, plus a "
+        "comma-token noindex/none flag ('noindexer' never matches). Pure "
+        "regex/HOF projection, zero shuffle",
+)
+def p33_meta_robots(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        has_noindex,
+        meta_robots,
+    )
+
+    u = _docs(spark, sf_dir).select("doc_id", _robots_fixture_spark().alias("html"))
+    return u.select(
+        "doc_id",
+        meta_robots("html").alias("robots"),
+        has_noindex("html").alias("noindex"),
+    )

@@ -588,3 +588,35 @@ class TestFixMojibake:
 
         df = spark.createDataFrame([("â€¦â€™â€œ",)], "t string")
         assert df.select(fix_mojibake("t").alias("v")).collect()[0].v == "…’“"
+
+
+class TestMetaRobots:
+    def test_attribute_orders_case_and_token_match(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            has_noindex,
+            meta_robots,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, '<META name="robots" content="NOINDEX, nofollow">'),
+                (2, '<meta content="index,follow" name="robots">'),
+                (3, "no meta here"),
+                (4, '<meta name="robots" content="none">'),
+                (5, '<meta name="robots" content="noindexer">'),
+            ],
+            "doc_id long, t string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id",
+                meta_robots("t").alias("robots"),
+                has_noindex("t").alias("noindex"),
+            ).collect()
+        }
+        assert rows[1].robots == "noindex, nofollow" and rows[1].noindex
+        assert rows[2].robots == "index,follow" and not rows[2].noindex
+        assert rows[3].robots == "" and not rows[3].noindex
+        assert rows[4].noindex
+        assert not rows[5].noindex  # token match, never substring
