@@ -1509,3 +1509,36 @@ def repetition_signals_grouped(
             ).alias(f"dup{n}gram_char_frac")
         )
     return out.select(*cols)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash threshold — the
+    universal dataset-split primitive, with the engine's standard
+    no-RNG-state guarantees: the same row lands in the same split on every
+    run, any partitioning, any engine with sha256; growing a fraction only
+    MOVES the boundary (train rows never migrate to test when val shrinks,
+    because assignment is by cumulative threshold on one shared draw).
+
+    Adds ``split``. Pure narrow projection, zero shuffle.
+    """
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must align")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {sum(fractions)}")
+    draw = F.substring(sha256_hex(F.col(key_col)), 1, 8)
+    cum = 0.0
+    cuts = []
+    for frac in fractions[:-1]:
+        cum += frac
+        cuts.append(stratum_threshold_hex(cum))
+    # build innermost-out so the SMALLEST cumulative cut is tested first:
+    # first matching threshold wins
+    expr = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(draw < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -1138,3 +1138,57 @@ def a15_quality_deciles(spark, sf_dir):
         )
         .orderBy("source", "decile")
     )
+
+
+# ======================================================== hash-based split
+
+
+def _split_cuts() -> tuple[str, str]:
+    """Replicate hash_split's cumulative-float accumulation exactly —
+    0.8 + 0.1 is 0.9000000000000001 in IEEE doubles, and the hex literal
+    must come from the SAME arithmetic on both engines."""
+    from llm_pretraining_data_pipeline_spark.operators.corpus import (
+        stratum_threshold_hex,
+    )
+
+    cum = 0.0
+    cuts = []
+    for frac in (0.8, 0.1):
+        cum += frac
+        cuts.append(stratum_threshold_hex(cum))
+    return cuts[0], cuts[1]
+
+
+_CUT1, _CUT2 = _split_cuts()
+
+
+@register(
+    "o06_hash_split",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(sha256(cast(doc_id as varchar)), 1, 8) < '{_CUT1}'
+                  THEN 'train'
+                  WHEN substr(sha256(cast(doc_id as varchar)), 1, 8) < '{_CUT2}'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, source, cast(count(*) as bigint) AS n_docs
+    FROM s GROUP BY split, source
+    ORDER BY split, source
+    """,
+    doc="deterministic train/val/test split (0.8/0.1/0.1) by cumulative "
+        "sha256 threshold — same row, same split on every run/partitioning/"
+        "engine, no RNG state, and resizing a fraction only MOVES the "
+        "boundary (train never leaks to test when val shrinks). Pure "
+        "narrow projection; thresholds are Python-computed hex literals "
+        "embedded on both engines",
+)
+def o06_hash_split(spark, sf_dir):
+    out = corpus.hash_split(_docs(spark, sf_dir))
+    return (
+        out.groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )

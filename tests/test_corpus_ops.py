@@ -581,3 +581,39 @@ class TestReviewRound6Fixes:
         )
         r = c4_page_filter(df, text_col="text", badwords=[]).collect()[0]
         assert r.c4_drop_reason is None
+
+
+class TestHashSplit:
+    def test_rates_determinism_and_monotone_boundary(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import hash_split
+
+        df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+        counts = {
+            r.split: r.cnt
+            for r in hash_split(df).groupBy("split").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        }
+        assert set(counts) == {"train", "val", "test"}
+        assert 15200 < counts["train"] < 16800  # ~80%
+        assert 1700 < counts["val"] < 2300
+        assert 1700 < counts["test"] < 2300
+        # partitioning-independent
+        a = {r.doc_id: r.split for r in hash_split(df.repartition(1)).collect()}
+        b = {r.doc_id: r.split for r in hash_split(df.repartition(13)).collect()}
+        assert a == b
+        # shrinking val only moves val rows to test — train never leaks
+        c = {r.doc_id: r.split for r in hash_split(df, fractions=(0.8, 0.05, 0.15)).collect()}
+        transitions = {(a[k], c[k]) for k in a if a[k] != c[k]}
+        assert transitions == {("val", "test")}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import hash_split
+
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError, match="sum to 1.0"):
+            hash_split(df, fractions=(0.5, 0.2))
+        with pytest.raises(ValueError, match="align"):
+            hash_split(df, fractions=(0.5, 0.5), names=("a", "b", "c"))
