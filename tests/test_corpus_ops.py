@@ -585,6 +585,8 @@ class TestReviewRound6Fixes:
 
 class TestHashSplit:
     def test_rates_determinism_and_monotone_boundary(self, spark):
+        from pyspark.sql import functions as F
+
         from llm_pretraining_data_pipeline_spark.operators.corpus import hash_split
 
         df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
