@@ -616,6 +616,6 @@ class TestHashSplit:
 
         df = spark.range(3).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError, match="sum to 1.0"):
-            hash_split(df, fractions=(0.5, 0.2))
+            hash_split(df, fractions=(0.5, 0.2), names=("a", "b"))
         with pytest.raises(ValueError, match="align"):
             hash_split(df, fractions=(0.5, 0.5), names=("a", "b", "c"))
