@@ -229,3 +229,127 @@ def score_with_unigram_lm(
             F.round(F.pow(F.lit(10.0), -mean_lp), 4).alias("pseudo_ppl"),
         )
     )
+
+
+def train_bigram_lm(
+    df,
+    text_col: str = "text",
+    alpha: float = 1.0,
+):
+    """Laplace-smoothed bigram LM from a reference corpus: for every
+    adjacent token pair, P(w2|w1) = (c(w1,w2) + alpha) / (c1(w1) +
+    alpha·(V+1)), with V = distinct vocabulary size and c1 = the count of
+    w1 AS A CONTEXT (pairs starting with w1). One reserved OOV/unseen
+    bucket per context: P(unseen|w1) = alpha / (c1 + alpha·(V+1)).
+
+    Output: (w1, w2, pair_cnt, logprob10) + per-context
+    (w1, ctx_cnt, backoff_logprob10) rides along as columns. logprob10
+    rounded 6dp (the p30 cross-engine log10 contract).
+
+    Scale shape: two word-count-shaped aggregations (pairs, contexts) and
+    one broadcast of the scalar V — the bigram table itself is
+    corpus-vocabulary-sized and joins downstream by (w1, w2) hash join,
+    never collected.
+    """
+    toks = ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    pairs = df.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx_cnt"))
+    vocab = df.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").alias("_v")
+    )
+    a = float(alpha)
+    denom = F.col("ctx_cnt").cast("double") + F.lit(a) * (
+        F.col("_v").cast("double") + F.lit(1.0)
+    )
+    return (
+        pc.join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "ctx_cnt",
+            F.round(
+                F.log10((F.col("pair_cnt").cast("double") + F.lit(a)) / denom), 6
+            ).alias("logprob10"),
+            F.round(F.log10(F.lit(a) / denom), 6).alias("backoff_logprob10"),
+        )
+    )
+
+
+def score_with_bigram_lm(
+    df,
+    lm,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logprob10: float = -6.0,
+):
+    """Per-doc mean bigram log-prob under a ``train_bigram_lm`` table:
+    each adjacent pair looks up its logprob10; an unseen pair in a KNOWN
+    context takes that context's backoff; a pair whose context was never
+    seen takes the flat ``oov_logprob10``. Position-ordered fold (the p31
+    contract) keeps the double sum bit-stable.
+
+    Scale: pairs join the bigram table by (w1, w2) hash join and the
+    context table by w1 — both word-count-shaped; nothing broadcasts
+    except at fixture scale (AQE decides).
+    """
+    toks = ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    prs = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("pos", "p"),
+    ).filter(F.col("p").isNotNull()).select(id_col, "pos", "p.w1", "p.w2")
+    pair_t = lm.select("w1", "w2", "logprob10")
+    ctx_t = lm.select("w1", "backoff_logprob10").distinct()
+    j = (
+        prs.join(pair_t, ["w1", "w2"], "left")
+        .join(ctx_t, "w1", "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(
+                F.col("logprob10"),
+                F.col("backoff_logprob10"),
+                F.lit(float(oov_logprob10)),
+            ).alias("lp"),
+        )
+    )
+    folded = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("_total"),
+    )
+    mean_lp = F.round(F.col("_total") / F.col("n_pairs").cast("double"), 6)
+    return (
+        df.select(id_col)
+        .join(folded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            mean_lp.alias("mean_logprob10"),
+        )
+    )

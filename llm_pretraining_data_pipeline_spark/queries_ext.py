@@ -2078,3 +2078,62 @@ def p33_meta_robots(spark, sf_dir):
         meta_robots("html").alias("robots"),
         has_noindex("html").alias("noindex"),
     )
+
+
+# ======================================================== trained bigram LM
+
+
+@register(
+    "p34_bigram_lm_score",
+    f"""
+    WITH dt AS (SELECT doc_id, {O.toks('lower(text)')} AS toks FROM documents),
+    prs0 AS (
+      SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM dt, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    pc AS (SELECT w1, w2, cast(count(*) as bigint) AS pair_cnt
+           FROM prs0 GROUP BY w1, w2),
+    ctx AS (SELECT w1, cast(count(*) as bigint) AS ctx_cnt
+            FROM prs0 GROUP BY w1),
+    v AS (SELECT cast(count(DISTINCT t) as bigint) AS _v
+          FROM (SELECT unnest(toks) AS t FROM dt)),
+    lm AS (
+      SELECT pc.w1, pc.w2,
+             round(log10((cast(pair_cnt as double) + 1.0)
+               / (cast(ctx_cnt as double) + cast(_v as double) + 1.0)), 6)
+               AS logprob10,
+             round(log10(1.0
+               / (cast(ctx_cnt as double) + cast(_v as double) + 1.0)), 6)
+               AS backoff_logprob10
+      FROM pc JOIN ctx USING (w1), v
+    ),
+    ctx_t AS (SELECT DISTINCT w1, backoff_logprob10 FROM lm),
+    j AS (
+      SELECT p.doc_id, p.pos,
+             coalesce(lm.logprob10, ctx_t.backoff_logprob10, -6.0) AS lp
+      FROM prs0 p
+      LEFT JOIN lm ON lm.w1 = p.w1 AND lm.w2 = p.w2
+      LEFT JOIN ctx_t ON ctx_t.w1 = p.w1
+    ),
+    f AS (SELECT doc_id, cast(count(*) as bigint) AS n_pairs,
+                 list_sum(list(lp ORDER BY pos)) AS total
+          FROM j GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(f.n_pairs, 0) as bigint) AS n_pairs,
+           round(total / cast(n_pairs as double), 6) AS mean_logprob10
+    FROM documents d LEFT JOIN f USING (doc_id)
+    """,
+    doc="bigram LM trained on the corpus and scored back over it (the "
+        "n-gram step up from p30/p31's unigram): Laplace P(w2|w1) with a "
+        "per-context backoff bucket and a flat unseen-context floor; "
+        "adjacent pairs via zip_with of offset slices, two word-count "
+        "aggregations, (w1,w2) hash joins (nothing collected), and the "
+        "position-ordered fold keeps the double sum bit-stable",
+)
+def p34_bigram_lm_score(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import lm as LM
+
+    docs = _docs(spark, sf_dir)
+    table = LM.train_bigram_lm(docs)
+    return LM.score_with_bigram_lm(docs, table)

@@ -135,3 +135,52 @@ class TestTrainedUnigramLm:
         a = sorted(score_with_unigram_lm(docs.repartition(1), lm).collect())
         b = sorted(score_with_unigram_lm(docs.repartition(13), lm).collect())
         assert a == b
+
+
+class TestTrainedBigramLm:
+    def test_hand_computed_probs_and_fallbacks(self, spark):
+        import math
+
+        from llm_pretraining_data_pipeline_spark.functions.lm import (
+            score_with_bigram_lm,
+            train_bigram_lm,
+        )
+
+        # corpus "a b a b c": pairs (a,b)x2? no: a b, b a, a b, b c ->
+        # (a,b):2 (b,a):1 (b,c):1; ctx a:2 b:2; V=3
+        ref = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+        lm = train_bigram_lm(ref)
+        rows = {(r.w1, r.w2): r for r in lm.collect()}
+        lp_ab = round(math.log10((2 + 1) / (2 + 3 + 1)), 6)
+        lp_ba = round(math.log10((1 + 1) / (2 + 3 + 1)), 6)
+        bo_a = round(math.log10(1 / (2 + 3 + 1)), 6)
+        assert rows[("a", "b")].logprob10 == lp_ab
+        assert rows[("b", "a")].logprob10 == lp_ba
+        assert rows[("a", "b")].backoff_logprob10 == bo_a
+
+        docs = spark.createDataFrame(
+            [
+                (10, "a b"),        # known pair
+                (11, "a zzz"),      # known context, unseen pair -> backoff
+                (12, "qq rr"),      # unseen context -> flat floor
+                (13, "single"),     # no pairs
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in score_with_bigram_lm(docs, lm).collect()}
+        assert out[10].mean_logprob10 == lp_ab
+        assert out[11].mean_logprob10 == bo_a
+        assert out[12].mean_logprob10 == -6.0
+        assert out[13].n_pairs == 0 and out[13].mean_logprob10 is None
+
+    def test_partitioning_independent(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.functions.lm import (
+            score_with_bigram_lm,
+            train_bigram_lm,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+        lm = train_bigram_lm(docs)
+        a = sorted(score_with_bigram_lm(docs.repartition(1), lm).collect())
+        b = sorted(score_with_bigram_lm(docs.repartition(11), lm).collect())
+        assert a == b
