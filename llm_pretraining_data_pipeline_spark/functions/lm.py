@@ -231,6 +231,20 @@ def score_with_unigram_lm(
     )
 
 
+def _adjacent_pairs(toks):
+    """array<struct<w1,w2>> of adjacent token pairs ([] under 2 tokens) —
+    ONE definition shared by the bigram trainer and scorer so their join
+    keys can never silently diverge (the _nonempty_lines lesson)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
 def train_bigram_lm(
     df,
     text_col: str = "text",
@@ -253,19 +267,13 @@ def train_bigram_lm(
     """
     toks = ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     pairs = df.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.zip_with(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    F.slice(toks, 2, F.size(toks) - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("p")
+        F.explode(_adjacent_pairs(toks)).alias("p")
     ).select("p.w1", "p.w2")
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
-    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx_cnt"))
+    # ctx_cnt is exactly the per-w1 sum of pair counts — aggregate the
+    # vocabulary-sized pc table rather than re-tokenizing and re-shuffling
+    # the whole corpus a second time
+    ctx = pc.groupBy("w1").agg(F.sum("pair_cnt").alias("ctx_cnt"))
     vocab = df.select(F.explode(toks).alias("t")).agg(
         F.countDistinct("t").alias("_v")
     )
@@ -309,16 +317,7 @@ def score_with_bigram_lm(
     toks = ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     prs = df.select(
         F.col(id_col),
-        F.posexplode_outer(
-            F.when(
-                F.size(toks) >= 2,
-                F.zip_with(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    F.slice(toks, 2, F.size(toks) - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("pos", "p"),
+        F.posexplode_outer(_adjacent_pairs(toks)).alias("pos", "p"),
     ).filter(F.col("p").isNotNull()).select(id_col, "pos", "p.w1", "p.w2")
     pair_t = lm.select("w1", "w2", "logprob10")
     ctx_t = lm.select("w1", "backoff_logprob10").distinct()

@@ -125,8 +125,12 @@ def fix_mojibake(c: Column | str) -> Column:
     """Repair the common UTF-8-decoded-as-Latin-1 sequences (ftfy's core
     fix, table above): an ordered chain of LITERAL replaces — no regex, so
     nothing needs escaping and the DuckDB twin is replace() for replace().
-    Null passthrough. Per-row projection, zero shuffle; idempotent (no
-    replacement value re-triggers an earlier pattern).
+    Null passthrough. Per-row projection, zero shuffle.
+
+    Idempotent on SINGLY-encoded text (the tested contract). DOUBLY-encoded
+    sequences ('ÃƒÂ©', 'ÂÂ«' — mojibake of mojibake) repair one layer per
+    pass, because a replacement can expose the next layer underneath; run
+    to a fixed point for nested damage, exactly as ftfy does.
     """
     out = _col(c).cast("string")
     for bad, good in MOJIBAKE_TABLE:
@@ -136,8 +140,11 @@ def fix_mojibake(c: Column | str) -> Column:
 
 # content value of a <meta name="robots" ...> tag (either attribute order),
 # double-quoted form; group 1 carries the value in each variant. RE2-safe.
-_META_ROBOTS_NC = r'(?i)<meta\s+name="robots"\s+content="([^"]*)"'
-_META_ROBOTS_CN = r'(?i)<meta\s+content="([^"]*)"\s+name="robots"'
+# explicit whitespace class: Java \s includes \x0B, RE2's does not — the
+# literal class is what actually makes the pattern engine-identical
+_WS = "[ \\t\\n\\r\\f]+"
+_META_ROBOTS_NC = f'(?i)<meta{_WS}name="robots"{_WS}content="([^"]*)"'
+_META_ROBOTS_CN = f'(?i)<meta{_WS}content="([^"]*)"{_WS}name="robots"'
 
 
 def meta_robots(c: Column | str) -> Column:

@@ -1126,7 +1126,12 @@ def d12_corpus_diff(spark, sf_dir):
 def a15_quality_deciles(spark, sf_dir):
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    # asc_nulls_last matches DuckDB's ASC default (NULLS LAST); Spark's
+    # bare asc sorts nulls FIRST, which would flip decile assignment for
+    # any null-n_chars row (n_chars is nullable in the schema)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
     return (
         _docs(spark, sf_dir)
         .select("source", "n_chars", F.ntile(10).over(w).alias("decile"))

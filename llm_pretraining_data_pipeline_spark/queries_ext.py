@@ -2046,11 +2046,11 @@ _ROBOTS_SQL = (
     r AS (
       SELECT doc_id,
              lower(CASE WHEN regexp_extract(html,
-                     '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"', 1) <> ''
+                     '(?i)<meta[ \\t\\n\\r\\f]+name="robots"[ \\t\\n\\r\\f]+content="([^"]*)"', 1) <> ''
                    THEN regexp_extract(html,
-                     '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"', 1)
+                     '(?i)<meta[ \\t\\n\\r\\f]+name="robots"[ \\t\\n\\r\\f]+content="([^"]*)"', 1)
                    ELSE regexp_extract(html,
-                     '(?i)<meta\\s+content="([^"]*)"\\s+name="robots"', 1)
+                     '(?i)<meta[ \\t\\n\\r\\f]+content="([^"]*)"[ \\t\\n\\r\\f]+name="robots"', 1)
                    END) AS robots
       FROM u
     )
@@ -2094,8 +2094,8 @@ def p33_meta_robots(spark, sf_dir):
     ),
     pc AS (SELECT w1, w2, cast(count(*) as bigint) AS pair_cnt
            FROM prs0 GROUP BY w1, w2),
-    ctx AS (SELECT w1, cast(count(*) as bigint) AS ctx_cnt
-            FROM prs0 GROUP BY w1),
+    ctx AS (SELECT w1, cast(sum(pair_cnt) as bigint) AS ctx_cnt
+            FROM pc GROUP BY w1),
     v AS (SELECT cast(count(DISTINCT t) as bigint) AS _v
           FROM (SELECT unnest(toks) AS t FROM dt)),
     lm AS (

@@ -620,3 +620,20 @@ class TestMetaRobots:
         assert rows[3].robots == "" and not rows[3].noindex
         assert rows[4].noindex
         assert not rows[5].noindex  # token match, never substring
+
+
+class TestMojibakeNestedLayers:
+    def test_double_encoding_repairs_one_layer_per_pass(self, spark):
+        # 'ÂÂ«' is mojibake OF mojibake: each pass peels one layer — the
+        # documented (non-idempotent-on-nested-damage) contract
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            fix_mojibake,
+        )
+
+        df = spark.createDataFrame([("ÂÂ«",)], "t string")
+        r = df.select(
+            fix_mojibake("t").alias("once"),
+            fix_mojibake(fix_mojibake("t")).alias("twice"),
+        ).collect()[0]
+        assert r.once == "Â«"   # one layer peeled
+        assert r.twice == "«"        # fixed point after two
