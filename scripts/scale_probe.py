@@ -13,6 +13,8 @@ Last recorded run (quiet machine, local[32], round 6):
     pq_encode_2k          0.7 s    c4_filter_500k    2.2 s
     rw_line_correct_500k 13.2 s    c4_span_dedup     3.9 s
     weighted_sample_500k  0.7 s    source_overlap   32.3 s
+    hash_split_500k       0.8 s    fix_mojibake      1.7 s
+    unigram_lm train/score 2.2/5.4 s  bigram_lm train/score 5.2/12.9 s
 
 Round-6 adjudication of the round-5 "gopher 1.8 s" row: that number was
 real but only because rule 6 (stopwords) short-circuited BEFORE the
@@ -124,6 +126,23 @@ def main() -> int:
       ).agg(F.count(F.lit(1))))
     t("source_overlap_500k",
       corpus.source_overlap(big, n=3).agg(F.count(F.lit(1))))
+
+    # ---- late-round-6 operators
+    t("hash_split_500k",
+      corpus.hash_split(big).groupBy("split").count())
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        fix_mojibake,
+    )
+    t("fix_mojibake_500k",
+      big.select(F.sum(F.length(fix_mojibake("text")))))
+    ulm = lm.train_unigram_lm(big)
+    t("unigram_lm_train_500k", ulm.agg(F.count(F.lit(1))))
+    t("unigram_lm_score_500k",
+      lm.score_with_unigram_lm(big, ulm).agg(F.sum("n_lm_tokens")))
+    blm = lm.train_bigram_lm(big)
+    t("bigram_lm_train_500k", blm.agg(F.count(F.lit(1))))
+    t("bigram_lm_score_500k",
+      lm.score_with_bigram_lm(big, blm).agg(F.sum("n_pairs")))
     return 0
 
 

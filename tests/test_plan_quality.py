@@ -350,3 +350,27 @@ class TestC4PlanQuality:
         assert "CartesianProduct" not in plan
         assert "hashpartitioning(span" in plan
         assert "hashpartitioning(text" not in plan
+
+
+class TestLateRound6Plans:
+    def test_q16_anti_join_and_broadcast_part(self, spark, sf_dir):
+        plan = plan_of(QUERIES["rel_q16_supplier_part_counts"].spark(spark, sf_dir))
+        assert "LeftAnti" in plan        # NOT IN compiled to anti join
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan
+
+    def test_bigram_lm_trains_without_cartesian(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.functions import lm
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(lm.train_bigram_lm(docs))
+        assert "CartesianProduct" not in plan
+        # the scalar vocab total rides a 1-row broadcast
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_hash_split_is_shuffle_free(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus.hash_split(docs))
+        assert "Exchange" not in plan
