@@ -79,7 +79,7 @@ _PRIORITY_R6 = [
     "f11_gopher_filter", "corp_rep_signals", "f13_c4_filter",
     # new: mojibake repair + per-source quality deciles
     "p32_fix_mojibake", "a15_quality_deciles", "p33_meta_robots",
-    "o06_hash_split", "p34_bigram_lm_score",
+    "o06_hash_split", "p34_bigram_lm_score", "ev_stream_cleanse",
     # stale: freshest green is r1/r2 (the r5 50-row cap left these 17)
     "win_running_quantity", "win_lag_price_delta", "win_range_frame",
     "win_value_family",

@@ -1865,3 +1865,56 @@ def rel_q20_promotion_suppliers(spark, sf_dir):
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+
+# ===================================================== streaming cleanse
+
+def _cleanse_oracle() -> str:
+    from llm_pretraining_data_pipeline_spark.oracle_fragments import toks
+    from llm_pretraining_data_pipeline_spark.queries_ext import _moji_fix_sql
+
+    l1 = (
+        "'Caf\u00c3\u00a9 event number ' || cast(event_id % 13 as varchar)"
+        " || ' reports \u00e2\u20ac\u0153ok\u00e2\u20ac\u00a6 status fine.'"
+    )
+    l3 = (
+        "CASE WHEN event_id % 3 = 0"
+        " THEN 'Please enable javascript to continue now.'"
+        " ELSE 'An ordinary second line with words enough.' END"
+    )
+    raw = f"{l1} || chr(10) || 'tiny.' || chr(10) || {l3}"
+    kept = (
+        "list_filter(list_filter(list_transform(string_split(txt, chr(10)),"
+        " l -> trim(l)), l -> l <> ''),"
+        " l -> regexp_matches(l, '[.!?\"]$')"
+        f" AND len({toks('l')}) >= 5"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""
+    WITH u AS (SELECT event_type, {_moji_fix_sql(raw)} AS txt FROM events),
+    c AS (SELECT event_type, {kept} AS kept FROM u)
+    SELECT event_type, cast(count(*) as bigint) AS n_docs,
+           cast(sum(len(kept)) as bigint) AS lines_kept,
+           cast(sum(length(array_to_string(kept, chr(10)))) as bigint)
+             AS clean_chars
+    FROM c GROUP BY event_type
+    """
+
+
+@register(
+    "ev_stream_cleanse",
+    _cleanse_oracle(),
+    doc="streaming ingestion cleanse: mojibake repair then C4 line "
+        "retention composed DIRECTLY onto a Structured Streaming source "
+        "(stateless per-row maps need nothing stream-specific — the exact "
+        "batch Column expressions clean an unbounded feed), then a "
+        "complete-mode per-type aggregate of cleaned volume; bounded "
+        "drain, so the batch referee replays the identical cleanup in SQL",
+)
+def ev_stream_cleanse(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_cleanse_stream_once,
+    )
+
+    return run_cleanse_stream_once(spark, sf_dir)

@@ -373,3 +373,48 @@ def run_attribution_join_once(
         ),
     )
     return _drain_to_memory(joined, "append")
+
+
+def cleanse_text_expr() -> "F.Column":
+    """Synthetic per-event document text carrying mojibake + line noise —
+    the derived-fixture expression shared verbatim (via the oracle twin)
+    with the batch referee. Line 1: mojibake, always retained after
+    repair; line 2: too short, dropped; line 3: javascript boilerplate on
+    every third event, ordinary otherwise."""
+    d = F.col("event_id")
+    l1 = F.concat(
+        F.lit("Caf\u00c3\u00a9 event number "), (d % 13).cast("string"),
+        F.lit(" reports \u00e2\u20ac\u0153ok\u00e2\u20ac\u00a6 status fine."),
+    )
+    l2 = F.lit("tiny.")
+    l3 = F.when(
+        d % 3 == 0, F.lit("Please enable javascript to continue now.")
+    ).otherwise(F.lit("An ordinary second line with words enough."))
+    return F.concat_ws("\n", l1, l2, l3)
+
+
+def run_cleanse_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion cleanse: the narrow curation operators
+    (mojibake repair -> C4 line retention) composed DIRECTLY onto a
+    Structured Streaming source — per-row maps need no state, so the same
+    Column expressions that clean a batch corpus clean an unbounded feed —
+    then a complete-mode per-type aggregate of the cleaned volume.
+    Bounded drain, so the batch oracle applies."""
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        fix_mojibake,
+    )
+    from llm_pretraining_data_pipeline_spark.operators.corpus import (
+        c4_clean_lines,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    docs = stream.select(
+        "event_type", cleanse_text_expr().alias("raw")
+    ).withColumn("text", fix_mojibake("raw"))
+    cleaned = c4_clean_lines(docs, text_col="text")
+    agg = cleaned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines_kept").alias("lines_kept"),
+        F.sum(F.length("text_c4")).alias("clean_chars"),
+    )
+    return _drain_to_memory(agg, "complete")
