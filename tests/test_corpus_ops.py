@@ -619,3 +619,49 @@ class TestHashSplit:
             hash_split(df, fractions=(0.5, 0.2), names=("a", "b"))
         with pytest.raises(ValueError, match="align"):
             hash_split(df, fractions=(0.5, 0.5), names=("a", "b", "c"))
+
+
+class TestLineFilterProperties:
+    def test_kept_lines_are_an_ordered_subset(self, spark):
+        """Property (hypothesis corpus, one Spark job): every line of
+        c4_clean_lines' / refinedweb_line_correct's output text appears in
+        the input, in order — the filters only ever REMOVE lines."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            c4_clean_lines,
+            refinedweb_line_correct,
+        )
+
+        word = st.from_regex(r"[A-Za-z]{1,8}", fullmatch=True)
+        line = st.builds(
+            lambda ws, tail: " ".join(ws) + tail,
+            st.lists(word, min_size=1, max_size=8),
+            st.sampled_from([".", "!", "", " ?", "..."]),
+        )
+        doc = st.lists(line, min_size=0, max_size=6).map("\n".join)
+
+        docs = []
+
+        @settings(max_examples=50, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(doc)
+        def collect(d):
+            docs.append(d)
+
+        collect()
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+        )
+        for out_col, fn in (
+            ("text_c4", lambda f: c4_clean_lines(f)),
+            ("text_rw", lambda f: refinedweb_line_correct(f)),
+        ):
+            rows = fn(df).select("doc_id", "text", out_col).collect()
+            for r in rows:
+                src = [l.strip() for l in r.text.split("\n") if l.strip()]
+                kept = [l for l in r[out_col].split("\n") if l]
+                it = iter(src)
+                for k in kept:
+                    assert any(k == s for s in it), (r.text, kept)

@@ -374,3 +374,13 @@ class TestLateRound6Plans:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         plan = plan_of(corpus.hash_split(docs))
         assert "Exchange" not in plan
+
+
+class TestTrainedLmPlans:
+    def test_unigram_topv_never_global_sorts(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.functions import lm
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(lm.train_unigram_lm(docs, vocab_size=200))
+        assert "TakeOrderedAndProject" in plan  # top-V, not a global sort
+        assert "CartesianProduct" not in plan
