@@ -52,42 +52,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-6 priority: (a) every query whose implementation or oracle CHANGED
+# Round-7 priority: (a) every query whose implementation or oracle CHANGED
 # this round ships with a same-round correctness row (the driver caps each
 # round at 50 rows — edits must never ride on a stale green), then (b) the
-# queries whose freshest green is still r1/r2 (the tail the r5 cap cut off),
-# then the rest. Appended to as round-6 work lands.
-_PRIORITY_R6 = [
-    # changed this round: URL fragment-first normalisation (ADVICE r5 #1)
-    # touches all three URL oracles; emb_pq_codes stringified for the
-    # referee (ADVICE r5 #2, never green before); d10 also gains the
-    # null/empty solo-key guard (ADVICE r5 #3)
-    "emb_pq_codes", "p27_url_normalize", "d10_url_dedup", "a13_domain_stats",
-    # new this round: the four TPC-H queries needing partsupp (derived
-    # deterministically from lineitem's key pairs) — completes TPC-H 1–22
-    "rel_q2_min_cost_supplier", "rel_q11_important_stock",
-    "rel_q16_supplier_part_counts", "rel_q20_promotion_suppliers",
-    # new this round: C4 cleanup battery + three-sentence span dedup,
-    # weighted soft sampling, cross-source n-gram overlap audit
+# 25 queries whose freshest green is still r3 (the only remaining stale
+# tail — VERDICT r6 item 1), then the rest. Appended to as round-7 work
+# lands.
+_PRIORITY_R7 = [
+    # changed this round — ADVICE r6: per-operator salted sampling draws
+    # (':stratum'/':sample'/':split'), explicit-class sentence boundary
+    # (\x0B), \x01 span-identity sentinel, whitespace-anchored href regex
+    # (+ data-href/xlink:href fixture decoys), d10 oracle now pins the
+    # null/empty solo-key contract with planted NULL/blank URLs
+    "corp_stratified_sample", "o05_weighted_sample", "o06_hash_split",
+    "d10_url_dedup", "p29_extract_links",
     "f13_c4_filter", "d11_c4_span_dedup",
-    "o05_weighted_sample", "a14_source_overlap", "f14_refinedweb_lines",
-    "d12_corpus_diff", "p29_extract_links",
-    "p30_train_unigram_lm", "p31_trained_lm_score",
-    # changed this round: gopher/repetition signals rewritten (join ->
-    # inline let-bound lazy expressions) and the C4 bad-word rule made
-    # punctuation-tolerant — their oracles must not ride a stale green
-    "f11_gopher_filter", "corp_rep_signals", "f13_c4_filter",
-    # new: mojibake repair + per-source quality deciles
-    "p32_fix_mojibake", "a15_quality_deciles", "p33_meta_robots",
-    "o06_hash_split", "p34_bigram_lm_score", "ev_stream_cleanse",
-    # stale: freshest green is r1/r2 (the r5 50-row cap left these 17)
-    "win_running_quantity", "win_lag_price_delta", "win_range_frame",
-    "win_value_family",
-    "ev_tumbling_5min", "ev_sliding_10m5m", "ev_hourly_rollup",
-    "ev_sessionize", "ev_asof_last_click", "ev_user_stats",
-    "ev_json_props", "ev_date_parts",
-    "emb_cosine_topk", "emb_knn_join", "emb_label_stats",
-    "p25_string_functions", "p26_array_ops",
+    # stale: freshest driver green is r3 (VERDICT r6's 25-row list)
+    "f01_prefilter", "f03_quality_filter", "f04_low_information",
+    "d06_fingerprint",
+    "a01_source_counts", "a02_boolean_mask_sums", "a05_numeric_summary",
+    "a07_histogram", "a08_top_sources", "a09_lang_breakdown",
+    "a10_cleanup_stats", "a12_approx_sketches",
+    "rel_q4_order_priority", "rel_q10_returned_items",
+    "rel_q13_count_distribution", "rel_q17_small_quantity",
+    "rel_q18_large_orders", "rel_q22_idle_customers",
+    "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip",
+    "corp_mixture_weights", "corp_vocab_top50",
+    "corp_pack_spans", "corp_pack_manifest",
 ]
 
 
@@ -97,7 +88,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R6 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R7 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

@@ -75,7 +75,11 @@ def cleanup_stats(df: DataFrame, raw_col: str, cleaned_col: str) -> DataFrame:
 
 # href value up to the closing quote; group 1 = the URL. RE2-safe (no
 # lookaround), case-insensitive via inline flag so DuckDB mirrors it.
-_HREF_RE = r"""(?i)href="([^"]+)\""""
+# The attribute must start the string or follow whitespace (explicit class,
+# not \s — Java/RE2 disagree on \x0B), so lookalike attributes ending in
+# "href" (data-href=, xlink:href=) and glued-on text never collect. The
+# non-capturing prefix keeps the URL as group 1 on both engines.
+_HREF_RE = r"""(?i)(?:^|[ \t\n\r\f])href="([^"]+)\""""
 
 
 def extract_links(c: Column | str) -> Column:

@@ -347,8 +347,18 @@ def hash_stratified_sample(
     Pure narrow filter — no shuffle, no RNG; the same row set is kept on
     every run, every engine, any partitioning. Strata absent from
     ``fractions`` fall back to ``default_fraction``.
+
+    The draw is salted with ``:stratum`` (each sampling operator salts its
+    own draw — ``weighted_sample`` uses ``:sample``, ``hash_split`` uses
+    ``:split``) so composing them on the SAME key keeps independent
+    decisions: an unsalted shared draw would make e.g. every
+    ``weighted_sample(p=0.5)`` survivor land in ``hash_split``'s 'train'
+    bucket, silently emptying val/test.
     """
-    bucket = F.substring(sha256_hex(F.col(key_col)), 1, 8)
+    bucket = F.substring(
+        sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(":stratum"))),
+        1, 8,
+    )
     thr = F.lit(stratum_threshold_hex(default_fraction))
     for value, frac in sorted(fractions.items()):
         thr = F.when(
@@ -1061,8 +1071,11 @@ def split_sentences(c: Column) -> Column:
     The boundary is punct + any whitespace run, so newline-separated
     sentences count too; the consumed separator is not preserved
     (reassembly joins with single spaces)."""
+    # Explicit whitespace class, not \s: Java's \s includes \x0B while
+    # RE2's (DuckDB oracle) does not, so '.\x0B' would split differently
+    # across engines (repo convention, see structural.py _WS).
     marked = F.regexp_replace(
-        F.coalesce(c, F.lit("")), r"([.!?])\s+", "$1" + _SENT_MARK
+        F.coalesce(c, F.lit("")), r"([.!?])[ \t\n\r\f]+", "$1" + _SENT_MARK
     )
     return F.filter(
         F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
@@ -1200,9 +1213,16 @@ def c4_span_dedup(
         F.size("_sents") >= n,
         F.transform(
             F.sequence(F.lit(0), F.size("_sents") - n),
+            # Span identity joins with \x01 (which split_sentences consumes,
+            # so no sentence can contain it): a space join would collide
+            # distinct triples — ("a b","c","d") and ("a","b c","d") both
+            # render 'a b c d' — and falsely dedup (C4 defines the span as
+            # the sentence SEQUENCE, not its flattened text).
             lambda i: F.struct(
                 i.alias("start"),
-                F.array_join(F.slice("_sents", i + 1, n), " ").alias("span"),
+                F.array_join(F.slice("_sents", i + 1, n), _SENT_MARK).alias(
+                    "span"
+                ),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<start:int,span:string>>"))
@@ -1256,11 +1276,14 @@ def weighted_sample(
     probability ``clamp(weight * rate_scale, 0, 1)`` — the FineWeb-Edu-style
     "sample proportional to quality" selection, with no RNG state.
 
-    The acceptance draw is the first 32 bits of sha256(key) compared
-    against ``p * 2^32`` (the per-stratum trick of
+    The acceptance draw is the first 32 bits of sha256(key || ':sample')
+    compared against ``p * 2^32`` (the per-stratum trick of
     ``hash_stratified_sample``, generalised to a per-ROW probability
     column). Same rows kept on every run, any partitioning, any engine
-    with sha256; raising ``rate_scale`` keeps a strict superset.
+    with sha256; raising ``rate_scale`` keeps a strict superset. The
+    ``:sample`` salt keeps this operator's draw independent of
+    ``hash_split``'s (``:split``) and ``hash_stratified_sample``'s
+    (``:stratum``) when composed on the same key.
 
     Adds ``accept_p`` (the effective probability) and keeps accepted rows.
     Pure narrow filter — zero shuffle at any corpus size.
@@ -1268,7 +1291,11 @@ def weighted_sample(
     w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
     p = F.least(F.greatest(w * F.lit(float(rate_scale)), F.lit(0.0)), F.lit(1.0))
     draw = F.conv(
-        F.substring(sha256_hex(F.col(key_col)), 1, 8), 16, 10
+        F.substring(
+            sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(":sample"))),
+            1, 8,
+        ),
+        16, 10,
     ).cast("long")
     return (
         df.withColumn("accept_p", p)
@@ -1524,13 +1551,21 @@ def hash_split(
     MOVES the boundary (train rows never migrate to test when val shrinks,
     because assignment is by cumulative threshold on one shared draw).
 
+    The draw is salted with ``:split`` so it is independent of
+    ``weighted_sample``'s (``:sample``) and ``hash_stratified_sample``'s
+    (``:stratum``) draws on the same key — without the salt, sampling at
+    p then splitting 0.8/0.1/0.1 would put every survivor in 'train'.
+
     Adds ``split``. Pure narrow projection, zero shuffle.
     """
     if len(fractions) != len(names):
         raise ValueError("fractions and names must align")
     if abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {sum(fractions)}")
-    draw = F.substring(sha256_hex(F.col(key_col)), 1, 8)
+    draw = F.substring(
+        sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(":split"))),
+        1, 8,
+    )
     cum = 0.0
     cuts = []
     for frac in fractions[:-1]:

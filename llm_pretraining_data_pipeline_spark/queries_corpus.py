@@ -173,9 +173,11 @@ def _sample_case() -> str:
     "corp_stratified_sample",
     f"""
     SELECT doc_id, lang, source,
-           substr(sha256(cast(doc_id as varchar)), 1, 8) AS sample_bucket
+           substr(sha256(cast(doc_id as varchar) || ':stratum'), 1, 8)
+             AS sample_bucket
     FROM documents
-    WHERE substr(sha256(cast(doc_id as varchar)), 1, 8) < {_sample_case()}
+    WHERE substr(sha256(cast(doc_id as varchar) || ':stratum'), 1, 8)
+          < {_sample_case()}
     """,
     doc="deterministic per-language subsample via sha256 threshold — "
     "reproducible across engines/runs, narrow filter, no RNG",
@@ -771,10 +773,12 @@ _C4_TEXT_SQL = (
     " ELSE 'A final ordinary sentence concludes everything nicely.' END"
 )
 
+# Explicit whitespace class (repo convention): Java \s and RE2 \s differ
+# on \x0B, so the boundary regex is spelled out identically on both engines.
 _C4_SENT_SPLIT = (
     "list_filter(list_transform(string_split("
-    "regexp_replace({t}, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),"
-    " s -> trim(s)), s -> s <> '')"
+    "regexp_replace({t}, '([.!?])[ \\t\\n\\r\\f]+', '\\1' || chr(1), 'g'),"
+    " chr(1)), s -> trim(s)), s -> s <> '')"
 )
 
 
@@ -859,7 +863,7 @@ _C4_SENTS_SQL = (
     f"""
     WITH d AS (SELECT doc_id, {_C4_SENTS_SQL} AS sents FROM documents),
     sp AS (SELECT doc_id, u.i AS start,
-                  sents[u.i + 1] || ' ' || sents[u.i + 2] || ' '
+                  sents[u.i + 1] || chr(1) || sents[u.i + 2] || chr(1)
                     || sents[u.i + 3] AS span
            FROM d, unnest(range(0, len(sents) - 2)) AS u(i)),
     l AS (SELECT doc_id, start FROM (
@@ -912,7 +916,8 @@ def d11_c4_span_dedup(spark, sf_dir):
     )
     SELECT doc_id, round(accept_p, 6) AS accept_p
     FROM w
-    WHERE cast(concat('0x', substr(sha256(cast(doc_id as varchar)), 1, 8))
+    WHERE cast(concat('0x',
+               substr(sha256(cast(doc_id as varchar) || ':sample'), 1, 8))
                as bigint) < accept_p * 4294967296.0
     ORDER BY doc_id
     """,
@@ -1172,10 +1177,10 @@ _CUT1, _CUT2 = _split_cuts()
     f"""
     WITH s AS (
       SELECT doc_id, source,
-             CASE WHEN substr(sha256(cast(doc_id as varchar)), 1, 8) < '{_CUT1}'
-                  THEN 'train'
-                  WHEN substr(sha256(cast(doc_id as varchar)), 1, 8) < '{_CUT2}'
-                  THEN 'val'
+             CASE WHEN substr(sha256(cast(doc_id as varchar) || ':split'), 1, 8)
+                  < '{_CUT1}' THEN 'train'
+                  WHEN substr(sha256(cast(doc_id as varchar) || ':split'), 1, 8)
+                  < '{_CUT2}' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     )

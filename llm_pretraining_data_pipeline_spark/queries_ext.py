@@ -1448,26 +1448,45 @@ def p27_url_normalize(spark, sf_dir):
     "d10_url_dedup",
     f"""
     WITH u AS (
-      SELECT doc_id, {_URL_SQL} AS url FROM documents
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 3 THEN NULL
+                  WHEN doc_id % 17 = 7 THEN '   '
+                  ELSE {_URL_SQL} END AS url
+      FROM documents
     ), n AS (
       SELECT doc_id, {_url_norm_sql('url')} AS url_norm FROM u
+    ), g AS (
+      SELECT doc_id, url_norm,
+             CASE WHEN url_norm IS NULL OR url_norm = ''
+                  THEN chr(0) || 'solo' || chr(0) || cast(doc_id as varchar)
+                  ELSE chr(1) || 'url' || chr(1) || url_norm END AS grp
+      FROM n
     )
     SELECT doc_id, url_norm,
-           doc_id <> min(doc_id) OVER (PARTITION BY url_norm) AS is_dup_url,
-           CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY url_norm)
-                THEN min(doc_id) OVER (PARTITION BY url_norm) END AS dup_of_url
-    FROM n
+           doc_id <> min(doc_id) OVER (PARTITION BY grp) AS is_dup_url,
+           CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY grp)
+                THEN min(doc_id) OVER (PARTITION BY grp) END AS dup_of_url
+    FROM g
     """,
     doc="URL-level keep-first dedup (RefinedWeb runs this before reading any "
         "document text): one hash shuffle on the normalised URL; dup_of_url "
         "keeps the id column's own type (the d08 lesson). Normalisation "
         "collapses case/tracking-param/trailing-slash variants so distinct "
-        "raw strings dedup together",
+        "raw strings dedup together. The fixture plants NULL and "
+        "whitespace-only URLs so the referee pins the null/empty solo-key "
+        "contract (URL-less docs are never dups of each other), mirrored "
+        "in the oracle's sentinel-prefixed group key",
 )
 def d10_url_dedup(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.functions import urls
 
-    u = _docs(spark, sf_dir).select("doc_id", _url_spark().alias("url"))
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 17 == 3, F.lit(None).cast("string"))
+        .when(d % 17 == 7, F.lit("   "))
+        .otherwise(_url_spark())
+    )
+    u = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
     out = urls.url_dedup(u, url_col="url", id_col="doc_id")
     return out.select("doc_id", "url_norm", "is_dup_url", "dup_of_url")
 
@@ -1818,7 +1837,14 @@ def _html_fixture_spark():
     decoy = F.when(
         d % 5 == 0, F.lit(" <a href='http://singlequote.com'>skip</a>")
     ).otherwise(F.lit(""))
-    return F.concat(F.lit("<p>Intro text.</p>"), link1, link2, decoy)
+    attr_decoy = F.when(
+        d % 3 == 0,
+        F.lit(' <b data-href="http://tracker.example/x">t</b>'
+              ' <u xlink:href="http://svg.example/y">s</u>'),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<p>Intro text.</p>"), link1, link2, decoy, attr_decoy
+    )
 
 
 _HTML_SQL = (
@@ -1829,6 +1855,9 @@ _HTML_SQL = (
     " || cast(doc_id % 7 as varchar) || '\">two</a>' ELSE '' END"
     " || CASE WHEN doc_id % 5 = 0"
     " THEN ' <a href=''http://singlequote.com''>skip</a>' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN ' <b data-href=\"http://tracker.example/x\">t</b>'"
+    " || ' <u xlink:href=\"http://svg.example/y\">s</u>' ELSE '' END"
 )
 
 
@@ -1837,7 +1866,8 @@ _HTML_SQL = (
     f"""
     WITH u AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
     l AS (SELECT doc_id,
-                 regexp_extract_all(html, '(?i)href="([^"]+)"', 1) AS links
+                 regexp_extract_all(html,
+                   '(?i)(?:^|[ \\t\\n\\r\\f])href="([^"]+)"', 1) AS links
           FROM u)
     SELECT doc_id,
            cast(len(links) as bigint) AS n_links,

@@ -665,3 +665,89 @@ class TestLineFilterProperties:
                 it = iter(src)
                 for k in kept:
                     assert any(k == s for s in it), (r.text, kept)
+
+
+class TestAdviceR6Fixes:
+    def test_sampling_draws_are_decorrelated(self, spark):
+        """ADVICE r6 (medium): weighted_sample, hash_split and
+        hash_stratified_sample salt their sha256 draws per operator, so
+        composing them on the SAME key keeps independent decisions. An
+        unsalted shared draw would put EVERY p=0.5 sample survivor into
+        hash_split's 'train' bucket (both test draw < threshold on the
+        same hash), silently emptying val/test."""
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            hash_split,
+            hash_stratified_sample,
+            weighted_sample,
+        )
+
+        df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+        sampled = weighted_sample(df, F.lit(0.5))
+        n = sampled.count()
+        assert 9000 < n < 11000
+        counts = {
+            r.split: r.cnt
+            for r in hash_split(sampled)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        # all three splits populated at ~their fractions among survivors
+        assert set(counts) == {"train", "val", "test"}
+        assert abs(counts["train"] / n - 0.8) < 0.03
+        assert abs(counts["val"] / n - 0.1) < 0.02
+        assert abs(counts["test"] / n - 0.1) < 0.02
+        # stratified sample is decorrelated from the weighted draw too
+        strat = hash_stratified_sample(
+            sampled.withColumn("lang", F.lit("en")), "lang", {"en": 0.5}
+        )
+        m = strat.count()
+        assert abs(m / n - 0.5) < 0.03
+
+    def test_split_sentences_vertical_tab_is_not_a_boundary(self, spark):
+        """ADVICE r6: Java \\s includes \\x0B but RE2's does not — the
+        boundary uses the explicit class [ \\t\\n\\r\\f] on both engines,
+        so '.\\x0B' never splits (and never diverges from the oracle)."""
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            split_sentences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "One.\x0bTwo."), (2, "One.\nTwo."), (3, "One.\tTwo.")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", F.size(split_sentences(F.col("text"))).alias("s")
+            ).collect()
+        }
+        assert rows[1] == 1  # \x0B: NOT a boundary
+        assert rows[2] == 2 and rows[3] == 2
+
+    def test_span_identity_does_not_collapse_distinct_triples(self, spark):
+        """ADVICE r6: span identity joins member sentences with \\x01 (a
+        char split_sentences always consumes), so distinct sentence triples
+        whose space-joined text coincides are NOT treated as the same span."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            c4_span_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta. gamma. delta."), (2, "alpha. beta gamma. delta.")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in c4_span_dedup(df).collect()}
+        assert out[1].n_sents_removed == 0
+        assert out[2].n_sents_removed == 0
+        # a REAL duplicate triple still dedups corpus-wide
+        dup = spark.createDataFrame(
+            [(1, "alpha beta. gamma. delta."), (2, "alpha beta. gamma. delta.")],
+            "doc_id long, text string",
+        )
+        d = {r.doc_id: r for r in c4_span_dedup(dup).collect()}
+        assert d[1].n_sents_removed == 0 and d[2].n_sents_removed == 3

@@ -550,6 +550,34 @@ class TestExtractLinks:
         assert rows[2] == [] and rows[3] == []
         assert rows[4] == []  # single-quoted href stays out by contract
 
+    def test_lookalike_attributes_stay_out(self, spark):
+        """ADVICE r6: attributes merely ENDING in href (data-href,
+        xlink:href) and glued-on text must not collect; a true href at
+        string start or after any whitespace still does."""
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            extract_links,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, '<b data-href="http://tracker.example/x">t</b>'),
+                (2, '<u xlink:href="http://svg.example/y">s</u>'),
+                (3, 'href="http://start.example/z"'),  # start of string
+                (4, '<a\nhref="http://nl.example/w">n</a>'),  # newline sep
+                (5, 'ahref="http://glued.example/v"'),  # glued text
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r.links
+            for r in df.select(
+                "doc_id", extract_links("text").alias("links")
+            ).collect()
+        }
+        assert rows[1] == [] and rows[2] == [] and rows[5] == []
+        assert rows[3] == ["http://start.example/z"]
+        assert rows[4] == ["http://nl.example/w"]
+
 
 class TestFixMojibake:
     def test_common_sequences_and_idempotence(self, spark):
