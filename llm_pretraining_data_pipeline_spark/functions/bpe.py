@@ -229,10 +229,29 @@ def full_gpt2_codec() -> BpeCodec:
 # ------------------------------------------------------------------ training
 
 
-def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+def word_frequencies(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    top_pieces: int | None = None,
+) -> DataFrame:
     """Corpus-scale phase of BPE training: pre-token piece counts as one
-    Spark aggregation (JVM regex, map-side partial aggregation). The result
-    is vocabulary-sized; everything after runs on it, not on the corpus.
+    Spark aggregation (JVM regex, map-side partial aggregation).
+
+    On web-scale corpora the DISTINCT piece table is not vocabulary-sized —
+    typo/URL/code pieces push it to 10^8–10^9 rows — so the trainer must
+    prune before anything is collected to the driver:
+
+    - ``min_count``: drop pieces with ``freq < min_count`` (the standard
+      BPE-trainer cutoff — e.g. sentencepiece/HF tokenizers' default
+      ``min_frequency=2``). A piece seen once contributes at most 1 to any
+      pair count, so for realistic merge budgets the learned ranks are
+      unchanged; ties that a singleton would have broken can shift tail
+      merges, which is the documented cost of the cutoff.
+    - ``top_pieces``: hard cap — keep the N most frequent pieces
+      (ties break on the piece string, so the cap is deterministic). This
+      bounds the driver materialisation absolutely; plans as
+      TakeOrderedAndProject, never a global sort.
 
     Uses the Python-equivalent pre-tokeniser (``GPT2_SPLIT_PATTERN_PYEQ``) so
     the trainer sees exactly the pieces ``BpeCodec.encode`` will later split —
@@ -241,7 +260,7 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """
     from llm_pretraining_data_pipeline_spark.functions import tokenizer
 
-    return (
+    out = (
         df.select(
             F.explode(
                 tokenizer.token_pieces(text_col, tokenizer.GPT2_SPLIT_PATTERN_PYEQ)
@@ -250,6 +269,11 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if min_count > 1:
+        out = out.filter(F.col("freq") >= F.lit(min_count))
+    if top_pieces is not None:
+        out = out.orderBy(F.desc("freq"), F.asc("piece")).limit(top_pieces)
+    return out
 
 
 def _merge_word(
@@ -309,10 +333,28 @@ def train_bpe(
 
 
 def train_bpe_on_frame(
-    df: DataFrame, text_col: str, num_merges: int
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_count: int = 2,
+    top_pieces: int | None = 1_000_000,
 ) -> tuple[dict[str, int], list[tuple[str, str]]]:
-    """End-to-end trainer: Spark piece counts → driver merge loop."""
-    freqs = {r["piece"]: r["freq"] for r in word_frequencies(df, text_col).collect()}
+    """End-to-end trainer: Spark piece counts → driver merge loop.
+
+    The piece table is pruned IN SPARK before the collect (see
+    ``word_frequencies``): default ``min_count=2`` + a 1M-piece cap bound
+    the driver materialisation at any corpus size — on web-scale text the
+    unpruned distinct-piece table is a driver OOM, not vocabulary-sized.
+    Pass ``min_count=1, top_pieces=None`` for the exact unpruned table
+    (fixture-scale corpora; the committed mini assets are reproducible
+    either way because the test corpus has no singleton pieces).
+    """
+    freqs = {
+        r["piece"]: r["freq"]
+        for r in word_frequencies(
+            df, text_col, min_count=min_count, top_pieces=top_pieces
+        ).collect()
+    }
     return train_bpe(freqs, num_merges)
 
 
