@@ -180,6 +180,7 @@ def repetition_signals(
     id_col: str = "doc_id",
     top_ngram_sizes: tuple[int, ...] = (2, 3),
     dup_ngram_sizes: tuple[int, ...] = (5, 10),
+    vectorized: bool = False,
 ) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021 A1).
 
@@ -194,7 +195,29 @@ def repetition_signals(
 
     Pure per-row expression tree (no shuffle, no UDF): the n-gram counting
     is a run-length scan over the sorted gram array inside ``aggregate``.
+    ``vectorized=True`` swaps in the Arrow-batched bit-parity twin
+    (``functions/repetition_vec.py``) — same values, one Python pass per
+    batch instead of interpreted HOFs; only supported for the default
+    signal sizes (2,3)/(5,10).
     """
+    if vectorized:
+        if top_ngram_sizes != (2, 3) or dup_ngram_sizes != (5, 10):
+            raise ValueError(
+                "vectorized repetition signals support the default "
+                "(2,3)/(5,10) sizes only"
+            )
+        from llm_pretraining_data_pipeline_spark.functions import repetition_vec
+
+        rep = repetition_vec.rep_signals_struct(
+            F.coalesce(F.col(text_col), F.lit(""))
+        )
+        return df.withColumn("_rep", rep).select(
+            F.col(id_col),
+            *[
+                F.col(f"_rep.{f}").alias(f)
+                for f in repetition_vec.REP_FIELDS
+            ],
+        )
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = _nonempty_lines(text)
     n_lines = F.size(lines).cast("long")
@@ -704,6 +727,7 @@ def gopher_quality_filter(
     max_dup10gram_frac: float = 0.10,
     *,
     stopword_set: list[str] | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021, Appendix A1) as one
     first-match-wins cascade, the same drop_reason contract as the pipeline's
@@ -728,6 +752,14 @@ def gopher_quality_filter(
     duplicating the whole ``aggregate`` tree per field access. The five
     signal columns are still attached to the output for downstream use —
     column pruning drops them when only the drop reason is consumed.
+
+    ``vectorized=True`` computes the five repetition signals via the
+    Arrow-batched bit-parity twin (``functions/repetition_vec.py``)
+    instead: ONE Python pass per batch, for every row. Pick it when most
+    rows survive rules 1-7 and reach the gram scans (pre-filtered web
+    text, the curation recipe's honest worst case — measured ≥2× there);
+    keep the default expression cascade when cheap rules drop most rows,
+    where its laziness skips the scans entirely.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = ws_tokens(text)
@@ -771,12 +803,22 @@ def gopher_quality_filter(
         )
     )
 
-    n_uniq = F.size(F.array_distinct(lines)).cast("long")
-    dup_line_frac = _frac(n_lines.cast("long") - n_uniq, n_lines)
-    top2 = _top_ngram_char_frac(text, words, 2)
-    top3 = _top_ngram_char_frac(text, words, 3)
-    dup5 = _dup_ngram_char_frac(words, 5)
-    dup10 = _dup_ngram_char_frac(words, 10)
+    if vectorized:
+        from llm_pretraining_data_pipeline_spark.functions import repetition_vec
+
+        df = df.withColumn("_rep", repetition_vec.rep_signals_struct(text))
+        dup_line_frac = F.col("_rep.dup_line_frac")
+        top2 = F.col("_rep.top2gram_char_frac")
+        top3 = F.col("_rep.top3gram_char_frac")
+        dup5 = F.col("_rep.dup5gram_char_frac")
+        dup10 = F.col("_rep.dup10gram_char_frac")
+    else:
+        n_uniq = F.size(F.array_distinct(lines)).cast("long")
+        dup_line_frac = _frac(n_lines.cast("long") - n_uniq, n_lines)
+        top2 = _top_ngram_char_frac(text, words, 2)
+        top3 = _top_ngram_char_frac(text, words, 3)
+        dup5 = _dup_ngram_char_frac(words, 5)
+        dup10 = _dup_ngram_char_frac(words, 10)
     reason = (
         F.when(
             (n_words < min_words) | (n_words > max_words),
@@ -804,7 +846,7 @@ def gopher_quality_filter(
             F.lit("gopher_dup_ngram"),
         )
     )
-    return (
+    out = (
         df.withColumn("dup_line_frac", dup_line_frac)
         .withColumn("top2gram_char_frac", top2)
         .withColumn("top3gram_char_frac", top3)
@@ -812,6 +854,7 @@ def gopher_quality_filter(
         .withColumn("dup10gram_char_frac", dup10)
         .withColumn("gopher_drop_reason", reason)
     )
+    return out.drop("_rep") if vectorized else out
 
 
 def tfidf_top_terms(
