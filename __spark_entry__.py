@@ -67,6 +67,9 @@ _PRIORITY_R7 = [
     "corp_stratified_sample", "o05_weighted_sample", "o06_hash_split",
     "d10_url_dedup", "p29_extract_links",
     "f13_c4_filter", "d11_c4_span_dedup",
+    # new this round: real pure-stdlib PNG decoder (zlib inflate + all five
+    # scanline filters) refereed against a closed-form pixel formula
+    "mm_png_features",
     # stale: freshest driver green is r3 (VERDICT r6's 25-row list)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "d06_fingerprint",

@@ -2,9 +2,12 @@
 
 Extension surface mandated by the north star (BASELINE.json). The Spark-side
 plumbing is real — schema, partition-friendly batch iteration, Arrow transfer
-shapes, metadata pushdown — while the codec step is a deterministic fake
-behind ``_decode_payload`` (the real decoders — Pillow/ffmpeg/torchaudio —
-are not in this container; swap the one function when they are).
+shapes, metadata pushdown — and the IMAGE codec is real too: a pure-stdlib
+PNG decoder (``png.py``: zlib inflate + full scanline-filter
+reconstruction) drives ``png_feature_stats`` and the PNG branch of
+``_decode_payload``. Audio/video decode stays a deterministic byte-level
+fingerprint (ffmpeg/torchaudio are not in this container; swap the one
+function when they are).
 
 Design for 100 TB:
   * payloads stay in ``binary`` columns co-located with metadata, so filters
@@ -26,9 +29,59 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from llm_pretraining_data_pipeline_spark.multimodal import png
 from llm_pretraining_data_pipeline_spark.schemas import MEDIA_SCHEMA
 
 FEATURE_DIM = 16
+
+PNG_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, bit_depth int, channels int, "
+    "n_pixels bigint, px_sum bigint, px_min int, px_max int, "
+    "decode_ok boolean, decode_err string"
+)
+
+
+def png_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Image payloads → decoded PNG statistics via Arrow-batched
+    mapInPandas: the REAL decode step (``png.decode_png`` — zlib inflate +
+    scanline filter reconstruction), emitting integer stats a DuckDB
+    referee can recompute from a closed-form fixture (``mm_png_features``).
+
+    Rows whose payload fails to decode survive with ``decode_ok=false``
+    and the exact error string — a curation pipeline counts those, never
+    dies on them. Projects (id, payload) only before the Python exchange.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    st = png.png_stats(raw)
+                    rows.append(
+                        (mid, st["width"], st["height"], st["bit_depth"],
+                         st["channels"], st["n_pixels"], st["px_sum"],
+                         st["px_min"], st["px_max"], True, None)
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         None, False, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "bit_depth", "channels",
+                    "n_pixels", "px_sum", "px_min", "px_max", "decode_ok",
+                    "decode_err",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(
+        batches, schema=PNG_STATS_SCHEMA
+    )
 
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, byte_len bigint, content_sha256 string, "
@@ -63,13 +116,31 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFram
 
 
 def _decode_payload(kind: str, payload: bytes) -> list[float]:
-    """STUB DECODER — deterministic fake feature vector.
-
-    A real deployment replaces this body with Pillow / torchaudio / ffmpeg
-    frame sampling. Raises on unknown kinds exactly like a real codec would.
+    """Feature vector per payload. Images that are valid PNGs go through
+    the REAL pure-stdlib decoder (``png.py``: zlib inflate + all five
+    scanline filters) and yield dimension/intensity features; other
+    payloads (audio/video — their codecs are not in this container, and
+    non-PNG image bytes) fall back to the deterministic byte-level
+    fingerprint so the operator stays total. Raises on unknown kinds
+    exactly like a real codec would.
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
+    if kind == "image" and payload[: len(png.PNG_SIGNATURE)] == png.PNG_SIGNATURE:
+        try:
+            st = png.png_stats(payload)
+            denom = max(1, st["n_pixels"] * st["channels"] * 255)
+            vec = [
+                st["width"] / 65535.0,
+                st["height"] / 65535.0,
+                st["channels"] / 4.0,
+                st["px_sum"] / denom,        # mean intensity in [0, 1]
+                st["px_min"] / 255.0,
+                st["px_max"] / 255.0,
+            ]
+            return vec + [0.0] * (FEATURE_DIM - len(vec))
+        except ValueError:
+            pass  # corrupt or unsupported PNG variant: byte-level fallback
     digest = hashlib.sha256(payload).digest()
     crc = zlib.crc32(payload)
     return [

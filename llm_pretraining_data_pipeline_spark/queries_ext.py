@@ -1331,6 +1331,92 @@ def mm_frame_plan(spark, sf_dir):
     )
 
 
+@register(
+    "mm_png_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 41 = 0 AS corrupt,
+             cast(8 + doc_id % 9 as int) AS w,
+             cast(5 + doc_id % 7 as int) AS h,
+             cast(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                  as int) AS ch
+      FROM documents
+    ),
+    e AS (
+      SELECT media_id,
+             cast(sum(v) as bigint) AS px_sum,
+             cast(min(v) as int) AS px_min,
+             cast(max(v) as int) AS px_max
+      FROM (SELECT i.media_id,
+                   (7 * x.a + 13 * y.b + 3 * i.media_id + 31 * c.d) % 256 AS v
+            FROM ids i,
+                 unnest(range(0, i.w)) AS x(a),
+                 unnest(range(0, i.h)) AS y(b),
+                 unnest(range(0, i.ch)) AS c(d)
+            WHERE NOT i.corrupt)
+      GROUP BY media_id
+    )
+    SELECT i.media_id,
+           CASE WHEN corrupt THEN NULL ELSE i.w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE i.h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE i.ch END AS channels,
+           CASE WHEN corrupt THEN NULL
+                ELSE cast(i.w * i.h as bigint) END AS n_pixels,
+           e.px_sum, e.px_min, e.px_max,
+           NOT corrupt AS decode_ok
+    FROM ids i LEFT JOIN e USING (media_id)
+    """,
+    doc="REAL PNG decode over binary payloads (multimodal/png.py: stdlib "
+        "zlib inflate + all five scanline-filter reconstructions, 8-bit "
+        "grey/RGB/RGBA): payloads are encoded in-fixture from a closed-form "
+        "pixel function of doc_id — (7x+13y+3id+31c) mod 256 — with the "
+        "filter type cycling over all five per image, then decoded by "
+        "media.png_feature_stats (Arrow mapInPandas) into integer stats the "
+        "DuckDB referee recomputes from the SAME formula without any PNG "
+        "machinery. Corrupt payloads (id%41=0) survive with decode_ok=false "
+        "and NULL stats on both engines",
+)
+def mm_png_features(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+    from llm_pretraining_data_pipeline_spark.multimodal import png as P
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 41 == 0:
+                    payload = P.PNG_SIGNATURE + b"CORRUPT" + bytes([did % 256])
+                else:
+                    w, h = 8 + did % 9, 5 + did % 7
+                    ct = [0, 2, 6][did % 3]
+                    ch = {0: 1, 2: 3, 6: 4}[ct]
+                    pix = bytes(
+                        (7 * x + 13 * y + 3 * did + 31 * c) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(ch)
+                    )
+                    payload = P.encode_png(
+                        w, h, pix, color_type=ct, filter_type=did % 5
+                    )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    return mm.png_feature_stats(media).select(
+        "media_id", "width", "height", "channels", "n_pixels",
+        "px_sum", "px_min", "px_max", "decode_ok",
+    )
+
+
 # ================================================================= URL ops
 # C4 / RefinedWeb-style URL stage (functions/urls.py). The documents fixture
 # has no URL column, so each query synthesizes one deterministically from

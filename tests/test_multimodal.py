@@ -53,3 +53,117 @@ class TestMultimodal:
         assert "ReadSchema" in physical
         read_schema = physical.split("ReadSchema:")[1].splitlines()[0]
         assert "payload" not in read_schema, read_schema
+
+
+class TestPngCodec:
+    """The real pure-stdlib PNG decoder (multimodal/png.py) on hand-built
+    images: round-trips across every color-type x filter-type combination,
+    filter reconstruction against known bytes, and failure modes."""
+
+    def test_roundtrip_all_color_and_filter_types(self):
+        import itertools
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        for ct, ft in itertools.product([0, 2, 4, 6], range(5)):
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+            w, h = 13, 7
+            pix = bytes(
+                (7 * x + 13 * y + 31 * c) % 256
+                for y in range(h) for x in range(w) for c in range(ch)
+            )
+            data = png.encode_png(w, h, pix, color_type=ct, filter_type=ft)
+            gw, gh, bd, gch, out = png.decode_png(data)
+            assert (gw, gh, bd, gch) == (w, h, 8, ch), (ct, ft)
+            assert out == pix, f"roundtrip mismatch ct={ct} ft={ft}"
+
+    def test_hand_computed_stats(self):
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        # 2x2 greyscale, Paeth-filtered: stats must match the raw samples
+        st = png.png_stats(
+            png.encode_png(2, 2, bytes([0, 255, 10, 20]), color_type=0,
+                           filter_type=4)
+        )
+        assert st == {
+            "width": 2, "height": 2, "bit_depth": 8, "channels": 1,
+            "n_pixels": 4, "px_sum": 285, "px_min": 0, "px_max": 255,
+        }
+
+    def test_multiple_idat_chunks_concatenate(self):
+        import struct
+        import zlib
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        pix = bytes(range(12))  # 4x3 greyscale
+        data = png.encode_png(4, 3, pix, color_type=0, filter_type=0)
+        # split the single IDAT into two chunks by hand
+        sig_ihdr = data[: 8 + 25]
+        idat_len = struct.unpack(">I", data[33:37])[0]
+        idat_body = data[41 : 41 + idat_len]
+        iend = data[41 + idat_len + 4 :]
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        rebuilt = (
+            sig_ihdr
+            + chunk(b"IDAT", idat_body[:3])
+            + chunk(b"IDAT", idat_body[3:])
+            + iend
+        )
+        assert png.decode_png(rebuilt)[4] == pix
+
+    def test_failure_modes(self):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        with pytest.raises(ValueError, match="signature"):
+            png.decode_png(b"JFIF not a png")
+        with pytest.raises(ValueError, match="truncated"):
+            png.decode_png(png.PNG_SIGNATURE + b"CORRUPT!")
+        with pytest.raises(ValueError, match="IHDR"):
+            png.decode_png(png.PNG_SIGNATURE)  # no chunks at all
+        good = png.encode_png(2, 2, bytes(4), color_type=0)
+        with pytest.raises(ValueError, match="CRC"):
+            corrupted = good[:45] + bytes([good[45] ^ 0xFF]) + good[46:]
+            png.decode_png(corrupted)
+        with pytest.raises(ValueError, match="width"):
+            png.encode_png(3, 2, bytes(4), color_type=0)
+        with pytest.raises(ValueError, match="color_type"):
+            png.encode_png(1, 1, bytes(1), color_type=3)
+
+    def test_spark_operator_decodes_and_flags(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import media, png
+
+        rows = [
+            (1, bytearray(png.encode_png(3, 2, bytes(range(18)), color_type=2,
+                                         filter_type=1))),
+            (2, bytearray(b"garbage")),
+            (3, bytearray(png.encode_png(2, 2, bytes([5, 5, 5, 5]),
+                                         color_type=0, filter_type=2))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r.media_id: r for r in media.png_feature_stats(df).collect()}
+        assert (out[1].width, out[1].height, out[1].channels) == (3, 2, 3)
+        assert out[1].px_sum == sum(range(18)) and out[1].decode_ok
+        assert not out[2].decode_ok and "signature" in out[2].decode_err
+        assert out[3].n_pixels == 4 and out[3].px_sum == 20
+
+    def test_decode_payload_uses_real_decoder_for_png(self):
+        from llm_pretraining_data_pipeline_spark.multimodal import media, png
+
+        data = png.encode_png(4, 2, bytes([100] * 24), color_type=2)
+        vec = media._decode_payload("image", data)
+        assert vec[0] == 4 / 65535.0 and vec[1] == 2 / 65535.0
+        assert vec[2] == 3 / 4.0
+        assert abs(vec[3] - 100 / 255.0) < 1e-12  # mean intensity
+        assert vec[4] == vec[5] == 100 / 255.0
+        # non-PNG image bytes still fall back to the byte fingerprint
+        fb = media._decode_payload("image", b"\xff\xd8 jpeg-ish")
+        assert len(fb) == media.FEATURE_DIM and fb != vec
