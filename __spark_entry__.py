@@ -70,6 +70,10 @@ _PRIORITY_R7 = [
     # new this round: real pure-stdlib PNG decoder (zlib inflate + all five
     # scanline filters) refereed against a closed-form pixel formula
     "mm_png_features",
+    # new this round: arbitrary-length ExactSubstr dedup (shingle-chain
+    # stitching into maximal runs, gaps-and-islands oracle); corp_span_dedup
+    # re-checked because its interval fold was lifted to a shared helper
+    "d13_exact_substr", "corp_span_dedup",
     # stale: freshest driver green is r3 (VERDICT r6's 25-row list)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "d06_fingerprint",

@@ -52,6 +52,7 @@ __all__ = [
     "vocab_top_tokens",
     "benchmark_overlap",
     "span_dedup",
+    "exact_substr_dedup",
 ]
 
 
@@ -592,6 +593,38 @@ def pack_manifest(
     )
 
 
+def _merge_win_intervals(starts: Column, w: int) -> Column:
+    """Merge sorted w-token window starts into disjoint [lo, hi) token
+    intervals — one fold, run BEFORE any per-token coverage test: a heavily
+    self-duplicated doc has O(n_tokens) losing windows, and scanning them
+    per token would make the rebuild quadratic in doc length. Overlapping/
+    adjacent windows collapse, so each surviving interval is a MAXIMAL
+    duplicated run (the shingle-chain stitching that recovers arbitrary-
+    length repeats from fixed-width shingles)."""
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    return F.aggregate(
+        starts,
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, st: F.when(
+            (F.size(acc) > 0) & (st <= last(acc)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["lo"].alias("lo"),
+                        F.greatest(last(acc)["hi"], st + F.lit(w)).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(st.alias("lo"), (st + F.lit(w)).alias("hi"))),
+            )
+        ),
+    )
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -635,37 +668,6 @@ def span_dedup(
     ).select(id_col, (F.col("_p0") + 1).alias("start"), "_gh")
     keep_w = Window.partitionBy("_gh").orderBy(id_col, "start")
 
-    # Merge the losing starts into disjoint [lo, hi) token intervals BEFORE
-    # the per-token coverage test: a heavily self-duplicated doc has
-    # O(n_tokens) losing windows, and scanning them per token made the
-    # rebuild quadratic in doc length. Overlapping windows collapse (sorted
-    # starts, single fold), so the filter scans a small merged list. Computed
-    # below the join (on the aggregated losers side) so the fold runs once
-    # per doc, not once per token.
-    def _merge_intervals(starts: Column) -> Column:
-        last = lambda acc: F.element_at(acc, -1)  # noqa: E731
-        return F.aggregate(
-            starts,
-            F.array().cast("array<struct<lo:int,hi:int>>"),
-            lambda acc, st: F.when(
-                (F.size(acc) > 0) & (st <= last(acc)["hi"]),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(
-                        F.struct(
-                            last(acc)["lo"].alias("lo"),
-                            F.greatest(last(acc)["hi"], st + F.lit(w)).alias("hi"),
-                        )
-                    ),
-                ),
-            ).otherwise(
-                F.concat(
-                    acc,
-                    F.array(F.struct(st.alias("lo"), (st + F.lit(w)).alias("hi"))),
-                )
-            ),
-        )
-
     losers = (
         wins.withColumn("_rn", F.row_number().over(keep_w))
         .filter(F.col("_rn") > 1)
@@ -676,7 +678,7 @@ def span_dedup(
         )
         .select(
             id_col,
-            _merge_intervals(F.col("_dup_starts")).alias("_dup_ivs"),
+            _merge_win_intervals(F.col("_dup_starts"), w).alias("_dup_ivs"),
             "n_dup_windows",
         )
     )
@@ -698,6 +700,87 @@ def span_dedup(
         F.size(words).cast("long").alias("n_tok_orig"),
         F.size(kept).cast("long").alias("n_tok_kept"),
         F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+    )
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Arbitrary-length ExactSubstr dedup (Lee et al. 2022 §3,
+    ``deduplicate-text-datasets``'s suffix-array semantics at the token
+    level): any repeat of >= ``min_tokens`` tokens, at ANY token offset
+    and of ANY length, keeps its first corpus-wide occurrence (doc id,
+    then position); every later occurrence loses all covered tokens.
+
+    Where ``span_dedup`` reports fixed-width window counts, this variant
+    STITCHES chains of overlapping losing shingles into their MAXIMAL
+    duplicated runs — a repeated passage of L >= min_tokens tokens
+    surfaces as ONE run of exactly L tokens (its L - min_tokens + 1
+    shingles are consecutive, so the interval fold fuses them), which is
+    the suffix-array answer without building a suffix array. Run
+    statistics (count, longest) are exposed for curation audits.
+
+    Scale shape (identical to ``span_dedup``): shingle identity travels
+    as 60-bit ``h64`` hashes — one narrow explode, ONE keep-first shuffle
+    on the hash, per-doc interval fold on the aggregated losing side,
+    HOF rebuild. Never all-pairs, never a suffix array's global sort.
+
+    Output: (id, dedup_text, n_tok_orig, n_tok_kept, n_dup_runs,
+    max_run_tokens).
+    """
+    k = min_tokens
+    if k < 2:
+        raise ValueError("min_tokens must be >= 2")
+    words = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_sh = F.size(words) - F.lit(k - 1)
+    sh_hashes = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: h64(F.array_join(F.slice(words, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    shingles = df.select(
+        F.col(id_col), F.posexplode(sh_hashes).alias("_p0", "_gh")
+    ).select(id_col, (F.col("_p0") + 1).alias("start"), "_gh")
+    keep_w = Window.partitionBy("_gh").orderBy(id_col, "start")
+
+    losers = (
+        shingles.withColumn("_rn", F.row_number().over(keep_w))
+        .filter(F.col("_rn") > 1)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("start")).alias("_dup_starts"))
+        .select(
+            id_col,
+            _merge_win_intervals(F.col("_dup_starts"), k).alias("_dup_ivs"),
+        )
+    )
+
+    joined = df.join(losers, id_col, "left")
+    dup_ivs = F.coalesce(
+        F.col("_dup_ivs"), F.array().cast("array<struct<lo:int,hi:int>>")
+    )
+    kept = F.filter(
+        F.transform(words, lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            dup_ivs,
+            lambda iv: (s.i + 1 >= iv["lo"]) & (s.i + 1 < iv["hi"]),
+        ),
+    )
+    run_lens = F.transform(dup_ivs, lambda iv: (iv["hi"] - iv["lo"]).cast("long"))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s.t), " ").alias("dedup_text"),
+        F.size(words).cast("long").alias("n_tok_orig"),
+        F.size(kept).cast("long").alias("n_tok_kept"),
+        F.size(dup_ivs).cast("long").alias("n_dup_runs"),
+        F.coalesce(F.array_max(run_lens), F.lit(0).cast("long")).alias(
+            "max_run_tokens"
+        ),
     )
 
 

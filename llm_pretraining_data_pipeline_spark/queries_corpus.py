@@ -382,6 +382,94 @@ def corp_span_dedup(spark, sf_dir):
     return corpus.span_dedup(_docs(spark, sf_dir), w=_SPAN_W)
 
 
+# Arbitrary-length ExactSubstr: min match length (shingle width). The
+# fixture plants a 15-word shared passage (3 variants) at the START of
+# even docs and the END of odd docs, so repeats occur at UNALIGNED token
+# offsets and each occurrence spans 6 consecutive shingles that must
+# stitch into ONE 15-token maximal run.
+_ESUB_K = 10
+_ESUB_PASSAGE_SQL = (
+    "'shared repeated passage alpha bravo charlie delta echo foxtrot golf "
+    "hotel india variant' || cast(doc_id % 3 as varchar) || ' kilo lima'"
+)
+
+
+@register(
+    "d13_exact_substr",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN {_ESUB_PASSAGE_SQL} || ' ' || coalesce(text, '')
+                  ELSE coalesce(text, '') || ' ' || {_ESUB_PASSAGE_SQL} END
+               AS t
+      FROM documents
+    ),
+    wd AS (SELECT doc_id, {O.toks('t')} AS w FROM d),
+    g AS (SELECT doc_id, u.i AS start,
+                 {O.h64("array_to_string(list_slice(w, u.i, u.i + " + str(_ESUB_K - 1) + "), ' ')")} AS gh
+          FROM wd, unnest(range(1, len(w) - {_ESUB_K} + 2)) AS u(i)),
+    r AS (SELECT doc_id, start,
+                 row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn
+          FROM g),
+    l AS (SELECT doc_id, start FROM r WHERE rn > 1),
+    b AS (SELECT doc_id, start,
+                 CASE WHEN start > coalesce(max(start + {_ESUB_K}) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS brk
+          FROM l),
+    i2 AS (SELECT doc_id, start,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+           FROM b),
+    runs AS (SELECT doc_id, min(start) AS lo, max(start) + {_ESUB_K} AS hi
+             FROM i2 GROUP BY doc_id, island),
+    rstats AS (SELECT doc_id, cast(count(*) as bigint) AS n_dup_runs,
+                      cast(max(hi - lo) as bigint) AS max_run_tokens
+               FROM runs GROUP BY doc_id),
+    ds AS (SELECT doc_id, list(start) AS dup_starts FROM l GROUP BY doc_id),
+    k2 AS (SELECT wd.doc_id, wd.w,
+                  list_filter(
+                    list_transform(range(1, len(wd.w) + 1),
+                      p -> CASE WHEN len(list_filter(
+                                     coalesce(ds.dup_starts, []),
+                                     s -> p >= s AND p < s + {_ESUB_K})) = 0
+                                THEN wd.w[p] END),
+                    t -> t IS NOT NULL) AS kept
+           FROM wd LEFT JOIN ds USING (doc_id))
+    SELECT k2.doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS dedup_text,
+           cast(len(w) as bigint) AS n_tok_orig,
+           cast(len(kept) as bigint) AS n_tok_kept,
+           cast(coalesce(n_dup_runs, 0) as bigint) AS n_dup_runs,
+           cast(coalesce(max_run_tokens, 0) as bigint) AS max_run_tokens
+    FROM k2 LEFT JOIN rstats USING (doc_id)
+    """,
+    doc="arbitrary-length ExactSubstr dedup (Lee et al. 2022 suffix-array "
+        f"semantics via shingle-chain stitching): duplicated >={_ESUB_K}-"
+        "token repeats at ANY offset keep their first corpus-wide "
+        "occurrence; overlapping losing shingles stitch into MAXIMAL "
+        "duplicate runs (the planted 15-word passage surfaces as one "
+        "15-token run, not six window counts). One keep-first shuffle on "
+        "60-bit hashes; the oracle stitches with gaps-and-islands SQL",
+)
+def d13_exact_substr(spark, sf_dir):
+    passage = F.concat(
+        F.lit(
+            "shared repeated passage alpha bravo charlie delta echo foxtrot "
+            "golf hotel india variant"
+        ),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(" kilo lima"),
+    )
+    base = F.coalesce(F.col("text"), F.lit(""))
+    t = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(passage, F.lit(" "), base)
+    ).otherwise(F.concat(base, F.lit(" "), passage))
+    u = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return corpus.exact_substr_dedup(u, min_tokens=_ESUB_K)
+
+
 # ===================================================== Gopher quality filter
 
 _GOPHER_STOPS = corpus.GOPHER_STOPWORDS  # single source of truth

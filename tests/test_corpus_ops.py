@@ -751,3 +751,83 @@ class TestAdviceR6Fixes:
         )
         d = {r.doc_id: r for r in c4_span_dedup(dup).collect()}
         assert d[1].n_sents_removed == 0 and d[2].n_sents_removed == 3
+
+
+class TestExactSubstrDedup:
+    def test_stitches_maximal_runs_at_unaligned_offsets(self, spark):
+        """A 15-token passage shared by two docs at DIFFERENT offsets is
+        found (k=10 < 15) and stitched into ONE maximal 15-token run in
+        the later doc; the first occurrence is untouched."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            exact_substr_dedup,
+        )
+
+        passage = " ".join(f"p{i}" for i in range(15))
+        a_tail = " ".join(f"a{i}" for i in range(8))
+        b_head = " ".join(f"b{i}" for i in range(11))
+        df = spark.createDataFrame(
+            [(1, passage + " " + a_tail), (2, b_head + " " + passage)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in exact_substr_dedup(df, min_tokens=10).collect()}
+        assert out[1].n_dup_runs == 0
+        assert out[1].dedup_text == passage + " " + a_tail
+        assert out[2].n_dup_runs == 1
+        assert out[2].max_run_tokens == 15  # six shingles fused into one run
+        assert out[2].dedup_text == b_head
+        assert out[2].n_tok_kept == 11 and out[2].n_tok_orig == 26
+
+    def test_unique_corpus_identity(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            exact_substr_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (i, " ".join(f"w{i}_{j}" for j in range(25)))
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        out = exact_substr_dedup(df, min_tokens=10).collect()
+        assert all(r.n_dup_runs == 0 for r in out)
+        assert all(r.n_tok_kept == r.n_tok_orig == 25 for r in out)
+
+    def test_idempotent(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            exact_substr_dedup,
+        )
+
+        shared = " ".join(f"s{j % 6}" for j in range(30))  # self-repetitive
+        df = spark.createDataFrame(
+            [(i, shared + " " + " ".join(f"t{i}_{j}" for j in range(10)))
+             for i in range(12)],
+            "doc_id long, text string",
+        )
+        once = exact_substr_dedup(df, min_tokens=10).select(
+            "doc_id", F.col("dedup_text").alias("text")
+        )
+        twice = exact_substr_dedup(once, min_tokens=10)
+        assert twice.filter("n_dup_runs > 0").count() == 0
+        a = {r.doc_id: r.dedup_text for r in twice.collect()}
+        b = {r.doc_id: r.text for r in once.collect()}
+        assert a == b
+
+    def test_short_docs_and_validation(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            exact_substr_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in exact_substr_dedup(df, min_tokens=10).collect()}
+        assert out[1].dedup_text == "too short" and out[1].n_dup_runs == 0
+        assert out[2].n_tok_orig == 0 and out[3].n_tok_orig == 0
+        with pytest.raises(ValueError, match=">= 2"):
+            exact_substr_dedup(df, min_tokens=1)
