@@ -74,6 +74,9 @@ _PRIORITY_R7 = [
     # stitching into maximal runs, gaps-and-islands oracle); corp_span_dedup
     # re-checked because its interval fold was lifted to a shared helper
     "d13_exact_substr", "corp_span_dedup",
+    # new this round: hashed-token logistic quality model — training
+    # replayed end-to-end by a SQL CTE-chain referee; frozen-weights scorer
+    "p35_hashed_quality_train", "p36_hashed_quality_score",
     # stale: freshest driver green is r3 (VERDICT r6's 25-row list)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "d06_fingerprint",

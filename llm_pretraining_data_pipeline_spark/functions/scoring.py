@@ -245,3 +245,139 @@ def fit_logistic_weights(
     out = {"bias": round(b, round_dp)}
     out.update({c: round(w[c], round_dp) for c in feature_cols})
     return out
+
+
+# ------------------------------------------------- hashed n-gram quality model
+# fastText / DCLM-style model-based quality filter (Joulin et al. 2017;
+# DataComp-LM's fastText classifier): tokens hash into a fixed bucket space,
+# the model is a logistic regression over normalised bucket counts, and
+# scoring is a pure per-row fold — the reference's `model_q` hook
+# (text_clean_and_filter.py:370-378) done with learned token features
+# instead of four hand-built ones.
+
+HASHED_N_BUCKETS = 32
+
+
+def _hashed_toks(text_col):
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+
+    return ws_tokens(F.lower(F.coalesce(_col(text_col), F.lit(""))))
+
+
+def hashed_quality_score(
+    df,
+    text_col: str,
+    weights: list[float],
+    bias: float,
+    out_col: str = "hashed_quality",
+    round_dp: int = 6,
+):
+    """Score with a trained hashed-token logistic model, as a pure Catalyst
+    expression: ``sigmoid(bias + (Σ_i W[h64(tok_i) % D]) / n_toks)``.
+
+    The fold runs in POSITION order (bit-stable doubles, the p31 trick), so
+    a DuckDB referee replays it exactly with
+    ``list_sum(list_transform(toks, t -> W[(h64(t) % D) + 1]))``. Weights
+    ride as a literal array — the broadcast-to-every-task shape; a
+    fastText-scale model (millions of buckets) swaps the literal for a
+    broadcast weight-table join on the bucket id, same plan otherwise.
+    O(n_tokens) per row, zero shuffle at any corpus size.
+    """
+    n_buckets = len(weights)
+    toks = _hashed_toks(text_col)
+    W = F.array(*[F.lit(float(w)) for w in weights])
+    from llm_pretraining_data_pipeline_spark.functions.hashing import h64
+
+    fold = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(W, ((h64(t) % n_buckets) + 1).cast("int")),
+    )
+    n = F.size(toks)
+    z = F.lit(float(bias)) + F.when(
+        n > 0, fold / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumn(out_col, F.round(score, round_dp))
+
+
+def fit_hashed_logistic(
+    df,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = HASHED_N_BUCKETS,
+    n_iter: int = 3,
+    lr: float = 0.5,
+    grad_round_dp: int = 6,
+) -> dict:
+    """Train the hashed-token logistic model IN Spark: full-batch gradient
+    descent where each iteration is one narrow scoring projection plus ONE
+    explode/groupBy shuffle on the bucket id; only D+1 rounded doubles
+    reach the driver per iteration.
+
+    Feature vector per doc: x_b = count of tokens hashing to bucket b,
+    divided by n_toks (never materialised — the sparse token stream IS the
+    features). Gradient for bucket b = avg over docs of (p - y)·x_b,
+    computed as Σ over token instances of err_doc / n_doc, divided by the
+    doc count. Gradients are rounded (``grad_round_dp``, via Spark's
+    HALF_UP ``round`` which DuckDB's ``round`` matches) before stepping so
+    distributed summation order cannot leak into the learned weights —
+    the referee (`p35_hashed_quality_train`) replays the whole optimisation
+    as a per-iteration SQL CTE chain and must land on identical doubles.
+
+    Returns ``{"bias": float, "weights": [float] * n_buckets}`` — feed
+    straight into ``hashed_quality_score``.
+    """
+    from llm_pretraining_data_pipeline_spark.functions.hashing import h64
+
+    toks = _hashed_toks(text_col)
+    base = df.select(
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    n_docs = base.count()
+    if n_docs == 0:
+        raise ValueError("fit_hashed_logistic: training frame is empty")
+    w = [0.0] * n_buckets
+    b = 0.0
+    for _ in range(n_iter):
+        W = F.array(*[F.lit(float(x)) for x in w])
+        fold = F.aggregate(
+            F.col("_toks"),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.element_at(W, ((h64(t) % n_buckets) + 1).cast("int")),
+        )
+        z = F.lit(b) + F.when(
+            F.col("_n") > 0, fold / F.col("_n").cast("double")
+        ).otherwise(F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        scored = base.select(
+            "_toks", "_n", (p - F.col("_y")).alias("_err")
+        )
+        bias_g = scored.agg(
+            F.round(F.avg("_err"), grad_round_dp).alias("g")
+        ).collect()[0]["g"]
+        grads = (
+            scored.select(
+                "_err", "_n", F.explode("_toks").alias("_t")
+            )
+            .select(
+                (h64(F.col("_t")) % n_buckets).alias("_b"),
+                (F.col("_err") / F.col("_n").cast("double")).alias("_c"),
+            )
+            .groupBy("_b")
+            .agg(
+                F.round(
+                    F.sum("_c") / F.lit(float(n_docs)), grad_round_dp
+                ).alias("g")
+            )
+            .collect()
+        )
+        gmap = {int(r["_b"]): r["g"] for r in grads}
+        b -= lr * bias_g
+        for i in range(n_buckets):
+            w[i] -= lr * gmap.get(i, 0.0)
+    return {"bias": b, "weights": w}

@@ -2064,6 +2064,133 @@ def p31_trained_lm_score(spark, sf_dir):
     return LM.score_with_unigram_lm(docs, table)
 
 
+# ============================ hashed-token quality model (fastText/DCLM-style)
+
+_HQ_D = 32       # bucket count
+_HQ_ITER = 3
+_HQ_LR = 0.5
+
+
+def _hashed_train_oracle() -> str:
+    """The ENTIRE gradient-descent optimisation as a per-iteration SQL CTE
+    chain: the referee replays every scoring fold, gradient aggregation,
+    rounding, and weight step that ``fit_hashed_logistic`` performs and
+    must land on identical doubles (gradients rounded 6dp on both engines
+    absorb summation-order and libm-exp drift; weight steps are then
+    exact IEEE arithmetic on identical inputs)."""
+    D, lr = _HQ_D, _HQ_LR
+    parts = [
+        f"""d0 AS (SELECT doc_id, {O.toks('lower(text)')} AS w FROM documents),
+    docs0 AS (SELECT doc_id, w, len(w) AS n,
+                     CASE WHEN list_contains(w, 'data') THEN 1.0 ELSE 0.0 END
+                       AS y
+              FROM d0),
+    nn AS (SELECT cast(count(*) as double) AS nd FROM docs0),
+    bk AS (SELECT cast(u.b as bigint) AS b FROM unnest(range(0, {D})) AS u(b)),
+    w0 AS (SELECT b, 0.0 AS wt FROM bk),
+    b0 AS (SELECT 0.0 AS bias)"""
+    ]
+    for k in range(_HQ_ITER):
+        parts.append(
+            f"""wl{k} AS (SELECT list(wt ORDER BY b) AS wl FROM w{k}),
+    e{k} AS (SELECT d.doc_id, d.n, d.w,
+                    1.0 / (1.0 + exp(-(b{k}.bias + CASE WHEN d.n > 0
+                      THEN list_sum(list_transform(d.w,
+                             t -> wl{k}.wl[({O.h64('t')} % {D}) + 1]))
+                           / cast(d.n as double)
+                      ELSE 0.0 END))) - d.y AS err
+             FROM docs0 d, wl{k}, b{k}),
+    gb{k} AS (SELECT round(avg(err), 6) AS g FROM e{k}),
+    g{k} AS (SELECT ({O.h64('u.t')} % {D}) AS b,
+                    round(sum(err / cast(n as double)) / (SELECT nd FROM nn),
+                          6) AS g
+             FROM e{k}, unnest(e{k}.w) AS u(t)
+             GROUP BY b),
+    w{k + 1} AS (SELECT bk.b,
+                        coalesce(w.wt, 0.0) - {lr} * coalesce(g.g, 0.0) AS wt
+                 FROM bk LEFT JOIN w{k} w USING (b)
+                         LEFT JOIN g{k} g USING (b)),
+    b{k + 1} AS (SELECT b{k}.bias - {lr} * gb{k}.g AS bias FROM b{k}, gb{k})"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT cast(b as int) AS bucket, round(wt, 6) AS weight FROM w{_HQ_ITER}
+    UNION ALL
+    SELECT -1, round(bias, 6) FROM b{_HQ_ITER}
+    ORDER BY bucket
+    """
+
+
+@register(
+    "p35_hashed_quality_train",
+    _hashed_train_oracle(),
+    doc="fastText/DCLM-style hashed-token quality model TRAINED in Spark "
+        f"(logistic regression over {_HQ_D} hash buckets, {_HQ_ITER} "
+        "full-batch GD iterations; label = doc contains token 'data'): "
+        "per iteration one position-ordered scoring fold + one explode/"
+        "groupBy-bucket shuffle, D+1 rounded doubles to the driver. The "
+        "oracle replays the ENTIRE optimisation as a SQL CTE chain — "
+        "every fold, gradient, rounding, and weight step — and must land "
+        "on identical doubles",
+)
+def p35_hashed_quality_train(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import scoring
+
+    docs = _docs(spark, sf_dir)
+    toks = scoring._hashed_toks("text")
+    labeled = docs.select(
+        F.col("text"),
+        F.array_contains(toks, "data").cast("double").alias("label"),
+    )
+    model = scoring.fit_hashed_logistic(
+        labeled, "text", "label",
+        n_buckets=_HQ_D, n_iter=_HQ_ITER, lr=_HQ_LR,
+    )
+    rows = [(i, float(wv)) for i, wv in enumerate(model["weights"])]
+    rows.append((-1, float(model["bias"])))
+    return (
+        spark.createDataFrame(rows, "bucket int, weight double")
+        .select("bucket", F.round("weight", 6).alias("weight"))
+        .orderBy("bucket")
+    )
+
+
+# Frozen scorer weights: Python-computed CONSTANTS embedded as literals on
+# both engines (the p08 frozen-weights philosophy — train once, freeze,
+# score 100 TB as pure expressions).
+_H36_W = [((b * 37) % 19 - 9) / 10.0 for b in range(_HQ_D)]
+_H36_BIAS = 0.1
+_H36_W_SQL = "[" + ", ".join(repr(w) for w in _H36_W) + "]"
+
+
+@register(
+    "p36_hashed_quality_score",
+    f"""
+    WITH dt AS (SELECT doc_id, {O.toks('lower(text)')} AS w FROM documents)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({_H36_BIAS!r} + CASE WHEN len(w) > 0
+             THEN list_sum(list_transform(w,
+                    t -> {_H36_W_SQL}[({O.h64('t')} % {_HQ_D}) + 1]))
+                  / cast(len(w) as double)
+             ELSE 0.0 END))), 6) AS hashed_quality
+    FROM dt
+    """,
+    doc="score every doc with a frozen hashed-token logistic model as a "
+        "pure Catalyst expression: sigmoid(bias + position-ordered fold of "
+        "W[h64(tok) % D] / n_toks) — literal broadcast weights, zero "
+        "shuffle, O(n_tokens)/row; the DuckDB referee replays the fold "
+        "with list_sum(list_transform(...)) over the same literal list",
+)
+def p36_hashed_quality_score(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import scoring
+
+    out = scoring.hashed_quality_score(
+        _docs(spark, sf_dir), "text", _H36_W, _H36_BIAS
+    )
+    return out.select("doc_id", "hashed_quality")
+
+
 # ============================================================== mojibake
 
 

@@ -665,3 +665,69 @@ class TestMojibakeNestedLayers:
         ).collect()[0]
         assert r.once == "Â«"   # one layer peeled
         assert r.twice == "«"        # fixed point after two
+
+
+class TestHashedQualityModel:
+    def test_training_learns_the_label_token(self, spark):
+        """label = contains 'good': after GD the bucket 'good' hashes into
+        must carry the most positive weight, and trained scores must
+        separate positive from negative docs."""
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.functions import scoring
+        from llm_pretraining_data_pipeline_spark.functions.hashing import h64
+
+        rows = []
+        for i in range(200):
+            if i % 2 == 0:
+                rows.append((i, f"good stuff here item{i % 7} extra", 1.0))
+            else:
+                rows.append((i, f"bad junk there item{i % 7} extra", 0.0))
+        df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+        model = scoring.fit_hashed_logistic(
+            df, "text", "label", n_buckets=32, n_iter=10, lr=2.0
+        )
+        bucket = df.select(
+            (h64(F.lit("good")) % 32).alias("b")
+        ).first()["b"]
+        w = model["weights"]
+        assert w[bucket] == max(w)
+        scored = scoring.hashed_quality_score(
+            df, "text", w, model["bias"]
+        )
+        avg = {
+            int(r.label): r.s
+            for r in scored.groupBy("label")
+            .agg(F.avg("hashed_quality").alias("s"))
+            .collect()
+        }
+        assert avg[1] > avg[0] + 0.05
+
+    def test_score_edge_cases_and_bounds(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import scoring
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "word"), (4, "a b c d e")],
+            "doc_id long, text string",
+        )
+        w = [0.5] * 32
+        out = {
+            r.doc_id: r.hashed_quality
+            for r in scoring.hashed_quality_score(df, "text", w, 0.0).collect()
+        }
+        import math
+
+        sig = lambda z: 1.0 / (1.0 + math.exp(-z))  # noqa: E731
+        assert out[1] == out[2] == round(sig(0.0), 6)  # empty: z = bias
+        # every token weighs 0.5, so z = 0.5 regardless of length
+        assert out[3] == out[4] == round(sig(0.5), 6)
+        assert all(0.0 <= v <= 1.0 for v in out.values())
+
+    def test_empty_frame_raises(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.functions import scoring
+
+        df = spark.createDataFrame([], "doc_id long, text string, label double")
+        with pytest.raises(ValueError, match="empty"):
+            scoring.fit_hashed_logistic(df, "text", "label", n_iter=1)
