@@ -211,6 +211,41 @@ def main() -> int:
     meta["web_curation_docs"] = int(n_wc)
     meta["web_curation_docs_per_sec"] = round(n_wc / timings["web_curation_e2e"], 1)
 
+    # ---- round-7: two-level sharded write rehearsal at the 500k-doc scale:
+    # hash sharding (no global-order window — plan-tested) -> ONE
+    # partitionBy('shard_id') distributed JSONL write -> per-shard manifest.
+    # Measures the engine's full export path including disk I/O.
+    import shutil
+    import tempfile
+
+    from llm_pretraining_data_pipeline_spark.plans import exports as EXP
+
+    sw_raw = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * PIPELINE_COPIES + F.col("copy")).alias("doc_id"),
+            "text",
+            "source",
+            F.col("n_chars").cast("long").alias("n_tokens"),
+        )
+        .repartition(CPUS)
+    )
+    sw_dir = tempfile.mkdtemp(prefix="bench_sharded_write_")
+    try:
+        man = timed(
+            "sharded_write_e2e",
+            lambda: EXP.write_sharded_corpus_jsonl(
+                sw_raw, f"{sw_dir}/data", num_shards=64
+            ),
+        )
+        meta["sharded_write_docs"] = int(man["total_docs"])
+        meta["sharded_write_docs_per_sec"] = round(
+            man["total_docs"] / timings["sharded_write_e2e"], 1
+        )
+        meta["sharded_write_shards"] = int(man["num_shards"])
+    finally:
+        shutil.rmtree(sw_dir, ignore_errors=True)
+
     # ---- full document pipeline (the replicated-corpus heavy job)
     # tokenizer_backend pinned to "regex": 'auto' would silently switch the
     # measured work (and F6 keep/drop volume) if GPT-2 assets appear on disk,

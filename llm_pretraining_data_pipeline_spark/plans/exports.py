@@ -91,3 +91,52 @@ def write_sharded_jsonl(df: DataFrame, path: str) -> dict:
 def write_manifest(manifest: dict, path: str) -> None:
     with open(path, "w") as f:
         json.dump(manifest, f, indent=2)
+
+
+def write_sharded_corpus_jsonl(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    fields: tuple[str, ...] = ("doc_id", "text", "source"),
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> dict:
+    """Two-level sharded corpus export, the 100 TB write path: HASH
+    sharding (``assign_shards_hashed`` — no global order, so no
+    single-partition window anywhere in the plan; shard sizes are
+    statistically equal), ONE partitioned distributed write
+    (``partitionBy('shard_id')`` → every task writes its own shard
+    directories in parallel), and a per-shard manifest aggregated from the
+    same frame (tiny: num_shards rows to the driver).
+
+    Contrast with ``write_sharded_jsonl`` (positional shards, reference
+    parity): that one inherits ``assign_shards``' global row_number and
+    serialises the order assignment; this one never does — write
+    parallelism is asserted by tests/test_plan_quality.py. Returns the
+    manifest dict (write it with ``write_manifest``).
+    """
+    from llm_pretraining_data_pipeline_spark.operators.sharding import (
+        assign_shards_hashed,
+        shard_manifest,
+    )
+
+    out = assign_shards_hashed(df, num_shards, id_col=id_col)
+    frame = out.select(
+        "shard_id",
+        F.to_json(F.struct(*[F.col(f) for f in fields])).alias("value"),
+    )
+    frame.write.mode("overwrite").partitionBy("shard_id").text(path)
+    man_rows = shard_manifest(out, token_col=token_col).collect()
+    return {
+        "num_shards": len(man_rows),
+        "total_docs": int(sum(r.num_docs for r in man_rows)),
+        "total_tokens": int(sum(r.total_tokens or 0 for r in man_rows)),
+        "shards": [
+            {
+                "shard_id": int(r.shard_id),
+                "num_docs": int(r.num_docs),
+                "total_tokens": int(r.total_tokens or 0),
+            }
+            for r in man_rows
+        ],
+    }

@@ -384,3 +384,61 @@ class TestTrainedLmPlans:
         plan = plan_of(lm.train_unigram_lm(docs, vocab_size=200))
         assert "TakeOrderedAndProject" in plan  # top-V, not a global sort
         assert "CartesianProduct" not in plan
+
+
+class TestShardedWritePlans:
+    def test_hashed_shard_export_has_no_single_partition_window(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The scale write path (write_sharded_corpus_jsonl) must stay fully
+        parallel: hash sharding adds no Window and no single-partition
+        exchange, unlike the positional assign_shards (reference parity)
+        whose global row_number serialises — pinned here as the contrast."""
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators import sharding
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hashed = sharding.assign_shards_hashed(docs, num_shards=16)
+        frame = hashed.select(
+            "shard_id",
+            F.to_json(F.struct("doc_id", "text", "source")).alias("value"),
+        )
+        plan = plan_of(frame)
+        assert "Window" not in plan
+        assert "SinglePartition" not in plan
+        # the positional variant DOES pay the global order — documented trap
+        positional = plan_of(sharding.assign_shards(docs, docs_per_shard=100))
+        assert "Window" in positional and "SinglePartition" in positional
+
+    def test_sharded_write_rehearsal_and_manifest(self, spark, sf_dir, tmp_path):
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.plans import exports
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "source",
+                    F.col("n_chars").cast("long").alias("n_tokens"))
+        )
+        out_dir = str(tmp_path / "shards")
+        man = exports.write_sharded_corpus_jsonl(
+            docs, out_dir, num_shards=8
+        )
+        assert man["num_shards"] == 8
+        assert man["total_docs"] == docs.count()
+        shard_dirs = [d for d in os.listdir(out_dir) if d.startswith("shard_id=")]
+        assert len(shard_dirs) == 8  # every shard wrote its own directory
+        # manifest counts match what actually landed on disk
+        back = spark.read.text(f"{out_dir}/shard_id=3")
+        per_shard = {s["shard_id"]: s["num_docs"] for s in man["shards"]}
+        assert back.count() == per_shard[3]
+        # rows round-trip as JSON with the contracted fields
+        row = json.loads(back.first().value)
+        assert set(row) == {"doc_id", "text", "source"}
+        exports.write_manifest(man, str(tmp_path / "manifest.json"))
+        with open(tmp_path / "manifest.json") as f:
+            assert json.load(f)["total_docs"] == man["total_docs"]
