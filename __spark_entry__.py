@@ -77,6 +77,11 @@ _PRIORITY_R7 = [
     # new this round: hashed-token logistic quality model — training
     # replayed end-to-end by a SQL CTE-chain referee; frozen-weights scorer
     "p35_hashed_quality_train", "p36_hashed_quality_score",
+    # new this round: pure-SQL-text relational surface over registered
+    # views; the four partsupp TPC-H queries re-checked (shared CTE moved
+    # to sql_views.PARTSUPP_SELECT)
+    "rel_sql_surface", "rel_q2_min_cost_supplier", "rel_q11_important_stock",
+    "rel_q16_supplier_part_counts", "rel_q20_promotion_suppliers",
     # stale: freshest driver green is r3 (VERDICT r6's 25-row list)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "d06_fingerprint",

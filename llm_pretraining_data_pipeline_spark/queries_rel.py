@@ -1614,12 +1614,11 @@ def rel_q21_waiting_suppliers(spark, sf_dir):
 # construction runs on both engines (the derived-fixture pattern the URL and
 # mm_* oracles established).
 
-_PARTSUPP_SQL = """
+from llm_pretraining_data_pipeline_spark.sql_views import PARTSUPP_SELECT
+
+_PARTSUPP_SQL = f"""
     partsupp AS (
-      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-             (l_partkey * 3 + l_suppkey * 5) % 100 + 1 AS ps_availqty,
-             (l_partkey * 13 + l_suppkey * 17) % 90000 + 1000 AS ps_cost_cents
-      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+{PARTSUPP_SELECT}
     )
 """
 
@@ -1918,3 +1917,39 @@ def ev_stream_cleanse(spark, sf_dir):
     )
 
     return run_cleanse_stream_once(spark, sf_dir)
+
+
+# ============================================ SQL-addressable view surface
+
+_SQL_SURFACE_TEXT = """
+    SELECT n.n_name,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(ps.ps_availqty) as bigint) AS total_availqty,
+           cast(sum(ps.ps_cost_cents) as bigint) AS total_cost_cents
+    FROM partsupp ps
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@register(
+    "rel_sql_surface",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    {_SQL_SURFACE_TEXT}
+    """,
+    doc="the relational surface driven as PURE SQL TEXT: register_sql_views "
+        "publishes every testdata table plus the derived partsupp as temp "
+        "views, and this query is one spark.sql(...) string — no DataFrame "
+        "code. Views are metadata only, so Catalyst gives the SQL route the "
+        "same pushdown/broadcast plan as the DataFrame forms; the DuckDB "
+        "referee runs the IDENTICAL select over its own views (partsupp "
+        "via the shared verbatim CTE)",
+)
+def rel_sql_surface(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sql_views import register_sql_views
+
+    register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE_TEXT)

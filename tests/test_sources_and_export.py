@@ -123,3 +123,38 @@ class TestAsofJoin:
         out = asof_join(left, right, "key", "rkey", "ts", "rts",
                         direction="forward").collect()
         assert out[0].label == "next"
+
+
+class TestSqlViewSurface:
+    def test_register_sql_views_and_plan_parity(self, spark, sf_dir):
+        """Every table + derived partsupp is SQL-addressable, and the SQL
+        route gets the same Catalyst plan treatment as the DataFrame route
+        (views are metadata, not materialisation)."""
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.sql_views import (
+            register_sql_views,
+        )
+
+        names = register_sql_views(spark, sf_dir)
+        assert "partsupp" in names and "lineitem" in names
+        for n in names:
+            assert spark.sql(f"SELECT * FROM {n} LIMIT 1").count() >= 0
+        # partsupp view == the DataFrame derivation used by TPC-H Q2/Q11
+        from llm_pretraining_data_pipeline_spark.queries_rel import _partsupp
+
+        a = spark.sql(
+            "SELECT cast(count(*) as bigint) n, cast(sum(ps_cost_cents) as bigint) c FROM partsupp"
+        ).first()
+        d = _partsupp(spark, sf_dir).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ps_cost_cents").cast("long").alias("c"),
+        ).first()
+        assert (a.n, a.c) == (d.n, d.c)
+        # broadcast join survives the SQL route (plan parity, not just rows)
+        plan_sql = spark.sql(
+            "SELECT n.n_name, count(*) FROM partsupp ps "
+            "JOIN supplier s ON s.s_suppkey = ps.ps_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey GROUP BY n.n_name"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_sql
