@@ -306,6 +306,7 @@ def fit_hashed_logistic(
     df,
     text_col: str,
     label_col: str,
+    id_col: str = "doc_id",
     n_buckets: int = HASHED_N_BUCKETS,
     n_iter: int = 3,
     lr: float = 0.5,
@@ -320,11 +321,23 @@ def fit_hashed_logistic(
     divided by n_toks (never materialised — the sparse token stream IS the
     features). Gradient for bucket b = avg over docs of (p - y)·x_b,
     computed as Σ over token instances of err_doc / n_doc, divided by the
-    doc count. Gradients are rounded (``grad_round_dp``, via Spark's
-    HALF_UP ``round`` which DuckDB's ``round`` matches) before stepping so
-    distributed summation order cannot leak into the learned weights —
-    the referee (`p35_hashed_quality_train`) replays the whole optimisation
-    as a per-iteration SQL CTE chain and must land on identical doubles.
+    doc count.
+
+    Determinism is by ORDERED FOLDS over QUANTIZED terms, not just output
+    rounding: (a) per-doc err is rounded 6dp right after the sigmoid — z is
+    already bit-identical cross-engine (literal weights, integer-indexed
+    fold), so the only divergence is exp()'s last ulp (JVM vs C libm),
+    which the 6dp quantization collapses (boundary-hit probability ~1e-10
+    per call vs ~1e-4 if only the gradient were rounded — the latter was
+    OBSERVED flipping a learned weight by 1e-6 in the driver referee);
+    (b) every gradient sum then runs in (id, position) order
+    (``array_sort(collect_list(struct))`` — the p30/p31 pattern) so
+    within-engine partitioning cannot reorder it. The DuckDB twin is
+    ``round(err, 6)`` + ``list_sum(list(v ORDER BY id, pos))``.
+    Like ``emb_kmeans_stats``, one bucket's instances share an aggregation
+    buffer — at web scale switch ``grad_round_dp`` down and the fold to a
+    plain sum if the per-bucket token stream outgrows executor memory
+    (documented trade: bit-reproducibility for constant memory).
 
     Returns ``{"bias": float, "weights": [float] * n_buckets}`` — feed
     straight into ``hashed_quality_score``.
@@ -333,6 +346,7 @@ def fit_hashed_logistic(
 
     toks = _hashed_toks(text_col)
     base = df.select(
+        F.col(id_col).alias("_id"),
         toks.alias("_toks"),
         F.size(toks).alias("_n"),
         F.col(label_col).cast("double").alias("_y"),
@@ -340,6 +354,14 @@ def fit_hashed_logistic(
     n_docs = base.count()
     if n_docs == 0:
         raise ValueError("fit_hashed_logistic: training frame is empty")
+
+    def _ordered_sum(struct_col, value_field):
+        return F.aggregate(
+            F.array_sort(F.collect_list(struct_col)),
+            F.lit(0.0),
+            lambda acc, s: acc + s[value_field],
+        )
+
     w = [0.0] * n_buckets
     b = 0.0
     for _ in range(n_iter):
@@ -355,23 +377,32 @@ def fit_hashed_logistic(
         ).otherwise(F.lit(0.0))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         scored = base.select(
-            "_toks", "_n", (p - F.col("_y")).alias("_err")
+            "_id", "_toks", "_n",
+            F.round(p - F.col("_y"), 6).alias("_err"),
         )
         bias_g = scored.agg(
-            F.round(F.avg("_err"), grad_round_dp).alias("g")
+            F.round(
+                _ordered_sum(F.struct("_id", "_err"), "_err")
+                / F.lit(float(n_docs)),
+                grad_round_dp,
+            ).alias("g")
         ).collect()[0]["g"]
         grads = (
             scored.select(
-                "_err", "_n", F.explode("_toks").alias("_t")
+                "_id", "_err", "_n",
+                F.posexplode("_toks").alias("_pos", "_t"),
             )
             .select(
+                "_id", "_pos",
                 (h64(F.col("_t")) % n_buckets).alias("_b"),
                 (F.col("_err") / F.col("_n").cast("double")).alias("_c"),
             )
             .groupBy("_b")
             .agg(
                 F.round(
-                    F.sum("_c") / F.lit(float(n_docs)), grad_round_dp
+                    _ordered_sum(F.struct("_id", "_pos", "_c"), "_c")
+                    / F.lit(float(n_docs)),
+                    grad_round_dp,
                 ).alias("g")
             )
             .collect()

@@ -2075,9 +2075,14 @@ def _hashed_train_oracle() -> str:
     """The ENTIRE gradient-descent optimisation as a per-iteration SQL CTE
     chain: the referee replays every scoring fold, gradient aggregation,
     rounding, and weight step that ``fit_hashed_logistic`` performs and
-    must land on identical doubles (gradients rounded 6dp on both engines
-    absorb summation-order and libm-exp drift; weight steps are then
-    exact IEEE arithmetic on identical inputs)."""
+    must land on identical doubles. Two determinism devices, both mirrored
+    here: per-doc err is QUANTIZED (round 6dp) right after the sigmoid —
+    z is bit-identical cross-engine, so quantization collapses exp()'s
+    JVM-vs-C last-ulp drift before it can reach a gradient rounding
+    boundary (a 1e-6 weight flip was observed without it) — and every
+    gradient sum is an ORDERED fold (``list_sum(list(v ORDER BY doc_id,
+    pos))`` / Spark's array_sort+aggregate) so partitioning cannot
+    reorder it."""
     D, lr = _HQ_D, _HQ_LR
     parts = [
         f"""d0 AS (SELECT doc_id, {O.toks('lower(text)')} AS w FROM documents),
@@ -2094,17 +2099,22 @@ def _hashed_train_oracle() -> str:
         parts.append(
             f"""wl{k} AS (SELECT list(wt ORDER BY b) AS wl FROM w{k}),
     e{k} AS (SELECT d.doc_id, d.n, d.w,
-                    1.0 / (1.0 + exp(-(b{k}.bias + CASE WHEN d.n > 0
+                    round(1.0 / (1.0 + exp(-(b{k}.bias + CASE WHEN d.n > 0
                       THEN list_sum(list_transform(d.w,
                              t -> wl{k}.wl[({O.h64('t')} % {D}) + 1]))
                            / cast(d.n as double)
-                      ELSE 0.0 END))) - d.y AS err
+                      ELSE 0.0 END))) - d.y, 6) AS err
              FROM docs0 d, wl{k}, b{k}),
-    gb{k} AS (SELECT round(avg(err), 6) AS g FROM e{k}),
-    g{k} AS (SELECT ({O.h64('u.t')} % {D}) AS b,
-                    round(sum(err / cast(n as double)) / (SELECT nd FROM nn),
-                          6) AS g
-             FROM e{k}, unnest(e{k}.w) AS u(t)
+    gb{k} AS (SELECT round(list_sum(list(err ORDER BY doc_id))
+                          / (SELECT nd FROM nn), 6) AS g FROM e{k}),
+    x{k} AS (SELECT e.doc_id, u.pos,
+                    ({O.h64('e.w[u.pos]')} % {D}) AS b,
+                    e.err / cast(e.n as double) AS c
+             FROM e{k} e, unnest(range(1, len(e.w) + 1)) AS u(pos)),
+    g{k} AS (SELECT b,
+                    round(list_sum(list(c ORDER BY doc_id, pos))
+                          / (SELECT nd FROM nn), 6) AS g
+             FROM x{k}
              GROUP BY b),
     w{k + 1} AS (SELECT bk.b,
                         coalesce(w.wt, 0.0) - {lr} * coalesce(g.g, 0.0) AS wt
@@ -2113,11 +2123,16 @@ def _hashed_train_oracle() -> str:
     b{k + 1} AS (SELECT b{k}.bias - {lr} * gb{k}.g AS bias FROM b{k}, gb{k})"""
         )
     body = ",\n    ".join(parts)
+    # Output rounds at 7dp, NOT 6: with lr=0.5 over 1e-6-rounded gradients
+    # every weight is a multiple of 5e-7 — exactly ON the 7dp grid (no
+    # boundary), but exactly ON the HALF-boundaries of the 6dp grid, where
+    # Spark's BigDecimal rounding and DuckDB's scale-multiply rounding
+    # systematically disagree (observed: 8 of 32 buckets off by 1e-6).
     return f"""
     WITH {body}
-    SELECT cast(b as int) AS bucket, round(wt, 6) AS weight FROM w{_HQ_ITER}
+    SELECT cast(b as int) AS bucket, round(wt, 7) AS weight FROM w{_HQ_ITER}
     UNION ALL
-    SELECT -1, round(bias, 6) FROM b{_HQ_ITER}
+    SELECT -1, round(bias, 7) FROM b{_HQ_ITER}
     ORDER BY bucket
     """
 
@@ -2140,18 +2155,21 @@ def p35_hashed_quality_train(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = scoring._hashed_toks("text")
     labeled = docs.select(
+        F.col("doc_id"),
         F.col("text"),
         F.array_contains(toks, "data").cast("double").alias("label"),
     )
     model = scoring.fit_hashed_logistic(
-        labeled, "text", "label",
+        labeled, "text", "label", id_col="doc_id",
         n_buckets=_HQ_D, n_iter=_HQ_ITER, lr=_HQ_LR,
     )
     rows = [(i, float(wv)) for i, wv in enumerate(model["weights"])]
     rows.append((-1, float(model["bias"])))
+    # 7dp, not 6: weights are 5e-7-grid values — ON the 7dp grid, on the
+    # HALF-boundaries of the 6dp grid (see _hashed_train_oracle)
     return (
         spark.createDataFrame(rows, "bucket int, weight double")
-        .select("bucket", F.round("weight", 6).alias("weight"))
+        .select("bucket", F.round("weight", 7).alias("weight"))
         .orderBy("bucket")
     )
 
