@@ -82,6 +82,8 @@ _PRIORITY_R7 = [
     # to sql_views.PARTSUPP_SELECT)
     "rel_sql_surface", "rel_q2_min_cost_supplier", "rel_q11_important_stock",
     "rel_q16_supplier_part_counts", "rel_q20_promotion_suppliers",
+    # new this round: Flesch readability + Zipf rank-frequency audit
+    "p37_readability", "a16_zipf_slope",
     # stale: freshest driver green is r3 (VERDICT r6's 25-row list)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "d06_fingerprint",

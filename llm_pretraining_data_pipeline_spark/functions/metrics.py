@@ -122,3 +122,46 @@ def is_repetitive_token_spam(
     """True when one token dominates the doc (frac > threshold, ≥ min_tokens)."""
     toks = ws_tokens(c)
     return (F.size(toks) >= min_tokens) & (max_token_frequency_ratio(c) > F.lit(threshold))
+
+
+def syllable_count(c: Column | str) -> Column:
+    """Total syllable estimate: number of vowel-group runs ``[aeiouy]+`` in
+    the lowercased text (the standard cheap heuristic behind readability
+    filters; runs never span whitespace, so the text-wide count equals the
+    per-word sum). Deterministic, regex-only — both engines count the same
+    runs (`len(regexp_extract_all(...))`)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(_col(c).cast("string"), F.lit(""))),
+            F.lit("[aeiouy]+"),
+            F.lit(0),
+        )
+    ).cast("long")
+
+
+def flesch_reading_ease(
+    text: Column | str,
+    n_sentences: Column,
+    round_dp: int = 4,
+) -> Column:
+    """Flesch Reading Ease = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words) — the classic readability score web-corpus
+    pipelines bucket on (e.g. educational-quality filtering). Callers
+    supply the sentence count (``corpus.split_sentences`` size, floored at
+    1) so the sentence definition stays the engine's single shared one.
+
+    Pure per-row expressions, zero shuffle; every ratio is int/int then
+    fixed-order double arithmetic, so a 4dp round is cross-engine safe.
+    """
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+
+    t = F.coalesce(_col(text).cast("string"), F.lit(""))
+    words = F.size(ws_tokens(t)).cast("long")
+    syl = syllable_count(t)
+    sents = F.greatest(n_sentences.cast("long"), F.lit(1).cast("long"))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / words.cast("double"))
+    )
+    return F.round(F.when(words > 0, score).otherwise(F.lit(0.0)), round_dp)

@@ -1703,3 +1703,52 @@ def hash_split(
     for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
         expr = F.when(draw < F.lit(cut), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Zipf rank-frequency fit over the top-``k`` tokens: OLS of ln(freq)
+    on ln(rank) — the corpus-health audit (natural language sits near
+    slope −1; scraped boilerplate/spam bends the curve, so curation
+    dashboards track this per source/snapshot).
+
+    One word-count shuffle + TakeOrderedAndProject(k) (never a global
+    sort); the regression runs over k rows with ORDERED folds
+    (rank-sorted struct fold — the engine's standard order-deterministic
+    double summation), so the fitted coefficients are bit-stable across
+    partitionings and engines; ln() drift is absorbed by the 6dp round.
+
+    Output: one row (n_tokens, zipf_slope, zipf_intercept).
+    """
+    tf = vocab_top_tokens(df, text_col, k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = tf.withColumn("rank", F.row_number().over(w))
+    pairs = ranked.select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+
+    def osum(value: Column) -> Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("rank"), value.alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        osum(F.col("x")).alias("sx"),
+        osum(F.col("y")).alias("sy"),
+        osum(F.col("x") * F.col("y")).alias("sxy"),
+        osum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -1290,3 +1290,108 @@ def o06_hash_split(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "source")
     )
+
+
+# ================================================= readability + Zipf audit
+
+# Sentence-bearing fixture (raw fixture text has no punctuation): three
+# overlapping substrings joined as sentences, fourth sentence on every
+# doc_id % 4 == 0. Identical construction on both engines.
+_READ_FIX_SQL = (
+    "substr(coalesce(text, ''), 1, 80) || '. '"
+    " || substr(coalesce(text, ''), 40, 80)"
+    " || CASE WHEN doc_id % 4 = 0"
+    " THEN '. ' || substr(coalesce(text, ''), 80, 60) ELSE '' END || '.'"
+)
+
+
+def _read_fix_spark():
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return F.concat(
+        F.substring(t, 1, 80), F.lit(". "), F.substring(t, 40, 80),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(". "), F.substring(t, 80, 60)),
+        ).otherwise(F.lit("")),
+        F.lit("."),
+    )
+
+
+@register(
+    "p37_readability",
+    f"""
+    WITH d AS (SELECT doc_id, {_READ_FIX_SQL} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 cast(len({O.toks('t')}) as bigint) AS n_words,
+                 cast(len({_C4_SENT_SPLIT.format(t='t')}) as bigint) AS n_sents,
+                 cast(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+                      as bigint) AS n_syllables
+          FROM d)
+    SELECT doc_id, n_words, n_sents, n_syllables,
+           CASE WHEN n_words > 0
+                THEN round(206.835
+                           - 1.015 * (cast(n_words as double)
+                                      / cast(greatest(n_sents, 1) as double))
+                           - 84.6 * (cast(n_syllables as double)
+                                     / cast(n_words as double)), 4)
+                ELSE 0.0 END AS fre
+    FROM m
+    """,
+    doc="Flesch Reading Ease over sentence-split text (the readability "
+        "bucket educational-quality filters use): words / sentences / "
+        "vowel-group syllable heuristic, all shared single definitions "
+        "(ws_tokens, split_sentences, [aeiouy]+ runs). Pure per-row "
+        "int/int ratios in fixed order — 4dp round is cross-engine safe; "
+        "zero shuffle at any scale",
+)
+def p37_readability(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import metrics
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _read_fix_spark().alias("t")
+    )
+    n_sents = F.size(corpus.split_sentences(F.col("t")))
+    return d.select(
+        "doc_id",
+        F.size(corpus.ws_tokens(F.col("t"))).cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+        metrics.syllable_count("t").alias("n_syllables"),
+        metrics.flesch_reading_ease(F.col("t"), n_sents).alias("fre"),
+    )
+
+
+_ZIPF_K = 100
+
+
+@register(
+    "a16_zipf_slope",
+    f"""
+    WITH tok AS (SELECT unnest({O.toks('lower(text)')}) AS token
+                 FROM documents),
+    tf AS (SELECT token, cast(count(*) as bigint) AS cnt
+           FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT {_ZIPF_K}),
+    r AS (SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, cnt
+          FROM tf),
+    p AS (SELECT rank, ln(cast(rank as double)) AS x,
+                 ln(cast(cnt as double)) AS y
+          FROM r),
+    s AS (SELECT cast(count(*) as double) AS n,
+                 list_sum(list(x ORDER BY rank)) AS sx,
+                 list_sum(list(y ORDER BY rank)) AS sy,
+                 list_sum(list(x * y ORDER BY rank)) AS sxy,
+                 list_sum(list(x * x ORDER BY rank)) AS sxx
+          FROM p)
+    SELECT cast(n as bigint) AS n_tokens,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+           round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n,
+                 6) AS zipf_intercept
+    FROM s
+    """,
+    doc="Zipf rank-frequency OLS over the top-100 tokens (corpus-health "
+        "audit: natural language sits near slope -1, boilerplate bends "
+        "it). One word-count shuffle + TakeOrderedAndProject, regression "
+        "over 100 rows with rank-ORDERED folds on both engines; ln drift "
+        "absorbed by the 6dp round",
+)
+def a16_zipf_slope(spark, sf_dir):
+    return corpus.zipf_fit(_docs(spark, sf_dir), k=_ZIPF_K)

@@ -831,3 +831,53 @@ class TestExactSubstrDedup:
         assert out[2].n_tok_orig == 0 and out[3].n_tok_orig == 0
         with pytest.raises(ValueError, match=">= 2"):
             exact_substr_dedup(df, min_tokens=1)
+
+
+class TestReadabilityAndZipf:
+    def test_flesch_hand_computed(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.functions import metrics
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            split_sentences,
+        )
+
+        # "the cat sat. it sat there." -> 6 words, 2 sentences,
+        # syllables: the(1) cat(1) sat(1) it(1) sat(1) there(2) = 7
+        df = spark.createDataFrame(
+            [(1, "the cat sat. it sat there."), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        n_sents = F.size(split_sentences(F.col("text")))
+        rows = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id",
+                metrics.syllable_count("text").alias("syl"),
+                metrics.flesch_reading_ease(F.col("text"), n_sents).alias("fre"),
+            ).collect()
+        }
+        assert rows[1].syl == 7
+        expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (7 / 6), 4)
+        assert rows[1].fre == expected
+        assert rows[2].fre == 0.0 and rows[3].fre == 0.0  # no words
+
+    def test_zipf_slope_on_exact_power_law(self, spark):
+        """A corpus built with freq(rank) = C / rank must fit slope = -1
+        (exactly, up to the 6dp round: ln-freq is ln C - ln rank)."""
+        import math
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import zipf_fit
+
+        C = 840  # lcm(1..8): C / rank is exact for every rank
+        rows = []
+        rid = 0
+        for rank in range(1, 9):
+            for _ in range(C // rank):
+                rows.append((rid, f"tok{rank:02d}"))
+                rid += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = zipf_fit(df, k=8).first()
+        assert out.n_tokens == 8
+        assert abs(out.zipf_slope - (-1.0)) < 1e-6
+        assert abs(out.zipf_intercept - math.log(C)) < 1e-6
