@@ -84,6 +84,8 @@ _PRIORITY_R7 = [
     "rel_q16_supplier_part_counts", "rel_q20_promotion_suppliers",
     # new this round: Flesch readability + Zipf rank-frequency audit
     "p37_readability", "a16_zipf_slope",
+    # new this round: IVF-PQ composed ANN (FAISS IVFPQ shape)
+    "emb_ivfpq_topk",
     # stale: freshest driver green is r3 (VERDICT r6's 25-row list)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "d06_fingerprint",

@@ -568,3 +568,87 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "adc_dist", F.col("rank").cast("int"))
     )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """IVF-PQ composition — the FAISS ``IVFPQ`` index shape (Jégou et al.
+    2011 §V), the standard billion-vector ANN deployment: the IVF coarse
+    quantizer prunes each query to its ``n_probe`` best cells, and ADC
+    scores ONLY the pruned cells' PQ codes — neither full vectors nor the
+    full code table are touched per query.
+
+    Inputs are the ingest-time artifacts the separate operators already
+    build: ``assigned`` from ``ivf_assign`` (or a ``write_ivf_index``
+    table), ``codes`` from ``pq_encode``, ``codebooks`` from the trainer.
+
+    Scale shape: probed cells come from a tiny queries × broadcast-
+    centroids cross (k_c rows per query); candidates are ONE equi-join of
+    (query, cell) against the (id, cell) assignment — never a cartesian;
+    the ADC table is (q × m × k_codes) rows and broadcasts; per-candidate
+    distance is the m-term subspace-ORDERED fold (bit-stable, as
+    ``pq_adc_topk``). Returns (query_id, vec_id, adc_dist, rank<=k).
+    """
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id),
+        F.col(centroid_id).alias("cell"),
+        cosine(
+            _as_double(F.col(query_vec)), _as_double(F.col(centroid_vec))
+        ).alias("_s"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("_s"), F.col("cell"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id, "cell")
+    )
+    cand = probes.join(assigned.select(F.col(id_col), "cell"), "cell").select(
+        query_id, id_col
+    )
+
+    qsubs = queries.select(
+        F.col(query_id), F.posexplode(pq_subspaces(F.col(query_vec), m, dim))
+    ).select(
+        query_id, F.col("col.sub").alias("sub"), F.col("col.subvec").alias("qsub")
+    )
+    table = qsubs.join(F.broadcast(codebooks), "sub").select(
+        query_id, "sub", "code_id",
+        l2sq(F.col("qsub"), F.col("code_vec")).alias("_d"),
+    )
+    exploded = codes.join(cand, id_col).select(
+        query_id, F.col(id_col), F.posexplode("codes").alias("sub", "code_id")
+    )
+    per_sub = exploded.join(
+        F.broadcast(table), [query_id, "sub", "code_id"]
+    ).select(query_id, id_col, "sub", "_d")
+    dist = (
+        per_sub.groupBy(query_id, id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "_d"))).alias("_t"))
+        .select(
+            query_id,
+            id_col,
+            F.aggregate(
+                F.col("_t"), F.lit(0.0), lambda acc, e: acc + e["_d"]
+            ).alias("adc_dist"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        dist.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "adc_dist", F.col("rank").cast("int"))
+    )

@@ -1902,6 +1902,88 @@ def emb_pq_topk(spark, sf_dir):
     )
 
 
+@register(
+    "emb_ivfpq_topk",
+    f"""
+    WITH {_pq_base_sql()},
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT e.vec_id,
+             (SELECT c.centroid_id FROM cents c
+              ORDER BY {O.cosine_double('e.embedding', 'c.cvec')} DESC,
+                       c.centroid_id
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN (1, 2, 3)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.centroid_id AS cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {O.cosine_double('q.qv', 'c.cvec')} DESC,
+                          c.centroid_id) AS rn
+        FROM q, cents c) WHERE rn <= 2
+    ),
+    cand AS (SELECT p.query_id, a.vec_id
+             FROM probes p JOIN assigned a ON a.cell = p.cell),
+    qs AS (SELECT query_id, s.j AS sub, {_pq_slice('qv')} AS qsub
+           FROM q, {_PQ_SUBS_SQL} s),
+    tab AS (
+      SELECT qs.query_id, qs.sub, cb.code_id,
+             {O.l2sq_double('qs.qsub', 'cb.code_vec')} AS d
+      FROM qs JOIN cb ON cb.sub = qs.sub
+    ),
+    dist AS (
+      SELECT cd.query_id, b.vec_id,
+             list_sum(list(t.d ORDER BY b.sub)) AS adc
+      FROM cand cd
+      JOIN best b ON b.vec_id = cd.vec_id
+      JOIN tab t ON t.query_id = cd.query_id AND t.sub = b.sub
+                AND t.code_id = b.code_id
+      GROUP BY cd.query_id, b.vec_id
+    )
+    SELECT query_id, vec_id, round(adc, 6) AS adc_dist,
+           cast(rank as int) AS rank
+    FROM (SELECT query_id, vec_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc ASC, vec_id) AS rank
+          FROM dist)
+    WHERE rank <= 10
+    """,
+    doc="IVF-PQ — the FAISS IVFPQ / Jégou et al. 2011 §V composition, the "
+        "standard billion-vector ANN deployment: the coarse quantizer "
+        "prunes each query to its 2 best cells, ADC scores ONLY the pruned "
+        "cells' PQ codes (no full vectors, no full code table per query). "
+        "Probes = tiny queries×broadcast-centroids cross; candidates = one "
+        "cell equi-join; per-candidate distance = subspace-ordered m-term "
+        "fold. Composes the already-refereed ivf_assign + pq_encode "
+        "artifacts end to end",
+)
+def emb_ivfpq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = similarity.ivf_assign(emb, centroids)
+    cb = similarity.pq_codebooks_first_k(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    codes = similarity.pq_encode(emb, cb, m=_PQ_M, dim=_PQ_DIM)
+    queries = emb.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = similarity.ivf_pq_topk(
+        codes, assigned, centroids, cb, queries,
+        k=10, n_probe=2, m=_PQ_M, dim=_PQ_DIM,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
+    )
+
+
 # ============================================================ link extract
 
 

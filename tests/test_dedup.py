@@ -646,3 +646,61 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError, match="dim % m"):
             S.pq_subspaces(F.col("x"), m=4, dim=10)
+
+
+class TestIvfPq:
+    def test_full_probe_equals_brute_adc_and_pruning_works(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        assigned = similarity.ivf_assign(emb, cents)
+        cb = similarity.pq_codebooks_first_k(emb, m=4, k=8, dim=64)
+        codes = similarity.pq_encode(emb, cb, m=4, dim=64)
+        queries = emb.filter(F.col("vec_id").isin([1, 2])).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        # with n_probe = all 8 cells nothing is pruned: IVF-PQ must equal
+        # the brute ADC ranking exactly
+        full = similarity.ivf_pq_topk(
+            codes, assigned, cents, cb, queries, k=10, n_probe=8
+        )
+        brute = similarity.pq_adc_topk(codes, cb, queries, k=10)
+        a = [(r.query_id, r.vec_id, round(r.adc_dist, 9), r.rank)
+             for r in full.orderBy("query_id", "rank").collect()]
+        b = [(r.query_id, r.vec_id, round(r.adc_dist, 9), r.rank)
+             for r in brute.orderBy("query_id", "rank").collect()]
+        assert a == b
+        # with n_probe=1 every returned candidate sits in the query's cell
+        one = similarity.ivf_pq_topk(
+            codes, assigned, cents, cb, queries, k=10, n_probe=1
+        )
+        cells = {r.vec_id: r.cell for r in assigned.collect()}
+        qcells = {r.query_id: cells[r.query_id] for r in queries.select("query_id").collect()}
+        for r in one.collect():
+            assert cells[r.vec_id] == qcells[r.query_id]
+
+    def test_plan_never_cartesian(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        assigned = similarity.ivf_assign(emb, cents)
+        cb = similarity.pq_codebooks_first_k(emb, m=4, k=8, dim=64)
+        codes = similarity.pq_encode(emb, cb, m=4, dim=64)
+        queries = emb.filter(F.col("vec_id") == 1).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        out = similarity.ivf_pq_topk(codes, assigned, cents, cb, queries)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
