@@ -86,7 +86,9 @@ _PRIORITY_R7 = [
     "p37_readability", "a16_zipf_slope",
     # new this round: IVF-PQ composed ANN (FAISS IVFPQ shape)
     "emb_ivfpq_topk",
-    # stale: freshest driver green is r3 (VERDICT r6's 25-row list)
+    # stale: freshest driver green is r3 — 24 of VERDICT r6's 25-row list;
+    # the 25th, corp_stratified_sample, sits in the changed head above
+    # (its draw was salted this round)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "d06_fingerprint",
     "a01_source_counts", "a02_boolean_mask_sums", "a05_numeric_summary",

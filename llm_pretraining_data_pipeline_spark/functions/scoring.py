@@ -351,8 +351,15 @@ def fit_hashed_logistic(
         F.size(toks).alias("_n"),
         F.col(label_col).cast("double").alias("_y"),
     )
+    # Persist the tokenised frame: every GD iteration launches two jobs
+    # (bias gradient + bucket gradients), and without the cache each one
+    # re-reads the source and re-tokenises the corpus — 2·n_iter + 1 full
+    # passes where one suffices. Values are unchanged, so the refereed
+    # doubles cannot be affected.
+    base = base.persist()
     n_docs = base.count()
     if n_docs == 0:
+        base.unpersist()
         raise ValueError("fit_hashed_logistic: training frame is empty")
 
     def _ordered_sum(struct_col, value_field):
@@ -411,4 +418,5 @@ def fit_hashed_logistic(
         b -= lr * bias_g
         for i in range(n_buckets):
             w[i] -= lr * gmap.get(i, 0.0)
+    base.unpersist()
     return {"bias": b, "weights": w}

@@ -114,6 +114,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, int, bytes]:
     """
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
+    try:
+        return _decode_png_body(data)
+    except (zlib.error, struct.error) as exc:
+        # Truncated CRC fields, short IHDR bodies, and corrupt deflate
+        # streams surface as zlib.error/struct.error — normalise to the
+        # ValueError contract so callers' single except arm (decode_ok
+        # bookkeeping in media.png_feature_stats) always holds.
+        raise ValueError(f"corrupt PNG: {exc}") from exc
+
+
+def _decode_png_body(data: bytes) -> tuple[int, int, int, int, bytes]:
     pos = len(PNG_SIGNATURE)
     width = height = bit_depth = color_type = None
     interlace = 0

@@ -653,6 +653,28 @@ def span_dedup(
     """
     if w < 2:
         raise ValueError("w must be >= 2")
+    words, joined, dup_ivs, kept = _window_dedup_core(df, text_col, id_col, w)
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s.t), " ").alias("dedup_text"),
+        F.size(words).cast("long").alias("n_tok_orig"),
+        F.size(kept).cast("long").alias("n_tok_kept"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+    )
+
+
+def _window_dedup_core(df: DataFrame, text_col: str, id_col: str, w: int):
+    """The shared ExactSubstr machinery behind ``span_dedup`` and
+    ``exact_substr_dedup`` (single definition — a tie-break or interval
+    change cannot diverge them): w-token window hashes at every offset
+    (one narrow explode), corpus-wide keep-first on the 60-bit hash (ONE
+    shuffle), losing starts merged into maximal [lo, hi) intervals per doc,
+    and the per-row kept-token rebuild.
+
+    Returns ``(words, joined, dup_ivs, kept)`` where ``joined`` carries the
+    input columns plus ``_dup_ivs``/``n_dup_windows`` from the (tiny)
+    aggregated losing side.
+    """
     words = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
     k = F.size(words) - F.lit(w - 1)
     win_hashes = F.when(
@@ -694,13 +716,7 @@ def span_dedup(
             lambda iv: (s.i + 1 >= iv["lo"]) & (s.i + 1 < iv["hi"]),
         ),
     )
-    return joined.select(
-        F.col(id_col),
-        F.array_join(F.transform(kept, lambda s: s.t), " ").alias("dedup_text"),
-        F.size(words).cast("long").alias("n_tok_orig"),
-        F.size(kept).cast("long").alias("n_tok_kept"),
-        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
-    )
+    return words, joined, dup_ivs, kept
 
 
 def exact_substr_dedup(
@@ -734,43 +750,7 @@ def exact_substr_dedup(
     k = min_tokens
     if k < 2:
         raise ValueError("min_tokens must be >= 2")
-    words = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    n_sh = F.size(words) - F.lit(k - 1)
-    sh_hashes = F.when(
-        n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: h64(F.array_join(F.slice(words, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-
-    shingles = df.select(
-        F.col(id_col), F.posexplode(sh_hashes).alias("_p0", "_gh")
-    ).select(id_col, (F.col("_p0") + 1).alias("start"), "_gh")
-    keep_w = Window.partitionBy("_gh").orderBy(id_col, "start")
-
-    losers = (
-        shingles.withColumn("_rn", F.row_number().over(keep_w))
-        .filter(F.col("_rn") > 1)
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("start")).alias("_dup_starts"))
-        .select(
-            id_col,
-            _merge_win_intervals(F.col("_dup_starts"), k).alias("_dup_ivs"),
-        )
-    )
-
-    joined = df.join(losers, id_col, "left")
-    dup_ivs = F.coalesce(
-        F.col("_dup_ivs"), F.array().cast("array<struct<lo:int,hi:int>>")
-    )
-    kept = F.filter(
-        F.transform(words, lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))),
-        lambda s: ~F.exists(
-            dup_ivs,
-            lambda iv: (s.i + 1 >= iv["lo"]) & (s.i + 1 < iv["hi"]),
-        ),
-    )
+    words, joined, dup_ivs, kept = _window_dedup_core(df, text_col, id_col, k)
     run_lens = F.transform(dup_ivs, lambda iv: (iv["hi"] - iv["lo"]).cast("long"))
     return joined.select(
         F.col(id_col),
@@ -1742,13 +1722,18 @@ def zipf_fit(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
         osum(F.col("x") * F.col("y")).alias("sxy"),
         osum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
-    )
+    # Degenerate corpora (a single distinct token: sxx == sx²/n) have no
+    # defined slope — emit EXPLICIT nulls instead of a 0/0 NaN, so a
+    # per-source dashboard can flag exactly the boilerplate-collapsed
+    # sources this audit exists to catch (review finding).
+    denom = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    defined = (F.col("n") >= 2) & (denom != 0.0)
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / denom
     return agg.select(
         F.col("n").cast("long").alias("n_tokens"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "zipf_intercept"
-        ),
+        F.when(defined, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(
+            defined,
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6),
+        ).alias("zipf_intercept"),
     )

@@ -121,14 +121,27 @@ def write_sharded_corpus_jsonl(
     )
 
     out = assign_shards_hashed(df, num_shards, id_col=id_col)
-    frame = out.select(
-        "shard_id",
-        F.to_json(F.struct(*[F.col(f) for f in fields])).alias("value"),
-    )
-    frame.write.mode("overwrite").partitionBy("shard_id").text(path)
-    man_rows = shard_manifest(out, token_col=token_col).collect()
+    # Persist around the two actions: without it the manifest aggregation
+    # re-executes the ENTIRE upstream plan a second time after the write
+    # (review finding — the bench entry was timing write + full recompute).
+    # At extreme scale where caching the corpus is unwanted, export parquet
+    # instead and build the manifest from a read-back of the written files.
+    out = out.persist()
+    try:
+        frame = out.select(
+            "shard_id",
+            F.to_json(F.struct(*[F.col(f) for f in fields])).alias("value"),
+        )
+        frame.write.mode("overwrite").partitionBy("shard_id").text(path)
+        man_rows = shard_manifest(out, token_col=token_col).collect()
+    finally:
+        out.unpersist()
+    # num_shards is the CONFIGURED shard-space size; hash assignment can
+    # leave some shards empty on small corpora, so the per-shard list only
+    # carries shards that received rows (n_shards_nonempty counts them)
     return {
-        "num_shards": len(man_rows),
+        "num_shards": int(num_shards),
+        "n_shards_nonempty": len(man_rows),
         "total_docs": int(sum(r.num_docs for r in man_rows)),
         "total_tokens": int(sum(r.total_tokens or 0 for r in man_rows)),
         "shards": [

@@ -881,3 +881,16 @@ class TestReadabilityAndZipf:
         assert out.n_tokens == 8
         assert abs(out.zipf_slope - (-1.0)) < 1e-6
         assert abs(out.zipf_intercept - math.log(C)) < 1e-6
+
+
+class TestZipfDegenerate:
+    def test_single_token_corpus_yields_explicit_nulls(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import zipf_fit
+
+        df = spark.createDataFrame(
+            [(i, "same same same") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = zipf_fit(df, k=10).first()
+        assert out.n_tokens == 1
+        assert out.zipf_slope is None and out.zipf_intercept is None

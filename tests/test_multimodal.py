@@ -167,3 +167,71 @@ class TestPngCodec:
         # non-PNG image bytes still fall back to the byte fingerprint
         fb = media._decode_payload("image", b"\xff\xd8 jpeg-ish")
         assert len(fb) == media.FEATURE_DIM and fb != vec
+
+
+class TestPngNonValueErrorPaths:
+    """Review finding: zlib.error / struct.error must surface as ValueError
+    so png_feature_stats' decode_ok contract holds for every corrupt
+    payload class, not just clean parse failures."""
+
+    def test_corrupt_deflate_and_truncated_structs_raise_valueerror(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        good = png.encode_png(2, 2, bytes(4), color_type=0)
+
+        # corrupt the deflate stream but FIX the chunk CRC so parsing
+        # reaches zlib.decompress
+        idat_len = struct.unpack(">I", good[33:37])[0]
+        body = bytearray(good[41 : 41 + idat_len])
+        body[0] ^= 0xFF
+        fixed_crc = struct.pack(
+            ">I", zlib.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF
+        )
+        corrupt = (
+            good[:41] + bytes(body) + fixed_crc + good[41 + idat_len + 4 :]
+        )
+        with pytest.raises(ValueError, match="corrupt PNG"):
+            png.decode_png(corrupt)
+
+        # payload truncated inside a chunk CRC field
+        with pytest.raises(ValueError):
+            png.decode_png(good[:-2])
+
+        # short IHDR body with self-consistent CRC
+        ihdr_body = b"\x00" * 5
+        crc = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF)
+        short = (
+            png.PNG_SIGNATURE
+            + struct.pack(">I", len(ihdr_body)) + b"IHDR" + ihdr_body + crc
+        )
+        with pytest.raises(ValueError):
+            png.decode_png(short)
+
+    def test_spark_operator_survives_corrupt_deflate(self, spark):
+        import struct
+        import zlib
+
+        from llm_pretraining_data_pipeline_spark.multimodal import media, png
+
+        good = png.encode_png(2, 2, bytes(4), color_type=0)
+        idat_len = struct.unpack(">I", good[33:37])[0]
+        body = bytearray(good[41 : 41 + idat_len])
+        body[0] ^= 0xFF
+        fixed_crc = struct.pack(
+            ">I", zlib.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF
+        )
+        corrupt = (
+            good[:41] + bytes(body) + fixed_crc + good[41 + idat_len + 4 :]
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(corrupt))],
+            "media_id long, payload binary",
+        )
+        out = {r.media_id: r for r in media.png_feature_stats(df).collect()}
+        assert out[1].decode_ok
+        assert not out[2].decode_ok and "corrupt PNG" in out[2].decode_err
