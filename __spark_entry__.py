@@ -84,8 +84,9 @@ _PRIORITY_R7 = [
     "rel_q16_supplier_part_counts", "rel_q20_promotion_suppliers",
     # new this round: Flesch readability + Zipf rank-frequency audit
     "p37_readability", "a16_zipf_slope",
-    # new this round: IVF-PQ composed ANN (FAISS IVFPQ shape)
-    "emb_ivfpq_topk",
+    # new this round: IVF-PQ composed ANN (FAISS IVFPQ shape); streaming
+    # model-based quality scoring (integer-exact complete-mode aggregate)
+    "emb_ivfpq_topk", "ev_stream_quality",
     # stale: freshest driver green is r3 — 24 of VERDICT r6's 25-row list;
     # the 25th, corp_stratified_sample, sits in the changed head above
     # (its draw was salted this round)

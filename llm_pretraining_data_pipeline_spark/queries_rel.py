@@ -1953,3 +1953,62 @@ def rel_sql_surface(spark, sf_dir):
 
     register_sql_views(spark, sf_dir)
     return spark.sql(_SQL_SURFACE_TEXT)
+
+
+def _stream_quality_oracle() -> str:
+    from llm_pretraining_data_pipeline_spark.oracle_fragments import h64, toks
+    from llm_pretraining_data_pipeline_spark.queries_ext import (
+        _H36_BIAS,
+        _H36_W_SQL,
+        _HQ_D,
+        _moji_fix_sql,
+    )
+
+    l1 = (
+        "'CafÃ© event number ' || cast(event_id % 13 as varchar)"
+        " || ' reports â€œokâ€¦ status fine.'"
+    )
+    l3 = (
+        "CASE WHEN event_id % 3 = 0"
+        " THEN 'Please enable javascript to continue now.'"
+        " ELSE 'An ordinary second line with words enough.' END"
+    )
+    raw = f"{l1} || chr(10) || 'tiny.' || chr(10) || {l3}"
+    q = (
+        f"round(1.0 / (1.0 + exp(-({_H36_BIAS!r} + CASE WHEN len(w) > 0"
+        f" THEN list_sum(list_transform(w,"
+        f" t -> {_H36_W_SQL}[({h64('t')} % {_HQ_D}) + 1]))"
+        f" / cast(len(w) as double) ELSE 0.0 END))), 6)"
+    )
+    return f"""
+    WITH u AS (SELECT event_type, {_moji_fix_sql(raw)} AS txt FROM events),
+    s AS (SELECT event_type, {q} AS q
+          FROM (SELECT event_type, {toks('lower(txt)')} AS w FROM u))
+    SELECT event_type, cast(count(*) as bigint) AS n_docs,
+           cast(sum(cast(round(q * 1000000.0, 0) as bigint)) as bigint)
+             AS score_sum_micro
+    FROM s GROUP BY event_type
+    """
+
+
+@register(
+    "ev_stream_quality",
+    _stream_quality_oracle(),
+    doc="model-based quality scoring ON the stream: mojibake repair + the "
+        "frozen hashed-token logistic scorer applied per event (stateless "
+        "per-row maps need nothing stream-specific), then a complete-mode "
+        "per-type aggregate. Per-row 6dp scores are integer-ized to "
+        "micro-units before summing so the streaming aggregate is EXACT "
+        "and order-independent — replayable bit-for-bit by the batch "
+        "DuckDB referee; bounded drain",
+)
+def ev_stream_quality(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.queries_ext import (
+        _H36_BIAS,
+        _H36_W,
+    )
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_quality_stream_once,
+    )
+
+    return run_quality_stream_once(spark, sf_dir, _H36_W, _H36_BIAS)

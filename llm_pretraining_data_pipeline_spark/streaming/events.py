@@ -418,3 +418,32 @@ def run_cleanse_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text_c4")).alias("clean_chars"),
     )
     return _drain_to_memory(agg, "complete")
+
+
+def run_quality_stream_once(
+    spark: SparkSession, sf_dir: str, weights: list[float], bias: float
+) -> DataFrame:
+    """Model-based quality scoring ON the stream: mojibake repair then the
+    frozen hashed-token logistic scorer (the p36 expression — literal
+    broadcast weights, position-ordered fold) applied per event, then a
+    complete-mode per-type aggregate. Per-row scores are 6dp-rounded
+    doubles, so the aggregate integer-izes them (micro-units) — the sum is
+    then EXACT and order-independent, which is what lets the batch DuckDB
+    referee replay a streaming aggregation bit-for-bit. Bounded drain."""
+    from llm_pretraining_data_pipeline_spark.functions import scoring
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        fix_mojibake,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    docs = stream.select(
+        "event_type", cleanse_text_expr().alias("raw")
+    ).withColumn("text", fix_mojibake("raw"))
+    scored = scoring.hashed_quality_score(docs, "text", weights, bias)
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.round(F.col("hashed_quality") * F.lit(1_000_000.0), 0).cast("long")
+        ).alias("score_sum_micro"),
+    )
+    return _drain_to_memory(agg, "complete")
