@@ -387,23 +387,28 @@ def fit_hashed_logistic(
             "_id", "_toks", "_n",
             F.round(p - F.col("_y"), 6).alias("_err"),
         )
-        bias_g = scored.agg(
-            F.round(
-                _ordered_sum(F.struct("_id", "_err"), "_err")
-                / F.lit(float(n_docs)),
-                grad_round_dp,
-            ).alias("g")
-        ).collect()[0]["g"]
+        # ONE job per iteration: the bias gradient rides the same
+        # explode/groupBy as the bucket gradients under sentinel bucket -1
+        # (one per-doc row with term err, vs err/n per token instance).
+        # Its ordered fold sorts by (_id, _pos=-1) — one row per doc, so
+        # the summation order and every refereed double are IDENTICAL to
+        # the former separate avg job; only the job count halves.
+        token_terms = scored.select(
+            "_id", "_err", "_n",
+            F.posexplode("_toks").alias("_pos", "_t"),
+        ).select(
+            "_id", "_pos",
+            (h64(F.col("_t")) % n_buckets).alias("_b"),
+            (F.col("_err") / F.col("_n").cast("double")).alias("_c"),
+        )
+        bias_terms = scored.select(
+            "_id",
+            F.lit(-1).alias("_pos"),
+            F.lit(-1).cast("bigint").alias("_b"),
+            F.col("_err").alias("_c"),
+        )
         grads = (
-            scored.select(
-                "_id", "_err", "_n",
-                F.posexplode("_toks").alias("_pos", "_t"),
-            )
-            .select(
-                "_id", "_pos",
-                (h64(F.col("_t")) % n_buckets).alias("_b"),
-                (F.col("_err") / F.col("_n").cast("double")).alias("_c"),
-            )
+            token_terms.unionByName(bias_terms)
             .groupBy("_b")
             .agg(
                 F.round(
@@ -415,7 +420,7 @@ def fit_hashed_logistic(
             .collect()
         )
         gmap = {int(r["_b"]): r["g"] for r in grads}
-        b -= lr * bias_g
+        b -= lr * gmap.get(-1, 0.0)
         for i in range(n_buckets):
             w[i] -= lr * gmap.get(i, 0.0)
     base.unpersist()

@@ -24,6 +24,22 @@ row once anything referenced them (146 s measured). gopher_quality_filter
 now inlines let-bound signal expressions into the CaseWhen, so the scans
 run lazily again (3.9 s typical; 55 s worst-case when every row reaches
 rules 8/9 — the intrinsic cost of 4 interpreted run-length scans).
+
+Round-7 probes (quiet machine, local[32], 500k docs):
+    rep_signals expr 54.6 s  vs  Arrow-vectorized 5.7 s  (9.6x — every
+        row pays the scans here; the expression cascade still wins when
+        early rules drop most rows)
+    exact_substr_dedup_500k  40.2 s  (one keep-first shuffle over ~28M
+        10-token shingle hashes + interval-merge rebuild)
+    fit_hashed_logistic_500k 65.3 s (2 jobs/iter) -> 55.4 s after fusing
+        the bias gradient into the bucket-gradient job as sentinel bucket
+        -1 (3 GD iterations over the FULL corpus — a worst case by
+        construction: production trains on a labeled sample; the ordered
+        folds' struct sort is the remaining cost, the documented
+        bit-reproducibility trade)
+    hashed_score_500k         2.4 s  (the 100 TB hot path: literal
+        broadcast weights, zero shuffle)
+    zipf_fit_500k             1.6 s
 """
 
 from __future__ import annotations
@@ -143,6 +159,35 @@ def main() -> int:
     t("bigram_lm_train_500k", blm.agg(F.count(F.lit(1))))
     t("bigram_lm_score_500k",
       lm.score_with_bigram_lm(big, blm).agg(F.sum("n_pairs")))
+
+    # ---- round-7 operators
+    from llm_pretraining_data_pipeline_spark.functions import scoring
+
+    rep_force = lambda df: df.agg(  # noqa: E731 — force all 4 gram scans
+        F.sum("dup5gram_char_frac"), F.sum("top2gram_char_frac"),
+        F.sum("top3gram_char_frac"), F.sum("dup10gram_char_frac"))
+    t("rep_signals_expr_500k", rep_force(corpus.repetition_signals(big)))
+    t("rep_signals_vec_500k",
+      rep_force(corpus.repetition_signals(big, vectorized=True)))
+    passage = F.concat(
+        F.lit("shared run alpha bravo charlie delta echo foxtrot golf "
+              "hotel india var"),
+        (F.col("doc_id") % 50).cast("string"), F.lit(" kilo lima"),
+    )
+    esub_in = big.select(
+        "doc_id", F.concat(passage, F.lit(" "), F.col("text")).alias("text")
+    )
+    t("exact_substr_500k",
+      corpus.exact_substr_dedup(esub_in, min_tokens=10)
+      .agg(F.sum("n_dup_runs"), F.sum("max_run_tokens"), F.sum("n_tok_kept")))
+    lbl = big.withColumn("label", (F.col("doc_id") % 2).cast("double"))
+    t0 = time.time()
+    m = scoring.fit_hashed_logistic(lbl, "text", "label", n_iter=3)
+    print(f"{'fit_hashed_logistic_500k':28s} {time.time() - t0:7.2f}s")
+    t("hashed_score_500k",
+      scoring.hashed_quality_score(big, "text", m["weights"], m["bias"])
+      .agg(F.sum("hashed_quality")))
+    t("zipf_fit_500k", corpus.zipf_fit(big, k=100))
     return 0
 
 
