@@ -235,3 +235,66 @@ class TestPngNonValueErrorPaths:
         out = {r.media_id: r for r in media.png_feature_stats(df).collect()}
         assert out[1].decode_ok
         assert not out[2].decode_ok and "corrupt PNG" in out[2].decode_err
+
+
+class TestPngHypothesisRoundTrip:
+    def test_fuzz_roundtrip(self):
+        """Property: encode → decode is the identity for every valid
+        (dims, color type, filter type, pixel bytes) combination."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        @settings(max_examples=120, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(
+            w=st.integers(1, 12),
+            h=st.integers(1, 9),
+            ct=st.sampled_from([0, 2, 4, 6]),
+            ft=st.integers(0, 4),
+            data=st.data(),
+        )
+        def roundtrip(w, h, ct, ft, data):
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+            pix = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * ch, max_size=w * h * ch,
+                    )
+                )
+            )
+            out = png.decode_png(
+                png.encode_png(w, h, pix, color_type=ct, filter_type=ft)
+            )
+            assert out == (w, h, 8, ch, pix)
+
+        roundtrip()
+
+    def test_fuzz_decoder_total_on_mutations(self):
+        """Property: randomly mutated/truncated PNG bytes either decode or
+        raise ValueError — never any other exception type (the decode_ok
+        contract of png_feature_stats)."""
+        import random
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        rng = random.Random(20260814)
+        base = png.encode_png(6, 4, bytes(range(72)), color_type=2,
+                              filter_type=3)
+        for _ in range(300):
+            b = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:  # flip a byte
+                i = rng.randrange(len(b))
+                b[i] ^= rng.randrange(1, 256)
+            elif op == 1:  # truncate
+                b = b[: rng.randrange(len(b))]
+            else:  # splice garbage
+                i = rng.randrange(len(b))
+                b[i:i] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+            try:
+                png.decode_png(bytes(b))
+            except ValueError:
+                pass  # the one allowed failure mode
