@@ -442,3 +442,35 @@ class TestShardedWritePlans:
         exports.write_manifest(man, str(tmp_path / "manifest.json"))
         with open(tmp_path / "manifest.json") as f:
             assert json.load(f)["total_docs"] == man["total_docs"]
+
+
+class TestRound7Plans:
+    def test_hashed_scorer_is_pure_jvm_zero_shuffle(self, spark, sf_dir):
+        """The 100 TB hot path: scoring with frozen weights must plan as a
+        single whole-stage-codegen-friendly projection — no Exchange, no
+        Python evaluation node (the weights ride as a literal array)."""
+        from llm_pretraining_data_pipeline_spark.functions import scoring
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(
+            scoring.hashed_quality_score(docs, "text", [0.1] * 32, 0.0)
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no ArrowEvalPython/BatchEvalPython
+
+    def test_exact_substr_narrow_exchanges_and_broadcast_joinback(
+        self, spark, sf_dir
+    ):
+        """exact_substr_dedup: the only exchanges are the hash-keyed
+        keep-first window and the per-doc loser aggregation (narrow rows);
+        the verdict joins BACK to the corpus by broadcast on lightly
+        duplicated corpora, never a cartesian."""
+        import re
+
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus.exact_substr_dedup(docs, min_tokens=10))
+        assert len(re.findall(r"Exchange ", plan)) <= 3
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
