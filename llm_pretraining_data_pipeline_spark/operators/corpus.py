@@ -1737,3 +1737,88 @@ def zipf_fit(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
             F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6),
         ).alias("zipf_intercept"),
     )
+
+
+def dup_cluster_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate cluster-size histogram — the dedup AUDIT run before
+    committing to a dedup pass (how much of the corpus is 2x-replicated vs
+    1000x boilerplate decides batch sizing and skew guards; Lee et al.
+    2022 report exactly this distribution).
+
+    Groups on sha256 of the canonical-exact form (the d01 identity), then
+    histograms the group sizes: (cluster_size, n_clusters, n_docs). Two
+    map-side-combinable groupBys on narrow keys; text never shuffles.
+    """
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import (
+        canonicalize_for_exact,
+    )
+
+    h = df.select(
+        sha256_hex(canonicalize_for_exact(F.col(text_col))).alias("_h")
+    )
+    sizes = h.groupBy("_h").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy H = log2(n) − (Σ c·log2 c)/n
+    over lowercase token counts — the information-density quality signal
+    (low entropy = repetitive spam; pairs with the Gopher repetition
+    fractions but responds to SCATTERED repeats too).
+
+    One word-count shuffle on (doc, token) then a per-doc aggregation; the
+    Σ c·log2 c term folds in TOKEN order (the engine's standard
+    order-deterministic double summation) and the result rounds 6dp, so
+    values are bit-stable across partitionings and engines. Empty docs
+    yield entropy 0.0.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("token"),
+    )
+    tc = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    log2 = lambda x: F.log(2.0, x)  # noqa: E731
+    per_doc = tc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("token"),
+                        (F.col("c").cast("double") * log2(F.col("c").cast("double"))).alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("_s"),
+    )
+    ent = log2(F.col("n_tokens").cast("double")) - F.col("_s") / F.col(
+        "n_tokens"
+    ).cast("double")
+    out = per_doc.select(
+        id_col, "n_tokens", F.round(ent, 6).alias("token_entropy")
+    )
+    base = df.select(F.col(id_col))
+    return base.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("token_entropy", F.lit(0.0)).alias("token_entropy"),
+    )

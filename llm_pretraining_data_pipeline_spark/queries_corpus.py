@@ -1395,3 +1395,76 @@ _ZIPF_K = 100
 )
 def a16_zipf_slope(spark, sf_dir):
     return corpus.zipf_fit(_docs(spark, sf_dir), k=_ZIPF_K)
+
+
+# ============================================ dup-cluster audit + entropy
+
+# The fixture corpus is duplicate-free, so the d14 fixture plants clusters:
+# doc_id % 7 in (0, 1) collapses onto 5 shared texts (identical CASE on
+# both engines), everything else keeps its own text.
+_D14_TEXT_SQL = (
+    "CASE WHEN doc_id % 7 < 2"
+    " THEN 'shared cluster text number ' || cast(doc_id % 5 as varchar)"
+    " ELSE coalesce(text, '') END"
+)
+
+
+@register(
+    "d14_dup_cluster_stats",
+    f"""
+    WITH d AS (SELECT doc_id, {_D14_TEXT_SQL} AS t FROM documents),
+    h AS (SELECT sha256({O.canon_exact('t')}) AS hh FROM d),
+    c AS (SELECT hh, cast(count(*) as bigint) AS cluster_size
+          FROM h GROUP BY hh)
+    SELECT cluster_size,
+           cast(count(*) as bigint) AS n_clusters,
+           cast(cluster_size * count(*) as bigint) AS n_docs
+    FROM c GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    doc="exact-duplicate cluster-size histogram (the dedup audit run "
+        "BEFORE a dedup pass — 2x replication vs 1000x boilerplate decides "
+        "skew guards; Lee et al. 2022 report this distribution): sha256 of "
+        "the canonical-exact form, two map-side-combinable groupBys on "
+        "narrow keys, text never shuffles. Fixture plants 5 shared-text "
+        "clusters over ~2/7 of the corpus",
+)
+def d14_dup_cluster_stats(spark, sf_dir):
+    t = F.when(
+        F.col("doc_id") % 7 < 2,
+        F.concat(
+            F.lit("shared cluster text number "),
+            (F.col("doc_id") % 5).cast("string"),
+        ),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    d = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return corpus.dup_cluster_stats(d)
+
+
+@register(
+    "p38_token_entropy",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({O.toks('lower(text)')}) AS token FROM documents
+    ),
+    tc AS (SELECT doc_id, token, cast(count(*) as bigint) AS c
+           FROM tok GROUP BY doc_id, token),
+    e AS (SELECT doc_id, cast(sum(c) as bigint) AS n_tokens,
+                 list_sum(list(cast(c as double) * log2(cast(c as double))
+                               ORDER BY token)) AS s
+          FROM tc GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(e.n_tokens, 0) as bigint) AS n_tokens,
+           coalesce(round(log2(cast(e.n_tokens as double))
+                          - e.s / cast(e.n_tokens as double), 6), 0.0)
+             AS token_entropy
+    FROM documents d LEFT JOIN e USING (doc_id)
+    """,
+    doc="per-document unigram Shannon entropy H = log2(n) - (sum c*log2 c)"
+        "/n over lowercase token counts — the information-density quality "
+        "signal (low entropy = repetitive spam, catches SCATTERED repeats "
+        "the run-length gram fractions miss). One word-count shuffle + "
+        "per-doc token-ORDERED fold, 6dp round: bit-stable across "
+        "partitionings and engines",
+)
+def p38_token_entropy(spark, sf_dir):
+    return corpus.token_entropy(_docs(spark, sf_dir))

@@ -894,3 +894,53 @@ class TestZipfDegenerate:
         out = zipf_fit(df, k=10).first()
         assert out.n_tokens == 1
         assert out.zipf_slope is None and out.zipf_intercept is None
+
+
+class TestDupClusterStatsAndEntropy:
+    def test_cluster_histogram_hand_built(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            dup_cluster_stats,
+        )
+
+        rows = (
+            [(i, "unique text %d" % i) for i in range(6)]   # 6 singletons
+            + [(10 + i, "PAIR text") for i in range(2)]     # one 2-cluster
+            + [(20 + i, "  pair TEXT ") for i in range(3)]  # canon-merges in
+            + [(30 + i, None) for i in range(4)]            # nulls -> one 4-cluster
+        )
+        # "PAIR text" and "pair TEXT" canonicalize identically -> size 5
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.cluster_size: (r.n_clusters, r.n_docs)
+               for r in dup_cluster_stats(df).collect()}
+        assert out[1] == (6, 6)
+        assert out[5] == (1, 5)
+        assert out[4] == (1, 4)  # null/empty docs share the '' hash
+
+    def test_entropy_hand_computed(self, spark):
+        import math
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            token_entropy,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),          # one token: H = 0
+                (2, "a b c d"),          # uniform over 4: H = 2
+                (3, "a a b b c c d d"),  # uniform over 4: H = 2
+                (4, "a a a b"),          # 3/4, 1/4
+                (5, ""),
+                (6, None),
+                (7, "Case CASE case"),   # lowercased: one token
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in token_entropy(df).collect()}
+        assert out[1].token_entropy == 0.0 and out[1].n_tokens == 4
+        assert out[2].token_entropy == 2.0
+        assert out[3].token_entropy == 2.0
+        h4 = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+        assert abs(out[4].token_entropy - round(h4, 6)) < 1e-9
+        assert out[5].n_tokens == 0 and out[5].token_entropy == 0.0
+        assert out[6].token_entropy == 0.0
+        assert out[7].token_entropy == 0.0  # lower() folds the variants
