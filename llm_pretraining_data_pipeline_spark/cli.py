@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-lang-filter", action="store_true")
     ap.add_argument("--trigram-langid", action="store_true")
     ap.add_argument("--docs-per-shard", type=int, default=50_000)
+    ap.add_argument(
+        "--hashed-shards", type=int, default=0, metavar="N",
+        help="use HASH sharding into N shards for the training export "
+             "(the 100 TB path: fully parallel write, no global-order "
+             "window; shard sizes statistically equal). 0 = reference-"
+             "style positional shards of --docs-per-shard docs",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -69,7 +76,14 @@ def main(argv: list[str] | None = None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     result.write.mode("overwrite").parquet(f"{args.out}/final.parquet")
-    kept = sharding.assign_shards(P.kept(result), docs_per_shard=args.docs_per_shard)
+    if args.hashed_shards > 0:
+        kept = sharding.assign_shards_hashed(
+            P.kept(result), num_shards=args.hashed_shards
+        )
+    else:
+        kept = sharding.assign_shards(
+            P.kept(result), docs_per_shard=args.docs_per_shard
+        )
     manifest = exports.write_sharded_jsonl(kept, f"{args.out}/train_shards")
     exports.write_manifest(manifest, f"{args.out}/manifest.json")
     exports.write_text_jsonl(P.kept(result), f"{args.out}/text.jsonl")

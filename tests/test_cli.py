@@ -41,3 +41,35 @@ def test_cli_end_to_end(spark, tmp_path, capsys, monkeypatch):
     assert summary["drop_reasons"] == {"too_short_chars": 1}
     final = spark.read.parquet(str(out / "final.parquet"))
     assert final.count() == 41
+
+
+def test_cli_hashed_shards(spark, tmp_path):
+    """--hashed-shards N routes the training export through hash sharding:
+    shard dirs are pmod(crc32(id), N) buckets and the manifest still adds
+    up; no global-order window constrains the write."""
+    import json
+    import os
+
+    from llm_pretraining_data_pipeline_spark import cli
+
+    inp = tmp_path / "in.jsonl"
+    with open(inp, "w") as f:
+        for i in range(120):
+            f.write(json.dumps({
+                "url": f"http://t/{i}",
+                "text": ("the quick brown fox jumps over the lazy dog "
+                         f"variant {i} with enough words to survive " * 3),
+            }) + "\n")
+    out = tmp_path / "out"
+    rc = cli.main([
+        "--input", str(inp), "--out", str(out),
+        "--no-lang-filter", "--hashed-shards", "4",
+    ])
+    assert rc == 0
+    with open(out / "manifest.json") as f:
+        man = json.load(f)
+    shard_dirs = [d for d in os.listdir(out / "train_shards")
+                  if d.startswith("shard_id=")]
+    assert 1 <= len(shard_dirs) <= 4
+    assert man["total_docs"] == sum(s["num_docs"] for s in man["shards"])
+    assert {int(d.split("=")[1]) for d in shard_dirs} <= {0, 1, 2, 3}
