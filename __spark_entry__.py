@@ -88,7 +88,8 @@ _PRIORITY_R7 = [
     # model-based quality scoring (integer-exact complete-mode aggregate)
     "emb_ivfpq_topk", "ev_stream_quality",
     # new this round: exact-dup cluster-size audit + token-entropy signal
-    "d14_dup_cluster_stats", "p38_token_entropy",
+    # + mixture-weighted interleave (stride-scheduled training order)
+    "d14_dup_cluster_stats", "p38_token_entropy", "o08_mixture_interleave",
     # stale: freshest driver green is r3 — 24 of VERDICT r6's 25-row list;
     # the 25th, corp_stratified_sample, sits in the changed head above
     # (its draw was salted this round)

@@ -1822,3 +1822,43 @@ def token_entropy(
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("token_entropy", F.lit(0.0)).alias("token_entropy"),
     )
+
+
+def mixture_interleave(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture-weighted interleave key — the data-MIXING
+    operator that turns per-source mixture weights into an actual training
+    stream order: reading rows in ascending ``interleave_key`` yields
+    source proportions converging to the weights (stride scheduling /
+    weighted fair queueing: key = rank_within_source / weight, so a
+    source with twice the weight surfaces twice as often per unit key).
+
+    Rank within each source follows the sha256(id) order, so the stream is
+    reproducible with no RNG state, any partitioning, any engine. Scale
+    shape: ONE window shuffle partitioned by source (sources parallelise
+    across tasks); the training loader sorts by key per shard — no global
+    sort here (consumers that need the total order range-partition on the
+    key, which is uniform within each source by construction).
+
+    Adds ``interleave_key`` (round 6; rank/weight of int by literal is
+    engine-exact, rounding only guards display).
+    """
+    if default_weight <= 0 or any(v <= 0 for v in weights.values()):
+        raise ValueError("mixture weights must be positive")
+    w = Window.partitionBy(source_col).orderBy(
+        sha256_hex(F.col(id_col)), F.col(id_col)
+    )
+    rank = F.row_number().over(w)
+    wexpr = F.lit(float(default_weight))
+    for name, val in sorted(weights.items()):
+        wexpr = F.when(
+            F.col(source_col) == name, F.lit(float(val))
+        ).otherwise(wexpr)
+    return df.withColumn(
+        "interleave_key", F.round(rank.cast("double") / wexpr, 6)
+    )

@@ -1468,3 +1468,53 @@ def d14_dup_cluster_stats(spark, sf_dir):
 )
 def p38_token_entropy(spark, sf_dir):
     return corpus.token_entropy(_docs(spark, sf_dir))
+
+
+# ================================================ mixture interleave order
+
+_MIX_W = {"src0": 4.0, "src1": 2.0, "src2": 1.0}
+_MIX_DEFAULT = 0.5
+_MIX_TOPN = 80
+
+
+def _mix_case() -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_MIX_W.items())
+    )
+    return f"CASE source {arms} ELSE {_MIX_DEFAULT!r} END"
+
+
+@register(
+    "o08_mixture_interleave",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY sha256(cast(doc_id as varchar)), doc_id) AS rk
+      FROM documents
+    ),
+    k AS (SELECT doc_id, source,
+                 round(cast(rk as double) / {_mix_case()}, 6)
+                   AS interleave_key
+          FROM r)
+    SELECT doc_id, source, interleave_key
+    FROM k ORDER BY interleave_key, source, doc_id LIMIT {_MIX_TOPN}
+    """,
+    doc="deterministic mixture-weighted interleave (stride scheduling / "
+        "weighted fair queueing): key = sha-ordered rank within source / "
+        "weight, so ascending-key reads converge to the mixture "
+        "proportions — the operator that turns mixture WEIGHTS into an "
+        "actual training-stream ORDER with no RNG state. One per-source "
+        "window shuffle; the head of the stream (top-N by key) is the "
+        "refereed contract",
+)
+def o08_mixture_interleave(spark, sf_dir):
+    out = corpus.mixture_interleave(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        _MIX_W, default_weight=_MIX_DEFAULT,
+    )
+    return (
+        out.select("doc_id", "source", "interleave_key")
+        .orderBy("interleave_key", "source", "doc_id")
+        .limit(_MIX_TOPN)
+    )

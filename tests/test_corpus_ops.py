@@ -944,3 +944,49 @@ class TestDupClusterStatsAndEntropy:
         assert out[5].n_tokens == 0 and out[5].token_entropy == 0.0
         assert out[6].token_entropy == 0.0
         assert out[7].token_entropy == 0.0  # lower() folds the variants
+
+
+class TestMixtureInterleave:
+    def test_proportions_converge_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            mixture_interleave,
+        )
+
+        rows = [(s * 1000 + i, f"s{s}") for s in range(3) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = mixture_interleave(df, {"s0": 4.0, "s1": 2.0, "s2": 1.0})
+        head = (
+            out.orderBy("interleave_key", "source", "doc_id")
+            .limit(140)
+            .collect()
+        )
+        counts = {}
+        for r in head:
+            counts[r.source] = counts.get(r.source, 0) + 1
+        # stride scheduling: first 140 rows ≈ 80/40/20 (weights 4:2:1)
+        assert abs(counts["s0"] - 80) <= 2
+        assert abs(counts["s1"] - 40) <= 2
+        assert abs(counts["s2"] - 20) <= 2
+        # partitioning-independent stream
+        a = [(r.doc_id, r.interleave_key) for r in
+             mixture_interleave(df.repartition(1), {"s0": 4.0, "s1": 2.0, "s2": 1.0})
+             .orderBy("interleave_key", "source", "doc_id").limit(50).collect()]
+        b = [(r.doc_id, r.interleave_key) for r in
+             mixture_interleave(df.repartition(13), {"s0": 4.0, "s1": 2.0, "s2": 1.0})
+             .orderBy("interleave_key", "source", "doc_id").limit(50).collect()]
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            mixture_interleave,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError, match="positive"):
+            mixture_interleave(df, {"a": -1.0})
+        with pytest.raises(ValueError, match="positive"):
+            mixture_interleave(df, {}, default_weight=0.0)
