@@ -90,6 +90,8 @@ _PRIORITY_R7 = [
     # new this round: exact-dup cluster-size audit + token-entropy signal
     # + mixture-weighted interleave (stride-scheduled training order)
     "d14_dup_cluster_stats", "p38_token_entropy", "o08_mixture_interleave",
+    # new this round: DCLM-style composite model-quality gate
+    "f15_model_quality_filter",
     # stale: freshest driver green is r3 — 24 of VERDICT r6's 25-row list;
     # the 25th, corp_stratified_sample, sits in the changed head above
     # (its draw was salted this round)

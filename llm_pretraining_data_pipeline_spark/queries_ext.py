@@ -2480,3 +2480,80 @@ def p34_bigram_lm_score(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     table = LM.train_bigram_lm(docs)
     return LM.score_with_bigram_lm(docs, table)
+
+
+# ===================================== composite model-based quality filter
+
+# DCLM-style final gate: the trained-model score is the headline signal
+# (DataComp-LM keeps the top fastText-score slice), backstopped by cheap
+# heuristics. Thresholds are Python constants embedded on both engines.
+_F15_MIN_SCORE = 0.53
+_F15_MIN_ENTROPY = 4.0
+_F15_MIN_WORDS = 15
+
+
+@register(
+    "f15_model_quality_filter",
+    f"""
+    WITH dt AS (SELECT doc_id, {O.toks('lower(text)')} AS w FROM documents),
+    sc AS (SELECT doc_id,
+                  cast(len(w) as bigint) AS n_words,
+                  round(1.0 / (1.0 + exp(-({_H36_BIAS!r} + CASE WHEN len(w) > 0
+                    THEN list_sum(list_transform(w,
+                           t -> {_H36_W_SQL}[({O.h64('t')} % {_HQ_D}) + 1]))
+                         / cast(len(w) as double)
+                    ELSE 0.0 END))), 6) AS model_score
+           FROM dt),
+    tc AS (SELECT doc_id, token, cast(count(*) as bigint) AS c
+           FROM (SELECT doc_id, unnest(w) AS token FROM dt)
+           GROUP BY doc_id, token),
+    e AS (SELECT doc_id,
+                 coalesce(round(log2(cast(sum(c) as double))
+                                - list_sum(list(cast(c as double)
+                                    * log2(cast(c as double)) ORDER BY token))
+                                  / cast(sum(c) as double), 6), 0.0)
+                   AS token_entropy
+          FROM tc GROUP BY doc_id)
+    SELECT s.doc_id, s.n_words, s.model_score,
+           coalesce(e.token_entropy, 0.0) AS token_entropy,
+           CASE WHEN s.n_words < {_F15_MIN_WORDS} THEN 'too_few_words'
+                WHEN s.model_score < {_F15_MIN_SCORE!r} THEN 'model_quality'
+                WHEN coalesce(e.token_entropy, 0.0) < {_F15_MIN_ENTROPY!r}
+                     THEN 'low_entropy'
+                END AS quality_drop_reason
+    FROM sc s LEFT JOIN e USING (doc_id)
+    """,
+    doc="DCLM-style composite quality gate, first-match-wins: word-count "
+        "floor, then the trained hashed-token model score (the headline "
+        "DataComp-LM signal, frozen weights), then the token-entropy "
+        "backstop — null reason = kept. Composes three already-refereed "
+        "expressions into one cascade; the model score is shuffle-free, "
+        "entropy adds the one word-count shuffle",
+)
+def f15_model_quality_filter(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import scoring
+    from llm_pretraining_data_pipeline_spark.operators import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    scored = scoring.hashed_quality_score(
+        docs.select("doc_id", "text"), "text", _H36_W, _H36_BIAS,
+        out_col="model_score",
+    ).withColumn(
+        "n_words",
+        F.size(scoring._hashed_toks("text")).cast("long"),
+    )
+    ent = C.token_entropy(docs).select("doc_id", "token_entropy")
+    j = scored.join(ent, "doc_id", "left")
+    reason = (
+        F.when(F.col("n_words") < _F15_MIN_WORDS, F.lit("too_few_words"))
+        .when(F.col("model_score") < _F15_MIN_SCORE, F.lit("model_quality"))
+        .when(
+            F.coalesce(F.col("token_entropy"), F.lit(0.0)) < _F15_MIN_ENTROPY,
+            F.lit("low_entropy"),
+        )
+    )
+    return j.select(
+        "doc_id", "n_words", "model_score",
+        F.coalesce("token_entropy", F.lit(0.0)).alias("token_entropy"),
+        reason.alias("quality_drop_reason"),
+    )

@@ -731,3 +731,41 @@ class TestHashedQualityModel:
         df = spark.createDataFrame([], "doc_id long, text string, label double")
         with pytest.raises(ValueError, match="empty"):
             scoring.fit_hashed_logistic(df, "text", "label", n_iter=1)
+
+
+class TestCompositeQualityFilter:
+    def test_first_match_wins_and_thresholds(self, spark):
+        """f15's cascade order: word floor beats model score beats entropy;
+        null reason = kept (engine-wide cascade contract)."""
+        from llm_pretraining_data_pipeline_spark import queries_ext as QE
+        from llm_pretraining_data_pipeline_spark.functions import scoring
+        from llm_pretraining_data_pipeline_spark.operators import corpus as C
+        from pyspark.sql import functions as F
+
+        # doc 1: too short AND would fail entropy -> word floor wins
+        # doc 2: long, low-entropy (one repeated token) -> entropy rule
+        # doc 3: long, diverse -> kept or model_quality, never entropy
+        df = spark.createDataFrame(
+            [
+                (1, "tiny doc"),
+                (2, "same " * 40),
+                (3, " ".join(f"w{i}" for i in range(60))),
+            ],
+            "doc_id long, text string",
+        )
+        scored = scoring.hashed_quality_score(
+            df, "text", QE._H36_W, QE._H36_BIAS, out_col="model_score"
+        ).withColumn(
+            "n_words", F.size(scoring._hashed_toks("text")).cast("long")
+        )
+        ent = C.token_entropy(df).select("doc_id", "token_entropy")
+        j = scored.join(ent, "doc_id", "left")
+        reason = (
+            F.when(F.col("n_words") < QE._F15_MIN_WORDS, F.lit("too_few_words"))
+            .when(F.col("model_score") < QE._F15_MIN_SCORE, F.lit("model_quality"))
+            .when(F.col("token_entropy") < QE._F15_MIN_ENTROPY, F.lit("low_entropy"))
+        )
+        out = {r.doc_id: r.r for r in j.select("doc_id", reason.alias("r")).collect()}
+        assert out[1] == "too_few_words"
+        assert out[2] == "low_entropy"
+        assert out[3] in (None, "model_quality")
