@@ -28,6 +28,7 @@ exercised end-to-end without external downloads.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from collections import Counter
@@ -38,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ASSET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bpe_assets")
+
+logger = logging.getLogger(__name__)
 END_OF_TEXT = "<|endoftext|>"
 
 # GPT-2 pre-tokeniser, Python-regex flavor. Python `re` lacks \p{L}/\p{N}:
@@ -338,6 +341,7 @@ def train_bpe_on_frame(
     num_merges: int,
     min_count: int = 2,
     top_pieces: int | None = 1_000_000,
+    log_pruning: bool = True,
 ) -> tuple[dict[str, int], list[tuple[str, str]]]:
     """End-to-end trainer: Spark piece counts → driver merge loop.
 
@@ -348,13 +352,33 @@ def train_bpe_on_frame(
     Pass ``min_count=1, top_pieces=None`` for the exact unpruned table
     (fixture-scale corpora; the committed mini assets are reproducible
     either way because the test corpus has no singleton pieces).
+
+    .. note:: **Changed in round 7** — the defaults were previously
+       ``min_count=1, top_pieces=None`` (unpruned). A corpus with
+       singleton pieces, or tail ties at the cap, now learns DIFFERENT
+       merges under the defaults; pin the old arguments to reproduce a
+       pre-round-7 vocabulary (see CHANGELOG.md).
+
+    When ``log_pruning`` is true and pruning is active, one extra count
+    job (a scalar to the driver, nothing corpus-sized) measures how many
+    distinct pieces the cutoffs actually dropped and logs it — so a
+    fixture-scale caller notices when the new defaults change the learned
+    merges. Disable it on web-scale corpora to skip the second aggregation.
     """
-    freqs = {
-        r["piece"]: r["freq"]
-        for r in word_frequencies(
-            df, text_col, min_count=min_count, top_pieces=top_pieces
-        ).collect()
-    }
+    pruned = word_frequencies(
+        df, text_col, min_count=min_count, top_pieces=top_pieces
+    )
+    freqs = {r["piece"]: r["freq"] for r in pruned.collect()}
+    if log_pruning and (min_count > 1 or top_pieces is not None):
+        total = word_frequencies(df, text_col).count()
+        dropped = total - len(freqs)
+        if dropped > 0:
+            logger.warning(
+                "train_bpe_on_frame pruning dropped %d of %d distinct "
+                "pieces (min_count=%d, top_pieces=%s) — learned merges "
+                "may differ from an unpruned run",
+                dropped, total, min_count, top_pieces,
+            )
     return train_bpe(freqs, num_merges)
 
 

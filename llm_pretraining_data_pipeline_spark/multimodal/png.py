@@ -30,6 +30,14 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Decompression-bomb guard: reject images whose DECLARED dimensions exceed
+# this many pixels before any pixel buffer is allocated, and inflate the
+# IDAT stream with a hard output cap. A web-scrape payload can declare
+# 2^32-1 × 2^32-1 in IHDR or pack a high-ratio deflate stream into a few
+# KB — either must surface as decode_ok=false, never an executor OOM.
+# 64 MP ≈ 8192×8192 RGBA = 256 MB raw, comfortably above real web images.
+DEFAULT_MAX_PIXELS = 64_000_000
+
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
     return (
@@ -104,18 +112,26 @@ def encode_png(
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, int, bytes]:
+def decode_png(
+    data: bytes, max_pixels: int = DEFAULT_MAX_PIXELS
+) -> tuple[int, int, int, int, bytes]:
     """Decode a PNG to ``(width, height, bit_depth, channels, pixels)``
     with ``pixels`` the reconstructed row-major samples.
 
     Supports what ``encode_png`` can produce plus any conforming encoder's
     8-bit non-interlaced grey/grey+alpha/RGB/RGBA stream (multiple IDAT
     chunks are concatenated per spec; trailing/ancillary chunks skipped).
+
+    ``max_pixels`` caps ``width * height`` as declared by IHDR, checked
+    BEFORE any pixel-sized allocation, and the IDAT inflate is bounded to
+    the expected raw size — decompression bombs raise ``ValueError`` (so
+    they land in the callers' decode_ok=false arm) instead of OOMing the
+    executor.
     """
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     try:
-        return _decode_png_body(data)
+        return _decode_png_body(data, max_pixels)
     except (zlib.error, struct.error) as exc:
         # Truncated CRC fields, short IHDR bodies, and corrupt deflate
         # streams surface as zlib.error/struct.error — normalise to the
@@ -124,7 +140,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, int, bytes]:
         raise ValueError(f"corrupt PNG: {exc}") from exc
 
 
-def _decode_png_body(data: bytes) -> tuple[int, int, int, int, bytes]:
+def _decode_png_body(
+    data: bytes, max_pixels: int = DEFAULT_MAX_PIXELS
+) -> tuple[int, int, int, int, bytes]:
     pos = len(PNG_SIGNATURE)
     width = height = bit_depth = color_type = None
     interlace = 0
@@ -157,12 +175,31 @@ def _decode_png_body(data: bytes) -> tuple[int, int, int, int, bytes]:
         raise ValueError(f"unsupported color_type={color_type}")
     if interlace != 0:
         raise ValueError("interlaced PNGs unsupported")
+    if width == 0 or height == 0:
+        raise ValueError(f"zero-dimension image {width}x{height}")
+    # Bomb guard 1: the declared dimensions bound every allocation below,
+    # so validate them BEFORE computing stride or touching the IDAT stream.
+    if width * height > max_pixels:
+        raise ValueError(
+            f"declared {width}x{height} exceeds max_pixels={max_pixels}"
+        )
     bpp = _CHANNELS[color_type]
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # Bomb guard 2: bounded inflate. max_length caps the OUTPUT buffer, so
+    # a high-ratio deflate stream cannot allocate past expected+1 bytes no
+    # matter what it encodes; one extra byte distinguishes "inflates past
+    # the declared size" (error) from "exactly the declared size" (ok).
+    # No flush() afterwards — flush would inflate the remainder unbounded.
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
         raise ValueError(
-            f"decompressed size {len(raw)} != expected {(stride + 1) * height}"
+            f"IDAT inflates past expected {expected} bytes (bomb guard)"
+        )
+    if len(raw) != expected:
+        raise ValueError(
+            f"decompressed size {len(raw)} != expected {expected}"
         )
     out = bytearray(stride * height)
     prior = bytes(stride)

@@ -365,12 +365,13 @@ def hash_stratified_sample(
     fractions: dict[str, float],
     key_col: str = "doc_id",
     default_fraction: float = 0.0,
+    salt: str = ":stratum",
 ) -> DataFrame:
     """Deterministic stratified subsample: per-stratum sha256 thresholding.
 
-    Pure narrow filter — no shuffle, no RNG; the same row set is kept on
-    every run, every engine, any partitioning. Strata absent from
-    ``fractions`` fall back to ``default_fraction``.
+    Pure narrow filter — no shuffle, no RNG; given a fixed ``salt`` the
+    same row set is kept on every run, every engine, any partitioning.
+    Strata absent from ``fractions`` fall back to ``default_fraction``.
 
     The draw is salted with ``:stratum`` (each sampling operator salts its
     own draw — ``weighted_sample`` uses ``:sample``, ``hash_split`` uses
@@ -378,9 +379,15 @@ def hash_stratified_sample(
     decisions: an unsalted shared draw would make e.g. every
     ``weighted_sample(p=0.5)`` survivor land in ``hash_split``'s 'train'
     bucket, silently emptying val/test.
+
+    .. note:: **Changed in round 7** — the draw was previously unsalted
+       (``sha256(key)``), so samples persisted by earlier rounds keep a
+       DIFFERENT row set than a rerun under the new default. Pass
+       ``salt=""`` to reproduce a legacy selection exactly (see
+       CHANGELOG.md).
     """
     bucket = F.substring(
-        sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(":stratum"))),
+        sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
         1, 8,
     )
     thr = F.lit(stratum_threshold_hex(default_fraction))
@@ -1387,6 +1394,7 @@ def weighted_sample(
     weight_col: Column | str,
     key_col: str = "doc_id",
     rate_scale: float = 1.0,
+    salt: str = ":sample",
 ) -> DataFrame:
     """Deterministic per-row weighted (soft) sampling: keep each row with
     probability ``clamp(weight * rate_scale, 0, 1)`` — the FineWeb-Edu-style
@@ -1403,12 +1411,17 @@ def weighted_sample(
 
     Adds ``accept_p`` (the effective probability) and keeps accepted rows.
     Pure narrow filter — zero shuffle at any corpus size.
+
+    .. note:: **Changed in round 7** — the draw was previously unsalted,
+       so a pre-round-7 persisted sample differs from a rerun under the
+       new default. Pass ``salt=""`` to reproduce a legacy selection
+       (see CHANGELOG.md).
     """
     w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
     p = F.least(F.greatest(w * F.lit(float(rate_scale)), F.lit(0.0)), F.lit(1.0))
     draw = F.conv(
         F.substring(
-            sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(":sample"))),
+            sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
             1, 8,
         ),
         16, 10,
@@ -1659,6 +1672,7 @@ def hash_split(
     key_col: str = "doc_id",
     fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
     names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = ":split",
 ) -> DataFrame:
     """Deterministic train/val/test assignment by hash threshold — the
     universal dataset-split primitive, with the engine's standard
@@ -1673,13 +1687,18 @@ def hash_split(
     p then splitting 0.8/0.1/0.1 would put every survivor in 'train'.
 
     Adds ``split``. Pure narrow projection, zero shuffle.
+
+    .. note:: **Changed in round 7** — the draw was previously unsalted,
+       so train/val/test assignments persisted before round 7 do NOT
+       reproduce under the new default. Pass ``salt=""`` to pin the
+       legacy assignment for an existing dataset (see CHANGELOG.md).
     """
     if len(fractions) != len(names):
         raise ValueError("fractions and names must align")
     if abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {sum(fractions)}")
     draw = F.substring(
-        sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(":split"))),
+        sha256_hex(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
         1, 8,
     )
     cum = 0.0

@@ -616,8 +616,15 @@ def ivf_pq_topk(
         .filter(F.col("_rn") <= n_probe)
         .select(query_id, "cell")
     )
-    cand = probes.join(assigned.select(F.col(id_col), "cell"), "cell").select(
-        query_id, id_col
+    # distinct: with a multi-cell assignment (ivf_assign n_cells>1, a valid
+    # input per the docstring) a candidate reachable via two probed cells
+    # would otherwise appear twice, and codes.join(cand) downstream would
+    # duplicate every subspace term — doubling adc_dist and corrupting the
+    # ranking. Candidate pairs are unique by construction after this.
+    cand = (
+        probes.join(assigned.select(F.col(id_col), "cell"), "cell")
+        .select(query_id, id_col)
+        .distinct()
     )
 
     qsubs = queries.select(

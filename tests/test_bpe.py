@@ -387,6 +387,38 @@ class TestTrainerPruning:
         )
         assert pieces == full[:2]
 
+    def test_pruning_logs_when_pieces_actually_drop(self, spark, caplog):
+        """ADVICE r7 (low): the r7 default change (min_count=2) silently
+        alters learned merges on corpora WITH singleton pieces — the
+        trainer now logs a warning when the cutoffs drop pieces, so
+        fixture-scale users notice the semantic shift."""
+        import logging
+
+        df = spark.createDataFrame(
+            [(1, "common common common rareword")], "doc_id long, text string"
+        )
+        with caplog.at_level(
+            logging.WARNING,
+            logger="llm_pretraining_data_pipeline_spark.functions.bpe",
+        ):
+            bpe.train_bpe_on_frame(df, "text", 5)
+        assert any("pruning dropped" in r.message for r in caplog.records)
+
+        # no singletons dropped -> silent; log_pruning=False -> silent
+        caplog.clear()
+        # two identical docs: every pre-token piece ("aa", " bb") has
+        # freq 2, so min_count=2 drops nothing
+        df2 = spark.createDataFrame(
+            [(1, "aa bb"), (2, "aa bb")], "doc_id long, text string"
+        )
+        with caplog.at_level(
+            logging.WARNING,
+            logger="llm_pretraining_data_pipeline_spark.functions.bpe",
+        ):
+            bpe.train_bpe_on_frame(df2, "text", 2)
+            bpe.train_bpe_on_frame(df, "text", 5, log_pruning=False)
+        assert not any("pruning dropped" in r.message for r in caplog.records)
+
     def test_top_pieces_plans_as_take_ordered(self, spark):
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = (

@@ -706,6 +706,53 @@ class TestAdviceR6Fixes:
         m = strat.count()
         assert abs(m / n - 0.5) < 0.03
 
+    def test_salt_parameter_pins_legacy_unsalted_draw(self, spark):
+        """ADVICE r7 (low): the r7 salting silently changed which rows
+        every existing pipeline keeps/splits. Each sampler now takes a
+        ``salt`` parameter; ``salt=""`` reproduces the pre-r7 unsalted
+        sha256(key) draw exactly, so persisted legacy assignments can be
+        pinned. Verified two ways: (a) hash_split(salt="") matches a
+        hashlib recomputation of the legacy rule row-for-row, and (b) the
+        legacy correlation pathology reappears under salt="" — every
+        weighted_sample(p=0.5) survivor lands in 'train'."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            hash_split,
+            weighted_sample,
+        )
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        legacy = {
+            r.doc_id: r.split for r in hash_split(df, salt="").collect()
+        }
+
+        def expected(key: int) -> str:
+            d = hashlib.sha256(str(key).encode()).hexdigest()[:8]
+            if d < format(int(0.8 * 2**32), "08x"):
+                return "train"
+            if d < format(int(0.9 * 2**32), "08x"):
+                return "val"
+            return "test"
+
+        assert legacy == {k: expected(k) for k in range(2000)}
+        # (b) the correlation the salts were introduced to break
+        survivors = weighted_sample(df, F.lit(0.5), salt="")
+        splits = {
+            r.split
+            for r in hash_split(survivors, salt="").select("split").collect()
+        }
+        assert splits == {"train"}
+        # and the salted default on the same data does NOT collapse
+        splits_salted = {
+            r.split
+            for r in hash_split(weighted_sample(df, F.lit(0.5)))
+            .select("split").collect()
+        }
+        assert splits_salted == {"train", "val", "test"}
+
     def test_split_sentences_vertical_tab_is_not_a_boundary(self, spark):
         """ADVICE r6: Java \\s includes \\x0B but RE2's does not — the
         boundary uses the explicit class [ \\t\\n\\r\\f] on both engines,

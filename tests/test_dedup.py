@@ -685,6 +685,49 @@ class TestIvfPq:
         for r in one.collect():
             assert cells[r.vec_id] == qcells[r.query_id]
 
+    def test_multi_cell_assignment_does_not_duplicate_adc_terms(
+        self, spark, sf_dir
+    ):
+        """ADVICE r7 (low): with ivf_assign(n_cells=2) — an input the
+        docstring invites — a candidate reached via two probed cells must
+        not double every subspace term of adc_dist. Distances under the
+        multi-cell assignment must equal the single-cell ones for every
+        returned pair, and pairs must be unique."""
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        cb = similarity.pq_codebooks_first_k(emb, m=4, k=8, dim=64)
+        codes = similarity.pq_encode(emb, cb, m=4, dim=64)
+        queries = emb.filter(F.col("vec_id").isin([1, 2])).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        multi = similarity.ivf_pq_topk(
+            codes, similarity.ivf_assign(emb, cents, n_cells=2), cents, cb,
+            queries, k=10, n_probe=8,
+        )
+        single = similarity.ivf_pq_topk(
+            codes, similarity.ivf_assign(emb, cents), cents, cb,
+            queries, k=10, n_probe=8,
+        )
+        rows = multi.collect()
+        pairs = [(r.query_id, r.vec_id) for r in rows]
+        assert len(pairs) == len(set(pairs))
+        want = {
+            (r.query_id, r.vec_id): round(r.adc_dist, 9)
+            for r in single.collect()
+        }
+        # n_probe=8 == all cells, so both runs rank the full corpus: every
+        # distance must agree exactly (pre-fix the multi-cell run doubled
+        # the duplicated candidates' distances)
+        got = {(r.query_id, r.vec_id): round(r.adc_dist, 9) for r in rows}
+        assert got == want
+
     def test_plan_never_cartesian(self, spark, sf_dir):
         from pyspark.sql import functions as F
 

@@ -169,6 +169,81 @@ class TestPngCodec:
         assert len(fb) == media.FEATURE_DIM and fb != vec
 
 
+class TestPngBombGuards:
+    """ADVICE r7 (medium): a crafted payload must not OOM an executor —
+    huge declared IHDR dimensions and high-ratio deflate streams both
+    raise ValueError (-> decode_ok=false) before any pixel-sized
+    allocation, while legit images under the cap decode unchanged."""
+
+    @staticmethod
+    def _build(width, height, idat_raw, color_type=0):
+        import struct
+        import zlib
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        return (
+            png.PNG_SIGNATURE
+            + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", zlib.compress(idat_raw))
+            + png._chunk(b"IEND", b"")
+        )
+
+    def test_huge_declared_dimensions_rejected_cheaply(self):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        # 70000 x 70000 = 4.9e9 declared pixels from a few hundred bytes;
+        # must fail on the cap, not on an allocation.
+        bomb = self._build(70_000, 70_000, b"\x00" * 64)
+        with pytest.raises(ValueError, match="max_pixels"):
+            png.decode_png(bomb)
+
+    def test_deflate_bomb_bounded(self):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        # dims pass the cap (3x3 grey => 36 expected raw bytes) but the
+        # IDAT inflates to 10 MB; the bounded inflate must stop at
+        # expected+1 bytes and raise.
+        bomb = self._build(3, 3, b"\x00" * 10_000_000)
+        with pytest.raises(ValueError, match="inflates past"):
+            png.decode_png(bomb)
+
+    def test_zero_dimension_rejected(self):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        with pytest.raises(ValueError, match="zero-dimension"):
+            png.decode_png(self._build(0, 5, b""))
+
+    def test_max_pixels_configurable_and_default_transparent(self):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        data = png.encode_png(4, 4, bytes(range(16)), color_type=0)
+        # default cap: decodes identically
+        assert png.decode_png(data)[4] == bytes(range(16))
+        # caller-tightened cap rejects the same image
+        with pytest.raises(ValueError, match="max_pixels"):
+            png.decode_png(data, max_pixels=15)
+
+    def test_spark_operator_flags_bomb_as_decode_err(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import media
+
+        bomb = self._build(70_000, 70_000, b"\x00" * 64)
+        df = spark.createDataFrame(
+            [(1, bytearray(bomb))], "media_id long, payload binary"
+        )
+        row = media.png_feature_stats(df).collect()[0]
+        assert not row.decode_ok and "max_pixels" in row.decode_err
+
+
 class TestPngNonValueErrorPaths:
     """Review finding: zlib.error / struct.error must surface as ValueError
     so png_feature_stats' decode_ok contract holds for every corrupt
