@@ -52,61 +52,48 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-7 priority: (a) every query whose implementation or oracle CHANGED
+# Round-8 priority: (a) every query whose implementation or oracle CHANGED
 # this round ships with a same-round correctness row (the driver caps each
 # round at 50 rows — edits must never ride on a stale green), then (b) the
-# 25 queries whose freshest green is still r3 (the only remaining stale
-# tail — VERDICT r6 item 1), then the rest. Appended to as round-7 work
-# lands.
-_PRIORITY_R7 = [
-    # changed this round — ADVICE r6: per-operator salted sampling draws
-    # (':stratum'/':sample'/':split'), explicit-class sentence boundary
-    # (\x0B), \x01 span-identity sentinel, whitespace-anchored href regex
-    # (+ data-href/xlink:href fixture decoys), d10 oracle now pins the
-    # null/empty solo-key contract with planted NULL/blank URLs
-    "corp_stratified_sample", "o05_weighted_sample", "o06_hash_split",
-    "d10_url_dedup", "p29_extract_links",
-    "f13_c4_filter", "d11_c4_span_dedup",
-    # new this round: real pure-stdlib PNG decoder (zlib inflate + all five
-    # scanline filters) refereed against a closed-form pixel formula
-    "mm_png_features",
-    # new this round: arbitrary-length ExactSubstr dedup (shingle-chain
-    # stitching into maximal runs, gaps-and-islands oracle); corp_span_dedup
-    # re-checked because its interval fold was lifted to a shared helper
-    "d13_exact_substr", "corp_span_dedup",
-    # new this round: hashed-token logistic quality model — training
-    # replayed end-to-end by a SQL CTE-chain referee; frozen-weights scorer
-    "p35_hashed_quality_train", "p36_hashed_quality_score",
-    # new this round: pure-SQL-text relational surface over registered
-    # views; the four partsupp TPC-H queries re-checked (shared CTE moved
-    # to sql_views.PARTSUPP_SELECT)
-    "rel_sql_surface", "rel_q2_min_cost_supplier", "rel_q11_important_stock",
-    "rel_q16_supplier_part_counts", "rel_q20_promotion_suppliers",
-    # new this round: Flesch readability + Zipf rank-frequency audit
-    "p37_readability", "a16_zipf_slope",
-    # new this round: IVF-PQ composed ANN (FAISS IVFPQ shape); streaming
-    # model-based quality scoring (integer-exact complete-mode aggregate)
-    "emb_ivfpq_topk", "ev_stream_quality",
-    # new this round: exact-dup cluster-size audit + token-entropy signal
-    # + mixture-weighted interleave (stride-scheduled training order)
-    "d14_dup_cluster_stats", "p38_token_entropy", "o08_mixture_interleave",
-    # new this round: DCLM-style composite model-quality gate
-    "f15_model_quality_filter",
-    # stale: freshest driver green is r3 — 24 of VERDICT r6's 25-row list;
-    # the 25th, corp_stratified_sample, sits in the changed head above
-    # (its draw was salted this round)
-    "f01_prefilter", "f03_quality_filter", "f04_low_information",
-    "d06_fingerprint",
-    "a01_source_counts", "a02_boolean_mask_sums", "a05_numeric_summary",
-    "a07_histogram", "a08_top_sources", "a09_lang_breakdown",
-    "a10_cleanup_stats", "a12_approx_sketches",
-    "rel_q4_order_priority", "rel_q10_returned_items",
-    "rel_q13_count_distribution", "rel_q17_small_quantity",
-    "rel_q18_large_orders", "rel_q22_idle_customers",
-    "p22c_gpt2_golden_parity", "p22d_bpe_roundtrip",
-    "corp_mixture_weights", "corp_vocab_top50",
-    "corp_pack_spans", "corp_pack_manifest",
+# 35 queries whose freshest green is r4 (the oldest remaining tail), which
+# together fill 46 of the 50-row cap.
+_PRIORITY_R8 = [
+    # changed this round — ADVICE r7: PNG decompression-bomb guards
+    # (max_pixels cap + bounded inflate) and the IVF-PQ multi-cell
+    # candidate dedup (.distinct() before the codes join)
+    "mm_png_features", "emb_ivfpq_topk",
+    # new this round: perceptual image hashing from DECODED pixels (aHash,
+    # closed-form integer referee) + banded Hamming near-dup image pairs
+    "mm_image_phash", "mm_phash_pairs",
+    # new this round: URL-level quality filter battery (FineWeb-style,
+    # first-match-wins, runs before any document byte is read)
+    "f16_url_blocklist",
+    # new this round: corpus drift/novelty/duplication audits — exact
+    # integer KS statistic, directional gram novelty, per-source
+    # ExactSubstr duplicated-token fraction (d13 re-checked: its referee
+    # SQL moved to the shared _D13_SQL constant and its fixture frame to
+    # _esub_frame, both reused by d15)
+    "a17_ks_drift", "a18_gram_novelty", "d15_dup_token_fraction",
+    "d13_exact_substr",
+    # new this round: asymmetric containment near-dup pairs (quote-inside-
+    # document detection Jaccard misses) + sliding-window trending top-k
+    # on the event stream
+    "d16_containment_pairs", "ev_stream_trending",
+    # stale: freshest driver green is r4 (35 rows)
+    "p12_boilerplate_lines", "p01_doc_identity", "d04_ngram_jaccard_pairs",
+    "d05_simhash", "o02_shard_assign", "o02b_shard_manifest",
+    "o03_toy_sample", "p09_langid", "u01_union_by_name", "d07_simhash_pairs",
+    "a11_quantiles", "p09b_langid_trigram", "ev_stream_tumbling",
+    "emb_near_dup_pairs", "emb_near_dup_lsh", "corp_decontaminate",
+    "ev_stream_enrich", "emb_ivf_recall", "rel_q7_volume_shipping",
+    "rel_q8_market_share", "rel_q9_product_profit", "rel_q15_top_supplier",
+    "corp_cross_dup_ngrams", "corp_para_dedup", "ev_stream_dedup",
+    "emb_lsh_bucket_sizes", "emb_near_dup_lsh_or", "emb_lsh_or_recall",
+    "p22e_token_contract", "rel_q21_waiting_suppliers", "emb_ivf_recall2",
+    "mm_media_dedup", "mm_frame_plan", "ev_stream_sessionize",
+    "f06_token_bounds",
 ]
+
 
 
 def _registry():
@@ -115,7 +102,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R7 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R8 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

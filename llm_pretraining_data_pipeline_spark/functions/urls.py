@@ -163,3 +163,52 @@ def url_dedup(
         )
         .drop("_url_group")
     )
+
+
+def url_quality_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: list[str] | None = None,
+    bad_tlds: tuple[str, ...] = ("click", "top", "loan"),
+    max_url_len: int = 256,
+    max_digits: int = 12,
+) -> DataFrame:
+    """FineWeb/C4-style URL-level quality filter, run BEFORE any document
+    text is read (the cheapest drop in the whole pipeline — RefinedWeb
+    §3.1 and FineWeb both gate on URL signals first):
+
+      1. ``url_missing``         — null/whitespace-only URL;
+      2. ``url_blocked_domain``  — domain on the blocklist (exact or
+         subdomain suffix; production uses a broadcast blocklist join,
+         see ``domain_is_blocked``);
+      3. ``url_bad_tld``         — registrable TLD on the spam-heavy list;
+      4. ``url_too_long``        — raw URL longer than ``max_url_len``
+         (session-id / tracking monsters);
+      5. ``url_excess_digits``   — more than ``max_digits`` digit chars in
+         the whole URL (calendar pages, session ids, auto-generated spam).
+
+    First-match-wins via the engine's shared ``first_match_expr``
+    combinator — ONE chained CaseWhen projection, zero shuffle, codegen'd;
+    later rules are not evaluated for rows an earlier rule dropped. Adds
+    ``url_drop_reason`` (null = keep) and ``url_keep``.
+    """
+    from llm_pretraining_data_pipeline_spark.operators.rules import (
+        first_match_expr,
+    )
+
+    u = _col(url_col)
+    trimmed = F.trim(F.coalesce(u, F.lit("")))
+    dom = url_domain(u)
+    tld = F.regexp_extract(dom, r"[^.]+$", 0)
+    n_digits = F.length(F.regexp_replace(trimmed, r"[^0-9]", ""))
+    rules = [
+        ("url_missing", trimmed == ""),
+        ("url_blocked_domain", domain_is_blocked(dom, list(blocklist or []))),
+        ("url_bad_tld", tld.isin([t.lower() for t in bad_tlds])),
+        ("url_too_long", F.length(trimmed) > max_url_len),
+        ("url_excess_digits", n_digits > max_digits),
+    ]
+    reason = first_match_expr(rules)
+    return df.withColumn("url_drop_reason", reason).withColumn(
+        "url_keep", reason.isNull()
+    )

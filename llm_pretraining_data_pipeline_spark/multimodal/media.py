@@ -212,3 +212,126 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+AHASH_SCHEMA = (
+    "media_id bigint, ahash_hi bigint, ahash_lo bigint, "
+    "decode_ok boolean, decode_err string"
+)
+
+
+def png_ahash(
+    media: DataFrame, id_col: str = "media_id", grid: int = 8
+) -> DataFrame:
+    """Perceptual average-hash over decoded PNG payloads — the image twin
+    of text SimHash: near-identical images (re-encodes, tiny edits, small
+    overlays) land within a few Hamming bits of each other, so image-level
+    near-dup removal becomes a banded hash join instead of pixel
+    comparison.
+
+    The hash is ``png.ahash_bits`` — block-mean thresholding in pure
+    INTEGER arithmetic (floor divisions only), split into two int32-range
+    halves (``ahash_hi`` bits 32..63, ``ahash_lo`` bits 0..31) so an
+    independent referee can recompute it from a closed-form pixel formula
+    and every value fits signed bigint on any engine.
+
+    Same executor shape as ``png_feature_stats``: Arrow-batched
+    mapInPandas over (id, payload) only; rows that fail to decode (or are
+    smaller than the grid) survive with ``decode_ok=false``.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    hi, lo = png.ahash_bits(raw, grid=grid)
+                    rows.append((mid, hi, lo, True, None))
+                except ValueError as exc:
+                    rows.append((mid, None, None, False, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ahash_hi", "ahash_lo", "decode_ok",
+                         "decode_err"],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join over 64-bit
+    perceptual hashes (``png_ahash`` output): split the hash into
+    ``bands`` equal bit-bands, bucket-join on an identical band
+    (pigeonhole: hamming <= bands-1 GUARANTEES a shared band; larger radii
+    are probabilistic — the standard bit-sampling LSH recall tradeoff),
+    then verify the exact Hamming distance with two XOR popcounts.
+
+    Scale shape: the banded frame is ``bands`` narrow rows per image; the
+    equi-join on (band_id, band_val) never goes all-pairs — identical to
+    ``simhash_pairs``' text-side design. Returns (id_a, id_b, hamming),
+    id_a < id_b, hamming <= max_hamming.
+    """
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    bits_per_band = 64 // bands
+    h = hashes.filter(F.col("decode_ok")).select(
+        F.col(id_col).alias("_id"), "ahash_hi", "ahash_lo"
+    )
+    # band values arithmetically: bands 0..k/2-1 slice ahash_lo, the rest
+    # ahash_hi (both halves are < 2^32, so shifts stay in bigint range)
+    per_half = 32 // bits_per_band if bits_per_band <= 32 else 1
+    mod = 1 << min(bits_per_band, 32)
+
+    def band_val(b):
+        half = F.when(b < per_half, F.col("ahash_lo")).otherwise(
+            F.col("ahash_hi")
+        )
+        shift = (b % per_half) * bits_per_band
+        return (half / F.pow(F.lit(2.0), shift)).cast("long") % mod
+
+    banded = h.select(
+        "_id", "ahash_hi", "ahash_lo",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"), band_val(b).alias("band_val")
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "ahash_hi", "ahash_lo", "band.band_id", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("b.ahash_hi").alias("hi_b"),
+            F.col("b.ahash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

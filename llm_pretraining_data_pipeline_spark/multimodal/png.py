@@ -248,3 +248,57 @@ def png_stats(data: bytes) -> dict:
         "px_min": min(pixels) if pixels else 0,
         "px_max": max(pixels) if pixels else 0,
     }
+
+
+def ahash_bits(data: bytes, grid: int = 8) -> tuple[int, int]:
+    """Integer average-hash (aHash) of a decoded PNG — the classic
+    perceptual image fingerprint (block-mean thresholding), defined here
+    entirely in INTEGER arithmetic so an independent referee can recompute
+    it from a closed-form pixel formula with no image machinery:
+
+      grey(x,y)   = floor(sum over channels / channels)
+      block(bx,by)= x in [floor(bx*w/g), floor((bx+1)*w/g)) etc.
+      m(bx,by)    = floor(sum grey in block / block pixel count)
+      M           = floor(sum of all block means / g*g)
+      bit(by*g+bx)= 1 iff m(bx,by) > M
+
+    Returns ``(hash_hi, hash_lo)`` — bits 32..63 and 0..31 as two
+    non-negative ints < 2^32, so the pair fits signed 64-bit columns on
+    any engine (a single 64-bit value would collide with bigint sign /
+    ANSI overflow).  Requires width >= grid and height >= grid (floor
+    boundaries then guarantee non-empty blocks).
+    """
+    width, height, _bd, channels, pixels = decode_png(data)
+    if width < grid or height < grid:
+        raise ValueError(
+            f"image {width}x{height} smaller than ahash grid {grid}"
+        )
+    # integer grey plane
+    if channels == 1:
+        grey = list(pixels)
+    else:
+        grey = [
+            sum(pixels[i : i + channels]) // channels
+            for i in range(0, len(pixels), channels)
+        ]
+    means = []
+    for by in range(grid):
+        y0, y1 = by * height // grid, (by + 1) * height // grid
+        for bx in range(grid):
+            x0, x1 = bx * width // grid, (bx + 1) * width // grid
+            s = cnt = 0
+            for y in range(y0, y1):
+                row = y * width
+                for x in range(x0, x1):
+                    s += grey[row + x]
+                    cnt += 1
+            means.append(s // cnt)
+    overall = sum(means) // (grid * grid)
+    hi = lo = 0
+    for i, m in enumerate(means):
+        if m > overall:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return hi, lo

@@ -53,6 +53,8 @@ __all__ = [
     "benchmark_overlap",
     "span_dedup",
     "exact_substr_dedup",
+    "ks_drift",
+    "gram_novelty",
 ]
 
 
@@ -1890,4 +1892,120 @@ def mixture_interleave(
         ).otherwise(wexpr)
     return df.withColumn(
         "interleave_key", F.round(rank.cast("double") / wexpr, 6)
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    ``value_col`` distributions of two corpus slices — the snapshot-drift
+    audit a curation dashboard runs when a new crawl dump lands ("did
+    document length / quality score shift vs the last dump?"). CCNet/
+    RefinedWeb-style pipelines gate recalibration on exactly this kind of
+    distribution check.
+
+    KS = max over values v of |F_a(v) - F_b(v)| with F the empirical CDF.
+    Computed EXACTLY in integer arithmetic: per distinct value the two
+    group counts, one cumulative pass, and the max of
+    |cum_a * n_b - cum_b * n_a| — a bigint numerator over the common
+    denominator n_a * n_b — so the statistic is bit-identical on every
+    engine; only the final ratio is rounded (6dp).
+
+    Scale shape: one map-side-combinable groupBy on the value, then the
+    cumulative window runs over the AGGREGATED frame (one row per distinct
+    value) — for continuous scores quantize first (the engine's scores are
+    already 6dp-rounded), which bounds the distinct-value frame to the
+    grid size, not the corpus size. Output: ONE row
+    (n_a, n_b, ks_stat, ks_at_value = smallest value attaining the max).
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    counts = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("val"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = counts.select(
+        "val",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    diff = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    scored = cum.select(
+        "val", "n_a", "n_b", diff.alias("d")
+    ).withColumn("max_d", F.max("d").over(wall))
+    return scored.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.max("d").cast("double")
+            / (F.max("n_a") * F.max("n_b")).cast("double"),
+            6,
+        ).alias("ks_stat"),
+        F.min(F.when(F.col("d") == F.col("max_d"), F.col("val")))
+        .cast("long")
+        .alias("ks_at_value"),
+    )
+
+
+def gram_novelty(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    old_group: str,
+    new_group: str,
+    n: int = 3,
+) -> DataFrame:
+    """Directional n-gram novelty of a NEW corpus slice against an OLD one:
+    what fraction of the new snapshot's distinct n-grams was never seen in
+    the base? The freshness audit run before paying for a new crawl dump —
+    near-zero novelty means the dump re-crawls what the corpus already has
+    (the complement of ``source_overlap``'s symmetric Jaccard).
+
+    Scale shape: one distinct over (side, 60-bit gram hash), then ONE
+    groupBy on the hash reducing each gram to two booleans (seen-in-old /
+    seen-in-new) — counts come from a final scalar aggregation. No gram-
+    keyed join of two corpus-sized frames, no pair expansion. Output: ONE
+    row (n_grams_old, n_grams_new, n_novel, novelty_rate 6dp).
+    """
+    g = F.col(group_col)
+    toks = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    grams = (
+        df.filter(g.isin([old_group, new_group]))
+        .select(
+            (g == new_group).alias("is_new"),
+            F.explode(ngrams(toks, n)).alias("gram"),
+        )
+        .select("is_new", h64(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    flags = grams.groupBy("gh").agg(
+        F.max(F.when(~F.col("is_new"), 1).otherwise(0)).alias("in_old"),
+        F.max(F.when(F.col("is_new"), 1).otherwise(0)).alias("in_new"),
+    )
+    n_old = F.sum("in_old").cast("long")
+    n_new = F.sum("in_new").cast("long")
+    n_novel = F.sum(
+        F.when((F.col("in_new") == 1) & (F.col("in_old") == 0), 1).otherwise(0)
+    ).cast("long")
+    return flags.agg(
+        n_old.alias("n_grams_old"),
+        n_new.alias("n_grams_new"),
+        n_novel.alias("n_novel"),
+        F.when(
+            n_new > 0,
+            F.round(n_novel.cast("double") / n_new.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("novelty_rate"),
     )

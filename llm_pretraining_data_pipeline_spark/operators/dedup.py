@@ -412,6 +412,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: |A∩B|/|A| and |A∩B|/|B|, kept
+    when either direction reaches ``threshold`` (Broder's containment
+    score, the companion to resemblance/Jaccard).
+
+    This is the detector Jaccard structurally misses: a short document
+    fully quoted inside a long one (syndicated article + boilerplate,
+    quoted posts, wrapper pages) has containment 1.0 from the short side
+    while Jaccard ≈ |short|/|long| stays far below any dedup threshold.
+    Dolma/RefinedWeb-style curation uses exactly this to drop wrapper
+    pages around already-kept content.
+
+    Same scale shape as ``ngram_jaccard_pairs``: shingle inverted-index
+    join for candidates (or a pre-pruned ``candidates`` frame from LSH —
+    the 100 TB path), then one equi-join back to the two distinct-shingle
+    sets per surviving pair. Returns (id_a, id_b, containment_a,
+    containment_b) with id_a < id_b.
+    """
+    shingle_sets = _spread_small_input(df).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(hashing.token_shingles(text_col, shingle_size)).alias("_set"),
+    ).filter(F.size("_set") > 0)
+
+    if candidates is None:
+        exploded = shingle_sets.select("_id", F.explode("_set").alias("_sh"))
+        cand = (
+            exploded.alias("a")
+            .join(
+                exploded.alias("b"),
+                (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        cand = candidates.select("id_a", "id_b")
+
+    a_sets = shingle_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("set_a"))
+    b_sets = shingle_sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("set_b"))
+    joined = cand.join(a_sets, "id_a").join(b_sets, "id_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    ca = inter.cast("double") / F.size("set_a").cast("double")
+    cb = inter.cast("double") / F.size("set_b").cast("double")
+    return (
+        joined.select(
+            "id_a", "id_b", ca.alias("containment_a"), cb.alias("containment_b")
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,

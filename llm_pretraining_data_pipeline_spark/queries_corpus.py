@@ -394,9 +394,10 @@ _ESUB_PASSAGE_SQL = (
 )
 
 
-@register(
-    "d13_exact_substr",
-    f"""
+# The full d13 referee SQL lives in a module constant so d15 (the
+# per-source duplication AUDIT over the same dedup) can reuse it verbatim
+# as a nested CTE — one source of truth for the ExactSubstr semantics.
+_D13_SQL = f"""
     WITH d AS (
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0
@@ -444,7 +445,12 @@ _ESUB_PASSAGE_SQL = (
            cast(coalesce(n_dup_runs, 0) as bigint) AS n_dup_runs,
            cast(coalesce(max_run_tokens, 0) as bigint) AS max_run_tokens
     FROM k2 LEFT JOIN rstats USING (doc_id)
-    """,
+    """
+
+
+@register(
+    "d13_exact_substr",
+    _D13_SQL,
     doc="arbitrary-length ExactSubstr dedup (Lee et al. 2022 suffix-array "
         f"semantics via shingle-chain stitching): duplicated >={_ESUB_K}-"
         "token repeats at ANY offset keep their first corpus-wide "
@@ -454,6 +460,13 @@ _ESUB_PASSAGE_SQL = (
         "60-bit hashes; the oracle stitches with gaps-and-islands SQL",
 )
 def d13_exact_substr(spark, sf_dir):
+    return corpus.exact_substr_dedup(_esub_frame(spark, sf_dir),
+                                     min_tokens=_ESUB_K)
+
+
+def _esub_frame(spark, sf_dir):
+    """The shared d13/d15 derived fixture: the 15-word planted passage at
+    unaligned offsets (START of even docs, END of odd docs)."""
     passage = F.concat(
         F.lit(
             "shared repeated passage alpha bravo charlie delta echo foxtrot "
@@ -466,8 +479,7 @@ def d13_exact_substr(spark, sf_dir):
     t = F.when(
         F.col("doc_id") % 2 == 0, F.concat(passage, F.lit(" "), base)
     ).otherwise(F.concat(base, F.lit(" "), passage))
-    u = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
-    return corpus.exact_substr_dedup(u, min_tokens=_ESUB_K)
+    return _docs(spark, sf_dir).select("doc_id", t.alias("text"))
 
 
 # ===================================================== Gopher quality filter
@@ -1517,4 +1529,227 @@ def o08_mixture_interleave(spark, sf_dir):
         out.select("doc_id", "source", "interleave_key")
         .orderBy("interleave_key", "source", "doc_id")
         .limit(_MIX_TOPN)
+    )
+
+
+# ============================================= round-8 corpus analytics
+
+@register(
+    "d15_dup_token_fraction",
+    f"""
+    WITH es AS ({_D13_SQL}),
+    j AS (SELECT d.source, es.n_tok_orig, es.n_tok_kept, es.n_dup_runs
+          FROM es JOIN documents d USING (doc_id))
+    SELECT source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_tok_orig) as bigint) AS tok_total,
+           cast(sum(n_tok_orig - n_tok_kept) as bigint) AS tok_dup,
+           cast(count(*) FILTER (WHERE n_dup_runs > 0) as bigint)
+             AS n_docs_with_dups,
+           round(cast(sum(n_tok_orig - n_tok_kept) as double)
+                 / cast(sum(n_tok_orig) as double), 6) AS dup_token_frac
+    FROM j GROUP BY source ORDER BY source
+    """,
+    doc="per-source duplicated-token fraction — the pre-training "
+        "duplication AUDIT over ExactSubstr dedup output (how much of each "
+        "source is byte-level repeats; Lee et al. 2022 report exactly this "
+        "per-corpus number). Reuses the d13 dedup (same derived fixture, "
+        "one keep-first shuffle) plus one narrow groupBy on source; the "
+        "oracle nests the d13 referee SQL verbatim as a CTE",
+)
+def d15_dup_token_fraction(spark, sf_dir):
+    es = corpus.exact_substr_dedup(_esub_frame(spark, sf_dir),
+                                   min_tokens=_ESUB_K)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    j = es.join(src, "doc_id").select(
+        "source", "n_tok_orig", "n_tok_kept", "n_dup_runs"
+    )
+    dup = F.sum(F.col("n_tok_orig") - F.col("n_tok_kept"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok_orig").cast("long").alias("tok_total"),
+            dup.cast("long").alias("tok_dup"),
+            F.sum((F.col("n_dup_runs") > 0).cast("int")).cast("long")
+            .alias("n_docs_with_dups"),
+            F.round(
+                dup.cast("double") / F.sum("n_tok_orig").cast("double"), 6
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_KS_SRC_A, _KS_SRC_B = "src3", "src7"
+
+
+@register(
+    "a17_ks_drift",
+    f"""
+    WITH f AS (SELECT n_chars AS val, source FROM documents
+               WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')),
+    c AS (SELECT val,
+                 sum(CASE WHEN source = '{_KS_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END) AS cb
+          FROM f GROUP BY val),
+    cum AS (SELECT val,
+                   sum(ca) OVER (ORDER BY val) AS cum_a,
+                   sum(cb) OVER (ORDER BY val) AS cum_b,
+                   sum(ca) OVER () AS n_a,
+                   sum(cb) OVER () AS n_b
+            FROM c),
+    d AS (SELECT val, n_a, n_b,
+                 abs(cum_a * n_b - cum_b * n_a) AS dd FROM cum),
+    m AS (SELECT max(dd) AS max_d, max(n_a) AS n_a, max(n_b) AS n_b FROM d)
+    SELECT cast(m.n_a as bigint) AS n_a,
+           cast(m.n_b as bigint) AS n_b,
+           round(cast(m.max_d as double)
+                 / (cast(m.n_a as double) * cast(m.n_b as double)), 6)
+             AS ks_stat,
+           cast((SELECT min(val) FROM d WHERE d.dd = m.max_d) as bigint)
+             AS ks_at_value
+    FROM m
+    """,
+    doc="two-sample Kolmogorov-Smirnov drift between two sources' document-"
+        "length distributions — the snapshot-drift audit gating "
+        "recalibration when a new crawl dump lands. EXACT integer "
+        "arithmetic: KS numerator max|cum_a*n_b - cum_b*n_a| over the "
+        "common denominator n_a*n_b, only the final ratio rounded (6dp); "
+        "the cumulative window runs over the aggregated distinct-value "
+        "frame, never the corpus",
+)
+def a17_ks_drift(spark, sf_dir):
+    return corpus.ks_drift(
+        _docs(spark, sf_dir), "n_chars", "source", _KS_SRC_A, _KS_SRC_B
+    )
+
+
+# gram-novelty fixture: snapshots from doc parity, plus a planted shared
+# passage hitting BOTH snapshots so the novel-gram rate is strictly
+# inside (0, 1) — the referee pins both the novel and the seen side.
+_NOV_ANCHOR = "anchor overlap passage sierra tango uniform victor whiskey"
+_NOV_N = 3
+
+
+@register(
+    "a18_gram_novelty",
+    f"""
+    WITH d AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'old' ELSE 'new' END AS snap,
+             CASE WHEN doc_id % 4 < 2
+                  THEN coalesce(text, '') || ' {_NOV_ANCHOR}'
+                  ELSE coalesce(text, '') END AS t
+      FROM documents
+    ),
+    w AS (SELECT snap, {O.toks('t')} AS w FROM d),
+    g AS (SELECT DISTINCT snap = 'new' AS is_new,
+                 {O.h64('gram')} AS gh
+          FROM (SELECT snap, unnest({O.word_ngrams('w', _NOV_N)}) AS gram
+                FROM w)),
+    fl AS (SELECT gh,
+                  max(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS in_old,
+                  max(CASE WHEN is_new THEN 1 ELSE 0 END) AS in_new
+           FROM g GROUP BY gh)
+    SELECT cast(sum(in_old) as bigint) AS n_grams_old,
+           cast(sum(in_new) as bigint) AS n_grams_new,
+           cast(sum(CASE WHEN in_new = 1 AND in_old = 0 THEN 1 ELSE 0 END)
+                as bigint) AS n_novel,
+           CASE WHEN sum(in_new) > 0
+                THEN round(cast(sum(CASE WHEN in_new = 1 AND in_old = 0
+                                         THEN 1 ELSE 0 END) as double)
+                           / cast(sum(in_new) as double), 6)
+                ELSE 0.0 END AS novelty_rate
+    FROM fl
+    """,
+    doc="directional n-gram novelty of a new snapshot vs the existing "
+        "corpus (the 'is this dump worth ingesting' freshness audit; "
+        "complement of source_overlap's symmetric Jaccard). One distinct "
+        "over (side, 60-bit gram hash) + one groupBy reducing each gram to "
+        "two booleans — no gram-keyed join of corpus-sized frames. The "
+        "planted anchor passage lands in both snapshots so the rate is "
+        "strictly between 0 and 1",
+)
+def a18_gram_novelty(spark, sf_dir):
+    d = F.col("doc_id")
+    t = F.when(
+        d % 4 < 2,
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" " + _NOV_ANCHOR)),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    snap = F.when(d % 3 == 0, F.lit("old")).otherwise(F.lit("new"))
+    frame = _docs(spark, sf_dir).select(snap.alias("snap"), t.alias("text"))
+    return corpus.gram_novelty(frame, "text", "snap", "old", "new", n=_NOV_N)
+
+
+# containment fixture: every doc_id%7==2 document gets a derived "quote"
+# row (id + 1_000_000) holding its first 10 tokens — full containment from
+# the quote side while Jaccard stays far below any dedup threshold.
+_CONT_QUOTE_TOKENS = 10
+_CONT_THRESHOLD = 0.9
+
+
+@register(
+    "d16_containment_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    quotes AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice({O.toks('t')}, 1,
+                                        {_CONT_QUOTE_TOKENS}), ' ') AS t
+      FROM base WHERE doc_id % 7 = 2
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM quotes),
+    s AS (SELECT doc_id, list_distinct({O.shingles(O.toks('t'), 3)}) AS sh
+          FROM u WHERE len({O.shingles(O.toks('t'), 3)}) > 0),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
+    j AS (SELECT id_a, id_b,
+                 len(list_intersect(sa.sh, sb.sh)) AS inter,
+                 len(sa.sh) AS na, len(sb.sh) AS nb
+          FROM cand
+          JOIN s sa ON sa.doc_id = id_a
+          JOIN s sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b,
+           round(cast(inter as double) / cast(na as double), 6)
+             AS containment_a,
+           round(cast(inter as double) / cast(nb as double), 6)
+             AS containment_b
+    FROM j
+    WHERE cast(inter as double) / cast(na as double) >= {_CONT_THRESHOLD}
+       OR cast(inter as double) / cast(nb as double) >= {_CONT_THRESHOLD}
+    """,
+    doc="asymmetric n-gram CONTAINMENT pairs (Broder): |A∩B|/|A| and "
+        "|A∩B|/|B|, kept when either side reaches 0.9 — the detector for "
+        "short documents fully quoted inside long ones, which Jaccard "
+        "structurally misses (≈|short|/|long|). Same inverted-index scale "
+        "shape as d04; the fixture plants a 10-token quote row per "
+        "doc_id%7==2 document",
+)
+def d16_containment_pairs(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import (
+        ws_tokens,
+    )
+    from llm_pretraining_data_pipeline_spark.operators import dedup as D
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    quotes = base.filter(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(ws_tokens(F.col("text")), 1, _CONT_QUOTE_TOKENS), " "
+        ).alias("text"),
+    )
+    u = base.unionByName(quotes)
+    out = D.ngram_containment_pairs(
+        u, "text", shingle_size=3, threshold=_CONT_THRESHOLD
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
     )

@@ -2557,3 +2557,220 @@ def f15_model_quality_filter(spark, sf_dir):
         F.coalesce("token_entropy", F.lit(0.0)).alias("token_entropy"),
         reason.alias("quality_drop_reason"),
     )
+
+
+# ================================================ round-8: URL filter stage
+
+_F16_LONG_TAIL = "x" * 260
+_F16_BAD_TLDS = ("click", "top", "loan")
+_F16_MAX_LEN = 256
+_F16_MAX_DIGITS = 12
+
+
+def _f16_url_spark():
+    d = F.col("doc_id")
+    return (
+        F.when(d % 17 == 3, F.lit(None).cast("string"))
+        .when(d % 17 == 7, F.lit("   "))
+        .when(d % 23 == 5, F.concat(
+            F.lit("https://Promo.win-big.Click/offer-"),
+            (d % 9).cast("string")))
+        .when(d % 29 == 11, F.concat(_url_spark(), F.lit("/" + _F16_LONG_TAIL)))
+        .when(d % 31 == 9, F.lit("https://cal.example.net/2024/11/30/9876543210123"))
+        .otherwise(_url_spark())
+    )
+
+
+_F16_URL_SQL = (
+    "CASE WHEN doc_id % 17 = 3 THEN NULL "
+    "WHEN doc_id % 17 = 7 THEN '   ' "
+    "WHEN doc_id % 23 = 5 THEN 'https://Promo.win-big.Click/offer-' "
+    "|| cast(doc_id % 9 as varchar) "
+    f"WHEN doc_id % 29 = 11 THEN {_URL_SQL} || '/{_F16_LONG_TAIL}' "
+    "WHEN doc_id % 31 = 9 THEN "
+    "'https://cal.example.net/2024/11/30/9876543210123' "
+    f"ELSE {_URL_SQL} END"
+)
+
+
+@register(
+    "f16_url_blocklist",
+    f"""
+    WITH u AS (SELECT doc_id, {_F16_URL_SQL} AS url FROM documents),
+    d AS (SELECT doc_id, url, trim(coalesce(url, '')) AS tu,
+                 {_url_domain_sql('url')} AS dom
+          FROM u),
+    r AS (SELECT doc_id,
+                 CASE
+                   WHEN tu = '' THEN 'url_missing'
+                   WHEN {_blocked_sql('dom')} THEN 'url_blocked_domain'
+                   WHEN regexp_extract(dom, '[^.]+$') IN
+                        {str(tuple(_F16_BAD_TLDS))} THEN 'url_bad_tld'
+                   WHEN length(tu) > {_F16_MAX_LEN} THEN 'url_too_long'
+                   WHEN length(regexp_replace(tu, '[^0-9]', '', 'g'))
+                        > {_F16_MAX_DIGITS} THEN 'url_excess_digits'
+                 END AS url_drop_reason
+          FROM d)
+    SELECT doc_id, url_drop_reason,
+           url_drop_reason IS NULL AS url_keep
+    FROM r
+    """,
+    doc="FineWeb/RefinedWeb-style URL-level quality filter, the cheapest "
+        "drop in the pipeline (runs before any document byte is read): "
+        "missing URL → blocked domain (exact/subdomain suffix) → spam TLD "
+        "→ over-long URL → excess digits, first-match-wins via the shared "
+        "first_match_expr combinator — one codegen'd CaseWhen projection, "
+        "zero shuffle. The fixture plants every rule class plus clean rows",
+)
+def f16_url_blocklist(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls
+
+    u = _docs(spark, sf_dir).select("doc_id", _f16_url_spark().alias("url"))
+    out = urls.url_quality_filter(
+        u, blocklist=_URL_BLOCKLIST, bad_tlds=_F16_BAD_TLDS,
+        max_url_len=_F16_MAX_LEN, max_digits=_F16_MAX_DIGITS,
+    )
+    return out.select("doc_id", "url_drop_reason", "url_keep")
+
+
+# ====================================== round-8: perceptual image hashing
+
+# 16x16 greyscale fixture from a closed-form formula: 25 base patterns
+# (doc_id%25) with a sparse additive perturbation (doc_id%4 on the
+# (x+y)%13==0 diagonal), so same-group images sit a few Hamming bits
+# apart and cross-group images sit far — exactly the structure a
+# perceptual near-dup stage must recover. Filter type cycles over all
+# five scanline filters so the decode path stays fully exercised.
+_PHASH_W = _PHASH_H = 16
+_PHASH_GRID = 8
+_PHASH_MAX_HAM = 10
+
+_PHASH_HASH_SQL = f"""
+    px AS (
+      SELECT doc_id AS media_id, x.a AS x, y.b AS y,
+             (7 * x.a + 13 * y.b + 31 * (doc_id % 25)
+              + CASE WHEN (x.a + y.b) % 13 = 0
+                     THEN (doc_id % 4) * 40 ELSE 0 END) % 256 AS v
+      FROM documents,
+           unnest(range(0, {_PHASH_W})) AS x(a),
+           unnest(range(0, {_PHASH_H})) AS y(b)
+    ),
+    blocks AS (
+      SELECT media_id, y // 2 AS by, x // 2 AS bx,
+             sum(v) // count(*) AS m
+      FROM px GROUP BY media_id, y // 2, x // 2
+    ),
+    overall AS (
+      SELECT media_id, sum(m) // {_PHASH_GRID * _PHASH_GRID} AS big_m
+      FROM blocks GROUP BY media_id
+    ),
+    bits AS (
+      SELECT b.media_id, (by * {_PHASH_GRID} + bx) AS i,
+             CASE WHEN m > big_m THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN overall o USING (media_id)
+    ),
+    h AS (
+      SELECT media_id,
+             cast(sum(CASE WHEN i >= 32
+                           THEN bit * (1::BIGINT << (i - 32))
+                           ELSE 0 END) as bigint) AS ahash_hi,
+             cast(sum(CASE WHEN i < 32
+                           THEN bit * (1::BIGINT << i)
+                           ELSE 0 END) as bigint) AS ahash_lo
+      FROM bits GROUP BY media_id
+    )
+"""
+
+
+def _phash_media(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import png as P
+
+    w, h = _PHASH_W, _PHASH_H
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                grp, delta = did % 25, did % 4
+                pix = bytes(
+                    ((7 * x + 13 * y + 31 * grp)
+                     + (delta * 40 if (x + y) % 13 == 0 else 0)) % 256
+                    for y in range(h) for x in range(w)
+                )
+                out.append(
+                    (did, P.encode_png(w, h, pix, color_type=0,
+                                       filter_type=did % 5))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+
+
+@register(
+    "mm_image_phash",
+    f"""
+    WITH {_PHASH_HASH_SQL}
+    SELECT media_id, ahash_hi, ahash_lo FROM h
+    """,
+    doc="perceptual average-hash (aHash) computed from DECODED PNG pixels "
+        "— block-mean thresholding in pure integer arithmetic (floor "
+        "divisions only), split into two int32-range halves so the "
+        "referee recomputes it from the closed-form pixel formula with no "
+        "image machinery; the Spark side goes payload → stdlib decode → "
+        "hash in one Arrow mapInPandas pass (encode uses all five "
+        "scanline filters)",
+)
+def mm_image_phash(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+
+    out = mm.png_ahash(_phash_media(spark, sf_dir), grid=_PHASH_GRID)
+    return out.select("media_id", "ahash_hi", "ahash_lo")
+
+
+@register(
+    "mm_phash_pairs",
+    f"""
+    WITH {_PHASH_HASH_SQL},
+    bands AS (
+      SELECT media_id, ahash_hi, ahash_lo, b.k AS band_id,
+             CASE WHEN b.k < 2 THEN (ahash_lo >> (16 * b.k)) & 65535
+                  ELSE (ahash_hi >> (16 * (b.k - 2))) & 65535
+             END AS band_val
+      FROM h, unnest(range(0, 4)) AS b(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+       AND a.media_id < b2.media_id
+    )
+    SELECT id_a, id_b,
+           cast(bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+                + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) as int) AS hamming
+    FROM cand
+    JOIN h ha ON ha.media_id = id_a
+    JOIN h hb ON hb.media_id = id_b
+    WHERE bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+          + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) <= {_PHASH_MAX_HAM}
+    """,
+    doc="near-duplicate IMAGE pairs by banded Hamming join over the aHash "
+        "(4x16-bit bands — bit-sampling LSH; pigeonhole guarantees recall "
+        "at hamming<=3, probabilistic above): the image twin of "
+        "simhash_pairs, never all-pairs; verification is two XOR "
+        "popcounts. Same-group fixture images land within the radius, "
+        "cross-group images fall out",
+)
+def mm_phash_pairs(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+
+    hashes = mm.png_ahash(_phash_media(spark, sf_dir), grid=_PHASH_GRID)
+    return mm.phash_near_dup_pairs(
+        hashes, max_hamming=_PHASH_MAX_HAM, bands=4
+    )

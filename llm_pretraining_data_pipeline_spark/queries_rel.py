@@ -2012,3 +2012,40 @@ def ev_stream_quality(spark, sf_dir):
     )
 
     return run_quality_stream_once(spark, sf_dir, _H36_W, _H36_BIAS)
+
+
+@register(
+    "ev_stream_trending",
+    """
+    WITH e AS (
+      SELECT event_type,
+             cast(time_bucket(INTERVAL '5 minutes', ts) as timestamp) AS b
+      FROM events
+    ),
+    w AS (
+      SELECT u.ws AS window_start, event_type
+      FROM e, unnest([b, b - INTERVAL '5 minutes']) AS u(ws)
+    ),
+    c AS (SELECT window_start, event_type,
+                 cast(count(*) as bigint) AS cnt
+          FROM w GROUP BY 1, 2),
+    r AS (SELECT window_start, event_type, cnt,
+                 cast(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY cnt DESC, event_type) as int) AS rank
+          FROM c)
+    SELECT window_start, event_type, cnt, rank FROM r WHERE rank <= 3
+    """,
+    doc="sliding-window trending top-k event types (10-minute windows "
+        "sliding every 5 — each event lands in two windows, so bursts "
+        "surface within one slide): the stream maintains the sliding "
+        "counts incrementally (the stateful part); ranking the few rows "
+        "per window is a batch step on the drained result. The referee "
+        "replays the two-windows-per-event expansion in SQL",
+)
+def ev_stream_trending(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_trending_stream_once,
+    )
+
+    return run_trending_stream_once(spark, sf_dir, k=3)

@@ -447,3 +447,42 @@ def run_quality_stream_once(
         ).alias("score_sum_micro"),
     )
     return _drain_to_memory(agg, "complete")
+
+
+def run_trending_stream_once(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    k: int = 3,
+) -> DataFrame:
+    """Sliding-window trending top-k: per overlapping window, the ``k``
+    most frequent event types — the live "what is spiking right now"
+    dashboard query (each event lands in width/slide windows, so bursts
+    surface within one slide instead of one full width).
+
+    The STREAM computes the heavy part — the sliding-window counts, the
+    state Spark must maintain incrementally; ranking the handful of
+    (window, type) rows per window is a presentation step on the drained
+    result (streaming aggregations cannot nest a rank, and re-ranking
+    per micro-batch in complete mode recomputes the same small frame).
+    On the bounded drain the output equals the batch two-windows-per-
+    event expansion, which is the DuckDB referee (ev_stream_trending).
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    drained = _drain_to_memory(agg, "complete")
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.col("event_type")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1037,3 +1037,106 @@ class TestMixtureInterleave:
             mixture_interleave(df, {"a": -1.0})
         with pytest.raises(ValueError, match="positive"):
             mixture_interleave(df, {}, default_weight=0.0)
+
+
+class TestKsDriftAndNovelty:
+    def test_ks_drift_hand_computed(self, spark):
+        """KS between A={1,2,3,4} and B={3,4,5,6}: F_A-F_B peaks at v=2
+        (|2*4-0*4|/16 = 0.5), attained first at value 2."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            ks_drift,
+        )
+
+        rows = [("a", v) for v in [1, 2, 3, 4]] + [
+            ("b", v) for v in [3, 4, 5, 6]
+        ]
+        df = spark.createDataFrame(rows, "grp string, val long")
+        out = ks_drift(df, "val", "grp", "a", "b").collect()[0]
+        assert (out.n_a, out.n_b) == (4, 4)
+        assert out.ks_stat == 0.5
+        assert out.ks_at_value == 2
+
+    def test_ks_identical_distributions_zero(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            ks_drift,
+        )
+
+        rows = [(g, v) for g in ("a", "b") for v in range(50)]
+        df = spark.createDataFrame(rows, "grp string, val long")
+        out = ks_drift(df, "val", "grp", "a", "b").collect()[0]
+        assert out.ks_stat == 0.0
+
+    def test_ks_disjoint_distributions_one(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            ks_drift,
+        )
+
+        rows = [("a", v) for v in range(10)] + [
+            ("b", v) for v in range(100, 110)
+        ]
+        df = spark.createDataFrame(rows, "grp string, val long")
+        out = ks_drift(df, "val", "grp", "a", "b").collect()[0]
+        assert out.ks_stat == 1.0 and out.ks_at_value == 9
+
+    def test_gram_novelty_hand_computed(self, spark):
+        """old: 'a b c d' -> 3-grams {abc, bcd}; new: 'b c d e' ->
+        {bcd, cde}: one of two new grams is novel -> rate 0.5."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            gram_novelty,
+        )
+
+        df = spark.createDataFrame(
+            [("old", "a b c d"), ("new", "b c d e")], "snap string, text string"
+        )
+        out = gram_novelty(df, "text", "snap", "old", "new", n=3).collect()[0]
+        assert (out.n_grams_old, out.n_grams_new, out.n_novel) == (2, 2, 1)
+        assert out.novelty_rate == 0.5
+
+    def test_gram_novelty_subset_is_zero_novel(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            gram_novelty,
+        )
+
+        df = spark.createDataFrame(
+            [("old", "a b c d e f"), ("new", "b c d")],
+            "snap string, text string",
+        )
+        out = gram_novelty(df, "text", "snap", "old", "new", n=3).collect()[0]
+        assert out.n_novel == 0 and out.novelty_rate == 0.0
+
+
+class TestContainmentPairs:
+    def test_quote_inside_document_detected(self, spark):
+        """A 5-token quote of a 40-token doc: containment from the quote
+        side is 1.0 while Jaccard stays ~0.1 — the pair the Jaccard
+        operator structurally misses at any dedup threshold."""
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        long_doc = " ".join(f"w{i}" for i in range(40))
+        quote = " ".join(f"w{i}" for i in range(5))
+        df = spark.createDataFrame(
+            [(1, long_doc), (2, quote), (3, "totally different words here")],
+            "doc_id long, text string",
+        )
+        out = ngram_containment_pairs(df, "text", threshold=0.9).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+        assert out[0].containment_b == 1.0
+        assert out[0].containment_a < 0.2
+        # Jaccard at the same threshold finds nothing
+        assert ngram_jaccard_pairs(df, "text", threshold=0.9).count() == 0
+
+    def test_symmetric_duplicates_still_pair(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        t = "alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [(1, t), (2, t)], "doc_id long, text string"
+        )
+        out = ngram_containment_pairs(df, "text", threshold=0.9).collect()
+        assert len(out) == 1
+        assert out[0].containment_a == out[0].containment_b == 1.0

@@ -373,3 +373,110 @@ class TestPngHypothesisRoundTrip:
                 png.decode_png(bytes(b))
             except ValueError:
                 pass  # the one allowed failure mode
+
+
+class TestAhash:
+    """Integer average-hash over decoded pixels (round 8)."""
+
+    def test_hand_computed_8x8(self):
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        # 8x8 grey, grid 8 -> every pixel is its own block; overall mean
+        # floor(sum(0..63)/64) = 31; bits set exactly for pixels > 31,
+        # i.e. linear indices 32..63 -> lo = 0, hi = 2^32 - 1
+        pix = bytes(range(64))
+        data = png.encode_png(8, 8, pix, color_type=0)
+        hi, lo = png.ahash_bits(data, grid=8)
+        assert (hi, lo) == (2**32 - 1, 0)
+
+    def test_multichannel_grey_projection(self):
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        # RGB image whose channels average to the same ramp as the grey
+        # test: grey = floor((v + v + v)/3) = v
+        pix = bytes(b for v in range(64) for b in (v, v, v))
+        data = png.encode_png(8, 8, pix, color_type=2)
+        assert png.ahash_bits(data) == (2**32 - 1, 0)
+
+    def test_identical_images_same_hash_small_edit_small_hamming(self):
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        base = bytes((7 * x + 13 * y) % 256 for y in range(16) for x in range(16))
+        d1 = png.encode_png(16, 16, base, color_type=0, filter_type=1)
+        d2 = png.encode_png(16, 16, base, color_type=0, filter_type=4)
+        assert png.ahash_bits(d1) == png.ahash_bits(d2)  # encoding-invariant
+        # flip one pixel hard: at most a few blocks change
+        edited = bytearray(base)
+        edited[0] = 255
+        d3 = png.encode_png(16, 16, bytes(edited), color_type=0)
+        h1, h3 = png.ahash_bits(d1), png.ahash_bits(d3)
+        ham = bin((h1[0] ^ h3[0])).count("1") + bin((h1[1] ^ h3[1])).count("1")
+        assert ham <= 4
+
+    def test_too_small_for_grid_raises(self):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        data = png.encode_png(4, 4, bytes(16), color_type=0)
+        with pytest.raises(ValueError, match="ahash grid"):
+            png.ahash_bits(data, grid=8)
+
+
+class TestPhashPairs:
+    def test_spark_ahash_and_banded_pairs(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import media, png
+
+        base = bytes((7 * x + 13 * y) % 256 for y in range(16) for x in range(16))
+        edited = bytearray(base)
+        edited[0] = 255
+        far = bytes((91 * x + 57 * y + 128) % 256 for y in range(16) for x in range(16))
+        rows = [
+            (1, bytearray(png.encode_png(16, 16, base, color_type=0))),
+            (2, bytearray(png.encode_png(16, 16, base, color_type=0, filter_type=3))),
+            (3, bytearray(png.encode_png(16, 16, bytes(edited), color_type=0))),
+            (4, bytearray(png.encode_png(16, 16, far, color_type=0))),
+            (5, bytearray(b"not a png")),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        hashes = media.png_ahash(df)
+        got = {r.media_id: r for r in hashes.collect()}
+        assert not got[5].decode_ok
+        assert (got[1].ahash_hi, got[1].ahash_lo) == (
+            got[2].ahash_hi, got[2].ahash_lo
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in media.phash_near_dup_pairs(hashes, max_hamming=6).collect()
+        }
+        assert pairs[(1, 2)] == 0          # identical content, re-encoded
+        assert (1, 3) in pairs             # one-pixel edit stays close
+        assert all(4 not in p for p in pairs)  # far image never pairs
+
+    def test_pair_plan_is_banded_not_allpairs(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import media, png
+
+        base = bytes((3 * x + 5 * y) % 256 for y in range(16) for x in range(16))
+        rows = [
+            (i, bytearray(png.encode_png(16, 16, base, color_type=0)))
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        plan = (
+            media.phash_near_dup_pairs(media.png_ahash(df))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_bands_must_divide_64(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import media
+
+        df = spark.createDataFrame(
+            [(1, 0, 0, True, None)],
+            "media_id long, ahash_hi long, ahash_lo long, decode_ok boolean,"
+            " decode_err string",
+        )
+        with pytest.raises(ValueError, match="divide 64"):
+            media.phash_near_dup_pairs(df, bands=5)

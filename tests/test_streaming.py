@@ -345,3 +345,44 @@ class TestStreamStreamAttribution:
         out = ev.run_attribution_join_once(spark, sf_dir, window_hours=12)
         pairs = {(r.view_id, r.click_id): r.delay_sec for r in out.collect()}
         assert pairs == {(1, 2): 60}
+
+
+class TestTrendingStream:
+    def test_trending_matches_batch_sliding_topk(self, spark, sf_dir):
+        """The streamed sliding-window counts + batch rank must equal the
+        all-batch computation (two windows per event, top-3 per window)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.sources import io as src
+        from llm_pretraining_data_pipeline_spark.streaming.events import (
+            run_trending_stream_once,
+        )
+
+        got = {
+            (r.window_start, r.event_type): (r.cnt, r.rank)
+            for r in run_trending_stream_once(spark, sf_dir, k=3).collect()
+        }
+        ev = src.read_events(spark, sf_dir)
+        batch = (
+            ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        )
+        rw = Window.partitionBy("window_start").orderBy(
+            F.desc("cnt"), F.col("event_type")
+        )
+        want = {
+            (r.window_start, r.event_type): (r.cnt, r.rank)
+            for r in batch.withColumn(
+                "rank", F.row_number().over(rw).cast("int")
+            ).filter(F.col("rank") <= 3).collect()
+        }
+        assert got == want and len(got) > 0
+        # every window carries at most k rows, ranks 1..k contiguous
+        per_window = {}
+        for (ws, _), (_, rank) in got.items():
+            per_window.setdefault(ws, []).append(rank)
+        for ranks in per_window.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))

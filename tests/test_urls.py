@@ -244,3 +244,68 @@ class TestSoloSentinelCollision:
         out = {r.doc_id: r for r in urls.url_dedup(df).collect()}
         assert not out[42].is_dup_url and out[42].dup_of_url is None
         assert not out[7].is_dup_url and out[7].dup_of_url is None
+
+
+class TestUrlQualityFilter:
+    """Round 8: FineWeb-style URL-level quality cascade — every rule
+    class fires, first-match-wins, clean URLs pass."""
+
+    def test_every_rule_and_order(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.urls import (
+            url_quality_filter,
+        )
+
+        rows = [
+            (1, None),
+            (2, "   "),
+            (3, "https://spam.bad.example/x"),
+            (4, "https://sub.spam.bad.example/y"),        # subdomain suffix
+            (5, "https://win-big.click/offer"),
+            (6, "https://ok.example.org/" + "x" * 300),
+            (7, "https://cal.example.org/2024/11/30/9876543210123"),
+            (8, "https://ok.example.org/article-42"),      # clean
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {
+            r.doc_id: (r.url_drop_reason, r.url_keep)
+            for r in url_quality_filter(
+                df, blocklist=["spam.bad.example"],
+                bad_tlds=("click",), max_url_len=256, max_digits=12,
+            ).collect()
+        }
+        assert out[1] == ("url_missing", False)
+        assert out[2] == ("url_missing", False)
+        assert out[3] == ("url_blocked_domain", False)
+        assert out[4] == ("url_blocked_domain", False)
+        assert out[5] == ("url_bad_tld", False)
+        assert out[6] == ("url_too_long", False)
+        assert out[7] == ("url_excess_digits", False)
+        assert out[8] == (None, True)
+
+    def test_first_match_wins_blocked_beats_length(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.urls import (
+            url_quality_filter,
+        )
+
+        # blocked domain AND over-long AND digit-heavy: rule 2 labels it
+        url = "https://spam.bad.example/" + "9" * 300
+        df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+        row = url_quality_filter(
+            df, blocklist=["spam.bad.example"], max_url_len=256
+        ).collect()[0]
+        assert row.url_drop_reason == "url_blocked_domain"
+
+    def test_zero_shuffle_plan(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.urls import (
+            url_quality_filter,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("https://d"), F.col("id"), F.lit(".org/p")).alias("url"),
+        )
+        plan = (
+            url_quality_filter(df, blocklist=["x.org"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # pure projection, no shuffle
