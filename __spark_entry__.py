@@ -79,6 +79,10 @@ _PRIORITY_R8 = [
     # document detection Jaccard misses) + sliding-window trending top-k
     # on the event stream
     "d16_containment_pairs", "ev_stream_trending",
+    # new this round: sliding-window value sums as a streaming query (the
+    # one previously unregistered operator) + MinHash estimator-quality
+    # audit (matching-components/32 vs exact Jaccard, d03 coefficients)
+    "ev_stream_sliding", "d17_minhash_est_error",
     # stale: freshest driver green is r4 (35 rows)
     "p12_boilerplate_lines", "p01_doc_identity", "d04_ngram_jaccard_pairs",
     "d05_simhash", "o02_shard_assign", "o02b_shard_manifest",

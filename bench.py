@@ -246,6 +246,101 @@ def main() -> int:
     finally:
         shutil.rmtree(sw_dir, ignore_errors=True)
 
+    # ---- round-8: perceptual image near-dup end-to-end at 50k images:
+    # synthesize 16x16 PNGs (all five scanline filters), DECODE them with
+    # the stdlib codec, integer aHash, banded Hamming pair join. Measures
+    # the full multimodal near-dup path including the Python codec cost
+    # (the honest number — production swaps the codec, keeps the shape).
+    from llm_pretraining_data_pipeline_spark.multimodal import media as MM
+
+    img_copies = int(os.environ.get("BENCH_PHASH_COPIES", "10"))
+
+    def _gen_images(it):
+        import pandas as pd
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png as PC
+
+        for pdf in it:
+            rows = []
+            for mid, base, delta in zip(
+                pdf["media_id"], pdf["pattern"], pdf["delta"]
+            ):
+                base, delta = int(base), int(delta)
+                # per-base pseudo-random pattern (hash-spread coefficients):
+                # cross-base aHash hamming measures >=18, same-base copies
+                # (sparse delta perturbation) median ~5 — so the pair set
+                # is the planted near-dups, not a quadratic gradient blob
+                ca = 3 + 2 * ((base * 2654435761) % 113)
+                cb = 5 + 2 * ((base * 40503) % 97)
+                cc = 1 + ((base * 9176) % 7)
+                pix = bytes(
+                    ((ca * x + cb * y + cc * ((x * y) % 17) + base)
+                     + (delta * 40 if (x + y) % 13 == 0 else 0)) % 256
+                    for y in range(16) for x in range(16)
+                )
+                rows.append(
+                    (int(mid),
+                     PC.encode_png(16, 16, pix, color_type=0,
+                                   filter_type=base % 5))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    img_ids = (
+        docs.select("doc_id")
+        .crossJoin(spark.range(img_copies).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("doc_id") * img_copies + F.col("copy")).alias("media_id"),
+            F.col("doc_id").alias("pattern"),
+            (F.col("copy") % 4).alias("delta"),
+        )
+        .repartition(CPUS)
+    )
+    n_img = img_ids.count()  # untimed: input size
+    n_img_pairs = timed(
+        "image_phash_e2e",
+        lambda: MM.phash_near_dup_pairs(
+            MM.png_ahash(
+                img_ids.mapInPandas(
+                    _gen_images, "media_id bigint, payload binary"
+                )
+            ),
+            max_hamming=10,
+        ).count(),
+    )
+    meta["phash_images"] = int(n_img)
+    meta["phash_images_per_sec"] = round(n_img / timings["image_phash_e2e"], 1)
+    meta["phash_pairs"] = int(n_img_pairs)
+
+    # ---- round-8: the per-dump corpus audits at 100k docs — directional
+    # gram novelty (one distinct + one groupBy on 60-bit gram hashes) and
+    # the exact integer KS drift statistic (cumulative window over the
+    # aggregated distinct-value frame only).
+    from llm_pretraining_data_pipeline_spark.operators import corpus as CORP
+
+    audit_copies = int(os.environ.get("BENCH_AUDIT_COPIES", "20"))
+    audit = (
+        docs.crossJoin(spark.range(audit_copies).withColumnRenamed("id", "copy"))
+        .select(
+            F.when(F.col("copy") % 2 == 0, F.lit("old"))
+            .otherwise(F.lit("new")).alias("snap"),
+            F.concat(
+                F.col("text"), F.lit(" tail "), (F.col("copy") % 5).cast("string")
+            ).alias("text"),
+            (F.col("n_chars") + F.col("copy") % 7).alias("n_chars"),
+        )
+        .repartition(CPUS)
+    )
+    n_audit = audit.count()  # untimed
+    timed(
+        "corpus_audit_e2e",
+        lambda: (
+            CORP.gram_novelty(audit, "text", "snap", "old", "new").collect(),
+            CORP.ks_drift(audit, "n_chars", "snap", "old", "new").collect(),
+        ),
+    )
+    meta["audit_docs"] = int(n_audit)
+    meta["audit_docs_per_sec"] = round(n_audit / timings["corpus_audit_e2e"], 1)
+
     # ---- full document pipeline (the replicated-corpus heavy job)
     # tokenizer_backend pinned to "regex": 'auto' would silently switch the
     # measured work (and F6 keep/drop volume) if GPT-2 assets appear on disk,

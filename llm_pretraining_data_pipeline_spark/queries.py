@@ -856,3 +856,85 @@ def o03_toy_sample(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.operators.sharding import toy_sample
 
     return toy_sample(_docs(spark, sf_dir), n=50, id_col="doc_id").select("doc_id")
+
+
+@register(
+    "d17_minhash_est_error",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {O.toks('text')} AS tk FROM documents
+    ), s AS (
+      SELECT doc_id, list_distinct({O.shingles('tk', 3)}) AS sh FROM t
+      WHERE len({O.shingles('tk', 3)}) > 0
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT id_a, id_b,
+             cast(n_inter as double)
+               / cast(sa.n + sb.n - n_inter as double) AS jaccard
+      FROM inter
+      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = id_a
+      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = id_b
+      WHERE cast(n_inter as double)
+            / cast(sa.n + sb.n - n_inter as double) >= 0.3
+    ), sig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _MH_A, _MH_B)} AS sig
+      FROM (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM t)
+      WHERE len(sig) > 0
+    )
+    SELECT x.id_a, x.id_b, x.jaccard,
+           cast(len(list_filter(range(1, 33),
+                                j -> la.sig[j] = lb.sig[j])) as double)
+             / 32.0 AS est_jaccard,
+           round(cast(len(list_filter(range(1, 33),
+                                      j -> la.sig[j] = lb.sig[j])) as double)
+                 / 32.0 - x.jaccard, 6) AS est_error
+    FROM exact x
+    JOIN sig la ON la.doc_id = x.id_a
+    JOIN sig lb ON lb.doc_id = x.id_b
+    """,
+    doc="MinHash estimator-quality audit: for every exact near-dup pair "
+        "(n-gram Jaccard >= 0.3), the 32-hash MinHash estimate (matching "
+        "signature components / 32 — a dyadic rational, engine-exact) and "
+        "its signed error vs the true Jaccard. This is the calibration "
+        "check run before trusting LSH band/row settings at scale: "
+        "E[est] = J with sd sqrt(J(1-J)/32) (Broder), so systematic error "
+        "here means the shingle or hash pipeline is broken. Reuses the "
+        "d03 coefficients so the audited signature IS the production one",
+)
+def d17_minhash_est_error(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        d, "text", id_col="doc_id", shingle_size=3, threshold=0.3
+    )
+    # NOTE: signature over the RAW (non-distinct) shingle array, exactly as
+    # d03/minhash_lsh_candidates builds it — min() is insensitive to
+    # duplicate shingles, so the estimate is unaffected and the refereed
+    # signature stays the production one.
+    sh = hashing.token_shingles("text", 3)
+    sigs = (
+        d.select("doc_id", sh.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select(
+            "doc_id",
+            hashing.minhash_signature(F.col("_sh"), 32, seed=42).alias("sig"),
+        )
+    )
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = matches.cast("double") / F.lit(32.0)
+    return j.select(
+        "id_a", "id_b", "jaccard",
+        est.alias("est_jaccard"),
+        F.round(est - F.col("jaccard"), 6).alias("est_error"),
+    )

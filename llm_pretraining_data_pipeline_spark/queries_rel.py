@@ -2049,3 +2049,36 @@ def ev_stream_trending(spark, sf_dir):
     )
 
     return run_trending_stream_once(spark, sf_dir, k=3)
+
+
+@register(
+    "ev_stream_sliding",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             cast(time_bucket(INTERVAL '5 minutes', ts) as timestamp) AS b
+      FROM events
+    ),
+    w AS (
+      SELECT u.ws AS window_start, event_type, value
+      FROM e, unnest([b, b - INTERVAL '5 minutes']) AS u(ws)
+    )
+    SELECT window_start, event_type, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc="sliding-window value sums per event type (10-minute windows "
+        "sliding every 5) as a Structured Streaming query — the "
+        "overlapping-window state pattern; aggregate doubles rounded 2dp "
+        "(the engine's standard aggregated-double recipe), referee "
+        "replays the two-windows-per-event expansion",
+)
+def ev_stream_sliding(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        _drain_to_memory,
+        read_events_stream,
+        sliding_value_sums,
+    )
+
+    return _drain_to_memory(
+        sliding_value_sums(read_events_stream(spark, sf_dir)), "complete"
+    )

@@ -474,3 +474,59 @@ class TestRound7Plans:
         assert len(re.findall(r"Exchange ", plan)) <= 3
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestRound8Plans:
+    def test_url_filter_is_single_projection(self, spark, sf_dir):
+        """The URL stage must stay the cheapest drop in the pipeline: one
+        CaseWhen projection over the scan, no Exchange, no Python node."""
+        from llm_pretraining_data_pipeline_spark.functions import urls
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.concat(F.lit("https://d"), F.col("doc_id"), F.lit(".org/p"))
+            .alias("url"),
+        )
+        plan = plan_of(urls.url_quality_filter(docs, blocklist=["x.org"]))
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_ks_drift_windows_run_on_aggregated_frame(self, spark, sf_dir):
+        """The KS cumulative window must sit ABOVE the value groupBy (one
+        row per distinct value), never on the corpus: exactly one
+        hash-partitioned exchange below the first Window node."""
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = corpus.ks_drift(docs, "n_chars", "source", "src3", "src7")
+        plan = plan_of(df)
+        first_window = plan.index("Window")
+        below = plan[first_window:]
+        # the aggregation feeding the window is upstream (printed after in
+        # formatted plans); assert the HashAggregate pair exists and the
+        # plan never broadcasts/cartesians the corpus
+        assert "HashAggregate" in below
+        assert "CartesianProduct" not in plan
+
+    def test_gram_novelty_single_distinct_plus_agg(self, spark, sf_dir):
+        """gram_novelty: distinct + gram groupBy + scalar agg — and no
+        join at all (the two sides meet in ONE aggregation, not a
+        gram-keyed join of two corpus-sized frames)."""
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = corpus.gram_novelty(docs, "text", "source", "src0", "src1")
+        plan = plan_of(df)
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_containment_reuses_inverted_index_no_cartesian(
+        self, spark, sf_dir
+    ):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(
+            dedup.ngram_containment_pairs(docs, "text", threshold=0.9)
+        )
+        assert "CartesianProduct" not in plan
