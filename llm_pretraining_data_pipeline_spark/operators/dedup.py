@@ -367,6 +367,48 @@ def minhash_lsh_candidates(
     )
 
 
+def _shingle_df_candidates(
+    shingle_sets: DataFrame, max_shingle_df: int
+) -> DataFrame:
+    """DF-capped inverted-index candidate pairs: ONE shuffle on the shingle
+    key (groupBy + in-array pair expansion, the ``simhash_pairs`` bucket
+    design), pairs generated only from shingles whose document frequency is
+    within ``max_shingle_df``.
+
+    This is the inverted index's analogue of ``minhash_lsh_candidates``'
+    oversized-bucket star cap: a boilerplate shingle appearing in k docs
+    would otherwise contribute k(k-1)/2 pairs — at web scale a single hot
+    navigation phrase detonates the join. Capping DF drops those shingles
+    from candidate GENERATION only (verification still scores full sets),
+    the stop-shingle mitigation every production near-dup index applies.
+    Recall contract: a pair surfaces iff it shares at least one shingle
+    with DF <= cap — overlapping documents share many shingles, so pairs
+    whose overlap is EXCLUSIVELY ultra-common boilerplate are the only
+    misses (and those are precisely the pairs boilerplate removal should
+    handle upstream).
+    """
+    exploded = shingle_sets.select("_id", F.explode("_set").alias("_sh"))
+    grouped = (
+        exploded.groupBy("_sh")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_shingle_df))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -374,19 +416,27 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
 
     Without ``candidates`` this is the brute-force shingle-inverted-index
     join (fine to sf0.1); with a candidates frame (e.g. from LSH) it verifies
-    only those pairs — the scale path.
+    only those pairs — the scale path. ``max_shingle_df`` switches the
+    self-generated candidates to the DF-capped one-shuffle index
+    (``_shingle_df_candidates``) — the stop-shingle guard for corpora with
+    hot boilerplate n-grams.
     """
     shingle_sets = _spread_small_input(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(hashing.token_shingles(text_col, shingle_size)).alias("_set"),
     ).filter(F.size("_set") > 0)
 
-    if candidates is None:
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+    elif max_shingle_df is not None:
+        cand = _shingle_df_candidates(shingle_sets, max_shingle_df)
+    else:
         exploded = shingle_sets.select("_id", F.explode("_set").alias("_sh"))
         cand = (
             exploded.alias("a")
@@ -397,8 +447,6 @@ def ngram_jaccard_pairs(
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .distinct()
         )
-    else:
-        cand = candidates.select("id_a", "id_b")
 
     a_sets = shingle_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("set_a"))
     b_sets = shingle_sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("set_b"))
@@ -419,6 +467,7 @@ def ngram_containment_pairs(
     shingle_size: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: |A∩B|/|A| and |A∩B|/|B|, kept
     when either direction reaches ``threshold`` (Broder's containment
@@ -432,17 +481,28 @@ def ngram_containment_pairs(
     pages around already-kept content.
 
     Same scale shape as ``ngram_jaccard_pairs``: shingle inverted-index
-    join for candidates (or a pre-pruned ``candidates`` frame from LSH —
-    the 100 TB path), then one equi-join back to the two distinct-shingle
-    sets per surviving pair. Returns (id_a, id_b, containment_a,
-    containment_b) with id_a < id_b.
+    join for candidates, then one equi-join back to the two
+    distinct-shingle sets per surviving pair. Returns (id_a, id_b,
+    containment_a, containment_b) with id_a < id_b.
+
+    The 100 TB candidate path is ``max_shingle_df`` (the DF-capped
+    one-shuffle index, ``_shingle_df_candidates``) — NOT MinHash LSH:
+    containment pairs have LOW Jaccard by construction (that is the whole
+    point), so resemblance-tuned LSH bands rarely fire on them, while a
+    quote shares every one of its shingles with its source and virtually
+    always at least one rare one. A pre-pruned ``candidates`` frame is
+    still accepted for composition.
     """
     shingle_sets = _spread_small_input(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(hashing.token_shingles(text_col, shingle_size)).alias("_set"),
     ).filter(F.size("_set") > 0)
 
-    if candidates is None:
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+    elif max_shingle_df is not None:
+        cand = _shingle_df_candidates(shingle_sets, max_shingle_df)
+    else:
         exploded = shingle_sets.select("_id", F.explode("_set").alias("_sh"))
         cand = (
             exploded.alias("a")
@@ -453,8 +513,6 @@ def ngram_containment_pairs(
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .distinct()
         )
-    else:
-        cand = candidates.select("id_a", "id_b")
 
     a_sets = shingle_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("set_a"))
     b_sets = shingle_sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("set_b"))

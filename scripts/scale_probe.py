@@ -188,6 +188,62 @@ def main() -> int:
       scoring.hashed_quality_score(big, "text", m["weights"], m["bias"])
       .agg(F.sum("hashed_quality")))
     t("zipf_fit_500k", corpus.zipf_fit(big, k=100))
+
+    # ---- round-8 operators
+    from llm_pretraining_data_pipeline_spark.functions import urls
+
+    url_in = big.select(
+        "doc_id",
+        F.concat(F.lit("https://host"), (F.col("doc_id") % 997).cast("string"),
+                 F.lit(".example.org/p/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+    )
+    t("url_filter_500k",
+      urls.url_quality_filter(url_in, blocklist=["host13.example.org"])
+      .agg(F.sum(F.col("url_keep").cast("int"))))
+    snap = big.withColumn(
+        "snap", F.when(F.col("doc_id") % 2 == 0, "old").otherwise("new"))
+    t("gram_novelty_500k",
+      corpus.gram_novelty(snap, "text", "snap", "old", "new"))
+    t("ks_drift_500k",
+      corpus.ks_drift(
+          snap.withColumn("n_chars", F.length("text")),
+          "n_chars", "snap", "old", "new"))
+    from llm_pretraining_data_pipeline_spark.operators import dedup as DD
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import (
+        ws_tokens,
+    )
+
+    # Containment probe on an honest fixture: 500k DISTINCT documents
+    # (per-doc token salting) + 1% planted quote rows (15-token prefixes).
+    # First attempt used minhash LSH candidates over the 100x-replicated
+    # ExactSubstr corpus: every doc was a near-dup of ~10k siblings, LSH
+    # honestly emitted 29.8M candidate pairs and the verify ran 746 s
+    # (~40k pairs/s — the per-pair cost is fine; the fixture was the
+    # pathology). The DF-capped inverted index below is the containment
+    # candidate generator (LSH bands rarely fire on low-Jaccard quote
+    # pairs anyway); cost is the one shingle groupBy.
+    salted = big.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                ws_tokens(F.col("text")),
+                lambda tk: F.concat(
+                    tk, F.lit("_"), F.col("doc_id").cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    quotes = salted.filter(F.col("doc_id") % 100 == 7).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, 15), " ").alias("text"),
+    )
+    cont_in = salted.unionByName(quotes)
+    t("containment_dfcap_500k",
+      DD.ngram_containment_pairs(cont_in, "text", threshold=0.9,
+                                 max_shingle_df=50)
+      .agg(F.count(F.lit(1))))
     return 0
 
 

@@ -747,3 +747,96 @@ class TestIvfPq:
         out = similarity.ivf_pq_topk(codes, assigned, cents, cb, queries)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestShingleDfCap:
+    """Round 8: the DF-capped inverted-index candidate path — the
+    stop-shingle guard (the inverted index's analogue of the LSH
+    oversized-bucket star cap)."""
+
+    def _frame(self, spark):
+        # w0..w39 base; doc 2 quotes doc 1's first 6 tokens; every doc
+        # shares the hot phrase "common hot shingle" (DF = n_docs)
+        hot = "common hot shingle"
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(40)) + " " + hot),
+            (2, " ".join(f"w{i}" for i in range(6)) + " " + hot),
+            (3, "completely different tokens here " + hot),
+            (4, "another unrelated document text " + hot),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_equals_brute_when_cap_not_binding(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        df = self._frame(spark)
+        brute = {
+            (r.id_a, r.id_b)
+            for r in ngram_containment_pairs(df, "text", threshold=0.7).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in ngram_containment_pairs(
+                df, "text", threshold=0.7, max_shingle_df=100
+            ).collect()
+        }
+        assert capped == brute == {(1, 2)}
+
+    def test_quote_found_via_rare_shingles_under_tight_cap(self, spark):
+        """Cap 2 kills the hot phrase's candidates, but the quote still
+        surfaces through its rare w0..w5 shingles (DF=2) — the documented
+        recall contract."""
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        out = ngram_containment_pairs(
+            self._frame(spark), "text", threshold=0.7, max_shingle_df=2
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+        # verification still scores the FULL sets (hot shingles included):
+        # quote side contains the hot trigram too, so containment_b stays
+        # below 1.0 only if some quote shingle is missing from doc 1 —
+        # here every quote shingle IS in doc 1 except the splice trigrams
+        row = out[0]
+        assert row.containment_b >= 0.7
+
+    def test_pair_sharing_only_hot_shingles_is_dropped(self, spark):
+        """Docs 3 and 4 overlap ONLY in the hot phrase: under the cap they
+        produce no candidate — the explicit recall tradeoff."""
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        df = self._frame(spark)
+        # threshold 0 => any candidate pair is emitted; cap 2 must still
+        # exclude (3,4) because their only shared shingles have DF=4
+        out = ngram_jaccard_pairs(
+            df, "text", threshold=0.0, max_shingle_df=2
+        ).collect()
+        assert (3, 4) not in {(r.id_a, r.id_b) for r in out}
+        # without the cap the candidate exists
+        brute = ngram_jaccard_pairs(df, "text", threshold=0.0).collect()
+        assert (3, 4) in {(r.id_a, r.id_b) for r in brute}
+
+    def test_one_shuffle_candidate_plan(self, spark):
+        """The capped index must not self-join two corpus-sized exploded
+        frames: no SortMergeJoin below the candidate distinct (the pair
+        expansion happens inside the shingle groupBy)."""
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            _shingle_df_candidates,
+        )
+        from llm_pretraining_data_pipeline_spark.functions import hashing
+        from pyspark.sql import functions as F
+
+        df = self._frame(spark).select(
+            F.col("doc_id").alias("_id"),
+            F.array_distinct(hashing.token_shingles("text", 3)).alias("_set"),
+        )
+        plan = (
+            _shingle_df_candidates(df, 10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
