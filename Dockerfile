@@ -26,9 +26,16 @@ COPY pyproject.toml README.md ./
 COPY llm_pretraining_data_pipeline_spark ./llm_pretraining_data_pipeline_spark
 RUN pip install --no-cache-dir .
 
-# Drop the two public GPT-2 asset files into this directory (or mount it)
-# to upgrade the "auto" tokenizer backend to exact reference ids — see
-# scripts/fetch_gpt2_assets.py.
+# Vendor-fetch the two public GPT-2 asset files (vocabulary is LEARNED
+# data — it cannot be regenerated programmatically) so the "auto"
+# tokenizer backend produces exact published ids out of the box. The
+# fetch is best-effort: an air-gapped build still succeeds and falls
+# back to the committed byte-level subset + regex stand-in (the runbook
+# in scripts/fetch_gpt2_assets.py covers the manual drop-in).
+COPY scripts/fetch_gpt2_assets.py ./scripts/fetch_gpt2_assets.py
+RUN python scripts/fetch_gpt2_assets.py --dest /app/gpt2_assets \
+    || echo "WARN: no network at build time — tokenizer runs on the" \
+            "committed subset assets; see scripts/fetch_gpt2_assets.py"
 ENV SPARK_GRAFT_GPT2_ASSETS=/app/gpt2_assets
 
 ENTRYPOINT ["llm-pipeline-spark"]

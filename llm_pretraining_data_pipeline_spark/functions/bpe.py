@@ -341,7 +341,7 @@ def train_bpe_on_frame(
     num_merges: int,
     min_count: int = 2,
     top_pieces: int | None = 1_000_000,
-    log_pruning: bool = True,
+    log_pruning: bool = False,
 ) -> tuple[dict[str, int], list[tuple[str, str]]]:
     """End-to-end trainer: Spark piece counts → driver merge loop.
 
@@ -359,11 +359,12 @@ def train_bpe_on_frame(
        merges under the defaults; pin the old arguments to reproduce a
        pre-round-7 vocabulary (see CHANGELOG.md).
 
-    When ``log_pruning`` is true and pruning is active, one extra count
-    job (a scalar to the driver, nothing corpus-sized) measures how many
-    distinct pieces the cutoffs actually dropped and logs it — so a
-    fixture-scale caller notices when the new defaults change the learned
-    merges. Disable it on web-scale corpora to skip the second aggregation.
+    ``log_pruning=True`` (opt-IN — the extra job re-aggregates the whole
+    corpus unpruned, doubling the heaviest stage, so the web-scale default
+    is off) runs one extra count job (a scalar to the driver, nothing
+    corpus-sized) measuring how many distinct pieces the cutoffs actually
+    dropped — turn it on at fixture scale to notice when the pruning
+    defaults change the learned merges.
     """
     pruned = word_frequencies(
         df, text_col, min_count=min_count, top_pieces=top_pieces

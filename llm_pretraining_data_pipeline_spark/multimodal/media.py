@@ -257,9 +257,14 @@ def png_ahash(
                          "decode_err"],
             )
 
-    return media.select(id_col, "payload").mapInPandas(
-        batches, schema=AHASH_SCHEMA
+    # mapInPandas matches pandas column labels to schema FIELD NAMES, so
+    # the id field must be spelled as the caller's id_col — a fixed
+    # "media_id" schema would break any non-default id_col at runtime.
+    schema = (
+        f"{id_col} bigint, ahash_hi bigint, ahash_lo bigint, "
+        "decode_ok boolean, decode_err string"
     )
+    return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
 
 
 def phash_near_dup_pairs(

@@ -201,6 +201,14 @@ def _decode_png_body(
         raise ValueError(
             f"decompressed size {len(raw)} != expected {expected}"
         )
+    # A truncated IDAT cut after exactly `expected` output bytes (before
+    # the deflate final block / Adler-32 trailer) passes both size checks,
+    # so require the decoder to have actually reached end-of-stream — this
+    # restores the truncation + checksum detection the unbounded
+    # zlib.decompress gave, without reopening the bomb (eof is a flag
+    # check, no further inflation).
+    if not dec.eof:
+        raise ValueError("IDAT stream truncated (deflate EOF not reached)")
     out = bytearray(stride * height)
     prior = bytes(stride)
     for y in range(height):

@@ -639,6 +639,7 @@ def span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 20,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style cross-document span dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -662,7 +663,9 @@ def span_dedup(
     """
     if w < 2:
         raise ValueError("w must be >= 2")
-    words, joined, dup_ivs, kept = _window_dedup_core(df, text_col, id_col, w)
+    words, joined, dup_ivs, kept = _window_dedup_core(
+        df, text_col, id_col, w, skew_safe=skew_safe
+    )
     return joined.select(
         F.col(id_col),
         F.array_join(F.transform(kept, lambda s: s.t), " ").alias("dedup_text"),
@@ -672,7 +675,13 @@ def span_dedup(
     )
 
 
-def _window_dedup_core(df: DataFrame, text_col: str, id_col: str, w: int):
+def _window_dedup_core(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+    skew_safe: bool = False,
+):
     """The shared ExactSubstr machinery behind ``span_dedup`` and
     ``exact_substr_dedup`` (single definition — a tie-break or interval
     change cannot diverge them): w-token window hashes at every offset
@@ -689,10 +698,11 @@ def _window_dedup_core(df: DataFrame, text_col: str, id_col: str, w: int):
     skew-immune alternative — ``groupBy(hash).agg(min(struct(id,start)))``
     + join-back, which AQE skew-splits — was measured at 300k docs sharing
     one passage (1.2M hot rows): window 1.9 s vs groupBy+join 2.3 s,
-    identical losers. The window stays: it wins until a single hash's rows
-    outgrow one task's sort memory (~10^8 rows per shingle), at which
-    point swap in the groupBy form — same keep-first semantics, since
-    min(struct(id, start)) IS the (id, start) window order.
+    identical losers. The window stays the default: it wins until a single
+    hash's rows outgrow one task's sort memory (~10^8 rows per shingle),
+    at which point pass ``skew_safe=True`` for the groupBy form — same
+    keep-first semantics, since min(struct(id, start)) IS the (id, start)
+    window order (output identity tested at a 100x-replicated hot key).
     """
     words = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
     k = F.size(words) - F.lit(w - 1)
@@ -707,12 +717,26 @@ def _window_dedup_core(df: DataFrame, text_col: str, id_col: str, w: int):
     wins = df.select(
         F.col(id_col), F.posexplode(win_hashes).alias("_p0", "_gh")
     ).select(id_col, (F.col("_p0") + 1).alias("start"), "_gh")
-    keep_w = Window.partitionBy("_gh").orderBy(id_col, "start")
+
+    if skew_safe:
+        # The documented swap (see Skew note above): min(struct(id, start))
+        # IS the (id, start) window order, the aggregation map-side-combines,
+        # and the join-back on _gh is AQE-skew-splittable — no single task
+        # ever owns a corpus-wide hot shingle's rows.
+        winners = wins.groupBy("_gh").agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("start").alias("s"))).alias("_w")
+        )
+        losing = wins.join(winners, "_gh").filter(
+            (F.col(id_col) != F.col("_w.i")) | (F.col("start") != F.col("_w.s"))
+        )
+    else:
+        keep_w = Window.partitionBy("_gh").orderBy(id_col, "start")
+        losing = wins.withColumn("_rn", F.row_number().over(keep_w)).filter(
+            F.col("_rn") > 1
+        )
 
     losers = (
-        wins.withColumn("_rn", F.row_number().over(keep_w))
-        .filter(F.col("_rn") > 1)
-        .groupBy(id_col)
+        losing.groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list("start")).alias("_dup_starts"),
             F.count(F.lit(1)).alias("n_dup_windows"),
@@ -743,6 +767,7 @@ def exact_substr_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 10,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Arbitrary-length ExactSubstr dedup (Lee et al. 2022 §3,
     ``deduplicate-text-datasets``'s suffix-array semantics at the token
@@ -769,7 +794,9 @@ def exact_substr_dedup(
     k = min_tokens
     if k < 2:
         raise ValueError("min_tokens must be >= 2")
-    words, joined, dup_ivs, kept = _window_dedup_core(df, text_col, id_col, k)
+    words, joined, dup_ivs, kept = _window_dedup_core(
+        df, text_col, id_col, k, skew_safe=skew_safe
+    )
     run_lens = F.transform(dup_ivs, lambda iv: (iv["hi"] - iv["lo"]).cast("long"))
     return joined.select(
         F.col(id_col),
@@ -1901,6 +1928,7 @@ def ks_drift(
     group_col: str,
     group_a: str,
     group_b: str,
+    max_grid: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift statistic between the
     ``value_col`` distributions of two corpus slices — the snapshot-drift
@@ -1918,12 +1946,28 @@ def ks_drift(
 
     Scale shape: one map-side-combinable groupBy on the value, then the
     cumulative window runs over the AGGREGATED frame (one row per distinct
-    value) — for continuous scores quantize first (the engine's scores are
-    already 6dp-rounded), which bounds the distinct-value frame to the
-    grid size, not the corpus size. Output: ONE row
-    (n_a, n_b, ks_stat, ks_at_value = smallest value attaining the max).
+    value) — for continuous scores quantize first, which bounds the
+    distinct-value frame to the grid size, not the corpus size. Fractional
+    value columns (float/double/decimal) are AUTO-quantized to a 6dp
+    double grid here (the engine's scores are already 6dp-rounded, so
+    this is a no-op for them; for raw continuous scores it is the
+    quantization the single-partition window needs anyway — KS on the
+    6dp-quantized CDF differs from exact by at most the mass collapsed
+    per grid cell). ``max_grid`` optionally caps the distinct-value frame:
+    the bound is enforced lazily inside the plan (``assert_true`` over the
+    aggregated frame's row count) and a breach fails the job with a
+    quantize-first message instead of letting a per-row-distinct column
+    funnel the whole corpus through one window partition.
+
+    Output: ONE row (n_a, n_b, ks_stat, ks_at_value = smallest value
+    attaining the max, in the value column's own — possibly quantized —
+    type).
     """
-    v = F.col(value_col)
+    vtype = dict(df.dtypes).get(value_col, "")
+    if vtype in ("double", "float") or vtype.startswith("decimal"):
+        v = F.round(F.col(value_col).cast("double"), 6)
+    else:
+        v = F.col(value_col)
     g = F.col(group_col)
     counts = (
         df.filter(g.isin([group_a, group_b]))
@@ -1946,16 +1990,40 @@ def ks_drift(
     scored = cum.select(
         "val", "n_a", "n_b", diff.alias("d")
     ).withColumn("max_d", F.max("d").over(wall))
+    ks = F.round(
+        F.max("d").cast("double")
+        / (F.max("n_a") * F.max("n_b")).cast("double"),
+        6,
+    )
+    if max_grid is not None:
+        # Lazy distinct-value-cap enforcement: assert_true returns NULL
+        # when the predicate holds (making the `when` arm yield ks) and
+        # raises at execution when it doesn't — no extra job, no eager
+        # count, and the failure message tells the caller to quantize.
+        guard = F.assert_true(
+            F.count(F.lit(1)) <= F.lit(int(max_grid)),
+            F.concat(
+                F.lit(
+                    f"ks_drift: distinct-value grid for '{value_col}' "
+                    f"exceeds max_grid={int(max_grid)} ("
+                ),
+                F.count(F.lit(1)).cast("string"),
+                F.lit(
+                    " distinct values) — quantize the column first "
+                    "(e.g. round to a fixed grid) so the cumulative "
+                    "window runs over a bounded frame"
+                ),
+            ),
+        )
+        ks = F.when(guard.isNull(), ks)
     return scored.agg(
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
-        F.round(
-            F.max("d").cast("double")
-            / (F.max("n_a") * F.max("n_b")).cast("double"),
-            6,
-        ).alias("ks_stat"),
+        ks.alias("ks_stat"),
+        # ks_at_value stays in the value column's own (possibly
+        # 6dp-quantized) type — a long cast would silently truncate
+        # fractional attained-max locations (ADVICE r8).
         F.min(F.when(F.col("d") == F.col("max_d"), F.col("val")))
-        .cast("long")
         .alias("ks_at_value"),
     )
 

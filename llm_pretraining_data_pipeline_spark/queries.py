@@ -907,34 +907,17 @@ def o03_toy_sample(spark, sf_dir):
         "d03 coefficients so the audited signature IS the production one",
 )
 def d17_minhash_est_error(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    pairs = dedup_ops.ngram_jaccard_pairs(
-        d, "text", id_col="doc_id", shingle_size=3, threshold=0.3
-    )
-    # NOTE: signature over the RAW (non-distinct) shingle array, exactly as
-    # d03/minhash_lsh_candidates builds it — min() is insensitive to
-    # duplicate shingles, so the estimate is unaffected and the refereed
-    # signature stays the production one.
-    sh = hashing.token_shingles("text", 3)
-    sigs = (
-        d.select("doc_id", sh.alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select(
-            "doc_id",
-            hashing.minhash_signature(F.col("_sh"), 32, seed=42).alias("sig"),
-        )
-    )
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    j = pairs.join(a, "id_a").join(b, "id_b")
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    )
-    est = matches.cast("double") / F.lit(32.0)
-    return j.select(
-        "id_a", "id_b", "jaccard",
-        est.alias("est_jaccard"),
-        F.round(est - F.col("jaccard"), 6).alias("est_error"),
+    # Registry fixture stays on the BRUTE exact-Jaccard index for referee
+    # determinism; the operator carries the candidates=/max_shingle_df=
+    # scale valve (same contract as d04/d16) for production callers —
+    # see tests/test_dedup.py::test_minhash_est_error_* for the
+    # candidates-fed plan shape and brute-equivalence checks.
+    return dedup_ops.minhash_estimate_error(
+        _docs(spark, sf_dir),
+        "text",
+        id_col="doc_id",
+        shingle_size=3,
+        threshold=0.3,
+        num_hashes=32,
+        seed=42,
     )

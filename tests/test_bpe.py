@@ -390,8 +390,11 @@ class TestTrainerPruning:
     def test_pruning_logs_when_pieces_actually_drop(self, spark, caplog):
         """ADVICE r7 (low): the r7 default change (min_count=2) silently
         alters learned merges on corpora WITH singleton pieces — the
-        trainer now logs a warning when the cutoffs drop pieces, so
-        fixture-scale users notice the semantic shift."""
+        trainer logs a warning when the cutoffs drop pieces, so
+        fixture-scale users notice the semantic shift. ADVICE r8 (low)
+        flipped the diagnostic to opt-IN (``log_pruning=False`` default)
+        because the extra unpruned aggregation doubles the heaviest stage
+        — so the warning path now requires ``log_pruning=True``."""
         import logging
 
         df = spark.createDataFrame(
@@ -401,8 +404,17 @@ class TestTrainerPruning:
             logging.WARNING,
             logger="llm_pretraining_data_pipeline_spark.functions.bpe",
         ):
-            bpe.train_bpe_on_frame(df, "text", 5)
+            bpe.train_bpe_on_frame(df, "text", 5, log_pruning=True)
         assert any("pruning dropped" in r.message for r in caplog.records)
+
+        # default (opt-in off) -> silent even when pieces drop
+        caplog.clear()
+        with caplog.at_level(
+            logging.WARNING,
+            logger="llm_pretraining_data_pipeline_spark.functions.bpe",
+        ):
+            bpe.train_bpe_on_frame(df, "text", 5)
+        assert not any("pruning dropped" in r.message for r in caplog.records)
 
         # no singletons dropped -> silent; log_pruning=False -> silent
         caplog.clear()

@@ -1078,6 +1078,58 @@ class TestKsDriftAndNovelty:
         out = ks_drift(df, "val", "grp", "a", "b").collect()[0]
         assert out.ks_stat == 1.0 and out.ks_at_value == 9
 
+    def test_ks_fractional_values_keep_their_type(self, spark):
+        """ADVICE r8 (low): ks_at_value used to be cast("long"), truncating
+        a fractional attained-max location (0.53 -> 0). Double columns are
+        now auto-quantized to 6dp and the attained value comes back AS a
+        double."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            ks_drift,
+        )
+
+        rows = [("a", v) for v in [0.51, 0.52, 0.53, 0.54]] + [
+            ("b", v) for v in [0.53, 0.54, 0.55, 0.56]
+        ]
+        df = spark.createDataFrame(rows, "grp string, val double")
+        res = ks_drift(df, "val", "grp", "a", "b")
+        assert dict(res.dtypes)["ks_at_value"] == "double"
+        out = res.collect()[0]
+        assert out.ks_stat == 0.5
+        assert abs(out.ks_at_value - 0.52) < 1e-9
+
+    def test_ks_auto_quantize_collapses_sub_6dp_noise(self, spark):
+        """Values differing only past 6dp land in one grid cell — the
+        distinct-value frame stays bounded by the grid, not the corpus."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            ks_drift,
+        )
+
+        # every value is 0.1 + k*1e-9: identical at the 6dp grid
+        rows = [("a", 0.1 + k * 1e-9) for k in range(20)] + [
+            ("b", 0.1 + k * 1e-9) for k in range(20)
+        ]
+        df = spark.createDataFrame(rows, "grp string, val double")
+        out = ks_drift(df, "val", "grp", "a", "b").collect()[0]
+        assert out.ks_stat == 0.0  # one shared grid cell -> no drift
+
+    def test_ks_max_grid_breach_raises_with_quantize_message(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            ks_drift,
+        )
+
+        rows = [("a", v) for v in range(100)] + [
+            ("b", v) for v in range(50, 150)
+        ]
+        df = spark.createDataFrame(rows, "grp string, val long")
+        with pytest.raises(Exception, match="quantize"):
+            ks_drift(df, "val", "grp", "a", "b", max_grid=10).collect()
+        # under the cap the guard is inert and results match the unguarded run
+        ok = ks_drift(df, "val", "grp", "a", "b", max_grid=1000).collect()[0]
+        ref = ks_drift(df, "val", "grp", "a", "b").collect()[0]
+        assert (ok.ks_stat, ok.ks_at_value) == (ref.ks_stat, ref.ks_at_value)
+
     def test_gram_novelty_hand_computed(self, spark):
         """old: 'a b c d' -> 3-grams {abc, bcd}; new: 'b c d e' ->
         {bcd, cde}: one of two new grams is novel -> rate 0.5."""

@@ -823,8 +823,15 @@ class TestShingleDfCap:
 
     def test_one_shuffle_candidate_plan(self, spark):
         """The capped index must not self-join two corpus-sized exploded
-        frames: no SortMergeJoin below the candidate distinct (the pair
-        expansion happens inside the shingle groupBy)."""
+        frames on the SHINGLE key (the k(k-1)/2 pair explosion): the pair
+        expansion happens inside the shingle groupBy. The ONLY join
+        allowed is the ADVICE-r8 DF-cap SEMI join (keyed on ``_sh``
+        against the distinct in-cap shingle keys, multiplicity 1) that
+        keeps a hot shingle from ever building its id array in an
+        aggregation buffer — so assert: no cartesian, no inner/outer
+        join at all, and every semi join keys on ``_sh``, never ``_id``."""
+        import re
+
         from llm_pretraining_data_pipeline_spark.operators.dedup import (
             _shingle_df_candidates,
         )
@@ -839,4 +846,98 @@ class TestShingleDfCap:
             _shingle_df_candidates(df, 10)
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+        assert "CartesianProduct" not in plan
+        join_lines = [
+            ln for ln in plan.splitlines()
+            if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", ln)
+        ]
+        for ln in join_lines:
+            assert "LeftSemi" in ln, f"non-semi join in capped index: {ln}"
+            assert "_sh" in ln and "_id#" not in ln, (
+                f"join must key on the shingle, not ids: {ln}"
+            )
+
+
+class TestMinhashEstimateError:
+    """d17's audit as a standalone operator with the d04/d16 scale valve
+    (VERDICT r8 item 2)."""
+
+    @staticmethod
+    def _frame(spark):
+        # two near-dup clusters + noise; jaccard(1,2) and (3,4) high
+        base = " ".join(f"tok{i}" for i in range(30))
+        rows = [
+            (1, base),
+            (2, base + " extra trailing words"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+            (4, "alpha beta gamma delta epsilon zeta eta theta " * 3 + "iota"),
+            (5, "completely unrelated text about nothing shared at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_candidates_fed_equals_brute_on_those_pairs(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            minhash_estimate_error,
+        )
+
+        df = self._frame(spark)
+        brute = {
+            (r.id_a, r.id_b): (r.jaccard, r.est_jaccard, r.est_error)
+            for r in minhash_estimate_error(df, "text", threshold=0.3).collect()
+        }
+        assert brute, "fixture must produce near-dup pairs"
+        cand = spark.createDataFrame(
+            [(a, b) for (a, b) in brute], "id_a long, id_b long"
+        )
+        fed = {
+            (r.id_a, r.id_b): (r.jaccard, r.est_jaccard, r.est_error)
+            for r in minhash_estimate_error(
+                df, "text", threshold=0.3, candidates=cand
+            ).collect()
+        }
+        assert fed == brute
+
+    def test_candidates_restrict_the_audit(self, spark):
+        """Pairs not in the candidate frame are never scored — the audit
+        cost is O(|candidates|), not O(pairs sharing a shingle)."""
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            minhash_estimate_error,
+        )
+
+        df = self._frame(spark)
+        cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = minhash_estimate_error(
+            df, "text", threshold=0.3, candidates=cand
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+    def test_df_cap_passthrough_equals_brute_when_not_binding(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            minhash_estimate_error,
+        )
+
+        df = self._frame(spark)
+        brute = {
+            (r.id_a, r.id_b)
+            for r in minhash_estimate_error(df, "text", threshold=0.3).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in minhash_estimate_error(
+                df, "text", threshold=0.3, max_shingle_df=100
+            ).collect()
+        }
+        assert capped == brute
+
+    def test_estimator_is_dyadic_and_bounded(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            minhash_estimate_error,
+        )
+
+        out = minhash_estimate_error(
+            self._frame(spark), "text", threshold=0.3
+        ).collect()
+        for r in out:
+            assert 0.0 <= r.est_jaccard <= 1.0
+            # k/32 grid: est * 32 is an exact integer
+            assert abs(r.est_jaccard * 32 - round(r.est_jaccard * 32)) < 1e-12

@@ -243,6 +243,60 @@ class TestPngBombGuards:
         row = media.png_feature_stats(df).collect()[0]
         assert not row.decode_ok and "max_pixels" in row.decode_err
 
+    @staticmethod
+    def _build_precompressed(width, height, idat_compressed, color_type=0):
+        """Like _build but takes the zlib stream verbatim — for crafting
+        truncated / checksum-corrupted streams."""
+        import struct
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        return (
+            png.PNG_SIGNATURE
+            + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", idat_compressed)
+            + png._chunk(b"IEND", b"")
+        )
+
+    def test_truncated_idat_at_exact_size_rejected(self):
+        """ADVICE r8 (low): a stream cut AFTER the last output byte but
+        BEFORE the deflate final-block end / Adler-32 trailer yields
+        exactly `expected` bytes — both size checks pass, so only the
+        dec.eof check catches it (the unbounded zlib.decompress used to)."""
+        import pytest
+        import zlib
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        raw = b"".join(
+            b"\x00" + bytes(range(r * 4, r * 4 + 4)) for r in range(4)
+        )  # 4x4 grey, filter 0 per row -> expected = 20 bytes
+        comp = zlib.compress(raw)
+        # full stream decodes fine
+        assert png.decode_png(self._build_precompressed(4, 4, comp))[4]
+        # drop the 4-byte Adler-32 trailer: all 20 output bytes are still
+        # recoverable, but end-of-stream is never reached
+        trunc = self._build_precompressed(4, 4, comp[:-4])
+        with pytest.raises(ValueError, match="truncated"):
+            png.decode_png(trunc)
+
+    def test_corrupted_adler_checksum_rejected(self):
+        """Flipping the checksum's last byte must fail (zlib.error ->
+        ValueError contract), proving the bounded inflate still verifies
+        Adler-32 like the pre-bomb-guard zlib.decompress did."""
+        import pytest
+        import zlib
+
+        from llm_pretraining_data_pipeline_spark.multimodal import png
+
+        raw = b"".join(b"\x00" + bytes([r] * 4) for r in range(4))
+        comp = bytearray(zlib.compress(raw))
+        comp[-1] ^= 0xFF
+        bad = self._build_precompressed(4, 4, bytes(comp))
+        with pytest.raises(ValueError, match="corrupt PNG"):
+            png.decode_png(bad)
+
 
 class TestPngNonValueErrorPaths:
     """Review finding: zlib.error / struct.error must surface as ValueError
@@ -412,6 +466,22 @@ class TestAhash:
         h1, h3 = png.ahash_bits(d1), png.ahash_bits(d3)
         ham = bin((h1[0] ^ h3[0])).count("1") + bin((h1[1] ^ h3[1])).count("1")
         assert ham <= 4
+
+    def test_png_ahash_respects_custom_id_col(self, spark):
+        """ADVICE r8 (low): the output schema's id field must be spelled
+        as the caller's id_col — mapInPandas matches pandas labels to
+        schema names, so a hardcoded 'media_id' broke any other id_col."""
+        from llm_pretraining_data_pipeline_spark.multimodal import media, png
+
+        data = png.encode_png(8, 8, bytes(range(64)), color_type=0)
+        df = spark.createDataFrame(
+            [(7, bytearray(data))], "asset_id long, payload binary"
+        )
+        out = media.png_ahash(df, id_col="asset_id")
+        assert out.columns[0] == "asset_id"
+        row = out.collect()[0]
+        assert row.asset_id == 7 and row.decode_ok
+        assert (row.ahash_hi, row.ahash_lo) == (2**32 - 1, 0)
 
     def test_too_small_for_grid_raises(self):
         import pytest

@@ -530,3 +530,52 @@ class TestRound8Plans:
             dedup.ngram_containment_pairs(docs, "text", threshold=0.9)
         )
         assert "CartesianProduct" not in plan
+
+
+class TestRound9Plans:
+    def test_minhash_est_error_candidates_path_skips_shingle_self_join(
+        self, spark, sf_dir
+    ):
+        """VERDICT r8 item 2: with a candidates frame fed in (the LSH
+        scale path), the estimator audit must verify ONLY those pairs —
+        the exact-Jaccard side never explodes shingles into the brute
+        inverted-index self-join. Without candidates the brute index IS
+        the plan (Generate/explode present) — the registry fixture."""
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cand = spark.createDataFrame(
+            [(1, 2), (3, 4)], "id_a long, id_b long"
+        )
+        plan = plan_of(
+            dedup.minhash_estimate_error(docs, "text", candidates=cand)
+        )
+        # no explode anywhere: shingle sets and signatures are per-row
+        # HOF arrays, and the only joins key the candidate ids
+        assert "Generate" not in plan
+        assert "CartesianProduct" not in plan
+        # brute fixture path: the inverted index explodes (sanity check
+        # that the assertion above is actually discriminating)
+        brute = plan_of(dedup.minhash_estimate_error(docs, "text"))
+        assert "Generate" in brute
+
+    def test_minhash_est_error_df_cap_path_semi_joins_on_shingle(
+        self, spark, sf_dir
+    ):
+        """max_shingle_df= flows through to the DF-capped one-shuffle
+        index: no inner shingle self-join of two exploded corpus frames
+        (the ADVICE-r8 cap semi-join is the only shingle-keyed join)."""
+        import re
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(
+            dedup.minhash_estimate_error(docs, "text", max_shingle_df=64)
+        )
+        assert "CartesianProduct" not in plan
+        for ln in plan.splitlines():
+            if re.search(r"(SortMergeJoin|ShuffledHashJoin)", ln) and "_sh#" in ln:
+                assert "LeftSemi" in ln, f"inner shingle self-join: {ln}"

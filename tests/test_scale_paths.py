@@ -244,3 +244,93 @@ class TestDedupResilienceAtScale:
         # can merge further via genuine near-dups, so kept <= 50
         kept = agg.n - agg.dups
         assert kept <= 50
+
+
+class TestSkewSafeKeepFirst:
+    """VERDICT r8 item 6: the opt-in groupBy(min(struct))+join swap for
+    keep-first windows must be output-identical to the window form at a
+    100x-replicated hot key — the regime where the indivisible window
+    partition becomes the straggler and the AQE-skew-splittable aggregate
+    form is the documented fix."""
+
+    HOT = "the exact same boilerplate page text repeated everywhere"
+    REPLICAS = 100
+
+    def _hot_key_frame(self, spark):
+        # 100 copies of one text (the hot exact/near group) + distinct docs
+        hot = spark.range(self.REPLICAS).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("doc_id"),
+            F.col("id").alias("row_order"),
+            F.lit(self.HOT * 10).alias("text"),  # long enough for near-dup
+        )
+        cold = spark.range(20).select(
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("doc_id"),
+            (F.col("id") + 1_000).alias("row_order"),
+            F.concat(
+                F.lit("unique document number "),
+                F.col("id").cast("string"),
+                F.lit(" with entirely distinct content " * 20),
+            ).alias("text"),
+        )
+        return hot.unionByName(cold)
+
+    def test_exact_and_near_dedup_identical_under_hot_key(self, spark):
+        df = self._hot_key_frame(spark)
+        base = dedup.dedup_stage(df, text_col="text", id_col="doc_id")
+        safe = dedup.dedup_stage(
+            df, text_col="text", id_col="doc_id", skew_safe=True
+        )
+        cols = ["doc_id", "is_dup_exact", "is_dup_near", "dup_of", "drop_reason"]
+        a = {r.doc_id: r for r in base.select(cols).collect()}
+        b = {r.doc_id: r for r in safe.select(cols).collect()}
+        assert a.keys() == b.keys()
+        for k in a:
+            assert tuple(a[k]) == tuple(b[k]), k
+        # sanity: the hot group actually deduped to one canonical row
+        hot_keep = [k for k, r in b.items() if k.startswith("h") and not r.is_dup_exact]
+        assert len(hot_keep) == 1
+
+    def test_exact_substr_identical_under_hot_shingle(self, spark):
+        """One passage planted in EVERY doc (the corpus-wide hot shingle
+        from the round-7 measurement) — window and skew_safe forms must
+        pick identical losers and rebuild identical texts."""
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        passage = " ".join(f"hot{i}" for i in range(15))
+        docs = spark.range(self.REPLICAS).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("prefix unique "),
+                F.col("id").cast("string"),
+                F.lit(" " + passage + " suffix tail "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        base = {
+            r.doc_id: (r.dedup_text, r.n_tok_kept, r.n_dup_runs)
+            for r in corpus.exact_substr_dedup(docs, min_tokens=10).collect()
+        }
+        safe = {
+            r.doc_id: (r.dedup_text, r.n_tok_kept, r.n_dup_runs)
+            for r in corpus.exact_substr_dedup(
+                docs, min_tokens=10, skew_safe=True
+            ).collect()
+        }
+        assert base == safe
+        # the hot passage survived in exactly one doc's text
+        survivors = sum(1 for t, _, _ in safe.values() if "hot0 hot1" in t)
+        assert survivors == 1
+
+    def test_skew_safe_plan_has_no_keyed_window(self, spark):
+        """The skew_safe form must contain NO Window node partitioned on
+        the group key — the whole point is removing the indivisible
+        window partition from the plan."""
+        df = self._hot_key_frame(spark)
+        plan = (
+            dedup.exact_dedup(
+                df, text_col="text", order_col="row_order", skew_safe=True
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "partial_min" in plan or "min(" in plan  # map-side combine
