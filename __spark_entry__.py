@@ -98,6 +98,38 @@ _PRIORITY_R8 = [
     "f06_token_bounds",
 ]
 
+_PRIORITY_R9 = [
+    # new this round: d17's MinHash calibration audit THROUGH the LSH
+    # candidate valve (d03 banding CTE as the oracle's candidate set —
+    # refereed proof of the candidates= scale plumbing) + per-source
+    # Heaps-law vocabulary-growth audit (exact distinct refereed; the
+    # approx_rsd HLL valve is pytest-covered)
+    "d18_minhash_est_error_lsh", "a19_type_token_stats",
+    # changed this round — ADVICE r8: ks_drift fractional-type fix (auto
+    # 6dp quantize + typed ks_at_value + lazy max_grid fence) and d17
+    # rebuilt on the minhash_estimate_error operator (scale valve)
+    "a17_ks_drift", "d17_minhash_est_error",
+    # stale: freshest driver green is r5 (45 rows; VERDICT r8 item 1)
+    "d01_exact_dedup", "d02_near_dedup", "d03_minhash_lsh_pairs",
+    "d08_minhash_dedup", "d09_incremental_dedup",
+    "emb_ivf_topk", "emb_pq_topk", "emb_semdedup", "emb_kmeans_stats",
+    "emb_ivf_recall_trained",
+    "corp_chunk_spans", "corp_dsir_select", "corp_tfidf_top3",
+    "corp_token_budget",
+    "p08_model_quality", "p10_non_latin_ratio", "p20_quality_score",
+    "p22_tokenize", "p23_pick_text", "p28_lm_logprob",
+    "s04_jsonl_projection", "u02_intersect_except",
+    "f12_source_median_gate", "o04_source_quota", "ev_stream_attribution",
+    "rel_q1_pricing_summary", "rel_q3_shipping_priority",
+    "rel_q5_local_supplier", "rel_q6_revenue_delta",
+    "rel_q12_shipmode_case", "rel_q14_promo_ratio", "rel_q19_disjunctive",
+    "rel_anti_join", "rel_semi_join", "rel_outer_join", "rel_in_subquery",
+    "rel_having_large_orders", "rel_distinct_counts", "rel_pivot",
+    "rel_cube_lineitem", "rel_rollup_orders", "rel_grouping_sets",
+    "win_top3_orders_per_customer", "win_rank_family",
+    "win_above_avg_orders",
+]
+
 
 
 def _registry():
@@ -106,7 +138,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R8 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R9 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

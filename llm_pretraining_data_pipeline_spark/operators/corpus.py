@@ -55,6 +55,7 @@ __all__ = [
     "exact_substr_dedup",
     "ks_drift",
     "gram_novelty",
+    "type_token_stats",
 ]
 
 
@@ -2076,4 +2077,55 @@ def gram_novelty(
             n_new > 0,
             F.round(n_novel.cast("double") / n_new.cast("double"), 6),
         ).otherwise(F.lit(0.0)).alias("novelty_rate"),
+    )
+
+
+def type_token_stats(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    approx_rsd: float | None = None,
+) -> DataFrame:
+    """Per-slice vocabulary-growth audit: total token count, distinct-type
+    count, type-token ratio, and the Heaps-law point exponent
+    ``log(V) / log(N)`` (Heaps 1978: V ≈ K·N^β, β ≈ 0.4-0.6 for natural
+    language). The corpus-health check run per source/snapshot before a
+    tokenizer retrain: a source whose exponent collapses toward 0 is
+    template spam (vocabulary stopped growing); one near 1 is
+    high-entropy noise (every token novel) — both are curation flags
+    CCNet/Gopher-style pipelines act on.
+
+    Scale shape: one narrow explode to (group, token) rows, then a single
+    groupBy. Exact ``count(DISTINCT tok)`` plans as a two-phase expand —
+    fine per-source at any scale because partials combine map-side, but
+    the distinct set itself is shuffled; pass ``approx_rsd`` (e.g. 0.01)
+    to swap in HyperLogLog ``approx_count_distinct`` — constant
+    sketch-sized state per group, the 100 TB default. The refereed
+    registry query pins the exact form (an HLL estimate has no oracle).
+
+    Output per group: (group_col, n_tokens, n_types, ttr, heaps_exponent)
+    with the ratios rounded 6dp and heaps_exponent null when N <= 1
+    (log(1)=0 would divide by zero under ANSI).
+    """
+    toks = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    w = df.select(F.col(group_col), F.explode(toks).alias("_tok"))
+    n_types = (
+        F.approx_count_distinct("_tok", approx_rsd)
+        if approx_rsd is not None
+        else F.count_distinct("_tok")
+    )
+    agg = w.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_types.alias("n_types"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    nv = F.col("n_types").cast("double")
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        F.round(nv / nt, 6).alias("ttr"),
+        F.when(
+            F.col("n_tokens") > 1, F.round(F.log(nv) / F.log(nt), 6)
+        ).alias("heaps_exponent"),
     )

@@ -1682,6 +1682,36 @@ def a18_gram_novelty(spark, sf_dir):
     return corpus.gram_novelty(frame, "text", "snap", "old", "new", n=_NOV_N)
 
 
+@register(
+    "a19_type_token_stats",
+    f"""
+    WITH w AS (
+      SELECT source, unnest({O.toks('text')}) AS tok FROM documents
+    ), a AS (
+      SELECT source, cast(count(*) as bigint) AS n_tokens,
+             cast(count(DISTINCT tok) as bigint) AS n_types
+      FROM w GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           round(cast(n_types as double) / cast(n_tokens as double), 6)
+             AS ttr,
+           CASE WHEN n_tokens > 1
+                THEN round(ln(cast(n_types as double))
+                           / ln(cast(n_tokens as double)), 6)
+           END AS heaps_exponent
+    FROM a
+    """,
+    doc="per-source vocabulary-growth audit (Heaps 1978): token count, "
+        "distinct types, type-token ratio, and the Heaps point exponent "
+        "log(V)/log(N) — template spam collapses toward 0, high-entropy "
+        "noise toward 1. Exact distinct refereed; the operator's "
+        "approx_rsd= HLL valve is the 100 TB path (pytest-covered, no "
+        "oracle for an estimate)",
+)
+def a19_type_token_stats(spark, sf_dir):
+    return corpus.type_token_stats(_docs(spark, sf_dir), "text", "source")
+
+
 # containment fixture: every doc_id%7==2 document gets a derived "quote"
 # row (id + 1_000_000) holding its first 10 tokens — full containment from
 # the quote side while Jaccard stays far below any dedup threshold.

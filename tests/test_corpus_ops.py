@@ -1192,3 +1192,61 @@ class TestContainmentPairs:
         out = ngram_containment_pairs(df, "text", threshold=0.9).collect()
         assert len(out) == 1
         assert out[0].containment_a == out[0].containment_b == 1.0
+
+
+class TestTypeTokenStats:
+    def test_hand_computed(self, spark):
+        import math
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            type_token_stats,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", "x y x"),        # 3 tokens, 2 types
+                ("a", None),           # null text contributes nothing
+                ("b", "solo"),         # N=1 -> exponent null
+                ("c", "p q r s"),      # 4 tokens, 4 types -> exponent 1.0
+            ],
+            "source string, text string",
+        )
+        rows = {r.source: r for r in type_token_stats(df, "text", "source").collect()}
+        assert (rows["a"].n_tokens, rows["a"].n_types) == (3, 2)
+        assert rows["a"].ttr == round(2 / 3, 6)
+        assert rows["a"].heaps_exponent == round(math.log(2) / math.log(3), 6)
+        assert rows["b"].heaps_exponent is None
+        assert rows["c"].heaps_exponent == 1.0
+
+    def test_approx_valve_close_to_exact(self, spark, sf_dir):
+        """approx_rsd swaps in HLL: estimates within the configured rsd of
+        exact at fixture scale, and the plan carries no distinct expand."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            type_token_stats,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {
+            r.source: r.n_types
+            for r in type_token_stats(docs, "text", "source").collect()
+        }
+        approx_df = type_token_stats(docs, "text", "source", approx_rsd=0.02)
+        approx = {r.source: r.n_types for r in approx_df.collect()}
+        assert approx.keys() == exact.keys()
+        for src, n in exact.items():
+            assert abs(approx[src] - n) <= max(4, 0.1 * n), (src, n, approx[src])
+        plan = approx_df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan  # HLL sketch, not a distinct expand
+
+    def test_exact_plan_single_explode_partial_agg(self, spark, sf_dir):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            type_token_stats,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            type_token_stats(docs, "text", "source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Generate") == 1  # one narrow explode
+        assert "CartesianProduct" not in plan and "Join" not in plan
