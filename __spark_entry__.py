@@ -105,9 +105,6 @@ _PRIORITY_R9 = [
     # Heaps-law vocabulary-growth audit (exact distinct refereed; the
     # approx_rsd HLL valve is pytest-covered)
     "d18_minhash_est_error_lsh", "a19_type_token_stats",
-    # new this round: GPT-style sequence packing (two-phase distributed
-    # prefix sum; single-ORDER-BY-window oracle is semantics, not plan)
-    "corp_pack_sequences",
     # changed this round — ADVICE r8: ks_drift fractional-type fix (auto
     # 6dp quantize + typed ks_at_value + lazy max_grid fence) and d17
     # rebuilt on the minhash_estimate_error operator (scale valve)

@@ -56,7 +56,6 @@ __all__ = [
     "ks_drift",
     "gram_novelty",
     "type_token_stats",
-    "pack_sequences",
 ]
 
 
@@ -2131,100 +2130,3 @@ def type_token_stats(
         ).alias("heaps_exponent"),
     )
 
-
-def pack_sequences(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    seq_len: int = 2048,
-    token_count_col: str | None = None,
-) -> DataFrame:
-    """GPT-style concat-and-chunk sequence packing (Brown et al. 2020 §2.3:
-    documents laid end-to-end in a fixed order, the token stream cut into
-    ``seq_len``-token training sequences). This is the op a pretraining
-    pipeline runs right before writing training shards — every doc needs
-    its byte-exact position in the packed stream so shard workers can cut
-    sequences independently.
-
-    The global offset is an EXCLUSIVE prefix sum of token counts in
-    ``id_col`` order, computed with the classic two-phase distributed
-    scan: ``repartitionByRange`` on the id (so partition i holds strictly
-    smaller ids than partition i+1), a within-partition cumulative window,
-    then one nparts-row driver collect of per-partition totals whose
-    exclusive scan is broadcast back as each partition's base offset.
-    A single-partition ``Window.orderBy(id)`` — the naive form — funnels
-    the whole corpus through one task; here no task ever sees more than
-    its own range partition, and the driver materialises O(nparts) longs
-    (~10^5 rows at 100 TB — trivial). The result is independent of the
-    sampled range boundaries: a prefix sum over a unique total order does
-    not depend on where the partition cuts landed.
-
-    ``token_count_col`` supplies precomputed token counts (e.g. the
-    pipeline's ``n_tokens`` from real BPE); default is the whitespace
-    count of ``text_col`` (the P4 definition).
-
-    Output per doc: (id_col, n_tokens, global_offset, first_seq,
-    last_seq, n_seqs_spanned) — first/last sequence indices are null for
-    empty docs (they occupy no tokens), and a doc spans
-    ``last_seq - first_seq + 1`` sequences. Integer-exact end to end.
-    """
-    if seq_len < 1:
-        raise ValueError("seq_len must be >= 1")
-    if token_count_col is not None:
-        counted = df.select(
-            F.col(id_col), F.col(token_count_col).cast("long").alias("n_tokens")
-        )
-    else:
-        counted = df.select(
-            F.col(id_col),
-            F.size(ws_tokens(F.coalesce(F.col(text_col), F.lit(""))))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-    try:
-        nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    except Exception:  # pragma: no cover - non-standard sessions
-        nparts = 32
-    parted = counted.repartitionByRange(nparts, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    wp = Window.partitionBy("_pid").orderBy(id_col)
-    local = parted.withColumn(
-        "_local_excl", F.sum("n_tokens").over(wp) - F.col("n_tokens")
-    )
-    # Phase 2: nparts-row totals -> exclusive scan on the driver ->
-    # broadcast join back. localCheckpoint-free: the totals agg and the
-    # final plan share the one range shuffle.
-    totals = (
-        local.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
-    )
-    base, acc = {}, 0
-    for row in sorted(totals, key=lambda r: r["_pid"]):
-        base[row["_pid"]] = acc
-        acc += row["_t"]
-    spark = df.sparkSession
-    base_df = spark.createDataFrame(
-        [(int(p), int(b)) for p, b in base.items()], "_pid int, _base long"
-    )
-    off = F.col("_local_excl") + F.col("_base")
-    first_seq = F.when(
-        F.col("n_tokens") > 0, F.expr(f"div(_goff, {int(seq_len)})")
-    )
-    last_seq = F.when(
-        F.col("n_tokens") > 0,
-        F.expr(f"div(_goff + n_tokens - 1, {int(seq_len)})"),
-    )
-    return (
-        local.join(F.broadcast(base_df), "_pid")
-        .withColumn("_goff", off)
-        .select(
-            F.col(id_col),
-            "n_tokens",
-            F.col("_goff").alias("global_offset"),
-            first_seq.alias("first_seq"),
-            last_seq.alias("last_seq"),
-            F.coalesce(
-                last_seq - first_seq + F.lit(1), F.lit(0).cast("long")
-            ).alias("n_seqs_spanned"),
-        )
-    )

@@ -1712,49 +1712,6 @@ def a19_type_token_stats(spark, sf_dir):
     return corpus.type_token_stats(_docs(spark, sf_dir), "text", "source")
 
 
-_PACK_SEQ_LEN = 128  # fixture docs are 10-99 tokens: spans several per seq
-
-
-@register(
-    "corp_pack_sequences",
-    f"""
-    WITH c AS (
-      SELECT doc_id, cast(len({O.toks('text')}) as bigint) AS n_tokens
-      FROM documents
-    ), o AS (
-      SELECT doc_id, n_tokens,
-             cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               as bigint) AS global_offset
-      FROM c
-    )
-    SELECT doc_id, n_tokens, global_offset,
-           CASE WHEN n_tokens > 0
-                THEN global_offset // {_PACK_SEQ_LEN} END AS first_seq,
-           CASE WHEN n_tokens > 0
-                THEN (global_offset + n_tokens - 1) // {_PACK_SEQ_LEN}
-           END AS last_seq,
-           cast(coalesce(CASE WHEN n_tokens > 0
-                THEN (global_offset + n_tokens - 1) // {_PACK_SEQ_LEN}
-                     - global_offset // {_PACK_SEQ_LEN} + 1 END, 0)
-             as bigint) AS n_seqs_spanned
-    FROM o
-    """,
-    doc="GPT-style concat-and-chunk sequence packing (Brown et al. 2020): "
-        "each doc's exclusive global token offset in doc_id order and the "
-        "training-sequence indices it spans at seq_len=128. The engine "
-        "computes the prefix sum with the two-phase distributed scan "
-        "(range partitions + per-partition window + nparts-row offset "
-        "broadcast) — the oracle's single ORDER BY window is the "
-        "semantics, not the plan (plan-tested: no single-partition "
-        "window)",
-)
-def corp_pack_sequences(spark, sf_dir):
-    return corpus.pack_sequences(
-        _docs(spark, sf_dir), "text", id_col="doc_id", seq_len=_PACK_SEQ_LEN
-    )
-
-
 # containment fixture: every doc_id%7==2 document gets a derived "quote"
 # row (id + 1_000_000) holding its first 10 tokens — full containment from
 # the quote side while Jaccard stays far below any dedup threshold.

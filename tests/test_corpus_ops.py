@@ -1250,83 +1250,3 @@ class TestTypeTokenStats:
         )
         assert plan.count("Generate") == 1  # one narrow explode
         assert "CartesianProduct" not in plan and "Join" not in plan
-
-
-class TestPackSequences:
-    def test_hand_computed(self, spark):
-        from llm_pretraining_data_pipeline_spark.operators.corpus import (
-            pack_sequences,
-        )
-
-        df = spark.createDataFrame(
-            [(1, "a b c"), (2, ""), (3, "p q r s t"), (4, None)],
-            "doc_id long, text string",
-        )
-        rows = {
-            r.doc_id: r
-            for r in pack_sequences(df, "text", seq_len=4).collect()
-        }
-        # stream: d1 tokens [0,3), d2 nothing, d3 [3,8), d4 nothing
-        assert (rows[1].global_offset, rows[1].first_seq, rows[1].last_seq,
-                rows[1].n_seqs_spanned) == (0, 0, 0, 1)
-        assert (rows[2].global_offset, rows[2].first_seq,
-                rows[2].n_seqs_spanned) == (3, None, 0)
-        # d3 spans seqs 0 ([3,4)) and 1 ([4,8))
-        assert (rows[3].global_offset, rows[3].first_seq, rows[3].last_seq,
-                rows[3].n_seqs_spanned) == (3, 0, 1, 2)
-        assert rows[4].n_seqs_spanned == 0
-
-    def test_offsets_contiguous_on_real_corpus(self, spark, sf_dir):
-        """The two-phase scan must produce EXACTLY the sequential layout:
-        in id order, each offset equals the previous offset + count."""
-        from llm_pretraining_data_pipeline_spark.operators.corpus import (
-            pack_sequences,
-        )
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        rows = sorted(
-            pack_sequences(docs, "text", seq_len=128).collect(),
-            key=lambda r: r.doc_id,
-        )
-        acc = 0
-        for r in rows:
-            assert r.global_offset == acc, r.doc_id
-            acc += r.n_tokens
-
-    def test_token_count_col_and_validation(self, spark):
-        import pytest
-
-        from llm_pretraining_data_pipeline_spark.operators.corpus import (
-            pack_sequences,
-        )
-
-        df = spark.createDataFrame(
-            [(1, 10), (2, 7)], "doc_id long, n_tok long"
-        )
-        rows = {
-            r.doc_id: r
-            for r in pack_sequences(
-                df, id_col="doc_id", seq_len=8, token_count_col="n_tok"
-            ).collect()
-        }
-        assert rows[2].global_offset == 10
-        assert (rows[2].first_seq, rows[2].last_seq) == (1, 2)
-        with pytest.raises(ValueError):
-            pack_sequences(df, seq_len=0, token_count_col="n_tok")
-
-    def test_plan_has_no_single_partition_window(self, spark, sf_dir):
-        """The whole point of the two-phase scan: the cumulative window is
-        partitioned (per range partition), never a global ORDER BY that
-        funnels the corpus through one task."""
-        from llm_pretraining_data_pipeline_spark.operators.corpus import (
-            pack_sequences,
-        )
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        plan = (
-            pack_sequences(docs, "text", seq_len=128)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        assert "Exchange SinglePartition" not in plan
-        assert "rangepartitioning" in plan
-        assert "BroadcastHashJoin" in plan  # nparts-row base-offset join
