@@ -105,6 +105,9 @@ _PRIORITY_R9 = [
     # Heaps-law vocabulary-growth audit (exact distinct refereed; the
     # approx_rsd HLL valve is pytest-covered)
     "d18_minhash_est_error_lsh", "a19_type_token_stats",
+    # new this round: vocabulary-coverage / OOV-rate curve (tokenizer
+    # sizing; TakeOrderedAndProject-bounded ranking, never a global sort)
+    "a20_vocab_coverage",
     # changed this round — ADVICE r8: ks_drift fractional-type fix (auto
     # 6dp quantize + typed ks_at_value + lazy max_grid fence) and d17
     # rebuilt on the minhash_estimate_error operator (scale valve)

@@ -56,6 +56,7 @@ __all__ = [
     "ks_drift",
     "gram_novelty",
     "type_token_stats",
+    "vocab_coverage",
 ]
 
 
@@ -2130,3 +2131,72 @@ def type_token_stats(
         ).alias("heaps_exponent"),
     )
 
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_sizes: tuple[int, ...] = (100, 1_000, 10_000),
+) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate curve: for each candidate vocabulary
+    size V, the fraction of token OCCURRENCES covered by the top-V types
+    (count desc, token asc — total-ordered). This is the tokenizer-sizing
+    audit run before committing to a vocab size: the curve's knee tells
+    you where adding types stops buying coverage, and a source whose OOV
+    rate at the production V jumps between snapshots has drifted.
+
+    Scale shape: ONE word-count shuffle (explode → map-side partial agg);
+    the candidate ranking touches only the top max(V) types via
+    TakeOrderedAndProject (never a global sort of the type table — at web
+    scale that table has billions of rows, but the audit only ever needs
+    the top max(V) of them, driver-bounded exactly like the BPE trainer's
+    ``top_pieces`` cap). The rank window then runs over those K rows (the
+    ``zipf_fit`` precedent: single-partition is fine when the frame is
+    K-bounded by construction), and the V-thresholds join is a broadcast
+    nested loop of |vocab_sizes| x K rows.
+
+    Output per V: (v, n_types, covered_tokens, total_tokens, oov_rate)
+    with oov_rate the raw double 1 - covered/total (integer-derived,
+    engine-exact).
+    """
+    if not vocab_sizes or any(v < 1 for v in vocab_sizes):
+        raise ValueError("vocab_sizes must be non-empty positive ints")
+    kmax = int(max(vocab_sizes))
+    counts = (
+        df.select(
+            F.explode(
+                ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(kmax)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    sizes = df.sparkSession.createDataFrame(
+        [(int(v),) for v in sorted(set(vocab_sizes))], "v long"
+    )
+    # broadcast the K-bounded ranked frame (a left join can only broadcast
+    # its non-preserved side); |sizes| x K nested-loop rows, both tiny
+    covered = (
+        sizes.join(F.broadcast(ranked), F.col("rank") <= F.col("v"), "left")
+        .groupBy("v")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered_tokens"))
+    )
+    return covered.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n_types",
+        "covered_tokens",
+        "total_tokens",
+        (
+            F.lit(1.0)
+            - F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("oov_rate"),
+    )

@@ -1712,6 +1712,46 @@ def a19_type_token_stats(spark, sf_dir):
     return corpus.type_token_stats(_docs(spark, sf_dir), "text", "source")
 
 
+_COV_SIZES = (100, 500, 2000)  # fixture vocab ~ a few k types: curve spans it
+
+
+@register(
+    "a20_vocab_coverage",
+    f"""
+    WITH w AS (
+      SELECT unnest({O.toks('text')}) AS tok FROM documents
+    ), c AS (
+      SELECT tok, cast(count(*) as bigint) AS cnt FROM w GROUP BY tok
+    ), r AS (
+      SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+      FROM c
+    ), t AS (
+      SELECT cast(sum(cnt) as bigint) AS total_tokens,
+             cast(count(*) as bigint) AS n_types FROM c
+    ), v AS (SELECT unnest({list(_COV_SIZES)}) AS v)
+    SELECT cast(v.v as bigint) AS v, t.n_types,
+           cast(coalesce(sum(CASE WHEN r.rank <= v.v THEN r.cnt END), 0)
+             as bigint) AS covered_tokens,
+           t.total_tokens,
+           1.0 - cast(coalesce(sum(CASE WHEN r.rank <= v.v THEN r.cnt END), 0)
+                      as double)
+                 / cast(t.total_tokens as double) AS oov_rate
+    FROM v CROSS JOIN t LEFT JOIN r ON r.rank <= v.v
+    GROUP BY v.v, t.n_types, t.total_tokens
+    """,
+    doc="vocabulary-coverage / OOV-rate curve at candidate vocab sizes "
+        "(tokenizer-sizing audit): fraction of token occurrences covered "
+        "by the top-V types (count desc, token asc). Engine never sorts "
+        "the full type table — TakeOrderedAndProject bounds the ranking "
+        "to max(V) rows; oov_rate is raw 1 - int/int (engine-exact)",
+)
+def a20_vocab_coverage(spark, sf_dir):
+    return corpus.vocab_coverage(
+        _docs(spark, sf_dir), "text", vocab_sizes=_COV_SIZES
+    )
+
+
 # containment fixture: every doc_id%7==2 document gets a derived "quote"
 # row (id + 1_000_000) holding its first 10 tokens — full containment from
 # the quote side while Jaccard stays far below any dedup threshold.

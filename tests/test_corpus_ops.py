@@ -1250,3 +1250,70 @@ class TestTypeTokenStats:
         )
         assert plan.count("Generate") == 1  # one narrow explode
         assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+class TestVocabCoverage:
+    def test_hand_computed(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            vocab_coverage,
+        )
+
+        # counts: a=4, b=2, c=1, d=1 (total 8, 4 types); top order a,b,c,d
+        df = spark.createDataFrame(
+            [(1, "a a b c"), (2, "a a b d"), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.v: r
+            for r in vocab_coverage(df, "text", vocab_sizes=(1, 2, 10)).collect()
+        }
+        assert rows[1].covered_tokens == 4 and rows[1].oov_rate == 0.5
+        assert rows[2].covered_tokens == 6 and rows[2].oov_rate == 0.25
+        # V beyond the vocabulary covers everything
+        assert rows[10].covered_tokens == 8 and rows[10].oov_rate == 0.0
+        assert all(r.n_types == 4 and r.total_tokens == 8 for r in rows.values())
+
+    def test_tie_break_is_deterministic(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            vocab_coverage,
+        )
+
+        # b and a tie at 2; rank order (cnt desc, token asc) puts 'a' first
+        df = spark.createDataFrame([(1, "b a b a c")], "doc_id long, text string")
+        row = {r.v: r for r in vocab_coverage(df, vocab_sizes=(1,)).collect()}[1]
+        assert row.covered_tokens == 2  # 'a' (not an arbitrary tie winner)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            vocab_coverage,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            vocab_coverage(df, vocab_sizes=())
+        with pytest.raises(ValueError):
+            vocab_coverage(df, vocab_sizes=(0,))
+
+    def test_plan_bounds_ranking_to_topk(self, spark, sf_dir):
+        """The type table must reach the rank window through
+        TakeOrderedAndProject(max V), never a global Sort of all types —
+        the property that keeps the audit viable on a billion-type
+        web-scale vocabulary."""
+        from llm_pretraining_data_pipeline_spark.operators.corpus import (
+            vocab_coverage,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            vocab_coverage(docs, "text", vocab_sizes=(100, 2000))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        # the only Sort allowed is inside the K-bounded window, below the
+        # single-partition exchange that TakeOrderedAndProject feeds
+        for ln in plan.splitlines():
+            if "Sort " in ln and "SortAggregate" not in ln:
+                assert "rank" in plan  # window sort over the K rows only
