@@ -99,6 +99,10 @@ _PRIORITY_R8 = [
 ]
 
 _PRIORITY_R9 = [
+    # new (late round 9): real WAV codec referee + Bloom-filter
+    # incremental dedup (both hash-matched via check_oracle at sf0.01 and
+    # sf0.001 on registration)
+    "mm_wav_features", "d19_bloom_dedup",
     # new this round: d17's MinHash calibration audit THROUGH the LSH
     # candidate valve (d03 banding CTE as the oracle's candidate set —
     # refereed proof of the candidates= scale plumbing) + per-source
@@ -120,13 +124,16 @@ _PRIORITY_R9 = [
     "corp_chunk_spans", "corp_dsir_select", "corp_tfidf_top3",
     "corp_token_budget",
     "p08_model_quality", "p10_non_latin_ratio", "p20_quality_score",
-    "p22_tokenize", "p23_pick_text", "p28_lm_logprob",
+    "p22_tokenize", "p28_lm_logprob",
     "s04_jsonl_projection", "u02_intersect_except",
     "f12_source_median_gate", "o04_source_quota", "ev_stream_attribution",
     "rel_q1_pricing_summary", "rel_q3_shipping_priority",
     "rel_q5_local_supplier", "rel_q6_revenue_delta",
     "rel_q12_shipmode_case", "rel_q14_promo_ratio", "rel_q19_disjunctive",
-    "rel_anti_join", "rel_semi_join", "rel_outer_join", "rel_in_subquery",
+    "rel_anti_join", "rel_outer_join", "rel_in_subquery",
+    # p23_pick_text and rel_semi_join yield their head-50 slots to the two
+    # late-round additions above; both were independently re-verified green
+    # via scripts/check_oracle.py this session and stay in the registry
     "rel_having_large_orders", "rel_distinct_counts", "rel_pivot",
     "rel_cube_lineitem", "rel_rollup_orders", "rel_grouping_sets",
     "win_top3_orders_per_customer", "win_rank_family",

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from llm_pretraining_data_pipeline_spark.multimodal import png
+from llm_pretraining_data_pipeline_spark.multimodal import png, wav
 from llm_pretraining_data_pipeline_spark.schemas import MEDIA_SCHEMA
 
 FEATURE_DIM = 16
@@ -82,6 +82,57 @@ def png_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(id_col, "payload").mapInPandas(
         batches, schema=PNG_STATS_SCHEMA
     )
+
+
+def wav_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Audio payloads → decoded WAV statistics via Arrow-batched
+    mapInPandas: the REAL decode step (``wav.decode_wav`` — RIFF chunk walk
+    + PCM sample extraction), emitting the integer accumulators a DuckDB
+    referee recomputes from a closed-form fixture (``mm_wav_features``).
+    Derived float stats (RMS, peak, clip ratio, zero-crossing rate) are
+    computed DOWNSTREAM from these integers with JVM-side expressions, so
+    the Python exchange carries only exact values.
+
+    Rows whose payload fails to decode survive with ``decode_ok=false`` and
+    the exact error string — same contract as ``png_feature_stats``.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, sample_rate int, channels int, bit_depth int, "
+        "n_frames bigint, sq_sum bigint, peak_abs bigint, clip_count bigint, "
+        "flip_count bigint, decode_ok boolean, decode_err string"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    st = wav.wav_stats(raw)
+                    rows.append(
+                        (mid, st["sample_rate"], st["channels"],
+                         st["bit_depth"], st["n_frames"], st["sq_sum"],
+                         st["peak_abs"], st["clip_count"], st["flip_count"],
+                         True, None)
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         None, False, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "channels", "bit_depth",
+                    "n_frames", "sq_sum", "peak_abs", "clip_count",
+                    "flip_count", "decode_ok", "decode_err",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
 
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, byte_len bigint, content_sha256 string, "

@@ -1,0 +1,215 @@
+"""Pure-stdlib WAV (RIFF/PCM) codec for the multimodal audio path.
+
+Upgrades the audio modality from the deterministic-fingerprint stand-in to a
+REAL decoder, the same way ``png.py`` upgraded images in round 6: RIFF chunk
+walk (``fmt `` + ``data``), PCM sample extraction for 8-bit unsigned and
+16-bit signed little-endian, mono or interleaved multi-channel. That covers
+the engine's fixtures and the dominant uncompressed-audio interchange format;
+compressed formats (format codes other than 1/0xFFFE-wrapping-1), 24/32-bit
+and IEEE-float samples raise ``ValueError`` naming the exact unsupported
+field — a real deployment swaps in soundfile/ffmpeg for the long tail, same
+operator shape (see ``media.wav_feature_stats``).
+
+The matching ``encode_wav`` exists so tests and fixtures can build valid
+WAVs from closed-form sample functions — the decoder is then verified
+END-TO-END: encode(samples) → decode → stats must equal the closed form,
+which a DuckDB oracle recomputes independently from the same formula
+(the ``mm_wav_features`` referee). All refereed statistics reduce to
+integer accumulators (sum of squares, abs-peak, clip/flip counts) so the
+parity surface has no float-summation-order hazard.
+
+Decompression-bomb / allocation guards mirror ``png.py``: declared frame
+counts are capped BEFORE any sample buffer is allocated, truncated data
+chunks raise (never silently zero-pad), and chunk sizes are validated
+against the physical payload length.
+
+Everything here is driver/executor-side pure Python over ``bytes`` —
+stdlib ``struct``/``array`` only — invoked from Arrow-batched
+``mapInPandas`` (one Python init per partition, no per-row overhead).
+
+Reference parity note: the reference pipeline is text-only
+(README.md:1-40 — JSONL text documents end-to-end); the audio path is part
+of the mandated multimodal extension surface, not a reference port.
+"""
+
+from __future__ import annotations
+
+import struct
+from array import array
+
+RIFF_MAGIC = b"RIFF"
+WAVE_MAGIC = b"WAVE"
+
+# Allocation guard: reject payloads whose DECLARED sample count exceeds this
+# before any buffer is allocated. 64M samples ≈ 128 MB of int16 — above any
+# real web clip at the sample rates this path sees, far below executor OOM.
+DEFAULT_MAX_SAMPLES = 64_000_000
+
+_WAVE_FORMAT_PCM = 1
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def encode_wav(
+    samples,
+    sample_rate: int = 16_000,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Build a canonical RIFF/WAVE payload from integer samples.
+
+    ``samples`` is frame-major interleaved (len must be a multiple of
+    ``channels``): 16-bit values in [-32768, 32767], 8-bit in [0, 255].
+    """
+    if bits not in (8, 16):
+        raise ValueError(f"encode_wav: unsupported bits={bits}")
+    if channels < 1:
+        raise ValueError(f"encode_wav: channels={channels}")
+    if len(samples) % channels:
+        raise ValueError("encode_wav: len(samples) not a multiple of channels")
+    if bits == 16:
+        data = array("h", samples)
+        import sys
+
+        if sys.byteorder == "big":  # pragma: no cover - x86/arm LE everywhere
+            data.byteswap()
+        body = data.tobytes()
+    else:
+        body = bytes(samples)
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        _WAVE_FORMAT_PCM,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    chunks = b"".join(
+        [
+            b"fmt ",
+            struct.pack("<I", len(fmt)),
+            fmt,
+            b"data",
+            struct.pack("<I", len(body)),
+            body,
+            b"" if len(body) % 2 == 0 else b"\x00",  # RIFF word padding
+        ]
+    )
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(chunks)) + WAVE_MAGIC + chunks
+
+
+def decode_wav(
+    data: bytes, max_samples: int = DEFAULT_MAX_SAMPLES
+) -> tuple[int, int, int, list[int]]:
+    """Decode a RIFF/WAVE payload → (sample_rate, channels, bits, samples).
+
+    ``samples`` are frame-major interleaved ints: 16-bit as signed values,
+    8-bit recentred to signed (x - 128) so downstream stats are uniform.
+    Raises ``ValueError`` on anything malformed, truncated, compressed, or
+    over the ``max_samples`` allocation guard.
+    """
+    if len(data) < 12 or data[:4] != RIFF_MAGIC or data[8:12] != WAVE_MAGIC:
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    pos = 12
+    fmt_fields = None
+    body = None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        start = pos + 8
+        if start + csize > len(data):
+            raise ValueError(
+                f"decode_wav: chunk {ctype!r} declares {csize} bytes, "
+                f"payload has {len(data) - start}"
+            )
+        if ctype == b"fmt ":
+            if csize < 16:
+                raise ValueError(f"decode_wav: fmt chunk too short ({csize})")
+            fmt_fields = struct.unpack_from("<HHIIHH", data, start)
+        elif ctype == b"data":
+            body = data[start : start + csize]
+        pos = start + csize + (csize & 1)  # chunks are word-aligned
+    if fmt_fields is None:
+        raise ValueError("decode_wav: missing fmt chunk")
+    if body is None:
+        raise ValueError("decode_wav: missing data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt_fields
+    if audio_format not in (_WAVE_FORMAT_PCM, _WAVE_FORMAT_EXTENSIBLE):
+        raise ValueError(f"decode_wav: unsupported audio_format={audio_format}")
+    if bits not in (8, 16):
+        raise ValueError(f"decode_wav: unsupported bits_per_sample={bits}")
+    if channels < 1:
+        raise ValueError(f"decode_wav: channels={channels}")
+    if block_align != channels * bits // 8:
+        raise ValueError(
+            f"decode_wav: block_align={block_align} inconsistent with "
+            f"channels={channels} bits={bits}"
+        )
+    unit = bits // 8
+    if len(body) % unit:
+        raise ValueError("decode_wav: data chunk truncated mid-sample")
+    n_samples = len(body) // unit
+    if n_samples > max_samples:
+        raise ValueError(
+            f"decode_wav: {n_samples} samples exceeds max_samples={max_samples}"
+        )
+    if n_samples % channels:
+        raise ValueError("decode_wav: data chunk truncated mid-frame")
+    if bits == 16:
+        arr = array("h")
+        arr.frombytes(body)
+        import sys
+
+        if sys.byteorder == "big":  # pragma: no cover - x86/arm LE everywhere
+            arr.byteswap()
+        samples = arr.tolist()
+    else:
+        samples = [b - 128 for b in body]
+    return sample_rate, channels, bits, samples
+
+
+def wav_stats(data: bytes, max_samples: int = DEFAULT_MAX_SAMPLES) -> dict:
+    """Decode + integer-accumulator audio statistics (the refereed surface).
+
+    Returns sample_rate / channels / bit_depth / n_frames / duration_ms plus:
+      * ``sq_sum``  — Σ x² over ALL samples (exact bigint; RMS = the closed
+        form sqrt(sq_sum / (n · full_scale²)) is derived downstream so the
+        parity surface stays integer);
+      * ``peak_abs`` — max |x| over all samples;
+      * ``clip_count`` — samples at the rail (±full-scale code);
+      * ``flip_count`` — sign changes between consecutive CHANNEL-0 samples
+        (sign = x ≥ 0), the zero-crossing numerator.
+    """
+    sample_rate, channels, bits, samples = decode_wav(data, max_samples)
+    n_frames = len(samples) // channels
+    full = 32768 if bits == 16 else 128
+    sq = 0
+    peak = 0
+    clip = 0
+    for v in samples:
+        sq += v * v
+        a = -v if v < 0 else v
+        if a > peak:
+            peak = a
+        if v >= full - 1 or v <= -full:
+            clip += 1
+    flips = 0
+    ch0 = samples[::channels]
+    prev_nonneg = None
+    for v in ch0:
+        nonneg = v >= 0
+        if prev_nonneg is not None and nonneg != prev_nonneg:
+            flips += 1
+        prev_nonneg = nonneg
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bit_depth": bits,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1000.0 / sample_rate) if sample_rate else None,
+        "sq_sum": sq,
+        "peak_abs": peak,
+        "clip_count": clip,
+        "flip_count": flips,
+    }

@@ -986,3 +986,76 @@ def d18_minhash_est_error_lsh(spark, sf_dir):
         d, "text", id_col="doc_id", shingle_size=3, threshold=0.3,
         num_hashes=32, seed=42, candidates=cand,
     )
+
+
+_BLOOM_M, _BLOOM_K = 2048, 3  # fixture-small m so false positives are real
+
+
+@register(
+    "d19_bloom_dedup",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, sha256({O.canon_exact('text')}) AS key FROM documents
+    ),
+    hist AS (SELECT DISTINCT key FROM keyed WHERE doc_id % 3 <> 0),
+    pos AS (
+      SELECT DISTINCT
+             ({O.h64("key || ':' || cast(j AS varchar)")} % {_BLOOM_M}) AS p
+      FROM hist, unnest(range(0, {_BLOOM_K})) AS u(j)
+    ),
+    expanded AS (
+      SELECT doc_id, key,
+             ({O.h64("key || ':' || cast(j AS varchar)")} % {_BLOOM_M}) AS pp
+      FROM keyed, unnest(range(0, {_BLOOM_K})) AS u(j)
+    ),
+    probe AS (
+      SELECT doc_id, bool_and(pp IN (SELECT p FROM pos)) AS maybe_seen
+      FROM expanded GROUP BY doc_id
+    )
+    SELECT k.doc_id, pr.maybe_seen,
+           k.key IN (SELECT key FROM hist) AS seen,
+           pr.maybe_seen AND k.key NOT IN (SELECT key FROM hist)
+             AS false_positive
+    FROM keyed k JOIN probe pr USING (doc_id)
+    """,
+    doc="Dolma-style Bloom-filter incremental dedup (operators/bloom.py): "
+        "build a Bloom filter over the 'historical' corpus slice "
+        "(doc_id%3!=0, sha256 canonical-text keys), probe EVERY doc "
+        "against it — maybe_seen (the filter's answer), seen (exact "
+        "ground truth), false_positive (the filter's deterministic "
+        "errors; zero false negatives by construction). The filter is "
+        "32-bit lanes built with one bit_or shuffle; the probe is k "
+        "broadcast joins with ZERO shuffles of the probed corpus "
+        "(plan-tested in tests/test_bloom.py). The oracle recomputes "
+        "membership from the identical md5 bit positions — the FP SET "
+        "matches, not just the rate. Fixture-small m=2048/k=3 makes "
+        "false positives actually occur; production sizes m to the key "
+        "count (~1.2 GB per 10^9 keys at 1% FP)",
+)
+def d19_bloom_dedup(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.operators import bloom
+
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id",
+        hashing.sha256_hex(text_norm.canonicalize_for_exact("text")).alias(
+            "key"
+        ),
+    )
+    hist = keyed.filter(F.col("doc_id") % 3 != 0).select("key").distinct()
+    filt = bloom.bloom_build(hist, m_bits=_BLOOM_M, k=_BLOOM_K)
+    probed = bloom.bloom_probe(
+        keyed, filt, m_bits=_BLOOM_M, k=_BLOOM_K, out_col="maybe_seen"
+    )
+    seen = hist.withColumnRenamed("key", "_sk").withColumn(
+        "_seen", F.lit(True)
+    )
+    out = probed.join(
+        F.broadcast(seen), probed["key"] == seen["_sk"], "left"
+    )
+    is_seen = F.coalesce(F.col("_seen"), F.lit(False))
+    return out.select(
+        "doc_id",
+        "maybe_seen",
+        is_seen.alias("seen"),
+        (F.col("maybe_seen") & ~is_seen).alias("false_positive"),
+    )

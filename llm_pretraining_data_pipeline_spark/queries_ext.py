@@ -1417,6 +1417,133 @@ def mm_png_features(spark, sf_dir):
     )
 
 
+@register(
+    "mm_wav_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 37 = 0 AS corrupt,
+             cast(1 + doc_id % 2 AS int) AS ch,
+             cast(8000 * (1 + doc_id % 3) AS int) AS rate,
+             200 + (doc_id % 5) * 100 AS nf,
+             2 * ((doc_id * 2654435761) % 1000) + 3 AS a,
+             (doc_id * 97) % 65536 AS b0
+      FROM documents
+    ),
+    s AS (
+      SELECT i.media_id, f.fi AS frame, c.cc AS chan,
+             CASE WHEN f.fi % 50 = 0 THEN 32767
+                  WHEN f.fi % 77 = 0 THEN -32768
+                  ELSE ((i.b0 + f.fi * i.a + c.cc * 17) % 65536) - 32768
+             END AS v
+      FROM ids i,
+           unnest(range(0, i.nf)) AS f(fi),
+           unnest(range(0, i.ch)) AS c(cc)
+      WHERE NOT i.corrupt
+    ),
+    agg AS (
+      SELECT media_id, sum(v * v) AS sq_sum, max(abs(v)) AS peak_abs,
+             sum(CASE WHEN v >= 32767 OR v <= -32768 THEN 1 ELSE 0 END)
+               AS clip_cnt,
+             count(*) AS n_samples
+      FROM s GROUP BY media_id
+    ),
+    z AS (
+      SELECT media_id, sum(flip) AS flips FROM (
+        SELECT media_id,
+               CASE WHEN (v >= 0) <> lag(v >= 0)
+                         OVER (PARTITION BY media_id ORDER BY frame)
+                    THEN 1 ELSE 0 END AS flip
+        FROM s WHERE chan = 0) GROUP BY media_id
+    )
+    SELECT i.media_id,
+           CASE WHEN i.corrupt THEN NULL ELSE i.rate END AS sample_rate,
+           CASE WHEN i.corrupt THEN NULL ELSE i.ch END AS channels,
+           CASE WHEN i.corrupt THEN NULL ELSE cast(i.nf AS bigint) END
+             AS n_frames,
+           CASE WHEN i.corrupt THEN NULL
+                ELSE round(i.nf * 1000.0 / i.rate, 6) END AS duration_ms,
+           round(sqrt(a.sq_sum / (a.n_samples * 1073741824.0)), 6) AS rms,
+           round(a.peak_abs / 32768.0, 6) AS peak,
+           round(a.clip_cnt * 1.0 / a.n_samples, 6) AS clip_ratio,
+           round(z.flips * 1.0 / (i.nf - 1), 6) AS zcr,
+           NOT i.corrupt AS decode_ok
+    FROM ids i LEFT JOIN agg a USING (media_id) LEFT JOIN z USING (media_id)
+    """,
+    doc="REAL WAV (RIFF/PCM) decode over binary payloads "
+        "(multimodal/wav.py: stdlib struct/array chunk walk, 8/16-bit PCM, "
+        "mono+stereo, allocation/truncation guards): payloads are encoded "
+        "in-fixture from a closed-form sample function of doc_id — a "
+        "modular sawtooth with deterministic rail-clipping injections "
+        "(fi%50→+full-scale, fi%77→−full-scale) — then decoded by "
+        "media.wav_feature_stats (Arrow mapInPandas) into integer "
+        "accumulators; RMS/peak/clip-ratio/zero-crossing-rate derive in "
+        "JVM expressions, and the DuckDB referee recomputes everything "
+        "from the SAME formula without any WAV machinery. Corrupt payloads "
+        "(id%37=0) survive with decode_ok=false and NULL stats on both "
+        "engines",
+)
+def mm_wav_features(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+    from llm_pretraining_data_pipeline_spark.multimodal import wav as W
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 37 == 0:
+                    payload = b"RIFF\x10\x00\x00\x00WAVEjunk"
+                else:
+                    ch = 1 + did % 2
+                    rate = 8000 * (1 + did % 3)
+                    nf = 200 + (did % 5) * 100
+                    a = 2 * ((did * 2654435761) % 1000) + 3
+                    b0 = (did * 97) % 65536
+
+                    def val(i, c):
+                        if i % 50 == 0:
+                            return 32767
+                        if i % 77 == 0:
+                            return -32768
+                        return ((b0 + i * a + c * 17) % 65536) - 32768
+
+                    samples = [
+                        val(i, c) for i in range(nf) for c in range(ch)
+                    ]
+                    payload = W.encode_wav(
+                        samples, sample_rate=rate, channels=ch
+                    )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    st = mm.wav_feature_stats(media)
+    n_samples = F.col("n_frames") * F.col("channels")
+    return st.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        F.round(F.col("n_frames") * 1000.0 / F.col("sample_rate"), 6).alias(
+            "duration_ms"
+        ),
+        F.round(
+            F.sqrt(F.col("sq_sum") / (n_samples * F.lit(1073741824.0))), 6
+        ).alias("rms"),
+        F.round(F.col("peak_abs") / F.lit(32768.0), 6).alias("peak"),
+        F.round(F.col("clip_count") / n_samples, 6).alias("clip_ratio"),
+        F.round(F.col("flip_count") / (F.col("n_frames") - 1), 6).alias("zcr"),
+        "decode_ok",
+    )
+
+
 # ================================================================= URL ops
 # C4 / RefinedWeb-style URL stage (functions/urls.py). The documents fixture
 # has no URL column, so each query synthesizes one deterministically from
