@@ -311,6 +311,57 @@ def main() -> int:
     meta["phash_images_per_sec"] = round(n_img / timings["image_phash_e2e"], 1)
     meta["phash_pairs"] = int(n_img_pairs)
 
+    # ---- round-9: real WAV (RIFF/PCM) decode throughput over binary audio
+    # columns — encode in-fixture (untimed ids frame, timed encode+decode:
+    # the codec pair IS the measured work, same as image_phash_e2e),
+    # aggregate the integer stats so every sample is actually decoded.
+    def _gen_wavs(it):
+        import pandas as pd
+
+        from llm_pretraining_data_pipeline_spark.multimodal import wav as WC
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ch = 1 + mid % 2
+                nf = 300 + (mid % 4) * 100
+                a = 2 * ((mid * 2654435761) % 1000) + 3
+                b0 = (mid * 97) % 65536
+                samples = [
+                    ((b0 + i * a + c * 17) % 65536) - 32768
+                    for i in range(nf)
+                    for c in range(ch)
+                ]
+                rows.append(
+                    (mid, WC.encode_wav(samples, 16_000, channels=ch))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    wav_copies = int(os.environ.get("BENCH_WAV_COPIES", "10"))
+    wav_ids = (
+        docs.select("doc_id")
+        .crossJoin(spark.range(wav_copies).withColumnRenamed("id", "copy"))
+        .select((F.col("doc_id") * wav_copies + F.col("copy")).alias("media_id"))
+        .repartition(CPUS)
+    )
+    n_wav = wav_ids.count()  # untimed: input size
+    wav_row = timed(
+        "audio_wav_e2e",
+        lambda: MM.wav_feature_stats(
+            wav_ids.mapInPandas(_gen_wavs, "media_id bigint, payload binary")
+        )
+        .agg(
+            F.sum("n_frames").alias("frames"),
+            F.sum("sq_sum").alias("sq"),
+            F.sum(F.col("decode_ok").cast("long")).alias("ok"),
+        )
+        .collect()[0],
+    )
+    meta["wav_clips"] = int(n_wav)
+    meta["wav_clips_per_sec"] = round(n_wav / timings["audio_wav_e2e"], 1)
+    meta["wav_frames"] = int(wav_row["frames"])
+
     # ---- round-8: the per-dump corpus audits at 100k docs — directional
     # gram novelty (one distinct + one groupBy on 60-bit gram hashes) and
     # the exact integer KS drift statistic (cumulative window over the
