@@ -99,10 +99,12 @@ _PRIORITY_R8 = [
 ]
 
 _PRIORITY_R9 = [
-    # new (late round 9): real WAV codec referee + Bloom-filter
-    # incremental dedup (both hash-matched via check_oracle at sf0.01 and
+    # new (late round 9): real WAV codec referee, Bloom-filter
+    # incremental dedup, frozen-model calibration curve, embedding-space
+    # decontamination (all hash-matched via check_oracle at sf0.01 and
     # sf0.001 on registration)
-    "mm_wav_features", "d19_bloom_dedup",
+    "mm_wav_features", "d19_bloom_dedup", "p39_calibration_curve",
+    "emb_decontaminate",
     # new this round: d17's MinHash calibration audit THROUGH the LSH
     # candidate valve (d03 banding CTE as the oracle's candidate set —
     # refereed proof of the candidates= scale plumbing) + per-source
@@ -130,10 +132,11 @@ _PRIORITY_R9 = [
     "rel_q1_pricing_summary", "rel_q3_shipping_priority",
     "rel_q5_local_supplier", "rel_q6_revenue_delta",
     "rel_q12_shipmode_case", "rel_q14_promo_ratio", "rel_q19_disjunctive",
-    "rel_anti_join", "rel_outer_join", "rel_in_subquery",
-    # p23_pick_text and rel_semi_join yield their head-50 slots to the two
-    # late-round additions above; both were independently re-verified green
-    # via scripts/check_oracle.py this session and stay in the registry
+    "rel_in_subquery",
+    # p23_pick_text, rel_semi_join, rel_anti_join and rel_outer_join yield
+    # their head-50 slots to the four late-round additions above; all four
+    # were independently re-verified green via scripts/check_oracle.py this
+    # session and stay in the registry (they refresh in r10)
     "rel_having_large_orders", "rel_distinct_counts", "rel_pivot",
     "rel_cube_lineitem", "rel_rollup_orders", "rel_grouping_sets",
     "win_top3_orders_per_customer", "win_rank_family",

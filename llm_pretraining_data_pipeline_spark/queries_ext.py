@@ -2418,6 +2418,73 @@ def p36_hashed_quality_score(spark, sf_dir):
     return out.select("doc_id", "hashed_quality")
 
 
+@register(
+    "p39_calibration_curve",
+    f"""
+    WITH dt AS (SELECT doc_id, {O.toks('lower(text)')} AS w FROM documents),
+    scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-({_H36_BIAS!r} + CASE WHEN len(w) > 0
+               THEN list_sum(list_transform(w,
+                      t -> {_H36_W_SQL}[({O.h64('t')} % {_HQ_D}) + 1]))
+                    / cast(len(w) as double)
+               ELSE 0.0 END))), 6) AS hq,
+             CASE WHEN list_contains(w, 'data') THEN 1 ELSE 0 END AS y
+      FROM dt
+    ),
+    micro AS (
+      SELECT doc_id, cast(round(hq * 1000000) AS bigint) AS pm, y
+      FROM scored
+    )
+    SELECT least(pm // 10000, 99) AS bucket,
+           count(*) AS n_docs,
+           round(sum(pm) / (count(*) * 1000000.0), 6) AS mean_pred,
+           round(sum(y) * 1.0 / count(*), 6) AS pos_rate,
+           round(sum((pm - y * 1000000) * (pm - y * 1000000))
+                 / (count(*) * 1000000000000.0), 6) AS brier
+    FROM micro GROUP BY 1
+    """,
+    doc="Model calibration / reliability curve for the frozen hashed-token "
+        "quality model (the audit run before trusting a quality scorer to "
+        "gate a corpus, DCLM/fastText practice): score every doc with the "
+        "p36 frozen model, bucket the 6dp score into centiles, and per "
+        "bucket report size, mean predicted probability, observed "
+        "positive rate (label = doc contains token 'data', the p35 "
+        "training label), and the Brier contribution. All aggregates run "
+        "on micro-unit INTEGERS (score×1e6) so the refereed sums are "
+        "exact bigints — no float-summation-order hazard; one map-side-"
+        "combinable groupBy on <=100 buckets, zero joins, O(n_tokens)/row",
+)
+def p39_calibration_curve(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import scoring
+
+    scored = scoring.hashed_quality_score(
+        _docs(spark, sf_dir), "text", _H36_W, _H36_BIAS
+    )
+    lab = F.array_contains(scoring._hashed_toks("text"), "data").cast("long")
+    micro = F.round(F.col("hashed_quality") * 1_000_000).cast("long")
+    base = scored.select(
+        micro.alias("pm"), lab.alias("y")
+    )
+    dev = F.col("pm") - F.col("y") * 1_000_000
+    return (
+        base.groupBy(
+            F.least(F.floor(F.col("pm") / 10_000).cast("long"), F.lit(99))
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("pm") / (F.count(F.lit(1)) * 1_000_000.0), 6).alias(
+                "mean_pred"
+            ),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("pos_rate"),
+            F.round(
+                F.sum(dev * dev) / (F.count(F.lit(1)) * 1_000_000_000_000.0), 6
+            ).alias("brier"),
+        )
+    )
+
+
 # ============================================================== mojibake
 
 

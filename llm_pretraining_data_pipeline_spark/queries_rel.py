@@ -700,6 +700,69 @@ def emb_near_dup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+@register(
+    "emb_decontaminate",
+    f"""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 20 = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+    scored AS (
+      SELECT c.vec_id, ev.eval_id,
+             {O.cosine_double('c.embedding', 'ev.qv')} AS raw
+      FROM c, ev
+    )
+    SELECT vec_id, eval_id, round(raw, 6) AS max_eval_cos,
+           raw >= 0.45 AS contaminated
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY raw DESC, eval_id) = 1
+    """,
+    doc="embedding-space test-set decontamination (the semantic sibling of "
+        "corp_decontaminate's n-gram overlap, phi/DataComp practice): a "
+        "deterministic 5% slice (vec_id%20=0) plays the benchmark/eval "
+        "set; every remaining corpus vector reports its nearest eval "
+        "vector, the max cosine, and a contaminated flag at tau=0.45 "
+        "(random 64-dim fixture vectors top out ~0.51). Scale shape: the "
+        "eval side is BROADCAST — benchmark sets stay small by nature — "
+        "and the per-vector max is a map-side-combinable max(struct) "
+        "aggregation, no window, one shuffle on vec_id; at bigger eval "
+        "sets the brute broadcast swaps for the IVF candidate path "
+        "(emb_ivf_topk) with the same output contract. Ties break to the "
+        "smallest eval_id on both engines",
+)
+def emb_decontaminate(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    to_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    ev = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), to_double("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0).select(
+        "vec_id", to_double("embedding").alias("cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        similarity.cosine(F.col("cv"), F.col("qv")).alias("raw"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("raw").alias("s"), (-F.col("eval_id")).alias("nid")
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.nid")).alias("eval_id"),
+            F.round(F.col("b.s"), 6).alias("max_eval_cos"),
+            (F.col("b.s") >= 0.45).alias("contaminated"),
+        )
+    )
+    return best
+
+
 # Hyperplanes for the LSH variant are FIXED at registration time (dim=64,
 # seed=7) so the oracle can receive the identical constants as SQL literals —
 # the same trick the minhash banding oracles use with their hash coefficients.

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from llm_pretraining_data_pipeline_spark.queries import QUERIES
+import llm_pretraining_data_pipeline_spark.queries_ext  # noqa: F401 (registers)
 import llm_pretraining_data_pipeline_spark.queries_rel  # noqa: F401 (registers)
 
 
@@ -579,3 +580,28 @@ class TestRound9Plans:
         for ln in plan.splitlines():
             if re.search(r"(SortMergeJoin|ShuffledHashJoin)", ln) and "_sh#" in ln:
                 assert "LeftSemi" in ln, f"inner shingle self-join: {ln}"
+
+    def test_emb_decontaminate_broadcasts_eval_no_window(self, spark, sf_dir):
+        """The eval side must broadcast (benchmark sets are small by
+        nature) and the per-vector argmax must be the map-side-combinable
+        max(struct) aggregation, not a corpus-wide window."""
+        plan = plan_of(QUERIES["emb_decontaminate"].spark(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_calibration_curve_zero_joins_partial_agg(self, spark, sf_dir):
+        """p39 is a scan -> score-expression -> 10..100-bucket groupBy:
+        no joins of any kind, and the aggregate has a partial (map-side
+        combine) phase before its single exchange."""
+        import re
+
+        plan = plan_of(QUERIES["p39_calibration_curve"].spark(spark, sf_dir))
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        # formatted mode prints each node once in the tree and once as a
+        # numbered detail header — count the detail headers
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "hashpartitioning" in plan
+        assert "partial" in plan.lower()  # HashAggregate(partial)
