@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from llm_pretraining_data_pipeline_spark.multimodal import png, wav
+from llm_pretraining_data_pipeline_spark.multimodal import mp4, png, wav
 from llm_pretraining_data_pipeline_spark.schemas import MEDIA_SCHEMA
 
 FEATURE_DIM = 16
@@ -128,6 +128,49 @@ def wav_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     id_col, "sample_rate", "channels", "bit_depth",
                     "n_frames", "sq_sum", "peak_abs", "clip_count",
                     "flip_count", "decode_ok", "decode_err",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
+def mp4_meta_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Video payloads → container metadata via Arrow-batched mapInPandas:
+    the REAL ISO-BMFF box walk (``mp4.parse_mp4_meta`` — ftyp brand,
+    mvhd timescale/duration v0+v1, tkhd 16.16 width/height), no codec
+    work. Emits integers + the brand string; ``duration_ms`` and frame
+    plans derive downstream in JVM expressions (``mm_mp4_meta``).
+
+    Rows whose payload fails to parse survive with ``decode_ok=false`` and
+    the exact error string — same contract as ``png_feature_stats``.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, brand string, timescale bigint, duration bigint, "
+        "width int, height int, decode_ok boolean, decode_err string"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    m = mp4.parse_mp4_meta(raw)
+                    rows.append(
+                        (mid, m["brand"], m["timescale"], m["duration"],
+                         m["width"], m["height"], True, None)
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, False, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "brand", "timescale", "duration", "width",
+                    "height", "decode_ok", "decode_err",
                 ],
             )
 

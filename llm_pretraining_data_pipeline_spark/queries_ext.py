@@ -1544,6 +1544,104 @@ def mm_wav_features(spark, sf_dir):
     )
 
 
+@register(
+    "mm_mp4_meta",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 43 = 0 AS corrupt,
+             doc_id % 2 AS ver,
+             (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                   ELSE 90000 END) AS ts,
+             cast(320 + 16 * (doc_id % 40) AS int) AS w,
+             cast(180 + 9 * (doc_id % 40) AS int) AS h
+      FROM documents
+    ),
+    d AS (
+      SELECT media_id, corrupt, ver, ts, w, h,
+             ts * (1 + media_id % 7) + (media_id * 31) % ts AS dur
+      FROM ids
+    )
+    SELECT media_id,
+           CASE WHEN corrupt THEN NULL
+                WHEN ver = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           CASE WHEN corrupt THEN NULL ELSE cast(ts AS bigint) END
+             AS timescale,
+           CASE WHEN corrupt THEN NULL ELSE cast(dur AS bigint) END
+             AS duration,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL
+                ELSE round(dur * 1000.0 / ts, 6) END AS duration_ms,
+           CASE WHEN corrupt THEN NULL
+                ELSE cast(dur // ts + 1 AS bigint) END AS frames_planned,
+           NOT corrupt AS decode_ok
+    FROM d
+    """,
+    doc="REAL MP4/ISO-BMFF container parse over binary video payloads "
+        "(multimodal/mp4.py: stdlib box walk — ftyp brand, mvhd "
+        "timescale/duration in BOTH v0 32-bit and v1 64-bit layouts "
+        "(alternating by doc parity), tkhd 16.16 fixed-point "
+        "width/height; declared-size/truncation/depth guards): payloads "
+        "are encoded in-fixture from closed-form parameters of doc_id, "
+        "parsed by media.mp4_meta_stats (Arrow mapInPandas), and the "
+        "frame-sampling plan size derives from the PARSED duration "
+        "(integer duration//timescale + 1, mirroring frame_sample_plan "
+        "at 1000 ms — the planner now runs on durations read from real "
+        "container bytes, not trusted side metadata). Corrupt payloads "
+        "(id%43=0) survive with decode_ok=false and NULL stats on both "
+        "engines",
+)
+def mm_mp4_meta(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+    from llm_pretraining_data_pipeline_spark.multimodal import mp4 as M4
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 43 == 0:
+                    payload = b"\x00\x00\x00\x08junk"
+                else:
+                    ver = did % 2
+                    ts = [600, 1000, 90000][did % 3]
+                    dur = ts * (1 + did % 7) + (did * 31) % ts
+                    w = 320 + 16 * (did % 40)
+                    h = 180 + 9 * (did % 40)
+                    payload = M4.encode_mp4_stub(
+                        ts, dur, w, h,
+                        brand=b"isom" if ver == 0 else b"mp42",
+                        mvhd_version=ver,
+                    )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    st = mm.mp4_meta_stats(media)
+    return st.select(
+        "media_id",
+        "brand",
+        "timescale",
+        "duration",
+        "width",
+        "height",
+        F.round(F.col("duration") * 1000.0 / F.col("timescale"), 6).alias(
+            "duration_ms"
+        ),
+        (
+            F.floor(F.col("duration") / F.col("timescale")).cast("long") + 1
+        ).alias("frames_planned"),
+        "decode_ok",
+    )
+
+
 # ================================================================= URL ops
 # C4 / RefinedWeb-style URL stage (functions/urls.py). The documents fixture
 # has no URL column, so each query synthesizes one deterministically from
