@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from llm_pretraining_data_pipeline_spark.multimodal import mp4, png, wav
+from llm_pretraining_data_pipeline_spark.multimodal import jpeg, mp4, png, wav
 from llm_pretraining_data_pipeline_spark.schemas import MEDIA_SCHEMA
 
 FEATURE_DIM = 16
@@ -171,6 +171,54 @@ def mp4_meta_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                 columns=[
                     id_col, "brand", "timescale", "duration", "width",
                     "height", "decode_ok", "decode_err",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
+def jpeg_meta_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Image payloads → frame metadata via Arrow-batched mapInPandas: the
+    REAL ITU-T T.81 marker walk (``jpeg.parse_jpeg_meta`` — SOF precision/
+    height/width/components, progressive flag, JFIF APP0 detection), no
+    entropy decode. This is the ``imagesize``-style header sniff every
+    web-curation pipeline runs before any resolution/aspect-ratio gate —
+    dimensions come from the first marker segments, so at 100 TB the scan
+    never touches the entropy-coded body.
+
+    Rows whose payload fails to parse survive with ``decode_ok=false`` and
+    the exact error string — same contract as ``png_feature_stats``.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, width int, height int, components int, "
+        "precision int, progressive boolean, jfif boolean, "
+        "decode_ok boolean, decode_err string"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    m = jpeg.parse_jpeg_meta(raw)
+                    rows.append(
+                        (mid, m["width"], m["height"], m["components"],
+                         m["precision"], m["progressive"], m["jfif"],
+                         True, None)
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None,
+                         False, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "components", "precision",
+                    "progressive", "jfif", "decode_ok", "decode_err",
                 ],
             )
 

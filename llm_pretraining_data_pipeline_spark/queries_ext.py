@@ -1642,6 +1642,90 @@ def mm_mp4_meta(spark, sf_dir):
     )
 
 
+@register(
+    "mm_jpeg_meta",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 41 = 0 AS corrupt,
+             cast(160 + 8 * (doc_id % 200) AS int) AS w,
+             cast(90 + 6 * (doc_id % 150) AS int) AS h,
+             cast(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS int) AS comps,
+             doc_id % 4 = 0 AS prog
+      FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE comps END AS components,
+           CASE WHEN corrupt THEN NULL ELSE prog END AS progressive,
+           CASE WHEN corrupt THEN NULL ELSE TRUE END AS jfif,
+           CASE WHEN corrupt THEN NULL
+                ELSE cast(w AS bigint) * h END AS pixels,
+           CASE WHEN corrupt THEN NULL
+                ELSE cast(w AS bigint) * h >= 300000 AND NOT prog
+             END AS passes_image_gate,
+           NOT corrupt AS decode_ok
+    FROM ids
+    """,
+    doc="REAL JPEG/JFIF header parse over binary image payloads "
+        "(multimodal/jpeg.py: ITU-T T.81 marker-segment walk — SOF "
+        "height/width/components/precision, progressive SOF2 detection, "
+        "JFIF APP0; declared-length/truncation/zero-dim guards; refuses "
+        "to scan past SOS): payloads are encoded in-fixture from "
+        "closed-form parameters of doc_id, parsed by "
+        "media.jpeg_meta_stats (Arrow mapInPandas), and the downstream "
+        "resolution gate (>=0.3 MP, baseline-only) runs in JVM "
+        "expressions on the PARSED dimensions — the imagesize-style "
+        "header sniff of real web-curation stages, never touching the "
+        "entropy-coded body. Corrupt payloads (id%41=0) survive with "
+        "decode_ok=false and NULL stats on both engines",
+)
+def mm_jpeg_meta(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import jpeg as J
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 41 == 0:
+                    payload = b"\xff\xd8\xff\xd9"  # SOI straight to EOI
+                else:
+                    payload = J.encode_jpeg_stub(
+                        160 + 8 * (did % 200),
+                        90 + 6 * (did % 150),
+                        components=1 if did % 5 == 0 else 3,
+                        progressive=did % 4 == 0,
+                    )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    st = mm.jpeg_meta_stats(media)
+    pixels = F.col("width").cast("long") * F.col("height")
+    return st.select(
+        "media_id",
+        "width",
+        "height",
+        "components",
+        "progressive",
+        "jfif",
+        pixels.alias("pixels"),
+        ((pixels >= 300000) & ~F.col("progressive")).alias(
+            "passes_image_gate"
+        ),
+        "decode_ok",
+    )
+
+
 # ================================================================= URL ops
 # C4 / RefinedWeb-style URL stage (functions/urls.py). The documents fixture
 # has no URL column, so each query synthesizes one deterministically from
