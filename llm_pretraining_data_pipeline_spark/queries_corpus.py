@@ -1823,3 +1823,112 @@ def d16_containment_pairs(spark, sf_dir):
         F.round("containment_a", 6).alias("containment_a"),
         F.round("containment_b", 6).alias("containment_b"),
     )
+
+
+# ===================================================== domain link graph
+
+_PR_ITERS = 3
+_PR_UNIT = 10**12
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled damped power iteration, exact fixed-point — bit-identical
+    to operators/graph.py::pagerank by construction: the same uniform
+    init, per-edge floor-divided contributions, uniform dangling-mass
+    share, and 15/85 damping split, all in bigint arithmetic."""
+    ctes = [
+        """links AS (
+      SELECT doc_id % 50 AS src, (doc_id * 7 + 13) % 50 AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 50, (doc_id * 31 + 5) % 50 FROM documents
+    )""",
+        """edges AS (
+      SELECT DISTINCT src, dst FROM links
+      WHERE src <> dst AND src % 13 <> 0
+    )""",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    )""",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"""r0 AS (
+      SELECT node, {_PR_UNIT} // n AS r FROM nodes CROSS JOIN params
+    )""",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS (
+      SELECT COALESCE(SUM(r), 0) AS dmass FROM r{p}
+      WHERE node NOT IN (SELECT src FROM outdeg)
+    )"""
+        )
+        ctes.append(
+            f"""i{i} AS (
+      SELECT e.dst AS node, SUM(r{p}.r // o.outdeg) AS inflow
+      FROM edges e
+      JOIN r{p} ON e.src = r{p}.node
+      JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT nodes.node,
+             (15 * {_PR_UNIT} // 100) // n
+               + 85 * (COALESCE(i{i}.inflow, 0) + dmass // n) // 100 AS r
+      FROM nodes CROSS JOIN params CROSS JOIN d{i}
+      LEFT JOIN i{i} ON nodes.node = i{i}.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS domain, CAST(r AS bigint) AS rank_e12,
+           CAST(r // 1000000 AS bigint) AS rank_micro
+    FROM r{_PR_ITERS}"""
+    )
+
+
+@register(
+    "corp_domain_pagerank",
+    _pagerank_oracle(),
+    doc="Damped PageRank over the document host-domain link graph "
+        "(operators/graph.py: per-iteration equi-join + groupBy, uniform "
+        "dangling-mass redistribution, narrow localCheckpoint lineage "
+        "truncation every k iterations) — the domain-authority signal "
+        "behind Common Crawl's centrality rankings and RefinedWeb-style "
+        "domain gates, computed on a graph orders of magnitude smaller "
+        "than the corpus so it feeds the URL stage before any document "
+        "byte is read. EXACT fixed-point bigint arithmetic (1e-12 units, "
+        "floor division everywhere) makes the power iteration "
+        "aggregation-order-independent: the referee unrolls all 3 "
+        "iterations in DuckDB and matches bit-for-bit. Edges derive "
+        "closed-form from doc_id (2 outlinks per doc, self-loops "
+        "dropped, src%13=0 domains made dangling to exercise the "
+        "dangling-mass path)",
+)
+def corp_domain_pagerank(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    links = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 13) % 50).alias("dst"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") % 50).alias("src"),
+            ((F.col("doc_id") * 31 + 5) % 50).alias("dst"),
+        )
+    )
+    edges = links.where(
+        (F.col("src") != F.col("dst")) & (F.col("src") % 13 != 0)
+    ).distinct()
+    pr = pagerank(edges, iterations=_PR_ITERS)
+    return pr.select(
+        F.col("node").alias("domain"),
+        "rank_e12",
+        F.expr("rank_e12 div 1000000").alias("rank_micro"),
+    )
