@@ -362,6 +362,57 @@ def main() -> int:
     meta["wav_clips_per_sec"] = round(n_wav / timings["audio_wav_e2e"], 1)
     meta["wav_frames"] = int(wav_row["frames"])
 
+    # ---- round-9: WARC ingestion throughput — encode each doc as a
+    # two-record web-archive blob in-fixture, then explode blobs 1->N via
+    # the strict ISO-28500 parser (the CommonCrawl file-granularity entry
+    # point; encode+parse pair is the measured work, same as audio_wav_e2e).
+    def _gen_warcs(it):
+        import pandas as pd
+
+        from llm_pretraining_data_pipeline_spark.sources import warc as WR
+
+        for pdf in it:
+            rows = []
+            for fid, text in zip(pdf["file_id"], pdf["text"]):
+                fid = int(fid)
+                uri = f"https://site-{fid % 997}.example/doc/{fid}"
+                rows.append((fid, WR.encode_warc([
+                    ("response", uri, f"rec-{fid}-0",
+                     text.encode("utf-8")),
+                    ("metadata", uri, f"rec-{fid}-1",
+                     f"doc_id={fid}".encode("ascii")),
+                ])))
+            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+    from llm_pretraining_data_pipeline_spark.sources import warc as WR
+
+    warc_copies = int(os.environ.get("BENCH_WARC_COPIES", "10"))
+    warc_ids = (
+        docs.select("doc_id", "text")
+        .crossJoin(spark.range(warc_copies).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("doc_id") * warc_copies + F.col("copy")).alias("file_id"),
+            "text",
+        )
+        .repartition(CPUS)
+    )
+    n_warc = warc_ids.count()  # untimed: input size
+    warc_row = timed(
+        "warc_ingest_e2e",
+        lambda: WR.warc_records(
+            warc_ids.mapInPandas(_gen_warcs, "file_id bigint, payload binary")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum("content_length").alias("bytes"),
+            F.sum(F.col("parse_ok").cast("long")).alias("ok"),
+        )
+        .collect()[0],
+    )
+    meta["warc_files"] = int(n_warc)
+    meta["warc_records"] = int(warc_row["records"])
+    meta["warc_files_per_sec"] = round(n_warc / timings["warc_ingest_e2e"], 1)
+
     # ---- round-8: the per-dump corpus audits at 100k docs — directional
     # gram novelty (one distinct + one groupBy on 60-bit gram hashes) and
     # the exact integer KS drift statistic (cumulative window over the

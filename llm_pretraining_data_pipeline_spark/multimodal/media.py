@@ -225,6 +225,37 @@ def jpeg_meta_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
 
 
+def magic_kind(payload_col="payload"):
+    """Container-format detection from magic bytes as a PURE Catalyst
+    Column — zero Python, zero shuffle, whole-stage-codegen'd into the
+    scan. This is the triage step a 100 TB multimodal ingest runs on
+    EVERY payload before routing to a decoder: misrouted bytes must be
+    caught from the first handful of bytes, not by a failed decode in a
+    Python worker.
+
+    Recognizes the repo's parser surface (png/jpeg/wav/mp4/warc) plus
+    gzip (the compression wrapper real WARC/CC payloads arrive in);
+    anything else (including NULL/short payloads) is ``'unknown'``.
+    First-match-wins, most-specific first — the same CaseWhen cascade
+    shape as the filter batteries.
+    """
+    p = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    head4 = F.hex(F.substring(p, 1, 4))
+    return (
+        F.when(head4 == "89504E47", F.lit("png"))
+        .when(head4.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(
+            (head4 == "52494646")
+            & (F.hex(F.substring(p, 9, 4)) == "57415645"),
+            F.lit("wav"),
+        )
+        .when(F.hex(F.substring(p, 5, 4)) == "66747970", F.lit("mp4"))
+        .when(head4.startswith("1F8B"), F.lit("gzip"))
+        .when(head4 == "57415243", F.lit("warc"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, byte_len bigint, content_sha256 string, "
     f"feature array<float>, decode_ok boolean"

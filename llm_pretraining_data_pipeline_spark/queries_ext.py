@@ -1806,6 +1806,90 @@ def src_warc_records(spark, sf_dir):
     )
 
 
+@register(
+    "mm_magic_sniff",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 7
+             WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0'
+             WHEN 2 THEN '52494646' WHEN 3 THEN '00000014'
+             WHEN 4 THEN '1F8B0800' WHEN 5 THEN '57415243'
+             ELSE 'DEADBEEF' END AS head4,
+           CASE doc_id % 7
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+             WHEN 3 THEN 'mp4' WHEN 4 THEN 'gzip' WHEN 5 THEN 'warc'
+             ELSE 'unknown' END AS kind,
+           doc_id % 7 <= 3 AS is_media
+    FROM documents
+    """,
+    doc="Magic-byte container triage over binary payloads "
+        "(multimodal/media.py::magic_kind): a PURE Catalyst CaseWhen on "
+        "hex(substring(payload,...)) — zero Python, zero shuffle, fused "
+        "into the scan by whole-stage codegen — routing every payload to "
+        "its decoder (png/jpeg/wav/mp4/warc/gzip) from the first bytes, "
+        "the way a 100 TB multimodal ingest must triage before any "
+        "decode worker runs. Payloads are built in-fixture with the REAL "
+        "encoders (encode_png/encode_jpeg_stub/encode_wav/"
+        "encode_mp4_stub/encode_warc/gzip mtime=0), detection reads "
+        "actual bytes, and the referee recomputes kind + leading hex "
+        "from the closed form",
+)
+def mm_magic_sniff(spark, sf_dir):
+    import gzip as GZ
+
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import jpeg as J
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+    from llm_pretraining_data_pipeline_spark.multimodal import mp4 as M4
+    from llm_pretraining_data_pipeline_spark.multimodal import png as PNG
+    from llm_pretraining_data_pipeline_spark.multimodal import wav as WAV
+    from llm_pretraining_data_pipeline_spark.sources import warc as W
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 7
+                if k == 0:
+                    payload = PNG.encode_png(
+                        2, 2, bytes((did + i) % 256 for i in range(12))
+                    )
+                elif k == 1:
+                    payload = J.encode_jpeg_stub(32 + did % 8, 32)
+                elif k == 2:
+                    payload = WAV.encode_wav([did % 100] * 4)
+                elif k == 3:
+                    payload = M4.encode_mp4_stub(600, 600 + did % 600, 64, 64)
+                elif k == 4:
+                    payload = GZ.compress(
+                        f"doc-{did}".encode("ascii"), mtime=0
+                    )
+                elif k == 5:
+                    payload = W.encode_warc_record(
+                        "response", f"https://x.example/{did}",
+                        f"r-{did}", b"body",
+                    )
+                else:
+                    payload = b"\xde\xad\xbe\xef" + str(did).encode("ascii")
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    kind = mm.magic_kind("payload")
+    return media.select(
+        "media_id",
+        F.hex(F.substring(F.col("payload"), 1, 4)).alias("head4"),
+        kind.alias("kind"),
+        kind.isin("png", "jpeg", "wav", "mp4").alias("is_media"),
+    )
+
+
 # ================================================================= URL ops
 # C4 / RefinedWeb-style URL stage (functions/urls.py). The documents fixture
 # has no URL column, so each query synthesizes one deterministically from

@@ -550,3 +550,52 @@ class TestPhashPairs:
         )
         with pytest.raises(ValueError, match="divide 64"):
             media.phash_near_dup_pairs(df, bands=5)
+
+
+class TestMagicKind:
+    """magic_kind: zero-Python magic-byte triage (multimodal/media.py)."""
+
+    def _detect(self, spark, payloads):
+        from llm_pretraining_data_pipeline_spark.multimodal import media
+        rows = [(i, bytearray(p) if p is not None else None)
+                for i, p in enumerate(payloads)]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = df.select("media_id", media.magic_kind("payload").alias("k"))
+        return [r["k"] for r in out.orderBy("media_id").collect()]
+
+    def test_detects_every_kind(self, spark):
+        import gzip
+
+        from llm_pretraining_data_pipeline_spark.multimodal import (
+            jpeg, mp4, png, wav,
+        )
+        from llm_pretraining_data_pipeline_spark.sources import warc
+        kinds = self._detect(spark, [
+            png.encode_png(1, 1, b"\x01\x02\x03"),
+            jpeg.encode_jpeg_stub(8, 8),
+            wav.encode_wav([0, 1]),
+            mp4.encode_mp4_stub(600, 60, 16, 16),
+            gzip.compress(b"x", mtime=0),
+            warc.encode_warc_record("response", "u", "r", b"b"),
+            b"\x00\x01\x02\x03plainjunk",
+            None,
+            b"\xff",  # shorter than any magic
+        ])
+        assert kinds == ["png", "jpeg", "wav", "mp4", "gzip", "warc",
+                         "unknown", "unknown", "unknown"]
+
+    def test_riff_but_not_wave_is_unknown(self, spark):
+        # RIFF container that is not WAVE (e.g. AVI) must not claim 'wav'
+        avi = b"RIFF" + b"\x00\x00\x00\x24" + b"AVI " + b"\x00" * 16
+        assert self._detect(spark, [avi]) == ["unknown"]
+
+    def test_plan_is_pure_jvm(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import media
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG\r\n\x1a\n"))],
+            "media_id long, payload binary",
+        )
+        out = df.select(media.magic_kind("payload").alias("k"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+        assert "Exchange" not in plan
