@@ -1726,9 +1726,7 @@ def mm_jpeg_meta(spark, sf_dir):
     )
 
 
-@register(
-    "src_warc_records",
-    """
+_WARC_RECORDS_SQL = """
     WITH d AS (
       SELECT doc_id, text, doc_id % 37 = 0 AS corrupt,
              'https://site-' || CAST(doc_id % 50 AS varchar)
@@ -1753,7 +1751,12 @@ def mm_jpeg_meta(spark, sf_dir):
     SELECT doc_id, CAST(NULL AS int), NULL, NULL, NULL,
            CAST(NULL AS bigint), NULL, FALSE
     FROM d WHERE corrupt
-    """,
+    """
+
+
+@register(
+    "src_warc_records",
+    _WARC_RECORDS_SQL,
     doc="REAL WARC/ISO-28500 ingestion (sources/warc.py: strict version "
         "line, colon-validated headers, mandatory Content-Length checked "
         "against the physical buffer BEFORE the payload slice, required "
@@ -1794,6 +1797,63 @@ def src_warc_records(spark, sf_dir):
         .mapInPandas(gen, "file_id bigint, payload binary")
     )
     recs = W.warc_records(files)
+    return recs.select(
+        "file_id",
+        "rec_index",
+        "warc_type",
+        "target_uri",
+        "record_id",
+        "content_length",
+        F.sha2("payload", 256).alias("payload_sha256"),
+        "parse_ok",
+    )
+
+
+@register(
+    "src_warc_gz_records",
+    _WARC_RECORDS_SQL,
+    doc="CommonCrawl-convention COMPRESSED web-archive ingestion "
+        "(.warc.gz: every record its own gzip member, members "
+        "concatenated — the property that makes CC files record-seekable "
+        "without whole-file decompression): sources/warc.py "
+        "gunzip_members walks the member chain with png.py-style "
+        "decompression-bomb bounds (per-member inflate cap checked "
+        "BEFORE allocation grows past it, dec.eof required so truncated "
+        "members raise, trailing garbage raises), then each member "
+        "parses through the same strict ISO-28500 reader as "
+        "src_warc_records. Identical referee — the compressed path must "
+        "recover byte-identical records (same octet_length + payload "
+        "sha256). Truncated-member blobs (id%37=0, gzip stream cut "
+        "mid-member) survive as parse_ok=false rows on both engines",
+)
+def src_warc_gz_records(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.sources import warc as W
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                uri = f"https://site-{did % 50}.example/doc/{did}"
+                blob = W.encode_warc_gz([
+                    ("response", uri, f"rec-{did}-0",
+                     text.encode("utf-8")),
+                    ("metadata", uri, f"rec-{did}-1",
+                     f"doc_id={did}".encode("ascii")),
+                ])
+                if did % 37 == 0:
+                    blob = blob[: len(blob) // 2]  # cut mid-member
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["file_id", "payload"])
+
+    files = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(gen, "file_id bigint, payload binary")
+    )
+    recs = W.warc_records(files, gzipped=True)
     return recs.select(
         "file_id",
         "rec_index",

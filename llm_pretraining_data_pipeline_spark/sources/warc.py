@@ -127,14 +127,79 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
-def warc_records(df, payload_col: str = "payload", id_col: str = "file_id"):
+def encode_warc_gz(records: list[tuple[str, str, str, bytes]]) -> bytes:
+    """CommonCrawl-convention compressed WARC: each record is its OWN gzip
+    member (mtime=0 for determinism), members concatenated — this is what
+    makes .warc.gz files record-seekable without decompressing the file."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(encode_warc_record(*r), mtime=0) for r in records
+    )
+
+
+def gunzip_members(data: bytes, max_member_bytes: int = 1 << 26) -> list[bytes]:
+    """Split a concatenated-gzip-member blob and inflate each member.
+
+    Bounded the way ``png.py`` bounds IDAT inflation: a member whose
+    decompressed size exceeds ``max_member_bytes`` raises BEFORE the
+    allocation grows past the cap (decompression-bomb guard), a truncated
+    member (no deflate final block / CRC trailer) raises via the missing
+    ``eof``, and trailing garbage raises rather than being ignored.
+    """
+    import zlib
+
+    members: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        dec = zlib.decompressobj(wbits=31)  # gzip wrapper
+        try:
+            out = dec.decompress(data[pos:], max_member_bytes + 1)
+        except zlib.error as exc:
+            raise ValueError(
+                f"gunzip: bad gzip member at offset {pos}: {exc}"
+            ) from None
+        if len(out) > max_member_bytes:
+            raise ValueError(
+                f"gunzip: member at offset {pos} inflates past "
+                f"{max_member_bytes} bytes"
+            )
+        if not dec.eof:
+            raise ValueError(f"gunzip: truncated member at offset {pos}")
+        members.append(out)
+        consumed = (n - pos) - len(dec.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"gunzip: no progress at offset {pos}")
+        pos += consumed
+    if not members:
+        raise ValueError("gunzip: empty blob")
+    return members
+
+
+def parse_warc_gz(data: bytes, max_member_bytes: int = 1 << 26) -> list[dict]:
+    """Parse a .warc.gz blob (concatenated gzip members) into records."""
+    records: list[dict] = []
+    for member in gunzip_members(data, max_member_bytes=max_member_bytes):
+        records.extend(parse_warc(member))
+    return records
+
+
+def warc_records(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "file_id",
+    gzipped: bool = False,
+):
     """Explode WARC blobs into one row per record (Arrow mapInPandas).
 
     Input: ``(id_col, payload_col binary)``. Output one row per parsed
     record — ``rec_index`` is the record's position within its blob —
     plus a single ``parse_ok=false`` row (NULL record fields, exact error
     string) for blobs that fail to parse, so ingestion errors are data,
-    not exceptions, at 100 TB.
+    not exceptions, at 100 TB. With ``gzipped=True`` blobs are
+    CommonCrawl-style .warc.gz (one gzip member per record), inflated
+    with the bounded-member guard before parsing.
     """
     import pandas as pd
 
@@ -150,7 +215,8 @@ def warc_records(df, payload_col: str = "payload", id_col: str = "file_id"):
             for fid, blob in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(blob) if blob is not None else b""
                 try:
-                    for i, rec in enumerate(parse_warc(raw)):
+                    recs = parse_warc_gz(raw) if gzipped else parse_warc(raw)
+                    for i, rec in enumerate(recs):
                         rows.append(
                             (fid, i, rec["warc_type"], rec["target_uri"],
                              rec["record_id"], rec["content_length"],

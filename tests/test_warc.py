@@ -96,3 +96,53 @@ class TestWarcRecordsOperator:
         assert len(by_file[2]) == 1 and not by_file[2][0]["parse_ok"]
         assert "version" in by_file[2][0]["parse_err"]
         assert len(by_file[3]) == 1 and not by_file[3][0]["parse_ok"]
+
+
+class TestWarcGz:
+    """CommonCrawl .warc.gz: per-record gzip members (sources/warc.py)."""
+
+    def test_roundtrip_members(self):
+        recs = [("response", "https://a.example", "r-0", b"hello"),
+                ("metadata", "https://a.example", "r-1", b"k=v")]
+        out = warc.parse_warc_gz(warc.encode_warc_gz(recs))
+        assert [r["payload"] for r in out] == [b"hello", b"k=v"]
+        assert [r["warc_type"] for r in out] == ["response", "metadata"]
+
+    def test_members_are_individually_seekable(self):
+        import gzip
+        recs = [("response", "u", "r-0", b"a"), ("response", "u", "r-1", b"b")]
+        blob = warc.encode_warc_gz(recs)
+        # first member alone must decompress to record 0 (CC seekability)
+        m0 = gzip.compress(warc.encode_warc_record(*recs[0]), mtime=0)
+        assert blob.startswith(m0)
+        assert warc.parse_warc(gzip.decompress(m0))[0]["payload"] == b"a"
+
+    def test_truncated_member_raises(self):
+        blob = warc.encode_warc_gz([("response", "u", "r", b"x" * 100)])
+        with pytest.raises(ValueError, match="truncated|bad gzip"):
+            warc.gunzip_members(blob[: len(blob) // 2])
+
+    def test_trailing_garbage_raises(self):
+        blob = warc.encode_warc_gz([("response", "u", "r", b"x")])
+        with pytest.raises(ValueError, match="bad gzip"):
+            warc.gunzip_members(blob + b"NOTGZIP")
+
+    def test_bomb_cap(self):
+        blob = warc.encode_warc_gz([("response", "u", "r", b"\x00" * 10_000)])
+        with pytest.raises(ValueError, match="inflates past"):
+            warc.gunzip_members(blob, max_member_bytes=1024)
+
+    def test_empty_blob_raises(self):
+        with pytest.raises(ValueError, match="empty"):
+            warc.gunzip_members(b"")
+
+    def test_operator_gzipped_flag(self, spark):
+        good = warc.encode_warc_gz(
+            [("response", "https://a.example/x", "r-0", b"hello world")]
+        )
+        rows = [(1, bytearray(good)), (2, bytearray(good[:10]))]
+        df = spark.createDataFrame(rows, "file_id long, payload binary")
+        out = {r["file_id"]: r
+               for r in warc.warc_records(df, gzipped=True).collect()}
+        assert out[1]["parse_ok"] and bytes(out[1]["payload"]) == b"hello world"
+        assert not out[2]["parse_ok"] and "gunzip" in out[2]["parse_err"]
