@@ -212,3 +212,127 @@ def url_quality_filter(
     return df.withColumn("url_drop_reason", reason).withColumn(
         "url_keep", reason.isNull()
     )
+
+
+# ---------------------------------------------------------------- robots.txt
+
+
+def parse_robots(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt → ``(domain, prefix)`` Disallow rules for ``User-agent: *``.
+
+    The crawl-politeness gate every responsible corpus build runs: a
+    document fetched from a path its host disallows is dropped before it
+    enters the corpus (C4 respected robots at crawl time; re-filtering at
+    curation time catches policy changes). Implements the classic subset
+    of REP (RFC 9309): ``User-agent`` lines open a group (consecutive UA
+    lines share one group, per spec), ``Disallow`` lines contribute path
+    prefixes, ``#`` comments and blank/empty-prefix Disallows are ignored,
+    and only groups naming ``*`` apply. Allow-precedence and wildcards are
+    out of scope (documented; a swap-in point for a full matcher).
+
+    Entirely JVM-side: posexplode the line list, a per-domain cumulative
+    window assigns group ids (robots files are a few hundred lines — the
+    window partitions by domain, never sees the corpus), then one groupBy
+    keeps ``*`` groups. Output is the small broadcastable rule frame
+    ``robots_gate`` consumes.
+    """
+    from pyspark.sql import Window
+
+    d = F.col(domain_col)
+    lines = robots.select(
+        d.alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    lines = lines.select(
+        "domain",
+        "pos",
+        F.lower(F.regexp_extract("line", r"(?i)^(user-agent|disallow)\s*:", 1))
+        .alias("key"),
+        F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:(.*)$", 1))
+        .alias("value"),
+    ).where(F.col("key") != "")
+    w = Window.partitionBy("domain").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    # a UA line opens a NEW group only if the previous kept line wasn't UA
+    opens = is_ua & ~F.coalesce(F.lag(is_ua.cast("boolean")).over(w), F.lit(False))
+    grouped = lines.select(
+        "domain", "pos", "key", "value",
+        F.sum(opens.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+    return (
+        grouped.groupBy("domain", "grp")
+        .agg(
+            F.max(
+                (is_ua & (F.lower(F.col("value")) == "*")).cast("int")
+            ).alias("is_star"),
+            F.collect_set(
+                F.when(
+                    (F.col("key") == "disallow") & (F.col("value") != ""),
+                    F.col("value"),
+                )
+            ).alias("prefixes"),
+        )
+        .where(F.col("is_star") == 1)
+        .select("domain", F.explode("prefixes").alias("prefix"))
+        .distinct()
+    )
+
+
+def robots_gate(
+    docs: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag documents whose URL path a ``User-agent: *`` Disallow covers.
+
+    ``rules`` is ``parse_robots`` output — per-domain rule sets are tiny,
+    so the join broadcasts (rules on the right of the left join: a LEFT
+    join can only broadcast its non-preserved side). Emits one row per
+    input doc with ``disallowed`` and the LONGEST matching prefix
+    (deterministic arg-max via max(struct)); unmatched and rule-less
+    domains pass with ``disallowed=false``.
+    """
+    base = docs.select(
+        id_col,
+        F.col(url_col).alias("_url"),
+        url_domain(F.col(url_col)).alias("_dom"),
+        F.coalesce(
+            F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1),
+            F.lit(""),
+        ).alias("_path"),
+    )
+    joined = base.join(
+        F.broadcast(rules),
+        (base["_dom"] == rules["domain"])
+        & base["_path"].startswith(rules["prefix"]),
+        "left",
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.first("_url").alias("url"),
+            F.max(
+                F.when(
+                    F.col("prefix").isNotNull(),
+                    F.struct(F.length("prefix").alias("l"), F.col("prefix").alias("p")),
+                )
+            ).alias("_m"),
+        )
+        .select(
+            id_col,
+            "url",
+            F.col("_m").isNotNull().alias("disallowed"),
+            F.col("_m.p").alias("matched_prefix"),
+        )
+    )

@@ -3374,3 +3374,95 @@ def mm_phash_pairs(spark, sf_dir):
     return mm.phash_near_dup_pairs(
         hashes, max_hamming=_PHASH_MAX_HAM, bands=4
     )
+
+
+@register(
+    "f17_robots_gate",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 50 AS dom,
+             (doc_id % 50) % 3 AS t,
+             doc_id % 4 AS pk
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, dom, t,
+             CASE pk
+               WHEN 0 THEN '/private/p' || CAST(doc_id AS varchar)
+               WHEN 1 THEN '/t' || CAST(t AS varchar) || '/x'
+               WHEN 2 THEN '/t' || CAST((t + 1) % 3 AS varchar) || '/x'
+               ELSE '/pub/' || CAST(doc_id AS varchar) END AS path,
+             pk
+      FROM d
+    )
+    SELECT doc_id,
+           'https://site-' || CAST(dom AS varchar) || '.example' || path
+             AS url,
+           dom % 7 <> 0 AND pk IN (0, 1) AS disallowed,
+           CASE WHEN dom % 7 = 0 THEN NULL
+                WHEN pk = 0 THEN '/private'
+                WHEN pk = 1 THEN '/t' || CAST(t AS varchar)
+                ELSE NULL END AS matched_prefix
+    FROM u
+    """,
+    doc="robots.txt Disallow gate (functions/urls.py::parse_robots + "
+        "robots_gate): REAL REP parsing of per-domain robots.txt text — "
+        "User-agent groups via a per-domain cumulative window "
+        "(consecutive UA lines share a group per RFC 9309), '#' comments "
+        "stripped, empty-prefix Disallows ignored, only 'User-agent: *' "
+        "groups apply, non-star groups (googlebot) must NOT leak. The "
+        "gate is a BROADCAST left join on (domain, startswith(path, "
+        "prefix)) emitting the LONGEST matching prefix via max(struct). "
+        "Fixture builds robots text closed-form per domain (domains "
+        "dom%7=0 have no star group; dom%5=0 exercise the empty-Disallow "
+        "line); the referee recomputes expected verdicts from the closed "
+        "form. The window sees one robots FILE per partition key, never "
+        "the corpus — rules stay broadcast-tiny at any corpus scale",
+)
+def f17_robots_gate(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls as U
+
+    d = F.col("doc_id") % 50
+    t = d % 3
+    pk = F.col("doc_id") % 4
+    path = (
+        F.when(pk == 0, F.concat(F.lit("/private/p"), F.col("doc_id")))
+        .when(pk == 1, F.concat(F.lit("/t"), t, F.lit("/x")))
+        .when(pk == 2, F.concat(F.lit("/t"), (t + 1) % 3, F.lit("/x")))
+        .otherwise(F.concat(F.lit("/pub/"), F.col("doc_id")))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), d, F.lit(".example"), path
+        ).alias("url"),
+    )
+
+    doms = (
+        _docs(spark, sf_dir)
+        .select(d.alias("dom"))
+        .distinct()
+    )
+    dd = F.col("dom")
+    star_section = F.when(
+        dd % 7 != 0,
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(dd % 5 == 0, F.lit("Disallow:\n")).otherwise(F.lit("")),
+            F.lit("Disallow: /private\n"),
+            F.lit("Disallow: /t"), (dd % 3).cast("string"), F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    robots = doms.select(
+        F.concat(F.lit("site-"), dd, F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("# robots fixture\n"),
+            F.lit("User-agent: googlebot\n"),
+            F.lit("Disallow: /nope\n"),
+            F.lit("\n"),
+            star_section,
+        ).alias("robots_txt"),
+    )
+    rules = U.parse_robots(robots)
+    return U.robots_gate(docs, rules)

@@ -309,3 +309,76 @@ class TestUrlQualityFilter:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+class TestRobots:
+    """parse_robots / robots_gate (functions/urls.py)."""
+
+    ROBOTS = "\n".join([
+        "# top comment",
+        "User-agent: googlebot",
+        "Disallow: /google-only",
+        "",
+        "USER-AGENT: bingbot   # trailing comment",
+        "User-agent: *",
+        "Disallow:",
+        "disallow: /private",
+        "Disallow: /tmp",
+    ])
+
+    def _rules(self, spark, txt=None):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        df = spark.createDataFrame(
+            [("a.example", txt or self.ROBOTS)], "domain string, robots_txt string"
+        )
+        out = urls.parse_robots(df).collect()
+        return sorted(r["prefix"] for r in out)
+
+    def test_star_group_only(self, spark):
+        # googlebot-only rule must not leak; empty Disallow ignored;
+        # consecutive UA lines (bingbot + *) share one group per RFC 9309
+        assert self._rules(spark) == ["/private", "/tmp"]
+
+    def test_no_star_group_yields_no_rules(self, spark):
+        txt = "User-agent: googlebot\nDisallow: /x"
+        assert self._rules(spark, txt) == []
+
+    def test_case_insensitive_keys_and_ua(self, spark):
+        txt = "user-AGENT: *\nDISALLOW: /Upper"
+        assert self._rules(spark, txt) == ["/Upper"]  # prefix case preserved
+
+    def test_gate_longest_prefix_and_passthrough(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        rules = spark.createDataFrame(
+            [("a.example", "/p"), ("a.example", "/priv"), ("b.example", "/x")],
+            "domain string, prefix string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "https://a.example/private/1"),   # matches /p AND /priv
+                (2, "https://a.example/pub"),          # matches /p only
+                (3, "https://a.example/ok"),           # no match
+                (4, "https://norules.example/priv"),   # rule-less domain
+            ],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r for r in urls.robots_gate(docs, rules).collect()}
+        assert out[1]["disallowed"] and out[1]["matched_prefix"] == "/priv"
+        assert out[2]["disallowed"] and out[2]["matched_prefix"] == "/p"
+        assert not out[3]["disallowed"] and out[3]["matched_prefix"] is None
+        assert not out[4]["disallowed"]
+
+    def test_gate_plan_broadcasts_rules(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        rules = spark.createDataFrame(
+            [("a.example", "/p")], "domain string, prefix string"
+        )
+        docs = spark.createDataFrame(
+            [(1, "https://a.example/p")], "doc_id long, url string"
+        )
+        plan = (
+            urls.robots_gate(docs, rules)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
