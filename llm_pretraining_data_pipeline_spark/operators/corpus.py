@@ -2030,6 +2030,92 @@ def ks_drift(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    bucket_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    laplace: int = 1,
+    max_buckets: int | None = 100_000,
+) -> DataFrame:
+    """Population Stability Index between two corpus slices over a
+    PRE-ASSIGNED bucket column — the model-monitoring companion to
+    ``ks_drift``: where KS reports the worst single CDF gap, PSI sums
+    directional log-ratio divergence across the whole histogram
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 action — the scorecard
+    convention).
+
+    PSI = Σ_buckets (p_a − p_b) · ln(p_a / p_b), with Laplace-smoothed
+    proportions p = (cnt + laplace) / (n + laplace·K) over the UNION
+    bucket grid of both slices (K buckets), so buckets empty on one side
+    contribute finite, deterministic terms rather than ±inf.
+
+    Engine-exactness: counts are exact bigints; each bucket's term is a
+    data-dependent double, so it is 6dp-rounded and then folded in BUCKET
+    ORDER (array_sort over the collected (bucket, term) structs — the
+    repo's ordered-fold recipe), never via an order-unstable float sum.
+
+    Scale shape: one map-side-combinable groupBy on the bucket, then a
+    1-row aggregate; the fold sees K rows, not the corpus. Callers bucket
+    continuous columns first (same contract as ks_drift's quantize-first
+    fence); ``max_buckets`` enforces it lazily in-plan.
+    """
+    g = F.col(group_col)
+    agg = (
+        df.where(g.isin(group_a, group_b))
+        .groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    joined = agg.crossJoin(F.broadcast(tot))  # 1-row totals, never cartesian
+    lap = F.lit(int(laplace))
+    p_a = (F.col("cnt_a") + lap).cast("double") / (
+        F.col("n_a") + lap * F.col("k")
+    ).cast("double")
+    p_b = (F.col("cnt_b") + lap).cast("double") / (
+        F.col("n_b") + lap * F.col("k")
+    ).cast("double")
+    term = F.round((p_a - p_b) * F.log(p_a / p_b), 6)
+    folded = joined.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket").alias("k"), term.alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("_psi_raw"),
+    )
+    psi = F.round(F.col("_psi_raw"), 6)
+    if max_buckets is not None:
+        guard = F.assert_true(
+            F.col("n_buckets") <= F.lit(int(max_buckets)),
+            F.concat(
+                F.lit(
+                    f"psi_drift: bucket grid for '{bucket_col}' exceeds "
+                    f"max_buckets={int(max_buckets)} ("
+                ),
+                F.col("n_buckets").cast("string"),
+                F.lit(
+                    " buckets) — bucket the column coarser (e.g. integer-"
+                    "divide or quantize) so the histogram stays bounded"
+                ),
+            ),
+        )
+        psi = F.when(guard.isNull(), psi)
+    return folded.select("n_a", "n_b", "n_buckets", psi.alias("psi"))
+
+
 def gram_novelty(
     df: DataFrame,
     text_col: str,

@@ -1932,3 +1932,49 @@ def corp_domain_pagerank(spark, sf_dir):
         "rank_e12",
         F.expr("rank_e12 div 1000000").alias("rank_micro"),
     )
+
+
+@register(
+    "a21_psi_drift",
+    f"""
+    WITH f AS (SELECT n_chars // 50 AS bucket, source FROM documents
+               WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')),
+    c AS (SELECT bucket,
+                 sum(CASE WHEN source = '{_KS_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END) AS cb
+          FROM f GROUP BY bucket),
+    t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b, count(*) AS k FROM c),
+    terms AS (
+      SELECT bucket,
+             round((cast(ca + 1 AS double) / cast(n_a + k AS double)
+                    - cast(cb + 1 AS double) / cast(n_b + k AS double))
+                   * ln((cast(ca + 1 AS double) / cast(n_a + k AS double))
+                        / (cast(cb + 1 AS double) / cast(n_b + k AS double))),
+                   6) AS v
+      FROM c CROSS JOIN t)
+    SELECT (SELECT cast(n_a AS bigint) FROM t) AS n_a,
+           (SELECT cast(n_b AS bigint) FROM t) AS n_b,
+           (SELECT cast(k AS bigint) FROM t) AS n_buckets,
+           round(list_sum(list(v ORDER BY bucket)), 6) AS psi
+    FROM terms
+    """,
+    doc="Population Stability Index between two sources' document-length "
+        "histograms (operators/corpus.py::psi_drift) — the "
+        "model-monitoring companion to a17's KS: directional log-ratio "
+        "divergence summed across the whole histogram (PSI<0.1 stable, "
+        ">0.25 action). Laplace-smoothed proportions over the UNION "
+        "bucket grid keep one-sided buckets finite; exact bigint counts; "
+        "each bucket term 6dp-rounded then folded in BUCKET ORDER "
+        "(array_sort ordered-fold recipe, mirrored by DuckDB's "
+        "list_sum(list(v ORDER BY bucket))) — never an order-unstable "
+        "float sum. One map-side-combinable groupBy; the fold sees K "
+        "buckets, never the corpus; max_buckets fences unbucketed "
+        "columns in-plan like ks_drift's max_grid",
+)
+def a21_psi_drift(spark, sf_dir):
+    buckets = _docs(spark, sf_dir).select(
+        "source", F.expr("n_chars div 50").alias("bucket")
+    )
+    return corpus.psi_drift(
+        buckets, "bucket", "source", _KS_SRC_A, _KS_SRC_B
+    )

@@ -1317,3 +1317,54 @@ class TestVocabCoverage:
         for ln in plan.splitlines():
             if "Sort " in ln and "SortAggregate" not in ln:
                 assert "rank" in plan  # window sort over the K rows only
+
+
+class TestPsiDrift:
+    """psi_drift (operators/corpus.py): Laplace-smoothed PSI, ordered fold."""
+
+    def _psi(self, spark, rows, **kw):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import psi_drift
+        df = spark.createDataFrame(rows, "bucket long, grp string")
+        return psi_drift(df, "bucket", "grp", "a", "b", **kw).collect()[0]
+
+    def test_identical_histograms_zero(self, spark):
+        rows = [(b, g) for b in (1, 2, 3) for g in ("a", "b") for _ in range(4)]
+        out = self._psi(spark, rows)
+        assert out["psi"] == 0.0
+        assert out["n_a"] == 12 and out["n_b"] == 12 and out["n_buckets"] == 3
+
+    def test_hand_computed_value(self, spark):
+        import math
+        # a: 3 rows in bucket 1, 1 in bucket 2;  b: 1 and 3. K=2, L=1.
+        rows = ([(1, "a")] * 3 + [(2, "a")] + [(1, "b")] + [(2, "b")] * 3)
+        out = self._psi(spark, rows)
+        pa1, pa2 = 4 / 6, 2 / 6
+        pb1, pb2 = 2 / 6, 4 / 6
+        t1 = round((pa1 - pb1) * math.log(pa1 / pb1), 6)
+        t2 = round((pa2 - pb2) * math.log(pa2 / pb2), 6)
+        assert out["psi"] == round(t1 + t2, 6)
+
+    def test_one_sided_bucket_is_finite(self, spark):
+        rows = [(1, "a"), (1, "b"), (9, "a")]  # bucket 9 empty on side b
+        out = self._psi(spark, rows)
+        assert out["psi"] is not None and out["n_buckets"] == 2
+
+    def test_other_groups_ignored(self, spark):
+        rows = [(1, "a"), (1, "b"), (1, "zzz"), (5, "zzz")]
+        out = self._psi(spark, rows)
+        assert out["n_a"] == 1 and out["n_b"] == 1 and out["n_buckets"] == 1
+
+    def test_max_buckets_fence_raises(self, spark):
+        import pytest
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+        rows = [(b, "a") for b in range(10)] + [(b, "b") for b in range(10)]
+        with pytest.raises(SparkRuntimeException, match="max_buckets"):
+            self._psi(spark, rows, max_buckets=5)
+
+    def test_partitioning_invariant(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.corpus import psi_drift
+        rows = [((i * 7) % 5, "a" if i % 3 else "b") for i in range(200)]
+        df = spark.createDataFrame(rows, "bucket long, grp string")
+        p1 = psi_drift(df.repartition(1), "bucket", "grp", "a", "b").collect()[0]["psi"]
+        p8 = psi_drift(df.repartition(8), "bucket", "grp", "a", "b").collect()[0]["psi"]
+        assert p1 == p8  # ordered fold: no sum-order sensitivity
