@@ -987,6 +987,73 @@ def minhash_dedup(
     return out
 
 
+def quality_aware_dedup(
+    df: DataFrame,
+    text_col: str,
+    quality_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """MinHash near-dedup that keeps the HIGHEST-QUALITY member of each
+    duplicate cluster instead of the smallest id — the selection policy
+    real curation uses once a quality scorer exists (FineWeb/DCLM keep
+    the best-scored near-duplicate; keep-first is only right when no
+    score is available).
+
+    Same three scale stages as ``minhash_dedup`` (LSH candidates →
+    exact-Jaccard verify → connected components), then the representative
+    is the per-component argmax via a map-side-combinable
+    ``max(struct(quality, -id))`` aggregation — no window, no
+    single-partition risk; ties break to the SMALLEST id so the choice is
+    deterministic. Requires numeric ``id_col`` and ``quality_col`` (the
+    negation trick needs an ordered numeric domain).
+
+    Adds ``is_dup_quality``, ``dup_of_quality`` (nullable representative
+    id) and first-writer-wins ``drop_reason='quality_duplicate'``.
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, shingle_size,
+                                  num_hashes, bands, seed,
+                                  max_bucket_size=max_bucket_size)
+    verified = ngram_jaccard_pairs(df, text_col, id_col, shingle_size,
+                                   jaccard_threshold, candidates=cand)
+    comp = connected_components(verified)
+    withc = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    reps = (
+        withc.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("_m")
+        )
+        .select("component", (-F.col("_m.nid")).alias("_rep_id"))
+    )
+    out = withc.join(reps, "component", "left")
+    is_dup = F.col(id_col) != F.col("_rep_id")
+    out = (
+        out.withColumn("is_dup_quality", is_dup)
+        .withColumn("dup_of_quality", F.when(is_dup, F.col("_rep_id")))
+        .drop("component", "_rep_id")
+    )
+    reason = F.when(F.col("is_dup_quality"), F.lit("quality_duplicate"))
+    if "drop_reason" in df.columns:
+        out = out.withColumn(
+            "drop_reason", F.coalesce(F.col("drop_reason"), reason)
+        )
+    else:
+        out = out.withColumn("drop_reason", reason)
+    return out
+
+
 def dedup_against_snapshot(
     df: DataFrame,
     snapshot: DataFrame,

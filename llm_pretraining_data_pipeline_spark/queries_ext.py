@@ -865,9 +865,7 @@ def p09b_langid_trigram(spark, sf_dir):
 _D08_A, _D08_B = hashing.minhash_coeffs(32, seed=42)
 
 
-@register(
-    "d08_minhash_dedup",
-    f"""
+_D08_COMP_CTE = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, {O.toks('text')} AS tk FROM documents
     ), sh0 AS (
@@ -906,7 +904,12 @@ _D08_A, _D08_B = hashing.minhash_coeffs(32, seed=42)
     ), comp AS (
       SELECT src AS doc_id, least(src, min(dst)) AS component
       FROM reach GROUP BY src
-    )
+    )"""
+
+
+@register(
+    "d08_minhash_dedup",
+    _D08_COMP_CTE + """
     SELECT d.doc_id,
            coalesce(c.component IS NOT NULL AND c.component <> d.doc_id, false)
              AS is_dup_minhash,
@@ -3466,3 +3469,55 @@ def f17_robots_gate(spark, sf_dir):
     )
     rules = U.parse_robots(robots)
     return U.robots_gate(docs, rules)
+
+
+@register(
+    "d20_quality_dedup",
+    _D08_COMP_CTE + """
+    , q AS (
+      SELECT doc_id, (doc_id * 2654435761) % 1000 AS quality
+      FROM documents
+    ), withc AS (
+      SELECT d.doc_id, q.quality,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ), reps AS (
+      SELECT component, doc_id AS rep_id FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM withc) WHERE rn = 1
+    )
+    SELECT w.doc_id, CAST(w.quality AS bigint) AS quality,
+           w.doc_id <> r.rep_id AS is_dup_quality,
+           CASE WHEN w.doc_id <> r.rep_id THEN r.rep_id END
+             AS dup_of_quality,
+           CASE WHEN w.doc_id <> r.rep_id THEN 'quality_duplicate' END
+             AS drop_reason
+    FROM withc w JOIN reps r ON w.component = r.component
+    """,
+    doc="quality-aware MinHash near-dedup "
+        "(operators/dedup.py::quality_aware_dedup): each duplicate "
+        "cluster keeps its HIGHEST-quality member (ties to smallest id), "
+        "the selection policy FineWeb/DCLM-style curation uses once a "
+        "quality scorer exists — keep-first (d08) is only right without "
+        "one. Same LSH-candidates -> exact-Jaccard -> connected-"
+        "components scale stages as d08 (shared oracle CTE chain), then "
+        "the representative is a map-side-combinable max(struct(quality, "
+        "-id)) aggregation — no window over the corpus. The referee "
+        "resolves the same clusters recursively and arg-maxes with a "
+        "row_number window; quality is closed-form (doc_id*2654435761 % "
+        "1000) so both engines score identically",
+)
+def d20_quality_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn(
+        "quality", (F.col("doc_id") * 2654435761) % 1000
+    )
+    out = dedup_ops.quality_aware_dedup(
+        d, "text", "quality", jaccard_threshold=0.5, max_bucket_size=None
+    )
+    return out.select(
+        "doc_id", "quality", "is_dup_quality", "dup_of_quality", "drop_reason"
+    )

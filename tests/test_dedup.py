@@ -941,3 +941,62 @@ class TestMinhashEstimateError:
             assert 0.0 <= r.est_jaccard <= 1.0
             # k/32 grid: est * 32 is an exact integer
             assert abs(r.est_jaccard * 32 - round(r.est_jaccard * 32)) < 1e-12
+
+
+class TestQualityAwareDedup:
+    """quality_aware_dedup: best-of-cluster representative selection."""
+
+    def test_keeps_highest_quality_not_first(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            quality_aware_dedup,
+        )
+        dup = "alpha bravo charlie delta echo foxtrot golf hotel india"
+        rows = [
+            (1, dup, 10),           # cluster member, low quality
+            (2, dup, 90),           # cluster member, HIGH quality -> rep
+            (3, dup, 90),           # tie with 2 -> smaller id (2) wins
+            (4, "unrelated words entirely different text here now", 5),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, quality long")
+        out = {r["doc_id"]: r for r in quality_aware_dedup(
+            df, "text", "quality", jaccard_threshold=0.5,
+            max_bucket_size=None).collect()}
+        assert not out[2]["is_dup_quality"]          # rep is id 2, not id 1
+        assert out[1]["is_dup_quality"] and out[1]["dup_of_quality"] == 2
+        assert out[3]["is_dup_quality"] and out[3]["dup_of_quality"] == 2
+        assert out[3]["drop_reason"] == "quality_duplicate"
+        assert not out[4]["is_dup_quality"]           # singleton survives
+        assert out[4]["dup_of_quality"] is None
+
+    def test_existing_drop_reason_wins(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            quality_aware_dedup,
+        )
+        dup = "kilo lima mike november oscar papa quebec romeo sierra"
+        df = spark.createDataFrame(
+            [(1, dup, 1), (2, dup, 2)], "doc_id long, text string, quality long"
+        ).withColumn(
+            "drop_reason", F.when(F.col("doc_id") == 1, F.lit("already_dropped"))
+        )
+        out = {r["doc_id"]: r for r in quality_aware_dedup(
+            df, "text", "quality", jaccard_threshold=0.5,
+            max_bucket_size=None).collect()}
+        assert out[1]["drop_reason"] == "already_dropped"  # first-writer-wins
+        assert out[2]["drop_reason"] is None               # rep keeps none
+
+    def test_no_window_in_plan(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            quality_aware_dedup,
+        )
+        df = spark.createDataFrame(
+            [(1, "a b c d", 1)], "doc_id long, text string, quality long"
+        )
+        plan = (
+            quality_aware_dedup(df, "text", "quality")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # representative selection must be the groupBy argmax, never a
+        # window over the corpus (skew safety at a hot cluster)
+        assert "Window" not in plan
