@@ -107,7 +107,7 @@ _PRIORITY_R9 = [
     "emb_decontaminate", "mm_mp4_meta", "mm_jpeg_meta",
     "src_warc_records", "src_warc_gz_records", "corp_domain_pagerank",
     "mm_magic_sniff", "f17_robots_gate", "a21_psi_drift",
-    "d20_quality_dedup",
+    "d20_quality_dedup", "ev_stream_bloom",
     # new this round: d17's MinHash calibration audit THROUGH the LSH
     # candidate valve (d03 banding CTE as the oracle's candidate set —
     # refereed proof of the candidates= scale plumbing) + per-source
@@ -138,12 +138,11 @@ _PRIORITY_R9 = [
     # p23_pick_text, rel_semi_join, rel_anti_join, rel_outer_join,
     # rel_in_subquery, win_above_avg_orders, win_rank_family,
     # win_top3_orders_per_customer, rel_grouping_sets, rel_rollup_orders,
-    # rel_cube_lineitem, rel_pivot and rel_distinct_counts yield their
-    # head-50 slots to the thirteen late-round additions above; all
-    # thirteen were independently re-verified green via
-    # scripts/check_oracle.py this session and stay in the registry (they
-    # refresh in r10)
-    "rel_having_large_orders",
+    # rel_cube_lineitem, rel_pivot, rel_distinct_counts and
+    # rel_having_large_orders yield their head-50 slots to the fourteen
+    # late-round additions above; all fourteen were independently
+    # re-verified green via scripts/check_oracle.py this session and stay
+    # in the registry (they refresh in r10)
 ]
 
 

@@ -2145,3 +2145,47 @@ def ev_stream_sliding(spark, sf_dir):
     return _drain_to_memory(
         sliding_value_sums(read_events_stream(spark, sf_dir)), "complete"
     )
+
+
+@register(
+    "ev_stream_bloom",
+    f"""
+    WITH hist AS (
+      SELECT DISTINCT 'u:' || cast(user_id AS varchar) AS key
+      FROM events WHERE user_id % 3 = 0
+    ),
+    pos AS (
+      SELECT DISTINCT
+             ({O.h64("key || ':' || cast(j AS varchar)")} % 1024) AS p
+      FROM hist, unnest(range(0, 3)) AS u(j)
+    ),
+    expanded AS (
+      SELECT event_id, user_id,
+             ({O.h64("'u:' || cast(user_id AS varchar) || ':' || cast(j AS varchar)")}
+              % 1024) AS pp
+      FROM events, unnest(range(0, 3)) AS u(j)
+    ),
+    probe AS (
+      SELECT event_id, bool_and(pp IN (SELECT p FROM pos)) AS maybe_seen
+      FROM expanded GROUP BY event_id
+    )
+    SELECT e.event_id, e.user_id, pr.maybe_seen,
+           e.user_id % 3 = 0 AS seen,
+           pr.maybe_seen AND e.user_id % 3 <> 0 AS false_positive
+    FROM events e JOIN probe pr USING (event_id)
+    """,
+    doc="Bloom-filter incremental dedup ON THE STREAM "
+        "(streaming/events.py::run_bloom_stream_once + operators/"
+        "bloom.py): the historical filter (user_id%3=0 slice) is static "
+        "broadcast state; every streamed event answers maybe-seen via k "
+        "broadcast joins ANDed map-side — a STATELESS per-row stage, "
+        "append mode, zero aggregation state, the stream itself never "
+        "shuffles. The continuous form of d19's nightly-crawl shape; "
+        "the referee replays the exact md5 bit positions so the "
+        "deterministic false-positive SET matches (fixture-small m=1024/"
+        "k=3 makes FPs real), and zero false negatives by construction",
+)
+def ev_stream_bloom(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming import events as ev
+
+    return ev.run_bloom_stream_once(spark, sf_dir, m_bits=1024, k=3)

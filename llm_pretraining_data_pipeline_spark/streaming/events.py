@@ -486,3 +486,50 @@ def run_trending_stream_once(
         drained.withColumn("rank", F.row_number().over(rw).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def run_bloom_stream_once(
+    spark: SparkSession,
+    sf_dir: str,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Dolma-style Bloom incremental dedup ON THE STREAM: the historical
+    filter (built batch-side from the already-ingested slice) is static
+    broadcast state, and the probe is k broadcast joins ANDed map-side —
+    a STATELESS per-row stage, so the stream holds no aggregation state
+    at all (append mode, no watermark needed). This is the nightly-crawl
+    shape running continuously: every incoming event/doc answers
+    "maybe seen before?" without shuffling the stream or re-reading
+    history; hits route to an exact verify downstream, misses are the
+    guaranteed-new fast path.
+
+    Fixture-small ``m_bits`` makes false positives real so the referee
+    pins the deterministic FP SET (ev_stream_bloom), exactly like d19's
+    batch form. Filter updates swap in per micro-batch re-resolution of
+    the static side — the same property the enrich stream relies on.
+    """
+    from llm_pretraining_data_pipeline_spark.operators import bloom
+    from llm_pretraining_data_pipeline_spark.sources.io import read_events
+
+    key = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    hist = (
+        read_events(spark, sf_dir)
+        .where(F.col("user_id") % 3 == 0)
+        .select(key.alias("key"))
+        .distinct()
+    )
+    lanes = bloom.bloom_build(hist, m_bits=m_bits, k=k)
+    stream = read_events_stream(spark, sf_dir).withColumn("key", key)
+    probed = bloom.bloom_probe(
+        stream, lanes, m_bits=m_bits, k=k, out_col="maybe_seen"
+    )
+    seen = F.col("user_id") % 3 == 0
+    out = probed.select(
+        "event_id",
+        "user_id",
+        "maybe_seen",
+        seen.alias("seen"),
+        (F.col("maybe_seen") & ~seen).alias("false_positive"),
+    )
+    return _drain_to_memory(out, "append")

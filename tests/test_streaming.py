@@ -522,3 +522,55 @@ class TestRestartRecovery:
         # restarted query merged new rows into RESTORED state (not 1, not 3)
         assert (_ts(10, 0), 4) in got
         assert (_ts(10, 10), 1) in got
+
+
+class TestBloomStream:
+    """run_bloom_stream_once: stateless Bloom probe on the stream."""
+
+    def test_no_false_negatives_and_fp_flagged(self, spark):
+        from llm_pretraining_data_pipeline_spark.streaming.events import (
+            run_bloom_stream_once,
+        )
+        out = run_bloom_stream_once(spark, "/root/testdata/sf0.001").collect()
+        assert len(out) > 0
+        for r in out:
+            if r["seen"]:
+                # Bloom guarantees: a member key always probes true
+                assert r["maybe_seen"], f"false negative at {r['event_id']}"
+            assert r["false_positive"] == (r["maybe_seen"] and not r["seen"])
+
+    def test_probe_plan_is_stateless_broadcast(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import bloom
+        from llm_pretraining_data_pipeline_spark.sources.io import read_events
+        from llm_pretraining_data_pipeline_spark.streaming.events import (
+            read_events_stream,
+        )
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        key = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+        hist = (
+            read_events(spark, sf).where(F.col("user_id") % 3 == 0)
+            .select(key.alias("key")).distinct()
+        )
+        lanes = bloom.bloom_build(hist, m_bits=1024, k=3)
+        stream = read_events_stream(spark, sf).withColumn("key", key)
+        probed = bloom.bloom_probe(stream, lanes, m_bits=1024, k=3)
+        # append mode with no aggregation: the stream carries no state
+        assert probed.isStreaming
+        import tempfile
+        ckpt = tempfile.mkdtemp(prefix="bloom_probe_ckpt_")
+        q = (
+            probed.writeStream.format("memory")
+            .queryName("bloom_stateless_probe").outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = q.lastProgress
+            assert prog is not None
+            # stateless: no stateful operators registered on the query
+            assert prog["stateOperators"] == []
+        finally:
+            q.stop()
