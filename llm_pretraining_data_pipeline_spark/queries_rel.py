@@ -2189,3 +2189,72 @@ def ev_stream_bloom(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.streaming import events as ev
 
     return ev.run_bloom_stream_once(spark, sf_dir, m_bits=1024, k=3)
+
+
+@register(
+    "a22_countmin_sketch",
+    f"""
+    WITH keyed AS (
+      SELECT user_id, 'u:' || cast(user_id AS varchar) AS key FROM events
+    ),
+    exact AS (
+      SELECT user_id, key, count(*) AS exact_cnt FROM keyed GROUP BY 1, 2
+    ),
+    cms AS (
+      SELECT u.j,
+             ({O.h64("key || ':' || cast(u.j AS varchar)")} % 256) AS bucket,
+             sum(exact_cnt) AS cnt
+      FROM exact CROSS JOIN unnest(range(0, 3)) AS u(j)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT e.user_id, e.exact_cnt, min(c.cnt) AS est_cnt
+      FROM exact e
+      CROSS JOIN unnest(range(0, 3)) AS u(j)
+      JOIN cms c
+        ON c.j = u.j
+       AND c.bucket = ({O.h64("e.key || ':' || cast(u.j AS varchar)")} % 256)
+      GROUP BY 1, 2
+    )
+    SELECT user_id, cast(exact_cnt AS bigint) AS exact_cnt,
+           cast(est_cnt AS bigint) AS est_cnt,
+           est_cnt > exact_cnt AS overestimate
+    FROM est
+    ORDER BY exact_cnt DESC, user_id
+    LIMIT 20
+    """,
+    doc="Count-min sketch heavy-hitter counting "
+        "(operators/sketch.py::cms_build/cms_estimate): per-user event "
+        "counts estimated from depth x width integer counters instead of "
+        "the exact key set — the sublinear monitor for sources/domains/"
+        "users when cardinality won't fit memory. Build = one map-side-"
+        "combinable sum shuffle; estimate = d BROADCAST joins + "
+        "map-side least(), the probed frame never shuffles. Fixture-"
+        "small width=256/depth=3 makes collisions real, so the referee "
+        "pins the deterministic OVERESTIMATE SET (md5 counter layout "
+        "replayed in SQL), and est >= exact one-sided error is "
+        "asserted per row in pytest. Top-20 by exact count, "
+        "deterministic tie-break on user_id",
+)
+def a22_countmin_sketch(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.operators import sketch
+
+    keyed = src.read_events(spark, sf_dir).select(
+        "user_id",
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("key"),
+    )
+    cms = sketch.cms_build(keyed, "key", depth=3, width=256)
+    exact = keyed.groupBy("user_id", "key").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    est = sketch.cms_estimate(exact, cms, "key", depth=3, width=256)
+    return (
+        est.select(
+            "user_id",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") > F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(20)
+    )
