@@ -987,6 +987,65 @@ def minhash_dedup(
     return out
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    exploded: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every k-token shingle, slide a window of
+    ``w`` consecutive hashes, and select each window's MINIMUM — the
+    classic local fingerprinting scheme with the guarantee the whole-doc
+    polynomial hash (``rolling_fingerprint``/d06) cannot give: any shared
+    run of ``w + k − 1`` tokens between two documents yields at least one
+    SHARED fingerprint, at expected density 2/(w+1) of the grams. This is
+    value-level winnowing (the selected hash SET); positional
+    rightmost-tie bookkeeping matters only for exact-offset reporting,
+    not set-level near-dup candidate generation.
+
+    Shapes: the hash array is materialized as a real column FIRST (the
+    interpreted-HOF no-CSE trap — referencing the gram expression inside
+    the window lambda would recompute the whole hash array per window);
+    window minima are one ``transform`` over index positions — per-row
+    JVM work, zero shuffle. With ``exploded=True`` returns
+    ``(id, fingerprint)`` rows ready for the same inverted-index /
+    DF-capped pair join the shingle family uses; ``exploded=False``
+    returns ``(id, _grams array, fingerprints array)`` for per-doc audits.
+
+    Docs shorter than one window (but non-empty) contribute their single
+    global minimum; empty docs contribute an empty set.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints: k={k}, w={w} must be >= 1")
+    hashes = F.transform(
+        hashing.token_shingles(text_col, k), lambda s: hashing.h64(s)
+    )
+    base = df.select(F.col(id_col), hashes.alias("_grams"))
+    n = F.size("_grams")
+    fps = (
+        F.when(
+            n >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - w + 1),
+                    lambda i: F.array_min(F.slice(F.col("_grams"), i, w)),
+                )
+            ),
+        )
+        .when(n > 0, F.array(F.array_min("_grams")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    with_fps = base.select(id_col, "_grams", fps.alias("fingerprints"))
+    if not exploded:
+        return with_fps
+    return with_fps.select(
+        id_col, F.explode("fingerprints").alias("fingerprint")
+    )
+
+
 def quality_aware_dedup(
     df: DataFrame,
     text_col: str,

@@ -1000,3 +1000,70 @@ class TestQualityAwareDedup:
         # representative selection must be the groupBy argmax, never a
         # window over the corpus (skew safety at a hot cluster)
         assert "Window" not in plan
+
+
+class TestWinnowing:
+    """winnow_fingerprints: MOSS local fingerprinting (dedup.py)."""
+
+    def _fps(self, spark, texts, **kw):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = winnow_fingerprints(df, "text", **kw).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        return by_doc
+
+    def test_shared_run_guarantee(self, spark):
+        # two docs sharing a run of w+k-1 = 6 tokens MUST share a fingerprint
+        shared = "alpha bravo charlie delta echo foxtrot"
+        fps = self._fps(spark, [
+            "one two three " + shared + " four five six",
+            "unrelated prefix words here " + shared + " tail words differ",
+            "completely different text with no overlap at all whatsoever",
+        ], k=3, w=4)
+        assert fps[0] & fps[1], "shared 6-token run must share a fingerprint"
+        assert not (fps[0] & fps[2])
+
+    def test_density_bound(self, spark):
+        text = " ".join(f"tok{(i * 7) % 23}" for i in range(100))
+        fps = self._fps(spark, [text], k=3, w=4)
+        n_grams = 100 - 2
+        n_windows = n_grams - 4 + 1
+        assert 0 < len(fps[0]) <= n_windows
+        # distinct window minima are far sparser than the gram count
+        assert len(fps[0]) < n_grams / 2
+
+    def test_short_and_empty_docs(self, spark):
+        fps = self._fps(spark, ["just two", ""], k=3, w=4)
+        assert len(fps.get(0, set())) == 1   # sub-window doc: global min
+        assert 1 not in fps                  # empty doc: no fingerprints
+
+    def test_selection_is_window_minima(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+        )
+        row = winnow_fingerprints(df, "text", k=3, w=4, exploded=False).collect()[0]
+        hashes = row["_grams"]
+        expected = {
+            min(hashes[i : i + 4]) for i in range(len(hashes) - 3)
+        }
+        assert set(row["fingerprints"]) == expected
+
+    def test_no_shuffle_in_plan(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        plan = (
+            winnow_fingerprints(df, "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
