@@ -1046,6 +1046,52 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    max_fp_df: int | None = 1024,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints — the
+    MOSS matching step: documents sharing any ``w+k−1``-token run are
+    GUARANTEED to pair (they share a selected fingerprint), and the pair
+    weight ``shared_fps`` ranks candidates for downstream exact verify.
+
+    Scale shape mirrors the shingle family: fingerprints are already a
+    2/(w+1) sample of the grams (winnowing is its own candidate
+    compression), the inverted index is one groupBy on the fingerprint,
+    and ``max_fp_df`` drops boilerplate fingerprints shared by more than
+    ``max_fp_df`` docs BEFORE the self-join (semi-join pre-filter, same
+    DF-cap discipline as ``_shingle_df_candidates``) so a hot fingerprint
+    costs O(DF) filtered rows, never O(DF²) pairs.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col=id_col, k=k, w=w)
+    if max_fp_df is not None:
+        in_cap = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_fp_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(in_cap, "fingerprint", "left_semi")
+    a = fps.select(
+        F.col(id_col).alias("id_a"), F.col("fingerprint").alias("_fp")
+    )
+    b = fps.select(
+        F.col(id_col).alias("id_b"), F.col("fingerprint").alias("_fp")
+    )
+    return (
+        a.join(b, "_fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def quality_aware_dedup(
     df: DataFrame,
     text_col: str,

@@ -3627,3 +3627,67 @@ def d21_winnowing(spark, sf_dir):
         F.array_min("fingerprints").alias("fp_min"),
         F.array_max("fingerprints").alias("fp_max"),
     )
+
+
+_WIN_QUOTE_TOKENS = 12
+
+
+@register(
+    "d22_winnow_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_slice({O.toks('text')}, 1,
+                                        {_WIN_QUOTE_TOKENS}), ' ')
+      FROM documents WHERE doc_id % 7 = 2
+    ),
+    tk AS (SELECT doc_id, {O.toks('t')} AS tk FROM base),
+    sh AS (SELECT doc_id, {O.shingles('tk', _WIN_K)} AS s FROM tk),
+    h AS (SELECT doc_id, list_transform(s, g -> {O.h64('g')}) AS hs FROM sh),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {_WIN_W} THEN
+               list_distinct(list_transform(
+                 range(1, len(hs) - {_WIN_W - 2}),
+                 i -> list_min(list_slice(hs, i, i + {_WIN_W - 1}))))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM h),
+    fpx AS (SELECT doc_id, unnest(fps) AS fpv FROM fp),
+    incap AS (SELECT fpv FROM fpx GROUP BY fpv HAVING count(*) <= 1024),
+    ok AS (SELECT doc_id, fpv FROM fpx
+           WHERE fpv IN (SELECT fpv FROM incap))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(count(*) AS bigint) AS shared_fps
+    FROM ok a JOIN ok b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="MOSS matching step over winnowing fingerprints "
+        "(operators/dedup.py::winnow_pairs): documents sharing any "
+        "w+k-1-token run are GUARANTEED to pair via a shared selected "
+        "fingerprint (the fixture plants 12-token quote docs at "
+        "id%7=2 + 1e6, the quote-inside-document case); shared_fps "
+        "weights candidates for exact verify. Scale: winnowing already "
+        "compresses candidates to ~2/(w+1) of the grams, the inverted "
+        "index is one fingerprint groupBy, and hot boilerplate "
+        "fingerprints are dropped by a DF-cap SEMI-join BEFORE the "
+        "self-join (the _shingle_df_candidates discipline) — never "
+        "O(DF^2) pairs. The referee replays selection, the cap, and "
+        "the pair join in SQL, integer-exact",
+)
+def d22_winnow_pairs(spark, sf_dir):
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    quotes = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(text_norm.ws_tokens("text"), 1, _WIN_QUOTE_TOKENS), " "
+        ).alias("t"),
+    )
+    u = base.unionByName(quotes)
+    return dedup_ops.winnow_pairs(
+        u, "t", k=_WIN_K, w=_WIN_W, min_shared=1, max_fp_df=1024
+    )

@@ -1067,3 +1067,48 @@ class TestWinnowing:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestWinnowPairs:
+    """winnow_pairs: MOSS matching with the fingerprint DF cap."""
+
+    def test_quote_pairs_guaranteed(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            winnow_pairs,
+        )
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+        rows = [
+            (1, "lead in words " + shared + " trailing text one two"),
+            (2, "other beginning " + shared + " different ending here"),
+            (3, "no overlap whatsoever in this document at all truly"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = winnow_pairs(df, "text", k=3, w=4).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["shared_fps"] for r in out}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+        assert not any(3 in p for p in pairs)
+
+    def test_fp_df_cap_drops_boilerplate(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            winnow_pairs,
+        )
+        boiler = "same exact boilerplate text repeated in every doc"
+        rows = [(i, boiler) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # every fingerprint has DF=10 > cap=5 -> no pairs at all
+        assert winnow_pairs(df, "text", k=3, w=4, max_fp_df=5).count() == 0
+        # uncapped: all 45 pairs
+        assert winnow_pairs(df, "text", k=3, w=4, max_fp_df=None).count() == 45
+
+    def test_cap_prefilter_is_semi_join(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators.dedup import (
+            winnow_pairs,
+        )
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string"
+        )
+        plan = (
+            winnow_pairs(df, "text")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "LeftSemi" in plan
