@@ -659,3 +659,58 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "adc_dist", F.col("rank").cast("int"))
     )
+
+
+def truncated_recall(
+    df: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022 MRL): recall@k of
+    brute top-k computed on only the FIRST ``dims`` dimensions vs the
+    full-vector exact top-k, per query — the measurement behind running a
+    cheap truncated-dimension first stage at scale (half the dims = half
+    the scan bytes and FLOPs; this audit says what that buys back in
+    recall before committing the index layout).
+
+    Truncation is ``F.slice`` — a zero-Python projection fused into the
+    scan; both passes are the broadcast kNN join (TakeOrderedAndProject
+    per query, never a global sort). Like ``ivf_recall``, the exact pass
+    is why the audit runs on a SAMPLED query set.
+    """
+    if dims < 1:
+        raise ValueError(f"truncated_recall: dims={dims} must be >= 1")
+    exact = knn_join(queries, df, k, vec_col, query_id, id_col).select(
+        query_id, id_col
+    )
+    tq = queries.select(
+        F.col(query_id), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    tc = df.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    trunc = knn_join(tq, tc, k, vec_col, query_id, id_col).select(
+        query_id, id_col
+    )
+    overlap = (
+        exact.join(trunc, [query_id, id_col])
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce("n_hit", F.lit(0)).cast("long")
+    return (
+        queries.select(query_id)
+        .join(overlap, query_id, "left")
+        .select(
+            query_id,
+            n_hit.alias("n_hit"),
+            F.round(n_hit.cast("double") / F.lit(float(k)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy(query_id)
+    )

@@ -3691,3 +3691,57 @@ def d22_winnow_pairs(spark, sf_dir):
     return dedup_ops.winnow_pairs(
         u, "t", k=_WIN_K, w=_WIN_W, min_shared=1, max_fp_df=1024
     )
+
+
+_MRL_DIMS = 32
+
+
+@register(
+    "emb_matryoshka_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id IN {_RECALL_QUERIES}),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {O.cosine_double('e.embedding', 'q.qv')} DESC,
+                          e.vec_id) AS rn
+        FROM q, embeddings e) WHERE rn <= {_RECALL_K}
+    ),
+    trunc AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {O.cosine_double(
+                     f'list_slice(e.embedding, 1, {_MRL_DIMS})',
+                     f'list_slice(q.qv, 1, {_MRL_DIMS})')} DESC,
+                          e.vec_id) AS rn
+        FROM q, embeddings e) WHERE rn <= {_RECALL_K}
+    ),
+    o AS (
+      SELECT e.query_id, cast(count(*) as bigint) AS n_hit
+      FROM exact e JOIN trunc t USING (query_id, vec_id) GROUP BY e.query_id
+    )
+    SELECT q.query_id, cast(coalesce(o.n_hit, 0) as bigint) AS n_hit,
+           round(cast(coalesce(o.n_hit, 0) as double) / {_RECALL_K}.0, 6)
+             AS recall_at_k
+    FROM q LEFT JOIN o USING (query_id) ORDER BY q.query_id
+    """,
+    doc="Matryoshka truncation recall audit (Kusupati et al. 2022; "
+        "operators/similarity.py::truncated_recall): recall@10 of brute "
+        "top-k over only the FIRST 32 of 64 dimensions vs the "
+        "full-vector exact top-k — the measurement behind a cheap "
+        "truncated-dim first-stage retrieval (half the scan bytes/FLOPs "
+        "at scale). Truncation is F.slice, zero Python; both passes are "
+        "the broadcast kNN join (TakeOrderedAndProject per query, never "
+        "a global sort); same sampled-query discipline as emb_ivf_recall",
+)
+def emb_matryoshka_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QUERIES))).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.truncated_recall(
+        emb, queries, dims=_MRL_DIMS, k=_RECALL_K
+    )

@@ -599,3 +599,37 @@ class TestMagicKind:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
         assert "Exchange" not in plan
+
+
+class TestTruncatedRecall:
+    """truncated_recall (operators/similarity.py): MRL truncation audit."""
+
+    def test_full_dims_is_perfect_recall(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import similarity
+        import random
+        rnd = random.Random(7)
+        rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.limit(2).select(
+            emb["vec_id"].alias("query_id"), "embedding"
+        )
+        out = similarity.truncated_recall(emb, q, dims=8, k=5).collect()
+        assert all(r["recall_at_k"] == 1.0 for r in out)
+
+    def test_truncation_degrades_but_bounded(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import similarity
+        import random
+        rnd = random.Random(11)
+        rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.limit(2).select(emb["vec_id"].alias("query_id"), "embedding")
+        out = similarity.truncated_recall(emb, q, dims=2, k=5).collect()
+        assert all(0 <= r["n_hit"] <= 5 for r in out)
+        assert len(out) == 2
+
+    def test_rejects_bad_dims(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import similarity
+        import pytest
+        df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="dims"):
+            similarity.truncated_recall(df, df.selectExpr("vec_id as query_id", "embedding"), dims=0)
