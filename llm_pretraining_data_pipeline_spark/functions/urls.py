@@ -231,8 +231,15 @@ def parse_robots(
     of REP (RFC 9309): ``User-agent`` lines open a group (consecutive UA
     lines share one group, per spec), ``Disallow`` lines contribute path
     prefixes, ``#`` comments and blank/empty-prefix Disallows are ignored,
-    and only groups naming ``*`` apply. Allow-precedence and wildcards are
-    out of scope (documented; a swap-in point for a full matcher).
+    and only groups naming ``*`` apply. Allow-PRECEDENCE and wildcards
+    are out of scope (documented; a swap-in point for a full matcher) —
+    but every ``key: value`` rule line (Allow, Crawl-delay, Sitemap, …)
+    still participates in GROUP SEGMENTATION: a UA line following any
+    non-UA rule line opens a new group, per spec. Dropping those lines
+    before segmentation would merge ``User-agent: *`` / ``Allow: /`` /
+    ``User-agent: GPTBot`` / ``Disallow: /`` (the ubiquitous
+    block-AI-bots shape) into ONE group and wrongly blanket-ban the
+    domain for ``*``.
 
     Entirely JVM-side: posexplode the line list, a per-domain cumulative
     window assigns group ids (robots files are a few hundred lines — the
@@ -251,10 +258,12 @@ def parse_robots(
         "pos",
         F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
     )
+    # Keep EVERY key:value rule line for segmentation (Allow/Crawl-delay/
+    # Sitemap break UA runs even though only UA/Disallow feed the output).
     lines = lines.select(
         "domain",
         "pos",
-        F.lower(F.regexp_extract("line", r"(?i)^(user-agent|disallow)\s*:", 1))
+        F.lower(F.regexp_extract("line", r"(?i)^([a-z-]+)\s*:", 1))
         .alias("key"),
         F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:(.*)$", 1))
         .alias("value"),
@@ -303,14 +312,20 @@ def robots_gate(
     (deterministic arg-max via max(struct)); unmatched and rule-less
     domains pass with ``disallowed=false``.
     """
+    # Scheme matching must be case-tolerant like url_domain's (an
+    # 'HTTPS://…' URL resolving a domain but an empty path would bypass
+    # the gate), and a URL with no path component is semantically '/'
+    # (so 'Disallow: /' covers the site root).
+    raw_path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$", 1
+    )
     base = docs.select(
         id_col,
         F.col(url_col).alias("_url"),
         url_domain(F.col(url_col)).alias("_dom"),
-        F.coalesce(
-            F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1),
-            F.lit(""),
-        ).alias("_path"),
+        F.when(
+            (url_domain(F.col(url_col)) != "") & (raw_path == ""), F.lit("/")
+        ).otherwise(raw_path).alias("_path"),
     )
     joined = base.join(
         F.broadcast(rules),

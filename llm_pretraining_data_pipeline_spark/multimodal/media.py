@@ -249,7 +249,15 @@ def magic_kind(payload_col="payload"):
             & (F.hex(F.substring(p, 9, 4)) == "57415645"),
             F.lit("wav"),
         )
-        .when(F.hex(F.substring(p, 5, 4)) == "66747970", F.lit("mp4"))
+        .when(
+            # 'ftyp' at bytes 5-8 alone is spoofable (a gzip mtime or a
+            # RIFF size field can coincide); a real leading ftyp box also
+            # has a SMALL big-endian size, so require the two zero lead
+            # bytes (size < 2^16 — real ftyp boxes are a few dozen bytes).
+            head4.startswith("0000")
+            & (F.hex(F.substring(p, 5, 4)) == "66747970"),
+            F.lit("mp4"),
+        )
         .when(head4.startswith("1F8B"), F.lit("gzip"))
         .when(head4 == "57415243", F.lit("warc"))
         .otherwise(F.lit("unknown"))

@@ -174,8 +174,16 @@ def parse_mp4_meta(data: bytes) -> dict:
                             w_fixed, h_fixed = struct.unpack_from(
                                 ">II", data, tend - 8
                             )
-                            width = w_fixed >> 16
-                            height = h_fixed >> 16
+                            w, h = w_fixed >> 16, h_fixed >> 16
+                            # Real MP4s carry multiple tracks and audio
+                            # tkhds declare 0x0 per spec — keep the first
+                            # track's dims but let a later NON-ZERO track
+                            # replace a zero placeholder, so the video
+                            # track wins regardless of track order.
+                            if width is None or (
+                                (width, height) == (0, 0) and (w or h)
+                            ):
+                                width, height = w, h
     if not saw_moov:
         raise ValueError("parse_mp4: missing moov box")
     if timescale is None or duration is None:

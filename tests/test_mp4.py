@@ -89,3 +89,50 @@ class TestMp4MetaStats:
         )
         out = media.mp4_meta_stats(df, id_col="clip_id").collect()
         assert out[0]["clip_id"] == 9 and out[0]["decode_ok"]
+
+
+class TestMultiTrackDims:
+    """Round-9 review finding: audio tkhd (0x0) must not clobber video dims."""
+
+    def _two_trak(self, first_dims, second_dims):
+        ts, dur = 600, 1200
+        base = mp4.encode_mp4_stub(ts, dur, 1, 1)
+
+        def tkhd(w, h):
+            return mp4._box(
+                b"tkhd",
+                struct.pack(">B3x", 0)
+                + b"\x00" * 4      # creation
+                + b"\x00" * 4      # modification
+                + struct.pack(">I", 1)  # track id
+                + b"\x00" * 4      # reserved
+                + struct.pack(">I", dur)
+                + b"\x00" * 8      # reserved
+                + b"\x00" * 6      # layer / alternate_group / volume
+                + b"\x00" * 2      # reserved
+                + b"\x00" * 36     # matrix
+                + struct.pack(">II", w << 16, h << 16),
+            )
+
+        mvhd = mp4._box(
+            b"mvhd",
+            struct.pack(">B3x4s4sII", 0, b"\0" * 4, b"\0" * 4, ts, dur)
+            + b"\x00" * 80,
+        )
+        moov = mp4._box(
+            b"moov",
+            mvhd
+            + mp4._box(b"trak", tkhd(*first_dims))
+            + mp4._box(b"trak", tkhd(*second_dims)),
+        )
+        ftyp = mp4._box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+        del base
+        return ftyp + moov
+
+    def test_video_then_audio(self):
+        m = mp4.parse_mp4_meta(self._two_trak((640, 360), (0, 0)))
+        assert (m["width"], m["height"]) == (640, 360)
+
+    def test_audio_then_video(self):
+        m = mp4.parse_mp4_meta(self._two_trak((0, 0), (1280, 720)))
+        assert (m["width"], m["height"]) == (1280, 720)

@@ -633,3 +633,26 @@ class TestTruncatedRecall:
         df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="dims"):
             similarity.truncated_recall(df, df.selectExpr("vec_id as query_id", "embedding"), dims=0)
+
+
+class TestMagicKindSpoofGuard:
+    """Round-9 review finding: 'ftyp' at bytes 5-8 alone is spoofable."""
+
+    def test_gzip_with_ftyp_mtime_stays_gzip(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import media
+        # gzip header with mtime bytes spelling 'ftyp' (a valid 2029 date)
+        payload = b"\x1f\x8b\x08\x00" + b"ftyp" + b"\x00\x03" + b"\x00" * 8
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "media_id long, payload binary"
+        )
+        out = df.select(media.magic_kind("payload").alias("k")).collect()
+        assert out[0]["k"] == "gzip"
+
+    def test_riff_with_ftyp_size_is_unknown(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import media
+        payload = b"RIFF" + b"ftyp" + b"AVI " + b"\x00" * 16
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "media_id long, payload binary"
+        )
+        out = df.select(media.magic_kind("payload").alias("k")).collect()
+        assert out[0]["k"] == "unknown"

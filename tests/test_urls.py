@@ -382,3 +382,47 @@ class TestRobots:
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+class TestRobotsReviewFixes:
+    """Round-9 review findings: group segmentation + path extraction."""
+
+    def test_allow_line_breaks_ua_run(self, spark):
+        # The ubiquitous allow-everyone/block-AI-bots shape: the Allow line
+        # terminates the '*' UA run, so GPTBot's Disallow must NOT leak
+        # into the '*' group (pre-fix it blanket-banned the domain).
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        txt = "User-agent: *\nAllow: /\nUser-agent: GPTBot\nDisallow: /"
+        df = spark.createDataFrame(
+            [("a.example", txt)], "domain string, robots_txt string"
+        )
+        assert urls.parse_robots(df).count() == 0
+
+    def test_crawl_delay_breaks_ua_run(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        txt = (
+            "User-agent: googlebot\nCrawl-delay: 10\n"
+            "User-agent: *\nDisallow: /private"
+        )
+        df = spark.createDataFrame(
+            [("a.example", txt)], "domain string, robots_txt string"
+        )
+        out = [r["prefix"] for r in urls.parse_robots(df).collect()]
+        assert out == ["/private"]  # star group correctly separate
+
+    def test_gate_uppercase_scheme_and_rootless_url(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        rules = spark.createDataFrame(
+            [("a.example", "/private"), ("b.example", "/")],
+            "domain string, prefix string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "HTTPS://a.example/private/x"),  # case-tolerant scheme
+                (2, "https://b.example"),            # no path == '/'
+            ],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r for r in urls.robots_gate(docs, rules).collect()}
+        assert out[1]["disallowed"] and out[1]["matched_prefix"] == "/private"
+        assert out[2]["disallowed"] and out[2]["matched_prefix"] == "/"
