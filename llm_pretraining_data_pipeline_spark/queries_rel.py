@@ -2258,3 +2258,52 @@ def a22_countmin_sketch(spark, sf_dir):
         .orderBy(F.desc("exact_cnt"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "ev_stream_cms",
+    f"""
+    WITH hist AS (
+      SELECT 'u:' || cast(user_id AS varchar) AS key
+      FROM events WHERE user_id % 3 = 0
+    ),
+    cms AS (
+      SELECT u.j,
+             ({O.h64("key || ':' || cast(u.j AS varchar)")} % 256) AS bucket,
+             count(*) AS cnt
+      FROM hist CROSS JOIN unnest(range(0, 3)) AS u(j)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT e.event_id, e.user_id,
+             min(coalesce(c.cnt, 0)) AS est
+      FROM events e
+      CROSS JOIN unnest(range(0, 3)) AS u(j)
+      LEFT JOIN cms c
+        ON c.j = u.j
+       AND c.bucket = ({O.h64("'u:' || cast(e.user_id AS varchar) || ':' "
+                              "|| cast(u.j AS varchar)")} % 256)
+      GROUP BY 1, 2
+    )
+    SELECT event_id, user_id, cast(est AS bigint) AS est_hist_cnt,
+           est >= 50 AS is_heavy
+    FROM probe
+    """,
+    doc="Count-min heavy-hitter monitor ON THE STREAM "
+        "(streaming/events.py::run_cms_stream_once + operators/"
+        "sketch.py): the sketch over the historical slice (user_id%3=0) "
+        "is static broadcast state; every streamed event reads its "
+        "estimated historical count via d broadcast joins + map-side "
+        "least() — stateless per-row, append mode, the Bloom probe's "
+        "counting twin. The live is-this-key-already-hot gate for "
+        "throttled/sampled handling of heavy users or domains, with no "
+        "exact key set kept anywhere. The referee replays the exact md5 "
+        "counter layout; fixture-small width=256 makes collision "
+        "overestimates real and refereed",
+)
+def ev_stream_cms(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming import events as ev
+
+    return ev.run_cms_stream_once(
+        spark, sf_dir, depth=3, width=256, heavy_threshold=50
+    )

@@ -533,3 +533,48 @@ def run_bloom_stream_once(
         (F.col("maybe_seen") & ~seen).alias("false_positive"),
     )
     return _drain_to_memory(out, "append")
+
+
+def run_cms_stream_once(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 3,
+    width: int = 256,
+    heavy_threshold: int = 50,
+) -> DataFrame:
+    """Count-min heavy-hitter monitor ON THE STREAM: the sketch (built
+    batch-side over the historical slice) is static broadcast state; every
+    streamed event reads its key's estimated historical count via d
+    broadcast joins + a map-side least() — stateless per-row, append mode,
+    zero aggregation state, the Bloom probe's counting twin
+    (``run_bloom_stream_once``). This is the live "is this key already
+    hot?" gate: route events of already-heavy users/domains to throttled
+    or sampled handling without shuffling the stream or keeping the exact
+    historical key set anywhere.
+
+    Fixture-small width makes collision overestimates real; the referee
+    replays the exact counter layout (``ev_stream_cms``), and the CMS
+    one-sided guarantee (est >= true historical count) is asserted per
+    row in pytest.
+    """
+    from llm_pretraining_data_pipeline_spark.operators import sketch
+    from llm_pretraining_data_pipeline_spark.sources.io import read_events
+
+    key = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    hist = (
+        read_events(spark, sf_dir)
+        .where(F.col("user_id") % 3 == 0)
+        .select(key.alias("key"))
+    )
+    cms = sketch.cms_build(hist, "key", depth=depth, width=width)
+    stream = read_events_stream(spark, sf_dir).withColumn("key", key)
+    probed = sketch.cms_estimate(
+        stream, cms, "key", depth=depth, width=width, out_col="est_hist_cnt"
+    )
+    out = probed.select(
+        "event_id",
+        "user_id",
+        "est_hist_cnt",
+        (F.col("est_hist_cnt") >= heavy_threshold).alias("is_heavy"),
+    )
+    return _drain_to_memory(out, "append")

@@ -574,3 +574,30 @@ class TestBloomStream:
             assert prog["stateOperators"] == []
         finally:
             q.stop()
+
+
+class TestCmsStream:
+    """run_cms_stream_once: stateless CMS heavy-hitter probe on the stream."""
+
+    def test_one_sided_estimate_and_heavy_flag(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.sources.io import read_events
+        from llm_pretraining_data_pipeline_spark.streaming.events import (
+            run_cms_stream_once,
+        )
+        sf = "/root/testdata/sf0.001"
+        out = run_cms_stream_once(spark, sf, heavy_threshold=20).collect()
+        assert len(out) > 0
+        # exact historical counts per user (the CMS input truth)
+        truth = {
+            r["user_id"]: r["cnt"]
+            for r in read_events(spark, sf)
+            .where(F.col("user_id") % 3 == 0)
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        for r in out:
+            true_cnt = truth.get(r["user_id"], 0)
+            assert r["est_hist_cnt"] >= true_cnt  # CMS never undercounts
+            assert r["is_heavy"] == (r["est_hist_cnt"] >= 20)
