@@ -44,6 +44,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 5,
+    broadcast_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, exact fixed-point.
 
@@ -51,6 +52,14 @@ def pagerank(
     double-counted; dedupe upstream if needed). Returns one row per node:
     ``(node, rank_e12 bigint)`` where ``rank_e12 / 1e12`` is the damped
     PageRank after ``iterations`` power steps from the uniform start.
+
+    The node count ``n`` is known exactly (it seeds the uniform init), so
+    when ``n <= broadcast_nodes`` every per-node frame (outdeg, the rank
+    frame on the edge join, the per-iteration inflows) carries an explicit
+    broadcast hint instead of hoping AQE's post-shuffle stats catch it —
+    the edge frame is then NEVER shuffled, the per-iteration cost is one
+    map-side join plus one groupBy exchange of (dst, contrib) rows. Past
+    the threshold the joins fall back to shuffle joins on the node key.
     """
     if iterations < 1:
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
@@ -72,13 +81,14 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: empty edge list")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    hint = F.broadcast if n <= broadcast_nodes else (lambda df: df)
 
     base = ((damping_den - damping_num) * UNIT // damping_den) // n
     ranks = nodes.withColumn("rank_e12", F.lit(UNIT // n).cast("long"))
 
     for it in range(iterations):
         with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
+            hint(outdeg), ranks["node"] == outdeg["src"], "left"
         ).select("node", "rank_e12", "outdeg")
         # dangling mass: one-row aggregate, redistributed uniformly
         dangling = with_deg.where(F.col("outdeg").isNull()).agg(
@@ -89,7 +99,7 @@ def pagerank(
         )
         contribs = (
             e.join(
-                with_deg.where(F.col("outdeg").isNotNull()),
+                hint(with_deg.where(F.col("outdeg").isNotNull())),
                 e["src"] == F.col("node"),
             )
             .select(
@@ -100,7 +110,7 @@ def pagerank(
             .agg(F.sum("contrib").alias("inflow"))
         )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            nodes.join(hint(contribs), nodes["node"] == contribs["dst"], "left")
             .crossJoin(dangling_share)  # 1-row broadcast, never cartesian
             .select(
                 "node",

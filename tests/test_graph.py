@@ -68,3 +68,28 @@ class TestPagerank:
         )
         plan = pagerank(df, iterations=2)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+    def test_plan_all_broadcast_under_threshold(self, spark):
+        # n is known exactly at build time, so every per-node frame must
+        # carry an explicit broadcast hint: the edge frame is never
+        # shuffled and no sort-merge join appears anywhere.
+        from pyspark.sql import functions as F
+        edges = (
+            spark.range(5000)
+            .select((F.col("id") % 40).alias("src"),
+                    ((F.col("id") * 7 + 13) % 40).alias("dst"))
+            .where("src <> dst").distinct()
+        )
+        pr = pagerank(edges, iterations=2)
+        pr.count()
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_over_threshold_falls_back(self, spark):
+        edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+        r = {x["node"]: x["rank_e12"]
+             for x in pagerank(edges, broadcast_nodes=1).collect()}
+        assert len(r) == 2 and len(set(r.values())) == 1  # results identical
