@@ -109,7 +109,7 @@ _PRIORITY_R9 = [
     "mm_magic_sniff", "f17_robots_gate", "a21_psi_drift",
     "d20_quality_dedup", "ev_stream_bloom", "mm_utf8_audit",
     "a22_countmin_sketch", "d21_winnowing", "d22_winnow_pairs",
-    "emb_matryoshka_recall", "ev_stream_cms",
+    "emb_matryoshka_recall", "ev_stream_cms", "p41_main_content",
     # new this round: d17's MinHash calibration audit THROUGH the LSH
     # candidate valve (d03 banding CTE as the oracle's candidate set —
     # refereed proof of the candidates= scale plumbing) + per-source
@@ -134,17 +134,17 @@ _PRIORITY_R9 = [
     "p22_tokenize", "p28_lm_logprob",
     "s04_jsonl_projection", "u02_intersect_except",
     "f12_source_median_gate", "o04_source_quota", "ev_stream_attribution",
-    "rel_q1_pricing_summary",
     # p23_pick_text, rel_semi_join, rel_anti_join, rel_outer_join,
     # rel_in_subquery, win_above_avg_orders, win_rank_family,
     # win_top3_orders_per_customer, rel_grouping_sets, rel_rollup_orders,
     # rel_cube_lineitem, rel_pivot, rel_distinct_counts,
     # rel_having_large_orders, rel_q19_disjunctive, rel_q14_promo_ratio,
     # rel_q12_shipmode_case, rel_q6_revenue_delta,
-    # rel_q5_local_supplier and rel_q3_shipping_priority yield their
-    # head-50 slots to the twenty late-round additions above; all twenty
-    # were independently re-verified green via scripts/check_oracle.py
-    # this session and stay in the registry (they refresh in r10)
+    # rel_q5_local_supplier, rel_q3_shipping_priority and
+    # rel_q1_pricing_summary yield their head-50 slots to the twenty-one
+    # late-round additions above; all twenty-one were independently
+    # re-verified green via scripts/check_oracle.py this session and stay
+    # in the registry (they refresh in r10)
 ]
 
 

@@ -169,3 +169,73 @@ def has_noindex(c: Column | str) -> Column:
         F.split(meta_robots(c), ","), lambda x: F.trim(x)
     )
     return F.arrays_overlap(toks, F.array(F.lit("noindex"), F.lit("none")))
+
+
+# Block-level tags that delimit content blocks for main-content extraction.
+_BLOCK_TAG_RE = r"(?i)</?(?:p|div|li|h[1-6]|section|article|td|tr|table|ul|ol)[^>]*>"
+_ANCHOR_TEXT_RE = r"(?i)<a[^>]*>([^<]*)</a>"
+
+
+def extract_main_content(
+    c: Column | str,
+    min_words: int = 5,
+    max_link_density: float = 0.5,
+) -> Column:
+    """jusText/trafilatura-style main-content extraction: split the HTML
+    into blocks at block-level tags, classify each block by LENGTH and
+    LINK DENSITY, keep the content blocks — the boilerplate-removal step
+    real web curation runs between raw HTML and any text filter
+    (navigation bars, footers, and button rows are mostly anchor text;
+    body paragraphs are long and link-sparse).
+
+    A block survives iff its stripped text has ``>= min_words`` words AND
+    its anchor-text characters are ``<= max_link_density`` of its text
+    characters. Returns a struct column ``(text, n_blocks, n_kept)`` —
+    ``text`` is the kept blocks joined by newline, ``n_blocks`` counts
+    non-empty blocks before classification.
+
+    Entirely JVM array-HOF work, zero shuffle; the per-block struct array
+    is built ONCE and bound before the filter/count passes reference it
+    (the interpreted-HOF no-CSE discipline). Paragraph-context smoothing
+    (jusText's good-neighbor rule) is out of scope — documented.
+    """
+    s = F.coalesce(_col(c).cast("string"), F.lit(""))
+    # one struct per raw block: stripped text + anchor-text char count
+    blocks = F.transform(
+        F.split(s, _BLOCK_TAG_RE),
+        lambda b: F.struct(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(b, "<[^>]+>", " "), r"\s+", " "
+                )
+            ).alias("t"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT_RE), 1),
+                    lambda a: F.length(F.trim(a)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("lc"),
+        ),
+    )
+    nonempty = F.filter(blocks, lambda st: F.length(st["t"]) > 0)
+    kept = F.filter(
+        nonempty,
+        lambda st: (F.size(F.split(st["t"], " ")) >= min_words)
+        & (
+            st["lc"].cast("double")
+            <= F.lit(float(max_link_density)) * F.length(st["t"])
+        ),
+    )
+    # let-bind the arrays: transform(array(x), f)[0] evaluates each ONCE
+    return F.transform(
+        F.arrays_zip(F.array(nonempty), F.array(kept)),
+        lambda z: F.struct(
+            F.array_join(
+                F.transform(z["1"], lambda st: st["t"]), "\n"
+            ).alias("text"),
+            F.size(z["0"]).cast("long").alias("n_blocks"),
+            F.size(z["1"]).cast("long").alias("n_kept"),
+        ),
+    )[0]

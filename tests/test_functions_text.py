@@ -769,3 +769,69 @@ class TestCompositeQualityFilter:
         assert out[1] == "too_few_words"
         assert out[2] == "low_entropy"
         assert out[3] in (None, "model_quality")
+
+
+class TestMainContent:
+    """extract_main_content (functions/structural.py): block classification."""
+
+    HTML = (
+        '<div class="nav"><a href="/">home</a> <a href="/x">about</a></div>'
+        "<p>alpha bravo charlie delta echo foxtrot</p>"
+        "<p>one two</p>"
+        "<div>ok</div>"
+        '<div class="footer"><a href="/tos">terms of service</a></div>'
+    )
+
+    def _mc(self, spark, html, **kw):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            extract_main_content,
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+        return df.select(
+            extract_main_content("text", **kw).alias("mc")
+        ).collect()[0]["mc"]
+
+    def test_keeps_content_drops_nav_footer_short(self, spark):
+        mc = self._mc(spark, self.HTML)
+        assert mc["text"] == "alpha bravo charlie delta echo foxtrot"
+        assert mc["n_blocks"] == 5 and mc["n_kept"] == 1
+
+    def test_link_density_gate(self, spark):
+        # long block, but almost all anchor text -> dropped
+        linky = (
+            "<p><a href='/a'>alpha bravo charlie delta</a> "
+            "<a href='/b'>echo foxtrot golf hotel</a></p>"
+        )
+        mc = self._mc(spark, linky)
+        assert mc["n_kept"] == 0
+        # same words without anchors -> kept
+        plain = "<p>alpha bravo charlie delta echo foxtrot golf hotel</p>"
+        assert self._mc(spark, plain)["n_kept"] == 1
+
+    def test_null_and_plain_text(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            extract_main_content,
+        )
+        df = spark.createDataFrame(
+            [(1, None), (2, "five plain words right here")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["mc"]
+            for r in df.select(
+                "doc_id", extract_main_content("text").alias("mc")
+            ).collect()
+        }
+        assert out[1]["text"] == "" and out[1]["n_blocks"] == 0
+        assert out[2]["n_kept"] == 1  # no tags: whole text is one block
+
+    def test_zero_shuffle_plan(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            extract_main_content,
+        )
+        df = spark.createDataFrame([(1, self.HTML)], "doc_id long, text string")
+        plan = (
+            df.select(extract_main_content("text").alias("mc"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
