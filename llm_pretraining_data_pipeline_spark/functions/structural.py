@@ -173,7 +173,10 @@ def has_noindex(c: Column | str) -> Column:
 
 # Block-level tags that delimit content blocks for main-content extraction.
 _BLOCK_TAG_RE = r"(?i)</?(?:p|div|li|h[1-6]|section|article|td|tr|table|ul|ol)[^>]*>"
-_ANCHOR_TEXT_RE = r"(?i)<a[^>]*>([^<]*)</a>"
+# Non-greedy across nested inline markup (<a ...><b>text</b></a>);
+# the captured span is tag-stripped and whitespace-normalized before
+# measuring, mirroring how the block text itself is measured.
+_ANCHOR_TEXT_RE = r"(?is)<a[^>]*>(.*?)</a>"
 
 
 def extract_main_content(
@@ -212,7 +215,15 @@ def extract_main_content(
             F.aggregate(
                 F.transform(
                     F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT_RE), 1),
-                    lambda a: F.length(F.trim(a)),
+                    lambda a: F.length(
+                        F.trim(
+                            F.regexp_replace(
+                                F.regexp_replace(a, "<[^>]+>", " "),
+                                r"\s+",
+                                " ",
+                            )
+                        )
+                    ),
                 ),
                 F.lit(0),
                 lambda acc, x: acc + x,

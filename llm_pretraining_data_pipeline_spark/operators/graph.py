@@ -44,7 +44,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 5,
-    broadcast_nodes: int = 2_000_000,
+    broadcast_nodes: int = 200_000,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, exact fixed-point.
 
@@ -59,7 +59,13 @@ def pagerank(
     broadcast hint instead of hoping AQE's post-shuffle stats catch it —
     the edge frame is then NEVER shuffled, the per-iteration cost is one
     map-side join plus one groupBy exchange of (dst, contrib) rows. Past
-    the threshold the joins fall back to shuffle joins on the node key.
+    the threshold the joins fall back to shuffle joins on the node key
+    (AQE still upgrades them when its BYTE-based stats allow). The
+    threshold counts ROWS, and an explicit hint bypasses Spark's byte
+    checks — the conservative default (~200k rows, a few MB even with
+    long string node ids) exists so wide keys cannot drive hundreds of
+    driver-materialized megabytes per iteration; size it to node-id
+    width, not just count, when raising it.
     """
     if iterations < 1:
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")

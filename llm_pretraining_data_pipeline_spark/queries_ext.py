@@ -3824,9 +3824,12 @@ def p41_main_content(spark, sf_dir):
     )
     pages = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
     mc = extract_main_content("html", min_words=_MC_MIN_WORDS)
-    return pages.select(
+    # inline(array(mc)) evaluates the HOF pipeline ONCE per row (a
+    # generator blocks project-collapse); three field references would
+    # re-run the whole interpreted-HOF chain 3x (no CSE).
+    return pages.select("doc_id", F.inline(F.array(mc))).select(
         "doc_id",
-        mc["text"].alias("main_text"),
-        mc["n_blocks"].alias("n_blocks"),
-        mc["n_kept"].alias("n_kept"),
+        F.col("text").alias("main_text"),
+        "n_blocks",
+        "n_kept",
     )

@@ -835,3 +835,13 @@ class TestMainContent:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+    def test_nested_markup_anchors_still_counted(self, spark):
+        # Styled links (<a><b>..</b></a>) must still register as anchor
+        # text for the density gate (review finding: [^<]* captured '')
+        linky = (
+            "<p><a href='/x'><b>click here for more stories</b></a> "
+            "<a href='/y'><span>subscribe to the newsletter now</span></a></p>"
+        )
+        assert self._mc(spark, linky)["n_kept"] == 0

@@ -527,11 +527,11 @@ class TestRestartRecovery:
 class TestBloomStream:
     """run_bloom_stream_once: stateless Bloom probe on the stream."""
 
-    def test_no_false_negatives_and_fp_flagged(self, spark):
+    def test_no_false_negatives_and_fp_flagged(self, spark, sf_dir):
         from llm_pretraining_data_pipeline_spark.streaming.events import (
             run_bloom_stream_once,
         )
-        out = run_bloom_stream_once(spark, "/root/testdata/sf0.001").collect()
+        out = run_bloom_stream_once(spark, sf_dir).collect()
         assert len(out) > 0
         for r in out:
             if r["seen"]:
@@ -539,7 +539,7 @@ class TestBloomStream:
                 assert r["maybe_seen"], f"false negative at {r['event_id']}"
             assert r["false_positive"] == (r["maybe_seen"] and not r["seen"])
 
-    def test_probe_plan_is_stateless_broadcast(self, spark):
+    def test_probe_plan_is_stateless_broadcast(self, spark, sf_dir):
         from llm_pretraining_data_pipeline_spark.operators import bloom
         from llm_pretraining_data_pipeline_spark.sources.io import read_events
         from llm_pretraining_data_pipeline_spark.streaming.events import (
@@ -547,7 +547,7 @@ class TestBloomStream:
         )
         from pyspark.sql import functions as F
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         key = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
         hist = (
             read_events(spark, sf).where(F.col("user_id") % 3 == 0)
@@ -579,14 +579,14 @@ class TestBloomStream:
 class TestCmsStream:
     """run_cms_stream_once: stateless CMS heavy-hitter probe on the stream."""
 
-    def test_one_sided_estimate_and_heavy_flag(self, spark):
+    def test_one_sided_estimate_and_heavy_flag(self, spark, sf_dir):
         from pyspark.sql import functions as F
 
         from llm_pretraining_data_pipeline_spark.sources.io import read_events
         from llm_pretraining_data_pipeline_spark.streaming.events import (
             run_cms_stream_once,
         )
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         out = run_cms_stream_once(spark, sf, heavy_threshold=20).collect()
         assert len(out) > 0
         # exact historical counts per user (the CMS input truth)
