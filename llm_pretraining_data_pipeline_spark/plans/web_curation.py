@@ -1,7 +1,10 @@
 """The modern web-curation recipe, end to end — every major public
 pipeline's stage order composed into one lazy plan:
 
+  0. robots.txt Disallow gate          (opt-in; RFC 9309 politeness)
   1. URL-level keep-first dedup        (RefinedWeb §3.1 — before any text)
+  1b. main-content extraction          (opt-in; jusText-style block gate
+                                        for raw-HTML input)
   2. line-wise corrections             (RefinedWeb §3.2)
   3. C4 cleanup battery                (Raffel et al. 2020 §2.2)
   4. Gopher quality cascade            (Rae et al. 2021 A1)
@@ -26,7 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from llm_pretraining_data_pipeline_spark.functions import urls
+from llm_pretraining_data_pipeline_spark.functions import structural, urls
 from llm_pretraining_data_pipeline_spark.operators import corpus, dedup
 
 
@@ -48,6 +51,12 @@ class WebCurationConfig:
     # corpora where an early rule drops most rows and the expression
     # cascade's laziness skips the scans entirely.
     gopher_vectorized: bool = True
+    # opt-in round-9 front stages (default OFF: the bench corpus has no
+    # robots rules or HTML markup; flipping them on does not change any
+    # downstream stage's semantics, only what text reaches it)
+    extract_main: bool = False        # jusText block gate for raw-HTML input
+    mc_min_words: int = 5
+    mc_max_link_density: float = 0.5
 
 
 def run_web_curation(
@@ -56,17 +65,53 @@ def run_web_curation(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    robots_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the input plus ``text_curated`` (the fully cleaned, deduped
     text) and ``drop_reason`` (first cascade rule that dropped the doc;
     null = kept). Rows are never physically removed — the caller filters
     ``drop_reason IS NULL`` for the kept slice (the engine's standard
-    kept/dropped-split contract)."""
+    kept/dropped-split contract).
+
+    ``robots_rules`` (``parse_robots`` output; requires ``url_col``)
+    prepends the RFC 9309 Disallow gate — a broadcast prefix join, the
+    politeness stage that runs before any byte of text is processed.
+    ``cfg.extract_main`` inserts the jusText-style block gate between the
+    URL stage and the line filters for raw-HTML input."""
     out = df
     reason = F.lit(None).cast("string")
+    if robots_rules is not None:
+        if url_col is None:
+            raise ValueError(
+                "run_web_curation: robots_rules requires url_col"
+            )
+        gate = urls.robots_gate(
+            df, robots_rules, url_col=url_col, id_col=id_col
+        ).select(id_col, "disallowed")
+        out = out.join(gate, id_col, "left")
+        reason = F.when(
+            F.coalesce(F.col("disallowed"), F.lit(False)),
+            F.lit("robots_disallowed"),
+        )
     if url_col is not None:
         out = urls.url_dedup(out, url_col=url_col, id_col=id_col)
-        reason = F.when(F.col("is_dup_url"), F.lit("url_duplicate"))
+        reason = F.coalesce(
+            reason, F.when(F.col("is_dup_url"), F.lit("url_duplicate"))
+        )
+    if cfg.extract_main:
+        mc = structural.extract_main_content(
+            text_col,
+            min_words=cfg.mc_min_words,
+            max_link_density=cfg.mc_max_link_density,
+        )
+        # inline-free single reference: only the text field is consumed
+        # downstream, so one field access evaluates the chain once
+        out = out.withColumn("text_main", mc["text"])
+        reason = F.coalesce(
+            reason,
+            F.when(F.col("text_main") == "", F.lit("no_main_content")),
+        )
+        text_col = "text_main"
     out = corpus.refinedweb_line_correct(
         out, text_col=text_col, id_col=id_col,
         max_removed_frac=cfg.rw_max_removed_frac,

@@ -156,3 +156,87 @@ class TestReviewFixes:
         assert r.rw_n_lines == 5 and r.rw_n_lines_removed == 1
         assert r.n_lines == 4  # the C4 stage's own count, over text_rw
         assert r.drop_reason is None
+
+
+class TestRound9FrontStages:
+    """Opt-in robots gate + main-content stages compose into the recipe."""
+
+    def test_robots_and_main_content_stages(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig, run_web_curation,
+        )
+        body = (
+            "This is a perfectly normal sentence with many words in it. "
+            "Here is another complete sentence that also has enough words. "
+            "And a third full sentence keeps the page past the gate."
+        )
+        page = (
+            '<div class="nav"><a href="/">home</a> <a href="/x">about</a>'
+            "</div><p>" + body + "</p>"
+            '<div class="footer"><a href="/tos">terms</a></div>'
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "https://a.example/private/x", page),  # robots-blocked
+                (2, "https://a.example/pub/ok", page),     # kept
+                (3, "https://b.example/pub/ok",
+                 "<p>Completely different body text lives here with plenty "
+                 "of words. It has a second full sentence to pass the "
+                 "page gate too. A third one rounds out the document "
+                 "nicely as well.</p>"),                      # kept (no rules)
+                (4, "https://b.example/nav-only",
+                 '<div><a href="/">home</a> <a href="/y">about</a></div>'),
+            ],
+            "doc_id long, url string, text string",
+        )
+        rules = urls.parse_robots(
+            spark.createDataFrame(
+                [("a.example", "User-agent: *\nDisallow: /private")],
+                "domain string, robots_txt string",
+            )
+        )
+        out = {
+            r["doc_id"]: r
+            for r in run_web_curation(
+                docs,
+                WebCurationConfig(
+                    extract_main=True, apply_gopher=False,
+                    apply_span_dedup=False, min_sentences=2,
+                ),
+                url_col="url",
+                robots_rules=rules,
+            ).collect()
+        }
+        assert out[1]["drop_reason"] == "robots_disallowed"
+        assert out[2]["drop_reason"] is None
+        assert out[2]["text_curated"].startswith("This is a perfectly")
+        assert "home" not in out[2]["text_curated"]  # nav stripped
+        assert out[3]["drop_reason"] is None
+        assert out[4]["drop_reason"] == "no_main_content"
+
+    def test_robots_rules_require_url_col(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            run_web_curation,
+        )
+        df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        rules = spark.createDataFrame(
+            [("a.example", "/p")], "domain string, prefix string"
+        )
+        with pytest.raises(ValueError, match="url_col"):
+            run_web_curation(df, robots_rules=rules)
+
+    def test_defaults_unchanged(self, spark):
+        # flags off: output schema and reasons identical to the pre-round-9
+        # recipe (no robots/main-content columns leak in)
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig, run_web_curation,
+        )
+        df = spark.createDataFrame(
+            [(1, "short")], "doc_id long, text string"
+        )
+        out = run_web_curation(df, WebCurationConfig(apply_gopher=False))
+        assert "text_main" not in out.columns
+        assert "disallowed" not in out.columns
