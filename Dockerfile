@@ -28,14 +28,26 @@ RUN pip install --no-cache-dir .
 
 # Vendor-fetch the two public GPT-2 asset files (vocabulary is LEARNED
 # data — it cannot be regenerated programmatically) so the "auto"
-# tokenizer backend produces exact published ids out of the box. The
-# fetch is best-effort: an air-gapped build still succeeds and falls
-# back to the committed byte-level subset + regex stand-in (the runbook
-# in scripts/fetch_gpt2_assets.py covers the manual drop-in).
+# tokenizer backend produces exact published ids out of the box.
+# Reproducibility contract: the fetch is gated behind FETCH_GPT2 (default
+# on) so hermetic builds can pin FETCH_GPT2=0, and EVERY build writes a
+# marker file recording which tokenizer backend the image actually
+# carries — two builds of the same commit can otherwise differ silently
+# with build-time network availability. Runtime code and operators read
+# the assets via SPARK_GRAFT_GPT2_ASSETS; `cat /app/gpt2_assets/BACKEND`
+# answers "exact published ids or fallback subset?" for any image.
+ARG FETCH_GPT2=1
 COPY scripts/fetch_gpt2_assets.py ./scripts/fetch_gpt2_assets.py
-RUN python scripts/fetch_gpt2_assets.py --dest /app/gpt2_assets \
-    || echo "WARN: no network at build time — tokenizer runs on the" \
-            "committed subset assets; see scripts/fetch_gpt2_assets.py"
+RUN mkdir -p /app/gpt2_assets && \
+    if [ "$FETCH_GPT2" = "1" ] && \
+       python scripts/fetch_gpt2_assets.py --dest /app/gpt2_assets; then \
+        echo "gpt2-exact" > /app/gpt2_assets/BACKEND; \
+    else \
+        echo "fallback-subset" > /app/gpt2_assets/BACKEND && \
+        echo "WARN: GPT-2 assets not fetched (FETCH_GPT2=$FETCH_GPT2 or" \
+             "no network) — tokenizer runs on the committed subset" \
+             "assets; see scripts/fetch_gpt2_assets.py"; \
+    fi
 ENV SPARK_GRAFT_GPT2_ASSETS=/app/gpt2_assets
 
 ENTRYPOINT ["llm-pipeline-spark"]

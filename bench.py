@@ -43,7 +43,16 @@ def main() -> int:
     from llm_pretraining_data_pipeline_spark.session import get_spark
     from llm_pretraining_data_pipeline_spark.sources import io as src
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # showConsoleProgress OFF: the driver parses the LAST stdout line as
+    # JSON; Spark's carriage-return progress bars can land in the same
+    # tail window and truncate the capture mid-JSON (BENCH_r09 lesson —
+    # "parsed": null with the numbers surviving only in the tail string).
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     timings: dict[str, float] = {}
@@ -486,21 +495,29 @@ def main() -> int:
     meta["pipeline_minhash_docs_per_sec"] = round(n_mh / timings["pipeline_minhash_e2e"], 1)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_first_run": first_run,
-                "repeats": REPEATS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "meta": meta,
-                "cpus": CPUS,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_first_run": first_run,
+            "repeats": REPEATS,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "meta": meta,
+            "cpus": CPUS,
+        }
     )
+    # Tee the summary to a file so the record never depends on stdout
+    # tail-capture (BENCH_JSON_OUT= to redirect; empty string disables).
+    out_path = os.environ.get("BENCH_JSON_OUT", "BENCH_LOCAL.json")
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                fh.write(line + "\n")
+        except OSError as exc:
+            print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    print(line, flush=True)
     return 0
 
 

@@ -252,9 +252,12 @@ def magic_kind(payload_col="payload"):
         .when(
             # 'ftyp' at bytes 5-8 alone is spoofable (a gzip mtime or a
             # RIFF size field can coincide); a real leading ftyp box also
-            # has a SMALL big-endian size, so require the two zero lead
-            # bytes (size < 2^16 — real ftyp boxes are a few dozen bytes).
-            head4.startswith("0000")
+            # has a SMALL big-endian size, so require a zero lead byte
+            # (size < 2^24 covers any realistic ftyp — a compatible-brand
+            # list would need ~4M entries to exceed it); the size==1
+            # largesize escape (00000001 + 'ftyp') is covered by the same
+            # zero lead byte, so no extra arm is needed.
+            head4.startswith("00")
             & (F.hex(F.substring(p, 5, 4)) == "66747970"),
             F.lit("mp4"),
         )

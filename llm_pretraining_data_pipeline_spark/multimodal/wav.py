@@ -48,6 +48,15 @@ DEFAULT_MAX_SAMPLES = 64_000_000
 _WAVE_FORMAT_PCM = 1
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
+# KSDATAFORMAT_SUBTYPE_PCM (mmreg.h): the only WAVE_FORMAT_EXTENSIBLE
+# SubFormat this PCM decoder accepts. An extensible header wrapping A-law,
+# mu-law or float carries bits=8/16 too — without the GUID check those
+# payloads would silently decode as PCM and yield wrong statistics.
+_KSDATAFORMAT_SUBTYPE_PCM = bytes(
+    [0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+     0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
+
 
 def encode_wav(
     samples,
@@ -113,6 +122,7 @@ def decode_wav(
         raise ValueError("decode_wav: not a RIFF/WAVE payload")
     pos = 12
     fmt_fields = None
+    fmt_chunk = b""
     body = None
     while pos + 8 <= len(data):
         ctype = data[pos : pos + 4]
@@ -127,6 +137,7 @@ def decode_wav(
             if csize < 16:
                 raise ValueError(f"decode_wav: fmt chunk too short ({csize})")
             fmt_fields = struct.unpack_from("<HHIIHH", data, start)
+            fmt_chunk = data[start : start + csize]
         elif ctype == b"data":
             body = data[start : start + csize]
         pos = start + csize + (csize & 1)  # chunks are word-aligned
@@ -137,6 +148,27 @@ def decode_wav(
     audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt_fields
     if audio_format not in (_WAVE_FORMAT_PCM, _WAVE_FORMAT_EXTENSIBLE):
         raise ValueError(f"decode_wav: unsupported audio_format={audio_format}")
+    if audio_format == _WAVE_FORMAT_EXTENSIBLE:
+        # WAVE_FORMAT_EXTENSIBLE does NOT imply PCM — the actual codec is
+        # the SubFormat GUID in the extension. Require the full extension
+        # (cbSize >= 22) and the PCM GUID, else an extensible A-law/mu-law/
+        # float payload with bits=8/16 would decode as PCM garbage.
+        if len(fmt_chunk) < 18:
+            raise ValueError(
+                "decode_wav: extensible fmt chunk missing cbSize"
+            )
+        (cb_size,) = struct.unpack_from("<H", fmt_chunk, 16)
+        if cb_size < 22 or len(fmt_chunk) < 18 + 22:
+            raise ValueError(
+                f"decode_wav: extensible fmt extension too short "
+                f"(cbSize={cb_size}, chunk={len(fmt_chunk)} bytes)"
+            )
+        sub_format = fmt_chunk[24:40]
+        if sub_format != _KSDATAFORMAT_SUBTYPE_PCM:
+            raise ValueError(
+                f"decode_wav: extensible SubFormat is not PCM "
+                f"(guid={sub_format.hex()})"
+            )
     if bits not in (8, 16):
         raise ValueError(f"decode_wav: unsupported bits_per_sample={bits}")
     if channels < 1:

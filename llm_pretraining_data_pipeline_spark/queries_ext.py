@@ -1639,7 +1639,9 @@ def mm_mp4_meta(spark, sf_dir):
             "duration_ms"
         ),
         (
-            F.floor(F.col("duration") / F.col("timescale")).cast("long") + 1
+            # integer `div`, not floor(double /): the oracle's `//` is
+            # integral, and double division diverges above ~2^53
+            F.expr("duration div timescale") + 1
         ).alias("frames_planned"),
         "decode_ok",
     )

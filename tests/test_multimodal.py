@@ -656,3 +656,24 @@ class TestMagicKindSpoofGuard:
         )
         out = df.select(media.magic_kind("payload").alias("k")).collect()
         assert out[0]["k"] == "unknown"
+
+    def test_large_ftyp_box_and_largesize_still_mp4(self, spark):
+        # ADVICE r9: a leading ftyp box may declare a size above 2^16
+        # (long compatible-brand lists) or use the size==1 largesize
+        # escape — both still carry 'ftyp' at bytes 5-8 and must triage
+        # as mp4, not 'unknown'.
+        from llm_pretraining_data_pipeline_spark.multimodal import media
+        big = b"\x00\x01\x00\x00" + b"ftyp" + b"isom" + b"\x00" * 16
+        largesize = (
+            b"\x00\x00\x00\x01" + b"ftyp"
+            + b"\x00\x00\x00\x00\x00\x00\x00\x20" + b"isom" + b"\x00" * 16
+        )
+        spoof = b"\x01\x00\x00\x00" + b"ftyp" + b"\x00" * 16  # size >= 2^24
+        df = spark.createDataFrame(
+            [(0, bytearray(big)), (1, bytearray(largesize)),
+             (2, bytearray(spoof))],
+            "media_id long, payload binary",
+        )
+        out = df.select("media_id", media.magic_kind("payload").alias("k"))
+        kinds = [r["k"] for r in out.orderBy("media_id").collect()]
+        assert kinds == ["mp4", "mp4", "unknown"]

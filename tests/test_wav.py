@@ -81,6 +81,59 @@ class TestWavCodec:
         with pytest.raises(ValueError, match="bits_per_sample|block_align"):
             wav.decode_wav(bytes(payload))
 
+    @staticmethod
+    def _extensible(samples, sub_guid, cb_size=22, ext_bytes=22):
+        """Rewrap encode_wav output as WAVE_FORMAT_EXTENSIBLE with the given
+        SubFormat GUID (valid-bits=16, mask=0x4, standard 22-byte ext)."""
+        plain = wav.encode_wav(samples)
+        fmt16 = plain[20:36]  # the 16 base fmt fields
+        body_chunk = plain[36:]  # 'data' + size + samples
+        fmt = bytearray(fmt16)
+        struct.pack_into("<H", fmt, 0, 0xFFFE)
+        ext = struct.pack("<H", cb_size) + (
+            struct.pack("<HI", 16, 0x4) + sub_guid
+        )[:ext_bytes]
+        fmt_chunk = b"fmt " + struct.pack("<I", 16 + len(ext)) + bytes(fmt) + ext
+        chunks = fmt_chunk + body_chunk
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    _GUID_PCM = bytes(
+        [0x01, 0, 0, 0, 0, 0, 0x10, 0, 0x80, 0, 0, 0xAA, 0, 0x38, 0x9B, 0x71]
+    )
+    _GUID_ALAW = bytes(
+        [0x06, 0, 0, 0, 0, 0, 0x10, 0, 0x80, 0, 0, 0xAA, 0, 0x38, 0x9B, 0x71]
+    )
+
+    def test_extensible_pcm_guid_decodes(self):
+        samples = _saw(40)
+        payload = self._extensible(samples, self._GUID_PCM)
+        assert wav.decode_wav(payload) == (16_000, 1, 16, samples)
+
+    def test_extensible_alaw_guid_rejected(self):
+        # A-law wrapped in 0xFFFE carries bits=8/16 too — without the GUID
+        # check it would silently decode as PCM and yield wrong stats
+        payload = self._extensible(_saw(40), self._GUID_ALAW)
+        with pytest.raises(ValueError, match="SubFormat"):
+            wav.decode_wav(payload)
+
+    def test_extensible_short_extension_rejected(self):
+        payload = self._extensible(
+            _saw(40), self._GUID_PCM, cb_size=6, ext_bytes=6
+        )
+        with pytest.raises(ValueError, match="extension too short"):
+            wav.decode_wav(payload)
+
+    def test_extensible_missing_cbsize_rejected(self):
+        plain = wav.encode_wav(_saw(40))
+        fmt = bytearray(plain[20:36])
+        struct.pack_into("<H", fmt, 0, 0xFFFE)
+        raw = (
+            b"RIFF" + struct.pack("<I", 4 + 24 + len(plain[36:])) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + bytes(fmt) + plain[36:]
+        )
+        with pytest.raises(ValueError, match="missing cbSize"):
+            wav.decode_wav(raw)
+
     def test_allocation_guard(self):
         payload = wav.encode_wav(_saw(1000))
         with pytest.raises(ValueError, match="max_samples"):
