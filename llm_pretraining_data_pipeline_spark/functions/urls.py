@@ -222,24 +222,27 @@ def parse_robots(
     domain_col: str = "domain",
     text_col: str = "robots_txt",
 ) -> DataFrame:
-    """robots.txt → ``(domain, prefix)`` Disallow rules for ``User-agent: *``.
+    """robots.txt → ``(domain, rule, pattern)`` for ``User-agent: *``.
 
     The crawl-politeness gate every responsible corpus build runs: a
     document fetched from a path its host disallows is dropped before it
     enters the corpus (C4 respected robots at crawl time; re-filtering at
-    curation time catches policy changes). Implements the classic subset
-    of REP (RFC 9309): ``User-agent`` lines open a group (consecutive UA
-    lines share one group, per spec), ``Disallow`` lines contribute path
-    prefixes, ``#`` comments and blank/empty-prefix Disallows are ignored,
-    and only groups naming ``*`` apply. Allow-PRECEDENCE and wildcards
-    are out of scope (documented; a swap-in point for a full matcher) —
-    but every ``key: value`` rule line (Allow, Crawl-delay, Sitemap, …)
-    still participates in GROUP SEGMENTATION: a UA line following any
-    non-UA rule line opens a new group, per spec. Dropping those lines
-    before segmentation would merge ``User-agent: *`` / ``Allow: /`` /
-    ``User-agent: GPTBot`` / ``Disallow: /`` (the ubiquitous
-    block-AI-bots shape) into ONE group and wrongly blanket-ban the
-    domain for ``*``.
+    curation time catches policy changes). Implements RFC 9309 group
+    parsing: ``User-agent`` lines open a group (consecutive UA lines share
+    one group, per spec), ``Allow`` AND ``Disallow`` lines contribute
+    patterns (``rule`` ∈ {'allow', 'disallow'}), ``#`` comments and
+    empty-pattern lines are ignored (an empty pattern matches nothing,
+    §2.2.2), and only groups naming ``*`` apply. Every ``key: value``
+    rule line (Crawl-delay, Sitemap, …) still participates in GROUP
+    SEGMENTATION: a UA line following any non-UA rule line opens a new
+    group, per spec. Dropping those lines before segmentation would merge
+    ``User-agent: *`` / ``Allow: /`` / ``User-agent: GPTBot`` /
+    ``Disallow: /`` (the ubiquitous block-AI-bots shape) into ONE group
+    and wrongly blanket-ban the domain for ``*``.
+
+    Patterns may carry RFC 9309 ``*`` (any octets) and trailing ``$``
+    (end anchor) wildcards — ``robots_gate`` compiles them; matching is
+    longest-pattern-wins with Allow beating Disallow on ties (§2.2.2).
 
     Entirely JVM-side: posexplode the line list, a per-domain cumulative
     window assigns group ids (robots files are a few hundred lines — the
@@ -286,14 +289,66 @@ def parse_robots(
             ).alias("is_star"),
             F.collect_set(
                 F.when(
-                    (F.col("key") == "disallow") & (F.col("value") != ""),
-                    F.col("value"),
+                    F.col("key").isin("allow", "disallow")
+                    & (F.col("value") != ""),
+                    F.struct(
+                        F.col("key").alias("rule"),
+                        F.col("value").alias("pattern"),
+                    ),
                 )
-            ).alias("prefixes"),
+            ).alias("rules"),
         )
         .where(F.col("is_star") == 1)
-        .select("domain", F.explode("prefixes").alias("prefix"))
+        .select("domain", F.explode("rules").alias("r"))
+        .select(
+            "domain",
+            F.col("r.rule").alias("rule"),
+            F.col("r.pattern").alias("pattern"),
+        )
         .distinct()
+    )
+
+
+def compile_robots_rules(rules: DataFrame) -> DataFrame:
+    """Compile ``parse_robots`` output into the matchable rule frame.
+
+    RFC 9309 §2.2.3: ``*`` matches any run of octets and a trailing ``$``
+    anchors the match at the end of the path; everything else is literal.
+    The translation to a Java regex runs JVM-side over the (tiny) rule
+    frame: escape regex metacharacters, ``*`` → ``.*``, trailing ``$`` →
+    end anchor, then anchor the whole pattern at the path start.
+    Wildcard-free, unanchored patterns keep ``_is_plain=true`` so the
+    gate matches them with ``startswith`` instead of a per-row regex (the
+    overwhelmingly common case — regex only runs for rules that need it).
+
+    Accepts the legacy ``(domain, prefix)`` shape (all-Disallow) so
+    hand-built prefix frames keep working.
+    """
+    if "pattern" not in rules.columns:
+        rules = rules.select(
+            "domain",
+            F.lit("disallow").alias("rule"),
+            F.col("prefix").alias("pattern"),
+        )
+    pat = F.col("pattern")
+    anchored = pat.endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(pattern, 1, length(pattern) - 1)")
+    ).otherwise(pat)
+    esc = F.regexp_replace(
+        body, r"([\\.\[\]\{\}\(\)\+\-\^\$\|\?])", r"\\$1"
+    )
+    rx = F.regexp_replace(esc, r"\*", ".*")
+    regex = F.concat(
+        F.lit("^"), rx, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+    return rules.where(pat != "").select(
+        "domain",
+        (F.col("rule") == "allow").alias("_is_allow"),
+        pat.alias("_pattern"),
+        F.length(pat).alias("_plen"),
+        regex.alias("_regex"),
+        (~pat.contains("*") & ~anchored).alias("_is_plain"),
     )
 
 
@@ -302,52 +357,81 @@ def robots_gate(
     rules: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    broadcast_verdicts: bool = True,
 ) -> DataFrame:
-    """Flag documents whose URL path a ``User-agent: *`` Disallow covers.
+    """Flag documents a ``User-agent: *`` group's rules disallow.
 
-    ``rules`` is ``parse_robots`` output — per-domain rule sets are tiny,
-    so the join broadcasts (rules on the right of the left join: a LEFT
-    join can only broadcast its non-preserved side). Emits one row per
-    input doc with ``disallowed`` and the LONGEST matching prefix
-    (deterministic arg-max via max(struct)); unmatched and rule-less
-    domains pass with ``disallowed=false``.
+    Full RFC 9309 §2.2.2 matching: among ALL rules whose pattern matches
+    the URL's path+query (fragment excluded per spec), the longest
+    pattern wins; on a length tie Allow beats Disallow; no match ⇒
+    allowed. ``Disallow: /`` + ``Allow: /public/`` therefore keeps
+    ``/public/…`` crawlable instead of blanket-banning the domain.
+    Patterns may carry ``*`` / trailing ``$`` wildcards (compiled by
+    ``compile_robots_rules``).
+
+    Scale shape — the unmatched corpus never shuffles: rules broadcast
+    into an INNER join (docs stream map-side; only matching (doc, rule)
+    pairs survive), the longest-match arg-max aggregates those matches
+    only, and the verdict frame joins back broadcast. With
+    ``broadcast_verdicts=False`` (corpora where most docs match a rule)
+    the join-back is left to AQE, which still picks BHJ when the verdict
+    side turns out small. Emits one row per input doc: ``disallowed``
+    and ``matched_prefix`` (the winning Disallow pattern; null when the
+    doc is allowed).
     """
     # Scheme matching must be case-tolerant like url_domain's (an
     # 'HTTPS://…' URL resolving a domain but an empty path would bypass
-    # the gate), and a URL with no path component is semantically '/'
-    # (so 'Disallow: /' covers the site root).
+    # the gate), a URL with no path component is semantically '/'
+    # (so 'Disallow: /' covers the site root), and the FRAGMENT never
+    # participates in matching (RFC 9309 matches path + query only) —
+    # strip it before the path extraction so '#/route' can't leak in as
+    # path text either.
+    compiled = compile_robots_rules(rules)
+    u = F.col(url_col)
+    pre = F.regexp_extract(u, r"^[^#]*", 0)
     raw_path = F.regexp_extract(
-        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$", 1
+        pre, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$", 1
     )
     base = docs.select(
         id_col,
-        F.col(url_col).alias("_url"),
-        url_domain(F.col(url_col)).alias("_dom"),
+        url_domain(u).alias("_dom"),
         F.when(
-            (url_domain(F.col(url_col)) != "") & (raw_path == ""), F.lit("/")
+            (url_domain(u) != "") & (raw_path == ""), F.lit("/")
         ).otherwise(raw_path).alias("_path"),
     )
-    joined = base.join(
-        F.broadcast(rules),
-        (base["_dom"] == rules["domain"])
-        & base["_path"].startswith(rules["prefix"]),
-        "left",
+    match = F.when(
+        compiled["_is_plain"], base["_path"].startswith(compiled["_pattern"])
+    ).otherwise(F.expr("_path rlike _regex"))
+    matches = base.join(
+        F.broadcast(compiled),
+        (base["_dom"] == compiled["domain"]) & match,
+        "inner",
     )
-    return (
-        joined.groupBy(id_col)
+    verdicts = (
+        matches.groupBy(id_col)
         .agg(
-            F.first("_url").alias("url"),
             F.max(
-                F.when(
-                    F.col("prefix").isNotNull(),
-                    F.struct(F.length("prefix").alias("l"), F.col("prefix").alias("p")),
+                F.struct(
+                    F.col("_plen").alias("l"),
+                    F.col("_is_allow").alias("a"),
+                    F.col("_pattern").alias("p"),
                 )
-            ).alias("_m"),
+            ).alias("_m")
         )
         .select(
             id_col,
+            (~F.col("_m.a")).alias("_dis"),
+            F.when(~F.col("_m.a"), F.col("_m.p")).alias("_mp"),
+        )
+    )
+    v = F.broadcast(verdicts) if broadcast_verdicts else verdicts
+    return (
+        docs.select(id_col, F.col(url_col).alias("url"))
+        .join(v, id_col, "left")
+        .select(
+            id_col,
             "url",
-            F.col("_m").isNotNull().alias("disallowed"),
-            F.col("_m.p").alias("matched_prefix"),
+            F.coalesce(F.col("_dis"), F.lit(False)).alias("disallowed"),
+            F.col("_mp").alias("matched_prefix"),
         )
     )

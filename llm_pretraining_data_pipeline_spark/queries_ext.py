@@ -3388,59 +3388,74 @@ def mm_phash_pairs(spark, sf_dir):
       SELECT doc_id,
              doc_id % 50 AS dom,
              (doc_id % 50) % 3 AS t,
-             doc_id % 4 AS pk
+             doc_id % 6 AS pk
       FROM documents
     ),
     u AS (
-      SELECT doc_id, dom, t,
+      SELECT doc_id, dom, t, pk,
              CASE pk
                WHEN 0 THEN '/private/p' || CAST(doc_id AS varchar)
                WHEN 1 THEN '/t' || CAST(t AS varchar) || '/x'
                WHEN 2 THEN '/t' || CAST((t + 1) % 3 AS varchar) || '/x'
-               ELSE '/pub/' || CAST(doc_id AS varchar) END AS path,
-             pk
+               WHEN 3 THEN '/pub/' || CAST(doc_id AS varchar)
+               WHEN 4 THEN '/private/open/' || CAST(doc_id AS varchar)
+               ELSE '/files/doc' || CAST(doc_id AS varchar) || '.pdf'
+             END AS path,
+             CASE WHEN pk = 3 THEN '#a.pdf' ELSE '' END AS frag
       FROM d
     )
     SELECT doc_id,
-           'https://site-' || CAST(dom AS varchar) || '.example' || path
-             AS url,
-           dom % 7 <> 0 AND pk IN (0, 1) AS disallowed,
+           'https://site-' || CAST(dom AS varchar) || '.example'
+             || path || frag AS url,
+           dom % 7 <> 0 AND pk IN (0, 1, 5) AS disallowed,
            CASE WHEN dom % 7 = 0 THEN NULL
                 WHEN pk = 0 THEN '/private'
                 WHEN pk = 1 THEN '/t' || CAST(t AS varchar)
+                WHEN pk = 5 THEN '/*.pdf$'
                 ELSE NULL END AS matched_prefix
     FROM u
     """,
-    doc="robots.txt Disallow gate (functions/urls.py::parse_robots + "
-        "robots_gate): REAL REP parsing of per-domain robots.txt text — "
-        "User-agent groups via a per-domain cumulative window "
-        "(consecutive UA lines share a group per RFC 9309), '#' comments "
-        "stripped, empty-prefix Disallows ignored, only 'User-agent: *' "
-        "groups apply, non-star groups (googlebot) must NOT leak. The "
-        "gate is a BROADCAST left join on (domain, startswith(path, "
-        "prefix)) emitting the LONGEST matching prefix via max(struct). "
-        "Fixture builds robots text closed-form per domain (domains "
-        "dom%7=0 have no star group; dom%5=0 exercise the empty-Disallow "
-        "line); the referee recomputes expected verdicts from the closed "
-        "form. The window sees one robots FILE per partition key, never "
-        "the corpus — rules stay broadcast-tiny at any corpus scale",
+    doc="robots.txt gate, full RFC 9309 matching (functions/urls.py::"
+        "parse_robots + compile_robots_rules + robots_gate): REAL REP "
+        "parsing of per-domain robots.txt text — User-agent groups via a "
+        "per-domain cumulative window (consecutive UA lines share a group "
+        "per RFC 9309), '#' comments stripped, empty-pattern lines "
+        "ignored, only 'User-agent: *' groups apply, non-star groups "
+        "(googlebot) must NOT leak. Round-10 matcher: Allow AND Disallow "
+        "rules, longest-pattern-wins with Allow beating Disallow on ties "
+        "(§2.2.2), '*'/'$' wildcards compiled to JVM regex (§2.2.3), "
+        "fragments excluded from matching. Scale shape: rules broadcast "
+        "into an INNER join, only matches aggregate (the unmatched corpus "
+        "never shuffles), verdicts broadcast back. Fixture exercises: "
+        "plain-prefix Disallow hits (pk 0/1), near-miss prefixes (pk 2), "
+        "a '#a.pdf' FRAGMENT that the '/*.pdf$' wildcard must NOT match "
+        "(pk 3), Allow: /private/open overriding the shorter Disallow: "
+        "/private (pk 4), and a wildcard+anchor '/*.pdf$' hit (pk 5); "
+        "domains dom%7=0 have no star group, dom%5=0 carry an "
+        "empty-Disallow line. The referee recomputes expected verdicts "
+        "from the closed form",
 )
 def f17_robots_gate(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.functions import urls as U
 
     d = F.col("doc_id") % 50
     t = d % 3
-    pk = F.col("doc_id") % 4
+    pk = F.col("doc_id") % 6
     path = (
         F.when(pk == 0, F.concat(F.lit("/private/p"), F.col("doc_id")))
         .when(pk == 1, F.concat(F.lit("/t"), t, F.lit("/x")))
         .when(pk == 2, F.concat(F.lit("/t"), (t + 1) % 3, F.lit("/x")))
-        .otherwise(F.concat(F.lit("/pub/"), F.col("doc_id")))
+        .when(pk == 3, F.concat(F.lit("/pub/"), F.col("doc_id")))
+        .when(pk == 4, F.concat(F.lit("/private/open/"), F.col("doc_id")))
+        .otherwise(
+            F.concat(F.lit("/files/doc"), F.col("doc_id"), F.lit(".pdf"))
+        )
     )
+    frag = F.when(pk == 3, F.lit("#a.pdf")).otherwise(F.lit(""))
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(
-            F.lit("https://site-"), d, F.lit(".example"), path
+            F.lit("https://site-"), d, F.lit(".example"), path, frag
         ).alias("url"),
     )
 
@@ -3457,6 +3472,8 @@ def f17_robots_gate(spark, sf_dir):
             F.when(dd % 5 == 0, F.lit("Disallow:\n")).otherwise(F.lit("")),
             F.lit("Disallow: /private\n"),
             F.lit("Disallow: /t"), (dd % 3).cast("string"), F.lit("\n"),
+            F.lit("Allow: /private/open\n"),
+            F.lit("Disallow: /*.pdf$\n"),
         ),
     ).otherwise(F.lit(""))
     robots = doms.select(

@@ -332,12 +332,14 @@ class TestRobots:
             [("a.example", txt or self.ROBOTS)], "domain string, robots_txt string"
         )
         out = urls.parse_robots(df).collect()
-        return sorted(r["prefix"] for r in out)
+        return sorted((r["rule"], r["pattern"]) for r in out)
 
     def test_star_group_only(self, spark):
         # googlebot-only rule must not leak; empty Disallow ignored;
         # consecutive UA lines (bingbot + *) share one group per RFC 9309
-        assert self._rules(spark) == ["/private", "/tmp"]
+        assert self._rules(spark) == [
+            ("disallow", "/private"), ("disallow", "/tmp")
+        ]
 
     def test_no_star_group_yields_no_rules(self, spark):
         txt = "User-agent: googlebot\nDisallow: /x"
@@ -345,7 +347,15 @@ class TestRobots:
 
     def test_case_insensitive_keys_and_ua(self, spark):
         txt = "user-AGENT: *\nDISALLOW: /Upper"
-        assert self._rules(spark, txt) == ["/Upper"]  # prefix case preserved
+        # pattern case preserved
+        assert self._rules(spark, txt) == [("disallow", "/Upper")]
+
+    def test_allow_lines_collected(self, spark):
+        txt = "User-agent: *\nDisallow: /\nAllow: /public/\nAllow:"
+        # empty Allow ignored (matches nothing per RFC 9309 §2.2.2)
+        assert self._rules(spark, txt) == [
+            ("allow", "/public/"), ("disallow", "/")
+        ]
 
     def test_gate_longest_prefix_and_passthrough(self, spark):
         from llm_pretraining_data_pipeline_spark.functions import urls
@@ -396,7 +406,8 @@ class TestRobotsReviewFixes:
         df = spark.createDataFrame(
             [("a.example", txt)], "domain string, robots_txt string"
         )
-        assert urls.parse_robots(df).count() == 0
+        out = [(r["rule"], r["pattern"]) for r in urls.parse_robots(df).collect()]
+        assert out == [("allow", "/")]  # GPTBot's Disallow must not leak
 
     def test_crawl_delay_breaks_ua_run(self, spark):
         from llm_pretraining_data_pipeline_spark.functions import urls
@@ -407,8 +418,30 @@ class TestRobotsReviewFixes:
         df = spark.createDataFrame(
             [("a.example", txt)], "domain string, robots_txt string"
         )
-        out = [r["prefix"] for r in urls.parse_robots(df).collect()]
-        assert out == ["/private"]  # star group correctly separate
+        out = [(r["rule"], r["pattern"]) for r in urls.parse_robots(df).collect()]
+        assert out == [("disallow", "/private")]  # star group separate
+
+    def test_gate_fragment_excluded_from_matching(self, spark):
+        # RFC 9309 matches path + query only; the fragment must neither
+        # satisfy a wildcard rule nor leak in as path text on '#/' URLs.
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        rules = spark.createDataFrame(
+            [("a.example", "disallow", "/*.pdf$"),
+             ("a.example", "disallow", "/private")],
+            "domain string, rule string, pattern string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "https://a.example/pub/1#x.pdf"),    # frag-only .pdf
+                (2, "https://a.example/doc.pdf#sec2"),    # real .pdf + frag
+                (3, "https://a.example#/private/x"),      # frag-only path
+            ],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r for r in urls.robots_gate(docs, rules).collect()}
+        assert not out[1]["disallowed"]
+        assert out[2]["disallowed"] and out[2]["matched_prefix"] == "/*.pdf$"
+        assert not out[3]["disallowed"]
 
     def test_gate_uppercase_scheme_and_rootless_url(self, spark):
         from llm_pretraining_data_pipeline_spark.functions import urls
@@ -426,3 +459,117 @@ class TestRobotsReviewFixes:
         out = {r["doc_id"]: r for r in urls.robots_gate(docs, rules).collect()}
         assert out[1]["disallowed"] and out[1]["matched_prefix"] == "/private"
         assert out[2]["disallowed"] and out[2]["matched_prefix"] == "/"
+
+
+class TestRobotsRfc9309:
+    """Round-10: full RFC 9309 §2.2.2 matching — Allow precedence,
+    longest-match-wins, * / trailing-$ wildcards, match-only shuffle."""
+
+    RULES_SCHEMA = "domain string, rule string, pattern string"
+
+    def _gate(self, spark, rules_rows, docs_rows):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        rules = spark.createDataFrame(rules_rows, self.RULES_SCHEMA)
+        docs = spark.createDataFrame(docs_rows, "doc_id long, url string")
+        return {r["doc_id"]: r for r in urls.robots_gate(docs, rules).collect()}
+
+    def test_allow_overrides_shorter_disallow(self, spark):
+        out = self._gate(
+            spark,
+            [("a.example", "disallow", "/"),
+             ("a.example", "allow", "/public/")],
+            [(1, "https://a.example/public/page"),
+             (2, "https://a.example/private/page"),
+             (3, "https://a.example/")],
+        )
+        assert not out[1]["disallowed"] and out[1]["matched_prefix"] is None
+        assert out[2]["disallowed"] and out[2]["matched_prefix"] == "/"
+        assert out[3]["disallowed"]
+
+    def test_longer_disallow_overrides_allow(self, spark):
+        out = self._gate(
+            spark,
+            [("a.example", "allow", "/docs/"),
+             ("a.example", "disallow", "/docs/internal/")],
+            [(1, "https://a.example/docs/guide"),
+             (2, "https://a.example/docs/internal/x")],
+        )
+        assert not out[1]["disallowed"]
+        assert out[2]["disallowed"]
+        assert out[2]["matched_prefix"] == "/docs/internal/"
+
+    def test_tie_length_allow_wins(self, spark):
+        out = self._gate(
+            spark,
+            [("a.example", "disallow", "/p"),
+             ("a.example", "allow", "/q")],
+            # craft a tie: both patterns len 2; only one can match a path,
+            # so force the tie via identical patterns instead
+            [(1, "https://a.example/p/x")],
+        )
+        assert out[1]["disallowed"]
+        out = self._gate(
+            spark,
+            [("a.example", "disallow", "/p"),
+             ("a.example", "allow", "/p")],
+            [(1, "https://a.example/p/x")],
+        )
+        assert not out[1]["disallowed"]  # equal length → allow wins
+
+    def test_star_wildcard_and_end_anchor(self, spark):
+        out = self._gate(
+            spark,
+            [("a.example", "disallow", "/*.php$"),
+             ("a.example", "disallow", "/tmp/*/draft")],
+            [(1, "https://a.example/index.php"),
+             (2, "https://a.example/index.php?x=1"),   # $ ⇒ not at end
+             (3, "https://a.example/tmp/a/draft"),
+             (4, "https://a.example/tmp/draft"),        # * needs a segment?
+             (5, "https://a.example/x.phpx")],
+        )
+        assert out[1]["disallowed"]
+        assert not out[2]["disallowed"]
+        assert out[3]["disallowed"]
+        # '*' matches ANY run of octets including empty: '/tmp//draft'
+        # would match; '/tmp/draft' lacks the second '/' so it does not
+        assert not out[4]["disallowed"]
+        assert not out[5]["disallowed"]
+
+    def test_regex_metachars_in_patterns_are_literal(self, spark):
+        out = self._gate(
+            spark,
+            [("a.example", "disallow", "/a+b(c)")],
+            [(1, "https://a.example/a+b(c)/x"),
+             (2, "https://a.example/aab_c_/x")],
+        )
+        assert out[1]["disallowed"]
+        assert not out[2]["disallowed"]
+
+    def test_query_participates_in_matching(self, spark):
+        out = self._gate(
+            spark,
+            [("a.example", "disallow", "/*?session=")],
+            [(1, "https://a.example/page?session=abc"),
+             (2, "https://a.example/page")],
+        )
+        assert out[1]["disallowed"]
+        assert not out[2]["disallowed"]
+
+    def test_gate_plan_match_only_aggregation(self, spark):
+        # Round-10 restructure (VERDICT r9 "what's wrong" 2): the corpus
+        # must NOT funnel through a full groupBy — rules broadcast into an
+        # inner join, only matches aggregate, verdicts broadcast back.
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        rules = spark.createDataFrame(
+            [("a.example", "disallow", "/p")], self.RULES_SCHEMA
+        )
+        docs = spark.createDataFrame(
+            [(1, "https://a.example/p")], "doc_id long, url string"
+        )
+        plan = (
+            urls.robots_gate(docs, rules)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
