@@ -1872,6 +1872,126 @@ def src_warc_gz_records(spark, sf_dir):
 
 
 @register(
+    "src_warc_http",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             doc_id % 37 = 0 AS bad,
+             doc_id % 5 = 0 AS chunked,
+             CASE WHEN doc_id % 11 = 0 THEN 404
+                  WHEN doc_id % 13 = 0 THEN 301
+                  ELSE 200 END AS status,
+             doc_id % 2 = 1 AS html
+      FROM documents
+    )
+    SELECT doc_id AS file_id,
+           CASE WHEN bad THEN NULL ELSE status END AS http_status,
+           CASE WHEN bad THEN NULL
+                WHEN html THEN 'text/html'
+                ELSE 'text/plain' END AS content_type,
+           CASE WHEN bad OR NOT html THEN NULL
+                ELSE 'utf-8' END AS charset,
+           CASE WHEN bad OR chunked THEN NULL
+                ELSE CAST(octet_length(encode(text)) AS bigint) END
+             AS content_length_hdr,
+           CASE WHEN bad THEN NULL ELSE 3 END AS n_headers,
+           CASE WHEN bad THEN NULL
+                ELSE CAST(octet_length(encode(text)) AS bigint) END
+             AS body_len,
+           CASE WHEN bad THEN NULL ELSE sha256(text) END AS body_sha256,
+           NOT bad AS http_ok
+    FROM d
+    """,
+    doc="HTTP response splitting on the WARC ingestion path "
+        "(sources/http.py::parse_http_response + warc_http_records — "
+        "VERDICT r9 item 1): a CommonCrawl 'response' record's payload "
+        "is a full HTTP/1.x message, not document text; this operator "
+        "splits status line / headers / body, extracts the media type + "
+        "charset, and DE-CHUNKS Transfer-Encoding: chunked bodies "
+        "(RFC 9112 §7.1, strict chunk framing + 0-chunk terminator + "
+        "trailer handling). Fixture wraps each document's text as a "
+        "closed-form HTTP message inside a WARC blob — every 5th doc "
+        "chunked in two pieces (the referee proves de-chunking "
+        "byte-exact via body sha256), status rotates 200/301/404, "
+        "text/html docs carry charset=UTF-8; id%37 payloads are not "
+        "HTTP and survive as http_ok=false rows on both engines. Scale "
+        "shape: file-granularity mapInPandas fan-out, ONE "
+        "ArrowEvalPython for the struct (Catalyst dedups the field "
+        "refs), zero shuffle end-to-end",
+)
+def src_warc_http(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.sources import http as H
+    from llm_pretraining_data_pipeline_spark.sources import warc as W
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                uri = f"https://site-{did % 50}.example/doc/{did}"
+                body = text.encode("utf-8")
+                status = (
+                    404 if did % 11 == 0
+                    else 301 if did % 13 == 0
+                    else 200
+                )
+                reason = {200: "OK", 301: "Moved Permanently",
+                          404: "Not Found"}[status]
+                ctype = (
+                    "text/html; charset=UTF-8" if did % 2 == 1
+                    else "text/plain"
+                )
+                if did % 37 == 0:
+                    http = b"ICANHAZ\r\n\r\nnope"
+                elif did % 5 == 0:
+                    half = len(body) // 2
+                    chunks = [c for c in (body[:half], body[half:]) if c]
+                    cb = b"".join(
+                        b"%X\r\n" % len(c) + c + b"\r\n" for c in chunks
+                    ) + b"0\r\n\r\n"
+                    http = (
+                        f"HTTP/1.1 {status} {reason}\r\n"
+                        f"Content-Type: {ctype}\r\n"
+                        "Transfer-Encoding: chunked\r\n"
+                        "Server: fixture\r\n\r\n"
+                    ).encode("ascii") + cb
+                else:
+                    http = (
+                        f"HTTP/1.1 {status} {reason}\r\n"
+                        f"Content-Type: {ctype}\r\n"
+                        f"Content-Length: {len(body)}\r\n"
+                        "Server: fixture\r\n\r\n"
+                    ).encode("ascii") + body
+                blob = W.encode_warc([
+                    ("response", uri, f"rec-{did}-0", http),
+                    ("metadata", uri, f"rec-{did}-1",
+                     f"doc_id={did}".encode("ascii")),
+                ])
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["file_id", "payload"])
+
+    files = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(gen, "file_id bigint, payload binary")
+    )
+    resp = H.warc_http_records(files)
+    return resp.select(
+        "file_id",
+        "http_status",
+        "content_type",
+        "charset",
+        "content_length_hdr",
+        "n_headers",
+        F.length("body").cast("long").alias("body_len"),
+        F.sha2("body", 256).alias("body_sha256"),
+        "http_ok",
+    )
+
+
+@register(
     "mm_magic_sniff",
     """
     SELECT doc_id AS media_id,

@@ -1,0 +1,249 @@
+"""HTTP/1.x response-message splitter for the WARC ingestion path.
+
+A CommonCrawl ``response`` record's payload is not document text — it is a
+full HTTP message: status line, header block, CRLF CRLF, body (RFC 9112).
+Feeding the raw payload into the text pipeline ingests HTTP headers as
+document content, so this module supplies the split every WARC consumer
+runs between ``sources/warc.py`` and the text stages: parse the status
+line, validate and collect the headers, de-chunk the body when
+``Transfer-Encoding: chunked`` applies, and surface the content type /
+charset the downstream decode step needs.
+
+Strictness mirrors the repo's codec discipline (png/wav/mp4/jpeg/warc):
+the status line must be ``HTTP/1.0|1.1 <3 digits> [reason]``, every header
+line must contain a colon, deprecated obs-fold continuations raise
+(RFC 9112 §5.2 says reject or replace — we reject), a header-count cap
+bounds hostile inputs, ``Content-Length`` must be numeric, and a chunked
+body must be a well-formed chunk chain ending in the 0-chunk + trailer
+terminator with no trailing garbage. Malformed messages surface as
+``http_ok=false`` rows with the exact error, never exceptions — at 100 TB
+ingestion errors are data.
+
+Scale shape: ``http_response_split`` is an Arrow-batched ``pandas_udf``
+returning ONE struct column — a narrow per-row transform with no shuffle,
+composable anywhere in a plan. Catalyst's Python-UDF extraction pulls the
+duplicate field references into a single ``ArrowEvalPython`` evaluation,
+so expanding the struct costs one Python pass per row, not one per field.
+
+Reference parity note: the reference pipeline ingests JSONL text documents
+(ingest.py:43) and has no web-archive path — this module is §2.9 extension
+surface (the first thing a CommonCrawl user needs), not a reference port.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MAX_HEADERS = 64
+
+_STATUS_RE = re.compile(rb"^HTTP/1\.[01] (\d{3})(?: (.*))?$")
+_CHARSET_RE = re.compile(r";\s*charset\s*=\s*\"?([^\";\s]+)\"?", re.IGNORECASE)
+
+HTTP_STRUCT_SCHEMA = (
+    "status int, content_type string, charset string, "
+    "content_length_hdr bigint, n_headers int, body binary, "
+    "http_ok boolean, http_err string"
+)
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Decode a chunked transfer coding body (RFC 9112 §7.1), strictly:
+    hex size lines (chunk extensions after ';' ignored), exact CRLF
+    framing, mandatory 0-chunk terminator, trailer fields allowed but the
+    buffer must end exactly at the final CRLF."""
+    out = []
+    pos = 0
+    while True:
+        line_end = data.find(b"\r\n", pos)
+        if line_end < 0:
+            raise ValueError("dechunk: truncated chunk-size line")
+        size_tok = data[pos:line_end].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"dechunk: bad chunk size {size_tok[:16]!r}"
+            ) from None
+        pos = line_end + 2
+        if size == 0:
+            while True:  # trailer section: *(field CRLF) CRLF
+                t_end = data.find(b"\r\n", pos)
+                if t_end < 0:
+                    raise ValueError("dechunk: truncated trailer section")
+                line = data[pos:t_end]
+                pos = t_end + 2
+                if not line:
+                    break
+            if pos != len(data):
+                raise ValueError("dechunk: trailing garbage after terminator")
+            return b"".join(out)
+        if pos + size + 2 > len(data):
+            raise ValueError(
+                f"dechunk: chunk declares {size} bytes, "
+                f"{len(data) - pos} remain"
+            )
+        out.append(data[pos : pos + size])
+        if data[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("dechunk: missing chunk-data CRLF")
+        pos += size + 2
+
+
+def parse_http_response(
+    payload: bytes, max_headers: int = _MAX_HEADERS
+) -> dict:
+    """Split one HTTP/1.x response message.
+
+    Returns ``{status, content_type, charset, content_length_hdr,
+    n_headers, body}``; ``content_type`` is the lowercased media type
+    (parameters stripped), ``charset`` the lowercased charset parameter
+    when present. A declared ``Content-Length`` is reported, not enforced
+    against the body (truncated captures are an audit signal downstream,
+    ``content_length_hdr`` vs the body length, not a parse failure).
+    Raises ``ValueError`` on anything malformed.
+    """
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError(
+            "parse_http_response: missing CRLF CRLF header terminator"
+        )
+    head = payload[:sep]
+    body = payload[sep + 4 :]
+    lines = head.split(b"\r\n")
+    m = _STATUS_RE.match(lines[0])
+    if not m:
+        raise ValueError(
+            f"parse_http_response: bad status line {lines[0][:40]!r}"
+        )
+    status = int(m.group(1))
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if line[:1] in (b" ", b"\t"):
+            raise ValueError(
+                "parse_http_response: obs-fold continuation (RFC 9112 §5.2)"
+            )
+        if len(headers) >= max_headers:
+            raise ValueError("parse_http_response: too many header lines")
+        colon = line.find(b":")
+        if colon < 1:
+            raise ValueError(
+                f"parse_http_response: header without colon {line[:40]!r}"
+            )
+        key = line[:colon].decode("latin-1").strip().lower()
+        val = line[colon + 1 :].decode("latin-1").strip()
+        # repeated fields merge into a comma list (RFC 9110 §5.2)
+        headers[key] = headers[key] + ", " + val if key in headers else val
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+    ct_raw = headers.get("content-type")
+    content_type = None
+    charset = None
+    if ct_raw is not None:
+        content_type = ct_raw.split(";")[0].strip().lower()
+        cm = _CHARSET_RE.search(ct_raw)
+        if cm:
+            charset = cm.group(1).lower()
+    content_length_hdr = None
+    cl = headers.get("content-length")
+    if cl is not None:
+        tok = cl.strip()
+        if not tok.isdigit():
+            raise ValueError(
+                f"parse_http_response: non-numeric Content-Length {cl!r}"
+            )
+        content_length_hdr = int(tok)
+    return {
+        "status": status,
+        "content_type": content_type,
+        "charset": charset,
+        "content_length_hdr": content_length_hdr,
+        "n_headers": len(headers),
+        "body": body,
+    }
+
+
+def http_response_split(c: Column | str) -> Column:
+    """Column operator: binary HTTP response message → ONE struct column
+    ``(status, content_type, charset, content_length_hdr, n_headers,
+    body, http_ok, http_err)``. Malformed messages yield
+    ``http_ok=false`` + the error string with NULL fields (errors are
+    data). Arrow-batched; no shuffle; compose with ``.withColumn`` and
+    expand fields downstream."""
+    import pandas as pd
+
+    def split(s):
+        rows = []
+        for v in s:
+            raw = bytes(v) if v is not None else b""
+            try:
+                d = parse_http_response(raw)
+                rows.append(
+                    (d["status"], d["content_type"], d["charset"],
+                     d["content_length_hdr"], d["n_headers"], d["body"],
+                     True, None)
+                )
+            except ValueError as exc:
+                rows.append(
+                    (None, None, None, None, None, None, False, str(exc))
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "status", "content_type", "charset", "content_length_hdr",
+                "n_headers", "body", "http_ok", "http_err",
+            ],
+        )
+
+    # the module defers `import pandas` to call time (repo convention), so
+    # the Series→DataFrame signature is declared via real annotation
+    # objects rather than unresolvable string hints
+    split.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(split, HTTP_STRUCT_SCHEMA)
+    col = F.col(c) if isinstance(c, str) else c
+    return udf(col)
+
+
+def warc_http_records(
+    files: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "file_id",
+    gzipped: bool = False,
+) -> DataFrame:
+    """The full CommonCrawl entry shape: WARC blobs → ``response`` records
+    → HTTP-split rows ready for the text pipeline.
+
+    Composes ``warc_records`` (1 blob → N records, file-granularity
+    parallel) with ``http_response_split`` over the ``warc_type =
+    'response'`` slice. Output per response record: the WARC identity
+    columns plus ``http_status / content_type / charset /
+    content_length_hdr / n_headers / body / http_ok / http_err``. The
+    ``body`` is the de-chunked entity bytes — decode with the charset and
+    feed ``text`` into ``plans.pipeline.run_pipeline`` (composition test:
+    tests/test_warc.py::TestWarcHttpPipeline).
+    """
+    from llm_pretraining_data_pipeline_spark.sources.warc import warc_records
+
+    recs = warc_records(
+        files, payload_col=payload_col, id_col=id_col, gzipped=gzipped
+    )
+    resp = recs.where(
+        (F.col("warc_type") == "response") & F.col("parse_ok")
+    )
+    h = http_response_split(F.col("payload"))
+    return resp.withColumn("_h", h).select(
+        id_col,
+        "rec_index",
+        "target_uri",
+        "record_id",
+        F.col("_h.status").alias("http_status"),
+        F.col("_h.content_type").alias("content_type"),
+        F.col("_h.charset").alias("charset"),
+        F.col("_h.content_length_hdr").alias("content_length_hdr"),
+        F.col("_h.n_headers").alias("n_headers"),
+        F.col("_h.body").alias("body"),
+        F.col("_h.http_ok").alias("http_ok"),
+        F.col("_h.http_err").alias("http_err"),
+    )

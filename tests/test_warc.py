@@ -2,7 +2,7 @@
 
 import pytest
 
-from llm_pretraining_data_pipeline_spark.sources import warc
+from llm_pretraining_data_pipeline_spark.sources import http, warc
 
 
 def _two_record_blob():
@@ -146,3 +146,156 @@ class TestWarcGz:
                for r in warc.warc_records(df, gzipped=True).collect()}
         assert out[1]["parse_ok"] and bytes(out[1]["payload"]) == b"hello world"
         assert not out[2]["parse_ok"] and "gunzip" in out[2]["parse_err"]
+
+
+class TestHttpResponseSplit:
+    """parse_http_response / _dechunk (sources/http.py): the split between
+    WARC response payloads and the text pipeline."""
+
+    BODY = b"The quick brown fox jumps over the lazy dog."
+
+    def _msg(self, body=None, status=b"HTTP/1.1 200 OK", headers=None):
+        body = self.BODY if body is None else body
+        hs = headers if headers is not None else [
+            b"Content-Type: text/html; charset=UTF-8",
+            b"Content-Length: " + str(len(body)).encode(),
+        ]
+        return status + b"\r\n" + b"\r\n".join(hs) + b"\r\n\r\n" + body
+
+    def test_plain_split(self):
+        d = http.parse_http_response(self._msg())
+        assert d["status"] == 200
+        assert d["content_type"] == "text/html"
+        assert d["charset"] == "utf-8"
+        assert d["content_length_hdr"] == len(self.BODY)
+        assert d["n_headers"] == 2
+        assert d["body"] == self.BODY
+
+    def test_http10_and_no_reason(self):
+        d = http.parse_http_response(self._msg(status=b"HTTP/1.0 204"))
+        assert d["status"] == 204
+
+    def test_chunked_roundtrip_with_extension_and_trailer(self):
+        half = len(self.BODY) // 2
+        cb = (
+            b"%X;ext=1\r\n" % half + self.BODY[:half] + b"\r\n"
+            + b"%X\r\n" % (len(self.BODY) - half) + self.BODY[half:] + b"\r\n"
+            + b"0\r\nX-Trailer: v\r\n\r\n"
+        )
+        msg = self._msg(
+            body=cb,
+            headers=[b"Content-Type: text/plain",
+                     b"Transfer-Encoding: chunked"],
+        )
+        d = http.parse_http_response(msg)
+        assert d["body"] == self.BODY
+        assert d["content_length_hdr"] is None
+
+    def test_chunked_truncated_raises(self):
+        cb = b"%X\r\n" % len(self.BODY) + self.BODY[:-3]
+        msg = self._msg(
+            body=cb, headers=[b"Transfer-Encoding: chunked"]
+        )
+        with pytest.raises(ValueError, match="chunk declares"):
+            http.parse_http_response(msg)
+
+    def test_chunked_missing_terminator_raises(self):
+        cb = b"%X\r\n" % len(self.BODY) + self.BODY + b"\r\n"
+        msg = self._msg(body=cb, headers=[b"Transfer-Encoding: chunked"])
+        with pytest.raises(ValueError, match="truncated chunk-size"):
+            http.parse_http_response(msg)
+
+    def test_chunked_trailing_garbage_raises(self):
+        cb = (b"%X\r\n" % len(self.BODY) + self.BODY + b"\r\n"
+              + b"0\r\n\r\nEXTRA")
+        msg = self._msg(body=cb, headers=[b"Transfer-Encoding: chunked"])
+        with pytest.raises(ValueError, match="trailing garbage"):
+            http.parse_http_response(msg)
+
+    def test_bad_status_line_raises(self):
+        with pytest.raises(ValueError, match="bad status line"):
+            http.parse_http_response(self._msg(status=b"ICANHAZ 200 OK"))
+        with pytest.raises(ValueError, match="bad status line"):
+            http.parse_http_response(self._msg(status=b"HTTP/2 200 OK"))
+
+    def test_missing_terminator_raises(self):
+        with pytest.raises(ValueError, match="CRLF CRLF"):
+            http.parse_http_response(b"HTTP/1.1 200 OK\r\nA: b\r\nbody")
+
+    def test_obs_fold_raises(self):
+        msg = (b"HTTP/1.1 200 OK\r\nA: b\r\n folded\r\n\r\nx")
+        with pytest.raises(ValueError, match="obs-fold"):
+            http.parse_http_response(msg)
+
+    def test_header_without_colon_raises(self):
+        msg = b"HTTP/1.1 200 OK\r\nNOCOLON\r\n\r\nx"
+        with pytest.raises(ValueError, match="without colon"):
+            http.parse_http_response(msg)
+
+    def test_nonnumeric_content_length_raises(self):
+        msg = self._msg(headers=[b"Content-Length: abc"])
+        with pytest.raises(ValueError, match="non-numeric"):
+            http.parse_http_response(msg)
+
+    def test_repeated_headers_merge(self):
+        msg = self._msg(headers=[b"Via: a", b"Via: b"])
+        # merged per RFC 9110 §5.2 — n_headers counts distinct field names
+        assert http.parse_http_response(msg)["n_headers"] == 1
+
+    def test_header_cap(self):
+        hs = [b"H%d: v" % i for i in range(80)]
+        with pytest.raises(ValueError, match="too many header"):
+            http.parse_http_response(self._msg(headers=hs))
+
+
+class TestWarcHttpPipeline:
+    """Composition: WARC blobs → response records → HTTP body → the full
+    document pipeline (VERDICT r9 item 1 'done' criterion)."""
+
+    def test_warc_to_pipeline(self, spark):
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.plans import pipeline as P
+
+        pages = {
+            1: "This is a perfectly ordinary test document with enough "
+               "words to survive the prefilter cascade and be kept.",
+            2: "Another normal document follows here, different from the "
+               "first one and also long enough to pass the basic rules.",
+        }
+        blobs = []
+        for i, text in pages.items():
+            body = text.encode("utf-8")
+            msg = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+                b"charset=utf-8\r\nContent-Length: %d\r\n\r\n" % len(body)
+            ) + body
+            blobs.append(
+                (i, bytearray(warc.encode_warc([
+                    ("response", f"https://ex.org/{i}", f"r{i}", msg),
+                    ("metadata", f"https://ex.org/{i}", f"m{i}", b"z"),
+                ])))
+            )
+        # one non-HTTP response payload: must flow through as http_ok=false
+        blobs.append(
+            (3, bytearray(warc.encode_warc([
+                ("response", "https://ex.org/3", "r3", b"not http at all"),
+            ])))
+        )
+        files = spark.createDataFrame(blobs, "file_id long, payload binary")
+        resp = http.warc_http_records(files)
+        docs = resp.where(F.col("http_ok")).select(
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("body"), "utf-8").alias("text"),
+        )
+        out = P.run_pipeline(
+            docs, P.PipelineConfig(apply_lang_filter=False)
+        )
+        rows = {r["url"]: r for r in out.collect()}
+        assert len(rows) == 2  # the bad-HTTP record never reaches the text stage
+        for i, text in pages.items():
+            r = rows[f"https://ex.org/{i}"]
+            assert r["drop_reason"] is None
+            assert r["text"] == text
+        bad = {r["file_id"]: r for r in resp.collect()}[3]
+        assert not bad["http_ok"] and "CRLF CRLF" in bad["http_err"]
