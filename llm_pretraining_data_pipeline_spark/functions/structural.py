@@ -183,6 +183,7 @@ def extract_main_content(
     c: Column | str,
     min_words: int = 5,
     max_link_density: float = 0.5,
+    smooth: bool = False,
 ) -> Column:
     """jusText/trafilatura-style main-content extraction: split the HTML
     into blocks at block-level tags, classify each block by LENGTH and
@@ -199,8 +200,15 @@ def extract_main_content(
 
     Entirely JVM array-HOF work, zero shuffle; the per-block struct array
     is built ONCE and bound before the filter/count passes reference it
-    (the interpreted-HOF no-CSE discipline). Paragraph-context smoothing
-    (jusText's good-neighbor rule) is out of scope — documented.
+    (the interpreted-HOF no-CSE discipline).
+
+    ``smooth=True`` adds jusText's good-neighbor context pass (Pomikálek
+    2011 §3.4, simplified to adjacent blocks): a SHORT block (fewer than
+    ``min_words`` words) that passes the link-density gate is reclassified
+    as content when BOTH adjacent non-empty blocks are independently good
+    — the one-line transition sentence between two body paragraphs
+    survives instead of being dropped for length. Opt-in so the default
+    output (and its oracle) is unchanged.
     """
     s = F.coalesce(_col(c).cast("string"), F.lit(""))
     # one struct per raw block: stripped text + anchor-text char count
@@ -231,22 +239,86 @@ def extract_main_content(
         ),
     )
     nonempty = F.filter(blocks, lambda st: F.length(st["t"]) > 0)
-    kept = F.filter(
-        nonempty,
-        lambda st: (F.size(F.split(st["t"], " ")) >= min_words)
-        & (
-            st["lc"].cast("double")
-            <= F.lit(float(max_link_density)) * F.length(st["t"])
-        ),
-    )
-    # let-bind the arrays: transform(array(x), f)[0] evaluates each ONCE
+
+    def _ld_ok(st):
+        return st["lc"].cast("double") <= F.lit(
+            float(max_link_density)
+        ) * F.length(st["t"])
+
+    def _long_enough(st):
+        return F.size(F.split(st["t"], " ")) >= min_words
+
+    if not smooth:
+        kept = F.filter(nonempty, lambda st: _long_enough(st) & _ld_ok(st))
+        # let-bind the arrays: transform(array(x), f)[0] evaluates each ONCE
+        return F.transform(
+            F.arrays_zip(F.array(nonempty), F.array(kept)),
+            lambda z: F.struct(
+                F.array_join(
+                    F.transform(z["1"], lambda st: st["t"]), "\n"
+                ).alias("text"),
+                F.size(z["0"]).cast("long").alias("n_blocks"),
+                F.size(z["1"]).cast("long").alias("n_kept"),
+            ),
+        )[0]
+
+    # good-neighbor smoothing: keep[i] = good0[i] OR (short-but-link-ok[i]
+    # AND good0[i-1] AND good0[i+1]). The neighbor flags come from the
+    # base classification only (one pass, no fixpoint — jusText's
+    # simplified context rule), built by shifting the good0 array one
+    # slot each way with edge padding False. Every derived array lives
+    # under a let-bind (transform(array(x), f)[0]) because interpreted
+    # HOFs have no common-subexpression elimination.
+    def _shift_prev(g):
+        return F.concat(
+            F.array(F.lit(False)),
+            F.slice(g, 1, F.greatest(F.lit(0), F.size(g) - 1)),
+        )
+
+    def _shift_next(g):
+        return F.concat(
+            F.slice(g, 2, F.greatest(F.lit(0), F.size(g) - 1)),
+            F.array(F.lit(False)),
+        )
+
     return F.transform(
-        F.arrays_zip(F.array(nonempty), F.array(kept)),
-        lambda z: F.struct(
-            F.array_join(
-                F.transform(z["1"], lambda st: st["t"]), "\n"
-            ).alias("text"),
-            F.size(z["0"]).cast("long").alias("n_blocks"),
-            F.size(z["1"]).cast("long").alias("n_kept"),
-        ),
+        F.array(nonempty),
+        lambda ne: F.transform(
+            F.array(F.transform(ne, lambda st: _ld_ok(st) & _long_enough(st))),
+            lambda g: F.transform(
+                F.array(
+                    F.filter(
+                        F.zip_with(
+                            ne,
+                            F.zip_with(
+                                g,
+                                F.zip_with(
+                                    F.transform(
+                                        ne,
+                                        lambda st: _ld_ok(st)
+                                        & ~_long_enough(st),
+                                    ),
+                                    F.zip_with(
+                                        _shift_prev(g),
+                                        _shift_next(g),
+                                        lambda p, n: p & n,
+                                    ),
+                                    lambda s, pn: s & pn,
+                                ),
+                                lambda good, sm: good | sm,
+                            ),
+                            lambda st, k: F.when(k, st),
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                ),
+                lambda ka: F.struct(
+                    F.array_join(
+                        F.transform(ka, lambda st: st["t"]), "\n"
+                    ).alias("text"),
+                    F.size(ne).cast("long").alias("n_blocks"),
+                    F.size(ka).cast("long").alias("n_kept"),
+                ),
+            )[0],
+        )[0],
     )[0]

@@ -153,3 +153,110 @@ def write_sharded_corpus_jsonl(
             for r in man_rows
         ],
     }
+
+
+# ------------------------------------------------------------------ WET export
+# CommonCrawl publishes extracted text as WET sidecars: WARC files whose
+# records are WARC-Type: conversion, payload = the plain text extracted
+# from the corresponding response record (ISO 28500 §6.8). Emitting this
+# shape closes the engine's ingest→curate→re-publish loop: read .warc(.gz)
+# with sources/warc.py, extract main content (p41), export WET — the
+# output re-parses through the same strict reader.
+
+
+def wet_record_frame(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """One WARC conversion record (binary) per document — pure Catalyst.
+
+    The record is assembled entirely JVM-side (concat of encoded header
+    text + the UTF-8 payload): version line, ``WARC-Type: conversion``,
+    target URI, a deterministic record id derived from the doc id,
+    ``Content-Type: text/plain``, and a ``Content-Length`` computed from
+    the encoded payload's OCTET length (not the character count — the
+    strict reader validates it against the physical buffer). Zero
+    Python, zero shuffle; rows with a null URL or text export as empty
+    string fields rather than corrupt records.
+
+    Output: ``(id_col, wet_record binary, record_bytes bigint)``.
+    """
+    body = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    uri = F.coalesce(F.col(url_col).cast("string"), F.lit(""))
+    head = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit("WARC-Type: conversion\r\n"),
+        F.lit("WARC-Target-URI: "), uri, F.lit("\r\n"),
+        F.lit("WARC-Record-ID: <urn:uuid:wet-"),
+        F.col(id_col).cast("string"), F.lit(">\r\n"),
+        F.lit("Content-Type: text/plain\r\n"),
+        F.lit("Content-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    rec = F.concat(F.encode(head, "UTF-8"), body, F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        rec.alias("wet_record"),
+        F.length(rec).cast("long").alias("record_bytes"),
+    )
+
+
+def wet_shard_frame(
+    df: DataFrame,
+    num_shards: int,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assemble per-shard WET FILE blobs: hash-assign docs to shards,
+    order records within a shard by ``id_col`` (deterministic file
+    bytes), and concatenate — one ``(shard_id, wet_file binary, n_records,
+    file_bytes)`` row per non-empty shard, ready for a binary sink.
+
+    One shuffle (the shard groupBy); the in-shard ordering rides the
+    aggregation as ``array_sort`` over (id, record) structs, so no window
+    and no second exchange. Size shards so a shard's text fits an
+    executor (the same contract as the JSONL sharded writer —
+    ``num_shards`` scales with the corpus, records never cross shards).
+    """
+    from llm_pretraining_data_pipeline_spark.operators.sharding import (
+        assign_shards_hashed,
+    )
+
+    recs = wet_record_frame(
+        assign_shards_hashed(df, num_shards, id_col=id_col),
+        url_col=url_col, text_col=text_col, id_col=id_col,
+        keep=("shard_id",),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                F.col("wet_record").alias("r")))
+    )
+    # array_join over the sorted records is LINEAR in shard bytes; a
+    # binary aggregate(concat) fold would copy the accumulator per record
+    # (quadratic). The decode/encode round-trip is exact: record bytes are
+    # valid UTF-8 by construction (ASCII headers + UTF-8-encoded text).
+    return (
+        recs.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.encode(
+                F.array_join(
+                    F.transform(ordered, lambda x: F.decode(x["r"], "UTF-8")),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("wet_file"),
+        )
+        .select(
+            "shard_id",
+            "wet_file",
+            "n_records",
+            F.length("wet_file").cast("long").alias("file_bytes"),
+        )
+    )

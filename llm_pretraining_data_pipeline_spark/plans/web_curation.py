@@ -57,6 +57,7 @@ class WebCurationConfig:
     extract_main: bool = False        # jusText block gate for raw-HTML input
     mc_min_words: int = 5
     mc_max_link_density: float = 0.5
+    mc_smooth: bool = False           # good-neighbor context pass (p41b)
 
 
 def run_web_curation(
@@ -103,6 +104,7 @@ def run_web_curation(
             text_col,
             min_words=cfg.mc_min_words,
             max_link_density=cfg.mc_max_link_density,
+            smooth=cfg.mc_smooth,
         )
         # inline-free single reference: only the text field is consumed
         # downstream, so one field access evaluates the chain once

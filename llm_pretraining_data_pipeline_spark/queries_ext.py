@@ -1992,6 +1992,67 @@ def src_warc_http(spark, sf_dir):
 
 
 @register(
+    "s05_wet_export",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             'https://site-' || CAST(doc_id % 50 AS varchar)
+               || '.example/doc/' || CAST(doc_id AS varchar) AS uri
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             'WARC/1.0' || chr(13) || chr(10)
+             || 'WARC-Type: conversion' || chr(13) || chr(10)
+             || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+             || 'WARC-Record-ID: <urn:uuid:wet-'
+               || CAST(doc_id AS varchar) || '>' || chr(13) || chr(10)
+             || 'Content-Type: text/plain' || chr(13) || chr(10)
+             || 'Content-Length: '
+               || CAST(octet_length(encode(text)) AS varchar)
+               || chr(13) || chr(10) || chr(13) || chr(10)
+             || text || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(rec)) AS bigint) AS record_bytes,
+           sha256(rec) AS wet_sha256
+    FROM r
+    """,
+    doc="WET sidecar export (plans/exports.py::wet_record_frame — "
+        "VERDICT r9 item 7): the CC-convention extracted-text "
+        "re-publish shape, one WARC conversion record per document "
+        "assembled ENTIRELY in Catalyst expressions (version line, "
+        "conversion headers, Content-Length from the encoded payload's "
+        "OCTET length, CRLF framing) — zero Python, zero shuffle. The "
+        "referee reconstructs the record text byte-for-byte in SQL and "
+        "compares sha256 + octet length; the strict-reader round-trip "
+        "(export -> parse_warc -> identical records, incl. multibyte "
+        "Content-Length octets) is pytest-covered in "
+        "tests/test_sources_and_export.py::TestWetExport",
+)
+def s05_wet_export(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.plans.exports import (
+        wet_record_frame,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), F.col("doc_id") % 50,
+            F.lit(".example/doc/"), F.col("doc_id"),
+        ).alias("url"),
+        "text",
+    )
+    recs = wet_record_frame(docs)
+    return recs.select(
+        "doc_id",
+        "record_bytes",
+        F.sha2("wet_record", 256).alias("wet_sha256"),
+    )
+
+
+@register(
     "mm_magic_sniff",
     """
     SELECT doc_id AS media_id,
@@ -3966,6 +4027,112 @@ def p41_main_content(spark, sf_dir):
     # inline(array(mc)) evaluates the HOF pipeline ONCE per row (a
     # generator blocks project-collapse); three field references would
     # re-run the whole interpreted-HOF chain 3x (no CSE).
+    return pages.select("doc_id", F.inline(F.array(mc))).select(
+        "doc_id",
+        F.col("text").alias("main_text"),
+        "n_blocks",
+        "n_kept",
+    )
+
+
+@register(
+    "p41b_main_content_smooth",
+    f"""
+    WITH t AS (SELECT doc_id, {O.toks('text')} AS tk FROM documents),
+    c AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) > 0 THEN
+               list_transform(
+                 range(1, cast(ceil(len(tk) / {_MC_CHUNK}.0) AS bigint) + 1),
+                 i -> array_to_string(
+                        list_slice(tk, (i - 1) * {_MC_CHUNK} + 1,
+                                   i * {_MC_CHUNK}), ' '))
+             ELSE [] END AS chunks
+      FROM t),
+    k AS (
+      SELECT doc_id, chunks,
+             list_filter(chunks,
+                         ch -> len(str_split(ch, ' ')) >= {_MC_MIN_WORDS})
+               AS kept_chunks,
+             len(chunks) >= 2
+               AND len(str_split(chunks[2], ' ')) >= {_MC_MIN_WORDS}
+               AS aside_kept
+      FROM c)
+    SELECT doc_id,
+           array_to_string(
+             CASE WHEN aside_kept
+                  THEN list_concat(
+                         list_concat([chunks[1]], ['short aside note']),
+                         list_slice(kept_chunks, 2, len(kept_chunks)))
+                  ELSE kept_chunks END, chr(10)) AS main_text,
+           cast(len(chunks) + 4
+                + CASE WHEN len(chunks) >= 2 THEN 1 ELSE 0 END
+                AS bigint) AS n_blocks,
+           cast(len(kept_chunks)
+                + CASE WHEN aside_kept THEN 1 ELSE 0 END
+                AS bigint) AS n_kept
+    FROM k
+    """,
+    doc="jusText good-neighbor smoothing (VERDICT r9 item 6; "
+        "functions/structural.py::extract_main_content(smooth=True), "
+        "Pomikálek 2011 §3.4 simplified to adjacent blocks): a SHORT "
+        "link-sparse block between two independently-good blocks is "
+        "reclassified as content; the neighbor flags come from the BASE "
+        "classification only (one pass, no fixpoint). Fixture inserts "
+        "exactly the target shapes: a 3-word '<p>short aside note</p>' "
+        "between content chunks 1 and 2 (kept iff chunk 2 is itself "
+        "good — docs with a 1-4-word second chunk referee the negative "
+        "branch), a 3-word tail note whose next neighbor is the junk "
+        "div (must stay dropped — context is both-sided), and the "
+        "nav/junk/footer skeleton. The referee recomputes the smoothed "
+        "keep set closed-form from the raw tokens. Same zero-shuffle "
+        "all-JVM HOF plan as p41, every derived array let-bound",
+)
+def p41b_main_content_smooth(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        extract_main_content,
+    )
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+
+    tk = ws_tokens(F.col("text"))
+    n = F.size(tk)
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.ceil(n / F.lit(float(_MC_CHUNK))).cast("int")
+            ),
+            lambda i: F.array_join(
+                F.slice(tk, (i - 1) * _MC_CHUNK + 1, _MC_CHUNK), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rest = F.slice(
+        chunks, 2, F.greatest(F.lit(0), F.size(chunks) - 1)
+    )
+    html = F.concat(
+        F.lit('<div class="nav"><a href="/">home</a> '
+              '<a href="/about">about</a></div>'),
+        F.when(
+            F.size(chunks) >= 1,
+            F.concat(F.lit("<p>"), F.element_at(chunks, 1), F.lit("</p>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.size(chunks) >= 2, F.lit("<p>short aside note</p>")
+        ).otherwise(F.lit("")),
+        F.array_join(
+            F.transform(
+                rest, lambda ch: F.concat(F.lit("<p>"), ch, F.lit("</p>"))
+            ),
+            "",
+        ),
+        F.lit("<p>brief tail note</p>"),
+        F.lit("<div>ok</div>"),
+        F.lit('<div class="footer"><a href="/tos">terms of service</a>'
+              "</div>"),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    mc = extract_main_content("html", min_words=_MC_MIN_WORDS, smooth=True)
     return pages.select("doc_id", F.inline(F.array(mc))).select(
         "doc_id",
         F.col("text").alias("main_text"),

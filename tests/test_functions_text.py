@@ -845,3 +845,58 @@ class TestMainContent:
             "<a href='/y'><span>subscribe to the newsletter now</span></a></p>"
         )
         assert self._mc(spark, linky)["n_kept"] == 0
+
+    GOOD1 = "alpha bravo charlie delta echo foxtrot"
+    GOOD2 = "golf hotel india juliet kilo lima"
+
+    def test_smooth_keeps_short_between_good_neighbors(self, spark):
+        # jusText good-neighbor rule: the short transition sentence
+        # between two body paragraphs survives with smooth=True only
+        html = (
+            f"<p>{self.GOOD1}</p><p>short aside note</p><p>{self.GOOD2}</p>"
+        )
+        base = self._mc(spark, html)
+        assert base["n_kept"] == 2 and "aside" not in base["text"]
+        sm = self._mc(spark, html, smooth=True)
+        assert sm["n_kept"] == 3
+        assert sm["text"] == f"{self.GOOD1}\nshort aside note\n{self.GOOD2}"
+        assert sm["n_blocks"] == base["n_blocks"] == 3
+
+    def test_smooth_requires_both_neighbors_good(self, spark):
+        # short block at the edge / next to a bad block stays dropped
+        edge = f"<p>short aside note</p><p>{self.GOOD1}</p>"
+        assert self._mc(spark, edge, smooth=True)["n_kept"] == 1
+        bad_next = (
+            f"<p>{self.GOOD1}</p><p>short aside note</p><p>nope</p>"
+        )
+        assert self._mc(spark, bad_next, smooth=True)["n_kept"] == 1
+
+    def test_smooth_no_cascade(self, spark):
+        # one pass, no fixpoint: a smoothed-in short block must NOT make
+        # its own short neighbor good in turn
+        html = (
+            f"<p>{self.GOOD1}</p><p>tiny one</p><p>tiny two</p>"
+            f"<p>{self.GOOD2}</p>"
+        )
+        sm = self._mc(spark, html, smooth=True)
+        assert sm["n_kept"] == 2 and "tiny" not in sm["text"]
+
+    def test_smooth_link_density_still_gates(self, spark):
+        # a short LINK block between good neighbors is never reclassified
+        html = (
+            f"<p>{self.GOOD1}</p><p><a href='/m'>more</a></p>"
+            f"<p>{self.GOOD2}</p>"
+        )
+        sm = self._mc(spark, html, smooth=True)
+        assert sm["n_kept"] == 2 and "more" not in sm["text"]
+
+    def test_smooth_plan_stays_jvm_and_shuffle_free(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            extract_main_content,
+        )
+        df = spark.createDataFrame([(1, self.HTML)], "doc_id long, text string")
+        plan = (
+            df.select(extract_main_content("text", smooth=True).alias("mc"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan

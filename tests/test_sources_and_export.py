@@ -158,3 +158,98 @@ class TestSqlViewSurface:
             "JOIN nation n ON n.n_nationkey = s.s_nationkey GROUP BY n.n_name"
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan_sql
+
+
+class TestWetExport:
+    """wet_record_frame / wet_shard_frame (plans/exports.py): the
+    CC-convention extracted-text sidecar must round-trip through the
+    engine's own strict WARC reader (VERDICT r9 item 7 'done' criterion)."""
+
+    DOCS = [
+        (1, "https://ex.org/a", "plain ascii body"),
+        (2, "https://ex.org/b", "unicode – ünïcødé 多字节 body"),
+        (3, "https://ex.org/c", ""),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id long, url string, text string"
+        )
+
+    def test_records_reparse_through_strict_reader(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            wet_record_frame,
+        )
+        from llm_pretraining_data_pipeline_spark.sources.warc import parse_warc
+
+        rows = {r["doc_id"]: r for r in wet_record_frame(self._df(spark)).collect()}
+        blob = b"".join(bytes(rows[i]["wet_record"]) for i in (1, 2, 3))
+        recs = parse_warc(blob)
+        assert [r["warc_type"] for r in recs] == ["conversion"] * 3
+        for (did, url, text), rec in zip(self.DOCS, recs):
+            assert rec["target_uri"] == url
+            assert rec["record_id"] == f"<urn:uuid:wet-{did}>"
+            assert rec["payload"].decode("utf-8") == text
+            # Content-Length is the OCTET length (multibyte-safe)
+            assert rec["content_length"] == len(text.encode("utf-8"))
+
+    def test_record_bytes_matches_physical(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            wet_record_frame,
+        )
+
+        for r in wet_record_frame(self._df(spark)).collect():
+            assert r["record_bytes"] == len(bytes(r["wet_record"]))
+
+    def test_shard_files_reparse_and_cover_all_docs(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            wet_shard_frame,
+        )
+        from llm_pretraining_data_pipeline_spark.sources.warc import parse_warc
+
+        shards = wet_shard_frame(self._df(spark), num_shards=2).collect()
+        seen = {}
+        for s in shards:
+            recs = parse_warc(bytes(s["wet_file"]))
+            assert len(recs) == s["n_records"]
+            assert s["file_bytes"] == len(bytes(s["wet_file"]))
+            ids = [int(r["record_id"].split("wet-")[1].rstrip(">"))
+                   for r in recs]
+            assert ids == sorted(ids)  # deterministic in-shard order
+            for r, i in zip(recs, ids):
+                seen[i] = r["payload"].decode("utf-8")
+        assert seen == {d: t for d, _, t in self.DOCS}
+
+    def test_spark_side_roundtrip_via_warc_records(self, spark):
+        # full circle INSIDE the engine: export → warc_records operator
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            wet_shard_frame,
+        )
+        from llm_pretraining_data_pipeline_spark.sources.warc import warc_records
+
+        files = wet_shard_frame(self._df(spark), num_shards=2).select(
+            F.col("shard_id").alias("file_id"),
+            F.col("wet_file").alias("payload"),
+        )
+        out = warc_records(files)
+        assert out.where(~F.col("parse_ok")).count() == 0
+        assert out.count() == 3
+        assert set(
+            r["warc_type"] for r in out.select("warc_type").collect()
+        ) == {"conversion"}
+
+    def test_plan_is_single_shuffle_no_python(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            wet_shard_frame,
+        )
+
+        plan = (
+            wet_shard_frame(self._df(spark), num_shards=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "Arrow" not in plan
+        # one hash exchange for the shard groupBy, nothing else
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SortMergeJoin" not in plan and "Window" not in plan
