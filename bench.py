@@ -187,24 +187,62 @@ def main() -> int:
     # 100x would triple the whole suite's wall time for no extra signal.
     from llm_pretraining_data_pipeline_spark.plans import web_curation as WC
 
+    # Round-10 (VERDICT r9 item 5): the REALISTIC recipe — both front
+    # gates ON. Input is raw-HTML pages (nav + <p>content</p> + link-only
+    # footer) so extract_main does real block classification per row, and
+    # ~10% of URLs land under a robots-disallowed path so the RFC 9309
+    # gate (plain prefix + a wildcard rule per domain, 194 rules
+    # broadcast) does real matching. Downstream stages are unchanged —
+    # the gates only decide what text reaches them.
     wc_copies = int(os.environ.get("BENCH_WC_COPIES", "10"))
     wc_raw = (
         docs.crossJoin(spark.range(wc_copies).withColumnRenamed("id", "copy"))
         .select(
             (F.col("doc_id") * wc_copies + F.col("copy")).alias("doc_id"),
+            F.col("copy"),
             F.concat(
-                F.lit("http://b/"), F.col("doc_id"), F.lit("/"),
-                (F.col("copy") % 7).cast("string"),
-            ).alias("url"),
-            F.concat_ws(
-                ". ",
-                F.col("text").substr(1, 90),
-                F.col("text").substr(45, 90),
-                F.col("text").substr(90, 90),
-                F.lit("the closing line of this page ends here."),
+                F.lit('<div class="nav"><a href="/">home</a> '
+                      '<a href="/x">more</a></div><p>'),
+                F.concat_ws(
+                    ". ",
+                    F.col("text").substr(1, 90),
+                    F.col("text").substr(45, 90),
+                    F.col("text").substr(90, 90),
+                    F.lit("the closing line of this page ends here."),
+                ),
+                F.lit('</p><div class="footer"><a href="/tos">terms</a>'
+                      "</div>"),
             ).alias("text"),
         )
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("http://site-"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit(".bench"),
+                F.when(F.col("copy") % 11 == 0, F.lit("/blocked/"))
+                .otherwise(F.lit("/p/")),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            "text",
+        )
         .repartition(CPUS)
+    )
+    wc_rules = (
+        spark.range(97)
+        .select(
+            F.concat(F.lit("site-"), F.col("id").cast("string"),
+                     F.lit(".bench")).alias("domain"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("disallow").alias("rule"),
+                             F.lit("/blocked").alias("pattern")),
+                    F.struct(F.lit("disallow").alias("rule"),
+                             F.lit("/*.tmp$").alias("pattern")),
+                )
+            ).alias("r"),
+        )
+        .select("domain", "r.rule", "r.pattern")
     )
     n_wc = wc_raw.count()  # untimed: input size, not curation work
     timed(
@@ -212,13 +250,18 @@ def main() -> int:
         lambda: WC.curation_summary(
             WC.run_web_curation(
                 wc_raw,
-                WC.WebCurationConfig(gopher_min_words=10, gopher_min_stopwords=1),
+                WC.WebCurationConfig(
+                    gopher_min_words=10, gopher_min_stopwords=1,
+                    extract_main=True, mc_smooth=True,
+                ),
                 url_col="url",
+                robots_rules=wc_rules,
             )
         ).collect(),
     )
     meta["web_curation_docs"] = int(n_wc)
     meta["web_curation_docs_per_sec"] = round(n_wc / timings["web_curation_e2e"], 1)
+    meta["web_curation_gates"] = "robots+extract_main+smooth"
 
     # ---- round-7: two-level sharded write rehearsal at the 500k-doc scale:
     # hash sharding (no global-order window — plan-tested) -> ONE

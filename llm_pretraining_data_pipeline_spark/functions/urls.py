@@ -358,6 +358,7 @@ def robots_gate(
     url_col: str = "url",
     id_col: str = "doc_id",
     broadcast_verdicts: bool = True,
+    verdicts_only: bool = False,
 ) -> DataFrame:
     """Flag documents a ``User-agent: *`` group's rules disallow.
 
@@ -378,6 +379,12 @@ def robots_gate(
     side turns out small. Emits one row per input doc: ``disallowed``
     and ``matched_prefix`` (the winning Disallow pattern; null when the
     doc is allowed).
+
+    ``verdicts_only=True`` skips the join-back and returns ONLY the
+    matched docs' verdicts ``(id_col, disallowed, matched_prefix)`` — the
+    shape a composing pipeline broadcast-joins itself (a missing row
+    means "no rule matched ⇒ allowed"), avoiding a second full-corpus
+    frame in the plan (plans/web_curation.py does this).
     """
     # Scheme matching must be case-tolerant like url_domain's (an
     # 'HTTPS://…' URL resolving a domain but an empty path would bypass
@@ -424,6 +431,12 @@ def robots_gate(
             F.when(~F.col("_m.a"), F.col("_m.p")).alias("_mp"),
         )
     )
+    if verdicts_only:
+        return verdicts.select(
+            id_col,
+            F.col("_dis").alias("disallowed"),
+            F.col("_mp").alias("matched_prefix"),
+        )
     v = F.broadcast(verdicts) if broadcast_verdicts else verdicts
     return (
         docs.select(id_col, F.col(url_col).alias("url"))

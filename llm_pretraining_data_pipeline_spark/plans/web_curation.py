@@ -86,10 +86,15 @@ def run_web_curation(
             raise ValueError(
                 "run_web_curation: robots_rules requires url_col"
             )
+        # verdicts_only: the gate returns ONLY matched docs (tiny), so the
+        # corpus-side join is one broadcast hash join — a full per-doc
+        # gate frame here would force a corpus-sized shuffle join instead
+        # (measured ~10% of the whole recipe at bench scale, round 10)
         gate = urls.robots_gate(
-            df, robots_rules, url_col=url_col, id_col=id_col
+            df, robots_rules, url_col=url_col, id_col=id_col,
+            verdicts_only=True,
         ).select(id_col, "disallowed")
-        out = out.join(gate, id_col, "left")
+        out = out.join(F.broadcast(gate), id_col, "left")
         reason = F.when(
             F.coalesce(F.col("disallowed"), F.lit(False)),
             F.lit("robots_disallowed"),
@@ -106,9 +111,17 @@ def run_web_curation(
             max_link_density=cfg.mc_max_link_density,
             smooth=cfg.mc_smooth,
         )
-        # inline-free single reference: only the text field is consumed
-        # downstream, so one field access evaluates the chain once
-        out = out.withColumn("text_main", mc["text"])
+        # Generator barrier (the p41 inline(array(...)) discipline): the
+        # downstream stages reference text_main MANY times, and a plain
+        # withColumn alias would be substituted into every reference by
+        # CollapseProject — re-running the whole interpreted-HOF chain
+        # per reference. inline() is a generator, so the chain evaluates
+        # once per row and text_main is a real attribute afterwards.
+        mc_named = F.transform(
+            F.array(mc),
+            lambda m: F.struct(m["text"].alias("text_main")),
+        )[0]
+        out = out.select("*", F.inline(F.array(mc_named)))
         reason = F.coalesce(
             reason,
             F.when(F.col("text_main") == "", F.lit("no_main_content")),
