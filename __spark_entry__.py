@@ -98,6 +98,47 @@ _PRIORITY_R8 = [
     "f06_token_bounds",
 ]
 
+_PRIORITY_R10 = [
+    # new this round: WARC→HTTP split (status/headers/de-chunked body —
+    # VERDICT r9 item 1), jusText good-neighbor smoothing (item 6), WET
+    # conversion-record export (item 7), real BMP decode (item 8) — all
+    # hash-matched via check_oracle at sf0.01 AND sf0.001 on registration
+    "src_warc_http", "p41b_main_content_smooth", "s05_wet_export",
+    "mm_bmp_features",
+    # changed this round: robots matcher rewritten to full RFC 9309
+    # (Allow precedence, wildcards, fragment exclusion, match-only
+    # aggregation; extended fixture), mm_mp4_meta frames_planned now
+    # integer `div` (ADVICE r9), magic_kind gained the loosened mp4 arm
+    # + a bmp arm (mm_magic_sniff re-greens the unchanged fixture),
+    # decode_wav gained the 0xFFFE SubFormat GUID check (mm_wav_features
+    # fixture is plain PCM — re-green proves no regression), and
+    # extract_main_content was refactored for the smooth path
+    # (p41_main_content re-greens the unchanged default path)
+    "f17_robots_gate", "mm_mp4_meta", "mm_magic_sniff", "mm_wav_features",
+    "p41_main_content",
+    # stale: freshest driver green is r5 (21 rows — VERDICT r9 item 3,
+    # the displaced set from rounds 8-9)
+    "p23_pick_text", "rel_semi_join", "rel_anti_join", "rel_outer_join",
+    "rel_in_subquery", "win_above_avg_orders", "win_rank_family",
+    "win_top3_orders_per_customer", "rel_grouping_sets", "rel_rollup_orders",
+    "rel_cube_lineitem", "rel_pivot", "rel_distinct_counts",
+    "rel_having_large_orders", "rel_q19_disjunctive", "rel_q14_promo_ratio",
+    "rel_q12_shipmode_case", "rel_q6_revenue_delta", "rel_q5_local_supplier",
+    "rel_q3_shipping_priority", "rel_q1_pricing_summary",
+    # next-oldest tail: freshest driver green is r6 (20 of 38 fit the
+    # 50-row cap; the other 18 — a13/a14/a15, corp_rep_signals,
+    # d12_corpus_diff, emb_cosine_topk/knn_join/label_stats/pq_codes,
+    # ev_asof_last_click/date_parts/json_props/user_stats,
+    # p25/p26/p27/p33, win_value_family — refresh in r11)
+    "p05_quality_metrics", "p06_pii_hits", "p07_toxicity", "p11_strip_html",
+    "p15_token_stats", "p16_pii_mask", "p30_train_unigram_lm",
+    "p31_trained_lm_score", "p32_fix_mojibake", "p34_bigram_lm_score",
+    "f11_gopher_filter", "f14_refinedweb_lines", "ev_sessionize",
+    "ev_hourly_rollup", "ev_tumbling_5min", "ev_sliding_10m5m",
+    "ev_stream_cleanse", "win_lag_price_delta", "win_range_frame",
+    "win_running_quantity",
+]
+
 _PRIORITY_R9 = [
     # new (late round 9): real WAV codec referee, Bloom-filter
     # incremental dedup, frozen-model calibration curve, embedding-space
@@ -155,7 +196,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R9 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R10 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

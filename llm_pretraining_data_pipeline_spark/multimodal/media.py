@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from llm_pretraining_data_pipeline_spark.multimodal import jpeg, mp4, png, wav
+from llm_pretraining_data_pipeline_spark.multimodal import bmp, jpeg, mp4, png, wav
 from llm_pretraining_data_pipeline_spark.schemas import MEDIA_SCHEMA
 
 FEATURE_DIM = 16
@@ -84,7 +84,9 @@ def png_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
-def wav_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def wav_feature_stats(
+    media: DataFrame, id_col: str = "media_id", backend: str | None = None
+) -> DataFrame:
     """Audio payloads → decoded WAV statistics via Arrow-batched
     mapInPandas: the REAL decode step (``wav.decode_wav`` — RIFF chunk walk
     + PCM sample extraction), emitting the integer accumulators a DuckDB
@@ -93,10 +95,23 @@ def wav_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     computed DOWNSTREAM from these integers with JVM-side expressions, so
     the Python exchange carries only exact values.
 
+    ``backend``: ``'stdlib'`` (default, the refereed pure-Python decoder)
+    or ``'soundfile'`` (libsndfile swap-in for the long tail —
+    float/24-bit/compressed; env-gated parity test). ``None`` reads
+    ``$SPARK_GRAFT_AUDIO_BACKEND``, mirroring the langdetect/GPT-2
+    gating pattern, so a deployment flips the backend without touching
+    plan code.
+
     Rows whose payload fails to decode survive with ``decode_ok=false`` and
     the exact error string — same contract as ``png_feature_stats``.
     """
+    import os
+
     import pandas as pd
+
+    backend = backend or os.environ.get("SPARK_GRAFT_AUDIO_BACKEND", "stdlib")
+    if backend not in ("stdlib", "soundfile"):
+        raise ValueError(f"wav_feature_stats: unknown backend {backend!r}")
 
     schema = (
         f"{id_col} bigint, sample_rate int, channels int, bit_depth int, "
@@ -110,7 +125,7 @@ def wav_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    st = wav.wav_stats(raw)
+                    st = wav.wav_stats(raw, backend=backend)
                     rows.append(
                         (mid, st["sample_rate"], st["channels"],
                          st["bit_depth"], st["n_frames"], st["sq_sum"],
@@ -128,6 +143,52 @@ def wav_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     id_col, "sample_rate", "channels", "bit_depth",
                     "n_frames", "sq_sum", "peak_abs", "clip_count",
                     "flip_count", "decode_ok", "decode_err",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
+def bmp_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Image payloads → decoded BMP statistics via Arrow-batched
+    mapInPandas: the REAL decode step (``bmp.decode_bmp`` — BI_RGB 24/32
+    bpp, bottom-up and top-down row orders normalised), emitting the
+    integer accumulators a DuckDB referee recomputes from a closed-form
+    fixture (``mm_bmp_features``). Same error contract as the rest of the
+    codec family: undecodable payloads survive as ``decode_ok=false``
+    rows with the exact error string.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, width int, height int, bpp int, "
+        "n_pixels bigint, px_sum bigint, px_min int, px_max int, "
+        "decode_ok boolean, decode_err string"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    st = bmp.bmp_stats(raw)
+                    rows.append(
+                        (mid, st["width"], st["height"], st["bpp"],
+                         st["n_pixels"], st["px_sum"], st["px_min"],
+                         st["px_max"], True, None)
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         False, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "bpp", "n_pixels",
+                    "px_sum", "px_min", "px_max", "decode_ok",
+                    "decode_err",
                 ],
             )
 
@@ -263,6 +324,15 @@ def magic_kind(payload_col="payload"):
         )
         .when(head4.startswith("1F8B"), F.lit("gzip"))
         .when(head4 == "57415243", F.lit("warc"))
+        .when(
+            # 'BM' alone is two ASCII letters any text blob can start
+            # with; require the BITMAPINFOHEADER biSize=40 little-endian
+            # at offset 15 too (the only header this repo's decoder
+            # accepts), same spoof-resistance rationale as the mp4 arm.
+            head4.startswith("424D")
+            & (F.hex(F.substring(p, 15, 4)) == "28000000"),
+            F.lit("bmp"),
+        )
         .otherwise(F.lit("unknown"))
     )
 

@@ -201,7 +201,11 @@ def decode_wav(
     return sample_rate, channels, bits, samples
 
 
-def wav_stats(data: bytes, max_samples: int = DEFAULT_MAX_SAMPLES) -> dict:
+def wav_stats(
+    data: bytes,
+    max_samples: int = DEFAULT_MAX_SAMPLES,
+    backend: str = "stdlib",
+) -> dict:
     """Decode + integer-accumulator audio statistics (the refereed surface).
 
     Returns sample_rate / channels / bit_depth / n_frames / duration_ms plus:
@@ -213,7 +217,8 @@ def wav_stats(data: bytes, max_samples: int = DEFAULT_MAX_SAMPLES) -> dict:
       * ``flip_count`` — sign changes between consecutive CHANNEL-0 samples
         (sign = x ≥ 0), the zero-crossing numerator.
     """
-    sample_rate, channels, bits, samples = decode_wav(data, max_samples)
+    decoder = decode_wav if backend == "stdlib" else decode_wav_soundfile
+    sample_rate, channels, bits, samples = decoder(data, max_samples)
     n_frames = len(samples) // channels
     full = 32768 if bits == 16 else 128
     sq = 0
@@ -245,3 +250,62 @@ def wav_stats(data: bytes, max_samples: int = DEFAULT_MAX_SAMPLES) -> dict:
         "clip_count": clip,
         "flip_count": flips,
     }
+
+
+# ---------------------------------------------------------- optional backend
+# The long tail (float/24-bit PCM, A-law/mu-law, FLAC/OGG containers) is
+# what `soundfile` (libsndfile) exists for. The swap-in mirrors the
+# langdetect/GPT-2 gating pattern: the stdlib decoder stays the refereed
+# default; setting SPARK_GRAFT_AUDIO_BACKEND=soundfile (consumed by
+# media.wav_feature_stats) routes decode through libsndfile under the
+# SAME (sample_rate, channels, bits, samples) contract, and an env-gated
+# pytest (tests/test_wav.py::TestSoundfileBackend) proves bit-parity with
+# the stdlib decoder on the canonical fixtures when the library is
+# installed. Without it, requesting the backend raises with a runbook.
+
+
+def decode_wav_soundfile(
+    data: bytes, max_samples: int = DEFAULT_MAX_SAMPLES
+) -> tuple[int, int, int, list[int]]:
+    """Decode audio bytes via the optional ``soundfile`` backend under the
+    ``decode_wav`` contract: frame-major interleaved ints, 16-bit signed
+    values as-is, 8-bit recentred to signed. Formats the stdlib decoder
+    rejects (float/24-bit/compressed/FLAC/OGG) decode HERE at 16-bit
+    precision — that widened coverage is the point of the swap-in.
+    """
+    try:
+        import soundfile as sf
+    except ImportError as exc:  # pragma: no cover - env-gated
+        raise RuntimeError(
+            "audio backend 'soundfile' requested but the library is not "
+            "installed. Runbook: pip install soundfile (bundles "
+            "libsndfile on manylinux/macOS wheels), then re-run; the "
+            "stdlib RIFF/PCM decoder remains the default backend."
+        ) from exc
+    import io
+
+    with sf.SoundFile(io.BytesIO(data)) as f:
+        sample_rate = int(f.samplerate)
+        channels = int(f.channels)
+        subtype = f.subtype or ""
+        if f.frames > 0 and f.frames * channels > max_samples:
+            raise ValueError(
+                f"decode_wav_soundfile: {f.frames * channels} samples "
+                f"exceeds max_samples={max_samples}"
+            )
+        # int16 read: PCM_16 round-trips bit-exact; PCM_U8 is scaled by
+        # 256, undone below so the recentred 8-bit contract holds; other
+        # subtypes quantise to 16-bit (documented precision of the tail)
+        frames = f.read(dtype="int16", always_2d=True)
+    if subtype == "PCM_U8":
+        bits = 8
+        samples = [int(v) // 256 for row in frames for v in row]
+    else:
+        bits = 16
+        samples = [int(v) for row in frames for v in row]
+    if len(samples) > max_samples:
+        raise ValueError(
+            f"decode_wav_soundfile: {len(samples)} samples exceeds "
+            f"max_samples={max_samples}"
+        )
+    return sample_rate, channels, bits, samples

@@ -2053,6 +2053,96 @@ def s05_wet_export(spark, sf_dir):
 
 
 @register(
+    "mm_bmp_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 41 = 0 AS corrupt,
+             cast(6 + doc_id % 9 AS int) AS w,
+             cast(4 + doc_id % 7 AS int) AS h,
+             cast(CASE WHEN doc_id % 2 = 1 THEN 24 ELSE 32 END AS int)
+               AS bpp
+      FROM documents
+    ),
+    e AS (
+      SELECT media_id,
+             cast(sum(v) AS bigint) AS px_sum,
+             cast(min(v) AS int) AS px_min,
+             cast(max(v) AS int) AS px_max
+      FROM (SELECT i.media_id,
+                   (5 * x.a + 11 * y.b + 7 * i.media_id + 17 * c.d) % 256
+                     AS v
+            FROM ids i,
+                 unnest(range(0, i.w)) AS x(a),
+                 unnest(range(0, i.h)) AS y(b),
+                 unnest(range(0, 3)) AS c(d)
+            WHERE NOT i.corrupt)
+      GROUP BY media_id
+    )
+    SELECT i.media_id,
+           CASE WHEN corrupt THEN NULL ELSE i.w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE i.h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE i.bpp END AS bpp,
+           CASE WHEN corrupt THEN NULL
+                ELSE cast(i.w * i.h AS bigint) END AS n_pixels,
+           e.px_sum, e.px_min, e.px_max,
+           NOT corrupt AS decode_ok
+    FROM ids i LEFT JOIN e USING (media_id)
+    """,
+    doc="REAL BMP decode over binary payloads (multimodal/bmp.py — the "
+        "second uncompressed image tier next to PNG, VERDICT r9 item 8: "
+        "BITMAPINFOHEADER walk, BI_RGB 24/32 bpp, 4-byte row padding, "
+        "bottom-up AND top-down row orders normalised to one layout, "
+        "offset/stride/allocation guards matching png.py): payloads are "
+        "encoded in-fixture from a closed-form pixel function of doc_id "
+        "— (5x+11y+7id+17c) mod 256 — with bpp alternating by parity "
+        "and every 3rd image top-down, so all four layout combinations "
+        "are refereed; the DuckDB oracle recomputes the integer stats "
+        "from the SAME formula without any BMP machinery. Corrupt "
+        "payloads (id%41=0) survive with decode_ok=false on both "
+        "engines",
+)
+def mm_bmp_features(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import bmp as B
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 41 == 0:
+                    payload = b"BMcorrupt" + bytes([did % 256])
+                else:
+                    w, h = 6 + did % 9, 4 + did % 7
+                    pix = bytes(
+                        (5 * x + 11 * y + 7 * did + 17 * c) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    payload = B.encode_bmp(
+                        w, h, pix,
+                        bpp=24 if did % 2 == 1 else 32,
+                        top_down=did % 3 == 0,
+                    )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    return mm.bmp_feature_stats(media).select(
+        "media_id", "width", "height", "bpp", "n_pixels",
+        "px_sum", "px_min", "px_max", "decode_ok",
+    )
+
+
+@register(
     "mm_magic_sniff",
     """
     SELECT doc_id AS media_id,
