@@ -102,7 +102,10 @@ def parse_http_response(
     when present. A declared ``Content-Length`` is reported, not enforced
     against the body (truncated captures are an audit signal downstream,
     ``content_length_hdr`` vs the body length, not a parse failure).
-    Raises ``ValueError`` on anything malformed.
+    ``Transfer-Encoding: chunked`` bodies are de-chunked and
+    ``Content-Encoding: gzip`` entities inflated (bounded), in that
+    order, so ``body`` is always the final entity bytes. Raises
+    ``ValueError`` on anything malformed.
     """
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
@@ -138,6 +141,29 @@ def parse_http_response(
     te = headers.get("transfer-encoding", "").lower()
     if "chunked" in te:
         body = _dechunk(body)
+    # Content-Encoding applies to the de-chunked entity (RFC 9110 §8.4):
+    # real CC captures carry gzip'd bodies routinely. Reuse the WARC
+    # layer's bounded single-member inflate (decompression-bomb cap,
+    # dec.eof required, trailing garbage raises). 'identity' is a no-op;
+    # other codings (br, deflate, compress) raise — they surface as
+    # http_ok=false data rows, the honest signal for an unsupported tail.
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce == "gzip":
+        from llm_pretraining_data_pipeline_spark.sources.warc import (
+            gunzip_members,
+        )
+
+        members = gunzip_members(body)
+        if len(members) != 1:
+            raise ValueError(
+                f"parse_http_response: gzip body has {len(members)} "
+                "members, expected 1"
+            )
+        body = members[0]
+    elif ce not in ("", "identity"):
+        raise ValueError(
+            f"parse_http_response: unsupported Content-Encoding {ce!r}"
+        )
     ct_raw = headers.get("content-type")
     content_type = None
     charset = None
