@@ -260,3 +260,51 @@ def wet_shard_frame(
             F.length("wet_file").cast("long").alias("file_bytes"),
         )
     )
+
+
+def wat_record_frame(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    meta_cols: tuple[str, ...] = ("http_status", "content_type"),
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """One WARC *metadata* record (binary) per document — the WAT-sidecar
+    shape (CC publishes crawl metadata as WARC metadata records with a
+    JSON payload). Pure Catalyst like ``wet_record_frame``: the payload
+    is ``to_json(struct(url, *meta_cols))`` (field order = struct order,
+    nulls omitted — Spark's to_json contract), Content-Type is
+    ``application/json``, and Content-Length is the payload's octet
+    length. Completes the WARC family triad: warc_records (ingest) /
+    wet_record_frame (extracted text) / wat_record_frame (metadata).
+
+    Output: ``(id_col, *keep, wat_record binary, record_bytes bigint)``.
+    """
+    payload = F.to_json(
+        F.struct(
+            F.col(url_col).alias("url"),
+            *[F.col(c) for c in meta_cols],
+        )
+    )
+    body = F.encode(payload, "UTF-8")
+    uri = F.coalesce(F.col(url_col).cast("string"), F.lit(""))
+    head = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit("WARC-Type: metadata\r\n"),
+        F.lit("WARC-Target-URI: "), uri, F.lit("\r\n"),
+        F.lit("WARC-Record-ID: <urn:uuid:wat-"),
+        F.col(id_col).cast("string"), F.lit(">\r\n"),
+        F.lit("Content-Type: application/json\r\n"),
+        F.lit("Content-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    rec = F.concat(
+        F.encode(head, "UTF-8"), body, F.encode(F.lit("\r\n\r\n"), "UTF-8")
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        rec.alias("wat_record"),
+        F.length(rec).cast("long").alias("record_bytes"),
+    )

@@ -1878,6 +1878,7 @@ def src_warc_gz_records(spark, sf_dir):
       SELECT doc_id, text,
              doc_id % 37 = 0 AS bad,
              doc_id % 5 = 0 AS chunked,
+             doc_id % 7 = 0 AND doc_id % 5 <> 0 AS gz,
              CASE WHEN doc_id % 11 = 0 THEN 404
                   WHEN doc_id % 13 = 0 THEN 301
                   ELSE 200 END AS status,
@@ -1891,7 +1892,7 @@ def src_warc_gz_records(spark, sf_dir):
                 ELSE 'text/plain' END AS content_type,
            CASE WHEN bad OR NOT html THEN NULL
                 ELSE 'utf-8' END AS charset,
-           CASE WHEN bad OR chunked THEN NULL
+           CASE WHEN bad OR chunked OR gz THEN NULL
                 ELSE CAST(octet_length(encode(text)) AS bigint) END
              AS content_length_hdr,
            CASE WHEN bad THEN NULL ELSE 3 END AS n_headers,
@@ -1912,7 +1913,7 @@ def src_warc_gz_records(spark, sf_dir):
         "trailer handling). Fixture wraps each document's text as a "
         "closed-form HTTP message inside a WARC blob — every 5th doc "
         "chunked in two pieces (the referee proves de-chunking "
-        "byte-exact via body sha256), status rotates 200/301/404, "
+        "byte-exact via body sha256), status rotates 200/301/404, every 7th (non-chunked) doc's body arrives Content-Encoding: gzip (bounded inflate refereed the same way), "
         "text/html docs carry charset=UTF-8; id%37 payloads are not "
         "HTTP and survive as http_ok=false rows on both engines. Scale "
         "shape: file-granularity mapInPandas fan-out, ONE "
@@ -1957,6 +1958,15 @@ def src_warc_http(spark, sf_dir):
                         "Transfer-Encoding: chunked\r\n"
                         "Server: fixture\r\n\r\n"
                     ).encode("ascii") + cb
+                elif did % 7 == 0:
+                    import gzip as _gzip
+
+                    http = (
+                        f"HTTP/1.1 {status} {reason}\r\n"
+                        f"Content-Type: {ctype}\r\n"
+                        "Content-Encoding: gzip\r\n"
+                        "Server: fixture\r\n\r\n"
+                    ).encode("ascii") + _gzip.compress(body, mtime=0)
                 else:
                     http = (
                         f"HTTP/1.1 {status} {reason}\r\n"
@@ -2139,6 +2149,82 @@ def mm_bmp_features(spark, sf_dir):
     return mm.bmp_feature_stats(media).select(
         "media_id", "width", "height", "bpp", "n_pixels",
         "px_sum", "px_min", "px_max", "decode_ok",
+    )
+
+
+@register(
+    "s06_wat_export",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://site-' || CAST(doc_id % 50 AS varchar)
+               || '.example/doc/' || CAST(doc_id AS varchar) AS uri,
+             CASE WHEN doc_id % 11 = 0 THEN 404
+                  WHEN doc_id % 13 = 0 THEN 301
+                  ELSE 200 END AS status,
+             CASE WHEN doc_id % 2 = 1 THEN 'text/html'
+                  ELSE 'text/plain' END AS ctype
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, uri,
+             '{"url":"' || uri || '","http_status":'
+               || CAST(status AS varchar) || ',"content_type":"'
+               || ctype || '"}' AS payload
+      FROM d
+    ),
+    w AS (
+      SELECT doc_id,
+             'WARC/1.0' || chr(13) || chr(10)
+             || 'WARC-Type: metadata' || chr(13) || chr(10)
+             || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+             || 'WARC-Record-ID: <urn:uuid:wat-'
+               || CAST(doc_id AS varchar) || '>' || chr(13) || chr(10)
+             || 'Content-Type: application/json' || chr(13) || chr(10)
+             || 'Content-Length: '
+               || CAST(octet_length(encode(payload)) AS varchar)
+               || chr(13) || chr(10) || chr(13) || chr(10)
+             || payload || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(rec)) AS bigint) AS record_bytes,
+           sha256(rec) AS wat_sha256
+    FROM w
+    """,
+    doc="WAT sidecar export (plans/exports.py::wat_record_frame): the "
+        "crawl-METADATA re-publish shape completing the WARC family "
+        "triad (warc_records ingest / WET extracted text / WAT "
+        "metadata) — one WARC metadata record per doc whose payload is "
+        "to_json(struct(url, http_status, content_type)), assembled "
+        "entirely in Catalyst with octet-exact Content-Length. The "
+        "referee rebuilds BOTH the JSON payload (Spark to_json field "
+        "order + numeric formatting) and the record text byte-for-byte "
+        "in SQL and compares sha256 + octet length; the strict-reader "
+        "round-trip is pytest-covered. Zero Python, zero shuffle",
+)
+def s06_wat_export(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.plans.exports import (
+        wat_record_frame,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), F.col("doc_id") % 50,
+            F.lit(".example/doc/"), F.col("doc_id"),
+        ).alias("url"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(404))
+        .when(F.col("doc_id") % 13 == 0, F.lit(301))
+        .otherwise(F.lit(200)).cast("int").alias("http_status"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("text/html"))
+        .otherwise(F.lit("text/plain")).alias("content_type"),
+    )
+    recs = wat_record_frame(docs)
+    return recs.select(
+        "doc_id",
+        "record_bytes",
+        F.sha2("wat_record", 256).alias("wat_sha256"),
     )
 
 

@@ -253,3 +253,33 @@ class TestWetExport:
         # one hash exchange for the shard groupBy, nothing else
         assert plan.count("Exchange hashpartitioning") == 1
         assert "SortMergeJoin" not in plan and "Window" not in plan
+
+    def test_wat_records_reparse_with_json_payload(self, spark):
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            wat_record_frame,
+        )
+        from llm_pretraining_data_pipeline_spark.sources.warc import parse_warc
+
+        df = spark.createDataFrame(
+            [(1, "https://ex.org/a", 200, "text/html"),
+             (2, "https://ex.org/b", 404, "text/plain")],
+            "doc_id long, url string, http_status int, content_type string",
+        )
+        rows = {r["doc_id"]: r for r in wat_record_frame(df).collect()}
+        blob = b"".join(bytes(rows[i]["wat_record"]) for i in (1, 2))
+        recs = parse_warc(blob)
+        assert [r["warc_type"] for r in recs] == ["metadata", "metadata"]
+        meta = _json.loads(recs[1]["payload"])
+        assert meta == {"url": "https://ex.org/b", "http_status": 404,
+                        "content_type": "text/plain"}
+        assert recs[0]["record_id"] == "<urn:uuid:wat-1>"
+        # pure Catalyst: no Python in the plan
+        plan = (
+            wat_record_frame(df)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan

@@ -212,6 +212,49 @@ class TestHttpResponseSplit:
         with pytest.raises(ValueError, match="trailing garbage"):
             http.parse_http_response(msg)
 
+    def test_gzip_content_encoding_inflated(self):
+        import gzip
+        gz = gzip.compress(self.BODY, mtime=0)
+        msg = self._msg(
+            body=gz,
+            headers=[b"Content-Type: text/plain",
+                     b"Content-Encoding: gzip"],
+        )
+        d = http.parse_http_response(msg)
+        assert d["body"] == self.BODY
+
+    def test_chunked_then_gzip_order(self):
+        # RFC 9110 §8.4: transfer coding is removed first, THEN the
+        # content coding — chunk the gzip bytes and require round-trip
+        import gzip
+        gz = gzip.compress(self.BODY, mtime=0)
+        half = len(gz) // 2
+        cb = (b"%X\r\n" % half + gz[:half] + b"\r\n"
+              + b"%X\r\n" % (len(gz) - half) + gz[half:] + b"\r\n0\r\n\r\n")
+        msg = self._msg(
+            body=cb,
+            headers=[b"Transfer-Encoding: chunked",
+                     b"Content-Encoding: gzip"],
+        )
+        assert http.parse_http_response(msg)["body"] == self.BODY
+
+    def test_truncated_gzip_body_raises(self):
+        import gzip
+        gz = gzip.compress(self.BODY, mtime=0)
+        msg = self._msg(
+            body=gz[:-4], headers=[b"Content-Encoding: gzip"]
+        )
+        with pytest.raises(ValueError, match="gunzip"):
+            http.parse_http_response(msg)
+
+    def test_identity_encoding_noop_and_unsupported_raises(self):
+        msg = self._msg(headers=[b"Content-Encoding: identity",
+                                 b"Content-Type: text/plain"])
+        assert http.parse_http_response(msg)["body"] == self.BODY
+        bad = self._msg(headers=[b"Content-Encoding: br"])
+        with pytest.raises(ValueError, match="Content-Encoding"):
+            http.parse_http_response(bad)
+
     def test_bad_status_line_raises(self):
         with pytest.raises(ValueError, match="bad status line"):
             http.parse_http_response(self._msg(status=b"ICANHAZ 200 OK"))
