@@ -43,6 +43,10 @@ RUN mkdir -p /app/gpt2_assets && \
        python scripts/fetch_gpt2_assets.py --dest /app/gpt2_assets; then \
         echo "gpt2-exact" > /app/gpt2_assets/BACKEND; \
     else \
+        # a fetch that died mid-stream can leave a complete first file or
+        # a TRUNCATED second one; runtime resolves assets by file
+        # presence, so stale partials must not outlive the marker
+        rm -f /app/gpt2_assets/encoder.json /app/gpt2_assets/vocab.bpe && \
         echo "fallback-subset" > /app/gpt2_assets/BACKEND && \
         echo "WARN: GPT-2 assets not fetched (FETCH_GPT2=$FETCH_GPT2 or" \
              "no network) — tokenizer runs on the committed subset" \

@@ -161,7 +161,41 @@ def write_sharded_corpus_jsonl(
 # from the corresponding response record (ISO 28500 §6.8). Emitting this
 # shape closes the engine's ingest→curate→re-publish loop: read .warc(.gz)
 # with sources/warc.py, extract main content (p41), export WET — the
-# output re-parses through the same strict reader.
+# output re-parses through the same strict reader AND through conformant
+# external tooling: WARC-Date (mandatory per ISO 28500 §5.4) is emitted
+# from the caller-supplied capture/processing date, and record ids are
+# urn:uuid-SHAPED (deterministic md5-derived, so referees stay exact).
+
+# Deterministic default so tests/referees are stable; production passes
+# the real capture or processing date (ISO-8601 Z, second precision).
+DEFAULT_WARC_DATE = "1970-01-01T00:00:00Z"
+_WARC_DATE_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$"
+
+
+def _check_warc_date(warc_date: str) -> str:
+    import re as _re
+
+    if not _re.match(_WARC_DATE_RE, warc_date):
+        raise ValueError(
+            f"warc_date must be ISO-8601 UTC 'YYYY-MM-DDThh:mm:ssZ', "
+            f"got {warc_date!r}"
+        )
+    return warc_date
+
+
+def _uuid_shaped(seed: "F.Column") -> "F.Column":
+    """Deterministic urn:uuid-shaped id from an md5 of the seed string —
+    8-4-4-4-12 hex groups, replayable by the DuckDB referee (md5 +
+    substr on both engines)."""
+    h = F.md5(seed)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
 
 
 def wet_record_frame(
@@ -170,28 +204,37 @@ def wet_record_frame(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep: tuple[str, ...] = (),
+    warc_date: str = DEFAULT_WARC_DATE,
 ) -> DataFrame:
     """One WARC conversion record (binary) per document — pure Catalyst.
 
     The record is assembled entirely JVM-side (concat of encoded header
     text + the UTF-8 payload): version line, ``WARC-Type: conversion``,
-    target URI, a deterministic record id derived from the doc id,
-    ``Content-Type: text/plain``, and a ``Content-Length`` computed from
-    the encoded payload's OCTET length (not the character count — the
-    strict reader validates it against the physical buffer). Zero
-    Python, zero shuffle; rows with a null URL or text export as empty
-    string fields rather than corrupt records.
+    target URI, a deterministic urn:uuid-shaped record id (md5-derived
+    from the doc id — valid-URI shape for conformant consumers, exactly
+    replayable by the referee), the mandatory ``WARC-Date`` (ISO 28500
+    §5.4 — pass the real capture/processing date; the deterministic
+    default keeps tests stable), ``Content-Type: text/plain``, and a
+    ``Content-Length`` computed from the encoded payload's OCTET length
+    (not the character count — the strict reader validates it against
+    the physical buffer). Zero Python, zero shuffle; rows with a null
+    URL or text export as empty string fields rather than corrupt
+    records.
 
     Output: ``(id_col, wet_record binary, record_bytes bigint)``.
     """
+    _check_warc_date(warc_date)
     body = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
     uri = F.coalesce(F.col(url_col).cast("string"), F.lit(""))
+    rec_id = _uuid_shaped(
+        F.concat(F.lit("wet:"), F.col(id_col).cast("string"))
+    )
     head = F.concat(
         F.lit("WARC/1.0\r\n"),
         F.lit("WARC-Type: conversion\r\n"),
         F.lit("WARC-Target-URI: "), uri, F.lit("\r\n"),
-        F.lit("WARC-Record-ID: <urn:uuid:wet-"),
-        F.col(id_col).cast("string"), F.lit(">\r\n"),
+        F.lit("WARC-Record-ID: <urn:uuid:"), rec_id, F.lit(">\r\n"),
+        F.lit(f"WARC-Date: {warc_date}\r\n"),
         F.lit("Content-Type: text/plain\r\n"),
         F.lit("Content-Length: "),
         F.length(body).cast("string"),
@@ -268,6 +311,7 @@ def wat_record_frame(
     id_col: str = "doc_id",
     meta_cols: tuple[str, ...] = ("http_status", "content_type"),
     keep: tuple[str, ...] = (),
+    warc_date: str = DEFAULT_WARC_DATE,
 ) -> DataFrame:
     """One WARC *metadata* record (binary) per document — the WAT-sidecar
     shape (CC publishes crawl metadata as WARC metadata records with a
@@ -280,6 +324,7 @@ def wat_record_frame(
 
     Output: ``(id_col, *keep, wat_record binary, record_bytes bigint)``.
     """
+    _check_warc_date(warc_date)
     payload = F.to_json(
         F.struct(
             F.col(url_col).alias("url"),
@@ -288,12 +333,15 @@ def wat_record_frame(
     )
     body = F.encode(payload, "UTF-8")
     uri = F.coalesce(F.col(url_col).cast("string"), F.lit(""))
+    rec_id = _uuid_shaped(
+        F.concat(F.lit("wat:"), F.col(id_col).cast("string"))
+    )
     head = F.concat(
         F.lit("WARC/1.0\r\n"),
         F.lit("WARC-Type: metadata\r\n"),
         F.lit("WARC-Target-URI: "), uri, F.lit("\r\n"),
-        F.lit("WARC-Record-ID: <urn:uuid:wat-"),
-        F.col(id_col).cast("string"), F.lit(">\r\n"),
+        F.lit("WARC-Record-ID: <urn:uuid:"), rec_id, F.lit(">\r\n"),
+        F.lit(f"WARC-Date: {warc_date}\r\n"),
         F.lit("Content-Type: application/json\r\n"),
         F.lit("Content-Length: "),
         F.length(body).cast("string"),

@@ -58,6 +58,11 @@ class WebCurationConfig:
     mc_min_words: int = 5
     mc_max_link_density: float = 0.5
     mc_smooth: bool = False           # good-neighbor context pass (p41b)
+    # robots verdicts are one row per RULE-MATCHED doc — tiny for normal
+    # rule sets, corpus-sized when dominant domains carry `Disallow: /`.
+    # Flip OFF for match-heavy corpora so AQE sizes the join instead of
+    # an unconditional broadcast blowing the driver/broadcast limit.
+    robots_broadcast_verdicts: bool = True
 
 
 def run_web_curation(
@@ -94,7 +99,9 @@ def run_web_curation(
             df, robots_rules, url_col=url_col, id_col=id_col,
             verdicts_only=True,
         ).select(id_col, "disallowed")
-        out = out.join(F.broadcast(gate), id_col, "left")
+        if cfg.robots_broadcast_verdicts:
+            gate = F.broadcast(gate)
+        out = out.join(gate, id_col, "left")
         reason = F.when(
             F.coalesce(F.col("disallowed"), F.lit(False)),
             F.lit("robots_disallowed"),

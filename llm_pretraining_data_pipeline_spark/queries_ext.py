@@ -2007,7 +2007,8 @@ def src_warc_http(spark, sf_dir):
     WITH d AS (
       SELECT doc_id, text,
              'https://site-' || CAST(doc_id % 50 AS varchar)
-               || '.example/doc/' || CAST(doc_id AS varchar) AS uri
+               || '.example/doc/' || CAST(doc_id AS varchar) AS uri,
+             md5('wet:' || CAST(doc_id AS varchar)) AS h
       FROM documents
     ),
     r AS (
@@ -2015,8 +2016,9 @@ def src_warc_http(spark, sf_dir):
              'WARC/1.0' || chr(13) || chr(10)
              || 'WARC-Type: conversion' || chr(13) || chr(10)
              || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
-             || 'WARC-Record-ID: <urn:uuid:wet-'
-               || CAST(doc_id AS varchar) || '>' || chr(13) || chr(10)
+             || 'WARC-Record-ID: <urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12)
+               || '>' || chr(13) || chr(10)
+             || 'WARC-Date: 1970-01-01T00:00:00Z' || chr(13) || chr(10)
              || 'Content-Type: text/plain' || chr(13) || chr(10)
              || 'Content-Length: '
                || CAST(octet_length(encode(text)) AS varchar)
@@ -2168,6 +2170,7 @@ def mm_bmp_features(spark, sf_dir):
     ),
     r AS (
       SELECT doc_id, uri,
+             md5('wat:' || CAST(doc_id AS varchar)) AS h,
              '{"url":"' || uri || '","http_status":'
                || CAST(status AS varchar) || ',"content_type":"'
                || ctype || '"}' AS payload
@@ -2178,8 +2181,9 @@ def mm_bmp_features(spark, sf_dir):
              'WARC/1.0' || chr(13) || chr(10)
              || 'WARC-Type: metadata' || chr(13) || chr(10)
              || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
-             || 'WARC-Record-ID: <urn:uuid:wat-'
-               || CAST(doc_id AS varchar) || '>' || chr(13) || chr(10)
+             || 'WARC-Record-ID: <urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12)
+               || '>' || chr(13) || chr(10)
+             || 'WARC-Date: 1970-01-01T00:00:00Z' || chr(13) || chr(10)
              || 'Content-Type: application/json' || chr(13) || chr(10)
              || 'Content-Length: '
                || CAST(octet_length(encode(payload)) AS varchar)

@@ -37,10 +37,17 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from llm_pretraining_data_pipeline_spark.sources.warc import parse_header_lines
+
 _MAX_HEADERS = 64
 
 _STATUS_RE = re.compile(rb"^HTTP/1\.[01] (\d{3})(?: (.*))?$")
 _CHARSET_RE = re.compile(r";\s*charset\s*=\s*\"?([^\";\s]+)\"?", re.IGNORECASE)
+# Chunk sizes are bare hex digits (RFC 9112 §7.1). int(tok, 16) alone
+# would also accept '-2' (which mis-frames the chain: size=-2 passes the
+# bounds check and the cursor never advances past real data), '+5',
+# '0x1f' and '1_0' — validate the token shape first.
+_CHUNK_SIZE_RE = re.compile(rb"^[0-9A-Fa-f]{1,16}$")
 
 HTTP_STRUCT_SCHEMA = (
     "status int, content_type string, charset string, "
@@ -61,12 +68,11 @@ def _dechunk(data: bytes) -> bytes:
         if line_end < 0:
             raise ValueError("dechunk: truncated chunk-size line")
         size_tok = data[pos:line_end].split(b";")[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
+        if not _CHUNK_SIZE_RE.match(size_tok):
             raise ValueError(
                 f"dechunk: bad chunk size {size_tok[:16]!r}"
-            ) from None
+            )
+        size = int(size_tok, 16)
         pos = line_end + 2
         if size == 0:
             while True:  # trailer section: *(field CRLF) CRLF
@@ -121,26 +127,33 @@ def parse_http_response(
             f"parse_http_response: bad status line {lines[0][:40]!r}"
         )
     status = int(m.group(1))
-    headers: dict[str, str] = {}
-    for line in lines[1:]:
-        if line[:1] in (b" ", b"\t"):
+    # Shared strict header-block parser (sources/warc.py): line-counted
+    # cap (a repeated field name can't bypass it), obs-fold rejected,
+    # repeated fields merged into a comma list (RFC 9110 §5.2).
+    headers = parse_header_lines(
+        lines[1:],
+        max_headers=max_headers,
+        merge_repeats=True,
+        ctx="parse_http_response",
+    )
+    # Transfer-Encoding is a comma list of codings applied in order;
+    # chunked, when used, MUST be last (RFC 9112 §6.1). Token-match —
+    # a substring check would both miss 'gzip, chunked' leaving
+    # still-compressed bytes flagged http_ok=true AND misfire on
+    # 'x-chunked'. Any coding this parser can't remove raises, so
+    # unsupported framing surfaces as an http_ok=false data row.
+    te_raw = headers.get("transfer-encoding", "")
+    te_tokens = [t.strip().lower() for t in te_raw.split(",") if t.strip()]
+    if te_tokens:
+        if te_tokens[-1] == "chunked":
+            body = _dechunk(body)
+            te_tokens = te_tokens[:-1]
+        unsupported = [t for t in te_tokens if t != "identity"]
+        if unsupported:
             raise ValueError(
-                "parse_http_response: obs-fold continuation (RFC 9112 §5.2)"
+                f"parse_http_response: unsupported Transfer-Encoding "
+                f"{te_raw!r}"
             )
-        if len(headers) >= max_headers:
-            raise ValueError("parse_http_response: too many header lines")
-        colon = line.find(b":")
-        if colon < 1:
-            raise ValueError(
-                f"parse_http_response: header without colon {line[:40]!r}"
-            )
-        key = line[:colon].decode("latin-1").strip().lower()
-        val = line[colon + 1 :].decode("latin-1").strip()
-        # repeated fields merge into a comma list (RFC 9110 §5.2)
-        headers[key] = headers[key] + ", " + val if key in headers else val
-    te = headers.get("transfer-encoding", "").lower()
-    if "chunked" in te:
-        body = _dechunk(body)
     # Content-Encoding applies to the de-chunked entity (RFC 9110 §8.4):
     # real CC captures carry gzip'd bodies routinely. Reuse the WARC
     # layer's bounded single-member inflate (decompression-bomb cap,

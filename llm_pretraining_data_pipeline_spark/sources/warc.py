@@ -29,6 +29,47 @@ _CRLF = b"\r\n"
 _MAX_HEADERS = 64
 
 
+def parse_header_lines(
+    lines: list[bytes],
+    max_headers: int = _MAX_HEADERS,
+    merge_repeats: bool = False,
+    ctx: str = "parse_warc",
+) -> dict[str, str]:
+    """Shared strict header-block parser for the WARC and HTTP readers
+    (round-10 review: the two loops had drifted — different cap semantics
+    and repeat handling — so fixes to one missed the other).
+
+    The cap counts LINES, not distinct keys, so a hostile payload
+    repeating one field name millions of times cannot bypass it (and the
+    repeated-field merge below stays O(cap²) worst case, not O(n²)).
+    Leading-whitespace continuation lines (obs-fold) are rejected —
+    RFC 9112 §5.2 says reject or replace, and WARC has no folding at
+    all. ``merge_repeats=True`` merges repeated field names into a comma
+    list (RFC 9110 §5.2, the HTTP semantics); ``False`` keeps
+    last-wins (the WARC reader's historical behavior).
+    """
+    headers: dict[str, str] = {}
+    for n, line in enumerate(lines):
+        if n >= max_headers:
+            raise ValueError(f"{ctx}: too many header lines")
+        if line[:1] in (b" ", b"\t"):
+            raise ValueError(
+                f"{ctx}: obs-fold continuation line {line[:40]!r}"
+            )
+        colon = line.find(b":")
+        if colon < 1:
+            raise ValueError(
+                f"{ctx}: header line without colon {line[:40]!r}"
+            )
+        key = line[:colon].decode("latin-1").strip().lower()
+        val = line[colon + 1 :].decode("latin-1").strip()
+        if merge_repeats and key in headers:
+            headers[key] = headers[key] + ", " + val
+        else:
+            headers[key] = val
+    return headers
+
+
 def encode_warc_record(
     warc_type: str,
     target_uri: str,
@@ -74,7 +115,7 @@ def parse_warc(data: bytes) -> list[dict]:
                 f"at offset {pos}"
             )
         pos = ver_end + 2
-        headers: dict[str, str] = {}
+        header_lines: list[bytes] = []
         while True:
             line_end = data.find(_CRLF, pos)
             if line_end < 0:
@@ -83,15 +124,10 @@ def parse_warc(data: bytes) -> list[dict]:
             pos = line_end + 2
             if not line:  # blank line ends the header block
                 break
-            if len(headers) >= _MAX_HEADERS:
+            if len(header_lines) >= _MAX_HEADERS:
                 raise ValueError("parse_warc: too many header lines")
-            sep = line.find(b":")
-            if sep < 1:
-                raise ValueError(
-                    f"parse_warc: header line without colon {line[:40]!r}"
-                )
-            key = line[:sep].decode("latin-1").strip().lower()
-            headers[key] = line[sep + 1 :].decode("latin-1").strip()
+            header_lines.append(line)
+        headers = parse_header_lines(header_lines, ctx="parse_warc")
         if "content-length" not in headers:
             raise ValueError("parse_warc: missing Content-Length header")
         try:

@@ -160,6 +160,12 @@ class TestSqlViewSurface:
         assert "BroadcastHashJoin" in plan_sql
 
 
+
+def _wet_uuid(prefix, did):
+    import hashlib
+    h = hashlib.md5(f"{prefix}:{did}".encode()).hexdigest()
+    return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
 class TestWetExport:
     """wet_record_frame / wet_shard_frame (plans/exports.py): the
     CC-convention extracted-text sidecar must round-trip through the
@@ -188,10 +194,12 @@ class TestWetExport:
         assert [r["warc_type"] for r in recs] == ["conversion"] * 3
         for (did, url, text), rec in zip(self.DOCS, recs):
             assert rec["target_uri"] == url
-            assert rec["record_id"] == f"<urn:uuid:wet-{did}>"
+            assert rec["record_id"] == f"<urn:uuid:{_wet_uuid('wet', did)}>"
             assert rec["payload"].decode("utf-8") == text
             # Content-Length is the OCTET length (multibyte-safe)
             assert rec["content_length"] == len(text.encode("utf-8"))
+        # the mandatory WARC-Date header is present in the raw bytes
+        assert blob.count(b"WARC-Date: 1970-01-01T00:00:00Z\r\n") == 3
 
     def test_record_bytes_matches_physical(self, spark):
         from llm_pretraining_data_pipeline_spark.plans.exports import (
@@ -213,8 +221,10 @@ class TestWetExport:
             recs = parse_warc(bytes(s["wet_file"]))
             assert len(recs) == s["n_records"]
             assert s["file_bytes"] == len(bytes(s["wet_file"]))
-            ids = [int(r["record_id"].split("wet-")[1].rstrip(">"))
-                   for r in recs]
+            uuid_to_id = {
+                f"<urn:uuid:{_wet_uuid('wet', d)}>": d for d, _, _ in self.DOCS
+            }
+            ids = [uuid_to_id[r["record_id"]] for r in recs]
             assert ids == sorted(ids)  # deterministic in-shard order
             for r, i in zip(recs, ids):
                 seen[i] = r["payload"].decode("utf-8")
@@ -276,7 +286,7 @@ class TestWetExport:
         meta = _json.loads(recs[1]["payload"])
         assert meta == {"url": "https://ex.org/b", "http_status": 404,
                         "content_type": "text/plain"}
-        assert recs[0]["record_id"] == "<urn:uuid:wat-1>"
+        assert recs[0]["record_id"] == f"<urn:uuid:{_wet_uuid('wat', 1)}>"
         # pure Catalyst: no Python in the plan
         plan = (
             wat_record_frame(df)._jdf.queryExecution()

@@ -290,6 +290,47 @@ class TestHttpResponseSplit:
         with pytest.raises(ValueError, match="too many header"):
             http.parse_http_response(self._msg(headers=hs))
 
+    def test_header_cap_counts_lines_not_keys(self):
+        # round-10 review: a hostile payload repeating ONE field name must
+        # still trip the cap (len(headers) stayed 1 pre-fix — quadratic
+        # merge work with no bound)
+        hs = [b"A: x"] * 80
+        with pytest.raises(ValueError, match="too many header"):
+            http.parse_http_response(self._msg(headers=hs))
+
+    def test_unremovable_transfer_coding_raises(self):
+        # 'gzip, chunked': chunked comes off, but the gzip TRANSFER coding
+        # is not removable here — must raise, not return compressed bytes
+        cb = b"%X\r\n" % len(self.BODY) + self.BODY + b"\r\n0\r\n\r\n"
+        msg = self._msg(
+            body=cb, headers=[b"Transfer-Encoding: gzip, chunked"]
+        )
+        with pytest.raises(ValueError, match="unsupported Transfer-Encoding"):
+            http.parse_http_response(msg)
+        # and a token that merely CONTAINS 'chunked' is not chunked
+        msg2 = self._msg(headers=[b"Transfer-Encoding: x-chunked"])
+        with pytest.raises(ValueError, match="unsupported Transfer-Encoding"):
+            http.parse_http_response(msg2)
+
+    def test_chunked_not_last_raises(self):
+        msg = self._msg(
+            body=self.BODY, headers=[b"Transfer-Encoding: chunked, gzip"]
+        )
+        with pytest.raises(ValueError, match="unsupported Transfer-Encoding"):
+            http.parse_http_response(msg)
+
+    def test_negative_and_prefixed_chunk_sizes_rejected(self):
+        # int(tok, 16) alone accepts '-2' / '+5' / '0x1f' / '1_0'; '-2'
+        # previously parsed as a VALID empty body (cursor never advanced
+        # past real data) — the shape check must reject all of them
+        for tok in (b"-2", b"+5", b"0x1F", b"1_0", b""):
+            msg = self._msg(
+                body=tok + b"\r\n0\r\n\r\n",
+                headers=[b"Transfer-Encoding: chunked"],
+            )
+            with pytest.raises(ValueError, match="bad chunk size|truncated"):
+                http.parse_http_response(msg)
+
 
 class TestWarcHttpPipeline:
     """Composition: WARC blobs → response records → HTTP body → the full
