@@ -2233,6 +2233,93 @@ def s06_wat_export(spark, sf_dir):
 
 
 @register(
+    "f18_psl_domain",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS hk,
+             CAST(doc_id AS varchar) AS i
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, hk,
+             CASE hk
+               WHEN 0 THEN 'site' || i || '.com'
+               WHEN 1 THEN 'cdn.site' || i || '.co.uk'
+               WHEN 2 THEN 'user' || i || '.github.io'
+               WHEN 3 THEN 'a.b.site' || i || '.ac.uk'
+               WHEN 4 THEN 'foo' || i || '.bar.ck'
+               WHEN 5 THEN 'www.ck'
+               ELSE CASE WHEN doc_id % 3 = 0 THEN 'xyz'
+                         ELSE 'something' || i || '.xyz' END
+             END AS host,
+             i
+      FROM d
+    )
+    SELECT doc_id, host,
+           CASE hk
+             WHEN 0 THEN 'com'
+             WHEN 1 THEN 'co.uk'
+             WHEN 2 THEN 'github.io'
+             WHEN 3 THEN 'ac.uk'
+             WHEN 4 THEN 'bar.ck'
+             WHEN 5 THEN 'ck'
+             ELSE 'xyz' END AS public_suffix,
+           CASE hk
+             WHEN 0 THEN 'site' || i || '.com'
+             WHEN 1 THEN 'site' || i || '.co.uk'
+             WHEN 2 THEN 'user' || i || '.github.io'
+             WHEN 3 THEN 'site' || i || '.ac.uk'
+             WHEN 4 THEN 'foo' || i || '.bar.ck'
+             WHEN 5 THEN 'www.ck'
+             ELSE CASE WHEN doc_id % 3 = 0 THEN NULL
+                       ELSE 'something' || i || '.xyz' END
+           END AS reg_domain
+    FROM h
+    """,
+    doc="Registrable domain via the REAL public-suffix-list algorithm "
+        "(functions/urls.py::psl_frame + registrable_domain_psl — the "
+        "production form of the documented last-two-labels "
+        "approximation): plain/wildcard/exception rule grammar "
+        "(publicsuffix.org), longest-match with exception precedence, "
+        "implicit '*' default, NULL when the host IS a public suffix. "
+        "Fixture hosts exercise every branch against an embedded "
+        "mini-PSL: multi-label suffix beating its parent (github.io > "
+        "io, co.uk/ac.uk > uk), a '*.ck' wildcard match, the '!www.ck' "
+        "exception overriding it, the no-rule default, and the "
+        "host-is-suffix NULL; the referee recomputes all verdicts "
+        "closed-form. Scale shape mirrors robots_gate: rules broadcast "
+        "into a TLD-equi-keyed BroadcastHashJoin (label walk only "
+        "against same-TLD rules), matches-only aggregation, verdicts "
+        "broadcast back — unmatched hosts never shuffle",
+)
+def f18_psl_domain(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls as U
+
+    hk = F.col("doc_id") % 7
+    i = F.col("doc_id").cast("string")
+    host = (
+        F.when(hk == 0, F.concat(F.lit("site"), i, F.lit(".com")))
+        .when(hk == 1, F.concat(F.lit("cdn.site"), i, F.lit(".co.uk")))
+        .when(hk == 2, F.concat(F.lit("user"), i, F.lit(".github.io")))
+        .when(hk == 3, F.concat(F.lit("a.b.site"), i, F.lit(".ac.uk")))
+        .when(hk == 4, F.concat(F.lit("foo"), i, F.lit(".bar.ck")))
+        .when(hk == 5, F.lit("www.ck"))
+        .otherwise(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("xyz")).otherwise(
+                F.concat(F.lit("something"), i, F.lit(".xyz"))
+            )
+        )
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", host.alias("host"))
+    psl = U.psl_frame(
+        spark,
+        ["// embedded mini-PSL", "com", "org", "io", "github.io",
+         "uk", "co.uk", "ac.uk", "*.ck", "!www.ck"],
+    )
+    return U.registrable_domain_psl(docs, psl)
+
+
+@register(
     "mm_magic_sniff",
     """
     SELECT doc_id AS media_id,

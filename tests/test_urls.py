@@ -573,3 +573,69 @@ class TestRobotsRfc9309:
         assert plan.count("BroadcastHashJoin") == 2
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestPslRegistrableDomain:
+    """psl_frame / registrable_domain_psl (functions/urls.py): the real
+    public-suffix-list algorithm replacing the two-label approximation."""
+
+    RULES = ["// comment", "", "com", "io", "github.io",
+             "uk", "co.uk", "*.ck", "!www.ck"]
+
+    def _run(self, spark, hosts):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        psl = urls.psl_frame(spark, self.RULES)
+        df = spark.createDataFrame(
+            list(enumerate(hosts)), "doc_id long, host string"
+        )
+        out = urls.registrable_domain_psl(df, psl)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_longest_rule_wins(self, spark):
+        out = self._run(spark, ["pages.user.github.io", "x.io"])
+        assert out[0]["public_suffix"] == "github.io"
+        assert out[0]["reg_domain"] == "user.github.io"
+        assert out[1]["reg_domain"] == "x.io"
+
+    def test_wildcard_and_exception(self, spark):
+        out = self._run(spark, ["a.b.ck", "www.ck", "deep.www.ck"])
+        assert out[0]["public_suffix"] == "b.ck"   # *.ck
+        assert out[0]["reg_domain"] == "a.b.ck"
+        assert out[1]["public_suffix"] == "ck"     # !www.ck exception
+        assert out[1]["reg_domain"] == "www.ck"
+        # deep.www.ck: exception matches the www.ck TAIL → ps ck,
+        # reg www.ck... no: rule labels must suffix-match; !www.ck
+        # matches, prevailing exception, ps=ck, reg = last 2 = www.ck
+        assert out[2]["reg_domain"] == "www.ck"
+
+    def test_implicit_default_and_suffix_only_hosts(self, spark):
+        out = self._run(spark, ["host.unknowntld", "unknowntld", "co.uk"])
+        assert out[0]["public_suffix"] == "unknowntld"
+        assert out[0]["reg_domain"] == "host.unknowntld"
+        assert out[1]["reg_domain"] is None  # host IS the (default) suffix
+        assert out[2]["reg_domain"] is None  # host IS a listed suffix
+
+    def test_case_and_null_safety(self, spark):
+        out = self._run(spark, ["CDN.Site.CO.UK", None])
+        assert out[0]["reg_domain"] == "site.co.uk"
+        assert out[1]["reg_domain"] is None
+
+    def test_rejects_wildcard_tld_rule(self, spark):
+        import pytest as _pytest
+
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        with _pytest.raises(ValueError, match="wildcard TLD"):
+            urls.psl_frame(spark, ["foo.*"])
+        with _pytest.raises(ValueError, match="no rules"):
+            urls.psl_frame(spark, ["// only comments"])
+
+    def test_plan_is_two_broadcast_hash_joins(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        psl = urls.psl_frame(spark, self.RULES)
+        df = spark.createDataFrame([(1, "a.com")], "doc_id long, host string")
+        plan = (
+            urls.registrable_domain_psl(df, psl)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "NestedLoop" not in plan and "SortMergeJoin" not in plan
