@@ -503,7 +503,7 @@ def main() -> int:
                         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                         b"Content-Length: %d\r\n\r\n" % len(body)
                     ) + body
-                rows.append((fid, WR.encode_warc([
+                rows.append((fid, WR2.encode_warc([
                     ("response", uri, f"rec-{fid}-0", http),
                 ])))
             yield pd.DataFrame(rows, columns=["file_id", "payload"])

@@ -515,7 +515,14 @@ def registrable_domain_psl(
     (which take the implicit default) never shuffle. Emits one row per
     input doc: ``(id_col, host, public_suffix, reg_domain)``.
     """
-    host = F.lower(F.coalesce(F.col(host_col).cast("string"), F.lit("")))
+    # FQDN trailing dot ('example.com.') would split into a trailing
+    # EMPTY label: no rule matches '' and the implicit default would pick
+    # the empty label as the public suffix — strip it before matching
+    host = F.regexp_replace(
+        F.lower(F.coalesce(F.col(host_col).cast("string"), F.lit(""))),
+        r"\.$",
+        "",
+    )
     base = df.select(
         id_col,
         host.alias("_host"),

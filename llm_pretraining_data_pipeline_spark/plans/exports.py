@@ -175,7 +175,9 @@ _WARC_DATE_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$"
 def _check_warc_date(warc_date: str) -> str:
     import re as _re
 
-    if not _re.match(_WARC_DATE_RE, warc_date):
+    # fullmatch, not match: '$' would forgive a trailing newline, which
+    # would interpolate a bare LF into every record's header line
+    if not _re.fullmatch(_WARC_DATE_RE, warc_date):
         raise ValueError(
             f"warc_date must be ISO-8601 UTC 'YYYY-MM-DDThh:mm:ssZ', "
             f"got {warc_date!r}"

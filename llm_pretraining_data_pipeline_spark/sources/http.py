@@ -46,8 +46,10 @@ _CHARSET_RE = re.compile(r";\s*charset\s*=\s*\"?([^\";\s]+)\"?", re.IGNORECASE)
 # Chunk sizes are bare hex digits (RFC 9112 §7.1). int(tok, 16) alone
 # would also accept '-2' (which mis-frames the chain: size=-2 passes the
 # bounds check and the cursor never advances past real data), '+5',
-# '0x1f' and '1_0' — validate the token shape first.
-_CHUNK_SIZE_RE = re.compile(rb"^[0-9A-Fa-f]{1,16}$")
+# '0x1f' and '1_0' — validate the token shape first. No digit-count
+# bound: zero-padded sizes are spec-valid, and the VALUE is bounded by
+# the declares-vs-remaining check in the chunk walk.
+_CHUNK_SIZE_RE = re.compile(rb"^[0-9A-Fa-f]+$")
 
 HTTP_STRUCT_SCHEMA = (
     "status int, content_type string, charset string, "

@@ -293,3 +293,28 @@ class TestWetExport:
             .executedPlan().toString()
         )
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestWarcDateValidation:
+    def test_trailing_newline_rejected(self, spark):
+        # re.match with '$' forgives one trailing newline, which would
+        # interpolate a bare LF into every record's header line
+        import pytest as _pytest
+
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            wet_record_frame,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "https://a/x", "t")], "doc_id long, url string, text string"
+        )
+        with _pytest.raises(ValueError, match="warc_date"):
+            wet_record_frame(df, warc_date="2026-08-15T10:00:00Z\n")
+        with _pytest.raises(ValueError, match="warc_date"):
+            wet_record_frame(df, warc_date="not-a-date")
+        # a valid explicit date passes and lands in the record
+        rec = bytes(
+            wet_record_frame(df, warc_date="2026-08-15T10:00:00Z")
+            .collect()[0]["wet_record"]
+        )
+        assert b"WARC-Date: 2026-08-15T10:00:00Z\r\n" in rec

@@ -620,6 +620,14 @@ class TestPslRegistrableDomain:
         assert out[0]["reg_domain"] == "site.co.uk"
         assert out[1]["reg_domain"] is None
 
+    def test_trailing_dot_fqdn(self, spark):
+        # 'example.com.' (FQDN form, routine in crawl data) must not let
+        # the empty trailing label become the public suffix
+        out = self._run(spark, ["cdn.site.co.uk.", "x.com."])
+        assert out[0]["public_suffix"] == "co.uk"
+        assert out[0]["reg_domain"] == "site.co.uk"
+        assert out[1]["reg_domain"] == "x.com"
+
     def test_rejects_wildcard_tld_rule(self, spark):
         import pytest as _pytest
 

@@ -319,6 +319,13 @@ class TestHttpResponseSplit:
         with pytest.raises(ValueError, match="unsupported Transfer-Encoding"):
             http.parse_http_response(msg)
 
+    def test_zero_padded_chunk_size_accepted(self):
+        # RFC 9112 places no digit-count limit; some servers zero-pad
+        cb = (b"00000000000000000%X\r\n" % len(self.BODY) + self.BODY
+              + b"\r\n0\r\n\r\n")
+        msg = self._msg(body=cb, headers=[b"Transfer-Encoding: chunked"])
+        assert http.parse_http_response(msg)["body"] == self.BODY
+
     def test_negative_and_prefixed_chunk_sizes_rejected(self):
         # int(tok, 16) alone accepts '-2' / '+5' / '0x1f' / '1_0'; '-2'
         # previously parsed as a VALID empty body (cursor never advanced
