@@ -169,11 +169,23 @@ class TestLazyLshPlans:
         assert tree.count("Exchange") <= 3
 
     def test_embedding_lsh_leaves_no_cached_blocks(self, spark, sf_dir):
+        # Compare RDD-id SETS, not counts: in a long suite run the async
+        # ContextCleaner may unpersist an EARLIER test's localCheckpoint
+        # between the two reads (global count drops → count-equality
+        # flakes, seen round 10). The operator's contract is that it adds
+        # no NEW persistent blocks of its own.
+        def _ids():
+            return {
+                int(i)
+                for i in spark.sparkContext._jsc.getPersistentRDDs()
+                .keySet().toArray()
+            }
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        before = _ids()
         out = dedup.embedding_near_dup_pairs(emb, threshold=0.99, lsh_planes=4)
         out.count()
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == persisted_before
+        assert _ids() - before == set()
 
 
 class TestDedupResilienceAtScale:
