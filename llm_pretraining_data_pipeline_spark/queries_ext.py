@@ -2320,6 +2320,59 @@ def f18_psl_domain(spark, sf_dir):
 
 
 @register(
+    "src_http_body_text",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN text || chr(233)
+                ELSE text END AS text_decoded,
+           doc_id % 9 = 0 AS used_fallback,
+           CAST(length(CASE WHEN doc_id % 9 = 0 THEN text || chr(233)
+                            ELSE text END) AS bigint) AS n_chars
+    FROM documents
+    """,
+    doc="Charset-safe HTTP body decode (sources/http.py::http_body_text): "
+        "valid-UTF-8 bytes decode as UTF-8, anything else falls back to "
+        "ISO-8859-1 (total — every byte sequence is valid latin-1), so "
+        "the decode step can never fail; used_fallback is the per-source "
+        "mislabeled-charset audit flag. The declared charset is "
+        "deliberately ignored (content sniffing beats declarations — the "
+        "WHATWG rationale). Fixture appends one 0xE9 byte to every 9th "
+        "doc's UTF-8 bytes, making the whole body invalid UTF-8: the "
+        "latin-1 arm must decode that byte as U+00E9, which the referee "
+        "replays as text || chr(233). Pure Catalyst (is_valid_utf8 + "
+        "decode), zero Python, zero shuffle",
+)
+def src_http_body_text(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.sources import http as H
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                b = text.encode("utf-8")
+                if did % 9 == 0:
+                    b += b"\xe9"
+                out.append((did, b))
+            yield pd.DataFrame(out, columns=["doc_id", "body"])
+
+    bodies = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(gen, "doc_id bigint, body binary")
+    )
+    dec = H.http_body_text("body")
+    return bodies.select("doc_id", dec.alias("_d")).select(
+        "doc_id",
+        F.col("_d.text").alias("text_decoded"),
+        F.col("_d.used_fallback").alias("used_fallback"),
+        F.length(F.col("_d.text")).cast("long").alias("n_chars"),
+    )
+
+
+@register(
     "mm_magic_sniff",
     """
     SELECT doc_id AS media_id,

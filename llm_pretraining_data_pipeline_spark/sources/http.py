@@ -288,3 +288,31 @@ def warc_http_records(
         F.col("_h.http_ok").alias("http_ok"),
         F.col("_h.http_err").alias("http_err"),
     )
+
+
+def http_body_text(body_col: Column | str = "body") -> Column:
+    """Decode an HTTP entity body to text — total, mojibake-safe, pure
+    Catalyst: valid-UTF-8 bytes decode as UTF-8 (the dominant real case,
+    and what a declared ``charset=utf-8`` promises); anything else falls
+    back to ISO-8859-1, which is total (every byte sequence is valid
+    latin-1), so no payload can fail the decode step. Returns a struct
+    ``(text, used_fallback)`` — the fallback flag is the audit signal a
+    curation pipeline aggregates per source (a source whose fallback
+    rate spikes is mislabeling charsets upstream).
+
+    The DECLARED charset is deliberately not consulted: a body that
+    validates as UTF-8 decodes as UTF-8 even if the header claims
+    latin-1 (ASCII is a subset of both, and real servers mislabel
+    constantly — content sniffing beats declarations, the WHATWG
+    encoding-sniffing rationale). Zero Python, zero shuffle,
+    codegen-fused; compose after ``http_response_split`` /
+    ``warc_http_records``. Null body → null text.
+    """
+    b = F.col(body_col) if isinstance(body_col, str) else body_col
+    valid = F.is_valid_utf8(b)
+    return F.struct(
+        F.when(valid, F.decode(b, "UTF-8"))
+        .otherwise(F.decode(b, "ISO-8859-1"))
+        .alias("text"),
+        F.when(b.isNotNull(), ~valid).alias("used_fallback"),
+    )

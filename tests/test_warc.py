@@ -390,3 +390,40 @@ class TestWarcHttpPipeline:
             assert r["text"] == text
         bad = {r["file_id"]: r for r in resp.collect()}[3]
         assert not bad["http_ok"] and "CRLF CRLF" in bad["http_err"]
+
+
+class TestHttpBodyText:
+    """http_body_text (sources/http.py): total charset-safe decode."""
+
+    def _decode(self, spark, bodies):
+        from pyspark.sql import functions as F
+        rows = [(i, bytearray(b) if b is not None else None)
+                for i, b in enumerate(bodies)]
+        df = spark.createDataFrame(rows, "i long, body binary")
+        out = df.select("i", http.http_body_text("body").alias("d"))
+        return {r["i"]: r["d"] for r in out.collect()}
+
+    def test_utf8_latin1_and_null(self, spark):
+        out = self._decode(spark, [
+            "plain ünïcode".encode("utf-8"),
+            "caf\xe9 latin-1".encode("latin-1"),   # invalid as UTF-8
+            b"",
+            None,
+        ])
+        assert out[0]["text"] == "plain ünïcode" and not out[0]["used_fallback"]
+        assert out[1]["text"] == "café latin-1" and out[1]["used_fallback"]
+        assert out[2]["text"] == "" and not out[2]["used_fallback"]
+        assert out[3]["text"] is None and out[3]["used_fallback"] is None
+
+    def test_total_on_arbitrary_bytes(self, spark):
+        # latin-1 is total: any byte soup decodes without error
+        out = self._decode(spark, [bytes(range(256))])
+        assert out[0]["used_fallback"] and len(out[0]["text"]) == 256
+
+    def test_plan_pure_jvm(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b"x"))], "i long, body binary")
+        plan = (
+            df.select(http.http_body_text("body").alias("d"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan
