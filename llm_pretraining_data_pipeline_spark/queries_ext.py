@@ -1871,9 +1871,7 @@ def src_warc_gz_records(spark, sf_dir):
     )
 
 
-@register(
-    "src_warc_http",
-    """
+_SRC_WARC_HTTP_SQL = """
     WITH d AS (
       SELECT doc_id, text,
              doc_id % 37 = 0 AS bad,
@@ -1902,28 +1900,15 @@ def src_warc_gz_records(spark, sf_dir):
            CASE WHEN bad THEN NULL ELSE sha256(text) END AS body_sha256,
            NOT bad AS http_ok
     FROM d
-    """,
-    doc="HTTP response splitting on the WARC ingestion path "
-        "(sources/http.py::parse_http_response + warc_http_records — "
-        "VERDICT r9 item 1): a CommonCrawl 'response' record's payload "
-        "is a full HTTP/1.x message, not document text; this operator "
-        "splits status line / headers / body, extracts the media type + "
-        "charset, and DE-CHUNKS Transfer-Encoding: chunked bodies "
-        "(RFC 9112 §7.1, strict chunk framing + 0-chunk terminator + "
-        "trailer handling). Fixture wraps each document's text as a "
-        "closed-form HTTP message inside a WARC blob — every 5th doc "
-        "chunked in two pieces (the referee proves de-chunking "
-        "byte-exact via body sha256), status rotates 200/301/404, every 7th (non-chunked) doc's body arrives Content-Encoding: gzip (bounded inflate refereed the same way), "
-        "text/html docs carry charset=UTF-8; id%37 payloads are not "
-        "HTTP and survive as http_ok=false rows on both engines. Scale "
-        "shape: file-granularity mapInPandas fan-out, ONE "
-        "ArrowEvalPython for the struct (Catalyst dedups the field "
-        "refs), zero shuffle end-to-end",
-)
-def src_warc_http(spark, sf_dir):
+    """
+
+
+def _warc_http_blobs(spark, sf_dir):
+    """Closed-form (file_id, payload) WARC blobs whose response payloads
+    are HTTP messages — shared by src_warc_http (batch) and
+    ev_stream_warc (the same bytes through the STREAMING path)."""
     import pandas as pd
 
-    from llm_pretraining_data_pipeline_spark.sources import http as H
     from llm_pretraining_data_pipeline_spark.sources import warc as W
 
     def gen(it):
@@ -1982,12 +1967,14 @@ def src_warc_http(spark, sf_dir):
                 out.append((did, blob))
             yield pd.DataFrame(out, columns=["file_id", "payload"])
 
-    files = (
+    return (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
         .mapInPandas(gen, "file_id bigint, payload binary")
     )
-    resp = H.warc_http_records(files)
+
+
+def _warc_http_projection(resp):
     return resp.select(
         "file_id",
         "http_status",
@@ -1999,6 +1986,33 @@ def src_warc_http(spark, sf_dir):
         F.sha2("body", 256).alias("body_sha256"),
         "http_ok",
     )
+
+
+@register(
+    "src_warc_http",
+    _SRC_WARC_HTTP_SQL,
+    doc="HTTP response splitting on the WARC ingestion path "
+        "(sources/http.py::parse_http_response + warc_http_records — "
+        "VERDICT r9 item 1): a CommonCrawl 'response' record's payload "
+        "is a full HTTP/1.x message, not document text; this operator "
+        "splits status line / headers / body, extracts the media type + "
+        "charset, and DE-CHUNKS Transfer-Encoding: chunked bodies "
+        "(RFC 9112 §7.1, strict chunk framing + 0-chunk terminator + "
+        "trailer handling). Fixture wraps each document's text as a "
+        "closed-form HTTP message inside a WARC blob — every 5th doc "
+        "chunked in two pieces (the referee proves de-chunking "
+        "byte-exact via body sha256), status rotates 200/301/404, every 7th (non-chunked) doc's body arrives Content-Encoding: gzip (bounded inflate refereed the same way), "
+        "text/html docs carry charset=UTF-8; id%37 payloads are not "
+        "HTTP and survive as http_ok=false rows on both engines. Scale "
+        "shape: file-granularity mapInPandas fan-out, ONE "
+        "ArrowEvalPython for the struct (Catalyst dedups the field "
+        "refs), zero shuffle end-to-end",
+)
+def src_warc_http(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import http as H
+
+    files = _warc_http_blobs(spark, sf_dir)
+    return _warc_http_projection(H.warc_http_records(files))
 
 
 @register(
@@ -2370,6 +2384,35 @@ def src_http_body_text(spark, sf_dir):
         F.col("_d.used_fallback").alias("used_fallback"),
         F.length(F.col("_d.text")).cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "ev_stream_warc",
+    _SRC_WARC_HTTP_SQL,
+    doc="STREAMING web-archive ingestion (streaming/events.py::"
+        "run_warc_http_stream_once): the continuous nightly-crawl shape "
+        "— WARC blobs arrive as files, each micro-batch explodes records "
+        "(warc_records mapInPandas 1→N) and HTTP-splits response "
+        "payloads (one Arrow pandas_udf struct), both STATELESS per-row "
+        "stages: append mode, zero aggregation state (stateOperators == "
+        "[] pinned in pytest), the stream never shuffles; malformed "
+        "blobs / non-HTTP payloads flow through as ok=false DATA rows, "
+        "so a poison record cannot kill the ingest. SHARES "
+        "src_warc_http's blob fixture and oracle — the streaming path "
+        "must recover byte-identical records (same body sha256, "
+        "de-chunk + gunzip included) as the batch path, the "
+        "src_warc_gz_records equivalence discipline",
+)
+def ev_stream_warc(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_warc_http_stream_once,
+    )
+
+    blobs = _warc_http_blobs(spark, sf_dir)
+    drained = run_warc_http_stream_once(
+        spark, blobs, stage_key=f"warc_http:{sf_dir}"
+    )
+    return _warc_http_projection(drained)
 
 
 @register(

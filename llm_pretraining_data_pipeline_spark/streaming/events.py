@@ -578,3 +578,37 @@ def run_cms_stream_once(
         (F.col("est_hist_cnt") >= heavy_threshold).alias("is_heavy"),
     )
     return _drain_to_memory(out, "append")
+
+
+def run_warc_http_stream_once(
+    spark: SparkSession, blobs: DataFrame, stage_key: str
+) -> DataFrame:
+    """Streaming web-archive ingestion — the continuous nightly-crawl
+    shape: WARC blobs arrive as FILES, and each micro-batch explodes
+    records (``warc_records`` mapInPandas, 1 blob → N rows) and
+    HTTP-splits the response payloads (one Arrow ``pandas_udf`` struct)
+    — both STATELESS per-row stages, so the query runs in append mode
+    with zero aggregation state and the stream itself never shuffles
+    (the exact property ``ev_stream_bloom``/``ev_stream_cms`` pin:
+    ``stateOperators == []``). Malformed blobs and non-HTTP payloads
+    flow through as ``parse_ok=false`` / ``http_ok=false`` DATA rows —
+    a poison record cannot kill the continuous ingest.
+
+    ``blobs`` is a bounded batch frame ``(file_id, payload binary)``
+    staged to a deterministic parquet dir (keyed by ``stage_key``,
+    reused across calls) that the file-stream source consumes; the
+    drain returns the full result as a batch frame for the referee.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from llm_pretraining_data_pipeline_spark.sources import http as H
+
+    key = hashlib.sha1(stage_key.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"warc_stream_{key}")
+    blobs.write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    resp = H.warc_http_records(stream)
+    return _drain_to_memory(resp, "append")
