@@ -427,3 +427,120 @@ class TestHttpBodyText:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestParserFuzz:
+    """Hypothesis fuzz over the strict parsers: arbitrary byte soup must
+    either parse or raise ValueError — never IndexError/KeyError/etc —
+    and structured random messages must round-trip exactly."""
+
+    def test_http_parser_total_over_byte_soup(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.binary(max_size=400))
+        def check(payload):
+            try:
+                d = http.parse_http_response(payload)
+                assert isinstance(d["status"], int)
+            except ValueError:
+                pass  # the only legal failure mode
+
+        check()
+
+    def test_http_parser_prefixed_soup(self):
+        # byte soup grafted onto a valid-looking prefix reaches the
+        # header/chunk walks instead of dying at the status line
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.binary(max_size=300),
+               st.sampled_from([b"", b"Transfer-Encoding: chunked\r\n",
+                                b"Content-Encoding: gzip\r\n"]))
+        def check(tail, coding):
+            payload = b"HTTP/1.1 200 OK\r\n" + coding + b"\r\n" + tail
+            try:
+                http.parse_http_response(payload)
+            except ValueError:
+                pass
+
+        check()
+
+    def test_warc_parser_total_over_byte_soup(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.binary(max_size=400))
+        def check(payload):
+            try:
+                warc.parse_warc(payload)
+            except ValueError:
+                pass
+
+        check()
+
+    def test_http_roundtrip_random_messages(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        body_s = st.binary(max_size=200)
+        status_s = st.integers(min_value=100, max_value=599)
+
+        @settings(max_examples=200, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(body_s, status_s, st.booleans(), st.booleans())
+        def check(body, status, chunked, gz):
+            import gzip as _gzip
+            ent = _gzip.compress(body, mtime=0) if gz else body
+            headers = [b"Content-Type: text/plain"]
+            if gz:
+                headers.append(b"Content-Encoding: gzip")
+            if chunked:
+                headers.append(b"Transfer-Encoding: chunked")
+                wire = b""
+                # split into up to 2 chunks at a deterministic point
+                half = len(ent) // 2
+                for c in (ent[:half], ent[half:]):
+                    if c:
+                        wire += b"%X\r\n" % len(c) + c + b"\r\n"
+                wire += b"0\r\n\r\n"
+            else:
+                headers.append(b"Content-Length: %d" % len(ent))
+                wire = ent
+            msg = (b"HTTP/1.1 %d X\r\n" % status
+                   + b"\r\n".join(headers) + b"\r\n\r\n" + wire)
+            d = http.parse_http_response(msg)
+            assert d["status"] == status
+            assert d["body"] == body
+
+        check()
+
+    def test_warc_roundtrip_random_records(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        token = st.from_regex(r"[A-Za-z0-9._:/-]{1,24}", fullmatch=True)
+
+        @settings(max_examples=200, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.lists(
+            st.tuples(st.sampled_from(["response", "metadata", "request"]),
+                      token, token, st.binary(max_size=120)),
+            min_size=1, max_size=4,
+        ))
+        def check(recs):
+            out = warc.parse_warc(warc.encode_warc(recs))
+            assert len(out) == len(recs)
+            for (t, uri, rid, payload), r in zip(recs, out):
+                assert r["warc_type"] == t
+                assert r["target_uri"] == uri
+                assert r["payload"] == payload
+                assert r["content_length"] == len(payload)
+
+        check()
