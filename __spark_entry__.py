@@ -105,7 +105,7 @@ _PRIORITY_R10 = [
     # hash-matched via check_oracle at sf0.01 AND sf0.001 on registration
     "src_warc_http", "p41b_main_content_smooth", "s05_wet_export",
     "mm_bmp_features", "s06_wat_export", "f18_psl_domain",
-    "src_http_body_text", "ev_stream_warc",
+    "src_http_body_text", "ev_stream_warc", "f19_robots_directives",
     # changed this round: robots matcher rewritten to full RFC 9309
     # (Allow precedence, wildcards, fragment exclusion, match-only
     # aggregation; extended fixture), mm_mp4_meta frames_planned now
@@ -135,12 +135,13 @@ _PRIORITY_R10 = [
     "p15_token_stats", "p16_pii_mask", "p30_train_unigram_lm",
     "p31_trained_lm_score", "p32_fix_mojibake", "p34_bigram_lm_score",
     "f11_gopher_filter", "f14_refinedweb_lines", "ev_sessionize",
-    "ev_hourly_rollup", "ev_tumbling_5min", "ev_sliding_10m5m",
-    # win_running_quantity, win_range_frame, win_lag_price_delta and
-    # ev_stream_cleanse yielded their slots to s06_wat_export,
-    # f18_psl_domain, src_http_body_text and ev_stream_warc (all four
-    # displaced queries verified green via check_oracle in-session);
-    # they refresh in r11 with the other 18 r6-stale rows
+    "ev_hourly_rollup", "ev_tumbling_5min",
+    # win_running_quantity, win_range_frame, win_lag_price_delta,
+    # ev_stream_cleanse and ev_sliding_10m5m yielded their slots to
+    # s06_wat_export, f18_psl_domain, src_http_body_text, ev_stream_warc
+    # and f19_robots_directives (all five displaced queries verified
+    # green via check_oracle in-session); they refresh in r11 with the
+    # other 18 r6-stale rows
 ]
 
 _PRIORITY_R9 = [

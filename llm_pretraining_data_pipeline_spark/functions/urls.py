@@ -217,6 +217,47 @@ def url_quality_filter(
 # ---------------------------------------------------------------- robots.txt
 
 
+def _robots_grouped_lines(
+    robots: DataFrame, domain_col: str, text_col: str
+) -> DataFrame:
+    """Shared robots.txt line parser: ``(domain, pos, key, value, grp)``
+    with ``#`` comments stripped, keys lowercased, and RFC 9309 group
+    ids assigned by a per-domain cumulative window (consecutive UA lines
+    share one group; EVERY key:value rule line participates in
+    segmentation). The window partitions by domain — it sees one robots
+    FILE per key, never the corpus."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    lines = lines.select(
+        "domain",
+        "pos",
+        F.lower(F.regexp_extract("line", r"(?i)^([a-z-]+)\s*:", 1))
+        .alias("key"),
+        F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:(.*)$", 1))
+        .alias("value"),
+    ).where(F.col("key") != "")
+    w = Window.partitionBy("domain").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    # a UA line opens a NEW group only if the previous kept line wasn't UA
+    opens = is_ua & ~F.coalesce(
+        F.lag(is_ua.cast("boolean")).over(w), F.lit(False)
+    )
+    return lines.select(
+        "domain", "pos", "key", "value",
+        F.sum(opens.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+
+
 def parse_robots(
     robots: DataFrame,
     domain_col: str = "domain",
@@ -250,37 +291,8 @@ def parse_robots(
     keeps ``*`` groups. Output is the small broadcastable rule frame
     ``robots_gate`` consumes.
     """
-    from pyspark.sql import Window
-
-    d = F.col(domain_col)
-    lines = robots.select(
-        d.alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
-    ).select(
-        "domain",
-        "pos",
-        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
-    )
-    # Keep EVERY key:value rule line for segmentation (Allow/Crawl-delay/
-    # Sitemap break UA runs even though only UA/Disallow feed the output).
-    lines = lines.select(
-        "domain",
-        "pos",
-        F.lower(F.regexp_extract("line", r"(?i)^([a-z-]+)\s*:", 1))
-        .alias("key"),
-        F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:(.*)$", 1))
-        .alias("value"),
-    ).where(F.col("key") != "")
-    w = Window.partitionBy("domain").orderBy("pos")
+    grouped = _robots_grouped_lines(robots, domain_col, text_col)
     is_ua = F.col("key") == "user-agent"
-    # a UA line opens a NEW group only if the previous kept line wasn't UA
-    opens = is_ua & ~F.coalesce(F.lag(is_ua.cast("boolean")).over(w), F.lit(False))
-    grouped = lines.select(
-        "domain", "pos", "key", "value",
-        F.sum(opens.cast("int")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("grp"),
-    )
     return (
         grouped.groupBy("domain", "grp")
         .agg(
@@ -306,6 +318,58 @@ def parse_robots(
             F.col("r.pattern").alias("pattern"),
         )
         .distinct()
+    )
+
+
+def robots_directives(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-domain crawl-scheduler directives from robots.txt:
+    ``crawl_delay`` (the de-facto-universal non-standard directive —
+    taken from ``User-agent: *`` groups, MIN across groups as the
+    conservative choice, null when absent or non-numeric via try_cast)
+    and ``sitemaps`` (``Sitemap:`` lines are GLOBAL per RFC 9309 /
+    sitemaps.org — collected from anywhere in the file, including inside
+    other agents' groups, deduped and sorted). One row per input domain;
+    the politeness/budget inputs a distributed crawler joins before
+    scheduling fetches.
+    """
+    grouped = _robots_grouped_lines(robots, domain_col, text_col)
+    is_ua = F.col("key") == "user-agent"
+    per_group = grouped.groupBy("domain", "grp").agg(
+        F.max(
+            (is_ua & (F.lower(F.col("value")) == "*")).cast("int")
+        ).alias("is_star"),
+        F.min(
+            F.when(
+                F.col("key") == "crawl-delay",
+                F.expr("try_cast(value AS double)"),
+            )
+        ).alias("cd"),
+    )
+    delays = (
+        per_group.where(F.col("is_star") == 1)
+        .groupBy("domain")
+        .agg(F.min("cd").alias("crawl_delay"))
+    )
+    sitemaps = (
+        grouped.where((F.col("key") == "sitemap") & (F.col("value") != ""))
+        .groupBy("domain")
+        .agg(F.array_sort(F.collect_set("value")).alias("sitemaps"))
+    )
+    domains = robots.select(F.col(domain_col).alias("domain")).distinct()
+    return (
+        domains.join(delays, "domain", "left")
+        .join(sitemaps, "domain", "left")
+        .select(
+            "domain",
+            "crawl_delay",
+            F.coalesce(
+                F.col("sitemaps"), F.array().cast("array<string>")
+            ).alias("sitemaps"),
+        )
     )
 
 

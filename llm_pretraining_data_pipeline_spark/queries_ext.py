@@ -2416,6 +2416,81 @@ def ev_stream_warc(spark, sf_dir):
 
 
 @register(
+    "f19_robots_directives",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
+    SELECT 'site-' || CAST(dom AS varchar) || '.example' AS domain,
+           CASE WHEN dom % 7 = 0 OR dom % 6 = 0 THEN NULL
+                ELSE CAST((dom % 4) + 0.5 AS double) END AS crawl_delay,
+           CASE WHEN dom % 3 = 0 AND dom % 7 <> 0
+                THEN 'https://site-' || CAST(dom AS varchar)
+                     || '.example/gb.xml,https://site-'
+                     || CAST(dom AS varchar) || '.example/main.xml'
+                ELSE 'https://site-' || CAST(dom AS varchar)
+                     || '.example/gb.xml' END AS sitemaps,
+           CAST(CASE WHEN dom % 3 = 0 AND dom % 7 <> 0 THEN 2 ELSE 1 END
+                AS bigint) AS n_sitemaps
+    FROM doms
+    """,
+    doc="robots.txt crawl-scheduler directives (functions/urls.py::"
+        "robots_directives): per-domain Crawl-delay (from 'User-agent: "
+        "*' groups only — another agent's delay must NOT leak; MIN "
+        "across star groups; non-numeric values null via try_cast) and "
+        "Sitemap lines (GLOBAL per RFC 9309/sitemaps.org — collected "
+        "from anywhere in the file including other agents' groups, "
+        "deduped + sorted). Fixture: every domain's googlebot group "
+        "carries a delay (must not leak) and a global sitemap; star "
+        "groups carry decimal delays, dom%6=0 a non-numeric 'fast', "
+        "dom%7=0 no star group at all, dom%3=0 a second star-group "
+        "sitemap. The referee recomputes all verdicts closed-form. "
+        "Shares the grouped-lines builder with parse_robots (one "
+        "per-domain window, never corpus-sized)",
+)
+def f19_robots_directives(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls as U
+
+    doms = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("dom")
+    ).distinct()
+    dd = F.col("dom")
+    site = F.concat(F.lit("site-"), dd, F.lit(".example"))
+    delay_val = F.when(dd % 6 == 0, F.lit("fast")).otherwise(
+        F.concat((dd % 4).cast("string"), F.lit(".5"))
+    )
+    star_section = F.when(
+        dd % 7 != 0,
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Crawl-delay: "), delay_val, F.lit("\n"),
+            F.lit("Disallow: /private\n"),
+            F.when(
+                dd % 3 == 0,
+                F.concat(F.lit("Sitemap: https://"), site,
+                         F.lit("/main.xml\n")),
+            ).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    robots = doms.select(
+        site.alias("domain"),
+        F.concat(
+            F.lit("# directives fixture\n"),
+            F.lit("User-agent: googlebot\n"),
+            F.lit("Crawl-delay: 1\n"),
+            F.lit("Sitemap: https://"), site, F.lit("/gb.xml\n"),
+            F.lit("\n"),
+            star_section,
+        ).alias("robots_txt"),
+    )
+    out = U.robots_directives(robots)
+    return out.select(
+        "domain",
+        "crawl_delay",
+        F.array_join("sitemaps", ",").alias("sitemaps"),
+        F.size("sitemaps").cast("long").alias("n_sitemaps"),
+    )
+
+
+@register(
     "mm_magic_sniff",
     """
     SELECT doc_id AS media_id,

@@ -647,3 +647,43 @@ class TestPslRegistrableDomain:
         )
         assert plan.count("BroadcastHashJoin") == 2
         assert "NestedLoop" not in plan and "SortMergeJoin" not in plan
+
+
+class TestRobotsDirectives:
+    """robots_directives (functions/urls.py): Crawl-delay + Sitemap."""
+
+    def _run(self, spark, rows):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        df = spark.createDataFrame(rows, "domain string, robots_txt string")
+        return {r["domain"]: r for r in urls.robots_directives(df).collect()}
+
+    def test_star_delay_only_and_global_sitemaps(self, spark):
+        txt = (
+            "User-agent: googlebot\nCrawl-delay: 1\n"
+            "Sitemap: https://a/gb.xml\n\n"
+            "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"
+            "Sitemap: https://a/main.xml\n"
+        )
+        out = self._run(spark, [("a", txt)])
+        assert out["a"]["crawl_delay"] == 2.5  # googlebot's 1 must not leak
+        assert list(out["a"]["sitemaps"]) == [
+            "https://a/gb.xml", "https://a/main.xml"  # global, sorted
+        ]
+
+    def test_min_across_star_groups_and_invalid(self, spark):
+        multi = (
+            "User-agent: *\nCrawl-delay: 5\n\n"
+            "User-agent: *\nCrawl-delay: 3\n"
+        )
+        bad = "User-agent: *\nCrawl-delay: fast\n"
+        none = "User-agent: googlebot\nCrawl-delay: 9\n"
+        out = self._run(spark, [("m", multi), ("b", bad), ("n", none)])
+        assert out["m"]["crawl_delay"] == 3.0   # conservative MIN
+        assert out["b"]["crawl_delay"] is None  # try_cast
+        assert out["n"]["crawl_delay"] is None  # no star group
+        assert list(out["n"]["sitemaps"]) == []
+
+    def test_every_input_domain_emits_a_row(self, spark):
+        out = self._run(spark, [("empty", "# nothing here")])
+        assert out["empty"]["crawl_delay"] is None
+        assert list(out["empty"]["sitemaps"]) == []
