@@ -626,6 +626,22 @@ def main() -> int:
         except OSError as exc:
             print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     print(line, flush=True)
+    # The driver parses the LAST JSON line from a bounded stdout tail; the
+    # full line above (~2-4 kB with meta/first_run) can overflow that capture
+    # (VERDICT r9 item 2 / r10 item 1: "parsed": null). Emit a second, compact
+    # final line — suite total + per-query medians only, separators-tight,
+    # values at 2 dp — guaranteed well under 1 kB so the tail always parses.
+    compact = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
+    )
+    print(compact, flush=True)
     return 0
 
 

@@ -328,8 +328,10 @@ def robots_directives(
 ) -> DataFrame:
     """Per-domain crawl-scheduler directives from robots.txt:
     ``crawl_delay`` (the de-facto-universal non-standard directive —
-    taken from ``User-agent: *`` groups, MIN across groups as the
-    conservative choice, null when absent or non-numeric via try_cast)
+    taken from ``User-agent: *`` groups, MAX across lines and groups:
+    for a politeness directive the conservative merge is the SLOWEST
+    requested delay, not the fastest (ADVICE r10); null when absent or
+    non-numeric via try_cast)
     and ``sitemaps`` (``Sitemap:`` lines are GLOBAL per RFC 9309 /
     sitemaps.org — collected from anywhere in the file, including inside
     other agents' groups, deduped and sorted). One row per input domain;
@@ -342,7 +344,7 @@ def robots_directives(
         F.max(
             (is_ua & (F.lower(F.col("value")) == "*")).cast("int")
         ).alias("is_star"),
-        F.min(
+        F.max(
             F.when(
                 F.col("key") == "crawl-delay",
                 F.expr("try_cast(value AS double)"),
@@ -352,7 +354,7 @@ def robots_directives(
     delays = (
         per_group.where(F.col("is_star") == 1)
         .groupBy("domain")
-        .agg(F.min("cd").alias("crawl_delay"))
+        .agg(F.max("cd").alias("crawl_delay"))
     )
     sitemaps = (
         grouped.where((F.col("key") == "sitemap") & (F.col("value") != ""))
@@ -410,7 +412,10 @@ def compile_robots_rules(rules: DataFrame) -> DataFrame:
         "domain",
         (F.col("rule") == "allow").alias("_is_allow"),
         pat.alias("_pattern"),
-        F.length(pat).alias("_plen"),
+        # RFC 9309 §2.2.2 ranks most-specific-match by OCTET count of the
+        # pattern, not characters — a percent-unencoded UTF-8 pattern must
+        # outrank an ASCII pattern with fewer bytes (ADVICE r10).
+        F.octet_length(pat).alias("_plen"),
         regex.alias("_regex"),
         (~pat.contains("*") & ~anchored).alias("_is_plain"),
     )
@@ -460,15 +465,23 @@ def robots_gate(
     compiled = compile_robots_rules(rules)
     u = F.col(url_col)
     pre = F.regexp_extract(u, r"^[^#]*", 0)
+    # Path+query extraction: the component starts at the first '/' OR '?'
+    # after the authority — '[^/?]*' must not consume a query that follows
+    # an empty path ('https://host?session=x' matches as '/?session=x' per
+    # RFC 9309, so 'Disallow: /*?session=' can hit it; ADVICE r10). A
+    # query-only component gets the implied '/' prefixed.
     raw_path = F.regexp_extract(
-        pre, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$", 1
+        pre, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([/?].*)$", 1
     )
+    path_q = F.when(
+        raw_path.startswith("?"), F.concat(F.lit("/"), raw_path)
+    ).otherwise(raw_path)
     base = docs.select(
         id_col,
         url_domain(u).alias("_dom"),
         F.when(
-            (url_domain(u) != "") & (raw_path == ""), F.lit("/")
-        ).otherwise(raw_path).alias("_path"),
+            (url_domain(u) != "") & (path_q == ""), F.lit("/")
+        ).otherwise(path_q).alias("_path"),
     )
     match = F.when(
         compiled["_is_plain"], base["_path"].startswith(compiled["_pattern"])

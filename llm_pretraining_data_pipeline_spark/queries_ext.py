@@ -2420,7 +2420,9 @@ def ev_stream_warc(spark, sf_dir):
     """
     WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
     SELECT 'site-' || CAST(dom AS varchar) || '.example' AS domain,
-           CASE WHEN dom % 7 = 0 OR dom % 6 = 0 THEN NULL
+           CASE WHEN dom % 7 = 0 THEN NULL
+                WHEN dom % 5 = 0 THEN CAST(9 AS double)
+                WHEN dom % 6 = 0 THEN NULL
                 ELSE CAST((dom % 4) + 0.5 AS double) END AS crawl_delay,
            CASE WHEN dom % 3 = 0 AND dom % 7 <> 0
                 THEN 'https://site-' || CAST(dom AS varchar)
@@ -2434,8 +2436,11 @@ def ev_stream_warc(spark, sf_dir):
     """,
     doc="robots.txt crawl-scheduler directives (functions/urls.py::"
         "robots_directives): per-domain Crawl-delay (from 'User-agent: "
-        "*' groups only — another agent's delay must NOT leak; MIN "
-        "across star groups; non-numeric values null via try_cast) and "
+        "*' groups only — another agent's delay must NOT leak; MAX "
+        "across star groups, the polite/conservative merge per ADVICE "
+        "r10 — dom%5=0 domains carry a SECOND star group with delay 9 "
+        "that must win; non-numeric values null via try_cast, and MAX "
+        "skips the null so 'fast'+9 resolves to 9) and "
         "Sitemap lines (GLOBAL per RFC 9309/sitemaps.org — collected "
         "from anywhere in the file including other agents' groups, "
         "deduped + sorted). Fixture: every domain's googlebot group "
@@ -2470,6 +2475,13 @@ def f19_robots_directives(spark, sf_dir):
             ).otherwise(F.lit("")),
         ),
     ).otherwise(F.lit(""))
+    # Second star group (dom%5=0): a slower delay that MAX must prefer
+    # over the first group's — including dom=30 where the first group's
+    # 'fast' is non-numeric (null) and 9 must still win.
+    star2 = F.when(
+        (dd % 5 == 0) & (dd % 7 != 0),
+        F.lit("\nUser-agent: *\nCrawl-delay: 9\nDisallow: /slow\n"),
+    ).otherwise(F.lit(""))
     robots = doms.select(
         site.alias("domain"),
         F.concat(
@@ -2479,6 +2491,7 @@ def f19_robots_directives(spark, sf_dir):
             F.lit("Sitemap: https://"), site, F.lit("/gb.xml\n"),
             F.lit("\n"),
             star_section,
+            star2,
         ).alias("robots_txt"),
     )
     out = U.robots_directives(robots)
@@ -4016,7 +4029,7 @@ def mm_phash_pairs(spark, sf_dir):
                WHEN 0 THEN '/private/p' || CAST(doc_id AS varchar)
                WHEN 1 THEN '/t' || CAST(t AS varchar) || '/x'
                WHEN 2 THEN '/t' || CAST((t + 1) % 3 AS varchar) || '/x'
-               WHEN 3 THEN '/pub/' || CAST(doc_id AS varchar)
+               WHEN 3 THEN '?session=' || CAST(doc_id AS varchar)
                WHEN 4 THEN '/private/open/' || CAST(doc_id AS varchar)
                ELSE '/files/doc' || CAST(doc_id AS varchar) || '.pdf'
              END AS path,
@@ -4026,10 +4039,11 @@ def mm_phash_pairs(spark, sf_dir):
     SELECT doc_id,
            'https://site-' || CAST(dom AS varchar) || '.example'
              || path || frag AS url,
-           dom % 7 <> 0 AND pk IN (0, 1, 5) AS disallowed,
+           dom % 7 <> 0 AND pk IN (0, 1, 3, 5) AS disallowed,
            CASE WHEN dom % 7 = 0 THEN NULL
                 WHEN pk = 0 THEN '/private'
                 WHEN pk = 1 THEN '/t' || CAST(t AS varchar)
+                WHEN pk = 3 THEN '/*session='
                 WHEN pk = 5 THEN '/*.pdf$'
                 ELSE NULL END AS matched_prefix
     FROM u
@@ -4047,9 +4061,12 @@ def mm_phash_pairs(spark, sf_dir):
         "into an INNER join, only matches aggregate (the unmatched corpus "
         "never shuffles), verdicts broadcast back. Fixture exercises: "
         "plain-prefix Disallow hits (pk 0/1), near-miss prefixes (pk 2), "
-        "a '#a.pdf' FRAGMENT that the '/*.pdf$' wildcard must NOT match "
-        "(pk 3), Allow: /private/open overriding the shorter Disallow: "
-        "/private (pk 4), and a wildcard+anchor '/*.pdf$' hit (pk 5); "
+        "a QUERY-ONLY URL 'https://host?session=N#a.pdf' whose component "
+        "is '/?session=N' per RFC 9309 — 'Disallow: /*session=' must hit "
+        "it, '/*.pdf$' must NOT (fragment excluded; ADVICE-r10 path "
+        "extraction) (pk 3), Allow: /private/open overriding the shorter "
+        "Disallow: /private (pk 4), and a wildcard+anchor '/*.pdf$' hit "
+        "(pk 5); rule ranking is by OCTET length per §2.2.2; "
         "domains dom%7=0 have no star group, dom%5=0 carry an "
         "empty-Disallow line. The referee recomputes expected verdicts "
         "from the closed form",
@@ -4064,7 +4081,7 @@ def f17_robots_gate(spark, sf_dir):
         F.when(pk == 0, F.concat(F.lit("/private/p"), F.col("doc_id")))
         .when(pk == 1, F.concat(F.lit("/t"), t, F.lit("/x")))
         .when(pk == 2, F.concat(F.lit("/t"), (t + 1) % 3, F.lit("/x")))
-        .when(pk == 3, F.concat(F.lit("/pub/"), F.col("doc_id")))
+        .when(pk == 3, F.concat(F.lit("?session="), F.col("doc_id")))
         .when(pk == 4, F.concat(F.lit("/private/open/"), F.col("doc_id")))
         .otherwise(
             F.concat(F.lit("/files/doc"), F.col("doc_id"), F.lit(".pdf"))
@@ -4093,6 +4110,7 @@ def f17_robots_gate(spark, sf_dir):
             F.lit("Disallow: /t"), (dd % 3).cast("string"), F.lit("\n"),
             F.lit("Allow: /private/open\n"),
             F.lit("Disallow: /*.pdf$\n"),
+            F.lit("Disallow: /*session=\n"),
         ),
     ).otherwise(F.lit(""))
     robots = doms.select(

@@ -595,9 +595,12 @@ def run_warc_http_stream_once(
     a poison record cannot kill the continuous ingest.
 
     ``blobs`` is a bounded batch frame ``(file_id, payload binary)``
-    staged to a deterministic parquet dir (keyed by ``stage_key``,
-    reused across calls) that the file-stream source consumes; the
-    drain returns the full result as a batch frame for the referee.
+    staged to a deterministic parquet dir (keyed by ``stage_key`` PLUS
+    the Spark applicationId — two concurrent sessions on one machine
+    must not overwrite each other's stage mid-stream; ADVICE r10 —
+    reused across calls within a session) that the file-stream source
+    consumes; the drain returns the full result as a batch frame for
+    the referee.
     """
     import hashlib
     import os
@@ -605,7 +608,8 @@ def run_warc_http_stream_once(
 
     from llm_pretraining_data_pipeline_spark.sources import http as H
 
-    key = hashlib.sha1(stage_key.encode()).hexdigest()[:12]
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.sha1(f"{app_id}:{stage_key}".encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"warc_stream_{key}")
     blobs.write.mode("overwrite").parquet(stage)
     schema = spark.read.parquet(stage).schema
