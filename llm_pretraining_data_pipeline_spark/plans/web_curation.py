@@ -5,6 +5,8 @@ pipeline's stage order composed into one lazy plan:
   1. URL-level keep-first dedup        (RefinedWeb §3.1 — before any text)
   1b. main-content extraction          (opt-in; jusText-style block gate
                                         for raw-HTML input)
+  1c. HTML entity decoding             (opt-in; &amp;/&#233;/&#xE9; →
+                                        characters before any metric)
   2. line-wise corrections             (RefinedWeb §3.2)
   3. C4 cleanup battery                (Raffel et al. 2020 §2.2)
   4. Gopher quality cascade            (Rae et al. 2021 A1)
@@ -58,6 +60,12 @@ class WebCurationConfig:
     mc_min_words: int = 5
     mc_max_link_density: float = 0.5
     mc_smooth: bool = False           # good-neighbor context pass (p41b)
+    # HTML character-reference decode (&amp; &#233; &#xE9; → & é é), run
+    # AFTER main-content extraction and BEFORE every text metric — tag
+    # stripping alone leaves entity literals that poison alpha ratios,
+    # tokenization, and dedup keys on real web HTML (VERDICT r10 item 3).
+    # Opt-in so the default output (and its oracle) is unchanged.
+    decode_entities: bool = False
     # robots verdicts are one row per RULE-MATCHED doc — tiny for normal
     # rule sets, corpus-sized when dominant domains carry `Disallow: /`.
     # Flip OFF for match-heavy corpora so AQE sizes the join instead of
@@ -134,6 +142,17 @@ def run_web_curation(
             F.when(F.col("text_main") == "", F.lit("no_main_content")),
         )
         text_col = "text_main"
+    if cfg.decode_entities:
+        # Same generator-barrier discipline as text_main above: the
+        # decoder is an interpreted HOF chain and every downstream stage
+        # references the text — inline() makes it a real attribute so the
+        # chain evaluates once per row.
+        dec_named = F.transform(
+            F.array(structural.decode_html_entities(F.col(text_col))),
+            lambda m: F.struct(m.alias("text_entities")),
+        )[0]
+        out = out.select("*", F.inline(F.array(dec_named)))
+        text_col = "text_entities"
     out = corpus.refinedweb_line_correct(
         out, text_col=text_col, id_col=id_col,
         max_removed_frac=cfg.rw_max_removed_frac,

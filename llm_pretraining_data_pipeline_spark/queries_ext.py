@@ -4595,3 +4595,75 @@ def p41b_main_content_smooth(spark, sf_dir):
         "n_blocks",
         "n_kept",
     )
+
+
+@register(
+    "p42_html_entities",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 8 AS k, CAST(doc_id AS varchar) AS n
+               FROM documents),
+    e AS (
+      SELECT doc_id, k,
+             CASE k
+               WHEN 0 THEN 'Fish & Chips <b>bold</b>'
+               WHEN 1 THEN 'café costs €' || n
+               WHEN 2 THEN 'AéBéCéD'
+               WHEN 3 THEN '&amp; &#65; &lt;'
+               WHEN 4 THEN '&bogus; ' || chr(65533) || ' ' || chr(65533)
+                           || ' ' || chr(65533)
+               WHEN 5 THEN 'id=' || n || '&q=1&r=2'
+               WHEN 6 THEN 'plain & text; no entities ' || n
+               ELSE chr(128512) || n || chr(128169) END AS text_decoded
+      FROM d)
+    SELECT doc_id, text_decoded, k <> 6 AS changed,
+           CAST(length(text_decoded) AS bigint) AS n_chars
+    FROM e
+    """,
+    doc="HTML character-reference decoding (functions/structural.py::"
+        "decode_html_entities; VERDICT r10 missing-item 1 — the "
+        "reference's strip_html at deep_clean_and_pii.py:92-116 deletes "
+        "tags but leaves '&amp;'/'&#233;' literals that poison every "
+        "downstream metric): named + decimal + hex references decoded in "
+        "ONE forward pass with HTML5 tokenizer semantics — decoded "
+        "output never rescanned, so double-escaped text un-escapes "
+        "exactly one level ('&amp;amp;' → '&amp;', '&amp;#65;' → "
+        "'&#65;'), unknown names and bare '&' pass through, invalid "
+        "codepoints (0, surrogates, > U+10FFFF) become U+FFFD, astral "
+        "planes decode via arithmetic UTF-8 byte assembly (Spark chr() "
+        "truncates at 256). Fixture arms: named/HTML4 core, decimal+hex "
+        "incl. uppercase &#XE9;, double-escapes, all three invalid "
+        "classes, a query-string '&q=1' that must survive beside a "
+        "decoding '&#38;', a no-entity arm (changed=false), and astral "
+        "emoji. Referee recomputes expected text closed-form via "
+        "chr(). Pure Catalyst split/HOF, zero shuffle, inline() barrier",
+)
+def p42_html_entities(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        decode_html_entities,
+    )
+
+    k = F.col("doc_id") % 8
+    n = F.col("doc_id").cast("string")
+    raw = (
+        F.when(k == 0, F.lit("Fish &amp; Chips &lt;b&gt;bold&lt;/b&gt;"))
+        .when(k == 1, F.concat(F.lit("caf&eacute; costs &euro;"), n))
+        .when(k == 2, F.lit("A&#233;B&#xE9;C&#XE9;D"))
+        .when(k == 3, F.lit("&amp;amp; &amp;#65; &amp;lt;"))
+        .when(k == 4, F.lit("&bogus; &#0; &#xD800; &#1114112;"))
+        .when(k == 5, F.concat(F.lit("id="), n, F.lit("&q=1&#38;r=2")))
+        .when(k == 6, F.concat(F.lit("plain & text; no entities "), n))
+        .otherwise(F.concat(F.lit("&#x1F600;"), n, F.lit("&#128169;")))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", raw.alias("raw"))
+    # generator barrier: changed + n_chars reference the decoded text —
+    # without inline() each reference re-runs the interpreted HOF chain
+    dec = F.transform(
+        F.array(decode_html_entities(F.col("raw"))),
+        lambda m: F.struct(m.alias("text_decoded")),
+    )[0]
+    return docs.select("doc_id", "raw", F.inline(F.array(dec))).select(
+        "doc_id",
+        "text_decoded",
+        (F.col("text_decoded") != F.col("raw")).alias("changed"),
+        F.length("text_decoded").cast("long").alias("n_chars"),
+    )

@@ -900,3 +900,81 @@ class TestMainContent:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestDecodeHtmlEntities:
+    """decode_html_entities (functions/structural.py): single-pass HTML5
+    character-reference decoding — named, decimal, hex, invalids."""
+
+    def _dec(self, spark, rows):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            decode_html_entities,
+        )
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "id long, t string"
+        )
+        out = df.select("id", decode_html_entities("t").alias("d")).collect()
+        return [r["d"] for r in sorted(out, key=lambda r: r["id"])]
+
+    def test_named_decimal_hex(self, spark):
+        got = self._dec(spark, [
+            "Fish &amp; Chips &lt;b&gt;x&lt;/b&gt;",
+            "caf&eacute; &#233; &#xE9; &#XE9;",
+            "price &euro;9 &pound;5 &frac12;",
+        ])
+        assert got == [
+            "Fish & Chips <b>x</b>",
+            "café é é é",
+            "price €9 £5 ½",
+        ]
+
+    def test_single_pass_double_escapes(self, spark):
+        # HTML5 tokenizer semantics: decoded output is never rescanned,
+        # so '&amp;amp;' un-escapes exactly ONE level (the decoded '&'
+        # plus the following 'amp;' must not recombine).
+        got = self._dec(spark, ["&amp;amp; &amp;#65; &amp;lt;"])
+        assert got == ["&amp; &#65; &lt;"]
+
+    def test_invalid_codepoints_become_replacement(self, spark):
+        # 0, UTF-16 surrogates, and > U+10FFFF are invalid numeric
+        # references per HTML5 — all map to U+FFFD.
+        got = self._dec(spark, ["&#0;|&#xD800;|&#1114112;"])
+        assert got == ["�|�|�"]
+
+    def test_unknown_and_bare_amp_pass_through(self, spark):
+        got = self._dec(spark, [
+            "&bogus; stays", "a&b&c", "id=1&q=2", "tail &",
+        ])
+        assert got == ["&bogus; stays", "a&b&c", "id=1&q=2", "tail &"]
+
+    def test_astral_and_edges(self, spark):
+        got = self._dec(spark, [
+            "&#x1F600;+&#128169;",   # astral: chr() mod-256 cannot do this
+            "&#65;start and end&#66;",
+            "",
+        ])
+        assert got == ["😀+💩", "Astart and endB", ""]
+
+    def test_null_passthrough(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            decode_html_entities,
+        )
+        df = spark.createDataFrame([(1, None)], "id long, t string")
+        assert df.select(
+            decode_html_entities("t").alias("d")
+        ).collect()[0]["d"] is None
+
+    def test_case_sensitive_names(self, spark):
+        got = self._dec(spark, ["&Eacute;&eacute;&EACUTE;"])
+        assert got == ["Éé&EACUTE;"]
+
+    def test_zero_shuffle_plan(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            decode_html_entities,
+        )
+        df = spark.createDataFrame([(1, "x &amp; y")], "id long, t string")
+        plan = (
+            df.select(decode_html_entities("t").alias("d"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan

@@ -240,3 +240,78 @@ class TestRound9FrontStages:
         out = run_web_curation(df, WebCurationConfig(apply_gopher=False))
         assert "text_main" not in out.columns
         assert "disallowed" not in out.columns
+
+
+class TestEntityDecodeStage:
+    """Opt-in decode_entities stage (round 11): entity decoding between
+    main-content extraction and the text metrics."""
+
+    def test_entities_decoded_before_metrics(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig, run_web_curation,
+        )
+        body = (
+            "Fish &amp; chips &ndash; the classic &pound;5 meal deal. "
+            "Another full sentence keeps this page past the C4 gate. "
+            "A third sentence rounds out the tiny document nicely."
+        )
+        page = (
+            '<div class="nav"><a href="/">home</a> <a href="/x">menu</a>'
+            "</div><p>" + body + "</p>"
+        )
+        docs = spark.createDataFrame(
+            [(1, page)], "doc_id long, text string"
+        )
+        out = run_web_curation(
+            docs,
+            WebCurationConfig(
+                extract_main=True, decode_entities=True,
+                apply_gopher=False, apply_span_dedup=False,
+                min_sentences=2,
+            ),
+        ).collect()[0]
+        assert out["drop_reason"] is None
+        # decoded characters reach the curated text; no literal survives
+        assert "Fish & chips – the classic £5 meal deal." in out["text_curated"]
+        assert "&amp;" not in out["text_curated"]
+        assert "home" not in out["text_curated"]  # nav still stripped first
+
+    def test_decode_without_extract_main(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig, run_web_curation,
+        )
+        docs = spark.createDataFrame(
+            [(1,
+              "Plain text with &amp; and &#233; entities inside it okay. "
+              "Second proper sentence keeps the little page alive here. "
+              "Third sentence completes the miniature test document.")],
+            "doc_id long, text string",
+        )
+        out = run_web_curation(
+            docs,
+            WebCurationConfig(
+                decode_entities=True, apply_gopher=False,
+                apply_span_dedup=False, min_sentences=2,
+            ),
+        ).collect()[0]
+        assert out["drop_reason"] is None
+        assert "with & and é entities" in out["text_curated"]
+
+    def test_default_off_leaves_entities(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig, run_web_curation,
+        )
+        docs = spark.createDataFrame(
+            [(1,
+              "Plain text with &amp; kept verbatim in this sentence. "
+              "Second proper sentence keeps the little page alive here. "
+              "Third sentence completes the miniature test document.")],
+            "doc_id long, text string",
+        )
+        out = run_web_curation(
+            docs,
+            WebCurationConfig(
+                apply_gopher=False, apply_span_dedup=False, min_sentences=2,
+            ),
+        ).collect()[0]
+        assert "&amp;" in out["text_curated"]
