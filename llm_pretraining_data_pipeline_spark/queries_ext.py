@@ -1877,6 +1877,8 @@ _SRC_WARC_HTTP_SQL = """
              doc_id % 37 = 0 AS bad,
              doc_id % 5 = 0 AS chunked,
              doc_id % 7 = 0 AND doc_id % 5 <> 0 AS gz,
+             doc_id % 3 = 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0
+               AS defl,
              CASE WHEN doc_id % 11 = 0 THEN 404
                   WHEN doc_id % 13 = 0 THEN 301
                   ELSE 200 END AS status,
@@ -1890,7 +1892,7 @@ _SRC_WARC_HTTP_SQL = """
                 ELSE 'text/plain' END AS content_type,
            CASE WHEN bad OR NOT html THEN NULL
                 ELSE 'utf-8' END AS charset,
-           CASE WHEN bad OR chunked OR gz THEN NULL
+           CASE WHEN bad OR chunked OR gz OR defl THEN NULL
                 ELSE CAST(octet_length(encode(text)) AS bigint) END
              AS content_length_hdr,
            CASE WHEN bad THEN NULL ELSE 3 END AS n_headers,
@@ -1952,6 +1954,23 @@ def _warc_http_blobs(spark, sf_dir):
                         "Content-Encoding: gzip\r\n"
                         "Server: fixture\r\n\r\n"
                     ).encode("ascii") + _gzip.compress(body, mtime=0)
+                elif did % 3 == 0:
+                    # deflate arm (round 11): odd ids ship the RFC 9110
+                    # zlib container, even ids the raw-deflate form real
+                    # servers emit — both must inflate to the same body
+                    import zlib as _zlib
+
+                    if did % 2 == 1:
+                        enc = _zlib.compress(body)
+                    else:
+                        co = _zlib.compressobj(wbits=-15)
+                        enc = co.compress(body) + co.flush()
+                    http = (
+                        f"HTTP/1.1 {status} {reason}\r\n"
+                        f"Content-Type: {ctype}\r\n"
+                        "Content-Encoding: deflate\r\n"
+                        "Server: fixture\r\n\r\n"
+                    ).encode("ascii") + enc
                 else:
                     http = (
                         f"HTTP/1.1 {status} {reason}\r\n"
@@ -2001,7 +2020,12 @@ def _warc_http_projection(resp):
         "trailer handling). Fixture wraps each document's text as a "
         "closed-form HTTP message inside a WARC blob — every 5th doc "
         "chunked in two pieces (the referee proves de-chunking "
-        "byte-exact via body sha256), status rotates 200/301/404, every 7th (non-chunked) doc's body arrives Content-Encoding: gzip (bounded inflate refereed the same way), "
+        "byte-exact via body sha256), status rotates 200/301/404, every "
+        "7th (non-chunked) doc's body arrives Content-Encoding: gzip "
+        "(bounded inflate refereed the same way), every remaining 3rd "
+        "doc Content-Encoding: deflate — odd ids zlib-wrapped per "
+        "RFC 9110 §8.4.1.2, even ids the raw-deflate form real servers "
+        "emit, both through the bounded zlib-then-raw arm, "
         "text/html docs carry charset=UTF-8; id%37 payloads are not "
         "HTTP and survive as http_ok=false rows on both engines. Scale "
         "shape: file-granularity mapInPandas fan-out, ONE "

@@ -99,6 +99,34 @@ def _dechunk(data: bytes) -> bytes:
         pos += size + 2
 
 
+def _inflate_deflate(data: bytes, max_bytes: int = 1 << 26) -> bytes:
+    """Inflate a ``Content-Encoding: deflate`` entity (RFC 9110
+    §8.4.1.2: the zlib container). A long tail of real servers — and
+    archived captures of them — send RAW deflate instead, so a zlib-arm
+    failure falls back to ``wbits=-15`` once. Bounded exactly like
+    ``gunzip_members`` (the decompression-bomb cap raises BEFORE the
+    allocation grows past it); truncation and trailing garbage raise,
+    so malformed bodies surface as ``http_ok=false`` data rows."""
+    import zlib
+
+    for wbits in (15, -15):
+        dec = zlib.decompressobj(wbits=wbits)
+        try:
+            out = dec.decompress(data, max_bytes + 1)
+        except zlib.error:
+            continue  # wrong container for this arm — try the other
+        if len(out) > max_bytes:
+            raise ValueError(
+                f"deflate: body inflates past {max_bytes} bytes"
+            )
+        if not dec.eof:
+            continue  # truncated under this container
+        if dec.unused_data:
+            raise ValueError("deflate: trailing garbage after stream end")
+        return out
+    raise ValueError("deflate: not a valid zlib or raw deflate stream")
+
+
 def parse_http_response(
     payload: bytes, max_headers: int = _MAX_HEADERS
 ) -> dict:
@@ -160,8 +188,10 @@ def parse_http_response(
     # real CC captures carry gzip'd bodies routinely. Reuse the WARC
     # layer's bounded single-member inflate (decompression-bomb cap,
     # dec.eof required, trailing garbage raises). 'identity' is a no-op;
-    # other codings (br, deflate, compress) raise — they surface as
-    # http_ok=false data rows, the honest signal for an unsupported tail.
+    # 'deflate' inflates via the bounded zlib-then-raw arm (RFC 9110
+    # §8.4.1.2 names zlib, real archives carry both); remaining codings
+    # (br, compress) raise — they surface as http_ok=false data rows,
+    # the honest signal for an unsupported tail.
     ce = headers.get("content-encoding", "").strip().lower()
     if ce == "gzip":
         from llm_pretraining_data_pipeline_spark.sources.warc import (
@@ -175,6 +205,8 @@ def parse_http_response(
                 "members, expected 1"
             )
         body = members[0]
+    elif ce == "deflate":
+        body = _inflate_deflate(body)
     elif ce not in ("", "identity"):
         raise ValueError(
             f"parse_http_response: unsupported Content-Encoding {ce!r}"

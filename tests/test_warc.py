@@ -255,6 +255,57 @@ class TestHttpResponseSplit:
         with pytest.raises(ValueError, match="Content-Encoding"):
             http.parse_http_response(bad)
 
+    def test_deflate_zlib_and_raw_forms_inflated(self):
+        # RFC 9110 §8.4.1.2 names the zlib container, but real servers
+        # (and archived captures) routinely send raw deflate — both
+        # forms must yield the identical entity (round-11 arm).
+        import zlib
+        for enc in (
+            zlib.compress(self.BODY),
+            (lambda co: co.compress(self.BODY) + co.flush())(
+                zlib.compressobj(wbits=-15)
+            ),
+        ):
+            msg = self._msg(
+                body=enc,
+                headers=[b"Content-Type: text/plain",
+                         b"Content-Encoding: deflate"],
+            )
+            assert http.parse_http_response(msg)["body"] == self.BODY
+
+    def test_chunked_then_deflate_order(self):
+        import zlib
+        enc = zlib.compress(self.BODY)
+        half = len(enc) // 2
+        cb = (b"%X\r\n" % half + enc[:half] + b"\r\n"
+              + b"%X\r\n" % (len(enc) - half) + enc[half:] + b"\r\n0\r\n\r\n")
+        msg = self._msg(
+            body=cb,
+            headers=[b"Transfer-Encoding: chunked",
+                     b"Content-Encoding: deflate"],
+        )
+        assert http.parse_http_response(msg)["body"] == self.BODY
+
+    def test_deflate_malformed_truncated_and_garbage_raise(self):
+        import zlib
+        enc = zlib.compress(self.BODY)
+        for body, why in (
+            (b"\x00not deflate at all", "not a valid"),
+            (enc[:-4], "not a valid"),          # truncated: no eof either arm
+            (enc + b"JUNK", "trailing garbage"),
+        ):
+            msg = self._msg(
+                body=body, headers=[b"Content-Encoding: deflate"]
+            )
+            with pytest.raises(ValueError, match=why):
+                http.parse_http_response(msg)
+
+    def test_deflate_bomb_capped(self):
+        import zlib
+        bomb = zlib.compress(b"\x00" * (1 << 22))
+        with pytest.raises(ValueError, match="inflates past"):
+            http._inflate_deflate(bomb, max_bytes=1 << 20)
+
     def test_bad_status_line_raises(self):
         with pytest.raises(ValueError, match="bad status line"):
             http.parse_http_response(self._msg(status=b"ICANHAZ 200 OK"))
