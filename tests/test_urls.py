@@ -735,3 +735,56 @@ class TestRobotsDirectives:
         out = self._run(spark, [("empty", "# nothing here")])
         assert out["empty"]["crawl_delay"] is None
         assert list(out["empty"]["sitemaps"]) == []
+
+
+class TestSurtKey:
+    """surt_key (functions/urls.py): the CDX sort/lookup key."""
+
+    def _surt(self, spark, urls_in):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls_in)], "id long, u string"
+        )
+        out = df.select("id", urls.surt_key("u").alias("s")).collect()
+        return [r["s"] for r in sorted(out, key=lambda r: r["id"])]
+
+    def test_canonicalisation(self, spark):
+        got = self._surt(spark, [
+            "https://www.Example.com:8080/Path/X?b=2&a=1#frag",
+            "https://example.com",
+            "http://sub.Example.com/A",
+            "https://example.com?q=1",      # query-only: implied '/'
+            "https://example.com/x?single",
+        ])
+        assert got == [
+            "com,example)/path/x?a=1&b=2",  # scheme/port/www/frag gone,
+            "com,example)/",                # host reversed, query sorted
+            "com,example,sub)/a",
+            "com,example)/?q=1",
+            "com,example)/x?single",
+        ]
+
+    def test_prefix_covers_domain_family(self, spark):
+        # the whole point of SURT ordering: one prefix scan covers a
+        # registrable domain and all its subdomains
+        got = self._surt(spark, [
+            "https://example.com/a",
+            "https://cdn.example.com/b",
+            "https://examplezzz.com/c",
+        ])
+        assert got[0].startswith("com,example)")
+        assert got[1].startswith("com,example,")
+        assert not got[2].startswith("com,example)")
+        assert not got[2].startswith("com,example,")
+
+    def test_invalid_inputs_null(self, spark):
+        assert self._surt(spark, ["not a url", "", "/relative/only"]) == [
+            None, None, None,
+        ]
+
+    def test_null_passthrough(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        df = spark.createDataFrame([(1, None)], "id long, u string")
+        assert df.select(
+            urls.surt_key("u").alias("s")
+        ).collect()[0]["s"] is None

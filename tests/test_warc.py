@@ -595,3 +595,98 @@ class TestParserFuzz:
                 assert r["content_length"] == len(payload)
 
         check()
+
+
+class TestCdxSidecar:
+    """CDX/CDXJ sidecar (sources/cdx.py): index build + selective read."""
+
+    def _files(self, spark):
+        blob = warc.encode_warc([
+            ("response", "https://a.example/x", "r1",
+             b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+             b"Content-Length: 5\r\n\r\nhello"),
+            ("metadata", "https://a.example/x", "r2", b"m=1"),
+            ("response", "https://b.example/y?b=2&a=1", "r3",
+             b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+             b"Content-Length: 4\r\n\r\ngone"),
+        ])
+        return spark.createDataFrame(
+            [(1, bytearray(blob))], "file_id long, payload binary"
+        ), blob
+
+    def test_cdx_rows_geometry_and_digest(self, spark):
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        files, blob = self._files(spark)
+        rows = {r["rec_index"]: r for r in cdx.cdx_records(files).collect()}
+        assert set(rows) == {0, 2}  # response records only
+        a, b = rows[0], rows[2]
+        assert a["surt"] == "example,a)/x"
+        assert b["surt"] == "example,b)/y?a=1&b=2"  # query sorted
+        assert a["status"] == 200 and b["status"] == 404
+        assert a["digest"] == hashlib.sha256(b"hello").hexdigest()
+        # geometry: each (offset, record_bytes) slice IS the record
+        for r in (a, b):
+            piece = blob[r["offset"]:r["offset"] + r["record_bytes"]]
+            assert warc.parse_warc(piece)[0]["target_uri"] == r["target_uri"]
+        # and the slices tile the blob in order with the metadata record
+        assert a["offset"] == 0
+        assert b["offset"] + b["record_bytes"] == len(blob)
+
+    def test_selective_read_parses_only_matching(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        files, _ = self._files(spark)
+        idx = cdx.cdx_records(files)
+        out = cdx.read_warc_selective(files, idx, "example,b)").collect()
+        assert len(out) == 1
+        assert out[0]["target_uri"] == "https://b.example/y?b=2&a=1"
+        assert out[0]["parse_ok"]
+        # prefix covering the whole TLD-less host family
+        both = cdx.read_warc_selective(files, idx, "example,").collect()
+        assert len(both) == 2
+
+    def test_selective_read_plan_broadcasts_selection(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        files, _ = self._files(spark)
+        idx = cdx.cdx_records(files)
+        plan = (
+            cdx.read_warc_selective(files, idx, "example,b)")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_cdxj_line_format_deterministic(self, spark):
+        import json
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        files, _ = self._files(spark)
+        line = (
+            cdx.cdxj_lines(cdx.cdx_records(files))
+            .orderBy("rec_index" if False else "surt")
+            .collect()[0]["cdxj"]
+        )
+        surt, ts, js = line.split(" ", 2)
+        assert surt == "example,a)/x"
+        assert ts == cdx.EPOCH_TS14
+        d = json.loads(js)
+        assert list(d) == [
+            "url", "mime", "status", "digest", "length", "offset",
+            "filename",
+        ]
+        assert d["url"] == "https://a.example/x"
+        assert d["filename"] == "warc-1.warc"
+
+    def test_non_http_record_is_cdx_ok_false(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        blob = warc.encode_warc(
+            [("response", "https://c.example/z", "r9", b"NOT HTTP")]
+        )
+        files = spark.createDataFrame(
+            [(7, bytearray(blob))], "file_id long, payload binary"
+        )
+        row = cdx.cdx_records(files).collect()[0]
+        assert row["cdx_ok"] is False
+        assert row["status"] is None and row["digest"] is None
+        assert row["surt"] == "example,c)/z"  # key still indexable
