@@ -4749,3 +4749,90 @@ def p42_html_entities(spark, sf_dir):
         (F.col("text_decoded") != F.col("raw")).alias("changed"),
         F.length("text_decoded").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "f02_language_cascade",
+    """
+    WITH d AS (SELECT doc_id % 5 AS k FROM documents)
+    SELECT CASE k WHEN 0 THEN 'kept' WHEN 1 THEN 'non_english'
+                  WHEN 2 THEN 'low_lang_confidence'
+                  WHEN 3 THEN 'non_latin_heavy'
+                  ELSE 'lang_unknown' END AS outcome,
+           CASE k WHEN 1 THEN 'ru' WHEN 4 THEN 'unk' ELSE 'en' END AS lang,
+           count(*) AS cnt
+    FROM d GROUP BY 1, 2 ORDER BY outcome
+    """,
+    doc="F2 language cascade THROUGH the full pipeline composition "
+        "(plans/pipeline.py::run_pipeline with apply_lang_filter=True — "
+        "VERDICT r10 'what's wrong' 3: the flagship driver row ran "
+        "lang-filter-off because the synthetic corpus is word soup; this "
+        "row drives all four F2 rules end-to-end inside the 8-stage "
+        "cascade over a language-BEARING fixture). Five arms, each "
+        "engineered with wide margins so its verdict is the closed "
+        "form: (0) stopword-dense English that survives every stage -> "
+        "kept; (1) Cyrillic-dominant text -> script argmax 'ru' -> "
+        "non_english; (2) Latin gibberish with exactly two en stopwords "
+        "-> lang 'en' at score 2/21*4=0.38 < 0.80 -> "
+        "low_lang_confidence; (3) en-stopword-dense text carrying three "
+        "long Cyrillic words + a 70-digit pad (keeps the ru SCRIPT "
+        "score at 51/~167*2=0.61 below en's capped 1.0 while non-ASCII "
+        "letters are 51/77=0.66 of ALL letters > 0.50) -> "
+        "non_latin_heavy; (4) pure consonant-cluster gibberish, zero "
+        "stopword hits in ANY profile, no script >= 0.3 -> unk -> "
+        "lang_unknown. langid_trigrams=False pins the stopword/script "
+        "argmax (the p09-refereed path); tokenizer_backend='regex' "
+        "keeps F6 volume environment-independent. The referee "
+        "recomputes outcome x lang x count closed-form per arm",
+)
+def f02_language_cascade(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.plans import pipeline as P
+
+    n = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 5
+    text = (
+        F.when(k == 0, F.concat(
+            F.lit("Story "), n,
+            F.lit(" begins here and the quick brown fox jumps over the"
+                  " lazy dog while it was running to the old stone"
+                  " bridge with a friendly smile for all of them"),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("Пример "), n,
+            F.lit(" это текст на русском языке про погоду и природу в"
+                  " деревне летом"),
+        ))
+        .when(k == 2, F.concat(
+            F.lit("Entry "), n,
+            F.lit(" zqxv brzk wqpt vnmd xkrt plzq mlkj nbvc qwer dfgh"
+                  " zxcv poiu lkjh mnbq wrtk qpzm vbnk the xjwq and"),
+        ))
+        .when(k == 3, F.concat(
+            F.lit("Note "), n,
+            F.lit(" the and is of to in it on as at электростанция"
+                  " переформатирование гидроэлектростанция"
+                  " 01234567890123456789012345678901234567890123456789"
+                  "01234567890123456789"),
+        ))
+        .otherwise(F.concat(
+            F.lit("Qzxv "), n,
+            F.lit(" wqpt brzk vnmd xkrt plzq mlkj nbvc zxqw fgvb hjkm"),
+        ))
+    )
+    raw = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://testdata/"), F.col("doc_id")).alias("url"),
+        text.alias("text"),
+    )
+    cfg = P.PipelineConfig(
+        use_nfkc=True, apply_lang_filter=True, langid_trigrams=False,
+        tokenizer_backend="regex",
+    )
+    out = P.run_pipeline(raw, cfg)
+    return (
+        out.groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome"),
+            "lang",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("outcome")
+    )
