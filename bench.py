@@ -530,6 +530,98 @@ def main() -> int:
         int(http_row["records"]) / timings["warc_http_e2e"], 1
     )
 
+    # ---- round-11: the crawl→corpus CAPSTONE (VERDICT r10 item 4) — the
+    # COMPOSED chain a 100 TB operator plans against: WARC blobs → HTTP
+    # split (plain/chunked/gzip mixed) → status/mime gates → body decode →
+    # web curation (URL dedup + RW lines + C4 + span + exact dedup) →
+    # token counting → sharded JSONL export with manifest. Bodies are
+    # sentence-wrapped (three '.'-terminated spans per doc) so the C4
+    # stage does real line/sentence work; every ~9th capture is a 404
+    # that the status gate must reject before any text work.
+    def _gen_crawl_blobs(it):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        from llm_pretraining_data_pipeline_spark.sources import warc as WR3
+
+        for pdf in it:
+            rows = []
+            for fid, text in zip(pdf["file_id"], pdf["text"]):
+                fid = int(fid)
+                uri = f"https://site-{fid % 997}.example/doc/{fid}"
+                sents = (
+                    f"{text[:90]}. {text[45:135]}. {text[90:180]}."
+                )
+                body = sents.encode("utf-8")
+                status = b"404 Not Found" if fid % 9 == 0 else b"200 OK"
+                if fid % 3 == 0:
+                    half = len(body) // 2
+                    chunks = [c for c in (body[:half], body[half:]) if c]
+                    cb = b"".join(
+                        b"%X\r\n" % len(c) + c + b"\r\n" for c in chunks
+                    ) + b"0\r\n\r\n"
+                    http = (
+                        b"HTTP/1.1 " + status
+                        + b"\r\nContent-Type: text/html\r\n"
+                        b"Transfer-Encoding: chunked\r\n\r\n"
+                    ) + cb
+                elif fid % 3 == 1:
+                    gz = _gzip.compress(body, mtime=0)
+                    http = (
+                        b"HTTP/1.1 " + status
+                        + b"\r\nContent-Type: text/html\r\n"
+                        b"Content-Encoding: gzip\r\n\r\n"
+                    ) + gz
+                else:
+                    http = (
+                        b"HTTP/1.1 " + status
+                        + b"\r\nContent-Type: text/html\r\n"
+                        b"Content-Length: %d\r\n\r\n" % len(body)
+                    ) + body
+                rows.append((fid, WR3.encode_warc([
+                    ("response", uri, f"rec-{fid}-0", http),
+                ])))
+            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+    from llm_pretraining_data_pipeline_spark.plans import crawl as CR
+    from llm_pretraining_data_pipeline_spark.plans import (
+        web_curation as WCC,
+    )
+
+    def _crawl_to_corpus_once():
+        blobs = warc_ids.mapInPandas(
+            _gen_crawl_blobs, "file_id bigint, payload binary"
+        )
+        out = CR.run_crawl_to_corpus(
+            blobs,
+            CR.CrawlCorpusConfig(
+                curation=WCC.WebCurationConfig(
+                    min_sentences=2, apply_gopher=False
+                )
+            ),
+        )
+        kept = out.filter(F.col("drop_reason").isNull()).select(
+            F.col("file_id").alias("doc_id"),
+            F.col("text_curated").alias("text"),
+            F.lit("crawl").alias("source"),
+            "n_tokens",
+        )
+        c2c_dir = tempfile.mkdtemp(prefix="bench_crawl_corpus_")
+        try:
+            return EXP.write_sharded_corpus_jsonl(
+                kept, f"{c2c_dir}/data", num_shards=32
+            )
+        finally:
+            shutil.rmtree(c2c_dir, ignore_errors=True)
+
+    c2c_man = timed("crawl_to_corpus_e2e", _crawl_to_corpus_once)
+    meta["crawl_to_corpus_blobs"] = int(n_warc)
+    meta["crawl_to_corpus_kept"] = int(c2c_man["total_docs"])
+    meta["crawl_to_corpus_docs_per_sec"] = round(
+        n_warc / timings["crawl_to_corpus_e2e"], 1
+    )
+
     # ---- round-8: the per-dump corpus audits at 100k docs — directional
     # gram novelty (one distinct + one groupBy on 60-bit gram hashes) and
     # the exact integer KS drift statistic (cumulative window over the

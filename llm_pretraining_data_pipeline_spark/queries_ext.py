@@ -1905,10 +1905,13 @@ _SRC_WARC_HTTP_SQL = """
     """
 
 
-def _warc_http_blobs(spark, sf_dir):
+def _warc_http_blobs(spark, sf_dir, sentence: bool = False):
     """Closed-form (file_id, payload) WARC blobs whose response payloads
-    are HTTP messages — shared by src_warc_http (batch) and
-    ev_stream_warc (the same bytes through the STREAMING path)."""
+    are HTTP messages — shared by src_warc_http (batch), ev_stream_warc
+    (the same bytes through the STREAMING path), s07_cdx_export, and
+    (with ``sentence=True``, which terminates each body with '.') the
+    e2e_crawl_funnel capstone whose C4 stage needs sentence-shaped
+    text."""
     import pandas as pd
 
     from llm_pretraining_data_pipeline_spark.sources import warc as W
@@ -1919,7 +1922,7 @@ def _warc_http_blobs(spark, sf_dir):
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 uri = f"https://site-{did % 50}.example/doc/{did}"
-                body = text.encode("utf-8")
+                body = (text + "." if sentence else text).encode("utf-8")
                 status = (
                     404 if did % 11 == 0
                     else 301 if did % 13 == 0
@@ -4836,3 +4839,67 @@ def f02_language_cascade(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("outcome")
     )
+
+
+@register(
+    "e2e_crawl_funnel",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 37 = 0 THEN 'http_unparseable'
+                  WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
+                    THEN 'http_status_reject' END AS hr
+      FROM documents),
+    m AS (
+      SELECT doc_id, text, hr,
+             min(doc_id) OVER (
+               PARTITION BY CASE WHEN hr IS NULL THEN text
+                                 ELSE 'solo:' || CAST(doc_id AS varchar)
+                            END
+             ) AS keeper
+      FROM d),
+    o AS (
+      SELECT doc_id,
+             coalesce(hr, CASE WHEN doc_id <> keeper
+                               THEN 'exact_duplicate' END,
+                      'kept') AS outcome,
+             CASE WHEN hr IS NULL AND doc_id = keeper
+               THEN len(regexp_extract_all(text || '.', '{_RE2_PAT_SQL}'))
+               ELSE 0 END AS n_tokens
+      FROM m)
+    SELECT outcome, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS bigint) AS total_tokens
+    FROM o GROUP BY outcome ORDER BY n_docs DESC, outcome
+    """,
+    doc="the crawl-to-corpus capstone funnel (plans/crawl.py::"
+        "run_crawl_to_corpus — VERDICT r10 missing-item 2: every stage "
+        "was individually benched but never composed): WARC blobs -> "
+        "warc_http_records (status/headers/de-chunk/gunzip/inflate) -> "
+        "HTTP gates (unparseable payloads, non-200 statuses, non-text "
+        "mimes) -> charset-safe body decode -> run_web_curation (URL "
+        "dedup, RefinedWeb line corrections, C4, span dedup, exact "
+        "dedup) -> GPT-2-style token counting, reported as the "
+        "per-outcome funnel with kept token volume. Fixture: the shared "
+        "warc_http blob fixture with sentence-terminated bodies "
+        "(chunked/gzip/deflate arms all decode to text||'.'); min_"
+        "sentences=1 and Gopher off because the corpus is one-sentence "
+        "word soup (Gopher's stopword rule is refereed by f11 on its "
+        "own fixture). The referee recomputes the whole funnel closed "
+        "form: %37 -> http_unparseable, %11/%13 -> http_status_reject, "
+        "exact-dup keep-first via a min-over-text window, token counts "
+        "via the RE2 split on text||'.'. One Arrow explode + one Arrow "
+        "HTTP split; the only shuffles are the curation windows",
+)
+def e2e_crawl_funnel(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.plans.crawl import (
+        CrawlCorpusConfig, crawl_funnel_summary, run_crawl_to_corpus,
+    )
+    from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+        WebCurationConfig,
+    )
+
+    files = _warc_http_blobs(spark, sf_dir, sentence=True)
+    cfg = CrawlCorpusConfig(
+        curation=WebCurationConfig(min_sentences=1, apply_gopher=False)
+    )
+    return crawl_funnel_summary(run_crawl_to_corpus(files, cfg))

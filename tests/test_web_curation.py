@@ -315,3 +315,94 @@ class TestEntityDecodeStage:
             ),
         ).collect()[0]
         assert "&amp;" in out["text_curated"]
+
+
+class TestCrawlToCorpus:
+    """plans/crawl.py: the composed WARC→HTTP→curation→tokens capstone."""
+
+    def _blobs(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import warc
+        body_a = b"The first page has a proper sentence here. And a second one too."
+        body_dup = b"Duplicate body text in a full sentence shape. It repeats verbatim."
+
+        def msg(status, ctype, body):
+            return (
+                b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype
+                + b"\r\nContent-Length: %d\r\n\r\n" % len(body) + body
+            )
+
+        rows = [
+            (1, warc.encode_warc([("response", "https://a.example/1", "r1",
+                                   msg(b"200 OK", b"text/html", body_a))])),
+            (2, warc.encode_warc([("response", "https://a.example/2", "r2",
+                                   msg(b"404 Not Found", b"text/html", body_a))])),
+            (3, warc.encode_warc([("response", "https://a.example/3", "r3",
+                                   msg(b"200 OK", b"image/png", b"\x89PNG"))])),
+            (4, warc.encode_warc([("response", "https://a.example/4", "r4",
+                                   b"NOT AN HTTP MESSAGE")])),
+            (5, warc.encode_warc([("response", "https://a.example/5", "r5",
+                                   msg(b"200 OK", b"text/plain", body_dup))])),
+            (6, warc.encode_warc([("response", "https://a.example/6", "r6",
+                                   msg(b"200 OK", b"text/plain", body_dup))])),
+        ]
+        return spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows],
+            "file_id long, payload binary",
+        )
+
+    def test_funnel_reasons_and_tokens(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.crawl import (
+            CrawlCorpusConfig, run_crawl_to_corpus,
+        )
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig,
+        )
+        out = {
+            r["file_id"]: r
+            for r in run_crawl_to_corpus(
+                self._blobs(spark),
+                CrawlCorpusConfig(
+                    curation=WebCurationConfig(
+                        min_sentences=2, apply_gopher=False
+                    )
+                ),
+            ).collect()
+        }
+        assert out[1]["drop_reason"] is None
+        assert out[1]["n_tokens"] > 0
+        assert out[1]["text_curated"].startswith("The first page")
+        assert out[2]["drop_reason"] == "http_status_reject"
+        assert out[3]["drop_reason"] == "non_text_mime"
+        assert out[4]["drop_reason"] == "http_unparseable"
+        # exact dedup keeps the first of the two verbatim bodies
+        assert out[5]["drop_reason"] is None
+        assert out[6]["drop_reason"] == "exact_duplicate"
+        assert all(
+            out[k]["n_tokens"] == 0 for k in (2, 3, 4, 6)
+        )
+
+    def test_funnel_summary_shape(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.crawl import (
+            CrawlCorpusConfig, crawl_funnel_summary, run_crawl_to_corpus,
+        )
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig,
+        )
+        summ = {
+            r["outcome"]: r
+            for r in crawl_funnel_summary(
+                run_crawl_to_corpus(
+                    self._blobs(spark),
+                    CrawlCorpusConfig(
+                        curation=WebCurationConfig(
+                            min_sentences=2, apply_gopher=False
+                        )
+                    ),
+                )
+            ).collect()
+        }
+        assert summ["kept"]["n_docs"] == 2
+        assert summ["kept"]["total_tokens"] > 0
+        for k in ("http_status_reject", "non_text_mime",
+                  "http_unparseable", "exact_duplicate"):
+            assert summ[k]["n_docs"] == 1 and summ[k]["total_tokens"] == 0
