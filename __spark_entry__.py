@@ -98,6 +98,56 @@ _PRIORITY_R8 = [
     "f06_token_bounds",
 ]
 
+# Round-11 priority (the driver caps each round at 50 rows): (a) the four
+# queries NEW this round, (b) every query whose implementation, fixture, or
+# oracle CHANGED this round (edits must never ride on a stale green), then
+# (c) the full 23-row r6-stale tail (VERDICT r10 item 1 — after this round
+# no registered query's freshest driver green is older than r7), and (d)
+# 16 of the 46 r7-stale rows (filters + aggregates + dedup slices; the
+# remaining 30 refresh in r12).
+_PRIORITY_R11 = [
+    # new this round — all hash-matched via check_oracle at sf0.01 AND
+    # sf0.001 on registration: HTML entity decoding (VERDICT item 3), CDX
+    # sidecar export (item 5), the F2 language cascade driven through the
+    # full pipeline (item 7), the crawl→corpus capstone funnel (item 4)
+    "p42_html_entities", "s07_cdx_export", "f02_language_cascade",
+    "e2e_crawl_funnel",
+    # changed this round: robots matcher query-path extraction +
+    # octet-length ranking + a query-only-URL fixture arm (ADVICE r10 →
+    # f17), Crawl-delay MAX merge + second-star-group fixture arm (ADVICE
+    # r10 → f19), deflate Content-Encoding arm in the shared warc_http
+    # fixture (src_warc_http + the streaming twin + the body-text shared
+    # fixture), and warc_records gained offset/record_bytes columns
+    # (src_warc_records / src_warc_gz_records re-green the unchanged
+    # projections over the changed operator)
+    "f17_robots_gate", "f19_robots_directives", "src_warc_http",
+    "ev_stream_warc", "src_http_body_text", "src_warc_records",
+    "src_warc_gz_records",
+    # stale: freshest driver green is r6 (23 rows — VERDICT r10 item 1's
+    # exact list; all were independently re-verified green via
+    # check_oracle full sweeps in rounds 10-11)
+    "a13_domain_stats", "a14_source_overlap", "a15_quality_deciles",
+    "corp_rep_signals", "d12_corpus_diff", "emb_cosine_topk",
+    "emb_knn_join", "emb_label_stats", "emb_pq_codes",
+    "ev_asof_last_click", "ev_date_parts", "ev_json_props",
+    "ev_sliding_10m5m", "ev_stream_cleanse", "ev_user_stats",
+    "p25_string_functions", "p26_array_ops", "p27_url_normalize",
+    "p33_meta_robots", "win_lag_price_delta", "win_range_frame",
+    "win_running_quantity", "win_value_family",
+    # next-oldest tail: freshest driver green is r7 (16 of 46 fit the
+    # cap; the other 30 — a12/a16, corp_mixture_weights/pack_manifest/
+    # pack_spans/span_dedup/stratified_sample/vocab_top50, d06/d10/d11/
+    # d14 displaced below if cap shifts, ev_stream_quality, o05/o06/o08,
+    # p22c/p22d/p29/p35-p38, rel_q2/q4/q10/q11/q13/q16-q18/q20/q22,
+    # rel_sql_surface — refresh in r12)
+    "f01_prefilter", "f03_quality_filter", "f04_low_information",
+    "f13_c4_filter", "f15_model_quality_filter", "a01_source_counts",
+    "a02_boolean_mask_sums", "a05_numeric_summary", "a07_histogram",
+    "a08_top_sources", "a09_lang_breakdown", "a10_cleanup_stats",
+    "d06_fingerprint", "d10_url_dedup", "d11_c4_span_dedup",
+    "d14_dup_cluster_stats",
+]
+
 _PRIORITY_R10 = [
     # new this round: WARC→HTTP split (status/headers/de-chunked body —
     # VERDICT r9 item 1), jusText good-neighbor smoothing (item 6), WET
@@ -201,7 +251,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R10 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R11 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 
