@@ -31,6 +31,28 @@ PIPELINE_COPIES = int(os.environ.get("BENCH_PIPELINE_COPIES", "100"))
 REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
 
 
+def _bench_http_msg(body: bytes, coding: int, status: bytes = b"200 OK") -> bytes:
+    """Shared HTTP-message framing for the WARC-wrapped bench fixtures
+    (warc_http_e2e + crawl_to_corpus_e2e — one place to fix framing):
+    coding 0 = chunked in two, 1 = gzip, else plain Content-Length."""
+    import gzip as _gzip
+
+    head = b"HTTP/1.1 " + status + b"\r\nContent-Type: text/html\r\n"
+    if coding == 0:
+        half = len(body) // 2
+        chunks = [c for c in (body[:half], body[half:]) if c]
+        cb = b"".join(
+            b"%X\r\n" % len(c) + c + b"\r\n" for c in chunks
+        ) + b"0\r\n\r\n"
+        return head + b"Transfer-Encoding: chunked\r\n\r\n" + cb
+    if coding == 1:
+        return (
+            head + b"Content-Encoding: gzip\r\n\r\n"
+            + _gzip.compress(body, mtime=0)
+        )
+    return head + b"Content-Length: %d\r\n\r\n" % len(body) + body
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -470,8 +492,6 @@ def main() -> int:
     # captures), measured through warc_http_records: WARC record split +
     # status/header parse + de-chunk + bounded gunzip per doc.
     def _gen_warc_http(it):
-        import gzip as _gzip
-
         import pandas as pd
 
         from llm_pretraining_data_pipeline_spark.sources import warc as WR2
@@ -481,28 +501,7 @@ def main() -> int:
             for fid, text in zip(pdf["file_id"], pdf["text"]):
                 fid = int(fid)
                 uri = f"https://site-{fid % 997}.example/doc/{fid}"
-                body = text.encode("utf-8")
-                if fid % 3 == 0:
-                    half = len(body) // 2
-                    chunks = [c for c in (body[:half], body[half:]) if c]
-                    cb = b"".join(
-                        b"%X\r\n" % len(c) + c + b"\r\n" for c in chunks
-                    ) + b"0\r\n\r\n"
-                    http = (
-                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                        b"Transfer-Encoding: chunked\r\n\r\n"
-                    ) + cb
-                elif fid % 3 == 1:
-                    gz = _gzip.compress(body, mtime=0)
-                    http = (
-                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                        b"Content-Encoding: gzip\r\n\r\n"
-                    ) + gz
-                else:
-                    http = (
-                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                        b"Content-Length: %d\r\n\r\n" % len(body)
-                    ) + body
+                http = _bench_http_msg(text.encode("utf-8"), fid % 3)
                 rows.append((fid, WR2.encode_warc([
                     ("response", uri, f"rec-{fid}-0", http),
                 ])))
@@ -539,8 +538,6 @@ def main() -> int:
     # stage does real line/sentence work; every ~9th capture is a 404
     # that the status gate must reject before any text work.
     def _gen_crawl_blobs(it):
-        import gzip as _gzip
-
         import pandas as pd
 
         from llm_pretraining_data_pipeline_spark.sources import warc as WR3
@@ -553,32 +550,10 @@ def main() -> int:
                 sents = (
                     f"{text[:90]}. {text[45:135]}. {text[90:180]}."
                 )
-                body = sents.encode("utf-8")
                 status = b"404 Not Found" if fid % 9 == 0 else b"200 OK"
-                if fid % 3 == 0:
-                    half = len(body) // 2
-                    chunks = [c for c in (body[:half], body[half:]) if c]
-                    cb = b"".join(
-                        b"%X\r\n" % len(c) + c + b"\r\n" for c in chunks
-                    ) + b"0\r\n\r\n"
-                    http = (
-                        b"HTTP/1.1 " + status
-                        + b"\r\nContent-Type: text/html\r\n"
-                        b"Transfer-Encoding: chunked\r\n\r\n"
-                    ) + cb
-                elif fid % 3 == 1:
-                    gz = _gzip.compress(body, mtime=0)
-                    http = (
-                        b"HTTP/1.1 " + status
-                        + b"\r\nContent-Type: text/html\r\n"
-                        b"Content-Encoding: gzip\r\n\r\n"
-                    ) + gz
-                else:
-                    http = (
-                        b"HTTP/1.1 " + status
-                        + b"\r\nContent-Type: text/html\r\n"
-                        b"Content-Length: %d\r\n\r\n" % len(body)
-                    ) + body
+                http = _bench_http_msg(
+                    sents.encode("utf-8"), fid % 3, status=status
+                )
                 rows.append((fid, WR3.encode_warc([
                     ("response", uri, f"rec-{fid}-0", http),
                 ])))

@@ -95,8 +95,12 @@ _NAMED_ENTITIES = {
 # An entity token at the start of a split part: decimal (&#65;), hex
 # (&#x41; / &#X41;), or a named reference. Semicolon REQUIRED — the
 # HTML5 "missing-semicolon" legacy compatibility table is not modeled.
+# HTML5 puts NO digit-count limit on numeric references (zero-padded
+# '&#000000065;' is real web text); the bounds below only protect the
+# bigint cast/conv (18 decimal / 15 hex digits stay in range), and
+# anything longer passes through literally.
 _ENTITY_TOKEN_RE = (
-    r"^&(#[0-9]{1,8}|#[xX][0-9A-Fa-f]{1,7}|[A-Za-z][A-Za-z0-9]{1,31});"
+    r"^&(#[0-9]{1,18}|#[xX][0-9A-Fa-f]{1,15}|[A-Za-z][A-Za-z0-9]{1,31});"
 )
 
 
@@ -174,9 +178,9 @@ def decode_html_entities(c: Column | str) -> Column:
         rest = F.substring(p, F.length(tok) + 3, F.lit(2147483647))
         is_hex = tok.rlike("^#[xX]")
         cp = F.when(
-            is_hex, F.conv(F.substring(tok, 3, 7), 16, 10).cast("bigint")
+            is_hex, F.conv(F.substring(tok, 3, 15), 16, 10).cast("bigint")
         ).otherwise(
-            F.substring(tok, 2, 8).cast("bigint")
+            F.substring(tok, 2, 18).cast("bigint")
         )
         named = F.try_element_at(named_map, tok)
         return (

@@ -72,25 +72,26 @@ def run_crawl_to_corpus(
     ``drop_reason`` spanning the HTTP gates AND the curation cascade.
 
     HTTP-rejected rows (unparseable message / non-kept status / non-text
-    mime) still flow through the curation plan — their verdicts are
-    overridden by the earlier HTTP reason, and they do not reach the
-    dedup stages' canonical slots only by luck of empty text; a
-    rejected record sharing a URL with a kept one WILL claim the
-    URL-dedup slot if it sorts first (archive replays list each URL
-    once per capture, so this is the rare case — filter upstream when
-    it matters).
+    mime) enter the curation plan with their ``url`` and ``text``
+    BLANKED: a rejected record must never claim a URL-dedup or
+    exact-dedup canonical slot away from a kept capture of the same
+    page (null URLs never group in ``url_dedup``; empty texts are
+    excluded from exact dedup), and blanking also keeps the dedup
+    windows from shuffling text for rows whose verdict is already
+    decided. Their final ``drop_reason`` is the HTTP reason, which
+    takes precedence over whatever the curation cascade says about the
+    blanked row.
+
+    Curation is keyed on ``rec_id`` = ``file_id * 2^20 + rec_index`` —
+    a real WARC file holds many response records, and a non-unique id
+    would multiply rows at the dedup join-back. The composite is
+    NUMERIC so keep-first ordering matches (file order, record order)
+    exactly (a ':'-joined string would sort '10:0' before '2:0');
+    blobs are capped well below 2^20 records by the parser's
+    per-record minimum size.
     """
     recs = warc_http_records(files, gzipped=cfg.gzipped)
     dec = http_body_text("body")
-    base = recs.select(
-        "file_id",
-        "rec_index",
-        F.col("target_uri").alias("url"),
-        "http_status",
-        "content_type",
-        "http_ok",
-        dec["text"].alias("text"),
-    )
     mime_ok = F.coalesce(
         F.col("content_type").startswith(cfg.text_mime_prefix), F.lit(False)
     )
@@ -102,12 +103,25 @@ def run_crawl_to_corpus(
         )
         .when(~mime_ok, F.lit("non_text_mime"))
     )
-    base = base.withColumn("_http_reason", http_reason)
+    base = recs.select(
+        "file_id",
+        "rec_index",
+        (
+            F.col("file_id") * F.lit(1 << 20).cast("long")
+            + F.col("rec_index").cast("long")
+        ).alias("rec_id"),
+        F.when(http_reason.isNull(), F.col("target_uri")).alias("url"),
+        "http_status",
+        "content_type",
+        "http_ok",
+        F.when(http_reason.isNull(), dec["text"]).alias("text"),
+        http_reason.alias("_http_reason"),
+    )
     cur = run_web_curation(
         base,
         cfg.curation,
         text_col="text",
-        id_col="file_id",
+        id_col="rec_id",
         url_col="url",
         robots_rules=robots_rules,
     )

@@ -58,8 +58,12 @@ def cdx_records(
     digest, offset, record_bytes, cdx_ok)``. ``digest`` is the sha256
     hex of the final HTTP entity body (de-chunked + content-decoded) —
     the WARC-Payload-Digest analogue; ``offset``/``record_bytes`` are
-    the record's byte range within its blob (within the inflated member
-    for ``gzipped=True``), exactly what ``read_warc_selective`` slices.
+    the record's byte range within its blob — what
+    ``read_warc_selective`` slices for PLAIN blobs. For
+    ``gzipped=True`` they are positions within each INFLATED member
+    (see ``parse_warc_gz``): NOT sliceable against the compressed blob,
+    which is why ``read_warc_selective`` refuses gzipped input — the CC
+    convention range-fetches whole gzip members instead.
     Records whose payload is not a parseable HTTP message survive as
     ``cdx_ok=false`` rows with null status/mime/digest — index
     completeness is itself an audit signal.
@@ -126,11 +130,18 @@ def cdxj_lines(
             fname.alias("filename"),
         )
     )
+    # concat_ws silently DROPS nulls: a hostless target_uri (dns:,
+    # relative) has a null SURT, and a 2-field line would make a
+    # binary-searching reader misparse the timestamp as the key. The
+    # CDX convention's '-' sentinel keeps the file well-formed (such
+    # rows sort together at the front for easy audit/filtering).
     return cdx.select(
         id_col,
         "surt",
         "ts",
-        F.concat_ws(" ", F.col("surt"), F.col("ts"), js).alias("cdxj"),
+        F.concat_ws(
+            " ", F.coalesce(F.col("surt"), F.lit("-")), F.col("ts"), js
+        ).alias("cdxj"),
     )
 
 
@@ -141,6 +152,7 @@ def read_warc_selective(
     payload_col: str = "payload",
     id_col: str = "file_id",
     broadcast_selection: bool = True,
+    gzipped: bool = False,
 ) -> DataFrame:
     """Index-first WARC read: parse ONLY the records whose SURT key
     starts with ``surt_prefix``.
@@ -154,7 +166,17 @@ def read_warc_selective(
     never parsed, non-matching blobs never leave the scan. The slices
     re-enter the strict parser as one-record blobs, so the output
     schema is exactly ``warc_records``'s.
+
+    ``gzipped=True`` is REFUSED: a gz sidecar's offsets live in the
+    inflated members, so byte-slicing the compressed blob would yield
+    garbage that silently re-parses as parse_ok=false — range-fetch
+    whole gzip members for .warc.gz (the CC convention) instead.
     """
+    if gzipped:
+        raise ValueError(
+            "read_warc_selective: gzipped blobs cannot be byte-sliced at "
+            "inflated-member offsets — fetch whole gzip members instead"
+        )
     sel = cdx.where(F.col("surt").startswith(surt_prefix)).select(
         id_col, "offset", "record_bytes"
     )

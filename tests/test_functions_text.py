@@ -955,6 +955,16 @@ class TestDecodeHtmlEntities:
         ])
         assert got == ["😀+💩", "Astart and endB", ""]
 
+    def test_zero_padded_and_huge_numeric_refs(self, spark):
+        # HTML5 has NO digit-count limit: zero-padded refs decode, and
+        # out-of-range values clamp to U+FFFD instead of passing through
+        got = self._dec(spark, [
+            "&#000000065;&#x00000041;",       # zero-padded → 'AA'
+            "&#999999999999999999;",          # 18 digits, huge → U+FFFD
+            "&#xFFFFFFFFFFFFFFF;",            # 15 hex digits → U+FFFD
+        ])
+        assert got == ["AA", "�", "�"]
+
     def test_null_passthrough(self, spark):
         from llm_pretraining_data_pipeline_spark.functions.structural import (
             decode_html_entities,

@@ -323,6 +323,7 @@ class TestCrawlToCorpus:
     def _blobs(self, spark):
         from llm_pretraining_data_pipeline_spark.sources import warc
         body_a = b"The first page has a proper sentence here. And a second one too."
+        body_c = b"A third distinct page body lives in this record. It has two sentences."
         body_dup = b"Duplicate body text in a full sentence shape. It repeats verbatim."
 
         def msg(status, ctype, body):
@@ -332,6 +333,16 @@ class TestCrawlToCorpus:
             )
 
         rows = [
+            # blob 0 holds TWO response records (the real WARC shape):
+            # rec 0 is a 404 whose body duplicates files 5/6 — being the
+            # smallest rec_id it must NOT claim the exact-dedup slot —
+            # and rec 1 is an ordinary kept page.
+            (0, warc.encode_warc([
+                ("response", "https://a.example/0a", "r0a",
+                 msg(b"404 Not Found", b"text/plain", body_dup)),
+                ("response", "https://a.example/0b", "r0b",
+                 msg(b"200 OK", b"text/plain", body_c)),
+            ])),
             (1, warc.encode_warc([("response", "https://a.example/1", "r1",
                                    msg(b"200 OK", b"text/html", body_a))])),
             (2, warc.encode_warc([("response", "https://a.example/2", "r2",
@@ -350,59 +361,56 @@ class TestCrawlToCorpus:
             "file_id long, payload binary",
         )
 
-    def test_funnel_reasons_and_tokens(self, spark):
+    def _run(self, spark):
         from llm_pretraining_data_pipeline_spark.plans.crawl import (
             CrawlCorpusConfig, run_crawl_to_corpus,
         )
         from llm_pretraining_data_pipeline_spark.plans.web_curation import (
             WebCurationConfig,
         )
-        out = {
-            r["file_id"]: r
-            for r in run_crawl_to_corpus(
-                self._blobs(spark),
-                CrawlCorpusConfig(
-                    curation=WebCurationConfig(
-                        min_sentences=2, apply_gopher=False
-                    )
-                ),
-            ).collect()
-        }
-        assert out[1]["drop_reason"] is None
-        assert out[1]["n_tokens"] > 0
-        assert out[1]["text_curated"].startswith("The first page")
-        assert out[2]["drop_reason"] == "http_status_reject"
-        assert out[3]["drop_reason"] == "non_text_mime"
-        assert out[4]["drop_reason"] == "http_unparseable"
-        # exact dedup keeps the first of the two verbatim bodies
-        assert out[5]["drop_reason"] is None
-        assert out[6]["drop_reason"] == "exact_duplicate"
+        return run_crawl_to_corpus(
+            self._blobs(spark),
+            CrawlCorpusConfig(
+                curation=WebCurationConfig(
+                    min_sentences=2, apply_gopher=False
+                )
+            ),
+        )
+
+    def test_funnel_reasons_and_tokens(self, spark):
+        rows = self._run(spark).collect()
+        out = {(r["file_id"], r["rec_index"]): r for r in rows}
+        # a two-record blob yields exactly two rows — the composite
+        # rec_id must not multiply rows at the dedup join-back
+        assert len(rows) == 8 and len(out) == 8
+        assert out[(0, 1)]["drop_reason"] is None
+        assert out[(0, 1)]["text_curated"].startswith("A third distinct")
+        assert out[(1, 0)]["drop_reason"] is None
+        assert out[(1, 0)]["n_tokens"] > 0
+        assert out[(1, 0)]["text_curated"].startswith("The first page")
+        assert out[(2, 0)]["drop_reason"] == "http_status_reject"
+        assert out[(3, 0)]["drop_reason"] == "non_text_mime"
+        assert out[(4, 0)]["drop_reason"] == "http_unparseable"
+        # blob 0's REJECTED duplicate (smallest rec_id) must not claim
+        # the exact-dedup slot: file 5 keeps, file 6 is the dup
+        assert out[(0, 0)]["drop_reason"] == "http_status_reject"
+        assert out[(5, 0)]["drop_reason"] is None
+        assert out[(6, 0)]["drop_reason"] == "exact_duplicate"
         assert all(
-            out[k]["n_tokens"] == 0 for k in (2, 3, 4, 6)
+            out[k]["n_tokens"] == 0
+            for k in ((0, 0), (2, 0), (3, 0), (4, 0), (6, 0))
         )
 
     def test_funnel_summary_shape(self, spark):
         from llm_pretraining_data_pipeline_spark.plans.crawl import (
-            CrawlCorpusConfig, crawl_funnel_summary, run_crawl_to_corpus,
-        )
-        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
-            WebCurationConfig,
+            crawl_funnel_summary,
         )
         summ = {
             r["outcome"]: r
-            for r in crawl_funnel_summary(
-                run_crawl_to_corpus(
-                    self._blobs(spark),
-                    CrawlCorpusConfig(
-                        curation=WebCurationConfig(
-                            min_sentences=2, apply_gopher=False
-                        )
-                    ),
-                )
-            ).collect()
+            for r in crawl_funnel_summary(self._run(spark)).collect()
         }
-        assert summ["kept"]["n_docs"] == 2
+        assert summ["kept"]["n_docs"] == 3
         assert summ["kept"]["total_tokens"] > 0
-        for k in ("http_status_reject", "non_text_mime",
-                  "http_unparseable", "exact_duplicate"):
+        assert summ["http_status_reject"]["n_docs"] == 2
+        for k in ("non_text_mime", "http_unparseable", "exact_duplicate"):
             assert summ[k]["n_docs"] == 1 and summ[k]["total_tokens"] == 0
