@@ -690,3 +690,30 @@ class TestCdxSidecar:
         assert row["cdx_ok"] is False
         assert row["status"] is None and row["digest"] is None
         assert row["surt"] == "example,c)/z"  # key still indexable
+
+
+class TestCdxGzRefusal:
+    def test_selective_read_refuses_gzipped(self, spark):
+        # inflated-member offsets cannot byte-slice a compressed blob —
+        # the reader must refuse instead of silently slicing garbage
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        files = spark.createDataFrame(
+            [(1, bytearray(b""))], "file_id long, payload binary"
+        )
+        idx = spark.createDataFrame(
+            [(1, "com,example)/", 0, 10)],
+            "file_id long, surt string, offset long, record_bytes long",
+        )
+        with pytest.raises(ValueError, match="gzipped"):
+            cdx.read_warc_selective(files, idx, "com,", gzipped=True)
+
+    def test_cdxj_null_surt_gets_sentinel(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx, warc
+        blob = warc.encode_warc(
+            [("response", "dns:example.com", "r1", b"NOT HTTP")]
+        )
+        files = spark.createDataFrame(
+            [(1, bytearray(blob))], "file_id long, payload binary"
+        )
+        line = cdx.cdxj_lines(cdx.cdx_records(files)).collect()[0]["cdxj"]
+        assert line.startswith("- 19700101000000 ")
