@@ -4903,3 +4903,64 @@ def e2e_crawl_funnel(spark, sf_dir):
         curation=WebCurationConfig(min_sentences=1, apply_gopher=False)
     )
     return crawl_funnel_summary(run_crawl_to_corpus(files, cfg))
+
+
+@register(
+    "s08_cdx_parse",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 37 = 0 AS bad,
+             CASE WHEN doc_id % 11 = 0 THEN 404
+                  WHEN doc_id % 13 = 0 THEN 301
+                  ELSE 200 END AS status,
+             doc_id % 2 = 1 AS html, text
+      FROM documents
+    )
+    SELECT 'example,site-' || CAST(doc_id % 50 AS varchar) || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           '19700101000000' AS ts,
+           'https://site-' || CAST(doc_id % 50 AS varchar) || '.example/doc/'
+             || CAST(doc_id AS varchar) AS target_uri,
+           CASE WHEN bad THEN NULL
+                WHEN html THEN 'text/html'
+                ELSE 'text/plain' END AS mime,
+           CASE WHEN bad THEN NULL ELSE status END AS status,
+           CASE WHEN bad THEN NULL ELSE sha256(text) END AS digest,
+           CAST(0 AS bigint) AS rec_offset,
+           'warc-' || CAST(doc_id AS varchar) || '.warc' AS filename,
+           true AS line_ok
+    FROM d
+    """,
+    doc="CDXJ line parsing — the CONSUME side of the sidecar round trip "
+        "(sources/cdx.py::parse_cdxj_lines): a selective reader starts "
+        "from the sorted CDXJ file someone else published, so the "
+        "engine must parse '<surt> <ts14> <json>' text lines back into "
+        "typed CDX columns (anchored two-space split, strict from_json "
+        "schema, '-' sentinel to null, malformed lines to "
+        "line_ok=false rows). Fixture: the FULL produce->consume chain "
+        "over the shared warc_http blobs — cdx_records -> cdxj_lines -> "
+        "parse_cdxj_lines — so the query greens only if serialization "
+        "and parsing are exact inverses; http-failed records (id%37) "
+        "round-trip as well-formed lines whose status/mime/digest JSON "
+        "fields were omitted by to_json and must come back null. The "
+        "referee recomputes every parsed field closed-form. Pure "
+        "Catalyst both directions, zero shuffle",
+)
+def s08_cdx_parse(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    files = _warc_http_blobs(spark, sf_dir)
+    lines = C.cdxj_lines(C.cdx_records(files)).select("cdxj")
+    out = C.parse_cdxj_lines(lines)
+    return out.select(
+        "surt",
+        "ts",
+        "target_uri",
+        "mime",
+        "status",
+        "digest",
+        F.col("offset").alias("rec_offset"),
+        "filename",
+        "line_ok",
+    )

@@ -145,6 +145,46 @@ def cdxj_lines(
     )
 
 
+def parse_cdxj_lines(lines: DataFrame, line_col: str = "cdxj") -> DataFrame:
+    """CDXJ text lines → typed CDX columns — the consume side of the
+    sidecar round trip (a selective reader starts from the sorted CDXJ
+    FILE someone else published, not from the frame that produced it).
+
+    Inverse of ``cdxj_lines``: ``<surt> <ts14> <json>`` split on the
+    first two spaces (the JSON block itself contains spaces only inside
+    string values, but the split is anchored, not greedy), JSON fields
+    typed via ``from_json`` with a strict schema, and the ``-``
+    null-SURT sentinel mapped back to null. Malformed lines survive as
+    ``line_ok=false`` rows with null fields — one bad index line must
+    never kill a selective read (``line_ok`` is about the LINE's
+    syntax; a well-formed line for an http-failed record parses fine
+    and simply carries null status/mime/digest, mirroring
+    ``cdx_records``'s ``cdx_ok=false`` rows). Pure Catalyst, zero
+    shuffle."""
+    s = F.coalesce(F.col(line_col).cast("string"), F.lit(""))
+    surt = F.regexp_extract(s, r"^(\S+) \d{14} \{", 1)
+    ts = F.regexp_extract(s, r"^\S+ (\d{14}) \{", 1)
+    js = F.regexp_extract(s, r"^\S+ \d{14} (\{.*\})$", 1)
+    parsed = F.from_json(
+        js,
+        "url string, mime string, status int, digest string, "
+        "length bigint, offset bigint, filename string",
+    )
+    ok = (js != "") & parsed.isNotNull()
+    return lines.select(
+        F.when(ok & (surt != "-"), surt).alias("surt"),
+        F.when(ok, ts).alias("ts"),
+        F.when(ok, parsed["url"]).alias("target_uri"),
+        F.when(ok, parsed["mime"]).alias("mime"),
+        F.when(ok, parsed["status"]).alias("status"),
+        F.when(ok, parsed["digest"]).alias("digest"),
+        F.when(ok, parsed["offset"]).alias("offset"),
+        F.when(ok, parsed["length"]).alias("record_bytes"),
+        F.when(ok, parsed["filename"]).alias("filename"),
+        ok.alias("line_ok"),
+    )
+
+
 def read_warc_selective(
     files: DataFrame,
     cdx: DataFrame,

@@ -717,3 +717,53 @@ class TestCdxGzRefusal:
         )
         line = cdx.cdxj_lines(cdx.cdx_records(files)).collect()[0]["cdxj"]
         assert line.startswith("- 19700101000000 ")
+
+
+class TestCdxjParse:
+    """parse_cdxj_lines (sources/cdx.py): the consume side."""
+
+    def test_roundtrip_inverse(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx, warc
+        blob = warc.encode_warc([
+            ("response", "https://a.example/x?b=2&a=1", "r1",
+             b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+             b"Content-Length: 5\r\n\r\nhello"),
+        ])
+        files = spark.createDataFrame(
+            [(9, bytearray(blob))], "file_id long, payload binary"
+        )
+        orig = cdx.cdx_records(files).collect()[0]
+        back = cdx.parse_cdxj_lines(
+            cdx.cdxj_lines(cdx.cdx_records(files)).select("cdxj")
+        ).collect()[0]
+        assert back["line_ok"]
+        for f in ("surt", "ts", "target_uri", "mime", "status", "digest",
+                  "offset", "record_bytes"):
+            assert back[f] == orig[f], f
+        assert back["filename"] == "warc-9.warc"
+
+    def test_malformed_and_sentinel_lines(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        rows = [
+            (1, "not a cdxj line"),
+            (2, "com,a)/x 19700101000000 {broken json"),
+            (3, '- 19700101000000 {"url":"dns:x","mime":null,'
+                '"status":null,"digest":null,"length":7,"offset":0,'
+                '"filename":"warc-1.warc"}'),
+            (4, None),
+        ]
+        out = {
+            i: r for i, r in zip(
+                (r[0] for r in rows),
+                cdx.parse_cdxj_lines(
+                    spark.createDataFrame(rows, "i long, cdxj string")
+                    .select("cdxj")
+                ).collect(),
+            )
+        }
+        assert not out[1]["line_ok"] and out[1]["surt"] is None
+        assert not out[2]["line_ok"]
+        assert out[3]["line_ok"]
+        assert out[3]["surt"] is None          # '-' sentinel → null
+        assert out[3]["record_bytes"] == 7
+        assert not out[4]["line_ok"]
