@@ -232,3 +232,124 @@ def read_warc_selective(
         ).alias(payload_col),
     )
     return warc_records(sliced, payload_col=payload_col, id_col=id_col)
+
+
+def write_cdxj(
+    lines: DataFrame, path: str, num_shards: int = 16
+) -> dict:
+    """Write a CDXJ sidecar as RANGE-partitioned, internally sorted text
+    shards plus a shard-range manifest — the distributed form of the
+    ecosystem's "one globally sorted file". Total order holds ACROSS
+    shards (``repartitionByRange`` on the key, then
+    ``sortWithinPartitions``), so a reader binary-searches the manifest
+    for the shard whose [first_key, last_key] range covers a SURT
+    prefix and scans only that shard — at 100 TB the manifest is the
+    top level of the index and each shard is a pywb-style sorted file.
+
+    ``lines`` is ``cdxj_lines`` output (needs ``surt``/``ts``/``cdxj``).
+    Returns the manifest dict: shard file name + first/last key +
+    line count per shard (key = ``"<surt> <ts>"``, the line prefix —
+    exactly what the lines themselves sort by). Null-SURT rows sort
+    under the ``-`` sentinel at the front of shard 0 by construction.
+    """
+    import json
+    import os
+
+    key = F.concat_ws(
+        " ", F.coalesce(F.col("surt"), F.lit("-")), F.col("ts")
+    )
+    (
+        lines.select(key.alias("_k"), "cdxj")
+        .repartitionByRange(num_shards, F.col("_k"))
+        .sortWithinPartitions("_k")
+        .select("cdxj")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    # Manifest from the WRITTEN files (exact, not re-derived from a
+    # recomputed plan): first/last line prefix per part file. Shard
+    # count is small; this is the same driver-side-tiny pattern as
+    # plans/exports.write_sharded_jsonl's manifest.
+    shards = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("part-"):
+            continue
+        full = os.path.join(path, name)
+        first = last = None
+        n = 0
+        with open(full, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                if first is None:
+                    first = line
+                last = line
+                n += 1
+        if n == 0:
+            continue  # empty range partition
+
+        def _key(line: str) -> str:
+            a, b = line.split(" ", 2)[:2]
+            return f"{a} {b}"
+
+        shards.append(
+            {
+                "file": name,
+                "first_key": _key(first),
+                "last_key": _key(last),
+                "lines": n,
+            }
+        )
+    manifest = {
+        "format": "cdxj",
+        "num_shards": len(shards),
+        "total_lines": int(sum(s["lines"] for s in shards)),
+        "shards": shards,
+    }
+    with open(os.path.join(path, "_cdxj_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def read_cdxj(spark, path: str, surt_prefix: str | None = None) -> DataFrame:
+    """Read a ``write_cdxj`` sidecar back into typed CDX columns.
+
+    With ``surt_prefix``, the manifest prunes shards FIRST (only files
+    whose [first_key, last_key] range can contain the prefix are even
+    listed to the scan — the top-level index step), then the parsed
+    frame is prefix-filtered exactly. Without it, all shards scan.
+    """
+    import json
+    import os
+
+    files = None
+    if surt_prefix is not None:
+        man_path = os.path.join(path, "_cdxj_manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as fh:
+                man = json.load(fh)
+            # a prefix P can match keys in [first, last] iff last >= P
+            # (every P-prefixed key is >= P) and first's own P-length
+            # prefix is <= P (else first, and so the whole shard, sorts
+            # after every P-prefixed key); raw-string compare is sound
+            # because the keys ARE the sort order
+            files = [
+                os.path.join(path, s["file"])
+                for s in man["shards"]
+                if s["last_key"] >= surt_prefix
+                and s["first_key"][: len(surt_prefix)] <= surt_prefix
+            ]
+    if files is None:
+        raw = spark.read.text(path)
+    elif not files:
+        # manifest proved no shard overlaps: empty typed frame
+        raw = spark.createDataFrame([], "value string")
+    else:
+        raw = spark.read.text(files)
+    out = parse_cdxj_lines(raw.withColumnRenamed("value", "cdxj"))
+    if surt_prefix is not None:
+        out = out.where(
+            F.coalesce(F.col("surt"), F.lit("")).startswith(surt_prefix)
+        )
+    return out

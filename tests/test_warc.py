@@ -767,3 +767,55 @@ class TestCdxjParse:
         assert out[3]["surt"] is None          # '-' sentinel → null
         assert out[3]["record_bytes"] == 7
         assert not out[4]["line_ok"]
+
+
+class TestCdxjFileSidecar:
+    """write_cdxj / read_cdxj: range-partitioned sorted shards + manifest."""
+
+    def _lines(self, spark, n=60):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        def msg(body):
+            return (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    b"Content-Length: %d\r\n\r\n" % len(body) + body)
+        rows = []
+        for i in range(n):
+            host = ["alpha", "beta", "gamma"][i % 3]
+            uri = f"https://{host}.example/doc/{i}"
+            rows.append((i, bytearray(warc.encode_warc(
+                [("response", uri, f"r{i}", msg(b"body %d" % i))]
+            ))))
+        files = spark.createDataFrame(rows, "file_id long, payload binary")
+        return cdx.cdxj_lines(cdx.cdx_records(files))
+
+    def test_write_read_roundtrip_and_global_order(self, spark, tmp_path):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        path = str(tmp_path / "idx")
+        man = cdx.write_cdxj(self._lines(spark), path, num_shards=4)
+        assert man["total_lines"] == 60 and man["num_shards"] == 4
+        # total order holds ACROSS shards: each shard's last key sorts
+        # at or before the next shard's first key
+        ranges = [(s["first_key"], s["last_key"]) for s in man["shards"]]
+        for (_, l1), (f2, _) in zip(ranges, ranges[1:]):
+            assert l1 <= f2
+        # and WITHIN each shard the lines are sorted
+        import os
+        for s in man["shards"]:
+            with open(os.path.join(path, s["file"])) as fh:
+                keys = [" ".join(x.split(" ", 2)[:2]) for x in fh]
+            assert keys == sorted(keys)
+        back = cdx.read_cdxj(spark, path)
+        assert back.count() == 60
+        assert back.where("line_ok").count() == 60
+
+    def test_prefix_read_prunes_via_manifest(self, spark, tmp_path):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        path = str(tmp_path / "idx")
+        cdx.write_cdxj(self._lines(spark), path, num_shards=4)
+        beta = cdx.read_cdxj(spark, path, surt_prefix="example,beta)")
+        rows = beta.collect()
+        assert len(rows) == 20
+        assert all(r["surt"].startswith("example,beta)") for r in rows)
+        # a prefix past every key reads nothing (manifest proves it)
+        assert cdx.read_cdxj(
+            spark, path, surt_prefix="zzz,nothing)"
+        ).count() == 0
