@@ -110,9 +110,10 @@ _PRIORITY_R11 = [
     # sf0.001 on registration: HTML entity decoding (VERDICT item 3), CDX
     # sidecar export (item 5), the F2 language cascade driven through the
     # full pipeline (item 7), the crawl→corpus capstone funnel (item 4),
-    # and the CDXJ consume-side parser (full produce→consume round trip)
+    # the CDXJ consume-side parser (full produce→consume round trip),
+    # and the latest-capture cross-generation CDX merge
     "p42_html_entities", "s07_cdx_export", "s08_cdx_parse",
-    "f02_language_cascade", "e2e_crawl_funnel",
+    "s09_cdx_latest", "f02_language_cascade", "e2e_crawl_funnel",
     # changed this round: robots matcher query-path extraction +
     # octet-length ranking + a query-only-URL fixture arm (ADVICE r10 →
     # f17), Crawl-delay MAX merge + second-star-group fixture arm (ADVICE
@@ -141,14 +142,15 @@ _PRIORITY_R11 = [
     # d14 displaced below if cap shifts, ev_stream_quality, o05/o06/o08,
     # p22c/p22d/p29/p35-p38, rel_q2/q4/q10/q11/q13/q16-q18/q20/q22,
     # rel_sql_surface — refresh in r12)
-    # (d14_dup_cluster_stats yielded its slot to s08_cdx_parse —
-    # verified green in this session's FULL 216/216 check_oracle sweep;
-    # it refreshes in r12 with the other r7 rows)
+    # (d14_dup_cluster_stats and d11_c4_span_dedup yielded their slots
+    # to s08_cdx_parse and s09_cdx_latest — both verified green in this
+    # session's FULL check_oracle sweep; they refresh in r12 with the
+    # other r7 rows)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "f13_c4_filter", "f15_model_quality_filter", "a01_source_counts",
     "a02_boolean_mask_sums", "a05_numeric_summary", "a07_histogram",
     "a08_top_sources", "a09_lang_breakdown", "a10_cleanup_stats",
-    "d06_fingerprint", "d10_url_dedup", "d11_c4_span_dedup",
+    "d06_fingerprint", "d10_url_dedup",
 ]
 
 _PRIORITY_R10 = [

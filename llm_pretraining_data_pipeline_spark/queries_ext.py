@@ -4964,3 +4964,77 @@ def s08_cdx_parse(spark, sf_dir):
         "filename",
         "line_ok",
     )
+
+
+@register(
+    "s09_cdx_latest",
+    """
+    SELECT 'example,site-' || CAST(doc_id % 50 AS varchar) || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           CASE WHEN doc_id % 4 = 0 THEN '20240101000000'
+                ELSE '20240101000001' END AS ts,
+           CAST(doc_id * 2 + CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+                AS bigint) AS file_id,
+           sha256(text || CASE WHEN doc_id % 4 = 0 THEN '0'
+                               ELSE '1' END) AS digest
+    FROM documents
+    UNION ALL
+    SELECT NULL AS surt,
+           '2024010100000' || CAST(g AS varchar) AS ts,
+           CAST(doc_id * 2 + g + 1000000 AS bigint) AS file_id,
+           sha256(text || 'n' || CAST(g AS varchar)) AS digest
+    FROM documents CROSS JOIN (VALUES (0), (1)) t(g)
+    WHERE doc_id % 10 = 0
+    """,
+    doc="latest-capture CDX merge across crawl generations "
+        "(sources/cdx.py::cdx_latest): CC publishes one sidecar per "
+        "crawl; a training pipeline wants each URL once, at its "
+        "freshest capture. Keep = max by (ts, file_id, rec_index) per "
+        "SURT key via ONE groupBy(max_by(struct)) — no window, so a hot "
+        "URL recrawled in every generation never builds a straggler "
+        "partition. Fixture: two synthetic generations (ts ...00 / "
+        "...01); docs with id%4=0 exist only in generation 0 (the "
+        "keep-single path), everything else must resolve to generation "
+        "1; id%10=0 docs add a PAIR of null-SURT rows per generation "
+        "that must ALL survive (solo keys — distinct hostless URIs may "
+        "not collapse). Referee recomputes the expected keeper set "
+        "closed-form",
+)
+def s09_cdx_latest(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    d = _docs(spark, sf_dir)
+    gens = F.explode(
+        F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(0)))
+        .otherwise(F.array(F.lit(0), F.lit(1)))
+    ).alias("g")
+    surt = F.concat(
+        F.lit("example,site-"), F.col("doc_id") % 50,
+        F.lit(")/doc/"), F.col("doc_id"),
+    )
+    base = d.select("doc_id", "text", gens).select(
+        (F.col("doc_id") * 2 + F.col("g")).alias("file_id"),
+        F.lit(0).cast("int").alias("rec_index"),
+        surt.alias("surt"),
+        F.concat(F.lit("2024010100000"), F.col("g")).alias("ts"),
+        F.sha2(
+            F.concat(F.col("text"), F.col("g").cast("string")), 256
+        ).alias("digest"),
+    )
+    nosurt = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text",
+                F.explode(F.array(F.lit(0), F.lit(1))).alias("g"))
+        .select(
+            (F.col("doc_id") * 2 + F.col("g") + 1000000).alias("file_id"),
+            F.lit(0).cast("int").alias("rec_index"),
+            F.lit(None).cast("string").alias("surt"),
+            F.concat(F.lit("2024010100000"), F.col("g")).alias("ts"),
+            F.sha2(
+                F.concat(F.col("text"), F.lit("n"),
+                         F.col("g").cast("string")), 256
+            ).alias("digest"),
+        )
+    )
+    out = C.cdx_latest(base.unionByName(nosurt))
+    return out.select("surt", "ts", "file_id", "digest")

@@ -353,3 +353,30 @@ def read_cdxj(spark, path: str, surt_prefix: str | None = None) -> DataFrame:
             F.coalesce(F.col("surt"), F.lit("")).startswith(surt_prefix)
         )
     return out
+
+
+def cdx_latest(cdx: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """Collapse multiple crawl generations into the NEWEST capture per
+    SURT key — the "latest index" a wayback-style reader or a
+    recrawl-dedup stage queries (CC publishes one sidecar per crawl;
+    training-data pipelines want each URL once, at its freshest
+    capture).
+
+    Keep = max by ``(ts, id_col, rec_index)`` (the id tail makes the
+    order total, so same-timestamp recrawls resolve deterministically).
+    Null-SURT rows get per-row solo keys — distinct hostless URIs must
+    not collapse into one group. ONE hash shuffle via
+    ``groupBy().agg(max_by(struct(*), ...))`` — no window, so a hot URL
+    recrawled in every generation never builds a straggler partition
+    (the engine's skew-safe keep-one pattern).
+    """
+    key = F.coalesce(
+        F.col("surt"),
+        F.concat_ws("\x00", F.lit("_nosurt"), F.col(id_col), F.col("rec_index")),
+    )
+    ordc = F.struct(F.col("ts"), F.col(id_col), F.col("rec_index"))
+    return (
+        cdx.groupBy(key.alias("_k"))
+        .agg(F.max_by(F.struct(*cdx.columns), ordc).alias("_r"))
+        .select("_r.*")
+    )

@@ -819,3 +819,42 @@ class TestCdxjFileSidecar:
         assert cdx.read_cdxj(
             spark, path, surt_prefix="zzz,nothing)"
         ).count() == 0
+
+
+class TestCdxLatest:
+    """cdx_latest (sources/cdx.py): newest capture per SURT key."""
+
+    SCHEMA = ("file_id long, rec_index int, surt string, ts string, "
+              "digest string")
+
+    def test_keep_newest_and_solo_null_keys(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        rows = [
+            (1, 0, "com,a)/x", "20240101000000", "old"),
+            (2, 0, "com,a)/x", "20240301000000", "new"),
+            (3, 0, "com,b)/y", "20240101000000", "only"),
+            # same-timestamp recrawl: the (ts, file_id, rec_index) tail
+            # must resolve deterministically to the larger id
+            (4, 0, "com,c)/z", "20240201000000", "tie-lo"),
+            (5, 0, "com,c)/z", "20240201000000", "tie-hi"),
+            # distinct hostless URIs: null SURTs must NOT collapse
+            (6, 0, None, "20240101000000", "ns1"),
+            (7, 0, None, "20240101000000", "ns2"),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = {r["file_id"]: r for r in cdx.cdx_latest(df).collect()}
+        assert set(out) == {2, 3, 5, 6, 7}
+        assert out[2]["digest"] == "new"
+        assert out[5]["digest"] == "tie-hi"
+
+    def test_plan_is_one_agg_no_window(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        df = spark.createDataFrame(
+            [(1, 0, "com,a)/x", "20240101000000", "d")], self.SCHEMA
+        )
+        plan = (
+            cdx.cdx_latest(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert plan.count("Exchange") == 1
