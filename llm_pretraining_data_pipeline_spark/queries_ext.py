@@ -5038,3 +5038,63 @@ def s09_cdx_latest(spark, sf_dir):
     )
     out = C.cdx_latest(base.unionByName(nosurt))
     return out.select("surt", "ts", "file_id", "digest")
+
+
+@register(
+    "ev_stream_cdx",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 37 = 0 AS bad,
+             CASE WHEN doc_id % 11 = 0 THEN 404
+                  WHEN doc_id % 13 = 0 THEN 301
+                  ELSE 200 END AS status,
+             doc_id % 2 = 1 AS html, text
+      FROM documents
+    )
+    SELECT doc_id AS file_id,
+           'example,site-' || CAST(doc_id % 50 AS varchar) || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           '19700101000000' AS ts,
+           CASE WHEN bad THEN NULL ELSE status END AS status,
+           CASE WHEN bad THEN NULL
+                WHEN html THEN 'text/html'
+                ELSE 'text/plain' END AS mime,
+           CASE WHEN bad THEN NULL ELSE sha256(text) END AS digest,
+           CAST(0 AS bigint) AS rec_offset,
+           NOT bad AS cdx_ok
+    FROM d
+    """,
+    doc="STREAMING CDX sidecar build (streaming/events.py::"
+        "run_warc_cdx_stream_once — 16th streaming query): the index "
+        "grows WITH the crawl instead of in a post-pass. Each "
+        "micro-batch explodes WARC blobs (mapInPandas 1->N), HTTP-splits "
+        "response payloads (one Arrow pandas_udf), and emits SURT key + "
+        "timestamp + status/mime + entity-body digest + byte range — "
+        "ALL stateless per-row stages: append mode, stateOperators == "
+        "[] pinned in pytest, zero shuffle on the stream; non-HTTP "
+        "payloads survive as cdx_ok=false index rows. SHARES "
+        "s07_cdx_export's fixture AND oracle because sources/cdx.py::"
+        "cdx_records is the single implementation under both — the "
+        "streaming path must recover the byte-identical index (the "
+        "src_warc_gz_records / ev_stream_warc equivalence discipline)",
+)
+def ev_stream_cdx(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_warc_cdx_stream_once,
+    )
+
+    blobs = _warc_http_blobs(spark, sf_dir)
+    drained = run_warc_cdx_stream_once(
+        spark, blobs, stage_key=f"warc_cdx:{sf_dir}"
+    )
+    return drained.select(
+        "file_id",
+        "surt",
+        "ts",
+        "status",
+        "mime",
+        "digest",
+        F.col("offset").alias("rec_offset"),
+        "cdx_ok",
+    )

@@ -602,17 +602,46 @@ def run_warc_http_stream_once(
     consumes; the drain returns the full result as a batch frame for
     the referee.
     """
+    from llm_pretraining_data_pipeline_spark.sources import http as H
+
+    stream = _stage_blob_stream(spark, blobs, stage_key)
+    resp = H.warc_http_records(stream)
+    return _drain_to_memory(resp, "append")
+
+
+def _stage_blob_stream(
+    spark: SparkSession, blobs: DataFrame, stage_key: str
+) -> DataFrame:
+    """Stage a bounded blob frame to a per-session parquet dir and open
+    it as a file-stream source (shared by the WARC-ingest and CDX-build
+    streaming entries)."""
     import hashlib
     import os
     import tempfile
-
-    from llm_pretraining_data_pipeline_spark.sources import http as H
 
     app_id = spark.sparkContext.applicationId
     key = hashlib.sha1(f"{app_id}:{stage_key}".encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"warc_stream_{key}")
     blobs.write.mode("overwrite").parquet(stage)
     schema = spark.read.parquet(stage).schema
-    stream = spark.readStream.schema(schema).parquet(stage)
-    resp = H.warc_http_records(stream)
-    return _drain_to_memory(resp, "append")
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def run_warc_cdx_stream_once(
+    spark: SparkSession, blobs: DataFrame, stage_key: str
+) -> DataFrame:
+    """Streaming CDX sidecar build — the index grows WITH the crawl
+    instead of in a post-pass: each micro-batch explodes WARC blobs and
+    emits one CDX row per response record (SURT key, timestamp, status,
+    mime, entity-body digest, byte range). Every stage — the
+    ``warc_records`` explode, the HTTP split, the pure-Catalyst
+    SURT/digest expressions — is STATELESS per-row, so the query runs
+    append-mode with ``stateOperators == []`` and the stream never
+    shuffles; non-HTTP payloads flow through as ``cdx_ok=false`` index
+    rows exactly like the batch build (``sources/cdx.py::cdx_records``
+    is the single shared implementation, so batch and stream cannot
+    drift)."""
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    stream = _stage_blob_stream(spark, blobs, stage_key)
+    return _drain_to_memory(C.cdx_records(stream), "append")

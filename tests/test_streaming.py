@@ -675,3 +675,77 @@ class TestWarcHttpStream:
             assert prog["stateOperators"] == []  # stateless per-row stages
         finally:
             q.stop()
+
+
+class TestWarcCdxStream:
+    """run_warc_cdx_stream_once: the index grows with the crawl."""
+
+    def _blobs(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import warc
+        body = b"stream me please"
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+        rows = [
+            (1, bytearray(warc.encode_warc(
+                [("response", "https://a.example/s", "r1", http)]
+            ))),
+            (2, bytearray(warc.encode_warc(
+                [("response", "https://b.example/t", "r2", b"NOT HTTP")]
+            ))),
+        ]
+        return spark.createDataFrame(
+            rows, "file_id long, payload binary"
+        ), body
+
+    def test_stream_matches_batch_index(self, spark):
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        from llm_pretraining_data_pipeline_spark.streaming.events import (
+            run_warc_cdx_stream_once,
+        )
+        blobs, body = self._blobs(spark)
+        drained = {
+            r["file_id"]: r
+            for r in run_warc_cdx_stream_once(
+                spark, blobs, stage_key="pytest_cdx_stream"
+            ).collect()
+        }
+        batch = {
+            r["file_id"]: r for r in cdx.cdx_records(blobs).collect()
+        }
+        assert set(drained) == set(batch) == {1, 2}
+        for fid in (1, 2):
+            for f in ("surt", "ts", "status", "mime", "digest",
+                      "offset", "record_bytes", "cdx_ok"):
+                assert drained[fid][f] == batch[fid][f], (fid, f)
+        assert drained[1]["digest"] == hashlib.sha256(body).hexdigest()
+        assert drained[2]["cdx_ok"] is False  # poison record = data row
+
+    def test_stream_plan_is_stateless(self, spark):
+        import tempfile
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        blobs, _ = self._blobs(spark)
+        stage = tempfile.mkdtemp(prefix="cdx_stream_plan_")
+        blobs.write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = spark.readStream.schema(schema).parquet(stage)
+        idx = cdx.cdx_records(stream)
+        assert idx.isStreaming
+        ckpt = tempfile.mkdtemp(prefix="cdx_stream_ckpt_")
+        q = (
+            idx.writeStream.format("memory")
+            .queryName("cdx_stream_stateless").outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = q.lastProgress
+            assert prog is not None
+            assert prog["stateOperators"] == []
+        finally:
+            q.stop()
