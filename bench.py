@@ -228,6 +228,8 @@ def main() -> int:
                 F.concat_ws(
                     ". ",
                     F.col("text").substr(1, 90),
+                    F.lit("fish &amp; chips &ndash; &pound;5 &#233;clair"
+                          " &#x2713; deal"),
                     F.col("text").substr(45, 90),
                     F.col("text").substr(90, 90),
                     F.lit("the closing line of this page ends here."),
@@ -272,9 +274,14 @@ def main() -> int:
         lambda: WC.curation_summary(
             WC.run_web_curation(
                 wc_raw,
+                # decode_entities ON since round 11 (the fixture's <p>
+                # bodies carry real &amp;/&ndash;/&#233;/&#x2713;
+                # references): isolated warm measure at this scale put
+                # the stage at ~5% of the recipe (6.75 s -> 7.09 s)
                 WC.WebCurationConfig(
                     gopher_min_words=10, gopher_min_stopwords=1,
                     extract_main=True, mc_smooth=True,
+                    decode_entities=True,
                 ),
                 url_col="url",
                 robots_rules=wc_rules,
@@ -283,7 +290,7 @@ def main() -> int:
     )
     meta["web_curation_docs"] = int(n_wc)
     meta["web_curation_docs_per_sec"] = round(n_wc / timings["web_curation_e2e"], 1)
-    meta["web_curation_gates"] = "robots+extract_main+smooth"
+    meta["web_curation_gates"] = "robots+extract_main+smooth+entities"
 
     # ---- round-7: two-level sharded write rehearsal at the 500k-doc scale:
     # hash sharding (no global-order window — plan-tested) -> ONE
