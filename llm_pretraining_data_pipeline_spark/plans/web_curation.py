@@ -203,6 +203,16 @@ def run_web_curation(
             F.col("text_dedup").alias("text_curated"),
             "n_sents_removed",
         )
+        # sd is referenced twice below (exact dedup's input AND the
+        # marks join) and the span-dedup subtree appears twice in the
+        # plan TEXT — but do NOT localCheckpoint it: the duplicated
+        # subtrees are byte-identical, so runtime ReusedExchange serves
+        # the second reference from the first's shuffle files, while a
+        # checkpoint here measured 1.6x SLOWER at bench scale (8.3-9.2 s
+        # vs 5.2-7.3 s warm, round-11 A/B) by forcing materialisation
+        # and blocking AQE. `narrow` above is different: its duplicate
+        # subtrees were NON-identical expression chains (no reuse
+        # possible), which is why that checkpoint wins.
     else:
         sd = survivors.select(
             id_col,
