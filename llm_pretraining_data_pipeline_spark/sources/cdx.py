@@ -165,12 +165,19 @@ def parse_cdxj_lines(lines: DataFrame, line_col: str = "cdxj") -> DataFrame:
     surt = F.regexp_extract(s, r"^(\S+) \d{14} \{", 1)
     ts = F.regexp_extract(s, r"^\S+ (\d{14}) \{", 1)
     js = F.regexp_extract(s, r"^\S+ \d{14} (\{.*\})$", 1)
+    # PERMISSIVE from_json NEVER returns a null struct for
+    # brace-delimited garbage — it returns a struct of nulls, identical
+    # to a legitimate all-nulls record — so strictness needs the
+    # corrupt-record column: non-null there means the JSON was
+    # malformed OR a field failed its declared type ('"status":
+    # "notanint"' lands here too, with the other fields parsed).
     parsed = F.from_json(
         js,
         "url string, mime string, status int, digest string, "
-        "length bigint, offset bigint, filename string",
+        "length bigint, offset bigint, filename string, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
     )
-    ok = (js != "") & parsed.isNotNull()
+    ok = (js != "") & parsed.isNotNull() & parsed["_corrupt"].isNull()
     return lines.select(
         F.when(ok & (surt != "-"), surt).alias("surt"),
         F.when(ok, ts).alias("ts"),
@@ -267,38 +274,66 @@ def write_cdxj(
         .text(path)
     )
     # Manifest from the WRITTEN files (exact, not re-derived from a
-    # recomputed plan): first/last line prefix per part file. Shard
-    # count is small; this is the same driver-side-tiny pattern as
-    # plans/exports.write_sharded_jsonl's manifest.
+    # recomputed plan). Per shard the driver reads ONLY the head line
+    # and a seek-to-tail block for the last line — O(num_shards), never
+    # O(index bytes) (a CC-scale sidecar is hundreds of GB; streaming
+    # it through the driver would dwarf the distributed write). Line
+    # counts come from one distributed pass grouped by input file.
+    spark = lines.sparkSession
+    counts = {
+        os.path.basename(r["f"]): int(r["n"])
+        for r in spark.read.text(path)
+        .where(F.col("value") != "")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def _head_line(full: str) -> str | None:
+        with open(full, "rb") as fh:
+            line = fh.readline().decode("utf-8").rstrip("\n")
+        return line or None
+
+    def _tail_line(full: str, block: int = 1 << 16) -> str | None:
+        size = os.path.getsize(full)
+        if size == 0:
+            return None
+        with open(full, "rb") as fh:
+            buf = b""
+            pos = size
+            while pos > 0:
+                step = min(block, pos)
+                pos -= step
+                fh.seek(pos)
+                buf = fh.read(step) + buf
+                stripped = buf.rstrip(b"\n")
+                if b"\n" in stripped:
+                    return (
+                        stripped[stripped.rfind(b"\n") + 1 :]
+                        .decode("utf-8")
+                    )
+            stripped = buf.rstrip(b"\n")
+            return stripped.decode("utf-8") if stripped else None
+
+    def _key(line: str) -> str:
+        a, b = line.split(" ", 2)[:2]
+        return f"{a} {b}"
+
     shards = []
     for name in sorted(os.listdir(path)):
         if not name.startswith("part-"):
             continue
         full = os.path.join(path, name)
-        first = last = None
-        n = 0
-        with open(full, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                if not line:
-                    continue
-                if first is None:
-                    first = line
-                last = line
-                n += 1
-        if n == 0:
+        first = _head_line(full)
+        if first is None:
             continue  # empty range partition
-
-        def _key(line: str) -> str:
-            a, b = line.split(" ", 2)[:2]
-            return f"{a} {b}"
-
+        last = _tail_line(full)
         shards.append(
             {
                 "file": name,
                 "first_key": _key(first),
                 "last_key": _key(last),
-                "lines": n,
+                "lines": counts.get(name, 0),
             }
         )
     manifest = {
@@ -355,26 +390,42 @@ def read_cdxj(spark, path: str, surt_prefix: str | None = None) -> DataFrame:
     return out
 
 
-def cdx_latest(cdx: DataFrame, id_col: str = "file_id") -> DataFrame:
+def cdx_latest(cdx: DataFrame) -> DataFrame:
     """Collapse multiple crawl generations into the NEWEST capture per
     SURT key — the "latest index" a wayback-style reader or a
     recrawl-dedup stage queries (CC publishes one sidecar per crawl;
     training-data pipelines want each URL once, at its freshest
     capture).
 
-    Keep = max by ``(ts, id_col, rec_index)`` (the id tail makes the
-    order total, so same-timestamp recrawls resolve deterministically).
-    Null-SURT rows get per-row solo keys — distinct hostless URIs must
-    not collapse into one group. ONE hash shuffle via
-    ``groupBy().agg(max_by(struct(*), ...))`` — no window, so a hot URL
-    recrawled in every generation never builds a straggler partition
-    (the engine's skew-safe keep-one pattern).
+    Keep = max by ``(ts, <identity tail>)`` — the tail makes the order
+    total, so same-timestamp recrawls resolve deterministically. It is
+    taken from whichever identity columns the frame carries:
+    ``(file_id, rec_index)`` for in-process ``cdx_records`` frames, or
+    ``(filename, offset)`` for frames parsed back from PUBLISHED
+    sidecars via ``read_cdxj``/``parse_cdxj_lines`` (which do not carry
+    the builder's file_id) — so the documented cross-generation merge
+    composes directly over read sidecars. Null-SURT rows get per-row
+    solo keys — distinct hostless URIs must not collapse into one
+    group. ONE hash shuffle via ``groupBy().agg(max_by(struct(*),
+    ...))`` — no window, so a hot URL recrawled in every generation
+    never builds a straggler partition (the engine's skew-safe
+    keep-one pattern).
     """
+    cols = set(cdx.columns)
+    if {"file_id", "rec_index"} <= cols:
+        tail = [F.col("file_id"), F.col("rec_index")]
+    elif {"filename", "offset"} <= cols:
+        tail = [F.col("filename"), F.col("offset")]
+    else:
+        raise ValueError(
+            "cdx_latest: need (file_id, rec_index) or (filename, offset) "
+            f"identity columns; got {sorted(cols)}"
+        )
     key = F.coalesce(
         F.col("surt"),
-        F.concat_ws("\x00", F.lit("_nosurt"), F.col(id_col), F.col("rec_index")),
+        F.concat_ws("\x00", F.lit("_nosurt"), *tail),
     )
-    ordc = F.struct(F.col("ts"), F.col(id_col), F.col("rec_index"))
+    ordc = F.struct(F.col("ts"), *tail)
     return (
         cdx.groupBy(key.alias("_k"))
         .agg(F.max_by(F.struct(*cdx.columns), ordc).alias("_r"))

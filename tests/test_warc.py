@@ -751,6 +751,16 @@ class TestCdxjParse:
                 '"status":null,"digest":null,"length":7,"offset":0,'
                 '"filename":"warc-1.warc"}'),
             (4, None),
+            # brace-delimited garbage: PERMISSIVE from_json returns a
+            # struct of NULLS (not a null struct) for this — only the
+            # corrupt-record column distinguishes it from a legitimate
+            # all-null record (round-11 review finding)
+            (5, "com,a)/x 19700101000000 {garbage here}"),
+            # valid JSON, wrong field type: status must not silently
+            # null while the line reports well-formed
+            (6, 'com,a)/x 19700101000000 {"url":"u","mime":null,'
+                '"status":"notanint","digest":null,"length":7,'
+                '"offset":0,"filename":"f"}'),
         ]
         out = {
             i: r for i, r in zip(
@@ -767,6 +777,8 @@ class TestCdxjParse:
         assert out[3]["surt"] is None          # '-' sentinel → null
         assert out[3]["record_bytes"] == 7
         assert not out[4]["line_ok"]
+        assert not out[5]["line_ok"]
+        assert not out[6]["line_ok"]
 
 
 class TestCdxjFileSidecar:
@@ -858,3 +870,45 @@ class TestCdxLatest:
         )
         assert "Window" not in plan
         assert plan.count("Exchange") == 1
+
+
+class TestCdxLatestOverPublishedSidecars:
+    """cdx_latest must compose over read_cdxj frames (review finding 2):
+    the cross-generation merge the function documents starts from
+    PUBLISHED sidecars, which carry (filename, offset), not the
+    builder's (file_id, rec_index)."""
+
+    def test_merge_two_published_generations(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        gens = []
+        for g, ts in ((0, "20240101000000"), (1, "20240301000000")):
+            def msg(body):
+                return (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                        b"Content-Length: %d\r\n\r\n" % len(body) + body)
+            rows = [(i, bytearray(warc.encode_warc([(
+                "response", f"https://h{i}.example/p", f"r{g}-{i}",
+                msg(b"gen %d doc %d" % (g, i)))]
+            ))) for i in range(4)]
+            files = spark.createDataFrame(
+                rows, "file_id long, payload binary"
+            )
+            lines = cdx.cdxj_lines(
+                cdx.cdx_records(files, timestamp=F.lit(ts))
+            )
+            path = str(tmp_path / f"gen{g}")
+            cdx.write_cdxj(lines, path, num_shards=2)
+            gens.append(cdx.read_cdxj(spark, path))
+        merged = cdx.cdx_latest(gens[0].unionByName(gens[1]))
+        rows = merged.collect()
+        assert len(rows) == 4
+        assert all(r["ts"] == "20240301000000" for r in rows)
+        # and a frame with NEITHER identity pair raises loudly
+        with _pytest.raises(ValueError, match="identity columns"):
+            cdx.cdx_latest(
+                spark.createDataFrame(
+                    [("s", "t")], "surt string, ts string"
+                )
+            )
