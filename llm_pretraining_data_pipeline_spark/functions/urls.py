@@ -697,3 +697,81 @@ def registrable_domain_psl(
             F.array_join(F.slice(labels, nl - ps_n, ps_n + 1), "."),
         ).alias("reg_domain"),
     )
+
+
+# ------------------------------------------------------------ sitemap XML
+
+# sitemaps.org protocol shapes: a <urlset> of page entries, or a
+# <sitemapindex> of child sitemaps. Parsed with Spark's native XML
+# reader (from_xml) — no Python in the path.
+_SITEMAP_URLSET_SCHEMA = (
+    "url array<struct<loc string, lastmod string, changefreq string, "
+    "priority double>>"
+)
+_SITEMAP_INDEX_SCHEMA = "sitemap array<struct<loc string, lastmod string>>"
+
+
+def parse_sitemap(
+    sm: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse sitemaps.org XML — the crawl-scheduler companion to
+    ``robots_directives`` (which *discovers* sitemap URLs; this parses
+    the fetched documents into the per-URL frontier rows a scheduler
+    joins).
+
+    One output row per entry: ``(domain, entry_pos, loc, lastmod,
+    changefreq, priority, is_index, sm_ok)``. ``<urlset>`` entries
+    carry ``is_index=false``; ``<sitemapindex>`` children carry
+    ``is_index=true`` with ``loc`` = the child sitemap URL (feed those
+    back through fetch → parse_sitemap — the protocol's two-level
+    recursion). A document yielding NO entries under either shape
+    (malformed XML, truncated, or a well-formed empty set — from_xml
+    cannot distinguish these, and a scheduler treats them identically:
+    zero fetchable URLs) survives as ONE ``sm_ok=false`` row with null
+    fields, so a broken sitemap is data, not an exception.
+
+    Pure Catalyst (native from_xml + array HOFs + one generator), zero
+    Python, zero shuffle — a straight map over fetched sitemap bodies
+    at any scale.
+    """
+    x = F.col(xml_col).cast("string")
+    us = F.from_xml(x, _SITEMAP_URLSET_SCHEMA)
+    si = F.from_xml(x, _SITEMAP_INDEX_SCHEMA)
+    url_entries = F.transform(
+        us["url"],
+        lambda u: F.struct(
+            u["loc"].alias("loc"),
+            u["lastmod"].alias("lastmod"),
+            u["changefreq"].alias("changefreq"),
+            u["priority"].alias("priority"),
+            F.lit(False).alias("is_index"),
+        ),
+    )
+    idx_entries = F.transform(
+        si["sitemap"],
+        lambda u: F.struct(
+            u["loc"].alias("loc"),
+            u["lastmod"].alias("lastmod"),
+            F.lit(None).cast("string").alias("changefreq"),
+            F.lit(None).cast("double").alias("priority"),
+            F.lit(True).alias("is_index"),
+        ),
+    )
+    entries = F.coalesce(url_entries, idx_entries)
+    out = sm.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode_outer(entries).alias("entry_pos", "_e"),
+    )
+    ok = F.col("_e").isNotNull()
+    return out.select(
+        "domain",
+        F.when(ok, F.col("entry_pos")).alias("entry_pos"),
+        F.col("_e.loc").alias("loc"),
+        F.col("_e.lastmod").alias("lastmod"),
+        F.col("_e.changefreq").alias("changefreq"),
+        F.col("_e.priority").alias("priority"),
+        F.col("_e.is_index").alias("is_index"),
+        ok.alias("sm_ok"),
+    )

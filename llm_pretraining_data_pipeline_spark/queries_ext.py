@@ -5098,3 +5098,95 @@ def ev_stream_cdx(spark, sf_dir):
         F.col("offset").alias("rec_offset"),
         "cdx_ok",
     )
+
+
+@register(
+    "f20_sitemap_parse",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents),
+    shaped AS (
+      SELECT dom,
+             CASE WHEN dom % 5 = 0 THEN 'bad'
+                  WHEN dom % 7 = 0 THEN 'idx' ELSE 'set' END AS kind,
+             CASE WHEN dom % 5 = 0 THEN 1
+                  WHEN dom % 7 = 0 THEN 2 ELSE dom % 3 + 1 END AS n
+      FROM doms),
+    e AS (
+      SELECT dom, kind, CAST(j AS int) AS j
+      FROM shaped, unnest(range(0, n)) AS t(j))
+    SELECT 'site-' || CAST(dom AS varchar) || '.example' AS domain,
+           CASE WHEN kind = 'bad' THEN NULL ELSE j END AS entry_pos,
+           CASE WHEN kind = 'bad' THEN NULL
+                WHEN kind = 'idx' THEN 'https://site-' || CAST(dom AS varchar)
+                     || '.example/s' || CAST(j AS varchar) || '.xml'
+                ELSE 'https://site-' || CAST(dom AS varchar)
+                     || '.example/p' || CAST(j AS varchar) END AS loc,
+           CASE WHEN kind = 'bad' THEN NULL
+                WHEN kind = 'idx' THEN '2024-02-0' || CAST(j + 1 AS varchar)
+                ELSE '2024-01-0' || CAST(j + 1 AS varchar) END AS lastmod,
+           CASE WHEN kind = 'set' AND j = 1 THEN 'daily' END AS changefreq,
+           CASE WHEN kind = 'set' AND j = 0 THEN CAST(0.5 AS double) END
+             AS priority,
+           CASE WHEN kind = 'bad' THEN NULL ELSE kind = 'idx' END
+             AS is_index,
+           kind <> 'bad' AS sm_ok
+    FROM e
+    """,
+    doc="sitemaps.org XML parsing (functions/urls.py::parse_sitemap): "
+        "the crawl-scheduler companion to f19 — robots_directives "
+        "DISCOVERS sitemap URLs, this parses the fetched documents into "
+        "per-URL frontier rows via Spark's NATIVE from_xml (zero "
+        "Python): <urlset> page entries (loc/lastmod/changefreq/"
+        "priority, is_index=false) and <sitemapindex> children "
+        "(is_index=true, fed back through fetch->parse — the protocol's "
+        "two-level recursion); a document yielding no entries under "
+        "either shape (malformed / truncated / empty — operationally "
+        "identical: zero fetchable URLs) survives as ONE sm_ok=false "
+        "row. Fixture: dom%5=0 garbage, dom%7=0 a 2-child index, else "
+        "a urlset of dom%3+1 entries with per-position optional "
+        "priority/changefreq (absent XML elements must come back "
+        "null). Referee recomputes every entry closed-form via a "
+        "range-unnest. Straight map, zero shuffle",
+)
+def f20_sitemap_parse(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls as U
+
+    doms = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("dom")
+    ).distinct()
+    dd = F.col("dom")
+    site = F.concat(F.lit("site-"), dd, F.lit(".example"))
+
+    def url_entry(j):
+        extra = {0: "<priority>0.5</priority>", 1: "<changefreq>daily</changefreq>"}
+        return F.concat(
+            F.lit("<url><loc>https://site-"), dd,
+            F.lit(f".example/p{j}</loc><lastmod>2024-01-0{j + 1}"
+                  f"</lastmod>{extra.get(j, '')}</url>"),
+        )
+
+    def idx_entry(j):
+        return F.concat(
+            F.lit("<sitemap><loc>https://site-"), dd,
+            F.lit(f".example/s{j}.xml</loc><lastmod>2024-02-0{j + 1}"
+                  f"</lastmod></sitemap>"),
+        )
+
+    urlset = F.concat(
+        F.lit("<urlset>"),
+        url_entry(0),
+        F.when(dd % 3 >= 1, url_entry(1)).otherwise(F.lit("")),
+        F.when(dd % 3 >= 2, url_entry(2)).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex>"), idx_entry(0), idx_entry(1),
+        F.lit("</sitemapindex>"),
+    )
+    xml = (
+        F.when(dd % 5 == 0, F.lit("this is not xml <<<"))
+        .when(dd % 7 == 0, index)
+        .otherwise(urlset)
+    )
+    sm = doms.select(site.alias("domain"), xml.alias("sitemap_xml"))
+    return U.parse_sitemap(sm)

@@ -788,3 +788,70 @@ class TestSurtKey:
         assert df.select(
             urls.surt_key("u").alias("s")
         ).collect()[0]["s"] is None
+
+
+class TestParseSitemap:
+    """parse_sitemap (functions/urls.py): sitemaps.org XML → frontier."""
+
+    def _run(self, spark, rows):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        df = spark.createDataFrame(
+            rows, "domain string, sitemap_xml string"
+        )
+        out = urls.parse_sitemap(df).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r["domain"], []).append(r)
+        for v in by_dom.values():
+            v.sort(key=lambda r: (r["entry_pos"] is None, r["entry_pos"]))
+        return by_dom
+
+    def test_urlset_entries_with_optional_fields(self, spark):
+        xml = (
+            '<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://a/p1</loc><lastmod>2024-01-05</lastmod>"
+            "<priority>0.8</priority></url>"
+            "<url><loc>https://a/p2</loc><changefreq>daily</changefreq>"
+            "</url></urlset>"
+        )
+        rows = self._run(spark, [("a", xml)])["a"]
+        assert len(rows) == 2
+        assert rows[0]["loc"] == "https://a/p1"
+        assert rows[0]["priority"] == 0.8 and rows[0]["changefreq"] is None
+        assert rows[1]["lastmod"] is None and rows[1]["changefreq"] == "daily"
+        assert all(not r["is_index"] and r["sm_ok"] for r in rows)
+
+    def test_sitemapindex_children_marked(self, spark):
+        xml = ("<sitemapindex><sitemap><loc>https://a/s1.xml</loc>"
+               "<lastmod>2024-02-01</lastmod></sitemap>"
+               "<sitemap><loc>https://a/s2.xml</loc></sitemap>"
+               "</sitemapindex>")
+        rows = self._run(spark, [("a", xml)])["a"]
+        assert [r["loc"] for r in rows] == [
+            "https://a/s1.xml", "https://a/s2.xml"
+        ]
+        assert all(r["is_index"] and r["sm_ok"] for r in rows)
+
+    def test_broken_empty_and_null_survive_as_data(self, spark):
+        rows = self._run(spark, [
+            ("bad", "complete garbage <<<"),
+            ("trunc", "<urlset><url><loc>x</loc></url>"),
+            ("empty", "<urlset></urlset>"),
+            ("nul", None),
+        ])
+        for dom in ("bad", "trunc", "empty", "nul"):
+            (r,) = rows[dom]
+            assert not r["sm_ok"] and r["loc"] is None
+            assert r["entry_pos"] is None
+
+    def test_zero_python_zero_shuffle_plan(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        df = spark.createDataFrame(
+            [("a", "<urlset/>")], "domain string, sitemap_xml string"
+        )
+        plan = (
+            urls.parse_sitemap(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
