@@ -98,12 +98,12 @@ _PRIORITY_R8 = [
     "f06_token_bounds",
 ]
 
-# Round-11 priority (the driver caps each round at 50 rows): (a) the eight
+# Round-11 priority (the driver caps each round at 50 rows): (a) the nine
 # queries NEW this round, (b) every query whose implementation, fixture, or
 # oracle CHANGED this round (edits must never ride on a stale green), then
 # (c) the full 23-row r6-stale tail (VERDICT r10 item 1 — after this round
 # no registered query's freshest driver green is older than r7), and (d)
-# 12 of the 46 r7-stale rows (filters + aggregates; the remaining 34
+# 11 of the 46 r7-stale rows (filters + aggregates; the remaining 35
 # refresh in r12).
 _PRIORITY_R11 = [
     # new this round — all hash-matched via check_oracle at sf0.01 AND
@@ -112,11 +112,12 @@ _PRIORITY_R11 = [
     # full pipeline (item 7), the crawl→corpus capstone funnel (item 4),
     # the CDXJ consume-side parser (full produce→consume round trip),
     # the latest-capture cross-generation CDX merge, the STREAMING CDX
-    # build (16th streaming query, shares s07's fixture/oracle), and
-    # sitemaps.org XML parsing via native from_xml
+    # build (16th streaming query, shares s07's fixture/oracle),
+    # sitemaps.org XML parsing via native from_xml, and crawl-frontier
+    # expansion (RFC 3986 href resolution + SURT + index anti-join)
     "p42_html_entities", "s07_cdx_export", "s08_cdx_parse",
     "s09_cdx_latest", "ev_stream_cdx", "f20_sitemap_parse",
-    "f02_language_cascade", "e2e_crawl_funnel",
+    "f22_frontier_expand", "f02_language_cascade", "e2e_crawl_funnel",
     # changed this round: robots matcher query-path extraction +
     # octet-length ranking + a query-only-URL fixture arm (ADVICE r10 →
     # f17), Crawl-delay MAX merge + second-star-group fixture arm (ADVICE
@@ -139,21 +140,22 @@ _PRIORITY_R11 = [
     "p25_string_functions", "p26_array_ops", "p27_url_normalize",
     "p33_meta_robots", "win_lag_price_delta", "win_range_frame",
     "win_running_quantity", "win_value_family",
-    # next-oldest tail: freshest driver green is r7 (12 of 46 fit the
-    # cap; the other 34 — a12/a16, corp_mixture_weights/pack_manifest/
-    # pack_spans/span_dedup/stratified_sample/vocab_top50, d06/d10/d11/
-    # d14, ev_stream_quality, o05/o06/o08, p22c/p22d/p29/p35-p38,
-    # rel_q2/q4/q10/q11/q13/q16-q18/q20/q22, rel_sql_surface —
+    # next-oldest tail: freshest driver green is r7 (11 of 46 fit the
+    # cap; the other 35 — a10/a12/a16, corp_mixture_weights/
+    # pack_manifest/pack_spans/span_dedup/stratified_sample/vocab_top50,
+    # d06/d10/d11/d14, ev_stream_quality, o05/o06/o08, p22c/p22d/p29/
+    # p35-p38, rel_q2/q4/q10/q11/q13/q16-q18/q20/q22, rel_sql_surface —
     # refresh in r12)
-    # (d14_dup_cluster_stats, d11_c4_span_dedup, d10_url_dedup and
-    # d06_fingerprint yielded their slots to s08_cdx_parse,
-    # s09_cdx_latest, ev_stream_cdx and f20_sitemap_parse — all four
-    # displaced rows verified green in this session's FULL check_oracle
-    # sweep; they refresh in r12 with the other r7 rows)
+    # (d14_dup_cluster_stats, d11_c4_span_dedup, d10_url_dedup,
+    # d06_fingerprint and a10_cleanup_stats yielded their slots to
+    # s08_cdx_parse, s09_cdx_latest, ev_stream_cdx, f20_sitemap_parse
+    # and f22_frontier_expand — all five displaced rows verified green
+    # in this session's TWO full check_oracle sweeps; they refresh in
+    # r12 with the other r7 rows)
     "f01_prefilter", "f03_quality_filter", "f04_low_information",
     "f13_c4_filter", "f15_model_quality_filter", "a01_source_counts",
     "a02_boolean_mask_sums", "a05_numeric_summary", "a07_histogram",
-    "a08_top_sources", "a09_lang_breakdown", "a10_cleanup_stats",
+    "a08_top_sources", "a09_lang_breakdown",
 ]
 
 _PRIORITY_R10 = [

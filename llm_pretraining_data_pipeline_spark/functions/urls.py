@@ -775,3 +775,91 @@ def parse_sitemap(
         F.col("_e.is_index").alias("is_index"),
         ok.alias("sm_ok"),
     )
+
+
+# --------------------------------------------------- relative resolution
+
+
+def resolve_url(base: Column | str, href: Column | str) -> Column:
+    """Resolve an extracted ``href`` against its page URL — RFC 3986 §5
+    reference resolution for the forms that dominate real HTML:
+
+    - absolute (``scheme://...``)            → as-is
+    - protocol-relative (``//host/p``)       → base scheme + href
+    - root-relative (``/p``)                 → base origin + href
+    - path-relative (``p``, ``../p``, ``?q``)→ merged with the base
+      path's directory, then dot-segments removed (§5.2.4: ``.`` drops,
+      ``..`` pops — a ``..`` above the root clamps at root)
+    - fragment-only (``#x``) and empty       → null (same document; a
+      frontier must not refetch the page it came from)
+
+    Null when the base has no authority. The dot-segment removal is a
+    pure Catalyst array fold (``F.aggregate`` with an array
+    accumulator) — zero Python, zero shuffle; query strings survive
+    resolution, fragments are dropped from the RESULT too (they are
+    never sent to servers).
+    """
+    b = F.trim(F.coalesce(_col(base).cast("string"), F.lit("")))
+    h = F.trim(F.coalesce(_col(href).cast("string"), F.lit("")))
+    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    authority = F.regexp_extract(
+        b, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    origin = F.concat(scheme, F.lit("://"), authority)
+    # base path DIRECTORY (through the last '/'), query/fragment dropped;
+    # an empty path resolves relative references from '/'
+    base_path = F.regexp_extract(
+        b, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    base_dir = F.when(
+        base_path.rlike("/"),
+        F.regexp_extract(base_path, r"^(.*/)", 1),
+    ).otherwise(F.lit("/"))
+    # strip the fragment from the reference itself
+    hf = F.regexp_extract(h, r"^([^#]*)", 1)
+
+    def _normalize(path: Column) -> Column:
+        # §5.2.4 remove_dot_segments over the path's '/'-split parts.
+        # The leading '' from the root '/' seeds the accumulator; '..'
+        # pops unless only the root marker remains; a TRAILING '.'/'..'
+        # must still end the path with '/' (the spec keeps the slash).
+        parts = F.split(path, "/")
+        folded = F.aggregate(
+            parts,
+            F.array().cast("array<string>"),
+            lambda acc, x: (
+                F.when(x == ".", acc)
+                .when(
+                    x == "..",
+                    F.when(
+                        F.size(acc) > 1,
+                        F.slice(acc, 1, F.size(acc) - 1),
+                    ).otherwise(acc),
+                )
+                .otherwise(F.concat(acc, F.array(x)))
+            ),
+        )
+        joined = F.array_join(folded, "/")
+        trail = F.when(
+            path.rlike(r"(^|/)\.\.?$") & ~joined.endswith("/"),
+            F.lit("/"),
+        ).otherwise(F.lit(""))
+        return F.concat(joined, trail)
+
+    # split a resolved path+query, normalize only the PATH
+    def _norm_pq(pq: Column) -> Column:
+        p = F.regexp_extract(pq, r"^([^?]*)", 1)
+        q = F.regexp_extract(pq, r"^[^?]*(\?.*)?$", 1)
+        return F.concat(_normalize(p), q)
+
+    rel_pq = F.concat(base_dir, hf)
+    abs_pq = hf
+    resolved = (
+        F.when((hf == "") | (authority == ""), F.lit(None).cast("string"))
+        .when(hf.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), hf)
+        .when(hf.startswith("//"), F.concat(scheme, F.lit(":"), hf))
+        .when(hf.startswith("/"), F.concat(origin, _norm_pq(abs_pq)))
+        .when(hf.startswith("?"), F.concat(origin, base_path, hf))
+        .otherwise(F.concat(origin, _norm_pq(rel_pq)))
+    )
+    return resolved

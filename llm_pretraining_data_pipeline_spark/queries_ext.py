@@ -5190,3 +5190,87 @@ def f20_sitemap_parse(spark, sf_dir):
     )
     sm = doms.select(site.alias("domain"), xml.alias("sitemap_xml"))
     return U.parse_sitemap(sm)
+
+
+@register(
+    "f22_frontier_expand",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents),
+    cand AS (
+      SELECT 'example,peer-' || CAST(dom AS varchar) || ')/x' AS surt,
+             'https://peer-' || CAST(dom AS varchar) || '.example/x'
+               AS url,
+             CAST(1 AS bigint) AS n_sources
+      FROM doms
+      UNION ALL
+      SELECT 'example,site-' || CAST(dom AS varchar) || ')/dir/a.html',
+             'https://site-' || CAST(dom AS varchar)
+               || '.example/dir/a.html',
+             CAST(2 AS bigint)
+      FROM doms
+      UNION ALL
+      SELECT 'example,site-' || CAST(dom AS varchar) || ')/b.html',
+             'https://site-' || CAST(dom AS varchar) || '.example/b.html',
+             CAST(1 AS bigint)
+      FROM doms
+      UNION ALL
+      SELECT 'example,cdn-' || CAST(dom AS varchar) || ')/lib.js',
+             'https://cdn-' || CAST(dom AS varchar) || '.example/lib.js',
+             CAST(1 AS bigint)
+      FROM doms
+      UNION ALL
+      SELECT 'example,site-' || CAST(dom AS varchar) || ')/c.html',
+             'https://site-' || CAST(dom AS varchar) || '.example/c.html',
+             CAST(1 AS bigint)
+      FROM doms WHERE dom % 2 = 1
+    )
+    SELECT surt, url, n_sources FROM cand
+    """,
+    doc="crawl-frontier expansion (sources/cdx.py::frontier_expand — "
+        "closes the crawl loop fetch -> index -> expand -> fetch): "
+        "extract hrefs from fetched pages (functions/structural.py::"
+        "extract_links), resolve each against its page URL with full "
+        "RFC 3986 §5 reference resolution (functions/urls.py::"
+        "resolve_url — absolute, protocol-relative, root-relative, "
+        "path-relative with §5.2.4 dot-segment removal as a pure "
+        "Catalyst array fold; fragment-only refs drop), canonicalise "
+        "to SURT keys, keep one candidate per key with its in-link "
+        "count via a skew-safe groupBy (no window), and anti-join "
+        "against the index — only never-captured URLs survive. "
+        "Fixture: each page links an absolute peer, a relative page "
+        "TWICE (n_sources=2), a ../parent, a root-relative /c.html, a "
+        "fragment (must vanish), and a protocol-relative CDN asset; "
+        "the index already knows /c.html for even doms (anti-join "
+        "must eat it) plus the page itself. Referee recomputes the "
+        "expected frontier closed-form per arm",
+)
+def f22_frontier_expand(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    doms = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("dom")
+    ).distinct()
+    dd = F.col("dom")
+    page_url = F.concat(
+        F.lit("https://site-"), dd, F.lit(".example/dir/page.html")
+    )
+    html = F.concat(
+        F.lit('<p><a href="https://peer-'), dd,
+        F.lit('.example/x">p</a> <a href="a.html">a</a> '
+              '<a href="a.html">a2</a> <a href="../b.html">b</a> '
+              '<a href="/c.html">c</a> <a href="#sec">s</a> '
+              '<a href="//cdn-'), dd, F.lit('.example/lib.js">j</a></p>'),
+    )
+    pages = doms.select(page_url.alias("url"), html.alias("html"))
+    page_surt = F.concat(
+        F.lit("example,site-"), dd, F.lit(")/dir/page.html")
+    )
+    c_surt = F.concat(F.lit("example,site-"), dd, F.lit(")/c.html"))
+    index = doms.select(
+        F.explode(
+            F.when(dd % 2 == 0, F.array(page_surt, c_surt)).otherwise(
+                F.array(page_surt)
+            )
+        ).alias("surt")
+    )
+    return C.frontier_expand(pages, index)

@@ -431,3 +431,56 @@ def cdx_latest(cdx: DataFrame) -> DataFrame:
         .agg(F.max_by(F.struct(*cdx.columns), ordc).alias("_r"))
         .select("_r.*")
     )
+
+
+def frontier_expand(
+    pages: DataFrame,
+    index: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Outlink discovery → the next crawl generation's frontier: extract
+    ``href``s from fetched pages, resolve each against its page URL
+    (RFC 3986, ``functions.urls.resolve_url`` — fragment-only and
+    same-document references drop out), canonicalise to SURT keys, keep
+    ONE candidate per key with its in-link count, and anti-join against
+    the index — only URLs the archive has never captured survive. This
+    closes the crawl loop: fetch → index (``cdx_records``) → expand →
+    fetch.
+
+    Scale shape: extraction + resolution are a straight map and one
+    generator (explode); the per-key keep-one is a single hash
+    ``groupBy(min, count)`` — skew-safe for hot targets linked from
+    everywhere (no window); the anti-join shuffles on ``surt``, the
+    index's NATIVE sort key, so at CC scale the sorted CDXJ shards make
+    the index side's sort-merge sort free. Output: ``(surt, url,
+    n_sources)`` — ``url`` is the lexicographically-least candidate
+    (deterministic representative), ``n_sources`` the in-link count a
+    frontier scheduler prioritises by.
+    """
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        extract_links,
+    )
+    from llm_pretraining_data_pipeline_spark.functions.urls import (
+        resolve_url,
+        surt_key,
+    )
+
+    links = pages.select(
+        F.col(url_col).alias("_base"),
+        F.explode(extract_links(F.col(html_col))).alias("_href"),
+    )
+    cand = links.select(
+        resolve_url("_base", "_href").alias("url")
+    ).where(F.col("url").isNotNull())
+    keyed = cand.select(surt_key("url").alias("surt"), "url").where(
+        F.col("surt").isNotNull()
+    )
+    per_key = keyed.groupBy("surt").agg(
+        F.min("url").alias("url"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    known = index.select("surt").where(
+        F.col("surt").isNotNull()
+    ).distinct()
+    return per_key.join(known, "surt", "left_anti")

@@ -855,3 +855,75 @@ class TestParseSitemap:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestResolveUrl:
+    """resolve_url (functions/urls.py): RFC 3986 §5 reference resolution."""
+
+    BASE = "https://a.example/dir/sub/page.html?x=1#frag"
+
+    def _res(self, spark, cases):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        df = spark.createDataFrame(
+            [(i, b, h) for i, (b, h) in enumerate(cases)],
+            "i long, b string, h string",
+        )
+        out = df.select("i", urls.resolve_url("b", "h").alias("r")).collect()
+        return [r["r"] for r in sorted(out, key=lambda r: r["i"])]
+
+    def test_all_reference_forms(self, spark):
+        cases = [
+            (self.BASE, "https://b.example/abs"),
+            (self.BASE, "//cdn.example/lib.js"),
+            (self.BASE, "/root/p?q=2"),
+            (self.BASE, "next.html"),
+            (self.BASE, "?only=q"),
+        ]
+        assert self._res(spark, cases) == [
+            "https://b.example/abs",
+            "https://cdn.example/lib.js",
+            "https://a.example/root/p?q=2",
+            "https://a.example/dir/sub/next.html",
+            "https://a.example/dir/sub/page.html?only=q",
+        ]
+
+    def test_dot_segment_removal(self, spark):
+        cases = [
+            (self.BASE, "../up.html"),
+            (self.BASE, "../../../over.html"),   # .. above root clamps
+            (self.BASE, "./same.html"),
+            (self.BASE, "a/b/../c"),
+            (self.BASE, ".."),                   # trailing .. keeps '/'
+        ]
+        assert self._res(spark, cases) == [
+            "https://a.example/dir/up.html",
+            "https://a.example/over.html",
+            "https://a.example/dir/sub/same.html",
+            "https://a.example/dir/sub/a/c",
+            "https://a.example/dir/",
+        ]
+
+    def test_fragment_empty_and_invalid_base(self, spark):
+        cases = [
+            (self.BASE, "#frag"),         # same-document → null
+            (self.BASE, ""),
+            ("not a url", "p.html"),      # hostless base → null
+            ("https://a.example", "p.html"),  # bare-authority base
+            (self.BASE, "x.html#sec"),    # result fragment dropped
+        ]
+        assert self._res(spark, cases) == [
+            None, None, None,
+            "https://a.example/p.html",
+            "https://a.example/dir/sub/x.html",
+        ]
+
+    def test_zero_shuffle_plan(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        df = spark.createDataFrame(
+            [(self.BASE, "a.html")], "b string, h string"
+        )
+        plan = (
+            df.select(urls.resolve_url("b", "h").alias("r"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan

@@ -912,3 +912,49 @@ class TestCdxLatestOverPublishedSidecars:
                     [("s", "t")], "surt string, ts string"
                 )
             )
+
+
+class TestFrontierExpand:
+    """frontier_expand (sources/cdx.py): fetch → index → expand loop."""
+
+    def test_new_urls_only_with_inlink_counts(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        pages = spark.createDataFrame(
+            [
+                ("https://a.example/dir/page.html",
+                 '<a href="x.html">1</a> <a href="x.html">2</a> '
+                 '<a href="/known.html">k</a> <a href="#top">t</a> '
+                 '<a href="https://b.example/new">n</a>'),
+                ("https://c.example/p",
+                 '<a href="x.html">other host, same name</a>'),
+            ],
+            "url string, html string",
+        )
+        index = spark.createDataFrame(
+            [("example,a)/known.html",), ("example,a)/dir/page.html",)],
+            "surt string",
+        )
+        out = {r["surt"]: r for r in cdx.frontier_expand(pages, index).collect()}
+        assert set(out) == {
+            "example,a)/dir/x.html",   # resolved relative, 2 in-links
+            "example,b)/new",
+            "example,c)/x.html",       # same name, different host
+        }
+        assert out["example,a)/dir/x.html"]["n_sources"] == 2
+        assert out["example,b)/new"]["n_sources"] == 1
+        # the known URL and the fragment ref must not appear
+        assert "example,a)/known.html" not in out
+
+    def test_plan_no_window_no_cartesian(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        pages = spark.createDataFrame(
+            [("https://a.example/p", '<a href="x">x</a>')],
+            "url string, html string",
+        )
+        index = spark.createDataFrame([("s",)], "surt string")
+        plan = (
+            cdx.frontier_expand(pages, index)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
