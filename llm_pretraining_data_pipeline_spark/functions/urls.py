@@ -737,10 +737,15 @@ def parse_sitemap(
     at any scale.
     """
     x = F.col(xml_col).cast("string")
-    us = F.from_xml(x, _SITEMAP_URLSET_SCHEMA)
-    si = F.from_xml(x, _SITEMAP_INDEX_SCHEMA)
+    # ONE from_xml parse serves both shapes: a schema with both top
+    # fields yields url=[...] for <urlset> docs and sitemap=[...] for
+    # <sitemapindex> docs (the absent one is null). Parsing twice with
+    # per-shape schemas would double the dominant per-row cost.
+    both = F.from_xml(
+        x, _SITEMAP_URLSET_SCHEMA + ", " + _SITEMAP_INDEX_SCHEMA
+    )
     url_entries = F.transform(
-        us["url"],
+        both["url"],
         lambda u: F.struct(
             u["loc"].alias("loc"),
             u["lastmod"].alias("lastmod"),
@@ -750,7 +755,7 @@ def parse_sitemap(
         ),
     )
     idx_entries = F.transform(
-        si["sitemap"],
+        both["sitemap"],
         lambda u: F.struct(
             u["loc"].alias("loc"),
             u["lastmod"].alias("lastmod"),
@@ -784,8 +789,13 @@ def resolve_url(base: Column | str, href: Column | str) -> Column:
     """Resolve an extracted ``href`` against its page URL — RFC 3986 §5
     reference resolution for the forms that dominate real HTML:
 
-    - absolute (``scheme://...``)            → as-is
-    - protocol-relative (``//host/p``)       → base scheme + href
+    - scheme-qualified (``scheme:...``)      → itself (§5.2.2: ANY
+      reference carrying a scheme resolves to itself — ``mailto:``,
+      ``javascript:``, ``tel:``, ``data:`` must NOT be glued onto the
+      base path; hierarchical ``scheme://host/p`` additionally gets its
+      path dot-segment-normalised)
+    - protocol-relative (``//host/p``)       → base scheme + href,
+      path normalised
     - root-relative (``/p``)                 → base origin + href
     - path-relative (``p``, ``../p``, ``?q``)→ merged with the base
       path's directory, then dot-segments removed (§5.2.4: ``.`` drops,
@@ -793,11 +803,15 @@ def resolve_url(base: Column | str, href: Column | str) -> Column:
     - fragment-only (``#x``) and empty       → null (same document; a
       frontier must not refetch the page it came from)
 
-    Null when the base has no authority. The dot-segment removal is a
-    pure Catalyst array fold (``F.aggregate`` with an array
-    accumulator) — zero Python, zero shuffle; query strings survive
-    resolution, fragments are dropped from the RESULT too (they are
-    never sent to servers).
+    §5.2.4 applies to EVERY hierarchical target path (absolute and
+    protocol-relative included) — otherwise ``https://b/a/../x`` would
+    evade an index that stores the normalised capture of ``/x``. Null
+    when the base has no authority. The dot-segment removal is a pure
+    Catalyst array fold (``F.aggregate`` with an array accumulator) —
+    zero Python, zero shuffle; query strings survive resolution,
+    fragments are dropped from the RESULT too (they are never sent to
+    servers). A first path segment containing ``:`` parses as a scheme
+    per the RFC — spec-conformant HTML writes such links as ``./a:b``.
     """
     b = F.trim(F.coalesce(_col(base).cast("string"), F.lit("")))
     h = F.trim(F.coalesce(_col(href).cast("string"), F.lit("")))
@@ -853,12 +867,31 @@ def resolve_url(base: Column | str, href: Column | str) -> Column:
         return F.concat(_normalize(p), q)
 
     rel_pq = F.concat(base_dir, hf)
-    abs_pq = hf
+    # hierarchical absolute reference: scheme://authority + path+query
+    habs_pre = F.regexp_extract(
+        hf, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+    )
+    habs_pq = F.regexp_extract(
+        hf, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    # protocol-relative: //authority + path+query
+    prel_pre = F.regexp_extract(hf, r"^(//[^/?#]*)", 1)
+    prel_pq = F.regexp_extract(hf, r"^//[^/?#]*([^#]*)", 1)
     resolved = (
         F.when((hf == "") | (authority == ""), F.lit(None).cast("string"))
-        .when(hf.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), hf)
-        .when(hf.startswith("//"), F.concat(scheme, F.lit(":"), hf))
-        .when(hf.startswith("/"), F.concat(origin, _norm_pq(abs_pq)))
+        .when(
+            hf.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
+            F.concat(habs_pre, _norm_pq(habs_pq)),
+        )
+        # any OTHER scheme-qualified reference (mailto:, javascript:,
+        # tel:, data: — non-hierarchical) resolves to itself (§5.2.2);
+        # gluing it onto the base path fabricates bogus frontier URLs
+        .when(hf.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), hf)
+        .when(
+            hf.startswith("//"),
+            F.concat(scheme, F.lit(":"), prel_pre, _norm_pq(prel_pq)),
+        )
+        .when(hf.startswith("/"), F.concat(origin, _norm_pq(hf)))
         .when(hf.startswith("?"), F.concat(origin, base_path, hf))
         .otherwise(F.concat(origin, _norm_pq(rel_pq)))
     )

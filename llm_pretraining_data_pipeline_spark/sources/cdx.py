@@ -171,13 +171,21 @@ def parse_cdxj_lines(lines: DataFrame, line_col: str = "cdxj") -> DataFrame:
     # corrupt-record column: non-null there means the JSON was
     # malformed OR a field failed its declared type ('"status":
     # "notanint"' lands here too, with the other fields parsed).
+    # the corrupt column's name must not collide with a legitimate JSON
+    # key — third-party CDXJ carries arbitrary extras, and a line with
+    # a literal "_corrupt" field would be misflagged (review finding)
     parsed = F.from_json(
         js,
         "url string, mime string, status int, digest string, "
-        "length bigint, offset bigint, filename string, _corrupt string",
-        {"columnNameOfCorruptRecord": "_corrupt"},
+        "length bigint, offset bigint, filename string, "
+        "__cdxj_corrupt__ string",
+        {"columnNameOfCorruptRecord": "__cdxj_corrupt__"},
     )
-    ok = (js != "") & parsed.isNotNull() & parsed["_corrupt"].isNull()
+    ok = (
+        (js != "")
+        & parsed.isNotNull()
+        & parsed["__cdxj_corrupt__"].isNull()
+    )
     return lines.select(
         F.when(ok & (surt != "-"), surt).alias("surt"),
         F.when(ok, ts).alias("ts"),
@@ -290,9 +298,15 @@ def write_cdxj(
     }
 
     def _head_line(full: str) -> str | None:
+        # skip leading blank lines — returning None for a blank first
+        # line would drop a shard WITH data from the manifest, making
+        # prefix-pruned reads silently lose it (review finding)
         with open(full, "rb") as fh:
-            line = fh.readline().decode("utf-8").rstrip("\n")
-        return line or None
+            for raw in fh:
+                line = raw.decode("utf-8").rstrip("\n")
+                if line:
+                    return line
+        return None
 
     def _tail_line(full: str, block: int = 1 << 16) -> str | None:
         size = os.path.getsize(full)
@@ -328,12 +342,18 @@ def write_cdxj(
         if first is None:
             continue  # empty range partition
         last = _tail_line(full)
+        if name not in counts:
+            raise RuntimeError(
+                f"write_cdxj: shard {name!r} has data but no line count "
+                "from the distributed pass — file listing and "
+                "input_file_name disagree"
+            )
         shards.append(
             {
                 "file": name,
                 "first_key": _key(first),
                 "last_key": _key(last),
-                "lines": counts.get(name, 0),
+                "lines": counts[name],
             }
         )
     manifest = {
@@ -421,9 +441,21 @@ def cdx_latest(cdx: DataFrame) -> DataFrame:
             "cdx_latest: need (file_id, rec_index) or (filename, offset) "
             f"identity columns; got {sorted(cols)}"
         )
+    # Solo keys must be unique PER ROW even when the tail itself is
+    # null (a parsed frame's malformed lines carry null filename AND
+    # null offset — concat_ws would skip both and collapse every such
+    # row into one '_nosurt' group, silently dropping all but one).
+    # monotonically_increasing_id is unique per row; it only ever keys
+    # rows that have no identity at all, where "which run produced
+    # which id" cannot matter (each is its own group).
     key = F.coalesce(
         F.col("surt"),
-        F.concat_ws("\x00", F.lit("_nosurt"), *tail),
+        F.concat_ws(
+            "\x00",
+            F.lit("_nosurt"),
+            *[F.coalesce(t.cast("string"), F.lit("\x01")) for t in tail],
+            F.monotonically_increasing_id().cast("string"),
+        ),
     )
     ordc = F.struct(F.col("ts"), *tail)
     return (

@@ -903,6 +903,41 @@ class TestResolveUrl:
             "https://a.example/dir/",
         ]
 
+    def test_scheme_qualified_non_hierarchical_pass_through(self, spark):
+        # RFC 3986 §5.2.2: ANY reference with a scheme resolves to
+        # itself — mailto:/javascript:/tel:/data: must not be glued
+        # onto the base path as fabricated frontier URLs (surt_key
+        # nulls them downstream, so the frontier drops them cleanly)
+        cases = [
+            (self.BASE, "mailto:x@y.com"),
+            (self.BASE, "javascript:void(0)"),
+            (self.BASE, "tel:+1-555-0100"),
+            (self.BASE, "data:text/plain;base64,aGk="),
+        ]
+        assert self._res(spark, cases) == [
+            "mailto:x@y.com",
+            "javascript:void(0)",
+            "tel:+1-555-0100",
+            "data:text/plain;base64,aGk=",
+        ]
+
+    def test_absolute_targets_also_dot_normalised(self, spark):
+        # §5.2.4 applies to every hierarchical target — an absolute or
+        # protocol-relative outlink with dot segments must match the
+        # index's normalised capture or the anti-join can't eat it
+        cases = [
+            (self.BASE, "https://b.example/a/../x"),
+            (self.BASE, "//b.example/a/./b/../x"),
+            (self.BASE, "https://b.example"),
+            (self.BASE, "https://b.example?q=1"),
+        ]
+        assert self._res(spark, cases) == [
+            "https://b.example/x",
+            "https://b.example/a/x",
+            "https://b.example",
+            "https://b.example?q=1",
+        ]
+
     def test_fragment_empty_and_invalid_base(self, spark):
         cases = [
             (self.BASE, "#frag"),         # same-document → null

@@ -958,3 +958,24 @@ class TestFrontierExpand:
         )
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestCdxLatestMalformedRows:
+    def test_all_malformed_rows_survive_a_merge(self, spark):
+        # parsed frames null BOTH tail columns on malformed lines; the
+        # solo key must stay unique per row or a merge silently drops
+        # all but one broken-line audit row (review finding)
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        rows = [
+            (None, None, None, None, None, None, None, None, None, False),
+            (None, None, None, None, None, None, None, None, None, False),
+            ("com,a)/x", "20240101000000", "u", "m", 200, "d", 0, 10,
+             "f.warc", True),
+        ]
+        schema = ("surt string, ts string, target_uri string, mime string, "
+                  "status int, digest string, offset long, "
+                  "record_bytes long, filename string, line_ok boolean")
+        df = spark.createDataFrame(rows, schema)
+        out = cdx.cdx_latest(df.unionByName(df))  # a two-sidecar merge
+        assert out.where("surt IS NULL").count() == 4  # 2 per "sidecar"
+        assert out.where("surt IS NOT NULL").count() == 1
