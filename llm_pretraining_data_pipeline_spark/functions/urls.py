@@ -106,8 +106,23 @@ def surt_key(c: Column | str) -> Column:
     ``/`` (a query after a bare authority survives — the robots-gate
     extraction), path+query lowercased, query parameters sorted
     bytewise. Null/scheme-less/hostless inputs yield null. Pure
-    Catalyst string ops, zero shuffle — and closed-form refereeable."""
+    Catalyst string ops, zero shuffle — and closed-form refereeable.
+
+    Whitespace never survives into the key (ADVICE r11): a CDXJ line is
+    space-delimited, so a SURT containing an interior space would emit a
+    >3-field line that ``parse_cdxj_lines`` flags and whose prefix
+    ``write_cdxj``'s manifest mis-keys. Space/tab/CR/LF are
+    percent-encoded on the INPUT, before any component regex runs (a
+    raw newline would otherwise stop the path extraction cold — Java
+    ``.*`` never crosses one); the hex then folds lowercase with the
+    rest of the path+query, matching how pre-encoded escapes in real
+    URLs already surface. Any REMAINING C0-control or DEL octet nulls
+    the key, routing the row to the ``-`` sentinel path (those URIs
+    are hostile junk, not indexable identities)."""
     u = F.trim(F.coalesce(_col(c).cast("string"), F.lit("")))
+    for ch, enc in ((" ", "%20"), ("\t", "%09"), ("\r", "%0D"), ("\n", "%0A")):
+        u = F.replace(u, F.lit(ch), F.lit(enc))
+    clean = ~u.rlike("[\\x00-\\x1F\\x7F]")
     pre = F.regexp_extract(u, r"^[^#]*", 0)
     host = url_domain(pre)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
@@ -130,7 +145,7 @@ def surt_key(c: Column | str) -> Column:
             F.lit("")
         ),
     )
-    return F.when(host != "", key)
+    return F.when((host != "") & clean, key)
 
 
 def registrable_domain(host: Column | str) -> Column:

@@ -82,13 +82,17 @@ def run_crawl_to_corpus(
     takes precedence over whatever the curation cascade says about the
     blanked row.
 
-    Curation is keyed on ``rec_id`` = ``file_id * 2^20 + rec_index`` —
+    Curation is keyed on ``rec_id`` = ``file_id * 2^32 + rec_index`` —
     a real WARC file holds many response records, and a non-unique id
     would multiply rows at the dedup join-back. The composite is
     NUMERIC so keep-first ordering matches (file order, record order)
-    exactly (a ':'-joined string would sort '10:0' before '2:0');
-    blobs are capped well below 2^20 records by the parser's
-    per-record minimum size.
+    exactly (a ':'-joined string would sort '10:0' before '2:0'). The
+    2^32 shift is overflow-proof by construction, not by convention
+    (ADVICE r11 — a 2^20 shift could collide a near-2 GB blob of
+    minimal ~50-byte records with the next file_id): a blob is one JVM
+    byte array, so it holds < 2^31 bytes < 2^26 minimal records, and
+    ``file_id`` must stay below 2^31 for the product to fit a bigint —
+    a bound enforced here with an in-plan fence rather than assumed.
     """
     recs = warc_http_records(files, gzipped=cfg.gzipped)
     dec = http_body_text("body")
@@ -103,13 +107,26 @@ def run_crawl_to_corpus(
         )
         .when(~mime_ok, F.lit("non_text_mime"))
     )
+    # rec_index is a 32-bit int (< 2^32 always); file_id gets the lazy
+    # in-plan fence — assert_true raises at execution, no eager job.
+    fid_ok = (F.col("file_id") >= 0) & (
+        F.col("file_id") < F.lit(1 << 31).cast("long")
+    )
+    rec_id = F.when(
+        F.assert_true(
+            fid_ok,
+            F.lit(
+                "run_crawl_to_corpus: file_id must be in [0, 2^31) "
+                "for the rec_id = file_id*2^32 + rec_index packing"
+            ),
+        ).isNull(),
+        F.col("file_id").cast("long") * F.lit(1 << 32).cast("long")
+        + F.col("rec_index").cast("long"),
+    )
     base = recs.select(
         "file_id",
         "rec_index",
-        (
-            F.col("file_id") * F.lit(1 << 20).cast("long")
-            + F.col("rec_index").cast("long")
-        ).alias("rec_id"),
+        rec_id.alias("rec_id"),
         F.when(http_reason.isNull(), F.col("target_uri")).alias("url"),
         "http_status",
         "content_type",

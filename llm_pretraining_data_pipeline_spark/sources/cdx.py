@@ -219,8 +219,16 @@ def read_warc_selective(
     match-heavy prefixes and let AQE size it), and each record is
     sliced out with a binary ``substring`` — non-matching records are
     never parsed, non-matching blobs never leave the scan. The slices
-    re-enter the strict parser as one-record blobs, so the output
-    schema is exactly ``warc_records``'s.
+    re-enter the strict parser as one-record blobs, with the
+    selection's ORIGINAL ``rec_index`` and ``offset`` threaded through
+    and restored on the output (ADVICE r11 — a slice-relative
+    ``rec_index=0, offset=0`` would collide every matching record of a
+    blob on ``(file_id, rec_index)`` the moment a caller composes
+    ``rec_id`` or rebuilds an index from the selective read), so the
+    output schema AND identity semantics are exactly
+    ``warc_records``'s. The cdx frame therefore needs ``rec_index`` —
+    i.e. an in-process ``cdx_records`` frame, which is also the only
+    shape that carries this ``id_col``.
 
     ``gzipped=True`` is REFUSED: a gz sidecar's offsets live in the
     inflated members, so byte-slicing the compressed blob would yield
@@ -233,20 +241,47 @@ def read_warc_selective(
             "inflated-member offsets — fetch whole gzip members instead"
         )
     sel = cdx.where(F.col("surt").startswith(surt_prefix)).select(
-        id_col, "offset", "record_bytes"
+        id_col,
+        F.col("rec_index").alias("_sel_rec_index"),
+        F.col("offset").alias("_sel_offset"),
+        "record_bytes",
     )
     if broadcast_selection:
         sel = F.broadcast(sel)
     sliced = files.join(sel, id_col).select(
         id_col,
+        "_sel_rec_index",
+        "_sel_offset",
         # substring is 1-based; works on BINARY and returns binary
         F.substring(
             F.col(payload_col),
-            F.col("offset").cast("int") + 1,
+            F.col("_sel_offset").cast("int") + 1,
             F.col("record_bytes").cast("int"),
         ).alias(payload_col),
     )
-    return warc_records(sliced, payload_col=payload_col, id_col=id_col)
+    out = warc_records(
+        sliced,
+        payload_col=payload_col,
+        id_col=id_col,
+        passthrough=("_sel_rec_index", "_sel_offset"),
+    )
+    # The parser's slice-relative positions are replaced by the true
+    # ones; its record_bytes already equals the original (the slice IS
+    # the full record). parse_ok=false rows (stale/corrupt index) keep
+    # the selection's identity too — better audit than nulls.
+    return out.select(
+        id_col,
+        F.col("_sel_rec_index").cast("int").alias("rec_index"),
+        "warc_type",
+        "target_uri",
+        "record_id",
+        "content_length",
+        "payload",
+        F.col("_sel_offset").cast("long").alias("offset"),
+        "record_bytes",
+        "parse_ok",
+        "parse_err",
+    )
 
 
 def write_cdxj(

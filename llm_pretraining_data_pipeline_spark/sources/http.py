@@ -102,29 +102,42 @@ def _dechunk(data: bytes) -> bytes:
 def _inflate_deflate(data: bytes, max_bytes: int = 1 << 26) -> bytes:
     """Inflate a ``Content-Encoding: deflate`` entity (RFC 9110
     §8.4.1.2: the zlib container). A long tail of real servers — and
-    archived captures of them — send RAW deflate instead, so a zlib-arm
-    failure falls back to ``wbits=-15`` once. Bounded exactly like
-    ``gunzip_members`` (the decompression-bomb cap raises BEFORE the
-    allocation grows past it); truncation and trailing garbage raise,
-    so malformed bodies surface as ``http_ok=false`` data rows."""
+    archived captures of them — send RAW deflate instead; the container
+    is routed by the standard zlib CMF/FLG sniff on the first two bytes
+    (CM=8, CINFO<=7, (CMF<<8|FLG) % 31 == 0) — NOT by retry-on-error,
+    because a corrupted zlib body (bad ADLER32 tail, flipped header bit
+    mid-stream) must surface as ``http_ok=false``, not be silently
+    reinterpreted as raw deflate that happens to inflate to garbage
+    (ADVICE r11). The residual ambiguity is a raw-deflate stream whose
+    first two bytes coincidentally pass the sniff (~0.1% of random
+    openings) — that arm fails loudly rather than decoding wrong.
+    Bounded exactly like ``gunzip_members`` (the decompression-bomb cap
+    raises BEFORE the allocation grows past it); truncation and
+    trailing garbage raise, so malformed bodies surface as
+    ``http_ok=false`` data rows."""
     import zlib
 
-    for wbits in (15, -15):
-        dec = zlib.decompressobj(wbits=wbits)
-        try:
-            out = dec.decompress(data, max_bytes + 1)
-        except zlib.error:
-            continue  # wrong container for this arm — try the other
-        if len(out) > max_bytes:
-            raise ValueError(
-                f"deflate: body inflates past {max_bytes} bytes"
-            )
-        if not dec.eof:
-            continue  # truncated under this container
-        if dec.unused_data:
-            raise ValueError("deflate: trailing garbage after stream end")
-        return out
-    raise ValueError("deflate: not a valid zlib or raw deflate stream")
+    is_zlib = (
+        len(data) >= 2
+        and (data[0] & 0x0F) == 8
+        and (data[0] >> 4) <= 7
+        and ((data[0] << 8) | data[1]) % 31 == 0
+    )
+    kind = "zlib" if is_zlib else "raw deflate"
+    dec = zlib.decompressobj(wbits=15 if is_zlib else -15)
+    try:
+        out = dec.decompress(data, max_bytes + 1)
+    except zlib.error as exc:
+        raise ValueError(f"deflate: bad {kind} stream: {exc}") from None
+    if len(out) > max_bytes:
+        raise ValueError(
+            f"deflate: body inflates past {max_bytes} bytes"
+        )
+    if not dec.eof:
+        raise ValueError(f"deflate: truncated {kind} stream")
+    if dec.unused_data:
+        raise ValueError("deflate: trailing garbage after stream end")
+    return out
 
 
 def parse_http_response(

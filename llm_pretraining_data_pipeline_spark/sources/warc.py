@@ -236,6 +236,7 @@ def warc_records(
     payload_col: str = "payload",
     id_col: str = "file_id",
     gzipped: bool = False,
+    passthrough: tuple = (),
 ):
     """Explode WARC blobs into one row per record (Arrow mapInPandas).
 
@@ -246,20 +247,34 @@ def warc_records(
     not exceptions, at 100 TB. With ``gzipped=True`` blobs are
     CommonCrawl-style .warc.gz (one gzip member per record), inflated
     with the bounded-member guard before parsing.
+
+    ``passthrough`` — input column names replicated verbatim onto every
+    emitted row (appended after ``parse_err``, input types preserved).
+    What a selective reader threads its original record identity
+    through, and what a filename/shard column rides along on.
     """
     import pandas as pd
 
+    passthrough = [c for c in passthrough]
+    fields = {f.name: f for f in df.schema.fields}
+    extra_ddl = "".join(
+        f", {name} {fields[name].dataType.simpleString()}"
+        for name in passthrough
+    )
     schema = (
         f"{id_col} bigint, rec_index int, warc_type string, "
         "target_uri string, record_id string, content_length bigint, "
         "payload binary, offset bigint, record_bytes bigint, "
-        "parse_ok boolean, parse_err string"
+        "parse_ok boolean, parse_err string" + extra_ddl
     )
 
     def batches(it):
         for pdf in it:
             rows = []
-            for fid, blob in zip(pdf[id_col], pdf[payload_col]):
+            extra_series = [pdf[c] for c in passthrough]
+            for fid, blob, *extras in zip(
+                pdf[id_col], pdf[payload_col], *extra_series
+            ):
                 raw = bytes(blob) if blob is not None else b""
                 try:
                     recs = parse_warc_gz(raw) if gzipped else parse_warc(raw)
@@ -268,12 +283,12 @@ def warc_records(
                             (fid, i, rec["warc_type"], rec["target_uri"],
                              rec["record_id"], rec["content_length"],
                              rec["payload"], rec["offset"],
-                             rec["record_bytes"], True, None)
+                             rec["record_bytes"], True, None, *extras)
                         )
                 except ValueError as exc:
                     rows.append(
                         (fid, None, None, None, None, None, None, None,
-                         None, False, str(exc))
+                         None, False, str(exc), *extras)
                     )
             yield pd.DataFrame(
                 rows,
@@ -281,7 +296,10 @@ def warc_records(
                     id_col, "rec_index", "warc_type", "target_uri",
                     "record_id", "content_length", "payload", "offset",
                     "record_bytes", "parse_ok", "parse_err",
+                    *passthrough,
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=schema)
+    return df.select(id_col, payload_col, *passthrough).mapInPandas(
+        batches, schema=schema
+    )

@@ -782,6 +782,35 @@ class TestSurtKey:
             None, None, None,
         ]
 
+    def test_whitespace_percent_encoded(self, spark):
+        # ADVICE r11: a WARC-Target-URI with interior whitespace must
+        # not yield a SURT containing it — a CDXJ line is
+        # space-delimited, so a spaced key breaks the 3-field parse and
+        # the manifest's first/last-key extraction. pywb/urlcanon
+        # percent-encode such bytes.
+        got = self._surt(spark, [
+            "https://example.com/a b?q=x y",
+            "https://example.com/tab\there",
+            "https://example.com/cr\rlf\nhere",
+        ])
+        # hex folds lowercase with the rest of the path+query, exactly
+        # like pre-encoded escapes in real URLs do under surt_key
+        assert got == [
+            "com,example)/a%20b?q=x%20y",
+            "com,example)/tab%09here",
+            "com,example)/cr%0dlf%0ahere",
+        ]
+
+    def test_other_control_octets_null_the_key(self, spark):
+        # anything the whitespace encoding doesn't cover routes to the
+        # '-' sentinel path via a null key — hostile junk, not identity
+        got = self._surt(spark, [
+            "https://example.com/c\x01tl",
+            "https://example.com/d\x7fel",
+            "https://example.com/fine",
+        ])
+        assert got == [None, None, "com,example)/fine"]
+
     def test_null_passthrough(self, spark):
         from llm_pretraining_data_pipeline_spark.functions import urls
         df = spark.createDataFrame([(1, None)], "id long, u string")

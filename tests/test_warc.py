@@ -97,6 +97,28 @@ class TestWarcRecordsOperator:
         assert "version" in by_file[2][0]["parse_err"]
         assert len(by_file[3]) == 1 and not by_file[3][0]["parse_ok"]
 
+    def test_passthrough_columns_replicate_per_record(self, spark):
+        # the identity-threading hook read_warc_selective uses: extra
+        # input columns ride along on every emitted row, parse_ok=false
+        # rows included, with their input types preserved
+        rows = [
+            (1, bytearray(_two_record_blob()), "shard-a", 10),
+            (2, bytearray(b"not a warc blob"), "shard-b", 20),
+        ]
+        df = spark.createDataFrame(
+            rows, "file_id long, payload binary, fname string, tag int"
+        )
+        out = warc.warc_records(df, passthrough=("fname", "tag")).collect()
+        assert dict(out[0].asDict())["fname"] in ("shard-a", "shard-b")
+        by_file = {}
+        for r in out:
+            by_file.setdefault(r["file_id"], []).append(r)
+        assert [r["fname"] for r in by_file[1]] == ["shard-a"] * 2
+        assert [r["tag"] for r in by_file[1]] == [10, 10]
+        bad = by_file[2][0]
+        assert not bad["parse_ok"] and bad["fname"] == "shard-b"
+        assert bad["tag"] == 20
+
 
 class TestWarcGz:
     """CommonCrawl .warc.gz: per-record gzip members (sources/warc.py)."""
@@ -290,8 +312,10 @@ class TestHttpResponseSplit:
         import zlib
         enc = zlib.compress(self.BODY)
         for body, why in (
-            (b"\x00not deflate at all", "not a valid"),
-            (enc[:-4], "not a valid"),          # truncated: no eof either arm
+            # 0x00 fails the CMF sniff → routed to the raw arm, where
+            # the stored-block NLEN check rejects it
+            (b"\x00not deflate at all", "bad raw deflate"),
+            (enc[:-4], "truncated zlib"),  # sniff passes, stream cut
             (enc + b"JUNK", "trailing garbage"),
         ):
             msg = self._msg(
@@ -299,6 +323,19 @@ class TestHttpResponseSplit:
             )
             with pytest.raises(ValueError, match=why):
                 http.parse_http_response(msg)
+
+    def test_corrupt_zlib_body_never_reinterpreted_as_raw(self):
+        # ADVICE r11: a zlib-container body with a bad ADLER32 tail (or
+        # any mid-stream corruption) must surface as an error — the old
+        # retry-on-any-zlib.error fallback could silently inflate it as
+        # raw deflate garbage when the bytes happened to form a
+        # complete raw stream. The CMF/FLG sniff routes it to the zlib
+        # arm, whose failure is final.
+        import zlib
+        enc = bytearray(zlib.compress(self.BODY))
+        enc[-1] ^= 0xFF  # corrupt the ADLER32 checksum tail
+        with pytest.raises(ValueError, match="bad zlib stream"):
+            http._inflate_deflate(bytes(enc))
 
     def test_deflate_bomb_capped(self):
         import zlib
@@ -645,6 +682,26 @@ class TestCdxSidecar:
         # prefix covering the whole TLD-less host family
         both = cdx.read_warc_selective(files, idx, "example,").collect()
         assert len(both) == 2
+
+    def test_selective_read_restores_original_identity(self, spark):
+        # ADVICE r11: the slices re-parse as one-record blobs, but the
+        # output must carry the ORIGINAL (rec_index, offset) — two
+        # matching records of one blob would otherwise collide on
+        # (file_id, rec_index=0) in any composed rec_id / rebuilt index.
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        files, _ = self._files(spark)
+        idx = cdx.cdx_records(files)
+        orig = {
+            r["rec_index"]: r
+            for r in idx.where("surt IS NOT NULL").collect()
+        }
+        out = cdx.read_warc_selective(files, idx, "example,").collect()
+        assert sorted(r["rec_index"] for r in out) == [0, 2]
+        for r in out:
+            o = orig[r["rec_index"]]
+            assert r["offset"] == o["offset"]
+            assert r["record_bytes"] == o["record_bytes"]
+            assert r["target_uri"] == o["target_uri"]
 
     def test_selective_read_plan_broadcasts_selection(self, spark):
         from llm_pretraining_data_pipeline_spark.sources import cdx

@@ -401,6 +401,31 @@ class TestCrawlToCorpus:
             for k in ((0, 0), (2, 0), (3, 0), (4, 0), (6, 0))
         )
 
+    def test_file_id_packing_bound_enforced(self, spark):
+        # ADVICE r11: the rec_id = file_id*2^32 + rec_index packing is
+        # overflow-proof for rec_index by construction (a blob is one
+        # JVM array, < 2^26 minimal records), but file_id must stay
+        # below 2^31 — enforced by an in-plan fence, not assumed.
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.plans.crawl import (
+            CrawlCorpusConfig, run_crawl_to_corpus,
+        )
+        from llm_pretraining_data_pipeline_spark.sources import warc
+        blob = warc.encode_warc([
+            ("response", "https://a.example/x", "rx",
+             b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+             b"Content-Length: 2\r\n\r\nok"),
+        ])
+        files = spark.createDataFrame(
+            [(1 << 31, bytearray(blob))], "file_id long, payload binary"
+        )
+        # the curation plan's narrow localCheckpoint is eager, so the
+        # fence can fire during construction OR at the final action —
+        # either way it must surface before any rec_id collides
+        with pytest.raises(Exception, match="file_id must be in"):
+            run_crawl_to_corpus(files, CrawlCorpusConfig()).collect()
+
     def test_funnel_summary_shape(self, spark):
         from llm_pretraining_data_pipeline_spark.plans.crawl import (
             crawl_funnel_summary,
