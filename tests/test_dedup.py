@@ -312,7 +312,9 @@ class TestEmbeddingSimilarity:
     def test_lsh_bucketed_near_dup_finds_exact_copies(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
         doubled = emb.union(emb.withColumn("vec_id", F.col("vec_id") + 10000))
-        out = dedup.embedding_near_dup_pairs(doubled, threshold=0.9999, lsh_planes=4)
+        out = dedup.embedding_near_dup_pairs(
+            doubled, threshold=0.9999, lsh_planes=4, dim=64
+        )
         pairs = {(r.id_a, r.id_b) for r in out.collect()}
         # identical vectors share every hyperplane side -> always same bucket
         for i in [r.vec_id for r in emb.collect()]:

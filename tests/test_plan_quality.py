@@ -193,6 +193,44 @@ class TestIvfIndex:
             (r[0], round(r[1], 9)) for r in demo.collect()
         ]
 
+    def test_plan_construction_is_action_free(self, spark, sf_dir):
+        """VERDICT r11 item 2: building an ivf_topk or LSH near-dup plan
+        must run ZERO Spark jobs — probe-cell routing is a broadcast-joined
+        limit frame, not a collect, and the LSH path requires `dim` instead
+        of probing the data. Asserted via a dedicated job group: any action
+        fired during construction would register a job id under it."""
+        from llm_pretraining_data_pipeline_spark.operators import (
+            dedup, similarity,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
+        sc = spark.sparkContext
+        group = "plan-construction-probe"
+        sc.setJobGroup(group, "must stay empty")
+        try:
+            demo = similarity.ivf_topk(emb, centroids, qv, k=5, n_probe=2)
+            pairs = dedup.embedding_near_dup_pairs(
+                emb, threshold=0.9, lsh_planes=4, dim=64, lsh_bands=2
+            )
+            _ = demo.schema, pairs.schema  # analysis only, no execution
+        finally:
+            sc.setJobGroup("plan-construction-done", "")
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+    def test_lsh_without_dim_raises(self, spark, sf_dir):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="requires `dim`"):
+            dedup.embedding_near_dup_pairs(emb, threshold=0.9, lsh_planes=4)
+
     def test_precomputed_assignment_skips_reassign(self, spark, sf_dir):
         from llm_pretraining_data_pipeline_spark.operators import similarity
 

@@ -183,7 +183,9 @@ class TestLazyLshPlans:
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         before = _ids()
-        out = dedup.embedding_near_dup_pairs(emb, threshold=0.99, lsh_planes=4)
+        out = dedup.embedding_near_dup_pairs(
+            emb, threshold=0.99, lsh_planes=4, dim=64
+        )
         out.count()
         assert _ids() - before == set()
 
