@@ -1879,6 +1879,8 @@ _SRC_WARC_HTTP_SQL = """
              doc_id % 7 = 0 AND doc_id % 5 <> 0 AS gz,
              doc_id % 3 = 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0
                AS defl,
+             doc_id % 4 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+               AND doc_id % 7 <> 0 AS br,
              CASE WHEN doc_id % 11 = 0 THEN 404
                   WHEN doc_id % 13 = 0 THEN 301
                   ELSE 200 END AS status,
@@ -1892,7 +1894,7 @@ _SRC_WARC_HTTP_SQL = """
                 ELSE 'text/plain' END AS content_type,
            CASE WHEN bad OR NOT html THEN NULL
                 ELSE 'utf-8' END AS charset,
-           CASE WHEN bad OR chunked OR gz OR defl THEN NULL
+           CASE WHEN bad OR chunked OR gz OR defl OR br THEN NULL
                 ELSE CAST(octet_length(encode(text)) AS bigint) END
              AS content_length_hdr,
            CASE WHEN bad THEN NULL ELSE 3 END AS n_headers,
@@ -1974,6 +1976,20 @@ def _warc_http_blobs(spark, sf_dir, sentence: bool = False):
                         "Content-Encoding: deflate\r\n"
                         "Server: fixture\r\n\r\n"
                     ).encode("ascii") + enc
+                elif did % 4 == 0:
+                    # brotli arm (round 12): stored-meta-block streams —
+                    # the br-wrapped-incompressible shape sources/br.py
+                    # decodes; the body must come back byte-identical
+                    from llm_pretraining_data_pipeline_spark.sources.br import (
+                        br_encode_stored,
+                    )
+
+                    http = (
+                        f"HTTP/1.1 {status} {reason}\r\n"
+                        f"Content-Type: {ctype}\r\n"
+                        "Content-Encoding: br\r\n"
+                        "Server: fixture\r\n\r\n"
+                    ).encode("ascii") + br_encode_stored(body)
                 else:
                     http = (
                         f"HTTP/1.1 {status} {reason}\r\n"
@@ -2028,7 +2044,10 @@ def _warc_http_projection(resp):
         "(bounded inflate refereed the same way), every remaining 3rd "
         "doc Content-Encoding: deflate — odd ids zlib-wrapped per "
         "RFC 9110 §8.4.1.2, even ids the raw-deflate form real servers "
-        "emit, both through the bounded zlib-then-raw arm, "
+        "emit, both through the header-sniffed zlib/raw arm — every "
+        "remaining 4th doc Content-Encoding: br as stored-meta-block "
+        "brotli (sources/br.py decodes the RFC 7932 framing layer; "
+        "compressed meta-blocks surface as typed http_ok=false rows), "
         "text/html docs carry charset=UTF-8; id%37 payloads are not "
         "HTTP and survive as http_ok=false rows on both engines. Scale "
         "shape: file-granularity mapInPandas fan-out, ONE "

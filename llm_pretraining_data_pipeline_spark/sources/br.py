@@ -1,0 +1,207 @@
+"""Bounded brotli (RFC 7932) meta-block layer for ``Content-Encoding: br``.
+
+Modern CDNs serve ``br`` routinely, so archived HTTP bodies carry it and
+an ingestion engine must at least triage it. This module implements the
+meta-block FRAMING layer of RFC 7932 completely and strictly — stream
+header (WBITS), metadata meta-blocks (skipped), uncompressed meta-blocks
+(copied, bomb-bounded), final-empty termination, zero-padding and
+trailing-garbage checks — and REFUSES compressed meta-blocks with a
+precise error.
+
+Why the refusal is the honest engineering call here (measured, NOTES_r12):
+a full RFC 7932 decoder needs the prefix-code machinery (~400 lines),
+the insert-and-copy/distance code tables, the 121 word transforms, AND
+the 122,784-byte static dictionary — an opaque ~164 KB base64 constant
+once vendored — and this environment ships no brotli encoder to generate
+validation fixtures against, so a hand-written compressed-block decoder
+would be untestable against real encoder output. An unvalidatable
+decoder silently producing wrong text is strictly worse than a typed
+``http_ok=false`` row saying exactly why. The uncompressed arm, by
+contrast, is fully closed-form testable (our own stored-block encoder
+round-trips through it) and covers the real ``br``-wrapped-incompressible
+case (pre-compressed media served with ``br`` anyway).
+
+``br_encode_stored`` emits spec-valid brotli streams containing only
+uncompressed meta-blocks — what an encoder produces at quality 0 for
+incompressible input — used by the fixtures and usable as an
+identity-``br`` writer.
+"""
+
+from __future__ import annotations
+
+_MAX_STORED_CHUNK = 1 << 16  # 4 nibbles encode MLEN-1 <= 0xFFFF
+
+
+class _BitReader:
+    """LSB-first bit reader over bytes (RFC 7932 §2 bit order)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0        # byte position
+        self.bit = 0        # bit position within data[pos], 0 = LSB
+
+    def read(self, n: int) -> int:
+        out = 0
+        for i in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("br: truncated stream (bit read past end)")
+            out |= ((self.data[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def align_to_byte(self, ctx: str) -> None:
+        """Skip to the next byte boundary; the skipped bits MUST be zero
+        (the reference decoder errors on nonzero padding — so do we)."""
+        if self.bit == 0:
+            return
+        pad = self.data[self.pos] >> self.bit
+        if pad != 0:
+            raise ValueError(f"br: nonzero padding bits before {ctx}")
+        self.bit = 0
+        self.pos += 1
+
+    def take_bytes(self, n: int, ctx: str) -> bytes:
+        if self.bit != 0:
+            raise ValueError(f"br: unaligned byte read at {ctx}")
+        if self.pos + n > len(self.data):
+            raise ValueError(
+                f"br: {ctx} declares {n} bytes, "
+                f"{len(self.data) - self.pos} remain"
+            )
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+def _read_window_bits(r: _BitReader) -> int:
+    """RFC 7932 §9.1 WBITS decoding (values 10-24; 9 is invalid)."""
+    if r.read(1) == 0:
+        return 16
+    n = r.read(3)
+    if n != 0:
+        return 17 + n
+    n = r.read(3)
+    if n == 1:
+        raise ValueError("br: invalid WBITS encoding (reserved value)")
+    if n != 0:
+        return 8 + n
+    return 17
+
+
+def br_decode(data: bytes, max_bytes: int = 1 << 26) -> bytes:
+    """Decode the RFC 7932 meta-block layer, strictly and bounded.
+
+    Handles: stream header, metadata meta-blocks (skipped), uncompressed
+    meta-blocks (copied), the ISLAST/ISLASTEMPTY termination, zero
+    padding checks, and a decompression cap that raises BEFORE the
+    output grows past ``max_bytes``. Raises ``ValueError`` on anything
+    malformed — and on a COMPRESSED meta-block, with an error naming the
+    missing machinery (entropy decoder + static dictionary), so the row
+    surfaces as ``http_ok=false`` with an actionable reason.
+    """
+    if not data:
+        raise ValueError("br: empty stream")
+    r = _BitReader(data)
+    _read_window_bits(r)
+    out: list[bytes] = []
+    total = 0
+    while True:
+        islast = r.read(1)
+        if islast:
+            if r.read(1):  # ISLASTEMPTY
+                break
+        mnibbles_code = r.read(2)
+        if mnibbles_code == 3:  # metadata meta-block
+            if islast:
+                raise ValueError("br: metadata meta-block cannot be last")
+            if r.read(1):
+                raise ValueError("br: reserved metadata bit set")
+            mskipbytes = r.read(2)
+            if mskipbytes == 0:
+                mskiplen = 0
+            else:
+                v = r.read(8 * mskipbytes)
+                if mskipbytes > 1 and (v >> (8 * (mskipbytes - 1))) == 0:
+                    raise ValueError(
+                        "br: non-minimal MSKIPBYTES (last byte zero)"
+                    )
+                mskiplen = v + 1
+            r.align_to_byte("metadata skip")
+            r.take_bytes(mskiplen, "metadata meta-block")
+            continue
+        mnibbles = 4 + mnibbles_code
+        mlen_m1 = r.read(4 * mnibbles)
+        if mnibbles > 4 and (mlen_m1 >> (4 * (mnibbles - 1))) == 0:
+            raise ValueError("br: non-minimal MNIBBLES (top nibble zero)")
+        mlen = mlen_m1 + 1
+        is_uncompressed = 0 if islast else r.read(1)
+        if not is_uncompressed:
+            raise ValueError(
+                "br: compressed meta-block — unsupported: decoding needs "
+                "the RFC 7932 entropy machinery and the 122 KB static "
+                "dictionary, neither validatable in this environment "
+                "(see NOTES_r12); only metadata and uncompressed "
+                "meta-blocks decode"
+            )
+        total += mlen
+        if total > max_bytes:
+            raise ValueError(f"br: body inflates past {max_bytes} bytes")
+        r.align_to_byte("uncompressed meta-block")
+        out.append(r.take_bytes(mlen, "uncompressed meta-block"))
+        if islast:
+            # spec: ISUNCOMPRESSED only exists when ISLAST=0, so this
+            # branch is unreachable; kept as a guard for the reader
+            break
+    # final byte-alignment padding must be zero, then nothing may follow
+    r.align_to_byte("stream end")
+    if r.pos != len(data):
+        raise ValueError(
+            f"br: {len(data) - r.pos} trailing bytes after stream end"
+        )
+    return b"".join(out)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.buf.append(0)
+            if (value >> i) & 1:
+                self.buf[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) % 8
+
+    def align(self) -> None:
+        self.bit = 0
+
+    def raw(self, data: bytes) -> None:
+        if self.bit != 0:
+            raise AssertionError("raw bytes need byte alignment")
+        self.buf.extend(data)
+
+
+def br_encode_stored(data: bytes) -> bytes:
+    """Encode ``data`` as a spec-valid brotli stream of uncompressed
+    meta-blocks only (<= 64 KiB each, the 4-nibble MLEN form) — exactly
+    what a real encoder emits for incompressible input. Deterministic;
+    round-trips through ``br_decode``."""
+    w = _BitWriter()
+    w.write(0, 1)  # WBITS = 16
+    for i in range(0, len(data), _MAX_STORED_CHUNK):
+        chunk = data[i : i + _MAX_STORED_CHUNK]
+        w.write(0, 1)                    # ISLAST = 0
+        w.write(0, 2)                    # MNIBBLES code 0 -> 4 nibbles
+        w.write(len(chunk) - 1, 16)      # MLEN - 1
+        w.write(1, 1)                    # ISUNCOMPRESSED
+        w.align()
+        w.raw(bytes(chunk))
+    w.write(1, 1)  # ISLAST
+    w.write(1, 1)  # ISLASTEMPTY
+    w.align()
+    return bytes(w.buf)

@@ -201,10 +201,14 @@ def parse_http_response(
     # real CC captures carry gzip'd bodies routinely. Reuse the WARC
     # layer's bounded single-member inflate (decompression-bomb cap,
     # dec.eof required, trailing garbage raises). 'identity' is a no-op;
-    # 'deflate' inflates via the bounded zlib-then-raw arm (RFC 9110
-    # §8.4.1.2 names zlib, real archives carry both); remaining codings
-    # (br, compress) raise — they surface as http_ok=false data rows,
-    # the honest signal for an unsupported tail.
+    # 'deflate' inflates via the header-sniffed zlib/raw arm (RFC 9110
+    # §8.4.1.2 names zlib, real archives carry both); 'br' decodes the
+    # RFC 7932 meta-block layer (metadata + uncompressed blocks — the
+    # br-wrapped-incompressible case) and surfaces compressed
+    # meta-blocks as a typed refusal (sources/br.py has the
+    # measurement); remaining codings (compress, zstd) raise — every
+    # refusal is an http_ok=false data row, the honest signal for an
+    # unsupported tail.
     ce = headers.get("content-encoding", "").strip().lower()
     if ce == "gzip":
         from llm_pretraining_data_pipeline_spark.sources.warc import (
@@ -220,6 +224,10 @@ def parse_http_response(
         body = members[0]
     elif ce == "deflate":
         body = _inflate_deflate(body)
+    elif ce == "br":
+        from llm_pretraining_data_pipeline_spark.sources.br import br_decode
+
+        body = br_decode(body)
     elif ce not in ("", "identity"):
         raise ValueError(
             f"parse_http_response: unsupported Content-Encoding {ce!r}"

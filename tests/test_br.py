@@ -1,0 +1,156 @@
+"""Brotli meta-block layer (sources/br.py): stored-block round trips,
+strict framing, bounded refusals, and the HTTP Content-Encoding hook."""
+
+import pytest
+
+from llm_pretraining_data_pipeline_spark.sources import http
+from llm_pretraining_data_pipeline_spark.sources.br import (
+    _BitReader,
+    _BitWriter,
+    _read_window_bits,
+    br_decode,
+    br_encode_stored,
+)
+
+
+class TestStoredRoundTrip:
+    @pytest.mark.parametrize("n", [0, 1, 7, 100, 65535, 65536, 65537, 200_000])
+    def test_roundtrip_sizes(self, n):
+        data = bytes((i * 131 + 17) % 256 for i in range(n))
+        enc = br_encode_stored(data)
+        assert br_decode(enc) == data
+
+    def test_multi_chunk_content_order(self):
+        data = b"A" * 65536 + b"B" * 65536 + b"C"
+        assert br_decode(br_encode_stored(data)) == data
+
+    def test_deterministic(self):
+        assert br_encode_stored(b"hello") == br_encode_stored(b"hello")
+
+    def test_empty_stream_is_one_byte(self):
+        # WBITS '0' + ISLAST + ISLASTEMPTY = 3 bits, zero-padded
+        assert br_encode_stored(b"") == b"\x06"
+
+
+class TestStrictFraming:
+    def test_empty_input_raises(self):
+        with pytest.raises(ValueError, match="empty stream"):
+            br_decode(b"")
+
+    def test_trailing_garbage_raises(self):
+        enc = br_encode_stored(b"hello") + b"JUNK"
+        with pytest.raises(ValueError, match="trailing bytes"):
+            br_decode(enc)
+
+    def test_nonzero_final_padding_raises(self):
+        # the empty stream's 5 padding bits must be zero
+        with pytest.raises(ValueError, match="nonzero padding"):
+            br_decode(b"\x0e")
+
+    def test_truncated_stream_raises(self):
+        enc = br_encode_stored(b"some payload here")
+        with pytest.raises(ValueError, match="br:"):
+            br_decode(enc[:4])
+
+    def test_bomb_capped_before_allocation(self):
+        enc = br_encode_stored(b"\x00" * (1 << 20))
+        with pytest.raises(ValueError, match="inflates past"):
+            br_decode(enc, max_bytes=1 << 16)
+
+    def test_invalid_wbits_encoding_raises(self):
+        # '1' + 3 zero bits + '100' (LSB-first value 1) = reserved
+        w = _BitWriter()
+        w.write(1, 1)
+        w.write(0, 3)
+        w.write(1, 3)
+        with pytest.raises(ValueError, match="WBITS"):
+            br_decode(bytes(w.buf))
+
+    def test_wbits_variants_decode(self):
+        # every legal WBITS prefix must parse (content: empty stream)
+        for wbits_writer, expect in [
+            (lambda w: w.write(0, 1), 16),
+            (lambda w: (w.write(1, 1), w.write(3, 3)), 20),
+            (lambda w: (w.write(1, 1), w.write(0, 3), w.write(0, 3)), 17),
+            (lambda w: (w.write(1, 1), w.write(0, 3), w.write(5, 3)), 13),
+        ]:
+            w = _BitWriter()
+            wbits_writer(w)
+            r = _BitReader(bytes(w.buf) + b"\x00")
+            assert _read_window_bits(r) == expect
+
+
+class TestCompressedRefusal:
+    def test_compressed_meta_block_refused_with_reason(self):
+        # flip the ISUNCOMPRESSED bit (bit 20 = byte 2, bit 4) of a
+        # stored one-block stream: the framing is still valid brotli,
+        # the block is now compressed, and the refusal must name the
+        # missing machinery instead of mis-decoding
+        enc = bytearray(br_encode_stored(b"x"))
+        enc[2] ^= 0x10
+        with pytest.raises(ValueError, match="compressed meta-block"):
+            br_decode(bytes(enc))
+
+    def test_metadata_block_skipped_then_content(self):
+        # hand-craft: WBITS, a metadata block skipping 5 bytes, then a
+        # stored block 'ok', then final-empty
+        w = _BitWriter()
+        w.write(0, 1)      # WBITS 16
+        w.write(0, 1)      # ISLAST = 0
+        w.write(3, 2)      # MNIBBLES code 3 -> metadata
+        w.write(0, 1)      # reserved
+        w.write(1, 2)      # MSKIPBYTES = 1
+        w.write(4, 8)      # MSKIPLEN - 1 = 4
+        w.align()
+        w.raw(b"META!")    # 5 skipped bytes
+        w.write(0, 1)      # ISLAST = 0
+        w.write(0, 2)      # 4 nibbles
+        w.write(1, 16)     # MLEN - 1 = 1
+        w.write(1, 1)      # ISUNCOMPRESSED
+        w.align()
+        w.raw(b"ok")
+        w.write(1, 1)      # ISLAST
+        w.write(1, 1)      # ISLASTEMPTY
+        w.align()
+        assert br_decode(bytes(w.buf)) == b"ok"
+
+    def test_last_metadata_block_raises(self):
+        w = _BitWriter()
+        w.write(0, 1)      # WBITS
+        w.write(1, 1)      # ISLAST = 1
+        w.write(0, 1)      # ISLASTEMPTY = 0
+        w.write(3, 2)      # metadata
+        with pytest.raises(ValueError, match="metadata meta-block"):
+            br_decode(bytes(w.buf) + b"\x00")
+
+
+class TestHttpBrArm:
+    def _msg(self, body, ce=b"br"):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: " + ce + b"\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+
+    def test_stored_br_body_decodes(self):
+        body = b"The quick brown fox jumps over the lazy dog." * 10
+        out = http.parse_http_response(self._msg(br_encode_stored(body)))
+        assert out["body"] == body
+
+    def test_chunked_then_br_order(self):
+        body = b"chunk order must hold for br exactly like gzip/deflate"
+        enc = br_encode_stored(body)
+        half = len(enc) // 2
+        cb = (b"%X\r\n" % half + enc[:half] + b"\r\n"
+              + b"%X\r\n" % (len(enc) - half) + enc[half:] + b"\r\n0\r\n\r\n")
+        msg = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: br\r\n\r\n" + cb
+        )
+        assert http.parse_http_response(msg)["body"] == body
+
+    def test_compressed_br_surfaces_as_typed_error(self):
+        enc = bytearray(br_encode_stored(b"x"))
+        enc[2] ^= 0x10
+        with pytest.raises(ValueError, match="compressed meta-block"):
+            http.parse_http_response(self._msg(bytes(enc)))

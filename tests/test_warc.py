@@ -273,9 +273,15 @@ class TestHttpResponseSplit:
         msg = self._msg(headers=[b"Content-Encoding: identity",
                                  b"Content-Type: text/plain"])
         assert http.parse_http_response(msg)["body"] == self.BODY
+        # 'br' is now routed to the RFC 7932 meta-block decoder (round
+        # 12): a plain-text body is not a brotli stream, so it fails
+        # THERE, with a br-typed reason, not as an unsupported coding
         bad = self._msg(headers=[b"Content-Encoding: br"])
-        with pytest.raises(ValueError, match="Content-Encoding"):
+        with pytest.raises(ValueError, match="br:"):
             http.parse_http_response(bad)
+        unsupported = self._msg(headers=[b"Content-Encoding: zstd"])
+        with pytest.raises(ValueError, match="Content-Encoding"):
+            http.parse_http_response(unsupported)
 
     def test_deflate_zlib_and_raw_forms_inflated(self):
         # RFC 9110 §8.4.1.2 names the zlib container, but real servers
