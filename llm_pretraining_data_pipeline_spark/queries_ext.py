@@ -5293,3 +5293,89 @@ def f22_frontier_expand(spark, sf_dir):
         ).alias("surt")
     )
     return C.frontier_expand(pages, index)
+
+
+@register(
+    "f23_frontier_polite",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
+    SELECT 'example,site-' || CAST(dom AS varchar) || ')/public/a.html'
+             AS surt,
+           'https://site-' || CAST(dom AS varchar)
+             || '.example/public/a.html' AS url,
+           CAST(1 AS bigint) AS n_sources,
+           CAST(dom % 3 + 1 AS double) AS crawl_delay
+    FROM doms
+    UNION ALL
+    SELECT 'example,peer-' || CAST(dom AS varchar) || ')/q.html',
+           'https://peer-' || CAST(dom AS varchar) || '.example/q.html',
+           CAST(1 AS bigint),
+           CAST(NULL AS double)
+    FROM doms
+    """,
+    doc="robots-gated frontier expansion (sources/cdx.py::"
+        "frontier_expand(robots_rules=, directives=) — VERDICT r11 "
+        "item 4, the politeness composition): the expand step consults "
+        "the RFC 9309 verdicts BEFORE emitting the frontier, so a "
+        "disallowed-but-unindexed URL — which the index anti-join alone "
+        "would emit — never reaches the scheduler, and each candidate "
+        "carries its host's Crawl-delay (robots_directives; null when "
+        "the host publishes none). Fixture: each site-D page links "
+        "/public/a.html (allowed), /private/pD.html (disallowed, NOT in "
+        "the index — the arm that matters), and a peer host with no "
+        "robots at all; site-D robots are 'Disallow: /private/' + "
+        "'Crawl-delay: D%3+1', except every 5th dom publishes the "
+        "blanket 'Disallow: /' with 'Allow: /public/' — the Allow-"
+        "precedence shape (longer pattern wins) must keep /public/ "
+        "crawlable while the SAME expected rows referee both robots "
+        "styles. The page itself is indexed (anti-join eats it). Scale "
+        "shape: gate + delay joins broadcast against the DEDUPED key "
+        "frame; only the index anti-join shuffles, on the index's "
+        "native sort key",
+)
+def f23_frontier_polite(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls as U
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    doms = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("dom")
+    ).distinct()
+    dd = F.col("dom")
+    page_url = F.concat(
+        F.lit("https://site-"), dd, F.lit(".example/idx.html")
+    )
+    html = F.concat(
+        F.lit('<p><a href="/public/a.html">a</a> '
+              '<a href="/private/p'), dd,
+        F.lit('.html">p</a> <a href="https://peer-'), dd,
+        F.lit('.example/q.html">q</a></p>'),
+    )
+    pages = doms.select(page_url.alias("url"), html.alias("html"))
+    index = doms.select(
+        F.concat(
+            F.lit("example,site-"), dd, F.lit(")/idx.html")
+        ).alias("surt")
+    )
+    delay = (dd % 3 + 1).cast("string")
+    robots_txt = F.when(
+        dd % 5 == 0,
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /\nAllow: /public/\n"
+                  "Crawl-delay: "), delay,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
+            delay,
+        )
+    )
+    robots = doms.select(
+        F.concat(F.lit("site-"), dd, F.lit(".example")).alias("domain"),
+        robots_txt.alias("robots_txt"),
+    )
+    rules = U.parse_robots(robots)
+    dirs = U.robots_directives(robots)
+    out = C.frontier_expand(
+        pages, index, robots_rules=rules, directives=dirs
+    )
+    return out.select("surt", "url", "n_sources", "crawl_delay")

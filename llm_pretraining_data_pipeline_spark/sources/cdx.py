@@ -505,6 +505,8 @@ def frontier_expand(
     index: DataFrame,
     url_col: str = "url",
     html_col: str = "html",
+    robots_rules: DataFrame | None = None,
+    directives: DataFrame | None = None,
 ) -> DataFrame:
     """Outlink discovery → the next crawl generation's frontier: extract
     ``href``s from fetched pages, resolve each against its page URL
@@ -515,22 +517,40 @@ def frontier_expand(
     closes the crawl loop: fetch → index (``cdx_records``) → expand →
     fetch.
 
+    Politeness composition (VERDICT r11): with ``robots_rules``
+    (``functions.urls.parse_robots`` output), candidates a
+    ``User-agent: *`` group disallows are EXCLUDED before the frontier
+    is emitted — a scheduler must never see a URL it may not fetch,
+    including disallowed URLs the index has never captured (the
+    anti-join alone would happily emit those). Full RFC 9309 matching
+    via ``robots_gate`` (longest-pattern-wins, Allow beats Disallow on
+    ties, ``*``/``$`` wildcards). With ``directives``
+    (``robots_directives`` output) the frontier also carries each
+    candidate host's ``crawl_delay`` — the pacing input the scheduler
+    batches by; hosts without a directive get null.
+
     Scale shape: extraction + resolution are a straight map and one
     generator (explode); the per-key keep-one is a single hash
     ``groupBy(min, count)`` — skew-safe for hot targets linked from
-    everywhere (no window); the anti-join shuffles on ``surt``, the
-    index's NATIVE sort key, so at CC scale the sorted CDXJ shards make
-    the index side's sort-merge sort free. Output: ``(surt, url,
-    n_sources)`` — ``url`` is the lexicographically-least candidate
-    (deterministic representative), ``n_sources`` the in-link count a
-    frontier scheduler prioritises by.
+    everywhere (no window); the robots gate runs on the DEDUPED key
+    frame (rules broadcast, matches-only aggregation, disallowed keys
+    broadcast back into an anti-join — the unmatched frontier never
+    reshuffles), as does the broadcast crawl-delay join; the index
+    anti-join shuffles on ``surt``, the index's NATIVE sort key, so at
+    CC scale the sorted CDXJ shards make the index side's sort-merge
+    sort free. Output: ``(surt, url, n_sources[, crawl_delay])`` —
+    ``url`` is the lexicographically-least candidate (deterministic
+    representative), ``n_sources`` the in-link count a frontier
+    scheduler prioritises by.
     """
     from llm_pretraining_data_pipeline_spark.functions.structural import (
         extract_links,
     )
     from llm_pretraining_data_pipeline_spark.functions.urls import (
         resolve_url,
+        robots_gate,
         surt_key,
+        url_domain,
     )
 
     links = pages.select(
@@ -547,7 +567,30 @@ def frontier_expand(
         F.min("url").alias("url"),
         F.count(F.lit(1)).alias("n_sources"),
     )
+    if robots_rules is not None:
+        disallowed = (
+            robots_gate(
+                per_key,
+                robots_rules,
+                url_col="url",
+                id_col="surt",
+                verdicts_only=True,
+            )
+            .where(F.col("disallowed"))
+            .select("surt")
+        )
+        per_key = per_key.join(F.broadcast(disallowed), "surt", "left_anti")
     known = index.select("surt").where(
         F.col("surt").isNotNull()
     ).distinct()
-    return per_key.join(known, "surt", "left_anti")
+    frontier = per_key.join(known, "surt", "left_anti")
+    if directives is not None:
+        d = directives.select(
+            F.col("domain").alias("_dom"), "crawl_delay"
+        )
+        frontier = (
+            frontier.withColumn("_dom", url_domain(F.col("url")))
+            .join(F.broadcast(d), "_dom", "left")
+            .drop("_dom")
+        )
+    return frontier

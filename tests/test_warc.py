@@ -1022,6 +1022,71 @@ class TestFrontierExpand:
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
 
+    def _polite_fixture(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        pages = spark.createDataFrame(
+            [(
+                "https://a.example/idx",
+                '<a href="/ok.html">o</a> <a href="/private/s.html">s</a> '
+                '<a href="https://open.example/x">x</a>',
+            )],
+            "url string, html string",
+        )
+        index = spark.createDataFrame(
+            [("example,a)/idx",)], "surt string"
+        )
+        robots = spark.createDataFrame(
+            [("a.example",
+              "User-agent: *\nDisallow: /private/\nCrawl-delay: 3")],
+            "domain string, robots_txt string",
+        )
+        return (
+            pages, index,
+            urls.parse_robots(robots), urls.robots_directives(robots),
+        )
+
+    def test_robots_gate_excludes_disallowed_unindexed(self, spark):
+        # VERDICT r11 item 4: /private/s.html is NOT in the index — the
+        # anti-join alone would emit it; the robots gate must not
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        pages, index, rules, dirs = self._polite_fixture(spark)
+        out = {
+            r["surt"]: r
+            for r in cdx.frontier_expand(
+                pages, index, robots_rules=rules, directives=dirs
+            ).collect()
+        }
+        assert set(out) == {"example,a)/ok.html", "example,open)/x"}
+        # crawl_delay rides along; hosts without a directive get null
+        assert out["example,a)/ok.html"]["crawl_delay"] == 3.0
+        assert out["example,open)/x"]["crawl_delay"] is None
+        # without the gate the disallowed URL WOULD be emitted — the
+        # composition, not the anti-join, is what excludes it
+        bare = {
+            r["surt"]
+            for r in cdx.frontier_expand(pages, index).collect()
+        }
+        assert "example,a)/private/s.html" in bare
+
+    def test_polite_plan_gates_broadcast(self, spark):
+        # the gate and delay joins must broadcast against the deduped
+        # key frame — the frontier side never reshuffles for politeness.
+        # The only windows allowed are parse_robots' own per-DOMAIN line
+        # grouping (robots-file-sized, never the frontier).
+        import re
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        pages, index, rules, dirs = self._polite_fixture(spark)
+        plan = (
+            cdx.frontier_expand(
+                pages, index, robots_rules=rules, directives=dirs
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+        assert specs and set(specs) == {"domain"}
+
 
 class TestCdxLatestMalformedRows:
     def test_all_malformed_rows_survive_a_merge(self, spark):
