@@ -5379,3 +5379,110 @@ def f23_frontier_polite(spark, sf_dir):
         pages, index, robots_rules=rules, directives=dirs
     )
     return out.select("surt", "url", "n_sources", "crawl_delay")
+
+
+_CDXJ_STAGING_REGISTERED: set = set()
+
+
+def _cdxj_staging_path(sf_dir: str) -> str:
+    """Deterministic per-(sf_dir, process) CDXJ sidecar staging dir —
+    the IVF staging pattern: reused across invocations in one process
+    (write_cdxj overwrites), pid-keyed so concurrent sessions on this
+    shared VM never clobber each other, removed at interpreter exit."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdxj_{key}_pid{os.getpid()}"
+    )
+    if root not in _CDXJ_STAGING_REGISTERED:
+        _CDXJ_STAGING_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, "sidecar")
+
+
+@register(
+    "s10_cdx_range_read",
+    """
+    WITH g AS (
+      SELECT doc_id, text, doc_id % 50 AS dom, gen
+      FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(gen)
+      WHERE gen BETWEEN 2 AND 3
+    )
+    SELECT 'example,site-' || CAST(dom AS varchar) || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           '2024010' || CAST(gen AS varchar) || '000000' AS ts,
+           'https://site-' || CAST(dom AS varchar) || '.example/doc/'
+             || CAST(doc_id AS varchar) AS target_uri,
+           'text/plain' AS mime,
+           CAST(200 AS integer) AS status,
+           sha256(text || CAST(gen AS varchar)) AS digest,
+           CAST(0 AS bigint) AS rec_offset,
+           CAST(octet_length(encode(text)) AS bigint) AS record_bytes,
+           'warc-' || CAST(doc_id AS varchar) || '.warc' AS filename,
+           TRUE AS line_ok
+    FROM g
+    """,
+    doc="timestamp-range CDXJ sidecar read (sources/cdx.py::read_cdxj "
+        "from_ts/to_ts — VERDICT r11 item 5, the pywb from=/to= access "
+        "pattern): the full produce→consume chain — cdxj_lines over a "
+        "multi-generation index (each doc captured on days "
+        "1..(id%3+1)), write_cdxj into range-partitioned sorted shards "
+        "+ manifest in a staging dir, read_cdxj back sliced to days "
+        "[2, 3] inclusive — so serialization, the sorted-shard write, "
+        "the manifest, the strict line parse, AND the inclusive ts14 "
+        "string-range slice must all compose exactly (ts14 compares "
+        "lexicographically as chronologically). The surt_exact shard-"
+        "pruning refinement — matching lines are one contiguous key "
+        "run, shards outside it are never even listed — is pinned in "
+        "tests/test_warc.py with a boundary-straddling range and a "
+        "deleted-shard proof. Referee recomputes the in-range capture "
+        "set closed-form via a range-unnest",
+)
+def s10_cdx_range_read(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    d = _docs(spark, sf_dir)
+    dom = (F.col("doc_id") % 50).cast("string")
+    gens = d.select(
+        "doc_id", "text",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("g"),
+    )
+    base = gens.select(
+        F.col("doc_id").alias("file_id"),
+        F.lit(0).cast("int").alias("rec_index"),
+        F.concat(
+            F.lit("https://site-"), dom, F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("target_uri"),
+        F.concat(
+            F.lit("example,site-"), dom, F.lit(")/doc/"), F.col("doc_id")
+        ).alias("surt"),
+        F.concat(
+            F.lit("2024010"), F.col("g").cast("string"), F.lit("000000")
+        ).alias("ts"),
+        F.lit(200).cast("int").alias("status"),
+        F.lit("text/plain").alias("mime"),
+        F.sha2(
+            F.concat(F.col("text"), F.col("g").cast("string")), 256
+        ).alias("digest"),
+        F.lit(0).cast("bigint").alias("offset"),
+        F.octet_length("text").cast("bigint").alias("record_bytes"),
+    )
+    path = _cdxj_staging_path(sf_dir)
+    C.write_cdxj(C.cdxj_lines(base), path, num_shards=8)
+    out = C.read_cdxj(
+        spark, path,
+        from_ts="20240102000000", to_ts="20240103000000",
+    )
+    return out.select(
+        "surt", "ts", "target_uri", "mime", "status", "digest",
+        F.col("offset").alias("rec_offset"), "record_bytes",
+        "filename", "line_ok",
+    )

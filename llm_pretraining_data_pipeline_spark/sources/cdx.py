@@ -208,9 +208,14 @@ def read_warc_selective(
     id_col: str = "file_id",
     broadcast_selection: bool = True,
     gzipped: bool = False,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
 ) -> DataFrame:
     """Index-first WARC read: parse ONLY the records whose SURT key
-    starts with ``surt_prefix``.
+    starts with ``surt_prefix`` — optionally sliced to an inclusive
+    capture-time range ``[from_ts, to_ts]`` (14-digit timestamps, the
+    pywb ``from=``/``to=`` pattern; applied to the CDX side, so
+    out-of-range records are never sliced or parsed).
 
     The CDX side is filtered first (a prefix on the sort key — at scale
     this is a partition-pruned range scan of the sorted index), joined
@@ -240,7 +245,14 @@ def read_warc_selective(
             "read_warc_selective: gzipped blobs cannot be byte-sliced at "
             "inflated-member offsets — fetch whole gzip members instead"
         )
-    sel = cdx.where(F.col("surt").startswith(surt_prefix)).select(
+    _check_ts14("from_ts", from_ts)
+    _check_ts14("to_ts", to_ts)
+    match = F.col("surt").startswith(surt_prefix)
+    if from_ts is not None:
+        match = match & (F.col("ts") >= from_ts)
+    if to_ts is not None:
+        match = match & (F.col("ts") <= to_ts)
+    sel = cdx.where(match).select(
         id_col,
         F.col("rec_index").alias("_sel_rec_index"),
         F.col("offset").alias("_sel_offset"),
@@ -402,16 +414,53 @@ def write_cdxj(
     return manifest
 
 
-def read_cdxj(spark, path: str, surt_prefix: str | None = None) -> DataFrame:
+def _check_ts14(name: str, value: str | None) -> None:
+    if value is not None and not (
+        len(value) == 14 and value.isdigit()
+    ):
+        raise ValueError(
+            f"cdx ts range: {name} must be a 14-digit timestamp "
+            f"(yyyyMMddHHmmss), got {value!r}"
+        )
+
+
+def read_cdxj(
+    spark,
+    path: str,
+    surt_prefix: str | None = None,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+    surt_exact: bool = False,
+) -> DataFrame:
     """Read a ``write_cdxj`` sidecar back into typed CDX columns.
 
     With ``surt_prefix``, the manifest prunes shards FIRST (only files
     whose [first_key, last_key] range can contain the prefix are even
     listed to the scan — the top-level index step), then the parsed
     frame is prefix-filtered exactly. Without it, all shards scan.
+
+    ``from_ts`` / ``to_ts`` (inclusive 14-digit timestamps — the pywb
+    ``from=``/``to=`` access pattern, VERDICT r11 item 5) slice the
+    capture-time range; ts14 strings compare lexicographically as
+    chronologically, so this is a plain string range on the parsed
+    frame. With ``surt_exact=True`` — the caller states ``surt_prefix``
+    IS one complete SURT key — the range also prunes SHARDS on the
+    key's ts14 component: matching lines are exactly the contiguous key
+    run ``"<surt> <from>"`` .. ``"<surt> <to>"``, so a shard overlaps
+    iff its [first_key, last_key] intersects that interval (the
+    manifest keys already order by ``<surt> <ts>``). With a PARTIAL
+    prefix the ts component cannot refine shard selection (keys of
+    different surts interleave timestamps), so pruning stays
+    prefix-only and the ts slice is a row filter — still correct, just
+    less pruned.
     """
     import json
     import os
+
+    _check_ts14("from_ts", from_ts)
+    _check_ts14("to_ts", to_ts)
+    if surt_exact and surt_prefix is None:
+        raise ValueError("read_cdxj: surt_exact=True requires surt_prefix")
 
     files = None
     if surt_prefix is not None:
@@ -419,17 +468,30 @@ def read_cdxj(spark, path: str, surt_prefix: str | None = None) -> DataFrame:
         if os.path.exists(man_path):
             with open(man_path) as fh:
                 man = json.load(fh)
-            # a prefix P can match keys in [first, last] iff last >= P
-            # (every P-prefixed key is >= P) and first's own P-length
-            # prefix is <= P (else first, and so the whole shard, sorts
-            # after every P-prefixed key); raw-string compare is sound
-            # because the keys ARE the sort order
-            files = [
-                os.path.join(path, s["file"])
-                for s in man["shards"]
-                if s["last_key"] >= surt_prefix
-                and s["first_key"][: len(surt_prefix)] <= surt_prefix
-            ]
+            if surt_exact:
+                # contiguous key interval for one complete SURT: the
+                # space separator sorts below every key byte, so the
+                # surt's full run is ["<surt> <00...>", "<surt> <99...>"]
+                lo = f"{surt_prefix} {from_ts or '0' * 14}"
+                hi = f"{surt_prefix} {to_ts or '9' * 14}"
+                files = [
+                    os.path.join(path, s["file"])
+                    for s in man["shards"]
+                    if s["last_key"] >= lo and s["first_key"] <= hi
+                ]
+            else:
+                # a prefix P can match keys in [first, last] iff
+                # last >= P (every P-prefixed key is >= P) and first's
+                # own P-length prefix is <= P (else first, and so the
+                # whole shard, sorts after every P-prefixed key);
+                # raw-string compare is sound because the keys ARE the
+                # sort order
+                files = [
+                    os.path.join(path, s["file"])
+                    for s in man["shards"]
+                    if s["last_key"] >= surt_prefix
+                    and s["first_key"][: len(surt_prefix)] <= surt_prefix
+                ]
     if files is None:
         raw = spark.read.text(path)
     elif not files:
@@ -439,9 +501,15 @@ def read_cdxj(spark, path: str, surt_prefix: str | None = None) -> DataFrame:
         raw = spark.read.text(files)
     out = parse_cdxj_lines(raw.withColumnRenamed("value", "cdxj"))
     if surt_prefix is not None:
+        surt = F.coalesce(F.col("surt"), F.lit(""))
         out = out.where(
-            F.coalesce(F.col("surt"), F.lit("")).startswith(surt_prefix)
+            (surt == surt_prefix) if surt_exact
+            else surt.startswith(surt_prefix)
         )
+    if from_ts is not None:
+        out = out.where(F.col("ts") >= from_ts)
+    if to_ts is not None:
+        out = out.where(F.col("ts") <= to_ts)
     return out
 
 
