@@ -274,14 +274,17 @@ def main() -> int:
         lambda: WC.curation_summary(
             WC.run_web_curation(
                 wc_raw,
-                # decode_entities ON since round 11 (the fixture's <p>
-                # bodies carry real &amp;/&ndash;/&#233;/&#x2713;
-                # references): isolated warm measure at this scale put
-                # the stage at ~5% of the recipe (6.75 s -> 7.09 s)
+                # decode_entities defaults AUTO since round 12: on iff
+                # extract_main (raw-HTML input), so it is ON here — the
+                # fixture's <p> bodies carry real &amp;/&ndash;/&#233;/
+                # &#x2713; references. Round-12 isolated warm A/B at
+                # 50k docs: ~25-30% of the recipe (13.5-15.2 s on vs
+                # 10.4-11.3 s off) — the cost that justified the auto
+                # coupling instead of an unconditional default
+                # (NOTES_r12).
                 WC.WebCurationConfig(
                     gopher_min_words=10, gopher_min_stopwords=1,
                     extract_main=True, mc_smooth=True,
-                    decode_entities=True,
                 ),
                 url_col="url",
                 robots_rules=wc_rules,
@@ -544,43 +547,52 @@ def main() -> int:
     # sentence-wrapped (three '.'-terminated spans per doc) so the C4
     # stage does real line/sentence work; every ~9th capture is a 404
     # that the status gate must reject before any text work.
-    def _gen_crawl_blobs(it):
-        import pandas as pd
+    def _gen_crawl_blobs_factory(gz: bool):
+        def gen(it):
+            import pandas as pd
 
-        from llm_pretraining_data_pipeline_spark.sources import warc as WR3
+            from llm_pretraining_data_pipeline_spark.sources import (
+                warc as WR3,
+            )
 
-        for pdf in it:
-            rows = []
-            for fid, text in zip(pdf["file_id"], pdf["text"]):
-                fid = int(fid)
-                uri = f"https://site-{fid % 997}.example/doc/{fid}"
-                sents = (
-                    f"{text[:90]}. {text[45:135]}. {text[90:180]}."
-                )
-                status = b"404 Not Found" if fid % 9 == 0 else b"200 OK"
-                http = _bench_http_msg(
-                    sents.encode("utf-8"), fid % 3, status=status
-                )
-                rows.append((fid, WR3.encode_warc([
-                    ("response", uri, f"rec-{fid}-0", http),
-                ])))
-            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+            enc = WR3.encode_warc_gz if gz else WR3.encode_warc
+            for pdf in it:
+                rows = []
+                for fid, text in zip(pdf["file_id"], pdf["text"]):
+                    fid = int(fid)
+                    uri = f"https://site-{fid % 997}.example/doc/{fid}"
+                    sents = (
+                        f"{text[:90]}. {text[45:135]}. {text[90:180]}."
+                    )
+                    status = (
+                        b"404 Not Found" if fid % 9 == 0 else b"200 OK"
+                    )
+                    http = _bench_http_msg(
+                        sents.encode("utf-8"), fid % 3, status=status
+                    )
+                    rows.append((fid, enc([
+                        ("response", uri, f"rec-{fid}-0", http),
+                    ])))
+                yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+        return gen
 
     from llm_pretraining_data_pipeline_spark.plans import crawl as CR
     from llm_pretraining_data_pipeline_spark.plans import (
         web_curation as WCC,
     )
 
-    def _crawl_to_corpus_once():
+    def _crawl_to_corpus_once(gz: bool = False):
         blobs = warc_ids.mapInPandas(
-            _gen_crawl_blobs, "file_id bigint, payload binary"
+            _gen_crawl_blobs_factory(gz), "file_id bigint, payload binary"
         )
         out = CR.run_crawl_to_corpus(
             blobs,
             CR.CrawlCorpusConfig(
+                gzipped=gz,
                 curation=WCC.WebCurationConfig(
                     min_sentences=2, apply_gopher=False
-                )
+                ),
             ),
         )
         kept = out.filter(F.col("drop_reason").isNull()).select(
@@ -603,6 +615,23 @@ def main() -> int:
     meta["crawl_to_corpus_docs_per_sec"] = round(
         n_warc / timings["crawl_to_corpus_e2e"], 1
     )
+
+    # ---- round-12 (VERDICT r11 item 6): the CC-native arm — the SAME
+    # logical corpus as .warc.gz member blobs (one gzip member per
+    # record, gzipped=True), so the capstone number an operator plans
+    # with includes per-member inflation. Kept count must equal the
+    # plain arm's: compression is framing, never semantics.
+    c2c_gz_man = timed(
+        "crawl_to_corpus_gz_e2e", lambda: _crawl_to_corpus_once(gz=True)
+    )
+    meta["crawl_to_corpus_gz_kept"] = int(c2c_gz_man["total_docs"])
+    meta["crawl_to_corpus_gz_docs_per_sec"] = round(
+        n_warc / timings["crawl_to_corpus_gz_e2e"], 1
+    )
+    if int(c2c_gz_man["total_docs"]) != int(c2c_man["total_docs"]):
+        meta["crawl_to_corpus_gz_MISMATCH"] = (
+            f"plain={c2c_man['total_docs']} gz={c2c_gz_man['total_docs']}"
+        )
 
     # ---- round-8: the per-dump corpus audits at 100k docs — directional
     # gram novelty (one distinct + one groupBy on 60-bit gram hashes) and

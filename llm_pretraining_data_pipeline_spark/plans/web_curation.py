@@ -5,8 +5,9 @@ pipeline's stage order composed into one lazy plan:
   1. URL-level keep-first dedup        (RefinedWeb §3.1 — before any text)
   1b. main-content extraction          (opt-in; jusText-style block gate
                                         for raw-HTML input)
-  1c. HTML entity decoding             (opt-in; &amp;/&#233;/&#xE9; →
-                                        characters before any metric)
+  1c. HTML entity decoding             (auto: on with extract_main —
+                                        &amp;/&#233;/&#xE9; → characters
+                                        before any metric)
   2. line-wise corrections             (RefinedWeb §3.2)
   3. C4 cleanup battery                (Raffel et al. 2020 §2.2)
   4. Gopher quality cascade            (Rae et al. 2021 A1)
@@ -64,8 +65,16 @@ class WebCurationConfig:
     # AFTER main-content extraction and BEFORE every text metric — tag
     # stripping alone leaves entity literals that poison alpha ratios,
     # tokenization, and dedup keys on real web HTML (VERDICT r10 item 3).
-    # Opt-in so the default output (and its oracle) is unchanged.
-    decode_entities: bool = False
+    # Default AUTO (None): follow ``extract_main`` — entity literals only
+    # exist when the input is raw HTML, which is exactly when the block
+    # gate runs; pre-cleaned text corpora skip the pass. Decision from
+    # the round-12 A/B at 50k entity-dense docs (NOTES_r12): the decode
+    # stage costs ~25-30% of the recipe warm (13.5-15.2 s on vs
+    # 10.4-11.3 s off), so an unconditional default would tax
+    # already-clean corpora for nothing, while raw-HTML input without it
+    # produces WRONG metrics — auto ties the cost to the case that
+    # needs the correctness. Explicit True/False always wins.
+    decode_entities: bool | None = None
     # robots verdicts are one row per RULE-MATCHED doc — tiny for normal
     # rule sets, corpus-sized when dominant domains carry `Disallow: /`.
     # Flip OFF for match-heavy corpora so AQE sizes the join instead of
@@ -142,7 +151,12 @@ def run_web_curation(
             F.when(F.col("text_main") == "", F.lit("no_main_content")),
         )
         text_col = "text_main"
-    if cfg.decode_entities:
+    decode_entities = (
+        cfg.decode_entities
+        if cfg.decode_entities is not None
+        else cfg.extract_main
+    )
+    if decode_entities:
         # Same generator-barrier discipline as text_main above: the
         # decoder is an interpreted HOF chain and every downstream stage
         # references the text — inline() makes it a real attribute so the

@@ -297,11 +297,15 @@ class TestEntityDecodeStage:
         assert out["drop_reason"] is None
         assert "with & and é entities" in out["text_curated"]
 
-    def test_default_off_leaves_entities(self, spark):
+    def test_default_auto_follows_extract_main(self, spark):
+        # round-12 decision (A/B in NOTES_r12): decode_entities=None
+        # means "on iff extract_main" — entity literals only exist when
+        # the input is raw HTML, which is exactly when the block gate
+        # runs; pre-cleaned corpora skip the ~25-30% pass
         from llm_pretraining_data_pipeline_spark.plans.web_curation import (
             WebCurationConfig, run_web_curation,
         )
-        docs = spark.createDataFrame(
+        plain = spark.createDataFrame(
             [(1,
               "Plain text with &amp; kept verbatim in this sentence. "
               "Second proper sentence keeps the little page alive here. "
@@ -309,8 +313,32 @@ class TestEntityDecodeStage:
             "doc_id long, text string",
         )
         out = run_web_curation(
-            docs,
+            plain,
             WebCurationConfig(
+                apply_gopher=False, apply_span_dedup=False, min_sentences=2,
+            ),
+        ).collect()[0]
+        assert "&amp;" in out["text_curated"]  # auto-off without HTML gate
+        page = (
+            '<div class="nav"><a href="/">home</a> <a href="/x">m</a>'
+            "</div><p>Fish &amp; chips in a first proper sentence here. "
+            "Second proper sentence keeps the little page alive here. "
+            "Third sentence completes the miniature test document.</p>"
+        )
+        html = spark.createDataFrame([(1, page)], "doc_id long, text string")
+        out = run_web_curation(
+            html,
+            WebCurationConfig(
+                extract_main=True, apply_gopher=False,
+                apply_span_dedup=False, min_sentences=2,
+            ),
+        ).collect()[0]
+        assert "Fish & chips" in out["text_curated"]  # auto-on with gate
+        # explicit False always wins over the auto rule
+        out = run_web_curation(
+            html,
+            WebCurationConfig(
+                extract_main=True, decode_entities=False,
                 apply_gopher=False, apply_span_dedup=False, min_sentences=2,
             ),
         ).collect()[0]
