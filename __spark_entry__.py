@@ -158,6 +158,53 @@ _PRIORITY_R11 = [
     "a08_top_sources", "a09_lang_breakdown",
 ]
 
+# Round-12 priority (the driver caps each round at 50 rows): (a) the two
+# queries NEW this round, (b) the 13 queries whose implementation,
+# fixture, or oracle CHANGED this round (edits must never ride on a stale
+# green), then (c) the FULL 35-row r7-stale tail (VERDICT r11 item 1 —
+# after this round no registered query's freshest driver green is older
+# than r8). 2 + 13 + 35 = 50 exactly. emb_near_dup_lsh_or and
+# emb_lsh_or_recall also touch the changed operators/dedup.py guard, but
+# their called path is provably identical (they pass dim) and both were
+# re-verified via check_oracle this session (7/7 with the four emb rows
+# below); they refresh in r13.
+_PRIORITY_R12 = [
+    # new this round — hash-matched via check_oracle at sf0.01 AND
+    # sf0.001 on registration: robots-gated frontier expansion (VERDICT
+    # item 4) and timestamp-range CDXJ sidecar reads (item 5)
+    "f23_frontier_polite", "s10_cdx_range_read",
+    # changed this round: surt_key whitespace percent-encoding (ADVICE
+    # r11) touches every CDX/frontier query; the shared warc_http
+    # fixture gained a brotli arm (VERDICT item 3) + the deflate
+    # container sniff (ADVICE r11); warc_records gained the passthrough
+    # parameter; e2e_crawl_funnel carries the 2^32 rec_id packing
+    # (ADVICE r11) + the decode_entities auto default (item 7);
+    # emb_near_dup_pairs/emb_near_dup_lsh sit on the dim-required
+    # guard (item 2)
+    "s07_cdx_export", "s08_cdx_parse", "s09_cdx_latest", "ev_stream_cdx",
+    "f22_frontier_expand", "src_warc_http", "ev_stream_warc",
+    "src_http_body_text", "src_warc_records", "src_warc_gz_records",
+    "e2e_crawl_funnel", "emb_near_dup_pairs", "emb_near_dup_lsh",
+    # stale: freshest driver green is r7 (the full 35-row tail from the
+    # r11 comment — all independently re-verified green via the judge's
+    # 10/10 sample in VERDICT r11 and this round's full check_oracle
+    # sweep before sealing)
+    "a10_cleanup_stats", "a12_approx_sketches", "a16_zipf_slope",
+    "corp_mixture_weights", "corp_pack_manifest", "corp_pack_spans",
+    "corp_span_dedup", "corp_stratified_sample", "corp_vocab_top50",
+    "d06_fingerprint", "d10_url_dedup", "d11_c4_span_dedup",
+    "d14_dup_cluster_stats", "ev_stream_quality", "o05_weighted_sample",
+    "o06_hash_split", "o08_mixture_interleave", "p22c_gpt2_golden_parity",
+    "p22d_bpe_roundtrip", "p29_extract_links", "p35_hashed_quality_train",
+    "p36_hashed_quality_score", "p37_readability", "p38_token_entropy",
+    "rel_q2_min_cost_supplier", "rel_q4_order_priority",
+    "rel_q10_returned_items", "rel_q11_important_stock",
+    "rel_q13_count_distribution", "rel_q16_supplier_part_counts",
+    "rel_q17_small_quantity", "rel_q18_large_orders",
+    "rel_q20_promotion_suppliers", "rel_q22_idle_customers",
+    "rel_sql_surface",
+]
+
 _PRIORITY_R10 = [
     # new this round: WARC→HTTP split (status/headers/de-chunked body —
     # VERDICT r9 item 1), jusText good-neighbor smoothing (item 6), WET
@@ -261,7 +308,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R11 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R12 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 
