@@ -415,8 +415,12 @@ def write_cdxj(
 
 
 def _check_ts14(name: str, value: str | None) -> None:
+    # isascii() matters: bare isdigit() accepts full-width/Arabic-Indic
+    # digits, which would pass the guard and then lexicographically
+    # compare above every ASCII ts14 — silently filtering everything
+    # out instead of raising (review finding)
     if value is not None and not (
-        len(value) == 14 and value.isdigit()
+        len(value) == 14 and value.isascii() and value.isdigit()
     ):
         raise ValueError(
             f"cdx ts range: {name} must be a 14-digit timestamp "
@@ -575,6 +579,7 @@ def frontier_expand(
     html_col: str = "html",
     robots_rules: DataFrame | None = None,
     directives: DataFrame | None = None,
+    broadcast_gates: bool = True,
 ) -> DataFrame:
     """Outlink discovery → the next crawl generation's frontier: extract
     ``href``s from fetched pages, resolve each against its page URL
@@ -596,6 +601,13 @@ def frontier_expand(
     (``robots_directives`` output) the frontier also carries each
     candidate host's ``crawl_delay`` — the pacing input the scheduler
     batches by; hosts without a directive get null.
+
+    ``broadcast_gates=False`` is the match-heavy escape hatch (the
+    ``robots_gate``/``web_curation`` convention): a few dominant hosts
+    publishing ``Disallow: /`` make the disallowed-verdict frame
+    frontier-sized, and an unconditional broadcast would collect it on
+    the driver — flip off to let AQE size the gate and delay joins
+    instead.
 
     Scale shape: extraction + resolution are a straight map and one
     generator (explode); the per-key keep-one is a single hash
@@ -647,7 +659,9 @@ def frontier_expand(
             .where(F.col("disallowed"))
             .select("surt")
         )
-        per_key = per_key.join(F.broadcast(disallowed), "surt", "left_anti")
+        if broadcast_gates:
+            disallowed = F.broadcast(disallowed)
+        per_key = per_key.join(disallowed, "surt", "left_anti")
     known = index.select("surt").where(
         F.col("surt").isNotNull()
     ).distinct()
@@ -656,9 +670,11 @@ def frontier_expand(
         d = directives.select(
             F.col("domain").alias("_dom"), "crawl_delay"
         )
+        if broadcast_gates:
+            d = F.broadcast(d)
         frontier = (
             frontier.withColumn("_dom", url_domain(F.col("url")))
-            .join(F.broadcast(d), "_dom", "left")
+            .join(d, "_dom", "left")
             .drop("_dom")
         )
     return frontier

@@ -1016,6 +1016,11 @@ class TestCdxjFileSidecar:
             cdx.read_cdxj(spark, str(tmp_path), from_ts="2024")
         with pytest.raises(ValueError, match="14-digit"):
             cdx.read_cdxj(spark, str(tmp_path), to_ts="20240101T000000")
+        # full-width Unicode digits pass bare isdigit() but would
+        # lexicographically filter EVERYTHING out — must raise instead
+        # (review finding)
+        with pytest.raises(ValueError, match="14-digit"):
+            cdx.read_cdxj(spark, str(tmp_path), from_ts="２０２４０１０２０００００0")
         with pytest.raises(ValueError, match="surt_exact"):
             cdx.read_cdxj(spark, str(tmp_path), surt_exact=True)
 
@@ -1210,6 +1215,26 @@ class TestFrontierExpand:
         assert "CartesianProduct" not in plan
         specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
         assert specs and set(specs) == {"domain"}
+
+    def test_broadcast_gates_escape_hatch(self, spark):
+        # match-heavy corpora (dominant Disallow:/ hosts) need the AQE
+        # path — results must be identical either way (review finding)
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        pages, index, rules, dirs = self._polite_fixture(spark)
+        a = sorted(
+            (r["surt"], r["crawl_delay"])
+            for r in cdx.frontier_expand(
+                pages, index, robots_rules=rules, directives=dirs,
+            ).collect()
+        )
+        b = sorted(
+            (r["surt"], r["crawl_delay"])
+            for r in cdx.frontier_expand(
+                pages, index, robots_rules=rules, directives=dirs,
+                broadcast_gates=False,
+            ).collect()
+        )
+        assert a == b and len(a) == 2
 
 
 class TestCdxLatestMalformedRows:
