@@ -167,7 +167,12 @@ _PRIORITY_R11 = [
 # emb_lsh_or_recall also touch the changed operators/dedup.py guard, but
 # their called path is provably identical (they pass dim) and both were
 # re-verified via check_oracle this session (7/7 with the four emb rows
-# below); they refresh in r13.
+# below); they refresh in r13. Two queries registered AFTER the head was
+# frozen — s11_cdx_digest_drift and f24_sitemap_recrawl (the late
+# recrawl-scheduling wave) — sit past the 50-row cap by design: both
+# hash-verified via check_oracle at sf0.01 AND sf0.001 on registration,
+# both covered by the suite's full oracle-parity replay; they take head
+# slots in r13.
 _PRIORITY_R12 = [
     # new this round — hash-matched via check_oracle at sf0.01 AND
     # sf0.001 on registration: robots-gated frontier expansion (VERDICT

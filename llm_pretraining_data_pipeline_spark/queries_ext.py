@@ -5486,3 +5486,157 @@ def s10_cdx_range_read(spark, sf_dir):
         F.col("offset").alias("rec_offset"), "record_bytes",
         "filename", "line_ok",
     )
+
+
+@register(
+    "s11_cdx_digest_drift",
+    """
+    WITH d AS (
+      SELECT doc_id, text, doc_id % 50 AS dom,
+             doc_id % 4 = 0 AS single, doc_id % 7 = 0 AS static
+      FROM documents
+    )
+    SELECT 'example,site-' || CAST(dom AS varchar) || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           'https://site-' || CAST(dom AS varchar) || '.example/doc/'
+             || CAST(doc_id AS varchar) AS url,
+           CAST(CASE WHEN single THEN 1 ELSE 2 END AS bigint)
+             AS n_captures,
+           CASE WHEN single THEN '20240101000000'
+                ELSE '20240102000000' END AS latest_ts,
+           sha256(text || CASE WHEN single OR static THEN '0'
+                               ELSE '1' END) AS latest_digest,
+           CASE WHEN single THEN NULL
+                ELSE '20240101000000' END AS prev_ts,
+           NOT single AND NOT static AS changed
+    FROM d
+    """,
+    doc="content-drift detection across crawl generations "
+        "(sources/cdx.py::cdx_digest_drift): per SURT key, does the "
+        "newest capture's payload digest differ from the previous "
+        "capture's? The recrawl scheduler's core signal — static pages "
+        "earn longer revisit intervals, drifting pages earn priority. "
+        "Fixture: id%4=0 docs captured once (changed must be false with "
+        "null prev_ts), id%7=0 docs recrawled with IDENTICAL content "
+        "(digest equal across generations — false), everything else "
+        "drifts (true); referee recomputes all verdicts closed-form. "
+        "Scale shape: ONE hash groupBy(surt) whose collect_list is "
+        "bounded by the generation count, never corpus-sized — no "
+        "window, hot URLs can't straggle",
+)
+def s11_cdx_digest_drift(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    d = _docs(spark, sf_dir)
+    gens = d.select(
+        "doc_id", "text",
+        F.explode(
+            F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(0)))
+            .otherwise(F.array(F.lit(0), F.lit(1)))
+        ).alias("g"),
+    )
+    dom = (F.col("doc_id") % 50).cast("string")
+    content_tag = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("0")
+    ).otherwise(F.col("g").cast("string"))
+    base = gens.select(
+        (F.col("doc_id") * 2 + F.col("g")).alias("file_id"),
+        F.lit(0).cast("int").alias("rec_index"),
+        F.concat(
+            F.lit("example,site-"), dom, F.lit(")/doc/"), F.col("doc_id")
+        ).alias("surt"),
+        F.concat(
+            F.lit("https://site-"), dom, F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("target_uri"),
+        F.concat(
+            F.lit("2024010"), (F.col("g") + 1).cast("string"),
+            F.lit("000000"),
+        ).alias("ts"),
+        F.sha2(F.concat(F.col("text"), content_tag), 256).alias("digest"),
+    )
+    return C.cdx_digest_drift(base).select(
+        "surt", "url", "n_captures", "latest_ts", "latest_digest",
+        "prev_ts", "changed",
+    )
+
+
+@register(
+    "f24_sitemap_recrawl",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
+    SELECT 'example,site-' || CAST(dom AS varchar) || ')/p0' AS surt,
+           'https://site-' || CAST(dom AS varchar) || '.example/p0'
+             AS url,
+           'modified' AS reason,
+           '20240105000000' AS lastmod_ts,
+           '20240103000000' AS last_capture_ts
+    FROM doms
+    UNION ALL
+    SELECT 'example,site-' || CAST(dom AS varchar) || ')/pnew',
+           'https://site-' || CAST(dom AS varchar) || '.example/pnew',
+           'new',
+           '20240102000000',
+           NULL
+    FROM doms
+    """,
+    doc="sitemap-driven recrawl selection (sources/cdx.py::"
+        "sitemap_recrawl over functions/urls.py::parse_sitemap output — "
+        "the scheduler step between sitemap parsing and the fetcher): "
+        "never-captured URLs fetch as 'new', URLs whose lastmod "
+        "postdates the newest capture refetch as 'modified', known URLs "
+        "without lastmod (or not newer) are skipped — no evidence of "
+        "change. Drives the FULL chain: sitemaps.org XML -> native "
+        "from_xml parse -> SURT keys -> per-key max(ts) against the "
+        "index -> verdicts. Fixture per domain: /p0 lastmod day 5 vs "
+        "capture day 3 (modified), /p1 lastmod day 1 (skip), /pnew "
+        "unindexed (new), /pnolm indexed but lastmod-less (skip); "
+        "lastmod arrives in BOTH protocol forms (bare date and W3C "
+        "datetime with timezone) to pin the ts14 digit-extraction. "
+        "Scale shape: index aggregates to one max(ts) row per key "
+        "before an AQE-sized equi-join on the index's native sort key; "
+        "no window anywhere",
+)
+def f24_sitemap_recrawl(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls as U
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    doms = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("dom")
+    ).distinct()
+    dd = F.col("dom")
+    site = F.concat(F.lit("site-"), dd, F.lit(".example"))
+    # /p0 carries the W3C datetime form, /p1 and /pnew the bare date —
+    # both must digit-extract to the same ts14 grid
+    xml = F.concat(
+        F.lit("<urlset>"
+              "<url><loc>https://site-"), dd,
+        F.lit(".example/p0</loc>"
+              "<lastmod>2024-01-05T00:00:00Z</lastmod></url>"
+              "<url><loc>https://site-"), dd,
+        F.lit(".example/p1</loc><lastmod>2024-01-01</lastmod></url>"
+              "<url><loc>https://site-"), dd,
+        F.lit(".example/pnew</loc><lastmod>2024-01-02</lastmod></url>"
+              "<url><loc>https://site-"), dd,
+        F.lit(".example/pnolm</loc></url>"
+              "</urlset>"),
+    )
+    entries = U.parse_sitemap(
+        doms.select(site.alias("domain"), xml.alias("sitemap_xml"))
+    )
+    index = doms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit("example,site-"), dd, F.lit(f")/{p}")
+                    )
+                    for p in ("p0", "p1", "pnolm")
+                ]
+            )
+        ).alias("surt"),
+    ).withColumn("ts", F.lit("20240103000000"))
+    out = C.sitemap_recrawl(entries, index)
+    return out.select(
+        "surt", "url", "reason", "lastmod_ts", "last_capture_ts"
+    )

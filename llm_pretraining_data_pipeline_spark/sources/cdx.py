@@ -572,6 +572,150 @@ def cdx_latest(cdx: DataFrame) -> DataFrame:
     )
 
 
+def cdx_digest_drift(cdx: DataFrame) -> DataFrame:
+    """Content-drift signal per SURT key across crawl generations: did
+    the newest capture's payload digest change vs the previous capture?
+    The recrawl scheduler's core input — a URL whose content is static
+    across generations earns a longer revisit interval (CC's own
+    duplicate-crawl statistics); one that drifts earns priority. Also
+    the training-data angle: a changed digest marks a page whose older
+    capture may still be the better (pre-SEO-rot) training text.
+
+    Input: any CDX frame (``cdx_records`` output or parsed sidecars) —
+    needs ``surt``/``ts``/``digest``/``target_uri`` plus the identity
+    tail ``(file_id, rec_index)`` or ``(filename, offset)`` (the
+    ``cdx_latest`` convention) for a total, deterministic order within
+    a key. Hostless (null-SURT) rows carry no cross-generation identity
+    and are excluded.
+
+    Output, one row per SURT key: ``(surt, url, n_captures, latest_ts,
+    latest_digest, prev_ts, changed)`` — ``changed`` is false for
+    single-capture keys (``prev_ts`` null) and null-safe on digests (an
+    http-failed capture has a null digest; drift to/from null counts as
+    change only when the values actually differ).
+
+    Scale shape: ONE hash ``groupBy(surt)`` with a ``collect_list``
+    whose per-key size is the number of crawl GENERATIONS the frame
+    spans (single digits in practice) — never corpus-sized, so the hot
+    recrawled-everywhere URL is bounded by construction, no window.
+    """
+    cols = set(cdx.columns)
+    if {"file_id", "rec_index"} <= cols:
+        tail = [F.col("file_id"), F.col("rec_index")]
+    elif {"filename", "offset"} <= cols:
+        tail = [F.col("filename"), F.col("offset")]
+    else:
+        raise ValueError(
+            "cdx_digest_drift: need (file_id, rec_index) or "
+            f"(filename, offset) identity columns; got {sorted(cols)}"
+        )
+    item = F.struct(
+        F.col("ts").alias("ts"),
+        *[t.alias(f"_t{i}") for i, t in enumerate(tail)],
+        F.col("digest").alias("digest"),
+        F.col("target_uri").alias("url"),
+    )
+    per = (
+        cdx.where(F.col("surt").isNotNull())
+        .groupBy("surt")
+        .agg(
+            F.reverse(F.array_sort(F.collect_list(item))).alias("_caps")
+        )
+    )
+    latest = F.get(F.col("_caps"), 0)
+    prev = F.get(F.col("_caps"), 1)  # null when single-capture
+    return per.select(
+        "surt",
+        latest["url"].alias("url"),
+        F.size("_caps").cast("long").alias("n_captures"),
+        latest["ts"].alias("latest_ts"),
+        latest["digest"].alias("latest_digest"),
+        prev["ts"].alias("prev_ts"),
+        F.when(
+            prev["ts"].isNull(), F.lit(False)
+        ).otherwise(
+            ~latest["digest"].eqNullSafe(prev["digest"])
+        ).alias("changed"),
+    )
+
+
+def sitemap_recrawl(
+    entries: DataFrame,
+    index: DataFrame,
+    broadcast_index_side: bool = False,
+) -> DataFrame:
+    """Sitemap-driven fetch selection — the scheduler step between
+    ``parse_sitemap`` and the fetcher: which sitemap URLs deserve a
+    fetch, given what the archive already holds?
+
+    Per sitemaps.org semantics: a URL the index has never captured is
+    fetched (``reason='new'``); a URL whose ``lastmod`` postdates the
+    newest capture is refetched (``reason='modified'``); a known URL
+    without ``lastmod`` — or one not newer — is skipped (no evidence of
+    change; ``changefreq`` pacing is the scheduler's job, not this
+    gate's). ``lastmod`` accepts the protocol's date and W3C datetime
+    forms by digit-extraction to a ts14 prefix (``2024-01-05`` →
+    ``20240105000000``; timezone digits past second precision are
+    truncated — day-level comparison is what the protocol promises
+    anyway).
+
+    ``entries`` is ``parse_sitemap`` output (``sitemapindex`` rows and
+    sm_ok=false rows are ignored — feed children back through fetch →
+    parse first); ``index`` any CDX frame with ``surt``/``ts``.
+    Output: ``(surt, url, reason, lastmod_ts, last_capture_ts)``.
+
+    Scale shape: the index side aggregates to ONE ``max(ts)`` row per
+    key before the join (no window, hot keys bounded), then an equi-join
+    on ``surt`` — the index's native sort key. Default is a shuffle
+    join sized by AQE (both sides can be huge at CC scale);
+    ``broadcast_index_side=True`` broadcasts the aggregated per-key
+    frame when the sitemap universe is small.
+    """
+    cand = entries.where(
+        F.col("sm_ok")
+        & ~F.col("is_index")
+        & F.col("loc").isNotNull()
+    ).select(
+        surt_key("loc").alias("surt"),
+        F.col("loc").alias("url"),
+        F.rpad(
+            F.substring(
+                F.regexp_replace(F.col("lastmod"), "[^0-9]", ""), 1, 14
+            ),
+            14,
+            "0",
+        ).alias("lastmod_ts"),
+    ).where(F.col("surt").isNotNull())
+    latest = (
+        index.where(F.col("surt").isNotNull())
+        .groupBy("surt")
+        .agg(F.max("ts").alias("last_capture_ts"))
+    )
+    if broadcast_index_side:
+        latest = F.broadcast(latest)
+    joined = cand.join(latest, "surt", "left")
+    reason = F.when(
+        F.col("last_capture_ts").isNull(), F.lit("new")
+    ).when(
+        (F.col("lastmod_ts") != "")
+        & (F.col("lastmod_ts") > F.col("last_capture_ts")),
+        F.lit("modified"),
+    )
+    return (
+        joined.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .select(
+            "surt",
+            "url",
+            "reason",
+            F.when(F.col("lastmod_ts") != "", F.col("lastmod_ts")).alias(
+                "lastmod_ts"
+            ),
+            "last_capture_ts",
+        )
+    )
+
+
 def frontier_expand(
     pages: DataFrame,
     index: DataFrame,

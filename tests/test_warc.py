@@ -1237,6 +1237,129 @@ class TestFrontierExpand:
         assert a == b and len(a) == 2
 
 
+class TestCdxDigestDrift:
+    SCHEMA = ("file_id long, rec_index int, surt string, ts string, "
+              "digest string, target_uri string")
+
+    def test_null_digest_drift_semantics(self, spark):
+        # http-failed captures carry null digests: null->value IS a
+        # change, null->null is NOT (eqNullSafe), single capture never is
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        rows = [
+            (1, 0, "com,a)/x", "20240101000000", None, "https://a/x"),
+            (2, 0, "com,a)/x", "20240201000000", "d1", "https://a/x"),
+            (3, 0, "com,b)/y", "20240101000000", None, "https://b/y"),
+            (4, 0, "com,b)/y", "20240201000000", None, "https://b/y"),
+            (5, 0, "com,c)/z", "20240101000000", "d9", "https://c/z"),
+            (6, 0, None, "20240101000000", "dn", "dns:x"),  # excluded
+        ]
+        out = {
+            r["surt"]: r
+            for r in cdx.cdx_digest_drift(
+                spark.createDataFrame(rows, self.SCHEMA)
+            ).collect()
+        }
+        assert set(out) == {"com,a)/x", "com,b)/y", "com,c)/z"}
+        assert out["com,a)/x"]["changed"] is True
+        assert out["com,a)/x"]["latest_digest"] == "d1"
+        assert out["com,b)/y"]["changed"] is False
+        assert out["com,c)/z"]["changed"] is False
+        assert out["com,c)/z"]["prev_ts"] is None
+        assert out["com,c)/z"]["n_captures"] == 1
+
+    def test_composes_over_published_sidecar_shape(self, spark):
+        # parsed sidecars carry (filename, offset), not (file_id,
+        # rec_index) — the identity-tail fallback must accept them
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        schema = ("filename string, offset long, surt string, ts string, "
+                  "digest string, target_uri string")
+        rows = [
+            ("a.warc", 0, "com,a)/x", "20240101000000", "d0", "u"),
+            ("b.warc", 0, "com,a)/x", "20240201000000", "d1", "u"),
+        ]
+        out = cdx.cdx_digest_drift(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+        assert len(out) == 1 and out[0]["changed"] is True
+
+    def test_missing_identity_raises(self, spark):
+        import pytest as _pytest
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        df = spark.createDataFrame(
+            [("s", "t", "d", "u")],
+            "surt string, ts string, digest string, target_uri string",
+        )
+        with _pytest.raises(ValueError, match="identity columns"):
+            cdx.cdx_digest_drift(df)
+
+
+class TestSitemapRecrawl:
+    ENTRY_SCHEMA = (
+        "domain string, entry_pos int, loc string, lastmod string, "
+        "changefreq string, priority double, is_index boolean, "
+        "sm_ok boolean"
+    )
+
+    def _run(self, spark, entries, index_rows, **kw):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        e = spark.createDataFrame(entries, self.ENTRY_SCHEMA)
+        idx = spark.createDataFrame(index_rows, "surt string, ts string")
+        return {
+            r["surt"]: r
+            for r in cdx.sitemap_recrawl(e, idx, **kw).collect()
+        }
+
+    def test_verdicts_and_ignored_rows(self, spark):
+        entries = [
+            # modified: lastmod day 5 > capture day 3
+            ("a.example", 0, "https://a.example/p0", "2024-01-05",
+             None, None, False, True),
+            # equal-to-capture lastmod: NOT newer -> skip
+            ("a.example", 1, "https://a.example/p1", "2024-01-03",
+             None, None, False, True),
+            # new URL
+            ("a.example", 2, "https://a.example/pnew", "2024-01-02",
+             None, None, False, True),
+            # indexed, lastmod-less -> skip (no evidence)
+            ("a.example", 3, "https://a.example/pnolm", None,
+             None, None, False, True),
+            # sitemapindex child + malformed row: both ignored
+            ("a.example", 4, "https://a.example/child.xml",
+             "2024-09-09", None, None, True, True),
+            ("a.example", None, None, None, None, None, None, False),
+        ]
+        index = [
+            ("example,a)/p0", "20240103000000"),
+            ("example,a)/p1", "20240103000000"),
+            ("example,a)/pnolm", "20240103000000"),
+        ]
+        out = self._run(spark, entries, index)
+        assert set(out) == {"example,a)/p0", "example,a)/pnew"}
+        assert out["example,a)/p0"]["reason"] == "modified"
+        assert out["example,a)/p0"]["last_capture_ts"] == "20240103000000"
+        assert out["example,a)/pnew"]["reason"] == "new"
+        assert out["example,a)/pnew"]["last_capture_ts"] is None
+        # broadcast escape hatch returns identical verdicts
+        b = self._run(spark, entries, index, broadcast_index_side=True)
+        assert {k: v["reason"] for k, v in b.items()} == {
+            k: v["reason"] for k, v in out.items()
+        }
+
+    def test_multi_generation_index_uses_newest(self, spark):
+        entries = [
+            ("a.example", 0, "https://a.example/p", "2024-01-04",
+             None, None, False, True),
+        ]
+        # newest capture (day 5) postdates lastmod -> skip, even though
+        # an older generation (day 1) predates it
+        index = [
+            ("example,a)/p", "20240101000000"),
+            ("example,a)/p", "20240105000000"),
+        ]
+        assert self._run(spark, entries, index) == {}
+
+
 class TestCdxLatestMalformedRows:
     def test_all_malformed_rows_survive_a_merge(self, spark):
         # parsed frames null BOTH tail columns on malformed lines; the
