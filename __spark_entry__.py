@@ -167,12 +167,13 @@ _PRIORITY_R11 = [
 # emb_lsh_or_recall also touch the changed operators/dedup.py guard, but
 # their called path is provably identical (they pass dim) and both were
 # re-verified via check_oracle this session (7/7 with the four emb rows
-# below); they refresh in r13. Two queries registered AFTER the head was
-# frozen — s11_cdx_digest_drift and f24_sitemap_recrawl (the late
-# recrawl-scheduling wave) — sit past the 50-row cap by design: both
-# hash-verified via check_oracle at sf0.01 AND sf0.001 on registration,
-# both covered by the suite's full oracle-parity replay; they take head
-# slots in r13.
+# below); they refresh in r13. Four queries registered AFTER the head
+# was frozen — s11_cdx_digest_drift, f24_sitemap_recrawl,
+# o09_frontier_schedule, a23_drift_by_host (the late recrawl-scheduling
+# wave) — sit past the 50-row cap by design: all four hash-verified via
+# check_oracle at sf0.01 AND sf0.001 on registration, all covered by the
+# suite's full oracle-parity replay and the pre-seal full sweep; they
+# take head slots in r13.
 _PRIORITY_R12 = [
     # new this round — hash-matched via check_oracle at sf0.01 AND
     # sf0.001 on registration: robots-gated frontier expansion (VERDICT

@@ -5640,3 +5640,174 @@ def f24_sitemap_recrawl(spark, sf_dir):
     return out.select(
         "surt", "url", "reason", "lastmod_ts", "last_capture_ts"
     )
+
+
+@register(
+    "o09_frontier_schedule",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
+    SELECT 'site-' || CAST(dom AS varchar) || '.example' AS host,
+           'https://site-' || CAST(dom AS varchar) || '.example/a' AS url,
+           'example,site-' || CAST(dom AS varchar) || ')/a' AS surt,
+           CAST(3 AS bigint) AS n_sources,
+           1 AS fetch_rank,
+           CAST(0 AS double) AS start_offset_s
+    FROM doms
+    UNION ALL
+    SELECT 'site-' || CAST(dom AS varchar) || '.example',
+           'https://site-' || CAST(dom AS varchar) || '.example/b',
+           'example,site-' || CAST(dom AS varchar) || ')/b',
+           CAST(1 AS bigint),
+           2,
+           CAST(dom % 3 + 1 AS double)
+    FROM doms
+    UNION ALL
+    SELECT 'peer-' || CAST(dom AS varchar) || '.example',
+           'https://peer-' || CAST(dom AS varchar) || '.example/x',
+           'example,peer-' || CAST(dom AS varchar) || ')/x',
+           CAST(1 AS bigint),
+           1,
+           CAST(0 AS double)
+    FROM doms
+    """,
+    doc="per-host fetch-slot scheduling (sources/cdx.py::"
+        "frontier_schedule — the last scheduler step before the "
+        "fetcher): within each host, candidates order by in-link count "
+        "(n_sources desc, url asc for determinism) and space "
+        "crawl_delay seconds apart; hosts without a directive get the "
+        "default delay; per_host_budget caps each host's generation "
+        "slots. Fixture per domain: three site candidates (n_sources "
+        "3/1/1 — the url tiebreak orders /b before /c, and budget=2 "
+        "must DROP /c) with crawl_delay dom%3+1, plus a directive-less "
+        "peer host whose slot spacing falls back to the 1.0 s default. "
+        "Referee recomputes every surviving slot closed-form. Scale "
+        "shape: ONE window partitioned by host — politeness makes "
+        "per-host scheduling inherently serial (a mega-host IS one "
+        "ordered queue), per_host_budget bounds the partition's useful "
+        "length, every other host schedules in parallel",
+)
+def o09_frontier_schedule(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    doms = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("dom")
+    ).distinct()
+    dd = F.col("dom")
+    site_url = lambda p: F.concat(  # noqa: E731
+        F.lit("https://site-"), dd, F.lit(f".example/{p}")
+    )
+    site_surt = lambda p: F.concat(  # noqa: E731
+        F.lit("example,site-"), dd, F.lit(f")/{p}")
+    )
+    rows = doms.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    site_surt("a").alias("surt"),
+                    site_url("a").alias("url"),
+                    F.lit(3).cast("long").alias("n_sources"),
+                    (dd % 3 + 1).cast("double").alias("crawl_delay"),
+                ),
+                F.struct(
+                    site_surt("b").alias("surt"),
+                    site_url("b").alias("url"),
+                    F.lit(1).cast("long").alias("n_sources"),
+                    (dd % 3 + 1).cast("double").alias("crawl_delay"),
+                ),
+                F.struct(
+                    site_surt("c").alias("surt"),
+                    site_url("c").alias("url"),
+                    F.lit(1).cast("long").alias("n_sources"),
+                    (dd % 3 + 1).cast("double").alias("crawl_delay"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit("example,peer-"), dd, F.lit(")/x")
+                    ).alias("surt"),
+                    F.concat(
+                        F.lit("https://peer-"), dd, F.lit(".example/x")
+                    ).alias("url"),
+                    F.lit(1).cast("long").alias("n_sources"),
+                    F.lit(None).cast("double").alias("crawl_delay"),
+                ),
+            )
+        ).alias("_f")
+    ).select("_f.*")
+    out = C.frontier_schedule(rows, default_delay=1.0, per_host_budget=2)
+    return out.select(
+        "host", "url", "surt", "n_sources", "fetch_rank",
+        "start_offset_s",
+    )
+
+
+@register(
+    "a23_drift_by_host",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 50 AS dom,
+             NOT (doc_id % 4 = 0) AND NOT (doc_id % 7 = 0) AS chg
+      FROM documents
+    )
+    SELECT 'site-' || CAST(dom AS varchar) || '.example' AS host,
+           CAST(count(*) AS bigint) AS n_urls,
+           CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS bigint)
+             AS n_changed,
+           round(avg(CASE WHEN chg THEN 1.0 ELSE 0.0 END), 6)
+             AS drift_rate
+    FROM d GROUP BY dom
+    """,
+    doc="recrawl-budget allocation input (cdx_digest_drift composed "
+        "into a per-host rollup): what fraction of each host's URLs "
+        "changed content between the two newest captures? A crawl "
+        "scheduler splits its revisit budget proportionally to "
+        "drift_rate — static hosts earn long revisit intervals, "
+        "drifting hosts earn priority (the CC duplicate-crawl "
+        "statistic). Shares s11's generation fixture (id%4=0 single "
+        "capture, id%7=0 static recrawl, else drifting); referee "
+        "recomputes the per-host rates closed-form. Scale shape: the "
+        "drift groupBy (generation-bounded lists) then ONE host "
+        "groupBy — two hash shuffles total, no window",
+)
+def a23_drift_by_host(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls as U
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    d = _docs(spark, sf_dir)
+    gens = d.select(
+        "doc_id", "text",
+        F.explode(
+            F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(0)))
+            .otherwise(F.array(F.lit(0), F.lit(1)))
+        ).alias("g"),
+    )
+    dom = (F.col("doc_id") % 50).cast("string")
+    content_tag = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("0")
+    ).otherwise(F.col("g").cast("string"))
+    base = gens.select(
+        (F.col("doc_id") * 2 + F.col("g")).alias("file_id"),
+        F.lit(0).cast("int").alias("rec_index"),
+        F.concat(
+            F.lit("example,site-"), dom, F.lit(")/doc/"), F.col("doc_id")
+        ).alias("surt"),
+        F.concat(
+            F.lit("https://site-"), dom, F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("target_uri"),
+        F.concat(
+            F.lit("2024010"), (F.col("g") + 1).cast("string"),
+            F.lit("000000"),
+        ).alias("ts"),
+        F.sha2(F.concat(F.col("text"), content_tag), 256).alias("digest"),
+    )
+    drift = C.cdx_digest_drift(base)
+    return (
+        drift.groupBy(U.url_domain(F.col("url")).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("changed").cast("long")).alias("n_changed"),
+            F.round(F.avg(F.col("changed").cast("double")), 6).alias(
+                "drift_rate"
+            ),
+        )
+    )

@@ -572,6 +572,72 @@ def cdx_latest(cdx: DataFrame) -> DataFrame:
     )
 
 
+def frontier_schedule(
+    frontier: DataFrame,
+    default_delay: float = 1.0,
+    per_host_budget: int | None = None,
+) -> DataFrame:
+    """Turn a frontier into per-host fetch slots — the last scheduler
+    step before the fetcher: within each host, order candidates by
+    in-link count (``n_sources`` desc, URL asc for determinism), and
+    space them ``crawl_delay`` seconds apart (``robots_directives``
+    output riding on the frontier via
+    ``frontier_expand(directives=)``; hosts without a directive get
+    ``default_delay``).
+
+    Output: ``(host, url, surt, n_sources, fetch_rank,
+    start_offset_s)`` — ``fetch_rank`` is 1-based within the host,
+    ``start_offset_s = (fetch_rank - 1) * delay`` the earliest start
+    relative to the host's first fetch. ``per_host_budget`` caps each
+    host's slots (generation budget); beyond-budget candidates drop
+    out and resurface when the next generation's frontier is built.
+
+    Scale shape: ONE window partitioned by host. A mega-host partition
+    is not a skew accident here — politeness makes per-host scheduling
+    inherently serial (a million-URL host IS a single ordered queue no
+    matter how it's computed), and ``per_host_budget`` is the lever
+    that bounds the partition's useful length; every other host
+    schedules in parallel.
+    """
+    from pyspark.sql import Window
+
+    from llm_pretraining_data_pipeline_spark.functions.urls import (
+        url_domain,
+    )
+
+    has_delay = "crawl_delay" in frontier.columns
+    delay = (
+        F.coalesce(F.col("crawl_delay").cast("double"),
+                   F.lit(float(default_delay)))
+        if has_delay
+        else F.lit(float(default_delay))
+    )
+    base = frontier.withColumn("host", url_domain(F.col("url")))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_sources"), F.col("url")
+    )
+    out = base.select(
+        "host",
+        "url",
+        "surt",
+        "n_sources",
+        F.row_number().over(w).alias("fetch_rank"),
+        delay.alias("_delay"),
+    )
+    if per_host_budget is not None:
+        out = out.where(F.col("fetch_rank") <= per_host_budget)
+    return out.select(
+        "host",
+        "url",
+        "surt",
+        "n_sources",
+        "fetch_rank",
+        F.round(
+            (F.col("fetch_rank") - 1).cast("double") * F.col("_delay"), 6
+        ).alias("start_offset_s"),
+    )
+
+
 def cdx_digest_drift(cdx: DataFrame) -> DataFrame:
     """Content-drift signal per SURT key across crawl generations: did
     the newest capture's payload digest change vs the previous capture?

@@ -1237,6 +1237,66 @@ class TestFrontierExpand:
         assert a == b and len(a) == 2
 
 
+class TestFrontierSchedule:
+    def test_composes_with_polite_expand(self, spark):
+        # the full loop tail: expand (robots-gated, delay-carrying) →
+        # per-host slots; the delay column must ride through
+        from llm_pretraining_data_pipeline_spark.functions import urls
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        pages = spark.createDataFrame(
+            [(
+                "https://a.example/idx",
+                '<a href="/one.html">1</a> <a href="/two.html">2</a> '
+                '<a href="/one.html">again</a>',
+            )],
+            "url string, html string",
+        )
+        index = spark.createDataFrame([("example,a)/idx",)], "surt string")
+        robots = spark.createDataFrame(
+            [("a.example", "User-agent: *\nCrawl-delay: 2")],
+            "domain string, robots_txt string",
+        )
+        frontier = cdx.frontier_expand(
+            pages, index,
+            robots_rules=urls.parse_robots(robots),
+            directives=urls.robots_directives(robots),
+        )
+        out = {
+            r["url"]: r
+            for r in cdx.frontier_schedule(frontier).collect()
+        }
+        one = out["https://a.example/one.html"]
+        two = out["https://a.example/two.html"]
+        assert one["fetch_rank"] == 1 and one["start_offset_s"] == 0.0
+        assert one["n_sources"] == 2  # linked twice -> scheduled first
+        assert two["fetch_rank"] == 2 and two["start_offset_s"] == 2.0
+
+    def test_budget_and_default_delay(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        rows = [
+            ("example,h)/a", "https://h.example/a", 5, None),
+            ("example,h)/b", "https://h.example/b", 1, None),
+            ("example,h)/c", "https://h.example/c", 1, None),
+        ]
+        f = spark.createDataFrame(
+            rows,
+            "surt string, url string, n_sources long, crawl_delay double",
+        )
+        out = cdx.frontier_schedule(
+            f, default_delay=0.5, per_host_budget=2
+        ).collect()
+        assert sorted(r["url"][-1] for r in out) == ["a", "b"]  # c dropped
+        offs = {r["url"][-1]: r["start_offset_s"] for r in out}
+        assert offs == {"a": 0.0, "b": 0.5}  # null delay -> default
+        # without the delay column at all, the default still applies
+        out2 = cdx.frontier_schedule(
+            f.drop("crawl_delay"), default_delay=3.0
+        ).collect()
+        assert {r["url"][-1]: r["start_offset_s"] for r in out2} == {
+            "a": 0.0, "b": 3.0, "c": 6.0,
+        }
+
+
 class TestCdxDigestDrift:
     SCHEMA = ("file_id long, rec_index int, surt string, ts string, "
               "digest string, target_uri string")
