@@ -1353,6 +1353,20 @@ class TestCdxDigestDrift:
         with _pytest.raises(ValueError, match="identity columns"):
             cdx.cdx_digest_drift(df)
 
+    def test_plan_one_shuffle_no_window(self, spark):
+        # drift is ONE hash aggregation: no window (hot URLs can't
+        # straggle), no cartesian, exactly one exchange pair
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        df = spark.createDataFrame(
+            [(1, 0, "com,a)/x", "20240101000000", "d", "u")], self.SCHEMA
+        )
+        plan = (
+            cdx.cdx_digest_drift(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestSitemapRecrawl:
     ENTRY_SCHEMA = (
@@ -1418,6 +1432,23 @@ class TestSitemapRecrawl:
             ("example,a)/p", "20240105000000"),
         ]
         assert self._run(spark, entries, index) == {}
+
+    def test_plan_no_window_no_cartesian(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        e = spark.createDataFrame(
+            [("a.example", 0, "https://a.example/p", "2024-01-04",
+              None, None, False, True)],
+            self.ENTRY_SCHEMA,
+        )
+        idx = spark.createDataFrame(
+            [("example,a)/p", "20240101000000")], "surt string, ts string"
+        )
+        plan = (
+            cdx.sitemap_recrawl(e, idx)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
 
 
 class TestCdxLatestMalformedRows:
