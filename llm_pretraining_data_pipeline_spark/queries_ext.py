@@ -5488,6 +5488,42 @@ def s10_cdx_range_read(spark, sf_dir):
     )
 
 
+def _drift_base(spark, sf_dir):
+    """Shared multi-generation CDX fixture for s11_cdx_digest_drift and
+    a23_drift_by_host (one builder so the two referees cannot silently
+    diverge — review finding): docs captured on days 1..(1 or 2), with
+    id%4=0 single-capture, id%7=0 static-recrawl (same digest), else
+    drifting content."""
+    d = _docs(spark, sf_dir)
+    gens = d.select(
+        "doc_id", "text",
+        F.explode(
+            F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(0)))
+            .otherwise(F.array(F.lit(0), F.lit(1)))
+        ).alias("g"),
+    )
+    dom = (F.col("doc_id") % 50).cast("string")
+    content_tag = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("0")
+    ).otherwise(F.col("g").cast("string"))
+    return gens.select(
+        (F.col("doc_id") * 2 + F.col("g")).alias("file_id"),
+        F.lit(0).cast("int").alias("rec_index"),
+        F.concat(
+            F.lit("example,site-"), dom, F.lit(")/doc/"), F.col("doc_id")
+        ).alias("surt"),
+        F.concat(
+            F.lit("https://site-"), dom, F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("target_uri"),
+        F.concat(
+            F.lit("2024010"), (F.col("g") + 1).cast("string"),
+            F.lit("000000"),
+        ).alias("ts"),
+        F.sha2(F.concat(F.col("text"), content_tag), 256).alias("digest"),
+    )
+
+
 @register(
     "s11_cdx_digest_drift",
     """
@@ -5527,34 +5563,7 @@ def s10_cdx_range_read(spark, sf_dir):
 def s11_cdx_digest_drift(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.sources import cdx as C
 
-    d = _docs(spark, sf_dir)
-    gens = d.select(
-        "doc_id", "text",
-        F.explode(
-            F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(0)))
-            .otherwise(F.array(F.lit(0), F.lit(1)))
-        ).alias("g"),
-    )
-    dom = (F.col("doc_id") % 50).cast("string")
-    content_tag = F.when(
-        F.col("doc_id") % 7 == 0, F.lit("0")
-    ).otherwise(F.col("g").cast("string"))
-    base = gens.select(
-        (F.col("doc_id") * 2 + F.col("g")).alias("file_id"),
-        F.lit(0).cast("int").alias("rec_index"),
-        F.concat(
-            F.lit("example,site-"), dom, F.lit(")/doc/"), F.col("doc_id")
-        ).alias("surt"),
-        F.concat(
-            F.lit("https://site-"), dom, F.lit(".example/doc/"),
-            F.col("doc_id"),
-        ).alias("target_uri"),
-        F.concat(
-            F.lit("2024010"), (F.col("g") + 1).cast("string"),
-            F.lit("000000"),
-        ).alias("ts"),
-        F.sha2(F.concat(F.col("text"), content_tag), 256).alias("digest"),
-    )
+    base = _drift_base(spark, sf_dir)
     return C.cdx_digest_drift(base).select(
         "surt", "url", "n_captures", "latest_ts", "latest_digest",
         "prev_ts", "changed",
@@ -5772,35 +5781,7 @@ def a23_drift_by_host(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.functions import urls as U
     from llm_pretraining_data_pipeline_spark.sources import cdx as C
 
-    d = _docs(spark, sf_dir)
-    gens = d.select(
-        "doc_id", "text",
-        F.explode(
-            F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(0)))
-            .otherwise(F.array(F.lit(0), F.lit(1)))
-        ).alias("g"),
-    )
-    dom = (F.col("doc_id") % 50).cast("string")
-    content_tag = F.when(
-        F.col("doc_id") % 7 == 0, F.lit("0")
-    ).otherwise(F.col("g").cast("string"))
-    base = gens.select(
-        (F.col("doc_id") * 2 + F.col("g")).alias("file_id"),
-        F.lit(0).cast("int").alias("rec_index"),
-        F.concat(
-            F.lit("example,site-"), dom, F.lit(")/doc/"), F.col("doc_id")
-        ).alias("surt"),
-        F.concat(
-            F.lit("https://site-"), dom, F.lit(".example/doc/"),
-            F.col("doc_id"),
-        ).alias("target_uri"),
-        F.concat(
-            F.lit("2024010"), (F.col("g") + 1).cast("string"),
-            F.lit("000000"),
-        ).alias("ts"),
-        F.sha2(F.concat(F.col("text"), content_tag), 256).alias("digest"),
-    )
-    drift = C.cdx_digest_drift(base)
+    drift = C.cdx_digest_drift(_drift_base(spark, sf_dir))
     return (
         drift.groupBy(U.url_domain(F.col("url")).alias("host"))
         .agg(

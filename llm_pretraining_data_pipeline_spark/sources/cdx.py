@@ -517,6 +517,23 @@ def read_cdxj(
     return out
 
 
+def _identity_tail(cdx: DataFrame, caller: str) -> list:
+    """The identity columns that make per-key ordering total:
+    ``(file_id, rec_index)`` for in-process ``cdx_records`` frames,
+    ``(filename, offset)`` for frames parsed back from published
+    sidecars. Shared by ``cdx_latest`` and ``cdx_digest_drift`` so the
+    two conventions cannot drift (review finding)."""
+    cols = set(cdx.columns)
+    if {"file_id", "rec_index"} <= cols:
+        return [F.col("file_id"), F.col("rec_index")]
+    if {"filename", "offset"} <= cols:
+        return [F.col("filename"), F.col("offset")]
+    raise ValueError(
+        f"{caller}: need (file_id, rec_index) or (filename, offset) "
+        f"identity columns; got {sorted(cols)}"
+    )
+
+
 def cdx_latest(cdx: DataFrame) -> DataFrame:
     """Collapse multiple crawl generations into the NEWEST capture per
     SURT key — the "latest index" a wayback-style reader or a
@@ -538,16 +555,7 @@ def cdx_latest(cdx: DataFrame) -> DataFrame:
     never builds a straggler partition (the engine's skew-safe
     keep-one pattern).
     """
-    cols = set(cdx.columns)
-    if {"file_id", "rec_index"} <= cols:
-        tail = [F.col("file_id"), F.col("rec_index")]
-    elif {"filename", "offset"} <= cols:
-        tail = [F.col("filename"), F.col("offset")]
-    else:
-        raise ValueError(
-            "cdx_latest: need (file_id, rec_index) or (filename, offset) "
-            f"identity columns; got {sorted(cols)}"
-        )
+    tail = _identity_tail(cdx, "cdx_latest")
     # Solo keys must be unique PER ROW even when the tail itself is
     # null (a parsed frame's malformed lines carry null filename AND
     # null offset — concat_ws would skip both and collapse every such
@@ -606,15 +614,30 @@ def frontier_schedule(
     )
 
     has_delay = "crawl_delay" in frontier.columns
-    delay = (
-        F.coalesce(F.col("crawl_delay").cast("double"),
-                   F.lit(float(default_delay)))
-        if has_delay
-        else F.lit(float(default_delay))
+    # Hosts whose URL yields no parseable authority (null/scheme-less/
+    # mailto) are unfetchable — exclude them rather than collapsing
+    # them into one '' queue where the budget would drop arbitrary
+    # rows (review finding).
+    base = frontier.withColumn("host", url_domain(F.col("url"))).where(
+        F.col("host") != ""
     )
-    base = frontier.withColumn("host", url_domain(F.col("url")))
     w = Window.partitionBy("host").orderBy(
         F.desc("n_sources"), F.col("url")
+    )
+    # The delay is a HOST directive: resolve it once per host (MAX —
+    # the conservative politeness merge, matching robots_directives)
+    # rather than per row, or mixed/partly-null rows would schedule
+    # rank-2 fetches closer than the host's directive allows (review
+    # finding). Same partition key as the rank window: one shuffle.
+    delay = (
+        F.coalesce(
+            F.max(F.col("crawl_delay").cast("double")).over(
+                Window.partitionBy("host")
+            ),
+            F.lit(float(default_delay)),
+        )
+        if has_delay
+        else F.lit(float(default_delay))
     )
     out = base.select(
         "host",
@@ -655,26 +678,19 @@ def cdx_digest_drift(cdx: DataFrame) -> DataFrame:
     and are excluded.
 
     Output, one row per SURT key: ``(surt, url, n_captures, latest_ts,
-    latest_digest, prev_ts, changed)`` — ``changed`` is false for
-    single-capture keys (``prev_ts`` null) and null-safe on digests (an
-    http-failed capture has a null digest; drift to/from null counts as
-    change only when the values actually differ).
+    latest_digest, prev_ts, changed)`` — ``changed`` is false exactly
+    when ``n_captures`` is 1 (the sentinel is the capture COUNT, not
+    ``prev_ts`` — a real second capture whose own ts is null, e.g. an
+    unparseable WARC-Date, still drift-compares) and null-safe on
+    digests (an http-failed capture has a null digest; drift to/from
+    null counts as change only when the values actually differ).
 
     Scale shape: ONE hash ``groupBy(surt)`` with a ``collect_list``
     whose per-key size is the number of crawl GENERATIONS the frame
     spans (single digits in practice) — never corpus-sized, so the hot
     recrawled-everywhere URL is bounded by construction, no window.
     """
-    cols = set(cdx.columns)
-    if {"file_id", "rec_index"} <= cols:
-        tail = [F.col("file_id"), F.col("rec_index")]
-    elif {"filename", "offset"} <= cols:
-        tail = [F.col("filename"), F.col("offset")]
-    else:
-        raise ValueError(
-            "cdx_digest_drift: need (file_id, rec_index) or "
-            f"(filename, offset) identity columns; got {sorted(cols)}"
-        )
+    tail = _identity_tail(cdx, "cdx_digest_drift")
     item = F.struct(
         F.col("ts").alias("ts"),
         *[t.alias(f"_t{i}") for i, t in enumerate(tail)],
@@ -698,7 +714,7 @@ def cdx_digest_drift(cdx: DataFrame) -> DataFrame:
         latest["digest"].alias("latest_digest"),
         prev["ts"].alias("prev_ts"),
         F.when(
-            prev["ts"].isNull(), F.lit(False)
+            F.size("_caps") < 2, F.lit(False)
         ).otherwise(
             ~latest["digest"].eqNullSafe(prev["digest"])
         ).alias("changed"),
@@ -728,30 +744,48 @@ def sitemap_recrawl(
     ``entries`` is ``parse_sitemap`` output (``sitemapindex`` rows and
     sm_ok=false rows are ignored — feed children back through fetch →
     parse first); ``index`` any CDX frame with ``surt``/``ts``.
+    Candidates dedupe to ONE row per SURT key before the join (the
+    ``frontier_expand`` keep-one convention — split-sitemap sites list
+    a URL in several files, and duplicate rows would double-fetch):
+    ``url`` keeps the lexicographically-least representative,
+    ``lastmod`` the NEWEST claim (if any sitemap says it changed, it
+    changed). A lastmod with no digits at all (``yesterday``, empty
+    element) is null — no usable evidence, same as absent.
     Output: ``(surt, url, reason, lastmod_ts, last_capture_ts)``.
 
-    Scale shape: the index side aggregates to ONE ``max(ts)`` row per
-    key before the join (no window, hot keys bounded), then an equi-join
-    on ``surt`` — the index's native sort key. Default is a shuffle
-    join sized by AQE (both sides can be huge at CC scale);
-    ``broadcast_index_side=True`` broadcasts the aggregated per-key
-    frame when the sitemap universe is small.
+    Scale shape: candidates dedupe in one hash groupBy and the index
+    side aggregates to ONE ``max(ts)`` row per key before the join (no
+    window, hot keys bounded), then an equi-join on ``surt`` — the
+    index's native sort key. Default is a shuffle join sized by AQE
+    (both sides can be huge at CC scale); ``broadcast_index_side=True``
+    broadcasts the aggregated per-key frame when the sitemap universe
+    is small.
     """
-    cand = entries.where(
-        F.col("sm_ok")
-        & ~F.col("is_index")
-        & F.col("loc").isNotNull()
-    ).select(
-        surt_key("loc").alias("surt"),
-        F.col("loc").alias("url"),
-        F.rpad(
-            F.substring(
-                F.regexp_replace(F.col("lastmod"), "[^0-9]", ""), 1, 14
-            ),
-            14,
-            "0",
-        ).alias("lastmod_ts"),
-    ).where(F.col("surt").isNotNull())
+    digits = F.regexp_replace(F.col("lastmod"), "[^0-9]", "")
+    # rpad('',14,'0') would fabricate a year-0 ts14 out of a digit-free
+    # lastmod; null is the honest value (review finding)
+    lastmod_ts = F.when(
+        digits != "",
+        F.rpad(F.substring(digits, 1, 14), 14, "0"),
+    )
+    cand = (
+        entries.where(
+            F.col("sm_ok")
+            & ~F.col("is_index")
+            & F.col("loc").isNotNull()
+        )
+        .select(
+            surt_key("loc").alias("surt"),
+            F.col("loc").alias("url"),
+            lastmod_ts.alias("lastmod_ts"),
+        )
+        .where(F.col("surt").isNotNull())
+        .groupBy("surt")
+        .agg(
+            F.min("url").alias("url"),
+            F.max("lastmod_ts").alias("lastmod_ts"),  # max skips nulls
+        )
+    )
     latest = (
         index.where(F.col("surt").isNotNull())
         .groupBy("surt")
@@ -763,7 +797,7 @@ def sitemap_recrawl(
     reason = F.when(
         F.col("last_capture_ts").isNull(), F.lit("new")
     ).when(
-        (F.col("lastmod_ts") != "")
+        F.col("lastmod_ts").isNotNull()
         & (F.col("lastmod_ts") > F.col("last_capture_ts")),
         F.lit("modified"),
     )
@@ -774,9 +808,7 @@ def sitemap_recrawl(
             "surt",
             "url",
             "reason",
-            F.when(F.col("lastmod_ts") != "", F.col("lastmod_ts")).alias(
-                "lastmod_ts"
-            ),
+            "lastmod_ts",
             "last_capture_ts",
         )
     )

@@ -1296,6 +1296,39 @@ class TestFrontierSchedule:
             "a": 0.0, "b": 3.0, "c": 6.0,
         }
 
+    def test_delay_is_a_host_directive_not_per_row(self, spark):
+        # mixed/partly-null delays must resolve ONCE per host (MAX, the
+        # conservative politeness merge) — per-row coalescing would
+        # schedule rank-2 closer than the directive allows (review
+        # finding)
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        rows = [
+            ("example,h)/a", "https://h.example/a", 5, 2.0),
+            ("example,h)/b", "https://h.example/b", 1, None),
+        ]
+        f = spark.createDataFrame(
+            rows,
+            "surt string, url string, n_sources long, crawl_delay double",
+        )
+        out = {r["url"][-1]: r for r in cdx.frontier_schedule(f).collect()}
+        assert out["b"]["start_offset_s"] == 2.0  # host's 2s, not 1s
+
+    def test_hostless_rows_excluded(self, spark):
+        # unparseable-host rows are unfetchable: never ranked, never
+        # emitted, never consuming budget (review finding)
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        rows = [
+            ("example,h)/a", "https://h.example/a", 1, None),
+            (None, "mailto:x@y.example", 9, None),
+            (None, None, 9, None),
+        ]
+        f = spark.createDataFrame(
+            rows,
+            "surt string, url string, n_sources long, crawl_delay double",
+        )
+        out = cdx.frontier_schedule(f, per_host_budget=1).collect()
+        assert len(out) == 1 and out[0]["host"] == "h.example"
+
 
 class TestCdxDigestDrift:
     SCHEMA = ("file_id long, rec_index int, surt string, ts string, "
@@ -1355,7 +1388,7 @@ class TestCdxDigestDrift:
 
     def test_plan_one_shuffle_no_window(self, spark):
         # drift is ONE hash aggregation: no window (hot URLs can't
-        # straggle), no cartesian, exactly one exchange pair
+        # straggle), no cartesian, exactly one Exchange
         from llm_pretraining_data_pipeline_spark.sources import cdx
         df = spark.createDataFrame(
             [(1, 0, "com,a)/x", "20240101000000", "d", "u")], self.SCHEMA
@@ -1366,6 +1399,23 @@ class TestCdxDigestDrift:
         )
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
+        assert plan.count("Exchange") == 1
+
+    def test_null_ts_second_capture_still_drift_compares(self, spark):
+        # the single-capture sentinel is the capture COUNT: a real
+        # second capture whose own ts is null (unparseable WARC-Date)
+        # must still digest-compare (review finding)
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        rows = [
+            (1, 0, "com,a)/x", "20240101000000", "d0", "u"),
+            (2, 0, "com,a)/x", None, "d1", "u"),
+        ]
+        out = cdx.cdx_digest_drift(
+            spark.createDataFrame(rows, self.SCHEMA)
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["n_captures"] == 2
+        assert out[0]["changed"] is True
 
 
 class TestSitemapRecrawl:
@@ -1449,6 +1499,38 @@ class TestSitemapRecrawl:
         )
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_split_sitemap_duplicates_dedupe(self, spark):
+        # split-sitemap sites list the same URL in several files; the
+        # fetcher must see ONE row, with the NEWEST lastmod claim
+        # (review finding)
+        entries = [
+            ("a.example", 0, "https://a.example/p", "2024-01-04",
+             None, None, False, True),
+            ("a.example", 0, "https://a.example/p", "2024-01-05",
+             None, None, False, True),
+        ]
+        index = [("example,a)/p", "20240103000000")]
+        out = self._run(spark, entries, index)
+        assert list(out) == ["example,a)/p"]
+        assert out["example,a)/p"]["reason"] == "modified"
+        assert out["example,a)/p"]["lastmod_ts"] == "20240105000000"
+
+    def test_digit_free_lastmod_is_null_not_year_zero(self, spark):
+        # 'yesterday' has no digits: lastmod_ts must be null (no usable
+        # evidence), not a fabricated '00000000000000' (review finding)
+        entries = [
+            ("a.example", 0, "https://a.example/new", "yesterday",
+             None, None, False, True),
+            ("a.example", 1, "https://a.example/known", "yesterday",
+             None, None, False, True),
+        ]
+        index = [("example,a)/known", "20240103000000")]
+        out = self._run(spark, entries, index)
+        # unindexed: still fetched as new, with a NULL lastmod_ts
+        assert set(out) == {"example,a)/new"}
+        assert out["example,a)/new"]["reason"] == "new"
+        assert out["example,a)/new"]["lastmod_ts"] is None
 
 
 class TestCdxLatestMalformedRows:
