@@ -124,6 +124,46 @@ class TestCompressedRefusal:
             br_decode(bytes(w.buf) + b"\x00")
 
 
+class TestBrFuzz:
+    """Totality over hostile bytes: br_decode must either succeed or
+    raise ValueError — never IndexError/OverflowError/hang (the repo's
+    parser-fuzz discipline from http/warc)."""
+
+    def test_total_over_byte_soup(self):
+        import random
+        rng = random.Random(712)
+        for trial in range(300):
+            blob = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 64))
+            )
+            try:
+                out = br_decode(blob, max_bytes=1 << 16)
+                assert isinstance(out, bytes)
+            except ValueError:
+                pass
+
+    def test_total_over_mutated_valid_streams(self):
+        import random
+        rng = random.Random(1013)
+        base = br_encode_stored(bytes(range(256)) * 8)
+        for trial in range(300):
+            mutated = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            try:
+                br_decode(bytes(mutated), max_bytes=1 << 16)
+            except ValueError:
+                pass
+
+    def test_truncations_of_valid_stream_never_crash(self):
+        base = br_encode_stored(b"payload " * 64)
+        for cut in range(len(base)):
+            try:
+                br_decode(base[:cut], max_bytes=1 << 16)
+            except ValueError:
+                pass
+
+
 class TestHttpBrArm:
     def _msg(self, body, ce=b"br"):
         return (
