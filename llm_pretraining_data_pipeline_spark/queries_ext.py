@@ -5750,6 +5750,68 @@ def o09_frontier_schedule(spark, sf_dir):
 
 
 @register(
+    "s12_wet_cdx",
+    """
+    WITH d AS (
+      SELECT doc_id, text, doc_id % 50 AS dom,
+             'https://site-' || CAST(doc_id % 50 AS varchar)
+               || '.example/doc/' || CAST(doc_id AS varchar) AS uri
+      FROM documents
+    )
+    SELECT 'example,site-' || CAST(dom AS varchar) || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           '19700101000000' AS ts,
+           uri AS target_uri,
+           sha256(text) AS digest,
+           CAST(200 + length(uri)
+                + length(CAST(octet_length(encode(text)) AS varchar))
+                + octet_length(encode(text)) AS bigint) AS record_bytes,
+           TRUE AS cdx_ok
+    FROM d
+    """,
+    doc="publish -> re-index: CDX sidecar over the engine's OWN WET "
+        "export (plans/exports.py::wet_shard_frame -> sources/cdx.py::"
+        "cdx_records(warc_types=('conversion',)) — the pywb practice "
+        "of indexing WET sidecars alongside the WARCs). Conversion "
+        "records are not HTTP messages, so this mode skips the Arrow "
+        "HTTP split entirely — the record payload IS the content, "
+        "digest = its sha256, status/mime null, pure-JVM plan. The "
+        "referee recomputes every row closed-form INCLUDING "
+        "record_bytes (the WET header layout is deterministic: 200 "
+        "fixed octets + uri + the Content-Length digits + the body), "
+        "so the exporter's byte-level framing is oracle-pinned, not "
+        "just parse-pinned; the byte-range slice-and-reparse round "
+        "trip over the WET shards is pinned in tests/test_warc.py. "
+        "Scale shape: one shard groupBy (the WET assembly) + the "
+        "file-granularity record explode — no other shuffle",
+)
+def s12_wet_cdx(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.plans import exports as E
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    d = _docs(spark, sf_dir)
+    dom = (F.col("doc_id") % 50).cast("string")
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), dom, F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        "text",
+    )
+    shards = E.wet_shard_frame(docs, num_shards=8)
+    idx = C.cdx_records(
+        shards,
+        payload_col="wet_file",
+        id_col="shard_id",
+        warc_types=("conversion",),
+    )
+    return idx.select(
+        "surt", "ts", "target_uri", "digest", "record_bytes", "cdx_ok"
+    )
+
+
+@register(
     "a23_drift_by_host",
     """
     WITH d AS (

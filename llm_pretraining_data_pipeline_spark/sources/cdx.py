@@ -51,8 +51,22 @@ def cdx_records(
     id_col: str = "file_id",
     gzipped: bool = False,
     timestamp: Column | None = None,
+    warc_types: tuple = ("response",),
 ) -> DataFrame:
     """WARC blobs → one CDX row per ``response`` record.
+
+    ``warc_types`` selects which record types index. The default
+    (``("response",)``) is the crawl-archive case: the payload is an
+    HTTP message, so status/mime come from the HTTP split and the
+    digest is the decoded entity body's sha256. Any OTHER type set
+    (e.g. ``("conversion",)`` — indexing the WET sidecars the engine
+    itself publishes, the pywb practice) skips the HTTP split
+    entirely: the record payload IS the content, so ``digest`` is its
+    sha256 directly, ``status``/``mime`` are null, and every parsed
+    record is ``cdx_ok=true`` — a pure-JVM plan, no Arrow stage at
+    all. Mixing ``response`` with non-HTTP types in one call is
+    refused (their digest semantics differ; index them separately and
+    union).
 
     Output: ``(id_col, rec_index, target_uri, surt, ts, status, mime,
     digest, offset, record_bytes, cdx_ok)``. ``digest`` is the sha256
@@ -75,11 +89,34 @@ def cdx_records(
     recs = warc_records(
         files, payload_col=payload_col, id_col=id_col, gzipped=gzipped
     )
+    ts = timestamp if timestamp is not None else F.lit(EPOCH_TS14)
+    if tuple(warc_types) != ("response",):
+        if "response" in warc_types:
+            raise ValueError(
+                "cdx_records: mixing 'response' with non-HTTP record "
+                "types in one call is unsupported — their digest "
+                "semantics differ; index them separately and union"
+            )
+        sel = recs.where(
+            F.col("warc_type").isin(*warc_types) & F.col("parse_ok")
+        )
+        return sel.select(
+            id_col,
+            "rec_index",
+            "target_uri",
+            surt_key("target_uri").alias("surt"),
+            ts.alias("ts"),
+            F.lit(None).cast("int").alias("status"),
+            F.lit(None).cast("string").alias("mime"),
+            F.sha2(F.col("payload"), 256).alias("digest"),
+            "offset",
+            "record_bytes",
+            F.lit(True).alias("cdx_ok"),
+        )
     resp = recs.where(
         (F.col("warc_type") == "response") & F.col("parse_ok")
     )
     h = http_response_split(F.col("payload"))
-    ts = timestamp if timestamp is not None else F.lit(EPOCH_TS14)
     return resp.withColumn("_h", h).select(
         id_col,
         "rec_index",

@@ -1533,6 +1533,77 @@ class TestSitemapRecrawl:
         assert out["example,a)/new"]["lastmod_ts"] is None
 
 
+class TestWetCdxRoundTrip:
+    """publish → index → selective read: the engine's own WET export
+    must be range-fetchable through its own CDX sidecar."""
+
+    def _published(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans import exports
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        docs = spark.createDataFrame(
+            [
+                (1, "https://a.example/x", "first document text"),
+                (2, "https://b.example/y", "second döc with ütf-8"),
+                (3, "https://a.example/z", "third document body"),
+            ],
+            "doc_id long, url string, text string",
+        )
+        shards = exports.wet_shard_frame(docs, num_shards=2)
+        idx = cdx.cdx_records(
+            shards, payload_col="wet_file", id_col="shard_id",
+            warc_types=("conversion",),
+        )
+        return shards, idx
+
+    def test_conversion_index_rows(self, spark):
+        shards, idx = self._published(spark)
+        rows = {r["surt"]: r for r in idx.collect()}
+        assert set(rows) == {
+            "example,a)/x", "example,b)/y", "example,a)/z",
+        }
+        import hashlib
+        assert rows["example,b)/y"]["digest"] == hashlib.sha256(
+            "second döc with ütf-8".encode()
+        ).hexdigest()
+        assert all(r["cdx_ok"] for r in rows.values())
+        assert all(
+            r["status"] is None and r["mime"] is None
+            for r in rows.values()
+        )
+
+    def test_selective_read_recovers_published_text(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        shards, idx = self._published(spark)
+        out = cdx.read_warc_selective(
+            shards, idx, "example,a)",
+            payload_col="wet_file", id_col="shard_id",
+        ).collect()
+        texts = sorted(bytes(r["payload"]).decode("utf-8") for r in out)
+        assert texts == ["first document text", "third document body"]
+        assert all(r["warc_type"] == "conversion" for r in out)
+        assert all(r["parse_ok"] for r in out)
+
+    def test_conversion_mode_plan_is_pure_jvm(self, spark):
+        # no HTTP split for conversion records: the payload IS the
+        # content, so the plan must carry NO Arrow/Python eval beyond
+        # the record explode itself
+        shards, idx = self._published(spark)
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert plan.lower().count("arrowevalpython") == 0
+
+    def test_mixed_types_with_response_refused(self, spark):
+        import pytest as _pytest
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        files = spark.createDataFrame(
+            [(1, bytearray(b""))], "file_id long, payload binary"
+        )
+        with _pytest.raises(ValueError, match="mixing 'response'"):
+            cdx.cdx_records(
+                files, warc_types=("response", "conversion")
+            )
+
+
 class TestCdxLatestMalformedRows:
     def test_all_malformed_rows_survive_a_merge(self, spark):
         # parsed frames null BOTH tail columns on malformed lines; the
