@@ -167,15 +167,17 @@ _PRIORITY_R11 = [
 # emb_lsh_or_recall also touch the changed operators/dedup.py guard, but
 # their called path is provably identical (they pass dim) and both were
 # re-verified via check_oracle this session (7/7 with the four emb rows
-# below); they refresh in r13. Five queries registered AFTER the head
+# below); they refresh in r13. Six queries registered AFTER the head
 # was frozen — s11_cdx_digest_drift, f24_sitemap_recrawl,
 # o09_frontier_schedule, a23_drift_by_host (the late recrawl-scheduling
-# wave) and s12_wet_cdx (publish->re-index: CDX over the engine's own
-# WET export, byte-level framing oracle-pinned) — sit past the 50-row
-# cap by design: all five hash-verified via check_oracle at sf0.01 AND
-# sf0.001 on registration, all covered by the suite's full
-# oracle-parity replay and the in-session full sweeps; they take head
-# slots in r13.
+# wave), s12_wet_cdx (publish->re-index: CDX over the engine's own WET
+# export, byte-level framing oracle-pinned) and f25_redirect_resolve
+# (pointer-doubling redirect-chain collapse; warc_http_records gained
+# the location column, outputs of the existing family unchanged and
+# re-verified) — sit past the 50-row cap by design: all six
+# hash-verified via check_oracle at sf0.01 AND sf0.001 on registration,
+# all covered by the suite's full oracle-parity replay and the
+# in-session full sweeps; they take head slots in r13.
 _PRIORITY_R12 = [
     # new this round — hash-matched via check_oracle at sf0.01 AND
     # sf0.001 on registration: robots-gated frontier expansion (VERDICT

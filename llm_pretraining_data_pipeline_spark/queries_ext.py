@@ -5750,6 +5750,98 @@ def o09_frontier_schedule(spark, sf_dir):
 
 
 @register(
+    "f25_redirect_resolve",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents),
+    arms AS (
+      SELECT dom, arm, status, hops, ok, fin FROM doms,
+      (VALUES ('a',    301, CAST(2 AS bigint), TRUE,  'c'),
+              ('b',    302, CAST(1 AS bigint), TRUE,  'c'),
+              ('c',    200, CAST(0 AS bigint), TRUE,  'c'),
+              ('loop1',301, CAST(8 AS bigint), FALSE, 'loop1'),
+              ('loop2',301, CAST(8 AS bigint), FALSE, 'loop2'),
+              ('rel',  302, CAST(1 AS bigint), TRUE,  'next'),
+              ('plain',200, CAST(0 AS bigint), TRUE,  'plain')
+      ) t(arm, status, hops, ok, fin)
+    )
+    SELECT 'example,site-' || CAST(dom AS varchar) || ')/' || arm
+             AS surt,
+           'https://site-' || CAST(dom AS varchar) || '.example/' || arm
+             AS url,
+           status,
+           'https://site-' || CAST(dom AS varchar) || '.example/' || fin
+             AS final_url,
+           'example,site-' || CAST(dom AS varchar) || ')/' || fin
+             AS final_surt,
+           hops AS n_hops,
+           ok AS resolved
+    FROM arms
+    """,
+    doc="HTTP redirect-chain resolution (sources/cdx.py::"
+        "resolve_redirects): collapse 301/302/303/307/308 chains to "
+        "their final destinations — the canonical-URL map crawl "
+        "curation, URL dedup, and recrawl scheduling consume (CC "
+        "captures are full of hops; you want the page a chain ENDS "
+        "at). Location headers may be RELATIVE (RFC 9110 §10.2.2) and "
+        "resolve against the capture's own URL via RFC 3986. Pointer "
+        "DOUBLING: the redirect-only edge map composes with itself "
+        "ceil(log2(max_hops)) times — 3 self-joins for 8 hops, never "
+        "touching the corpus — then one join-back. Fixture per domain: "
+        "a 2-hop chain (/a -> /b -> /c), its mid-chain entry (/b), the "
+        "destination itself (/c, 200), a 2-cycle (/loop1 <-> /loop2 — "
+        "must surface resolved=false with the doubling's deterministic "
+        "terminal state: final=self, n_hops=2^3), a RELATIVE Location "
+        "('next', must resolve against /rel and count as resolved even "
+        "though uncaptured — a dangling edge still ends the chain), "
+        "and a plain 200. Referee enumerates every arm closed-form",
+)
+def f25_redirect_resolve(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    doms = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("dom")
+    ).distinct()
+    dd = F.col("dom")
+
+    def u(p):
+        return F.concat(
+            F.lit("https://site-"), dd, F.lit(f".example/{p}")
+        )
+
+    def arm(name, status, loc):
+        return F.struct(
+            u(name).alias("url"),
+            F.lit(status).cast("int").alias("status"),
+            (u(loc) if loc else F.lit(None).cast("string")).alias(
+                "location"
+            ),
+        )
+
+    rows = doms.select(
+        F.explode(
+            F.array(
+                arm("a", 301, "b"),
+                arm("b", 302, "c"),
+                arm("c", 200, None),
+                arm("loop1", 301, "loop2"),
+                arm("loop2", 301, "loop1"),
+                F.struct(
+                    u("rel").alias("url"),
+                    F.lit(302).cast("int").alias("status"),
+                    F.lit("next").alias("location"),  # relative
+                ),
+                arm("plain", 200, None),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    out = C.resolve_redirects(rows, max_hops=8)
+    return out.select(
+        "surt", "url", "status", "final_url", "final_surt", "n_hops",
+        "resolved",
+    )
+
+
+@register(
     "s12_wet_cdx",
     """
     WITH d AS (

@@ -617,6 +617,135 @@ def cdx_latest(cdx: DataFrame) -> DataFrame:
     )
 
 
+def resolve_redirects(
+    records: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+    location_col: str = "location",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Collapse HTTP redirect chains to their final destinations — the
+    canonical-URL map every crawl curation needs (CC captures are full
+    of 301/302 hops; training-data URL dedup and link analysis want the
+    page a chain ENDS at, and a recrawl scheduler wants to fetch the
+    destination, not replay the hops).
+
+    Input: one row per capture with ``url``, HTTP ``status``, and the
+    ``location`` header (``warc_http_records`` now exposes it; dedupe
+    multi-generation captures with ``cdx_latest`` first for
+    latest-wins edges). A row is a redirect iff status ∈ {301, 302,
+    303, 307, 308} and ``location`` is non-null; the location may be
+    relative (RFC 9110 §10.2.2 allows a URI reference) — it resolves
+    against the capture's own URL via RFC 3986.
+
+    Output, one row per input row: ``(surt, url, status, final_url,
+    final_surt, n_hops, resolved)``. Non-redirect rows are their own
+    final (``n_hops=0, resolved=true``). A chain is ``resolved`` when
+    it ends, within ``max_hops``, at a URL that is NOT itself a
+    redirect source (the destination need not be captured — a dangling
+    edge still resolves). Cycles and over-long chains surface as
+    ``resolved=false`` with the doubling's last state (deterministic).
+
+    Scale shape: the edge map holds ONLY redirect rows (one
+    deterministic edge per source key via a hash groupBy); pointer
+    DOUBLING composes it with itself ceil(log2(max_hops)) times — 3
+    self-joins for the default 8 hops, each shuffling just the edge
+    map, never the corpus — then one join-back on ``surt``. No window,
+    no iteration over collected rows, no driver-side loop state.
+    """
+    import math
+
+    from llm_pretraining_data_pipeline_spark.functions.urls import (
+        resolve_url,
+    )
+
+    if max_hops < 1:
+        raise ValueError(f"resolve_redirects: max_hops must be >= 1, got {max_hops}")
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    is_redir = F.col(status_col).isin(301, 302, 303, 307, 308) & F.col(
+        location_col
+    ).isNotNull()
+    base = records.select(
+        surt_key(url_col).alias("surt"),
+        F.col(url_col).alias("url"),
+        F.col(status_col).alias("status"),
+        is_redir.alias("_is_redir"),
+        F.when(is_redir, resolve_url(url_col, location_col)).alias(
+            "_dst_url"
+        ),
+    )
+    edges = (
+        base.where(
+            F.col("surt").isNotNull() & F.col("_dst_url").isNotNull()
+        )
+        .select(
+            "surt",
+            surt_key("_dst_url").alias("_d"),
+            F.col("_dst_url").alias("_du"),
+        )
+        .where(F.col("_d").isNotNull())
+        # one deterministic edge per source key (conflicting captures
+        # of the same URL: smallest (dst_surt, dst_url) wins — run
+        # cdx_latest upstream for latest-wins semantics instead)
+        .groupBy("surt")
+        .agg(
+            F.min(
+                F.struct(F.col("_d").alias("s"), F.col("_du").alias("u"))
+            ).alias("_e")
+        )
+        .select(
+            F.col("surt").alias("_src"),
+            F.col("_e.s").alias("_dst"),
+            F.col("_e.u").alias("_durl"),
+            F.lit(1).cast("long").alias("_hops"),
+        )
+    )
+    m = edges
+    for _ in range(rounds):
+        r = m.select(
+            F.col("_src").alias("_rsrc"),
+            F.col("_dst").alias("_rdst"),
+            F.col("_durl").alias("_rdurl"),
+            F.col("_hops").alias("_rhops"),
+        )
+        m = m.join(r, m["_dst"] == r["_rsrc"], "left").select(
+            "_src",
+            F.coalesce("_rdst", "_dst").alias("_dst"),
+            F.coalesce("_rdurl", "_durl").alias("_durl"),
+            (F.col("_hops") + F.coalesce("_rhops", F.lit(0))).alias(
+                "_hops"
+            ),
+        )
+    srcs = edges.select(F.col("_src").alias("_chk")).distinct()
+    out = (
+        base.join(m, base["surt"] == m["_src"], "left")
+        .join(srcs, F.col("_dst") == F.col("_chk"), "left")
+    )
+    redir = F.col("_is_redir")
+    return out.select(
+        "surt",
+        "url",
+        "status",
+        F.when(redir, F.coalesce("_durl", "url"))
+        .otherwise(F.col("url"))
+        .alias("final_url"),
+        F.when(redir, F.coalesce("_dst", "surt"))
+        .otherwise(F.col("surt"))
+        .alias("final_surt"),
+        F.when(redir, F.coalesce("_hops", F.lit(0)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_hops"),
+        F.when(~redir, F.lit(True))
+        .otherwise(
+            F.col("_hops").isNotNull()
+            & (F.col("_hops") <= max_hops)
+            & F.col("_chk").isNull()
+        )
+        .alias("resolved"),
+    )
+
+
 def frontier_schedule(
     frontier: DataFrame,
     default_delay: float = 1.0,

@@ -53,8 +53,8 @@ _CHUNK_SIZE_RE = re.compile(rb"^[0-9A-Fa-f]+$")
 
 HTTP_STRUCT_SCHEMA = (
     "status int, content_type string, charset string, "
-    "content_length_hdr bigint, n_headers int, body binary, "
-    "http_ok boolean, http_err string"
+    "content_length_hdr bigint, n_headers int, location string, "
+    "body binary, http_ok boolean, http_err string"
 )
 
 
@@ -249,12 +249,21 @@ def parse_http_response(
                 f"parse_http_response: non-numeric Content-Length {cl!r}"
             )
         content_length_hdr = int(tok)
+    # Location is THE redirect-chain edge (3xx responses): exposed
+    # verbatim (may be relative — RFC 9110 §10.2.2 allows a URI
+    # reference; the consumer resolves it against the request URI,
+    # sources/cdx.py::resolve_redirects does exactly that). Absent or
+    # empty → null.
+    location = headers.get("location")
+    if location is not None:
+        location = location.strip() or None
     return {
         "status": status,
         "content_type": content_type,
         "charset": charset,
         "content_length_hdr": content_length_hdr,
         "n_headers": len(headers),
+        "location": location,
         "body": body,
     }
 
@@ -276,18 +285,19 @@ def http_response_split(c: Column | str) -> Column:
                 d = parse_http_response(raw)
                 rows.append(
                     (d["status"], d["content_type"], d["charset"],
-                     d["content_length_hdr"], d["n_headers"], d["body"],
-                     True, None)
+                     d["content_length_hdr"], d["n_headers"],
+                     d["location"], d["body"], True, None)
                 )
             except ValueError as exc:
                 rows.append(
-                    (None, None, None, None, None, None, False, str(exc))
+                    (None, None, None, None, None, None, None,
+                     False, str(exc))
                 )
         return pd.DataFrame(
             rows,
             columns=[
                 "status", "content_type", "charset", "content_length_hdr",
-                "n_headers", "body", "http_ok", "http_err",
+                "n_headers", "location", "body", "http_ok", "http_err",
             ],
         )
 
@@ -337,6 +347,7 @@ def warc_http_records(
         F.col("_h.charset").alias("charset"),
         F.col("_h.content_length_hdr").alias("content_length_hdr"),
         F.col("_h.n_headers").alias("n_headers"),
+        F.col("_h.location").alias("location"),
         F.col("_h.body").alias("body"),
         F.col("_h.http_ok").alias("http_ok"),
         F.col("_h.http_err").alias("http_err"),

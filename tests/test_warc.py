@@ -1533,6 +1533,85 @@ class TestSitemapRecrawl:
         assert out["example,a)/new"]["lastmod_ts"] is None
 
 
+class TestHttpLocation:
+    def test_location_header_exposed_and_stripped(self):
+        msg = (
+            b"HTTP/1.1 301 Moved Permanently\r\n"
+            b"Location:   https://b.example/new  \r\n"
+            b"Content-Length: 0\r\n\r\n"
+        )
+        assert http.parse_http_response(msg)["location"] == (
+            "https://b.example/new"
+        )
+        no_loc = (
+            b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nok"
+        )
+        assert http.parse_http_response(no_loc)["location"] is None
+        empty = (
+            b"HTTP/1.1 301 Moved\r\nLocation: \r\n"
+            b"Content-Length: 0\r\n\r\n"
+        )
+        assert http.parse_http_response(empty)["location"] is None
+
+
+class TestResolveRedirects:
+    SCHEMA = "url string, status int, location string"
+
+    def _run(self, spark, rows, **kw):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        return {
+            r["surt"]: r for r in cdx.resolve_redirects(df, **kw).collect()
+        }
+
+    def test_chain_collapses_and_dangling_edge_resolves(self, spark):
+        rows = [
+            ("https://a.example/1", 301, "https://a.example/2"),
+            ("https://a.example/2", 302, "/3"),       # root-relative
+            ("https://a.example/3", 200, None),
+            ("https://a.example/gone", 308, "https://x.example/out"),
+        ]
+        out = self._run(spark, rows)
+        assert out["example,a)/1"]["final_surt"] == "example,a)/3"
+        assert out["example,a)/1"]["n_hops"] == 2
+        assert out["example,a)/1"]["resolved"] is True
+        assert out["example,a)/3"]["n_hops"] == 0
+        # destination never captured: the chain still ENDS there
+        g = out["example,a)/gone"]
+        assert g["final_surt"] == "example,x)/out" and g["resolved"] is True
+
+    def test_over_long_chain_unresolved_within_max_hops(self, spark):
+        # 3-hop chain with max_hops=2 (1 doubling round): /1 only
+        # reaches /3 (still a redirect source) -> unresolved; /2
+        # reaches /4 in 2 hops -> resolved
+        rows = [
+            ("https://a.example/1", 301, "/2"),
+            ("https://a.example/2", 301, "/3"),
+            ("https://a.example/3", 301, "/4"),
+            ("https://a.example/4", 200, None),
+        ]
+        out = self._run(spark, rows, max_hops=2)
+        assert out["example,a)/1"]["resolved"] is False
+        assert out["example,a)/2"]["resolved"] is True
+        assert out["example,a)/2"]["final_surt"] == "example,a)/4"
+
+    def test_self_redirect_unresolved(self, spark):
+        rows = [("https://a.example/me", 301, "https://a.example/me")]
+        out = self._run(spark, rows)
+        me = out["example,a)/me"]
+        assert me["resolved"] is False
+        assert me["final_surt"] == "example,a)/me"
+
+    def test_status_without_location_is_not_an_edge(self, spark):
+        # a 301 whose Location header vanished (header-cap, stripping)
+        # cannot chain: its own row is unresolvable=false? No — it is
+        # NOT a redirect edge, so it is its own final, resolved
+        rows = [("https://a.example/x", 301, None)]
+        out = self._run(spark, rows)
+        assert out["example,a)/x"]["resolved"] is True
+        assert out["example,a)/x"]["n_hops"] == 0
+
+
 class TestWetCdxRoundTrip:
     """publish → index → selective read: the engine's own WET export
     must be range-fetchable through its own CDX sidecar."""
