@@ -5946,3 +5946,167 @@ def a23_drift_by_host(spark, sf_dir):
             ),
         )
     )
+
+
+# ===================================================== WARC revisit records
+def _warc_revisit_blobs(spark, sf_dir):
+    """Closed-form WARC blobs exercising crawl-time dedup records: every
+    doc ships a plain Content-Length-framed HTTP response; id%3==1 docs
+    ALSO ship a ``WARC-Type: revisit`` record claiming the response
+    body's sha256 (the WARC 'identical payload digest' profile — the
+    shape a real crawler writes when a re-fetch matched an earlier
+    capture); id%9==0 docs ship a revisit whose digest matches nothing
+    (the original's WARC rotated out — must surface unresolved, not
+    crash or fabricate). id%7==5 responses carry ``WARC-Truncated:
+    length`` (the CC >1 MiB payload-cap marker)."""
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.sources import warc as W
+
+    def gen(it):
+        import hashlib
+
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                uri = f"https://site-{did % 50}.example/doc/{did}"
+                body = text.encode("utf-8")
+                http = (
+                    "HTTP/1.1 200 OK\r\n"
+                    "Content-Type: text/plain\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode("ascii") + body
+                trunc = (
+                    (("WARC-Truncated", "length"),) if did % 7 == 5 else ()
+                )
+                recs = [("response", uri, f"rec-{did}-0", http, trunc)]
+                if did % 3 == 1:
+                    digest = hashlib.sha256(body).hexdigest()
+                    recs.append((
+                        "revisit", uri, f"rec-{did}-1", b"",
+                        (("WARC-Payload-Digest", f"sha256:{digest}"),
+                         ("WARC-Refers-To-Target-URI", uri),
+                         ("WARC-Refers-To-Date",
+                          "1970-01-01T00:00:00Z")),
+                    ))
+                elif did % 9 == 0:
+                    gone = hashlib.sha256(
+                        f"missing:{did}".encode("ascii")
+                    ).hexdigest()
+                    recs.append((
+                        "revisit", uri, f"rec-{did}-1", b"",
+                        (("WARC-Payload-Digest", f"sha256:{gone}"),),
+                    ))
+                out.append((did, W.encode_warc(recs)))
+            yield pd.DataFrame(out, columns=["file_id", "payload"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(gen, "file_id bigint, payload binary")
+    )
+
+
+@register(
+    "s13_warc_revisit",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             'https://site-' || CAST(doc_id % 50 AS varchar)
+               || '.example/doc/' || CAST(doc_id AS varchar) AS uri
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, uri,
+             'HTTP/1.1 200 OK' || chr(13) || chr(10)
+             || 'Content-Type: text/plain' || chr(13) || chr(10)
+             || 'Content-Length: '
+               || CAST(octet_length(encode(text)) AS varchar)
+             || chr(13) || chr(10) || chr(13) || chr(10) || text AS msg,
+             sha256(text) AS body_digest
+      FROM d
+    ),
+    reps AS (
+      SELECT body_digest,
+             arg_min('<urn:uuid:rec-' || CAST(doc_id AS varchar)
+                       || '-0>', doc_id) AS rid,
+             arg_min(msg, doc_id) AS rmsg
+      FROM m GROUP BY body_digest
+    ),
+    resp AS (
+      SELECT doc_id AS file_id, CAST(0 AS int) AS rec_index,
+             'response' AS warc_type,
+             CASE WHEN doc_id % 7 = 5 THEN 'length' END AS warc_truncated,
+             CAST(NULL AS boolean) AS revisit_resolved,
+             CAST(NULL AS varchar) AS resolved_from,
+             sha256(msg) AS payload_sha256,
+             CAST(octet_length(encode(msg)) AS bigint) AS payload_len
+      FROM m
+    ),
+    rev AS (
+      SELECT m.doc_id AS file_id, CAST(1 AS int) AS rec_index,
+             'revisit' AS warc_type,
+             CAST(NULL AS varchar) AS warc_truncated,
+             TRUE AS revisit_resolved,
+             r.rid AS resolved_from,
+             sha256(r.rmsg) AS payload_sha256,
+             CAST(octet_length(encode(r.rmsg)) AS bigint) AS payload_len
+      FROM m JOIN reps r ON r.body_digest = m.body_digest
+      WHERE m.doc_id % 3 = 1
+    ),
+    rev_miss AS (
+      SELECT doc_id AS file_id, CAST(1 AS int) AS rec_index,
+             'revisit' AS warc_type,
+             CAST(NULL AS varchar) AS warc_truncated,
+             FALSE AS revisit_resolved,
+             CAST(NULL AS varchar) AS resolved_from,
+             sha256('') AS payload_sha256,
+             CAST(0 AS bigint) AS payload_len
+      FROM d WHERE doc_id % 9 = 0
+    )
+    SELECT * FROM resp
+    UNION ALL SELECT * FROM rev
+    UNION ALL SELECT * FROM rev_miss
+    """,
+    doc="WARC revisit-record resolution (sources/cdx.py::"
+        "resolve_revisits + warc_records(headers=...) — the crawl-time "
+        "dedup shape real archives ship: a re-fetch whose payload "
+        "digest matched an earlier capture stores a near-empty "
+        "'revisit' record instead of the bytes, and a consumer must "
+        "join it back to the original response by digest or silently "
+        "lose every unchanged-since-last-crawl page). The original "
+        "side's digest is RECOMPUTED from the decoded entity body "
+        "(cdx_records' sha256 convention), never trusted from headers; "
+        "claimed digests accept an algo-label prefix. id%3==1 revisits "
+        "resolve (payload replaced by the original HTTP message — "
+        "referee recomputes the representative via arg_min over the "
+        "digest group, so duplicate-text docs pin the same original "
+        "both engines); id%9==0 revisits claim a digest that matches "
+        "nothing and surface revisit_resolved=false with their own "
+        "empty payload; id%7==5 responses carry WARC-Truncated: "
+        "length, read through the parser's generic header projection. "
+        "Scale shape: one Arrow digest stage, ONE groupBy(digest) "
+        "bounding each digest to one representative (join can never "
+        "fan out), ONE digest-keyed equi-join, shuffle-free union "
+        "with non-revisit rows",
+)
+def s13_warc_revisit(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+    from llm_pretraining_data_pipeline_spark.sources import warc as W
+
+    files = _warc_revisit_blobs(spark, sf_dir)
+    recs = W.warc_records(
+        files, headers=("WARC-Payload-Digest", "WARC-Truncated")
+    )
+    out = C.resolve_revisits(recs)
+    return out.select(
+        "file_id",
+        "rec_index",
+        "warc_type",
+        "warc_truncated",
+        "revisit_resolved",
+        "resolved_from",
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.length("payload").cast("long").alias("payload_len"),
+    )

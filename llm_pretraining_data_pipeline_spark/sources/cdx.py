@@ -887,6 +887,109 @@ def cdx_digest_drift(cdx: DataFrame) -> DataFrame:
     )
 
 
+def resolve_revisits(
+    records: DataFrame,
+    digest_col: str = "warc_payload_digest",
+    broadcast_originals: bool = False,
+) -> DataFrame:
+    """Resolve WARC ``revisit`` records against their original captures.
+
+    Real crawlers dedup at CAPTURE time (reference behavior: the
+    pipeline's exact-dedup stage, ``operators/dedup.py``; WARC spec
+    §6.7.2 'identical payload digest' profile): when a re-fetched page's
+    payload digest matches an earlier capture, the archive stores a
+    near-empty ``WARC-Type: revisit`` record carrying
+    ``WARC-Payload-Digest`` (+ ``WARC-Refers-To-*`` hints) instead of
+    the bytes. A consumer that wants the content — this engine's
+    curation path — must join revisits back to the original
+    ``response`` records. CommonCrawl publishes such records in its
+    crawl archives; skipping them silently drops every
+    unchanged-since-last-crawl page from the corpus.
+
+    Input: ``warc_records(..., headers=("WARC-Payload-Digest",))``
+    output (``digest_col`` names the claimed-digest column). The
+    original side's digest is recomputed from the bytes — the sha256
+    hex of the DECODED entity body (de-chunked, content-decoded), the
+    engine's ``cdx_records`` digest convention — never trusted from
+    headers. Claimed digests accept an optional ``algo:`` label prefix
+    (``sha256:<hex>``), compared case-insensitively.
+
+    Output: the input rows unchanged, plus ``revisit_resolved``
+    (boolean — null for non-revisit rows, false when no original
+    matches or the claimed digest is null/unparseable) and
+    ``resolved_from`` (the original's ``record_id``). Resolved revisit
+    rows get ``payload`` REPLACED by the original record's full payload
+    (the HTTP message), so the downstream HTTP-split path treats them
+    uniformly; ``content_length``/``record_bytes`` keep describing the
+    revisit record's own (near-empty) geometry.
+
+    Scale shape: one Arrow stage computing original digests (same
+    file-granularity fan-in as ``warc_http_records``), ONE hash
+    ``groupBy(digest)`` picking the earliest ``(file_id, rec_index)``
+    original per digest (bounds a digest captured N times to one
+    representative — the join can never fan out), ONE equi-join
+    keyed on 64-hex digests (uniform by construction, AQE-sized;
+    ``broadcast_originals=True`` for the small-archive case), and a
+    shuffle-free union with the untouched non-revisit rows. Never
+    corpus × corpus, no window.
+    """
+    if digest_col not in records.columns:
+        raise ValueError(
+            f"resolve_revisits: records frame lacks {digest_col!r} — "
+            "produce it via warc_records(headers=('WARC-Payload-Digest',))"
+        )
+    cols = records.columns
+    # eqNullSafe: a parsed record with no WARC-Type header must land in
+    # the pass-through branch, not vanish into a three-valued-logic hole.
+    is_rev = F.col("warc_type").eqNullSafe(F.lit("revisit"))
+
+    originals = records.where(
+        F.col("parse_ok") & (F.col("warc_type") == "response")
+    ).withColumn("_h", http_response_split(F.col("payload")))
+    reps = (
+        originals.where(F.col("_h.http_ok"))
+        .select(
+            F.sha2(F.col("_h.body"), 256).alias("_digest"),
+            F.struct(
+                F.col("file_id"), F.col("rec_index"),
+                F.col("record_id").alias("rid"),
+                F.col("payload").alias("orig_payload"),
+            ).alias("_rep"),
+        )
+        .groupBy("_digest")
+        .agg(F.min("_rep").alias("_rep"))
+    )
+    if broadcast_originals:
+        reps = F.broadcast(reps)
+
+    claimed = F.lower(
+        F.regexp_replace(F.col(digest_col), r"^[A-Za-z0-9-]+:", "")
+    )
+    revisits = (
+        records.where(F.col("parse_ok") & is_rev)
+        .withColumn("_digest", claimed)
+        .join(reps, "_digest", "left")
+        .select(
+            *[
+                F.when(
+                    F.col("_rep").isNotNull(), F.col("_rep.orig_payload")
+                ).otherwise(F.col("payload")).alias("payload")
+                if c == "payload"
+                else F.col(c)
+                for c in cols
+            ],
+            F.col("_rep").isNotNull().alias("revisit_resolved"),
+            F.col("_rep.rid").alias("resolved_from"),
+        )
+    )
+    others = records.where(~(F.col("parse_ok") & is_rev)).select(
+        *cols,
+        F.lit(None).cast("boolean").alias("revisit_resolved"),
+        F.lit(None).cast("string").alias("resolved_from"),
+    )
+    return others.unionByName(revisits)
+
+
 def sitemap_recrawl(
     entries: DataFrame,
     index: DataFrame,

@@ -75,20 +75,32 @@ def encode_warc_record(
     target_uri: str,
     record_id: str,
     payload: bytes,
+    extra_headers: tuple = (),
 ) -> bytes:
-    """One spec-shaped record: version line, headers, payload, separator."""
+    """One spec-shaped record: version line, headers, payload, separator.
+
+    ``extra_headers`` — ``(name, value)`` pairs emitted verbatim before
+    ``Content-Length`` (how fixtures stamp WARC-Payload-Digest /
+    WARC-Refers-To-* / WARC-Truncated onto revisit and truncated-capture
+    records).
+    """
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode("ascii"),
         b"WARC-Target-URI: " + target_uri.encode("ascii"),
         b"WARC-Record-ID: <urn:uuid:" + record_id.encode("ascii") + b">",
-        b"Content-Length: " + str(len(payload)).encode("ascii"),
     ]
+    for name, value in extra_headers:
+        headers.append(
+            name.encode("ascii") + b": " + value.encode("latin-1")
+        )
+    headers.append(b"Content-Length: " + str(len(payload)).encode("ascii"))
     return _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
 
 
-def encode_warc(records: list[tuple[str, str, str, bytes]]) -> bytes:
-    """Concatenate (warc_type, target_uri, record_id, payload) records."""
+def encode_warc(records: list[tuple]) -> bytes:
+    """Concatenate records — each ``(warc_type, target_uri, record_id,
+    payload)`` with an optional 5th ``extra_headers`` element."""
     return b"".join(encode_warc_record(*r) for r in records)
 
 
@@ -162,6 +174,10 @@ def parse_warc(data: bytes) -> list[dict]:
                 "payload": payload,
                 "offset": rec_start,
                 "record_bytes": pos - rec_start,
+                # full lowercased header map — what warc_records' optional
+                # ``headers=`` projection reads (revisit digests, WARC-Date,
+                # WARC-Truncated); bounded by _MAX_HEADERS per record.
+                "headers": headers,
             }
         )
     if not records:
@@ -237,6 +253,7 @@ def warc_records(
     id_col: str = "file_id",
     gzipped: bool = False,
     passthrough: tuple = (),
+    headers: tuple = (),
 ):
     """Explode WARC blobs into one row per record (Arrow mapInPandas).
 
@@ -252,15 +269,24 @@ def warc_records(
     emitted row (appended after ``parse_err``, input types preserved).
     What a selective reader threads its original record identity
     through, and what a filename/shard column rides along on.
+
+    ``headers`` — WARC header NAMES (case-insensitive) projected as
+    extra string columns, each named by the lowercased header with
+    ``-`` → ``_`` (``"WARC-Payload-Digest"`` → ``warc_payload_digest``);
+    null where the record lacks the header. What revisit resolution
+    (``sources.cdx.resolve_revisits``) and truncation audits read
+    without re-parsing payload bytes.
     """
     import pandas as pd
 
     passthrough = [c for c in passthrough]
+    hdr_keys = [h.lower() for h in headers]
+    hdr_cols = [k.replace("-", "_") for k in hdr_keys]
     fields = {f.name: f for f in df.schema.fields}
     extra_ddl = "".join(
         f", {name} {fields[name].dataType.simpleString()}"
         for name in passthrough
-    )
+    ) + "".join(f", {c} string" for c in hdr_cols)
     schema = (
         f"{id_col} bigint, rec_index int, warc_type string, "
         "target_uri string, record_id string, content_length bigint, "
@@ -279,16 +305,21 @@ def warc_records(
                 try:
                     recs = parse_warc_gz(raw) if gzipped else parse_warc(raw)
                     for i, rec in enumerate(recs):
+                        hvals = tuple(
+                            rec["headers"].get(k) for k in hdr_keys
+                        )
                         rows.append(
                             (fid, i, rec["warc_type"], rec["target_uri"],
                              rec["record_id"], rec["content_length"],
                              rec["payload"], rec["offset"],
-                             rec["record_bytes"], True, None, *extras)
+                             rec["record_bytes"], True, None, *extras,
+                             *hvals)
                         )
                 except ValueError as exc:
                     rows.append(
                         (fid, None, None, None, None, None, None, None,
-                         None, False, str(exc), *extras)
+                         None, False, str(exc), *extras,
+                         *(None,) * len(hdr_keys))
                     )
             yield pd.DataFrame(
                 rows,
@@ -296,7 +327,7 @@ def warc_records(
                     id_col, "rec_index", "warc_type", "target_uri",
                     "record_id", "content_length", "payload", "offset",
                     "record_bytes", "parse_ok", "parse_err",
-                    *passthrough,
+                    *passthrough, *hdr_cols,
                 ],
             )
 

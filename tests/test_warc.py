@@ -1702,3 +1702,139 @@ class TestCdxLatestMalformedRows:
         out = cdx.cdx_latest(df.unionByName(df))  # a two-sidecar merge
         assert out.where("surt IS NULL").count() == 4  # 2 per "sidecar"
         assert out.where("surt IS NOT NULL").count() == 1
+
+
+class TestRevisitResolution:
+    """WARC revisit records (sources/cdx.py::resolve_revisits) — the
+    crawl-time dedup shape: a re-fetch whose payload digest matched an
+    earlier capture ships a near-empty 'revisit' record that must be
+    joined back to the original response by digest."""
+
+    @staticmethod
+    def _http(body: bytes) -> bytes:
+        return (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("ascii") + body
+
+    @staticmethod
+    def _blob(records):
+        return bytearray(warc.encode_warc(records))
+
+    def _records(self, spark, rows):
+        from llm_pretraining_data_pipeline_spark.sources import warc as W
+
+        df = spark.createDataFrame(rows, "file_id long, payload binary")
+        return W.warc_records(
+            df, headers=("WARC-Payload-Digest", "WARC-Truncated")
+        )
+
+    def test_header_projection(self, spark):
+        rows = [
+            (1, self._blob([
+                ("response", "http://a/", "r0", b"x",
+                 (("WARC-Truncated", "length"),)),
+                ("response", "http://b/", "r1", b"y"),
+            ])),
+            (2, bytearray(b"garbage")),
+        ]
+        out = self._records(spark, rows).collect()
+        by = {(r["file_id"], r["rec_index"]): r for r in out}
+        assert by[(1, 0)]["warc_truncated"] == "length"
+        assert by[(1, 1)]["warc_truncated"] is None
+        assert by[(1, 0)]["warc_payload_digest"] is None
+        bad = by[(2, None)]
+        assert not bad["parse_ok"] and bad["warc_truncated"] is None
+
+    def test_resolves_by_digest(self, spark):
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        body = b"the original body"
+        digest = hashlib.sha256(body).hexdigest()
+        rows = [
+            (1, self._blob([("response", "http://a/", "orig",
+                             self._http(body))])),
+            (2, self._blob([
+                ("revisit", "http://a/", "re", b"",
+                 (("WARC-Payload-Digest", f"sha256:{digest}"),)),
+            ])),
+        ]
+        out = cdx.resolve_revisits(self._records(spark, rows))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        rv = out.where("warc_type = 'revisit'").collect()[0]
+        assert rv["revisit_resolved"] is True
+        assert rv["resolved_from"] == "<urn:uuid:orig>"
+        assert bytes(rv["payload"]) == self._http(body)
+        # non-revisit rows pass through untouched, tri-state null
+        resp = out.where("warc_type = 'response'").collect()[0]
+        assert resp["revisit_resolved"] is None
+        assert resp["resolved_from"] is None
+
+    def test_unresolved_and_label_variants(self, spark):
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        body = b"content"
+        hexd = hashlib.sha256(body).hexdigest()
+        rows = [
+            (1, self._blob([("response", "http://a/", "orig",
+                             self._http(body))])),
+            # uppercase hex + different algo label still resolves
+            (2, self._blob([
+                ("revisit", "http://a/", "up", b"",
+                 (("WARC-Payload-Digest", f"SHA-256:{hexd.upper()}"),)),
+            ])),
+            # matches nothing -> unresolved, payload untouched
+            (3, self._blob([
+                ("revisit", "http://a/", "gone", b"",
+                 (("WARC-Payload-Digest", "sha256:" + "0" * 64),)),
+            ])),
+            # no digest header at all -> unresolved
+            (4, self._blob([("revisit", "http://a/", "bare", b"")])),
+        ]
+        out = {
+            r["record_id"]: r
+            for r in cdx.resolve_revisits(self._records(spark, rows))
+            .where("warc_type = 'revisit'").collect()
+        }
+        assert out["<urn:uuid:up>"]["revisit_resolved"] is True
+        assert bytes(out["<urn:uuid:up>"]["payload"]) == self._http(body)
+        assert out["<urn:uuid:gone>"]["revisit_resolved"] is False
+        assert bytes(out["<urn:uuid:gone>"]["payload"]) == b""
+        assert out["<urn:uuid:bare>"]["revisit_resolved"] is False
+
+    def test_representative_is_earliest_capture(self, spark):
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        body = b"same everywhere"
+        digest = hashlib.sha256(body).hexdigest()
+        rows = [
+            (7, self._blob([("response", "http://a/", "later",
+                             self._http(body))])),
+            (3, self._blob([("response", "http://b/", "earlier",
+                             self._http(body))])),
+            (9, self._blob([
+                ("revisit", "http://a/", "re", b"",
+                 (("WARC-Payload-Digest", f"sha256:{digest}"),)),
+            ])),
+        ]
+        rv = (
+            cdx.resolve_revisits(self._records(spark, rows))
+            .where("warc_type = 'revisit'").collect()[0]
+        )
+        assert rv["resolved_from"] == "<urn:uuid:earlier>"
+
+    def test_missing_digest_column_raises(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        rows = [(1, self._blob([("response", "http://a/", "r", b"x")]))]
+        df = spark.createDataFrame(rows, "file_id long, payload binary")
+        recs = warc.warc_records(df)  # no headers= projection
+        with pytest.raises(ValueError, match="warc_payload_digest"):
+            cdx.resolve_revisits(recs)
