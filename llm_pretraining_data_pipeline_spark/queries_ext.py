@@ -6110,3 +6110,113 @@ def s13_warc_revisit(spark, sf_dir):
         F.sha2("payload", 256).alias("payload_sha256"),
         F.length("payload").cast("long").alias("payload_len"),
     )
+
+
+# ===================================================== charset-aware decode
+@register(
+    "s14_charset_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 7 AS int) AS arm,
+             regexp_replace(text, '[^ -~]', '', 'g') AS ascii_part
+      FROM documents
+    )
+    SELECT doc_id AS file_id, arm,
+           CASE arm
+             WHEN 0 THEN text
+             WHEN 1 THEN ascii_part || '“smart” — café €'
+             WHEN 2 THEN '<html><head><meta charset="iso-8859-1"></head><body>'
+                         || ascii_part || '“smart” — café €'
+             WHEN 3 THEN text
+             WHEN 4 THEN ascii_part || '“smart” — café €'
+             WHEN 5 THEN text
+             ELSE ascii_part
+           END AS text,
+           CASE arm
+             WHEN 0 THEN 'utf-8' WHEN 3 THEN 'utf-8'
+             WHEN 5 THEN 'utf-16le' WHEN 6 THEN 'utf-8'
+             ELSE 'windows-1252'
+           END AS charset_used,
+           CASE arm
+             WHEN 0 THEN 'declared' WHEN 1 THEN 'declared'
+             WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
+             WHEN 4 THEN 'content' WHEN 5 THEN 'bom'
+             ELSE 'content'
+           END AS charset_source
+    FROM d
+    """,
+    doc="WHATWG-faithful charset decoding (sources/http.py::"
+        "http_body_text_charset — closes the 'everything non-UTF-8 is "
+        "latin-1' gap a real CommonCrawl body stream hits immediately): "
+        "BOM > declared Content-Type label > <meta charset> sniff > "
+        "content fallback, with the WHATWG alias table mapping every "
+        "latin-1-family label to windows-1252 (browsers never decode "
+        "real ISO-8859-1) implemented as a latin-1 decode + one "
+        "translate() over the C1 range — pure Catalyst, total, zero "
+        "Python. Fixture arms per doc_id%7: declared utf-8; declared "
+        "cp1252 bytes (smart quotes/em-dash/euro in the 0x80-0x9F "
+        "range the latin-1 fallback would mangle into C1 controls); "
+        "META-sniffed iso-8859-1 label with no header charset; UTF-8 "
+        "BOM; undeclared cp1252 (content fallback); UTF-16LE BOM; "
+        "declared-but-unsupported label (x-sjis) over ASCII falling "
+        "through to content sniff. The referee reconstructs every "
+        "arm's expected DECODED text closed-form. Scale shape: narrow "
+        "per-row projection, zero shuffle, whole-stage codegen",
+)
+def s14_charset_decode(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.sources.http import (
+        http_body_text_charset,
+    )
+
+    suffix = "“smart” — café €".encode("cp1252")
+
+    def gen(it):
+        import re as _re
+
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                arm = did % 7
+                ascii_part = _re.sub(r"[^ -~]", "", text)
+                if arm == 0:
+                    body, cs = text.encode("utf-8"), "utf-8"
+                elif arm == 1:
+                    body, cs = ascii_part.encode("ascii") + suffix, \
+                        "windows-1252"
+                elif arm == 2:
+                    body = (
+                        b'<html><head><meta charset="iso-8859-1">'
+                        b"</head><body>"
+                        + ascii_part.encode("ascii") + suffix
+                    )
+                    cs = None
+                elif arm == 3:
+                    body, cs = b"\xef\xbb\xbf" + text.encode("utf-8"), None
+                elif arm == 4:
+                    body, cs = ascii_part.encode("ascii") + suffix, None
+                elif arm == 5:
+                    body, cs = b"\xff\xfe" + text.encode("utf-16-le"), None
+                else:
+                    body, cs = ascii_part.encode("ascii"), "x-sjis"
+                out.append((did, arm, body, cs))
+            yield pd.DataFrame(
+                out, columns=["file_id", "arm", "body", "charset"]
+            )
+
+    frame = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(
+            gen, "file_id bigint, arm int, body binary, charset string"
+        )
+    )
+    return frame.select(
+        "file_id",
+        "arm",
+        http_body_text_charset("body", "charset").alias("_d"),
+    ).select(
+        "file_id", "arm", "_d.text", "_d.charset_used", "_d.charset_source"
+    )

@@ -380,3 +380,167 @@ def http_body_text(body_col: Column | str = "body") -> Column:
         .alias("text"),
         F.when(b.isNotNull(), ~valid).alias("used_fallback"),
     )
+
+
+# WHATWG windows-1252: ISO-8859-1 maps 0x80-0x9F to C1 controls; cp1252
+# maps 27 of them to printable characters (smart quotes, em-dash, euro,
+# ...) and the 5 gaps (0x81 8D 8F 90 9D) back to the C1 control itself —
+# exactly what a translate() over the latin-1 decode reproduces.
+_CP1252_FROM = "".join(chr(b) for b in range(0x80, 0xA0))
+_CP1252_TO = "".join(
+    bytes([b]).decode("cp1252", errors="ignore") or chr(b)
+    for b in range(0x80, 0xA0)
+)
+
+# WHATWG encoding-label aliases (the subset a JVM-side decoder can honor;
+# every latin-1-family label maps to windows-1252 per the spec — browsers
+# never decode real ISO-8859-1).
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "windows-1252": "windows-1252", "x-cp1252": "windows-1252",
+    "cp1252": "windows-1252", "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252", "iso_8859-1": "windows-1252",
+    "latin1": "windows-1252", "latin-1": "windows-1252",
+    "l1": "windows-1252", "ascii": "windows-1252",
+    "us-ascii": "windows-1252", "iso-ir-100": "windows-1252",
+    "cp819": "windows-1252", "ibm819": "windows-1252",
+    "utf-16": "utf-16le", "utf-16le": "utf-16le", "unicode": "utf-16le",
+    "ucs-2": "utf-16le", "utf-16be": "utf-16be",
+}
+
+_META_CHARSET_RE = (
+    r"(?i)<meta[^>]{0,512}charset\s*=\s*['\"]?\s*([A-Za-z0-9._-]+)"
+)
+
+
+def _cp1252(b: Column) -> Column:
+    return F.translate(
+        F.decode(b, "ISO-8859-1"), _CP1252_FROM, _CP1252_TO
+    )
+
+
+def http_body_text_charset(
+    body_col: Column | str = "body",
+    charset_col: Column | str | None = "charset",
+    meta_sniff: bool = True,
+    prefix_bytes: int = 1024,
+) -> Column:
+    """Charset-honoring HTTP body decode — the WHATWG-faithful twin of
+    ``http_body_text`` (which content-sniffs and ignores declarations).
+    Pure Catalyst, total (every byte sequence decodes), zero Python.
+
+    Precedence, per the WHATWG encoding sniffing algorithm:
+
+    1. **BOM wins**: UTF-8 / UTF-16LE / UTF-16BE byte-order marks
+       override everything (a UTF-8 BOM followed by invalid UTF-8 falls
+       through to the windows-1252 arm — Catalyst's strict UTF-8 decode
+       would throw under ANSI, and U+FFFD-soup text is worse than the
+       latin-visible bytes).
+    2. **Declared label** (``charset_col`` — the Content-Type parameter
+       ``http_response_split`` extracts), normalized through the WHATWG
+       alias table: every latin-1-family label (iso-8859-1, ascii,
+       latin1, ...) means windows-1252 — browsers never decode real
+       ISO-8859-1, and neither do the corpora trained on their output.
+    3. **Meta sniff** (``meta_sniff=True``): no usable label → scan the
+       first ``prefix_bytes`` bytes (latin-1 view, so the regex is
+       total) for ``<meta ... charset=X`` — covers both the HTML5 form
+       and the legacy http-equiv ``content="text/html; charset=X"``.
+    4. **Content fallback**: no recognized label anywhere → valid UTF-8
+       decodes as UTF-8, anything else as windows-1252 (the WHATWG
+       legacy default for the locales that dominate web corpora).
+
+    A label this table cannot honor (shift_jis, gbk, ... — outside the
+    JVM-side repertoire) is treated as absent and falls to step 3/4
+    rather than guessing: ``charset_source`` exposes the decision so a
+    curation pipeline can route those rows to a gated Python decoder.
+
+    Returns a struct ``(text, charset_used, charset_source)`` —
+    ``charset_used`` ∈ {utf-8, windows-1252, utf-16le, utf-16be},
+    ``charset_source`` ∈ {bom, declared, meta, content}; all null for a
+    null body. Unlike ``http_body_text`` this HONORS a non-UTF-8 label
+    over content that happens to validate as UTF-8 — mislabeled servers
+    produce mojibake here by design (that is what the declaration says),
+    which the ``p33`` ftfy-repair stage detects and fixes downstream.
+    """
+    b = F.col(body_col) if isinstance(body_col, str) else body_col
+    if charset_col is None:
+        declared = F.lit(None).cast("string")
+    else:
+        declared = (
+            F.col(charset_col)
+            if isinstance(charset_col, str)
+            else charset_col
+        )
+
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in _CHARSET_ALIASES.items() for x in kv]
+    )
+    decl_label = F.element_at(alias_map, F.lower(F.trim(declared)))
+    if meta_sniff:
+        prefix = F.decode(
+            F.substring(b, 1, prefix_bytes), "ISO-8859-1"
+        )
+        meta_raw = F.nullif(
+            F.lower(F.regexp_extract(prefix, _META_CHARSET_RE, 1)),
+            F.lit(""),
+        )
+        meta_label = F.element_at(alias_map, meta_raw)
+    else:
+        meta_label = F.lit(None).cast("string")
+
+    label = F.coalesce(decl_label, meta_label)
+    source = F.when(decl_label.isNotNull(), F.lit("declared")).when(
+        meta_label.isNotNull(), F.lit("meta")
+    )
+
+    bom_utf8 = F.substring(b, 1, 3) == F.lit(b"\xef\xbb\xbf")
+    head4 = F.substring(b, 1, 4)
+    bom_16le = (F.substring(b, 1, 2) == F.lit(b"\xff\xfe")) & (
+        head4 != F.lit(b"\xff\xfe\x00\x00")
+    )
+    bom_16be = F.substring(b, 1, 2) == F.lit(b"\xfe\xff")
+    rest8 = F.substring(b, 4, 2147483647)
+    utf8_valid = F.is_valid_utf8(b)
+
+    def _s(text, used, src):
+        return F.struct(
+            text.alias("text"),
+            F.lit(used).alias("charset_used")
+            if isinstance(used, str)
+            else used.alias("charset_used"),
+            F.lit(src).alias("charset_source")
+            if isinstance(src, str)
+            else src.alias("charset_source"),
+        )
+
+    null_struct = F.struct(
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("charset_used"),
+        F.lit(None).cast("string").alias("charset_source"),
+    )
+    return (
+        F.when(b.isNull(), null_struct)
+        .when(
+            bom_utf8 & F.is_valid_utf8(rest8),
+            _s(F.decode(rest8, "UTF-8"), "utf-8", "bom"),
+        )
+        .when(bom_utf8, _s(_cp1252(rest8), "windows-1252", "content"))
+        .when(bom_16le, _s(F.decode(b, "UTF-16"), "utf-16le", "bom"))
+        .when(bom_16be, _s(F.decode(b, "UTF-16"), "utf-16be", "bom"))
+        .when(
+            (label == "utf-8") & utf8_valid,
+            _s(F.decode(b, "UTF-8"), "utf-8", source),
+        )
+        .when(label == "utf-8", _s(_cp1252(b), "windows-1252", "content"))
+        .when(label == "windows-1252", _s(_cp1252(b), "windows-1252", source))
+        .when(
+            label == "utf-16le",
+            _s(F.decode(b, "UTF-16LE"), "utf-16le", source),
+        )
+        .when(
+            label == "utf-16be",
+            _s(F.decode(b, "UTF-16BE"), "utf-16be", source),
+        )
+        .when(utf8_valid, _s(F.decode(b, "UTF-8"), "utf-8", "content"))
+        .otherwise(_s(_cp1252(b), "windows-1252", "content"))
+    )

@@ -1838,3 +1838,98 @@ class TestRevisitResolution:
         recs = warc.warc_records(df)  # no headers= projection
         with pytest.raises(ValueError, match="warc_payload_digest"):
             cdx.resolve_revisits(recs)
+
+
+class TestHttpBodyTextCharset:
+    """WHATWG-faithful charset decode (sources/http.py::
+    http_body_text_charset): BOM > declared label > meta sniff >
+    content fallback; latin-1-family labels mean windows-1252."""
+
+    def _run(self, spark, rows):
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        df = spark.createDataFrame(
+            rows, "i int, body binary, charset string"
+        )
+        out = (
+            df.select("i", http_body_text_charset().alias("d"))
+            .select("i", "d.*")
+            .collect()
+        )
+        return {r["i"]: (r["text"], r["charset_used"], r["charset_source"])
+                for r in out}
+
+    def test_precedence_chain(self, spark):
+        sfx = b"\x93q\x94 \x97 caf\xe9 \x80"   # cp1252 bytes
+        dec = "“q” — café €"
+        got = self._run(spark, [
+            (0, bytearray("héllo".encode("utf-8")), "utf-8"),
+            (1, bytearray(b"p " + sfx), "windows-1252"),
+            # every latin-1-family label means cp1252 (WHATWG)
+            (2, bytearray(b"p " + sfx), "ISO-8859-1"),
+            (3, bytearray(b"p " + sfx), "ascii"),
+            # meta sniff when no header label
+            (4, bytearray(b'<meta charset="latin1">m ' + sfx), None),
+            # legacy http-equiv form
+            (5, bytearray(
+                b'<meta http-equiv="Content-Type" content='
+                b'"text/html; charset=windows-1252">m ' + sfx), None),
+            # content fallback: invalid utf-8, nothing declared
+            (6, bytearray(b"r " + sfx), None),
+            # content fallback: valid utf-8
+            (7, bytearray("ok café".encode("utf-8")), None),
+            # unsupported label falls through to content sniff
+            (8, bytearray(b"ascii only"), "shift_jis"),
+        ])
+        assert got[0] == ("héllo", "utf-8", "declared")
+        assert got[1] == ("p " + dec, "windows-1252", "declared")
+        assert got[2] == ("p " + dec, "windows-1252", "declared")
+        assert got[3] == ("p " + dec, "windows-1252", "declared")
+        assert got[4][0].endswith("m " + dec)
+        assert got[4][1:] == ("windows-1252", "meta")
+        assert got[5][1:] == ("windows-1252", "meta")
+        assert got[6] == ("r " + dec, "windows-1252", "content")
+        assert got[7] == ("ok café", "utf-8", "content")
+        assert got[8] == ("ascii only", "utf-8", "content")
+
+    def test_bom_wins_over_label(self, spark):
+        got = self._run(spark, [
+            # UTF-8 BOM beats a cp1252 declaration
+            (0, bytearray(b"\xef\xbb\xbf" + "bom café".encode("utf-8")),
+             "windows-1252"),
+            (1, bytearray(b"\xff\xfe" + "lé".encode("utf-16-le")), None),
+            (2, bytearray(b"\xfe\xff" + "bé".encode("utf-16-be")), None),
+            # UTF-8 BOM followed by invalid UTF-8 -> cp1252, not a throw
+            (3, bytearray(b"\xef\xbb\xbfbad \x93"), None),
+        ])
+        assert got[0] == ("bom café", "utf-8", "bom")
+        assert got[1] == ("lé", "utf-16le", "bom")
+        assert got[2] == ("bé", "utf-16be", "bom")
+        assert got[3] == ("bad “", "windows-1252", "content")
+
+    def test_declared_label_is_honored_over_content(self, spark):
+        # the contrast with http_body_text: a mislabeled-but-valid-UTF-8
+        # body decodes per the DECLARATION (mojibake by design; the
+        # ftfy-repair stage owns the fix)
+        got = self._run(spark, [
+            (0, bytearray("café".encode("utf-8")), "latin1"),
+        ])
+        assert got[0] == ("cafÃ©", "windows-1252", "declared")
+
+    def test_null_and_empty(self, spark):
+        got = self._run(spark, [
+            (0, None, "utf-8"),
+            (1, bytearray(b""), None),
+        ])
+        assert got[0] == (None, None, None)
+        assert got[1] == ("", "utf-8", "content")
+
+    def test_cp1252_undefined_bytes_stay_c1(self, spark):
+        # 0x81 8D 8F 90 9D have no cp1252 mapping; WHATWG keeps the C1
+        # control (identical to the latin-1 decode)
+        got = self._run(spark, [
+            (0, bytearray(b"a\x81b\x90c"), "windows-1252"),
+        ])
+        assert got[0][0] == "a\x81b\x90c"
