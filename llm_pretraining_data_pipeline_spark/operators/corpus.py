@@ -1200,6 +1200,105 @@ def token_budget_allocation(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    value_col: str = "quality_score",
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    value_min: float = 0.0,
+    value_max: float = 1.0,
+) -> DataFrame:
+    """Global token-budget selection: keep the highest-``value_col``
+    documents, in the exact total order ``(value desc, id asc)``, until
+    the cumulative ``token_col`` reaches ``budget`` — the "best N
+    tokens" cut every pretraining recipe ends with once its quality
+    scores exist (FineWeb/DCLM publish exactly this: a classifier score
+    and a token budget).
+
+    A row is kept iff the tokens of all rows STRICTLY BEFORE it total
+    less than ``budget`` (greedy fill: the row that crosses the boundary
+    is included; zero-token rows at or past the boundary are not).
+    Adds ``kept`` boolean; row set and other columns unchanged.
+
+    100 TB shape: the naive form is a global ORDER-BY window cumsum —
+    the whole corpus through one partition. Instead, quantize the score
+    into ``buckets`` fixed bins (bucket index is monotonic in the
+    score, so bucket order refines to total order): ONE small groupBy
+    aggregates per-bucket token sums (≤ buckets+1 rows through the
+    driver), the driver walks the histogram to find the single
+    BOUNDARY bucket the budget lands in, and only that bucket's rows —
+    ~1/buckets of the corpus — pay an exact within-bucket cumsum
+    window. Buckets above the boundary are kept outright, below it
+    dropped outright, both as pure filters. Bit-equal to the
+    single-window form because all token sums are integers and the
+    within-bucket window orders by the RAW (value, id) key. Scores
+    outside [value_min, value_max] clamp to the edge bins (their raw
+    values still order them exactly within the bin); null scores sort
+    last (never kept unless everything fits).
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    span = float(value_max) - float(value_min)
+    if span <= 0:
+        raise ValueError("value_max must exceed value_min")
+    v = F.col(value_col).cast("double")
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - value_min) / span * buckets).cast("int"),
+            ),
+        )
+    )
+    tok = F.coalesce(F.col(token_col), F.lit(0)).cast("long")
+
+    hist = {
+        r["b"]: int(r["tot"] or 0)
+        for r in df.groupBy(bucket.alias("b"))
+        .agg(F.sum(tok).alias("tot"))
+        .collect()
+    }
+    acc = 0
+    boundary, boundary_offset = None, None
+    for bk in sorted((k for k in hist if k is not None), reverse=True):
+        if acc + hist[bk] >= budget:
+            boundary, boundary_offset = bk, acc
+            break
+        acc += hist[bk]
+
+    out = df.withColumn("_b", bucket)
+    if boundary is None:
+        # the whole supply fits (or the frame is empty): every row's
+        # cum_before is below the budget except trailing zero-token rows
+        # exactly AT the total — which cannot exist here since total<budget
+        return out.drop("_b").withColumn("kept", F.lit(budget > 0))
+
+    full = out.where(F.col("_b") > boundary).withColumn(
+        "kept", F.lit(True)
+    )
+    rest = out.where(
+        F.col("_b").isNull() | (F.col("_b") < boundary)
+    ).withColumn("kept", F.lit(False))
+    # the semantics-bound serial part: ONE bucket's rows (~1/buckets of
+    # the corpus) through a single-partition window, same discipline as
+    # assign_shards' positional parity
+    wb = Window.orderBy(F.col(value_col).desc(), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    edge = (
+        out.where(F.col("_b") == boundary)
+        .withColumn(
+            "kept",
+            (F.lit(boundary_offset) + F.coalesce(F.sum(tok).over(wb), F.lit(0)))
+            < budget,
+        )
+    )
+    return full.unionByName(edge).unionByName(rest).drop("_b")
+
+
 # ================================================================ C4 stage
 # Raffel et al. 2020 (T5/C4), §2.2 — the other canonical public web-corpus
 # recipe alongside Gopher/RefinedWeb/CCNet. The reference pipeline has none

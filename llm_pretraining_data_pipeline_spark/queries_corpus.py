@@ -1978,3 +1978,57 @@ def a21_psi_drift(spark, sf_dir):
     return corpus.psi_drift(
         buckets, "bucket", "source", _KS_SRC_A, _KS_SRC_B
     )
+
+
+@register(
+    "corp_budget_select",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {O.alpha_ratio('text')} AS score,
+             cast(len({O.toks('text')}) AS bigint) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, score, n_tok,
+             coalesce(SUM(n_tok) OVER (
+               ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM d
+    )
+    SELECT doc_id, round(score, 6) AS score, n_tok,
+           cum_before < 20000 AS kept
+    FROM c
+    """,
+    doc="global token-budget selection (operators/corpus.py::"
+        "budget_select — the FineWeb/DCLM endgame: keep the "
+        "highest-scoring documents, in exact (score desc, id) order, "
+        "until the cumulative token count reaches the training budget). "
+        "A row is kept iff the tokens STRICTLY before it total under "
+        "the budget (greedy fill, crossing row included). The referee "
+        "is the naive global window cumsum; the engine never runs one — "
+        "it quantizes the score into 4096 monotonic bins, aggregates "
+        "per-bin token sums (one tiny groupBy through the driver), "
+        "keeps/drops whole bins as pure filters, and pays an exact "
+        "(raw-score, id)-ordered window ONLY inside the single boundary "
+        "bin the budget lands in (~1/4096 of the corpus) — bit-equal "
+        "to the window form because token sums are integers and bin "
+        "order is monotonic in score. Score = alpha_ratio, tokens = "
+        "word count, budget 20k — the boundary lands mid-corpus at "
+        "both driver SFs",
+)
+def corp_budget_select(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import metrics
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        metrics.alpha_ratio("text").alias("score"),
+        metrics.n_words("text").cast("long").alias("n_tok"),
+    )
+    out = corpus.budget_select(
+        d, budget=20_000, value_col="score", token_col="n_tok"
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_tok", "kept"
+    )

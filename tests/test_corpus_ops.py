@@ -1368,3 +1368,75 @@ class TestPsiDrift:
         p1 = psi_drift(df.repartition(1), "bucket", "grp", "a", "b").collect()[0]["psi"]
         p8 = psi_drift(df.repartition(8), "bucket", "grp", "a", "b").collect()[0]["psi"]
         assert p1 == p8  # ordered fold: no sum-order sensitivity
+
+
+class TestBudgetSelect:
+    """Global token-budget selection (operators/corpus.py::budget_select):
+    bucket-histogram two-phase cut, bit-equal to the naive global
+    window cumsum."""
+
+    def _naive(self, rows, budget):
+        # reference: (score desc, id) order, keep iff cum_before < budget
+        kept, cum = {}, 0
+        for did, score, tok in sorted(
+            rows, key=lambda r: (-(r[1] if r[1] is not None else -1e18), r[0])
+        ):
+            kept[did] = cum < budget
+            cum += tok
+        return kept
+
+    def _run(self, spark, rows, budget, **kw):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, score double, n_tok long"
+        )
+        out = corpus.budget_select(
+            df, budget, value_col="score", token_col="n_tok", **kw
+        )
+        got = {r["doc_id"]: r["kept"] for r in out.collect()}
+        assert len(got) == len(rows)  # row set unchanged
+        return got
+
+    def test_matches_naive_cumsum(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, rng.random(), rng.randrange(0, 40)) for i in range(300)
+        ]
+        for budget in (0, 1, 500, 2500, 10**9):
+            got = self._run(spark, rows, budget, buckets=16)
+            assert got == self._naive(rows, budget), f"budget={budget}"
+
+    def test_boundary_zero_token_rows(self, spark):
+        # rows with 0 tokens sitting exactly AT the budget boundary are
+        # NOT kept (their cum_before equals the budget)
+        rows = [
+            (1, 0.9, 10),
+            (2, 0.8, 10),
+            (3, 0.7, 0),   # cum_before = 20 == budget -> dropped
+            (4, 0.6, 5),
+        ]
+        got = self._run(spark, rows, 20, buckets=1)
+        assert got == {1: True, 2: True, 3: False, 4: False}
+
+    def test_ties_break_on_id(self, spark):
+        rows = [(2, 0.5, 10), (1, 0.5, 10), (3, 0.5, 10)]
+        got = self._run(spark, rows, 15)
+        assert got == {1: True, 2: True, 3: False}
+
+    def test_null_scores_sort_last_and_clamping(self, spark):
+        rows = [
+            (1, None, 5),
+            (2, 7.5, 5),    # clamps above value_max, still first
+            (3, -2.0, 5),   # clamps below value_min, before nulls
+            (4, 0.5, 5),
+        ]
+        got = self._run(spark, rows, 15)
+        assert got == {2: True, 4: True, 3: True, 1: False}
+
+    def test_whole_supply_fits(self, spark):
+        rows = [(1, 0.1, 5), (2, 0.9, 5)]
+        assert self._run(spark, rows, 100) == {1: True, 2: True}
+        assert self._run(spark, rows, 0) == {1: False, 2: False}
