@@ -47,6 +47,7 @@ from llm_pretraining_data_pipeline_spark.plans.web_curation import (
 )
 from llm_pretraining_data_pipeline_spark.sources.http import (
     http_body_text,
+    http_body_text_charset,
     warc_http_records,
 )
 
@@ -58,6 +59,13 @@ class CrawlCorpusConfig:
     # media-type gate: only textual payloads become documents; binary
     # payloads route to the multimodal decoders, not the text pipeline
     text_mime_prefix: str = "text/"
+    # WHATWG-faithful charset handling (http_body_text_charset): honor
+    # BOM > declared Content-Type charset > <meta charset> sniff, with
+    # windows-1252 as the legacy fallback. Default False keeps the
+    # content-sniffing decode (valid-UTF-8-else-latin-1) the existing
+    # benched funnel and its referees pin; flip for corpora where
+    # declared-cp1252 bodies are material.
+    charset_aware: bool = False
     curation: WebCurationConfig = field(default_factory=WebCurationConfig)
     tokenizer_pattern: str = GPT2_SPLIT_PATTERN_RE2
 
@@ -95,7 +103,11 @@ def run_crawl_to_corpus(
     a bound enforced here with an in-plan fence rather than assumed.
     """
     recs = warc_http_records(files, gzipped=cfg.gzipped)
-    dec = http_body_text("body")
+    dec = (
+        http_body_text_charset("body", "charset")
+        if cfg.charset_aware
+        else http_body_text("body")
+    )
     mime_ok = F.coalesce(
         F.col("content_type").startswith(cfg.text_mime_prefix), F.lit(False)
     )

@@ -467,3 +467,55 @@ class TestCrawlToCorpus:
         assert summ["http_status_reject"]["n_docs"] == 2
         for k in ("non_text_mime", "http_unparseable", "exact_duplicate"):
             assert summ[k]["n_docs"] == 1 and summ[k]["total_tokens"] == 0
+
+
+class TestCrawlCharsetAware:
+    """CrawlCorpusConfig(charset_aware=True): the WHATWG decode replaces
+    the content-sniffing fallback inside the composed funnel."""
+
+    def _run(self, spark, charset_aware):
+        from llm_pretraining_data_pipeline_spark.plans.crawl import (
+            CrawlCorpusConfig, run_crawl_to_corpus,
+        )
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig,
+        )
+        from llm_pretraining_data_pipeline_spark.sources import warc
+
+        # declared windows-1252 body with 0x93/0x94 smart quotes — the
+        # latin-1 fallback decodes them to C1 controls, the WHATWG path
+        # to U+201C/U+201D
+        body = (b"He said \x93hello there\x94 to the crowd. "
+                b"Then everyone went home afterwards.")
+        msg = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain; charset=windows-1252\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+        files = spark.createDataFrame(
+            [(0, bytearray(warc.encode_warc(
+                [("response", "https://a.example/q", "rq", msg)]
+            )))],
+            "file_id long, payload binary",
+        )
+        out = run_crawl_to_corpus(
+            files,
+            CrawlCorpusConfig(
+                charset_aware=charset_aware,
+                curation=WebCurationConfig(
+                    min_sentences=2, apply_gopher=False
+                ),
+            ),
+        ).collect()
+        assert len(out) == 1
+        return out[0]
+
+    def test_declared_cp1252_decodes_smart_quotes(self, spark):
+        row = self._run(spark, charset_aware=True)
+        assert row["drop_reason"] is None
+        assert "“hello there”" in row["text_curated"]
+
+    def test_default_keeps_sniffing_fallback(self, spark):
+        row = self._run(spark, charset_aware=False)
+        # latin-1 fallback renders the cp1252 quotes as C1 controls
+        assert "\x93hello there\x94" in (row["text_curated"] or "")
