@@ -230,6 +230,44 @@ def extract_links(c: Column | str) -> Column:
     )
 
 
+_ANCHOR_RE = r"""(?is)<a\s[^>]*href="([^"]+)"[^>]*>(.*?)</a>"""
+
+
+def extract_anchors(c: Column | str) -> Column:
+    """Outlinks WITH their anchor text — ``array<struct<href, anchor>>``
+    in document order. Anchor text is the web-graph quality signal the
+    link-only ``extract_links`` drops: what OTHER pages call a URL
+    (the classic anchor-text corpus; search and curation pipelines
+    aggregate it per target as an off-page description).
+
+    ``anchor`` is the cleaned inner text: nested tags stripped, all
+    whitespace runs (newlines included — anchors wrap) collapsed to one
+    space, trimmed. Double-quoted hrefs only, same char-exact contract
+    as ``extract_links``. Two aligned ``regexp_extract_all`` passes
+    (group 1 / group 2) zipped — the engines agree because the SAME
+    pattern produces both lists. Pure per-row projection: zero Python,
+    zero shuffle at any scale.
+    """
+    s = F.coalesce(_col(c).cast("string"), F.lit(""))
+    hrefs = F.regexp_extract_all(s, F.lit(_ANCHOR_RE), F.lit(1))
+    raw = F.regexp_extract_all(s, F.lit(_ANCHOR_RE), F.lit(2))
+    cleaned = F.transform(
+        raw,
+        lambda x: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(x, F.lit(r"<[^>]*>"), F.lit("")),
+                F.lit(r"\s+"),
+                F.lit(" "),
+            )
+        ),
+    )
+    return F.zip_with(
+        hrefs,
+        cleaned,
+        lambda h, a: F.struct(h.alias("href"), a.alias("anchor")),
+    )
+
+
 # UTF-8 bytes mis-decoded as Latin-1/cp1252 — the classic web-scrape
 # mojibake ftfy repairs (The Pile and friends run exactly this pass).
 # Ordered longest-first so a 3-char sequence is never half-consumed by a

@@ -6220,3 +6220,130 @@ def s14_charset_decode(spark, sf_dir):
     ).select(
         "file_id", "arm", "_d.text", "_d.charset_used", "_d.charset_source"
     )
+
+
+# ===================================================== anchor-text corpus
+@register(
+    "f26_anchor_text",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 20 AS varchar) AS k,
+             CAST(doc_id % 10 AS varchar) AS j,
+             CAST(doc_id % 5 AS varchar) AS m
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             'https://site-' || k || '.example/products/item-' || j
+               AS target,
+             CASE WHEN doc_id % 2 = 0 THEN 'Item ' || j
+                  ELSE 'Buy item ' || j || ' now' END AS anchor
+      FROM d
+      UNION ALL
+      SELECT doc_id, 'https://site-' || k || '.example/about.html',
+             'About us'
+      FROM d WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, 'https://hub.example/doc/' || m, 'Doc ' || m
+      FROM d WHERE doc_id % 3 = 0
+    ),
+    per AS (
+      SELECT target, anchor, count(*) AS cnt FROM e GROUP BY 1, 2
+    ),
+    tops AS (
+      SELECT target,
+             CAST(sum(cnt) AS bigint) AS n_refs,
+             CAST(count(*) AS bigint) AS n_anchors,
+             (array_agg(anchor ORDER BY cnt DESC, anchor DESC))[1]
+               AS top_anchor
+      FROM per GROUP BY 1
+    ),
+    pages AS (
+      SELECT target, CAST(count(DISTINCT doc_id) AS bigint) AS n_pages
+      FROM e GROUP BY 1
+    )
+    SELECT t.target, t.n_refs, p.n_pages, t.n_anchors, t.top_anchor
+    FROM tops t JOIN pages p USING (target)
+    """,
+    doc="anchor-text corpus (functions/structural.py::extract_anchors "
+        "+ urls.resolve_url): what OTHER pages call a URL — the "
+        "off-page description signal search/curation pipelines "
+        "aggregate per target (anchor-text corpora are a classic "
+        "pretraining ingredient). Fixture pages link a per-host "
+        "product page (root-relative href, anchor varies by parity so "
+        "top_anchor is a real vote), '../about.html' (path-relative "
+        "resolution, nested <b> + newline inside the anchor proving "
+        "the tag-strip/whitespace-collapse contract), an absolute "
+        "cross-host hub link, and a '#frag' self-reference that "
+        "resolve_url nulls (excluded — a page is not anchor-text for "
+        "itself). top_anchor = most-referenced anchor string, ties to "
+        "the lexicographically larger (max(struct(cnt, anchor)) both "
+        "engines). Scale shape: two-level aggregation — "
+        "groupBy(target, anchor) with map-side partial agg, then "
+        "groupBy(target) — plus one distinct-pages agg and an "
+        "AQE-sized equi-join; anchors never collect, no window",
+)
+def f26_anchor_text(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        extract_anchors,
+    )
+
+    d = F.col("doc_id")
+    k = (d % 20).cast("string")
+    j = (d % 10).cast("string")
+    m = (d % 5).cast("string")
+    url = F.concat(
+        F.lit("https://site-"), k, F.lit(".example/dir/page"),
+        d.cast("string"), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="/products/item-'), j, F.lit('">'),
+        F.when(d % 2 == 0, F.concat(F.lit("Item "), j)).otherwise(
+            F.concat(F.lit("Buy item "), j, F.lit(" now"))
+        ),
+        F.lit("</a>"),
+        F.when(
+            d % 2 == 0,
+            F.lit(' <a href="../about.html"><b>About</b>\n us</a>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(' <a href="https://hub.example/doc/'), m,
+                F.lit('">Doc '), m, F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0, F.lit(' <a href="#frag">same page</a>')
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), extract_anchors(html).alias("anchors")
+    )
+    e = (
+        pages.select(
+            "doc_id", "url", F.explode("anchors").alias("a")
+        )
+        .select(
+            "doc_id",
+            urls.resolve_url(F.col("url"), F.col("a.href")).alias(
+                "target"
+            ),
+            F.col("a.anchor").alias("anchor"),
+        )
+        .where(F.col("target").isNotNull())
+    )
+    per = e.groupBy("target", "anchor").agg(F.count(F.lit(1)).alias("cnt"))
+    tops = per.groupBy("target").agg(
+        F.sum("cnt").alias("n_refs"),
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.max(F.struct("cnt", "anchor"))["anchor"].alias("top_anchor"),
+    )
+    n_pages = e.groupBy("target").agg(
+        F.countDistinct("doc_id").alias("n_pages")
+    )
+    return tops.join(n_pages, "target").select(
+        "target", "n_refs", "n_pages", "n_anchors", "top_anchor"
+    )

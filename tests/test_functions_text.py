@@ -988,3 +988,48 @@ class TestDecodeHtmlEntities:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestExtractAnchors:
+    """functions/structural.py::extract_anchors — outlinks with cleaned
+    anchor text (array<struct<href, anchor>>)."""
+
+    def _run(self, spark, html):
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            extract_anchors,
+        )
+
+        df = spark.createDataFrame([(html,)], "html string")
+        return [
+            (r["href"], r["anchor"])
+            for r in df.select(
+                extract_anchors("html").alias("a")
+            ).collect()[0]["a"]
+        ]
+
+    def test_basic_and_cleaning(self, spark):
+        got = self._run(
+            spark,
+            '<a href="/x">Plain</a> mid '
+            '<a href="https://h/d"><b>Bold</b>\n\t link </a>',
+        )
+        assert got == [("/x", "Plain"), ("https://h/d", "Bold link")]
+
+    def test_case_attrs_and_decoys(self, spark):
+        got = self._run(
+            spark,
+            '<A HREF="/up">Up</A>'
+            "<a href='/single'>skip</a>"          # single-quoted: out
+            '<a class="c" href="/y" rel="x">attrs</a>'
+            '<b data-href="/fake">not a link</b>',
+        )
+        assert got == [("/up", "Up"), ("/y", "attrs")]
+
+    def test_null_and_empty(self, spark):
+        assert self._run(spark, None) == []
+        assert self._run(spark, "no links here") == []
+
+    def test_empty_anchor_text(self, spark):
+        assert self._run(spark, '<a href="/i"><img src="x"></a>') == [
+            ("/i", "")
+        ]
