@@ -1110,6 +1110,56 @@ def group_median_gate(
     )
 
 
+def group_prior_gate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    tau: float = 0.5,
+    min_count: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Group-level quality prior: flag every row of a group whose MEAN
+    ``value_col`` falls below ``tau`` — once the group has at least
+    ``min_count`` rows of evidence (RefinedWeb/FineWeb-style host
+    filtering: a consistently-low-quality host condemns its pages
+    wholesale, but two bad pages must not condemn a host). Groups under
+    the evidence floor are never flagged. Adds ``group_n``,
+    ``group_mean`` (6dp, reporting only) and ``below_prior``.
+
+    The GATE is integer-exact: scores quantize to ``round(v * scale)``
+    and the comparison is ``sum(v_int) < round(tau*scale) * n`` — pure
+    bigint arithmetic, so the verdict cannot flip with partition count
+    or aggregation order the way a floating mean near the threshold
+    can (the reason this is not ``avg(v) < tau``). Scores are assumed
+    non-negative (quality ratios); null scores count as 0 evidence
+    rows still count toward ``group_n``.
+
+    Scale shape: ONE map-side-combinable ``groupBy(group_col)`` over
+    two bigint sums, then one equi-join back on the group key — the
+    group-stats side is one row per group (bounded by the host count,
+    not the corpus), so AQE typically broadcasts it. No window.
+    """
+    vi = F.round(
+        F.coalesce(F.col(value_col), F.lit(0.0)).cast("double") * scale, 0
+    ).cast("long")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.sum(vi).alias("_vsum"),
+    )
+    tau_i = int(round(tau * scale))
+    gated = stats.select(
+        group_col,
+        "group_n",
+        F.round(F.col("_vsum") / F.lit(float(scale)) / F.col("group_n"), 6)
+        .alias("group_mean"),
+        (
+            (F.col("group_n") >= min_count)
+            & (F.col("_vsum") < F.lit(tau_i) * F.col("group_n"))
+        ).alias("below_prior"),
+    )
+    return df.join(gated, group_col)
+
+
 def group_quota_topn(
     df: DataFrame,
     value_col: str,

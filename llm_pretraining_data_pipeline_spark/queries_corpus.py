@@ -2032,3 +2032,68 @@ def corp_budget_select(spark, sf_dir):
     return out.select(
         "doc_id", F.round("score", 6).alias("score"), "n_tok", "kept"
     )
+
+
+@register(
+    "corp_host_prior",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 3 THEN 'tiny'
+                  ELSE 'h' || CAST(doc_id % 17 AS varchar) END AS host,
+             CASE WHEN doc_id < 3 OR (doc_id % 17) % 3 = 0
+                  THEN 0.5 * ({O.alpha_ratio('text')})
+                  ELSE {O.alpha_ratio('text')} END AS score
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, host,
+             CAST(round(score * 1000000) AS bigint) AS vi
+      FROM d
+    ),
+    s AS (
+      SELECT host, CAST(count(*) AS bigint) AS group_n,
+             CAST(sum(vi) AS bigint) AS vs
+      FROM q GROUP BY 1
+    )
+    SELECT q.doc_id, q.host, s.group_n,
+           round(CAST(vs AS double) / 1000000.0 / group_n, 6)
+             AS group_mean,
+           (group_n >= 5 AND vs < 500000 * group_n) AS below_prior
+    FROM q JOIN s USING (host)
+    """,
+    doc="host-level quality prior (operators/corpus.py::"
+        "group_prior_gate — RefinedWeb/FineWeb-style host filtering: a "
+        "consistently-low-quality host condemns its pages wholesale, "
+        "but a handful of bad pages must not condemn a host). The gate "
+        "is INTEGER-exact: scores quantize to round(v*1e6) and the "
+        "verdict is sum(v_int) < tau_int * n in bigint arithmetic, so "
+        "it cannot flip with partition count or summation order the "
+        "way avg(v) < tau near the threshold can. Fixture: every third "
+        "host's scores halved (flagged), a 3-doc 'tiny' host with "
+        "halved scores stays unflagged (the min_count=5 evidence "
+        "floor), everyone else passes. Scale shape: one map-side-"
+        "combinable groupBy over two bigint sums + one join back on "
+        "the group key (one row per host — AQE broadcasts it); no "
+        "window",
+)
+def corp_host_prior(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import metrics
+
+    d = F.col("doc_id")
+    host = F.when(d < 3, F.lit("tiny")).otherwise(
+        F.concat(F.lit("h"), (d % 17).cast("string"))
+    )
+    alpha = metrics.alpha_ratio("text")
+    score = F.when(
+        (d < 3) | ((d % 17) % 3 == 0), alpha * 0.5
+    ).otherwise(alpha)
+    base = _docs(spark, sf_dir).select(
+        "doc_id", host.alias("host"), score.alias("score")
+    )
+    out = corpus.group_prior_gate(
+        base, "score", group_col="host", tau=0.5, min_count=5
+    )
+    return out.select(
+        "doc_id", "host", "group_n", "group_mean", "below_prior"
+    )

@@ -6347,3 +6347,43 @@ def f26_anchor_text(spark, sf_dir):
     return tops.join(n_pages, "target").select(
         "target", "n_refs", "n_pages", "n_anchors", "top_anchor"
     )
+
+
+@register(
+    "s15_incremental_ingest",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 50 AS varchar) AS dom
+      FROM documents
+    )
+    SELECT sha256(text || '1') AS digest,
+           'example,site-' || dom || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           'https://site-' || dom || '.example/doc/'
+             || CAST(doc_id AS varchar) AS target_uri,
+           '20240102000000' AS ts
+    FROM d
+    WHERE doc_id % 4 <> 0 AND doc_id % 7 <> 0
+    """,
+    doc="incremental crawl ingest (sources/cdx.py::cdx_incremental): "
+        "keep only the new generation's rows whose payload digest the "
+        "PREVIOUS generation's index never archived — the "
+        "skip-the-unchanged-web gate that makes repeated CC processing "
+        "affordable (unchanged pages would only be discovered as "
+        "duplicates AFTER decode+curation+shuffle; the index anti-join "
+        "discards them before any payload byte moves). Shares the s11 "
+        "drift fixture (id%4=0 absent from gen 1, id%7=0 recrawled "
+        "with unchanged content — both excluded; everything else "
+        "drifted and ingests). Scale shape: ONE left_anti join keyed "
+        "on digests, prev side pruned to its distinct key column; "
+        "null-digest rows excluded by contract",
+)
+def s15_incremental_ingest(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    base = _drift_base(spark, sf_dir)
+    prev = base.where(F.col("file_id") % 2 == 0)
+    cur = base.where(F.col("file_id") % 2 == 1)
+    return C.cdx_incremental(cur, prev).select(
+        "digest", "surt", "target_uri", "ts"
+    )

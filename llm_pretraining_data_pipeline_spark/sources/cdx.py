@@ -887,6 +887,43 @@ def cdx_digest_drift(cdx: DataFrame) -> DataFrame:
     )
 
 
+def cdx_incremental(
+    cur: DataFrame,
+    prev: DataFrame,
+    broadcast_prev: bool = False,
+) -> DataFrame:
+    """Incremental ingest selection: the rows of ``cur`` whose payload
+    digest the previous generation's index has never seen — the
+    skip-the-unchanged-web step that makes repeated CommonCrawl
+    processing affordable (a majority of each crawl's captures carry a
+    digest the previous crawl already archived; re-curating them buys
+    nothing, and exact dedup would only discover that AFTER decoding,
+    curating, and shuffling their text).
+
+    Both sides are CDX frames (``cdx_records`` output or parsed
+    sidecars). Rows with a null digest (cdx_ok=false parse failures)
+    carry no content identity and are excluded — route them to the
+    error path, not the corpus. Keeps ``cur``'s full schema.
+
+    Scale shape: ONE left_anti equi-join keyed on 64-hex digests; the
+    prev side prunes to its distinct digest column before shuffling
+    (key-only build side). ``broadcast_prev=True`` for the
+    small-previous-index case — note the build side is the DISTINCT
+    DIGEST SET of a whole crawl generation, usually far too large to
+    broadcast; the default hash join with AQE is the 100 TB path.
+    """
+    seen = (
+        prev.where(F.col("digest").isNotNull())
+        .select("digest")
+        .distinct()
+    )
+    if broadcast_prev:
+        seen = F.broadcast(seen)
+    return cur.where(F.col("digest").isNotNull()).join(
+        seen, "digest", "left_anti"
+    )
+
+
 def resolve_revisits(
     records: DataFrame,
     digest_col: str = "warc_payload_digest",

@@ -1440,3 +1440,44 @@ class TestBudgetSelect:
         rows = [(1, 0.1, 5), (2, 0.9, 5)]
         assert self._run(spark, rows, 100) == {1: True, 2: True}
         assert self._run(spark, rows, 0) == {1: False, 2: False}
+
+
+class TestGroupPriorGate:
+    def _run(self, spark, rows, **kw):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+        out = corpus.group_prior_gate(df, "v", group_col="g", **kw)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_gate_and_evidence_floor(self, spark):
+        rows = (
+            [(i, "bad", 0.2) for i in range(5)]
+            + [(10 + i, "good", 0.9) for i in range(5)]
+            + [(20 + i, "smallbad", 0.1) for i in range(3)]
+        )
+        got = self._run(spark, rows, tau=0.5, min_count=5)
+        assert len(got) == 13  # join back keeps every row
+        assert all(got[i]["below_prior"] for i in range(5))
+        assert not any(got[10 + i]["below_prior"] for i in range(5))
+        # under the evidence floor: never flagged, stats still present
+        assert not any(got[20 + i]["below_prior"] for i in range(3))
+        assert got[20]["group_n"] == 3 and got[20]["group_mean"] == 0.1
+
+    def test_boundary_is_integer_exact(self, spark):
+        # mean exactly tau -> NOT below (strict <), regardless of
+        # summation order
+        rows = [(i, "edge", 0.5) for i in range(8)]
+        got = self._run(spark, rows, tau=0.5, min_count=5)
+        assert not any(r["below_prior"] for r in got.values())
+        rows[0] = (0, "edge", 0.499999)
+        got = self._run(spark, rows, tau=0.5, min_count=5)
+        assert all(r["below_prior"] for r in got.values())
+
+    def test_null_scores_count_as_zero(self, spark):
+        rows = [(0, "g", None), (1, "g", None), (2, "g", None),
+                (3, "g", 0.9), (4, "g", 0.9)]
+        got = self._run(spark, rows, tau=0.5, min_count=5)
+        # sum = 1.8e6 < 0.5e6*5 -> flagged; nulls counted as evidence
+        assert all(r["below_prior"] for r in got.values())
+        assert got[0]["group_n"] == 5

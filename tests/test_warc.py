@@ -1933,3 +1933,37 @@ class TestHttpBodyTextCharset:
             (0, bytearray(b"a\x81b\x90c"), "windows-1252"),
         ])
         assert got[0][0] == "a\x81b\x90c"
+
+
+class TestCdxIncremental:
+    """sources/cdx.py::cdx_incremental — only-new-digests anti-join."""
+
+    def test_new_digests_only(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        prev = spark.createDataFrame(
+            [("d1", "a"), ("d2", "b"), (None, "bad")],
+            "digest string, surt string",
+        )
+        cur = spark.createDataFrame(
+            [("d1", "a2"), ("d3", "c"), (None, "bad2")],
+            "digest string, surt string",
+        )
+        out = cdx.cdx_incremental(cur, prev)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        rows = out.collect()
+        # d1 seen before -> dropped; null digest -> excluded by contract
+        assert [(r["digest"], r["surt"]) for r in rows] == [("d3", "c")]
+
+    def test_broadcast_path(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        prev = spark.createDataFrame([("d1",)], "digest string")
+        cur = spark.createDataFrame(
+            [("d1",), ("d2",)], "digest string"
+        )
+        out = cdx.cdx_incremental(cur, prev, broadcast_prev=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert [r["digest"] for r in out.collect()] == ["d2"]
