@@ -711,3 +711,78 @@ class TestRound11Plans:
         # today; a regression that funnels the corpus through extra
         # exchanges trips the bound.
         assert plan.count("Exchange") <= 18, plan.count("Exchange")
+
+
+class TestRound12bPlans:
+    """Plan shapes for the round-12 continuation surface: revisit
+    resolution, budget selection, charset decode, incremental ingest."""
+
+    def test_charset_decode_is_pure_jvm_zero_shuffle(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+        df = spark.createDataFrame(
+            [(bytearray(b"x"), "utf-8")], "body binary, charset string"
+        )
+        plan = (
+            df.select(http_body_text_charset().alias("d"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "Pandas" not in plan
+
+    def test_resolve_revisits_bounded_exchanges_no_window(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx, warc
+        blob = warc.encode_warc([
+            ("response", "https://a/x", "r1",
+             b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nok"),
+        ])
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))], "file_id long, payload binary"
+        )
+        recs = warc.warc_records(df, headers=("WARC-Payload-Digest",))
+        plan = (
+            cdx.resolve_revisits(recs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        # one digest groupBy (partial+final) + one equi-join: the
+        # revisit path needs at most 3 exchanges; the pass-through
+        # branch none
+        assert plan.count("Exchange") <= 3
+
+    def test_budget_select_windows_only_the_boundary_bin(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+        df = spark.createDataFrame(
+            [(i, float(i % 10) / 10.0, 10) for i in range(100)],
+            "doc_id long, score double, n_tok long",
+        )
+        out = corpus.budget_select(
+            df, 300, value_col="score", token_col="n_tok", buckets=16
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE window (the boundary bin), fed by a pushed-down
+        # bin filter — never a corpus-wide global sort
+        assert plan.count("Window") == 1
+        win_idx = plan.index("Window")
+        assert "Filter" in plan[win_idx:], "window must sit above the bin filter"
+
+    def test_cdx_incremental_single_anti_join(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        prev = spark.createDataFrame([("d1", "s")], "digest string, surt string")
+        cur = spark.createDataFrame([("d2", "s")], "digest string, surt string")
+        plan = (
+            cdx.cdx_incremental(cur, prev)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan and "Window" not in plan
+
+    def test_anchor_aggregation_is_two_level_partial_agg(self, spark, sf_dir):
+        plan = plan_of(QUERIES["f26_anchor_text"].spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        # partial aggregation must exist (map-side combine on the
+        # (target, anchor) level) and no window anywhere
+        assert "partial" in plan.lower()
+        assert "Window" not in plan
