@@ -40,6 +40,66 @@ def assign_shards_hashed(df: DataFrame, num_shards: int, id_col: str = "doc_id")
     )
 
 
+def assign_shards_sized(
+    df: DataFrame,
+    target_bytes: int,
+    size_col: str = "n_bytes",
+    id_col: str = "doc_id",
+    nlanes: int = 32,
+) -> DataFrame:
+    """Byte-balanced sharding: documents are laid end-to-end in the
+    deterministic order ``(lane, id)`` with ``lane = h64(id) % nlanes``
+    and cut every ``target_bytes`` — ``shard_id = floor(cum_before /
+    target_bytes)``. The export-side SLA is shard BYTES, not doc count
+    (object-store part sizing, loader memory): count-based shards skew
+    badly when document sizes are heavy-tailed, which pretraining
+    corpora always are.
+
+    Same two-phase cumsum as ``pack_sequences`` (corpus.py): a window
+    cumsum inside each hash lane (parallel) plus per-lane prefix
+    offsets (``nlanes`` rows through the driver, broadcast back) —
+    never a global ORDER BY window. Bit-equal to the single-window
+    form since byte counts are integers. A document larger than
+    ``target_bytes`` still lands in exactly one shard (shards are
+    cut by cumulative START position; oversize docs overflow their
+    shard rather than split — splitting is ``pack_sequences``' job).
+    Adds ``shard_id``; null sizes count as 0.
+    """
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    from llm_pretraining_data_pipeline_spark.functions.hashing import h64
+
+    spark = df.sparkSession
+    lane = (h64(F.col(id_col)) % nlanes).cast("int")
+    sz = F.coalesce(F.col(size_col), F.lit(0)).cast("long")
+    base = df.withColumn("_lane", lane).withColumn("_sz", sz)
+    w = Window.partitionBy("_lane").orderBy(id_col)
+    within = base.withColumn("_cum", F.sum("_sz").over(w))
+
+    totals = {
+        r["_lane"]: int(r["tot"] or 0)
+        for r in base.groupBy("_lane").agg(F.sum("_sz").alias("tot")).collect()
+    }
+    offsets, acc = [], 0
+    for s in range(nlanes):
+        offsets.append((s, acc))
+        acc += totals.get(s, 0)
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_lane int, _off long")
+    )
+    return (
+        within.join(off, "_lane")
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("_off") + F.col("_cum") - F.col("_sz"))
+                / target_bytes
+            ).cast("int"),
+        )
+        .drop("_lane", "_sz", "_cum", "_off")
+    )
+
+
 def shard_manifest(df: DataFrame, token_col: str = "n_tokens") -> DataFrame:
     """Per-shard num_docs/total_tokens + ordering (reference sharding.py:150-171)."""
     return (

@@ -2097,3 +2097,52 @@ def corp_host_prior(spark, sf_dir):
     return out.select(
         "doc_id", "host", "group_n", "group_mean", "below_prior"
     )
+
+
+@register(
+    "o10_sized_shards",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {O.h64('cast(doc_id as varchar)')} % 32 AS lane,
+             CAST(octet_length(encode(coalesce(text, ''))) AS bigint)
+               AS n_bytes
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lane, n_bytes,
+             coalesce(SUM(n_bytes) OVER (
+               ORDER BY lane, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM d
+    )
+    SELECT doc_id, n_bytes,
+           CAST(cum_before // 65536 AS int) AS shard_id
+    FROM c
+    """,
+    doc="byte-balanced sharding (operators/sharding.py::"
+        "assign_shards_sized): the export SLA is shard BYTES, not doc "
+        "count — count-based shards skew badly on heavy-tailed "
+        "document sizes. Documents lie end-to-end in (hash-lane, id) "
+        "order and are cut every 64 KiB of cumulative size; oversize "
+        "docs overflow their shard rather than split (splitting is "
+        "pack_sequences' job). The referee is the naive global window "
+        "cumsum; the engine runs the pack_sequences two-phase shape — "
+        "per-lane window cumsum + 32 driver-side lane offsets "
+        "broadcast back — bit-equal because byte counts are integers, "
+        "never a global ORDER BY window",
+)
+def o10_sized_shards(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.operators import sharding
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    out = sharding.assign_shards_sized(
+        d, target_bytes=65536, size_col="n_bytes"
+    )
+    return out.select("doc_id", "n_bytes", "shard_id")

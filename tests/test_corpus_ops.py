@@ -1481,3 +1481,45 @@ class TestGroupPriorGate:
         # sum = 1.8e6 < 0.5e6*5 -> flagged; nulls counted as evidence
         assert all(r["below_prior"] for r in got.values())
         assert got[0]["group_n"] == 5
+
+
+class TestAssignShardsSized:
+    def test_matches_naive_cumsum_and_oversize_docs(self, spark):
+        from llm_pretraining_data_pipeline_spark.functions.hashing import h64
+        from llm_pretraining_data_pipeline_spark.operators import sharding
+
+        rows = [(i, (i * 37) % 90 + (900 if i == 5 else 0))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+        out = sharding.assign_shards_sized(
+            df, target_bytes=100, nlanes=4
+        ).collect()
+        lanes = {
+            r["doc_id"]: r["lane"]
+            for r in df.select(
+                "doc_id", (h64("doc_id") % 4).cast("int").alias("lane")
+            ).collect()
+        }
+        cum, naive = 0, {}
+        for did, nb in sorted(rows, key=lambda r: (lanes[r[0]], r[0])):
+            naive[did] = cum // 100
+            cum += nb
+        got = {r["doc_id"]: r["shard_id"] for r in out}
+        assert got == naive
+        # the 990-byte doc overflows its shard but stays in ONE shard
+        assert len(out) == 40
+
+    def test_null_sizes_and_validation(self, spark):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.operators import sharding
+
+        df = spark.createDataFrame(
+            [(1, None), (2, 10)], "doc_id long, n_bytes long"
+        )
+        out = sharding.assign_shards_sized(df, target_bytes=100)
+        assert {r["doc_id"]: r["shard_id"] for r in out.collect()} == {
+            1: 0, 2: 0,
+        }
+        with pytest.raises(ValueError):
+            sharding.assign_shards_sized(df, target_bytes=0)
