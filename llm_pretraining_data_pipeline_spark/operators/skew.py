@@ -48,7 +48,7 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (+optionally sorted) table: later joins and
     aggregations on ``bucket_key`` between co-bucketed tables need no
-    Exchange (verified by tests/test_bucketing.py)."""
+    Exchange (verified by tests/test_scale_paths.py)."""
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
     if sort_by:
         writer = writer.sortBy(sort_by)
