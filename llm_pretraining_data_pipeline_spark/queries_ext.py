@@ -6387,3 +6387,45 @@ def s15_incremental_ingest(spark, sf_dir):
     return C.cdx_incremental(cur, prev).select(
         "digest", "surt", "target_uri", "ts"
     )
+
+
+@register(
+    "ev_stream_incremental",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 50 AS varchar) AS dom
+      FROM documents
+    )
+    SELECT sha256(text || '1') AS digest,
+           'example,site-' || dom || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           'https://site-' || dom || '.example/doc/'
+             || CAST(doc_id AS varchar) AS target_uri,
+           '20240102000000' AS ts
+    FROM d
+    WHERE doc_id % 4 <> 0 AND doc_id % 7 <> 0
+    """,
+    doc="STREAMING incremental ingest (streaming/events.py::"
+        "run_cdx_incremental_stream_once — 17th streaming query): the "
+        "new generation's index rows arrive as a stream and each "
+        "micro-batch anti-joins against the STATIC previous-generation "
+        "index, so unchanged pages are discarded at capture time, "
+        "before any payload byte moves. SHARES s15_incremental_ingest's "
+        "fixture AND oracle because sources/cdx.py::cdx_incremental is "
+        "the single implementation under both batch and stream (the "
+        "ev_stream_warc/ev_stream_cdx equivalence discipline). "
+        "Stream-static LEFT ANTI is stateless on the stream side — "
+        "append mode, stateOperators == [] pinned in pytest",
+)
+def ev_stream_incremental(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_cdx_incremental_stream_once,
+    )
+
+    base = _drift_base(spark, sf_dir)
+    prev = base.where(F.col("file_id") % 2 == 0)
+    cur = base.where(F.col("file_id") % 2 == 1)
+    drained = run_cdx_incremental_stream_once(
+        spark, cur, prev, stage_key=f"cdx_incr:{sf_dir}"
+    )
+    return drained.select("digest", "surt", "target_uri", "ts")

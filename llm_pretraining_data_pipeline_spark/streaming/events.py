@@ -627,6 +627,27 @@ def _stage_blob_stream(
     return spark.readStream.schema(schema).parquet(stage)
 
 
+def run_cdx_incremental_stream_once(
+    spark: SparkSession, cur: DataFrame, prev: DataFrame, stage_key: str
+) -> DataFrame:
+    """Streaming incremental ingest: the new generation's CDX rows
+    arrive as a stream (the index grows WITH the crawl —
+    ``run_warc_cdx_stream_once``'s output shape) and each micro-batch
+    anti-joins against the STATIC previous-generation index, so only
+    never-archived content flows downstream — the skip-the-unchanged-web
+    gate applied at capture time instead of in a post-pass.
+    ``sources/cdx.py::cdx_incremental`` is the single implementation
+    under both batch and stream (the ev_stream_warc/ev_stream_cdx
+    equivalence discipline); a stream-static LEFT ANTI join is
+    stateless on the stream side (the static side builds once per
+    micro-batch), so the query runs append-mode with
+    ``stateOperators == []``."""
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    stream = _stage_blob_stream(spark, cur, stage_key)
+    return _drain_to_memory(C.cdx_incremental(stream, prev), "append")
+
+
 def run_warc_cdx_stream_once(
     spark: SparkSession, blobs: DataFrame, stage_key: str
 ) -> DataFrame:

@@ -749,3 +749,48 @@ class TestWarcCdxStream:
             assert prog["stateOperators"] == []
         finally:
             q.stop()
+
+
+class TestCdxIncrementalStream:
+    """run_cdx_incremental_stream_once: stream-static anti-join gate."""
+
+    def test_matches_batch_and_is_stateless(self, spark):
+        import tempfile
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+        prev = spark.createDataFrame(
+            [("d1", "s1"), ("d2", "s2")], "digest string, surt string"
+        )
+        cur = spark.createDataFrame(
+            [("d1", "s1b"), ("d3", "s3"), (None, "bad")],
+            "digest string, surt string",
+        )
+        batch = {r["digest"] for r in C.cdx_incremental(cur, prev).collect()}
+        assert batch == {"d3"}
+
+        stage = tempfile.mkdtemp(prefix="cdx_incr_plan_")
+        cur.write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = spark.readStream.schema(schema).parquet(stage)
+        out = C.cdx_incremental(stream, prev)
+        assert out.isStreaming
+        ckpt = tempfile.mkdtemp(prefix="cdx_incr_ckpt_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cdx_incr_stateless").outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = q.lastProgress
+            assert prog is not None
+            assert prog["stateOperators"] == []  # static side: no state
+        finally:
+            q.stop()
+        got = {
+            r["digest"]
+            for r in spark.sql("select * from cdx_incr_stateless").collect()
+        }
+        assert got == batch
