@@ -178,6 +178,16 @@ _PRIORITY_R11 = [
 # hash-verified via check_oracle at sf0.01 AND sf0.001 on registration,
 # all covered by the suite's full oracle-parity replay and the
 # in-session full sweeps; they take head slots in r13.
+# The round-12 CONTINUATION session added eight more past-the-cap
+# queries, same discipline (each hash-verified at sf0.01 AND sf0.001 on
+# registration + final full sweep; r13 head candidates):
+# s13_warc_revisit (revisit-record resolution by payload digest),
+# s14_charset_decode (WHATWG charset chain), s15_incremental_ingest +
+# ev_stream_incremental (only-new-digests anti-join, batch + stream,
+# one shared implementation), f26_anchor_text (anchor-text corpus),
+# corp_budget_select (global token-budget cut, histogram two-phase),
+# corp_host_prior (integer-exact host quality gate), o10_sized_shards
+# (byte-balanced shards, two-phase cumsum).
 _PRIORITY_R12 = [
     # new this round — hash-matched via check_oracle at sf0.01 AND
     # sf0.001 on registration: robots-gated frontier expansion (VERDICT

@@ -184,6 +184,44 @@ def main() -> int:
     queries_df = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
     timed_median("emb_knn8_full", lambda: similarity.knn_join(queries_df, emb, k=10).count())
 
+    # ---- round-12 additions at bench size
+    # charset-aware decode throughput: pure-Catalyst WHATWG chain (BOM >
+    # declared label > meta sniff > cp1252 fallback), alternating declared
+    # labels so both the utf-8 and translate() arms run
+    from llm_pretraining_data_pipeline_spark.operators import corpus as CORP2
+    from llm_pretraining_data_pipeline_spark.sources.http import (
+        http_body_text_charset,
+    )
+
+    bodies = raw.select(
+        F.encode("text", "utf-8").alias("body"),
+        F.when(
+            F.crc32(F.col("url")) % 2 == 0, F.lit("utf-8")
+        ).otherwise(F.lit("windows-1252")).alias("charset"),
+    )
+    timed_median(
+        "charset_decode",
+        lambda: bodies.select(
+            http_body_text_charset().alias("d")
+        ).agg(F.sum(F.length("d.text"))).collect(),
+    )
+
+    # token-budget cut over the replicated corpus: histogram two-phase,
+    # never a global sort (budget ~= a third of the supply, so the
+    # boundary bin pays the only window)
+    scored = raw.select(
+        F.xxhash64("url").alias("rid"),
+        (F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+         / F.greatest(F.length("text"), F.lit(1)).cast("double")).alias("score"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    timed(
+        "budget_select_e2e",
+        lambda: CORP2.budget_select(
+            scored, budget=2_000_000, value_col="score", id_col="rid"
+        ).agg(F.sum(F.col("kept").cast("long"))).collect(),
+    )
+
     # ---- real byte-level BPE over the corpus (mapInPandas, Arrow batches).
     # The reference's tokenise stage is its single slowest (3,474 s for 241k
     # docs ≈ 69 docs/s, BASELINE.md); this measures ours on the same shape.
