@@ -66,6 +66,14 @@ class CrawlCorpusConfig:
     # benched funnel and its referees pin; flip for corpora where
     # declared-cp1252 bodies are material.
     charset_aware: bool = False
+    # resolve WARC 'revisit' records (crawl-time dedup: a re-fetch whose
+    # payload digest matched an earlier capture ships a near-empty
+    # record) against the originals IN THIS FRAME by payload digest
+    # before the HTTP split, so unchanged-since-last-crawl pages keep
+    # their content; unresolved revisits surface with drop_reason
+    # 'revisit_unresolved'. Off by default: plain response-only archives
+    # pay no digest groupBy/join.
+    resolve_revisits: bool = False
     curation: WebCurationConfig = field(default_factory=WebCurationConfig)
     tokenizer_pattern: str = GPT2_SPLIT_PATTERN_RE2
 
@@ -102,7 +110,39 @@ def run_crawl_to_corpus(
     ``file_id`` must stay below 2^31 for the product to fit a bigint —
     a bound enforced here with an in-plan fence rather than assumed.
     """
-    recs = warc_http_records(files, gzipped=cfg.gzipped)
+    if cfg.resolve_revisits:
+        from llm_pretraining_data_pipeline_spark.sources.cdx import (
+            resolve_revisits,
+        )
+        from llm_pretraining_data_pipeline_spark.sources.warc import (
+            warc_records,
+        )
+
+        raw_recs = warc_records(
+            files, gzipped=cfg.gzipped,
+            headers=("WARC-Payload-Digest",),
+        )
+        rr = resolve_revisits(raw_recs)
+        # resolved revisits carry the original's HTTP message and ride
+        # the response path; unresolved ones keep their (empty) payload
+        # and surface through the dedicated first-match reason below
+        rr = rr.withColumn(
+            "revisit_unresolved",
+            F.col("warc_type").eqNullSafe("revisit")
+            & ~F.coalesce(F.col("revisit_resolved"), F.lit(False)),
+        ).withColumn(
+            "warc_type",
+            F.when(
+                F.col("warc_type") == "revisit", F.lit("response")
+            ).otherwise(F.col("warc_type")),
+        )
+        recs = warc_http_records(
+            records=rr, extra_cols=("revisit_unresolved",)
+        )
+    else:
+        recs = warc_http_records(files, gzipped=cfg.gzipped).withColumn(
+            "revisit_unresolved", F.lit(False)
+        )
     dec = (
         http_body_text_charset("body", "charset")
         if cfg.charset_aware
@@ -112,7 +152,8 @@ def run_crawl_to_corpus(
         F.col("content_type").startswith(cfg.text_mime_prefix), F.lit(False)
     )
     http_reason = (
-        F.when(~F.col("http_ok"), F.lit("http_unparseable"))
+        F.when(F.col("revisit_unresolved"), F.lit("revisit_unresolved"))
+        .when(~F.col("http_ok"), F.lit("http_unparseable"))
         .when(
             ~F.col("http_status").isin(*cfg.keep_statuses),
             F.lit("http_status_reject"),

@@ -311,10 +311,12 @@ def http_response_split(c: Column | str) -> Column:
 
 
 def warc_http_records(
-    files: DataFrame,
+    files: DataFrame | None = None,
     payload_col: str = "payload",
     id_col: str = "file_id",
     gzipped: bool = False,
+    records: DataFrame | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """The full CommonCrawl entry shape: WARC blobs → ``response`` records
     → HTTP-split rows ready for the text pipeline.
@@ -327,12 +329,23 @@ def warc_http_records(
     ``body`` is the de-chunked entity bytes — decode with the charset and
     feed ``text`` into ``plans.pipeline.run_pipeline`` (composition test:
     tests/test_warc.py::TestWarcHttpPipeline).
+
+    ``records`` — an already-exploded ``warc_records``-shaped frame to
+    split instead of raw blobs (how ``plans/crawl.py`` feeds
+    revisit-resolved records through the same projection);
+    ``extra_cols`` — column names of ``records`` replicated onto the
+    output (e.g. a revisit-provenance flag).
     """
     from llm_pretraining_data_pipeline_spark.sources.warc import warc_records
 
-    recs = warc_records(
-        files, payload_col=payload_col, id_col=id_col, gzipped=gzipped
-    )
+    if records is None:
+        if files is None:
+            raise ValueError("warc_http_records: pass files or records")
+        recs = warc_records(
+            files, payload_col=payload_col, id_col=id_col, gzipped=gzipped
+        )
+    else:
+        recs = records
     resp = recs.where(
         (F.col("warc_type") == "response") & F.col("parse_ok")
     )
@@ -351,6 +364,7 @@ def warc_http_records(
         F.col("_h.body").alias("body"),
         F.col("_h.http_ok").alias("http_ok"),
         F.col("_h.http_err").alias("http_err"),
+        *extra_cols,
     )
 
 

@@ -519,3 +519,73 @@ class TestCrawlCharsetAware:
         row = self._run(spark, charset_aware=False)
         # latin-1 fallback renders the cp1252 quotes as C1 controls
         assert "\x93hello there\x94" in (row["text_curated"] or "")
+
+
+class TestCrawlRevisitResolution:
+    """CrawlCorpusConfig(resolve_revisits=True): crawl-time dedup records
+    resolved against originals inside the composed funnel."""
+
+    def _run(self, spark, resolve):
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.plans.crawl import (
+            CrawlCorpusConfig, run_crawl_to_corpus,
+        )
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig,
+        )
+        from llm_pretraining_data_pipeline_spark.sources import warc
+
+        body = (b"A perfectly ordinary page with two sentences. "
+                b"It was captured twice by the crawler.")
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+        digest = hashlib.sha256(body).hexdigest()
+        rows = [
+            (0, warc.encode_warc([
+                ("response", "https://a.example/p", "orig", msg),
+            ])),
+            (1, warc.encode_warc([
+                # a MIRROR url: url-dedup can't group it, so the
+                # exact-duplicate verdict below can only come from the
+                # recovered CONTENT
+                ("revisit", "https://b.example/mirror", "re", b"",
+                 (("WARC-Payload-Digest", f"sha256:{digest}"),)),
+                ("revisit", "https://a.example/q", "gone", b"",
+                 (("WARC-Payload-Digest", "sha256:" + "0" * 64),)),
+            ])),
+        ]
+        files = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows],
+            "file_id long, payload binary",
+        )
+        out = run_crawl_to_corpus(
+            files,
+            CrawlCorpusConfig(
+                resolve_revisits=resolve,
+                curation=WebCurationConfig(
+                    min_sentences=2, apply_gopher=False
+                ),
+            ),
+        ).collect()
+        return {(r["file_id"], r["rec_index"]): r for r in out}
+
+    def test_resolved_revisit_carries_content_and_dedups(self, spark):
+        out = self._run(spark, resolve=True)
+        assert len(out) == 3
+        # the original keeps its slot
+        assert out[(0, 0)]["drop_reason"] is None
+        # the resolved revisit recovered the ORIGINAL's content — which
+        # is exactly why exact dedup (keep-first) now catches it; an
+        # unresolved one would read 'revisit_unresolved' instead
+        assert out[(1, 0)]["drop_reason"] == "exact_duplicate"
+        # digest matching nothing -> the dedicated first-match reason
+        assert out[(1, 1)]["drop_reason"] == "revisit_unresolved"
+
+    def test_default_drops_revisits_from_the_funnel(self, spark):
+        out = self._run(spark, resolve=False)
+        # response-only path: revisit records never enter the funnel
+        assert list(out) == [(0, 0)]
+        assert out[(0, 0)]["drop_reason"] is None
