@@ -230,7 +230,10 @@ def extract_links(c: Column | str) -> Column:
     )
 
 
-_ANCHOR_RE = r"""(?is)<a\s[^>]*href="([^"]+)"[^>]*>(.*?)</a>"""
+# href= must sit at the tag start or after whitespace — a bare [^>]*
+# prefix would let the greedy scan land inside data-href=/xlink:href=
+# (review finding; same boundary rule as _HREF_RE above)
+_ANCHOR_RE = r"""(?is)<a\s(?:[^>]*\s)?href="([^"]+)"[^>]*>(.*?)</a>"""
 
 
 def extract_anchors(c: Column | str) -> Column:

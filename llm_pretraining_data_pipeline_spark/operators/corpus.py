@@ -1148,7 +1148,7 @@ def group_prior_gate(
     )
     tau_i = int(round(tau * scale))
     gated = stats.select(
-        group_col,
+        F.col(group_col).alias("_g"),
         "group_n",
         F.round(F.col("_vsum") / F.lit(float(scale)) / F.col("group_n"), 6)
         .alias("group_mean"),
@@ -1157,7 +1157,13 @@ def group_prior_gate(
             & (F.col("_vsum") < F.lit(tau_i) * F.col("group_n"))
         ).alias("below_prior"),
     )
-    return df.join(gated, group_col)
+    # null-safe equality: groupBy collects null keys into a real group,
+    # and the join back must keep those rows (an inner USING-join's
+    # null != null would silently drop every null-group row — review
+    # finding). Null-safe <=> still plans as an equi-join.
+    return df.join(
+        gated, F.col(group_col).eqNullSafe(F.col("_g"))
+    ).drop("_g")
 
 
 def group_quota_topn(
@@ -1294,13 +1300,22 @@ def budget_select(
     if span <= 0:
         raise ValueError("value_max must exceed value_min")
     v = F.col(value_col).cast("double")
-    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
-        F.least(
-            F.lit(buckets - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((v - value_min) / span * buckets).cast("int"),
-            ),
+    # NaN scores sort ABOVE every double in Spark's (value desc) order,
+    # so they belong in the TOP bucket — without the explicit arm,
+    # floor(NaN) would land them in the bottom one (or throw under
+    # ANSI), diverging from the global-window reference semantics
+    # (review finding). Nulls sort last: the sentinel -1 bucket.
+    bucket = (
+        F.when(v.isNull(), F.lit(-1))
+        .when(F.isnan(v), F.lit(buckets - 1))
+        .otherwise(
+            F.least(
+                F.lit(buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((v - value_min) / span * buckets).cast("int"),
+                ),
+            )
         )
     )
     tok = F.coalesce(F.col(token_col), F.lit(0)).cast("long")

@@ -73,7 +73,15 @@ def assign_shards_sized(
     lane = (h64(F.col(id_col)) % nlanes).cast("int")
     sz = F.coalesce(F.col(size_col), F.lit(0)).cast("long")
     base = df.withColumn("_lane", lane).withColumn("_sz", sz)
-    w = Window.partitionBy("_lane").orderBy(id_col)
+    # ROWS frame, not the default RANGE: RANGE includes all order-by
+    # PEERS, so duplicate id values would each absorb their peers'
+    # bytes into _cum and overshoot their shard (review finding);
+    # bit-identical for unique ids
+    w = (
+        Window.partitionBy("_lane")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     within = base.withColumn("_cum", F.sum("_sz").over(w))
 
     totals = {

@@ -928,6 +928,7 @@ def resolve_revisits(
     records: DataFrame,
     digest_col: str = "warc_payload_digest",
     broadcast_originals: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Resolve WARC ``revisit`` records against their original captures.
 
@@ -968,13 +969,21 @@ def resolve_revisits(
     keyed on 64-hex digests (uniform by construction, AQE-sized;
     ``broadcast_originals=True`` for the small-archive case), and a
     shuffle-free union with the untouched non-revisit rows. Never
-    corpus × corpus, no window.
+    corpus × corpus, no window. Three subtrees consume ``records``
+    (originals, revisits, pass-through), so by default the frame is
+    LAZILY localCheckpointed — the expensive upstream parse
+    (``warc_records``' Python explode) runs once, not three times
+    (review finding); ``checkpoint=False`` opts out when the input is
+    already materialized (a parquet scan re-reads cheaply) or the
+    caller manages its own persistence.
     """
     if digest_col not in records.columns:
         raise ValueError(
             f"resolve_revisits: records frame lacks {digest_col!r} — "
             "produce it via warc_records(headers=('WARC-Payload-Digest',))"
         )
+    if checkpoint:
+        records = records.localCheckpoint(eager=False)
     cols = records.columns
     # eqNullSafe: a parsed record with no WARC-Type header must land in
     # the pass-through branch, not vanish into a three-valued-logic hole.

@@ -1523,3 +1523,53 @@ class TestAssignShardsSized:
         }
         with pytest.raises(ValueError):
             sharding.assign_shards_sized(df, target_bytes=0)
+
+
+class TestReviewFixesR12b:
+    """Regression guards for the round-12-continuation review findings."""
+
+    def test_group_prior_gate_keeps_null_group_rows(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        rows = [(i, None, 0.1) for i in range(5)] + [(9, "g", 0.9)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+        got = {
+            r["doc_id"]: r
+            for r in corpus.group_prior_gate(
+                df, "v", group_col="g", tau=0.5, min_count=5
+            ).collect()
+        }
+        # the null group is a real group: present, gated on its own stats
+        assert len(got) == 6
+        assert all(got[i]["below_prior"] for i in range(5))
+        assert got[0]["group_n"] == 5
+        assert not got[9]["below_prior"]
+
+    def test_budget_select_nan_scores_sort_first(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        rows = [(1, float("nan"), 5), (2, 0.9, 5), (3, 0.1, 5)]
+        df = spark.createDataFrame(rows, "doc_id long, score double, n_tok long")
+        got = {
+            r["doc_id"]: r["kept"]
+            for r in corpus.budget_select(
+                df, 10, value_col="score", token_col="n_tok"
+            ).collect()
+        }
+        # Spark's (score desc) order puts NaN above every double — the
+        # NaN row takes the first budget slot, 0.9 the second
+        assert got == {1: True, 2: True, 3: False}
+
+    def test_sized_shards_duplicate_ids_use_rows_frame(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import sharding
+
+        # same id twice in one lane: RANGE would give both rows a cum
+        # including BOTH sizes (overshooting the first); ROWS keeps the
+        # end-to-end layout
+        df = spark.createDataFrame(
+            [(7, 60), (7, 60), (7, 60)], "doc_id long, n_bytes long"
+        )
+        out = sharding.assign_shards_sized(
+            df, target_bytes=100, nlanes=1
+        ).collect()
+        assert sorted(r["shard_id"] for r in out) == [0, 0, 1]

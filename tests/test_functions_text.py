@@ -1021,9 +1021,13 @@ class TestExtractAnchors:
             '<A HREF="/up">Up</A>'
             "<a href='/single'>skip</a>"          # single-quoted: out
             '<a class="c" href="/y" rel="x">attrs</a>'
-            '<b data-href="/fake">not a link</b>',
+            '<b data-href="/fake">not a link</b>'
+            # data-href inside an <a> must not be mistaken for href
+            # (review finding: the boundary rule matches _HREF_RE)
+            '<a href="/real" data-href="/tracked">Buy</a>'
+            '<a data-href="/only" class="x">no real href</a>',
         )
-        assert got == [("/up", "Up"), ("/y", "attrs")]
+        assert got == [("/up", "Up"), ("/y", "attrs"), ("/real", "Buy")]
 
     def test_null_and_empty(self, spark):
         assert self._run(spark, None) == []
