@@ -6429,3 +6429,130 @@ def ev_stream_incremental(spark, sf_dir):
         spark, cur, prev, stage_key=f"cdx_incr:{sf_dir}"
     )
     return drained.select("digest", "surt", "target_uri", "ts")
+
+
+# ===================================================== recrawl capstone
+@register(
+    "e2e_recrawl_plan",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
+    SELECT 'site-' || CAST(dom AS varchar) || '.example' AS host,
+           'https://site-' || CAST(dom AS varchar) || '.example/p0'
+             AS url,
+           'example,site-' || CAST(dom AS varchar) || ')/p0' AS surt,
+           'modified' AS reason,
+           CAST(3 AS bigint) AS n_sources,
+           1 AS fetch_rank,
+           CAST(0 AS double) AS start_offset_s
+    FROM doms
+    UNION ALL
+    SELECT 'site-' || CAST(dom AS varchar) || '.example',
+           'https://site-' || CAST(dom AS varchar) || '.example/drift',
+           'example,site-' || CAST(dom AS varchar) || ')/drift',
+           'drift',
+           CAST(2 AS bigint),
+           2,
+           CAST(1.0 AS double)
+    FROM doms
+    """,
+    doc="the recrawl loop composed end-to-end (second capstone, the "
+        "revisit-side twin of e2e_crawl_funnel): content-drift "
+        "detection over a two-generation index (cdx_digest_drift), "
+        "sitemaps.org XML parsed natively and gated against the same "
+        "index (parse_sitemap -> sitemap_recrawl: /p0 lastmod day 5 vs "
+        "capture day 3 = modified; /pnew = new; /stat lastmod day 1 vs "
+        "capture day 2 = skip), the two candidate streams UNIONED with "
+        "deterministic priorities (modified 3 > drift 2 > new 1) and "
+        "scheduled into per-host fetch slots (frontier_schedule, "
+        "budget 2): every host keeps /p0 at rank 1 offset 0 and /drift "
+        "at rank 2 offset 1.0s, and the budget DROPS /pnew — the "
+        "referee enumerates the surviving schedule closed-form. Static "
+        "pages never become candidates (drift changed=false). Scale "
+        "shape: the drift groupBy (generation-bounded lists), the "
+        "recrawl max(ts) agg + equi-join, one union, ONE per-host "
+        "scheduling window — no cartesian anywhere",
+)
+def e2e_recrawl_plan(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import urls as U
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    doms = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("dom")
+    ).distinct()
+    dd = F.col("dom")
+    surt = lambda p: F.concat(  # noqa: E731
+        F.lit("example,site-"), dd.cast("string"), F.lit(f")/{p}")
+    )
+    url = lambda p: F.concat(  # noqa: E731
+        F.lit("https://site-"), dd.cast("string"),
+        F.lit(f".example/{p}"),
+    )
+
+    # two-generation index: /stat static across gens, /drift drifting,
+    # /p0 captured once on day 3
+    def cap(p, day, tag, fid_off):
+        return F.struct(
+            surt(p).alias("surt"),
+            url(p).alias("target_uri"),
+            F.lit(f"2024010{day}000000").alias("ts"),
+            F.sha2(
+                F.concat(dd.cast("string"), F.lit(f":{tag}")), 256
+            ).alias("digest"),
+            (dd * 10 + fid_off).cast("long").alias("file_id"),
+            F.lit(0).cast("int").alias("rec_index"),
+        )
+    index = doms.select(
+        F.explode(
+            F.array(
+                cap("stat", 1, "s", 0), cap("stat", 2, "s", 1),
+                cap("drift", 1, "d1", 2), cap("drift", 2, "d2", 3),
+                cap("p0", 3, "p0", 4),
+            )
+        ).alias("_c")
+    ).select("_c.*")
+
+    # candidate stream 1: drifted content
+    drift = (
+        C.cdx_digest_drift(index)
+        .where(F.col("changed"))
+        .select(
+            "surt", "url",
+            F.lit("drift").alias("reason"),
+            F.lit(2).cast("long").alias("n_sources"),
+        )
+    )
+
+    # candidate stream 2: sitemap-driven (new / modified)
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://site-"), dd.cast("string"),
+        F.lit(".example/p0</loc>"
+              "<lastmod>2024-01-05T00:00:00Z</lastmod></url>"
+              "<url><loc>https://site-"), dd.cast("string"),
+        F.lit(".example/pnew</loc><lastmod>2024-01-02</lastmod></url>"
+              "<url><loc>https://site-"), dd.cast("string"),
+        F.lit(".example/stat</loc><lastmod>2024-01-01</lastmod></url>"
+              "</urlset>"),
+    )
+    entries = U.parse_sitemap(
+        doms.select(
+            F.concat(
+                F.lit("site-"), dd.cast("string"), F.lit(".example")
+            ).alias("domain"),
+            xml.alias("sitemap_xml"),
+        )
+    )
+    sm = C.sitemap_recrawl(entries, index.select("surt", "ts")).select(
+        "surt", "url", "reason",
+        F.when(F.col("reason") == "modified", F.lit(3))
+        .otherwise(F.lit(1)).cast("long").alias("n_sources"),
+    )
+
+    cands = drift.unionByName(sm)
+    sched = C.frontier_schedule(
+        cands, default_delay=1.0, per_host_budget=2
+    )
+    reasons = cands.select("surt", "reason")
+    return sched.join(reasons, "surt").select(
+        "host", "url", "surt", "reason", "n_sources", "fetch_rank",
+        "start_offset_s",
+    )
