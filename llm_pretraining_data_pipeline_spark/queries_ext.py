@@ -6556,3 +6556,47 @@ def e2e_recrawl_plan(spark, sf_dir):
         "host", "url", "surt", "reason", "n_sources", "fetch_rank",
         "start_offset_s",
     )
+
+
+@register(
+    "s16_revisit_index",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 50 AS varchar) AS dom
+      FROM documents
+      WHERE doc_id % 3 = 1 OR doc_id % 9 = 0
+    )
+    SELECT doc_id AS file_id, CAST(1 AS int) AS rec_index,
+           'https://site-' || dom || '.example/doc/'
+             || CAST(doc_id AS varchar) AS target_uri,
+           'example,site-' || dom || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           '19700101000000' AS ts,
+           'warc/revisit' AS mime,
+           CASE WHEN doc_id % 3 = 1 THEN sha256(text)
+                ELSE sha256('missing:' || CAST(doc_id AS varchar)) END
+             AS digest,
+           TRUE AS cdx_ok
+    FROM d
+    """,
+    doc="revisit captures in the CDX sidecar (sources/cdx.py::"
+        "cdx_records(warc_types=('revisit',)) — the pywb convention: "
+        "revisit rows index with mime 'warc/revisit' and the CLAIMED "
+        "WARC-Payload-Digest, which is how a wayback server routes a "
+        "revisit hit to the stored original; resolve_revisits is the "
+        "batch consumer of the same identity). Shares s13's fixture: "
+        "id%3==1 docs carry a self-digest revisit, id%9==0 an "
+        "orphaned-digest one — BOTH index (the index records what the "
+        "crawler claimed; resolution happens at read time). Scale "
+        "shape: pure-JVM plan, zero Arrow, zero shuffle — the header "
+        "projection rides the existing record explode",
+)
+def s16_revisit_index(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    files = _warc_revisit_blobs(spark, sf_dir)
+    idx = C.cdx_records(files, warc_types=("revisit",))
+    return idx.select(
+        "file_id", "rec_index", "target_uri", "surt", "ts", "mime",
+        "digest", "cdx_ok",
+    )

@@ -64,7 +64,12 @@ def cdx_records(
     entirely: the record payload IS the content, so ``digest`` is its
     sha256 directly, ``status``/``mime`` are null, and every parsed
     record is ``cdx_ok=true`` — a pure-JVM plan, no Arrow stage at
-    all. Mixing ``response`` with non-HTTP types in one call is
+    all. ``("revisit",)`` is the third mode (the pywb convention):
+    revisit captures index with mime ``warc/revisit`` and the CLAIMED
+    digest from their WARC-Payload-Digest header — how a wayback
+    server routes a revisit hit to the stored original;
+    ``resolve_revisits`` is the batch consumer of the same identity.
+    Mixing ``response`` with non-HTTP types in one call is
     refused (their digest semantics differ; index them separately and
     union).
 
@@ -86,10 +91,42 @@ def cdx_records(
     split; Catalyst dedups the struct refs into a single
     ArrowEvalPython) + pure-Catalyst SURT/digest — zero shuffle.
     """
+    ts = timestamp if timestamp is not None else F.lit(EPOCH_TS14)
+    if tuple(warc_types) == ("revisit",):
+        # the pywb convention: revisit captures index with mime
+        # 'warc/revisit' and the CLAIMED digest from the record header
+        # (their payload is near-empty — the digest is the whole point:
+        # it is how wayback servers route a revisit hit to the stored
+        # original). cdx_ok=false when the header is missing. Pure-JVM
+        # plan, zero Arrow, zero shuffle — same as other non-HTTP types.
+        recs = warc_records(
+            files, payload_col=payload_col, id_col=id_col,
+            gzipped=gzipped, headers=("WARC-Payload-Digest",),
+        )
+        sel = recs.where(
+            (F.col("warc_type") == "revisit") & F.col("parse_ok")
+        )
+        claimed = F.lower(
+            F.regexp_replace(
+                F.col("warc_payload_digest"), r"^[A-Za-z0-9-]+:", ""
+            )
+        )
+        return sel.select(
+            id_col,
+            "rec_index",
+            "target_uri",
+            surt_key("target_uri").alias("surt"),
+            ts.alias("ts"),
+            F.lit(None).cast("int").alias("status"),
+            F.lit("warc/revisit").alias("mime"),
+            claimed.alias("digest"),
+            "offset",
+            "record_bytes",
+            F.col("warc_payload_digest").isNotNull().alias("cdx_ok"),
+        )
     recs = warc_records(
         files, payload_col=payload_col, id_col=id_col, gzipped=gzipped
     )
-    ts = timestamp if timestamp is not None else F.lit(EPOCH_TS14)
     if tuple(warc_types) != ("response",):
         if "response" in warc_types:
             raise ValueError(

@@ -1967,3 +1967,32 @@ class TestCdxIncremental:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert [r["digest"] for r in out.collect()] == ["d2"]
+
+
+class TestRevisitIndexMode:
+    """cdx_records(warc_types=('revisit',)): pywb-convention revisit rows."""
+
+    def test_claimed_digest_and_missing_header(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        blob = warc.encode_warc([
+            ("revisit", "https://a.example/x", "r0", b"",
+             (("WARC-Payload-Digest", "sha-256:" + "AB" * 32),)),
+            ("revisit", "https://a.example/y", "r1", b""),  # no header
+            ("response", "https://a.example/z", "r2",
+             b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nok"),
+        ])
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))], "file_id long, payload binary"
+        )
+        out = cdx.cdx_records(df, warc_types=("revisit",))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan  # no HTTP split
+        assert "Exchange" not in plan
+        rows = {r["rec_index"]: r for r in out.collect()}
+        # response records are NOT this mode's business
+        assert set(rows) == {0, 1}
+        assert rows[0]["mime"] == "warc/revisit"
+        assert rows[0]["digest"] == "ab" * 32  # label stripped, lowered
+        assert rows[0]["cdx_ok"] is True
+        assert rows[1]["cdx_ok"] is False and rows[1]["digest"] is None
