@@ -232,8 +232,13 @@ def extract_links(c: Column | str) -> Column:
 
 # href= must sit at the tag start or after whitespace — a bare [^>]*
 # prefix would let the greedy scan land inside data-href=/xlink:href=
-# (review finding; same boundary rule as _HREF_RE above)
-_ANCHOR_RE = r"""(?is)<a\s(?:[^>]*\s)?href="([^"]+)"[^>]*>(.*?)</a>"""
+# (review finding). The EXPLICIT whitespace class (not \s) is the
+# _HREF_RE convention: Java's \s includes \x0B, RE2's does not, and
+# the two extractors must agree on which links exist.
+_ANCHOR_RE = (
+    r"""(?is)<a[ \t\n\r\f](?:[^>]*[ \t\n\r\f])?"""
+    r"""href="([^"]+)"[^>]*>(.*?)</a>"""
+)
 
 
 def extract_anchors(c: Column | str) -> Column:

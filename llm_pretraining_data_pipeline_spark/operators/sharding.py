@@ -76,10 +76,12 @@ def assign_shards_sized(
     # ROWS frame, not the default RANGE: RANGE includes all order-by
     # PEERS, so duplicate id values would each absorb their peers'
     # bytes into _cum and overshoot their shard (review finding);
-    # bit-identical for unique ids
+    # bit-identical for unique ids. The _sz tiebreak makes duplicate
+    # ids deterministic too (equal keys would otherwise cumsum in
+    # arbitrary physical order — second review pass)
     w = (
         Window.partitionBy("_lane")
-        .orderBy(id_col)
+        .orderBy(id_col, "_sz")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = base.withColumn("_cum", F.sum("_sz").over(w))

@@ -122,7 +122,7 @@ def run_crawl_to_corpus(
             files, gzipped=cfg.gzipped,
             headers=("WARC-Payload-Digest",),
         )
-        rr = resolve_revisits(raw_recs)
+        rr = resolve_revisits(raw_recs, checkpoint=True)
         # resolved revisits carry the original's HTTP message and ride
         # the response path; unresolved ones keep their (empty) payload
         # and surface through the dedicated first-match reason below

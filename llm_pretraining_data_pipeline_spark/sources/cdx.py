@@ -45,6 +45,15 @@ from llm_pretraining_data_pipeline_spark.sources.warc import warc_records
 EPOCH_TS14 = "19700101000000"
 
 
+def _claimed_digest(col: Column) -> Column:
+    """Normalize a WARC-Payload-Digest header value to the engine's
+    digest identity: optional ``algo:`` label stripped, lowercased.
+    The ONE definition both the index build (``cdx_records`` revisit
+    mode) and the consumer (``resolve_revisits``) share — they must
+    agree or indexes stop matching what resolution resolves."""
+    return F.lower(F.regexp_replace(col, r"^[A-Za-z0-9-]+:", ""))
+
+
 def cdx_records(
     files: DataFrame,
     payload_col: str = "payload",
@@ -106,11 +115,6 @@ def cdx_records(
         sel = recs.where(
             (F.col("warc_type") == "revisit") & F.col("parse_ok")
         )
-        claimed = F.lower(
-            F.regexp_replace(
-                F.col("warc_payload_digest"), r"^[A-Za-z0-9-]+:", ""
-            )
-        )
         return sel.select(
             id_col,
             "rec_index",
@@ -119,7 +123,7 @@ def cdx_records(
             ts.alias("ts"),
             F.lit(None).cast("int").alias("status"),
             F.lit("warc/revisit").alias("mime"),
-            claimed.alias("digest"),
+            _claimed_digest(F.col("warc_payload_digest")).alias("digest"),
             "offset",
             "record_bytes",
             F.col("warc_payload_digest").isNotNull().alias("cdx_ok"),
@@ -128,11 +132,12 @@ def cdx_records(
         files, payload_col=payload_col, id_col=id_col, gzipped=gzipped
     )
     if tuple(warc_types) != ("response",):
-        if "response" in warc_types:
+        if "response" in warc_types or "revisit" in warc_types:
             raise ValueError(
-                "cdx_records: mixing 'response' with non-HTTP record "
-                "types in one call is unsupported — their digest "
-                "semantics differ; index them separately and union"
+                "cdx_records: mixing 'response' or 'revisit' with "
+                "other record types in one call is unsupported — their "
+                "digest semantics differ (HTTP split vs claimed header "
+                "vs payload sha256); index them separately and union"
             )
         sel = recs.where(
             F.col("warc_type").isin(*warc_types) & F.col("parse_ok")
@@ -965,7 +970,7 @@ def resolve_revisits(
     records: DataFrame,
     digest_col: str = "warc_payload_digest",
     broadcast_originals: bool = False,
-    checkpoint: bool = True,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Resolve WARC ``revisit`` records against their original captures.
 
@@ -1007,12 +1012,14 @@ def resolve_revisits(
     ``broadcast_originals=True`` for the small-archive case), and a
     shuffle-free union with the untouched non-revisit rows. Never
     corpus × corpus, no window. Three subtrees consume ``records``
-    (originals, revisits, pass-through), so by default the frame is
-    LAZILY localCheckpointed — the expensive upstream parse
-    (``warc_records``' Python explode) runs once, not three times
-    (review finding); ``checkpoint=False`` opts out when the input is
-    already materialized (a parquet scan re-reads cheaply) or the
-    caller manages its own persistence.
+    (originals, revisits, pass-through) — when the input is an
+    expensive un-materialized lineage (``warc_records``' Python
+    explode), pass ``checkpoint=True`` to LAZILY localCheckpoint it so
+    the parse runs once, not three times (what ``plans/crawl.py``
+    does). Default False: localCheckpoint truncates lineage (lost
+    executors fail the job instead of recomputing), so the caller —
+    who knows the input's cost and fault-tolerance needs — opts in,
+    matching the repo's explicit call-site convention.
     """
     if digest_col not in records.columns:
         raise ValueError(
@@ -1045,9 +1052,7 @@ def resolve_revisits(
     if broadcast_originals:
         reps = F.broadcast(reps)
 
-    claimed = F.lower(
-        F.regexp_replace(F.col(digest_col), r"^[A-Za-z0-9-]+:", "")
-    )
+    claimed = _claimed_digest(F.col(digest_col))
     revisits = (
         records.where(F.col("parse_ok") & is_rev)
         .withColumn("_digest", claimed)
