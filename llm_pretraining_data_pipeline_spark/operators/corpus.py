@@ -1166,6 +1166,54 @@ def group_prior_gate(
     ).drop("_g")
 
 
+def group_rank_buckets(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet §3.3 done the way CCNet actually does it: per-GROUP
+    percentile buckets derived from the corpus itself, not fixed
+    thresholds (``lm.doc_lm_struct``'s constants are the drop-in
+    stand-in; this is the production cutoff derivation). Rows rank
+    within their group by ``(value asc, id)`` and split into
+    ``len(labels)`` equal-size buckets — for the default terciles,
+    the lowest-perplexity third is ``head``.
+
+    Bucket boundaries are INTEGER-exact: bucket index =
+    ``ceil(K·rank / n) - 1`` computed in bigint arithmetic (via the
+    pmod identity, never a float division), so the assignment cannot
+    flip with partition count and both engines agree bit-for-bit.
+    Values must be non-null (rank order with nulls differs between
+    engines — callers route null/empty rows to their own bucket, as
+    ``corp_ppl_terciles`` does). Adds ``bucket`` and ``group_n``.
+
+    Scale shape: ONE window pass per group key — rank and count share
+    a single hash shuffle (the ``group_median_gate`` shape); no joins,
+    no second pass, no driver round-trip.
+    """
+    k = len(labels)
+    if k < 1:
+        raise ValueError("labels must be non-empty")
+    w = Window.partitionBy(group_col)
+    wo = w.orderBy(F.col(value_col), F.col(id_col))
+    rank = F.row_number().over(wo)
+    n = F.count(F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    x = F.lit(k).cast("long") * rank + n - F.lit(1)
+    # exact bigint ceil-division: (x - x mod n) / n is exactly
+    # divisible, so the double division below is exact too
+    idx = ((x - F.pmod(x, n)) / n).cast("int") - F.lit(1)
+    bucket = F.element_at(
+        F.array(*[F.lit(lb) for lb in labels]), idx + 1
+    )
+    return df.withColumn("group_n", n.cast("long")).withColumn(
+        "bucket", bucket
+    )
+
+
 def group_quota_topn(
     df: DataFrame,
     value_col: str,

@@ -6608,3 +6608,89 @@ def s16_revisit_index(spark, sf_dir):
         "file_id", "rec_index", "target_uri", "surt", "ts", "mime",
         "digest", "cdx_ok",
     )
+
+
+def _ppl_terciles_oracle() -> str:
+    from llm_pretraining_data_pipeline_spark.functions import lm
+
+    vocab = "[" + ",".join(f"'{w}'" for w in lm.LM_VOCAB) + "]"
+    logp = (
+        f"CASE WHEN coalesce(list_position({vocab}, tk), 0) > 0 "
+        f"THEN -log10(cast(list_position({vocab}, tk) as double) + 1.0) "
+        f"- {lm.LOG10_Z!r} ELSE {lm.LOG10_P_OOV!r} END"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, {O.toks("lower(text)")} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang, len(toks) AS n,
+             list_sum(list_transform(toks, tk -> {logp})) AS total
+      FROM t
+    ), p AS (
+      SELECT doc_id, lang,
+             round(pow(10, -(total / n)), 4) AS pseudo_ppl
+      FROM s WHERE n > 0
+    ), r AS (
+      SELECT doc_id, lang, pseudo_ppl,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY pseudo_ppl, doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY lang) AS gn
+      FROM p
+    )
+    SELECT doc_id, lang, pseudo_ppl, CAST(gn AS bigint) AS group_n,
+           CASE (3 * rk + gn - 1) // gn - 1
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM r
+    UNION ALL
+    SELECT doc_id, lang, CAST(NULL AS double),
+           CAST(NULL AS bigint), 'empty'
+    FROM s WHERE n = 0
+    """
+
+
+@register(
+    "corp_ppl_terciles",
+    _ppl_terciles_oracle(),
+    doc="CCNet §3.3 with the cutoffs derived the way CCNet actually "
+        "derives them (operators/corpus.py::group_rank_buckets): "
+        "per-LANGUAGE perplexity terciles computed from the corpus "
+        "itself — rank by (pseudo_ppl asc, id) within each lang, split "
+        "into equal thirds, lowest-perplexity third = head. The bucket "
+        "boundary is integer-exact (ceil(3·rank/n)-1 in bigint via the "
+        "pmod identity, never a float threshold), so assignment can't "
+        "flip with partition count and both engines agree bit-for-bit. "
+        "Empty docs route to their own 'empty' bucket BEFORE ranking "
+        "(null order differs between engines by design). Composes the "
+        "p28 Zipf-unigram pseudo-perplexity — a learned KenLM drops in "
+        "without moving the plan. Scale shape: one window pass per "
+        "lang (rank + count share one hash shuffle), plus the "
+        "shuffle-free LM fold",
+)
+def corp_ppl_terciles(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions import lm
+    from llm_pretraining_data_pipeline_spark.operators import (
+        corpus as CORP,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", lm.doc_lm_struct("text").alias("_lm")
+    )
+    scored = d.select(
+        "doc_id", "lang",
+        F.col("_lm.n_lm_tokens").alias("n_lm"),
+        F.col("_lm.pseudo_ppl").alias("pseudo_ppl"),
+    )
+    nonempty = CORP.group_rank_buckets(
+        scored.where(F.col("n_lm") > 0),
+        "pseudo_ppl",
+        group_col="lang",
+    ).select("doc_id", "lang", "pseudo_ppl", "group_n", "bucket")
+    empty = scored.where(F.col("n_lm") == 0).select(
+        "doc_id", "lang",
+        F.lit(None).cast("double").alias("pseudo_ppl"),
+        F.lit(None).cast("long").alias("group_n"),
+        F.lit("empty").alias("bucket"),
+    )
+    return nonempty.unionByName(empty)

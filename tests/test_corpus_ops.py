@@ -1573,3 +1573,48 @@ class TestReviewFixesR12b:
             df, target_bytes=100, nlanes=1
         ).collect()
         assert sorted(r["shard_id"] for r in out) == [0, 0, 1]
+
+
+class TestGroupRankBuckets:
+    def _run(self, spark, rows, labels=("head", "middle", "tail")):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+        out = corpus.group_rank_buckets(
+            df, "v", group_col="g", labels=labels
+        )
+        return {r["doc_id"]: (r["bucket"], r["group_n"])
+                for r in out.collect()}
+
+    def test_terciles_exact_split(self, spark):
+        rows = [(i, "a", float(i)) for i in range(9)]
+        got = self._run(spark, rows)
+        assert [got[i][0] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+        assert got[0][1] == 9
+
+    def test_nondivisible_and_tiny_groups(self, spark):
+        # n=4: ceil(3*rank/4)-1 -> ranks 1:head 2:middle 3:tail 4:tail
+        rows = [(i, "a", float(i)) for i in range(4)]
+        got = self._run(spark, rows)
+        assert [got[i][0] for i in range(4)] == [
+            "head", "middle", "tail", "tail",
+        ]
+        # n=1: rank == n, and the highest rank always lands in the
+        # LAST bucket (rank/n = 100th percentile) — consistent with
+        # the ceil(K*rank/n)-1 arithmetic on both engines
+        assert self._run(spark, [(0, "solo", 1.0)])[0][0] == "tail"
+
+    def test_groups_are_independent_and_ties_break_on_id(self, spark):
+        rows = [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 5.0),
+                (10, "b", 99.0), (11, "b", 1.0), (12, "b", 50.0)]
+        got = self._run(spark, rows)
+        assert [got[i][0] for i in (1, 2, 3)] == ["head", "middle", "tail"]
+        assert got[11][0] == "head" and got[12][0] == "middle"
+        assert got[10][0] == "tail"
+
+    def test_custom_label_count(self, spark):
+        rows = [(i, "a", float(i)) for i in range(4)]
+        got = self._run(spark, rows, labels=("lo", "hi"))
+        assert [got[i][0] for i in range(4)] == ["lo", "lo", "hi", "hi"]
