@@ -433,6 +433,28 @@ def _cp1252(b: Column) -> Column:
     )
 
 
+# Complete UTF-16 well-formedness over the latin-1 byte view, one
+# anchored rlike: every 2-byte unit is either a non-surrogate or a
+# high-surrogate unit (D800-DBFF) immediately followed by a low one
+# (DC00-DFFF); odd-length input fails the anchor. The alternatives are
+# disjoint on their first character class, so the scan is linear — no
+# catastrophic backtracking. Needed because Spark 4's ANSI decode
+# THROWS MALFORMED_CHARACTER_CODING on bad UTF-16 (fuzz finding): a
+# hostile body with a UTF-16 BOM must degrade, never kill the job.
+_UTF16BE_VALID_RE = (
+    "(?s)^(?:[^\\x{D8}-\\x{DF}].|[\\x{D8}-\\x{DB}].[\\x{DC}-\\x{DF}].)*$"
+)
+_UTF16LE_VALID_RE = (
+    "(?s)^(?:.[^\\x{D8}-\\x{DF}]|.[\\x{D8}-\\x{DB}].[\\x{DC}-\\x{DF}])*$"
+)
+
+
+def _utf16_valid(b: Column, le: bool) -> Column:
+    return F.decode(b, "ISO-8859-1").rlike(
+        _UTF16LE_VALID_RE if le else _UTF16BE_VALID_RE
+    )
+
+
 def http_body_text_charset(
     body_col: Column | str = "body",
     charset_col: Column | str | None = "charset",
@@ -532,6 +554,7 @@ def http_body_text_charset(
         F.lit(None).cast("string").alias("charset_used"),
         F.lit(None).cast("string").alias("charset_source"),
     )
+    rest16 = F.substring(b, 3, 2147483647)
     return (
         F.when(b.isNull(), null_struct)
         .when(
@@ -539,8 +562,17 @@ def http_body_text_charset(
             _s(F.decode(rest8, "UTF-8"), "utf-8", "bom"),
         )
         .when(bom_utf8, _s(_cp1252(rest8), "windows-1252", "content"))
-        .when(bom_16le, _s(F.decode(b, "UTF-16"), "utf-16le", "bom"))
-        .when(bom_16be, _s(F.decode(b, "UTF-16"), "utf-16be", "bom"))
+        # UTF-16 arms pre-validate: Spark's ANSI decode throws
+        # MALFORMED_CHARACTER_CODING on bad UTF-16; malformed input
+        # falls through to the content chain instead (totality)
+        .when(
+            bom_16le & _utf16_valid(rest16, le=True),
+            _s(F.decode(b, "UTF-16"), "utf-16le", "bom"),
+        )
+        .when(
+            bom_16be & _utf16_valid(rest16, le=False),
+            _s(F.decode(b, "UTF-16"), "utf-16be", "bom"),
+        )
         .when(
             (label == "utf-8") & utf8_valid,
             _s(F.decode(b, "UTF-8"), "utf-8", source),
@@ -548,11 +580,11 @@ def http_body_text_charset(
         .when(label == "utf-8", _s(_cp1252(b), "windows-1252", "content"))
         .when(label == "windows-1252", _s(_cp1252(b), "windows-1252", source))
         .when(
-            label == "utf-16le",
+            (label == "utf-16le") & _utf16_valid(b, le=True),
             _s(F.decode(b, "UTF-16LE"), "utf-16le", source),
         )
         .when(
-            label == "utf-16be",
+            (label == "utf-16be") & _utf16_valid(b, le=False),
             _s(F.decode(b, "UTF-16BE"), "utf-16be", source),
         )
         .when(utf8_valid, _s(F.decode(b, "UTF-8"), "utf-8", "content"))

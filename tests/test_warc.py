@@ -1996,3 +1996,102 @@ class TestRevisitIndexMode:
         assert rows[0]["digest"] == "ab" * 32  # label stripped, lowered
         assert rows[0]["cdx_ok"] is True
         assert rows[1]["cdx_ok"] is False and rows[1]["digest"] is None
+
+
+class TestCharsetDecodeTotality:
+    """http_body_text_charset must be TOTAL: any byte sequence decodes
+    (ANSI mode would otherwise throw mid-job on hostile bytes)."""
+
+    def test_byte_soup_never_throws(self, spark):
+        import random
+
+        rng = random.Random(0xC0DE)
+        rows = []
+        for i in range(200):
+            n = rng.randrange(0, 64)
+            body = bytes(rng.randrange(256) for _ in range(n))
+            # bias some rows toward the tricky arms
+            arm = i % 5
+            if arm == 1:
+                body = b"\xef\xbb\xbf" + body       # utf-8 BOM + soup
+            elif arm == 2:
+                body = b"\xff\xfe" + body           # utf-16le BOM, odd lens
+            elif arm == 3:
+                body = b"\xfe\xff" + body           # utf-16be BOM
+            elif arm == 4:
+                body = b"\xff\xfe\x00\x00" + body   # utf-32le BOM prefix
+            cs = rng.choice(
+                [None, "utf-8", "windows-1252", "utf-16", "x-sjis", "",
+                 "UTF-16BE", "latin1"]
+            )
+            rows.append((i, bytearray(body), cs))
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        df = spark.createDataFrame(rows, "i int, body binary, charset string")
+        out = df.select("i", http_body_text_charset().alias("d")).select(
+            "i", "d.*"
+        ).collect()
+        assert len(out) == 200
+        for r in out:
+            assert r["text"] is not None
+            assert r["charset_used"] in (
+                "utf-8", "windows-1252", "utf-16le", "utf-16be",
+            )
+            assert r["charset_source"] in (
+                "bom", "declared", "meta", "content",
+            )
+
+    def test_anchor_extraction_total_on_soup(self, spark):
+        import random
+
+        from llm_pretraining_data_pipeline_spark.functions.structural import (
+            extract_anchors,
+        )
+
+        rng = random.Random(7)
+        alphabet = '<>a href="= \t\n/x.b'
+        rows = [
+            (i, "".join(rng.choice(alphabet) for _ in range(200)))
+            for i in range(100)
+        ] + [(100, '<a href="' + "y" * 5000), (101, "<a " + "z" * 5000 + ">")]
+        df = spark.createDataFrame(rows, "i int, html string")
+        out = df.select(extract_anchors("html").alias("a")).collect()
+        assert len(out) == 102  # no throw, no hang
+
+
+class TestUtf16MalformedFallback:
+    """Malformed UTF-16 (odd length, unpaired surrogates) must degrade
+    to the content chain, never throw (ANSI decode would)."""
+
+    def test_malformed_utf16_routes_to_content(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        rows = [
+            # odd byte count after LE BOM
+            (0, bytearray(b"\xff\xfeabc"), None),
+            # unpaired high surrogate (BE: D8 00)
+            (1, bytearray(b"\xfe\xff\xd8\x00\x00A"), None),
+            # declared utf-16le over odd-length ascii
+            (2, bytearray(b"abc"), "utf-16le"),
+            # low surrogate before high (LE: 00 DC)
+            (3, bytearray(b"\xff\xfe\x00\xdc\x00\xd8"), None),
+            # valid pair still decodes (LE surrogate pair = U+10000)
+            (4, bytearray(b"\xff\xfe\x00\xd8\x00\xdc"), None),
+        ]
+        df = spark.createDataFrame(rows, "i int, body binary, charset string")
+        got = {
+            r["i"]: (r["text"], r["charset_used"], r["charset_source"])
+            for r in df.select(
+                "i", http_body_text_charset().alias("d")
+            ).select("i", "d.*").collect()
+        }
+        # 0-3: fell through to content sniff, nothing threw
+        for i in (0, 1, 3):
+            assert got[i][1] in ("utf-8", "windows-1252")
+            assert got[i][2] == "content"
+        assert got[2] == ("abc", "utf-8", "content")  # valid utf-8 wins
+        assert got[4] == ("\U00010000", "utf-16le", "bom")
