@@ -1166,6 +1166,83 @@ def group_prior_gate(
     ).drop("_g")
 
 
+def concentration_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Corpus-concentration audit: how dominated is the corpus by its
+    biggest groups (hosts/sources)? One row: ``n_groups``, ``total``,
+    ``gini`` (0 = perfectly even, →1 = one group holds everything),
+    ``hhi`` (Herfindahl — sum of squared shares), ``top1_share``,
+    ``top10_share``. The diversity gate a pretraining curator runs
+    before accepting a crawl: a corpus where one host owns 40% of the
+    tokens is a deduplication/bias incident waiting to happen.
+
+    Gini uses the exact rank form over ASCENDING group totals:
+    ``(2·Σ i·x_i) / (n·Σ x) − (n+1)/n`` with integer Σ i·x_i.
+    ``weight_col`` weights rows (tokens, bytes); default counts rows.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    to one row per group; every window/sort after that runs on the
+    AGGREGATED frame (bounded by the group count, not the corpus).
+    """
+    wexpr = (
+        F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    per = df.groupBy(group_col).agg(F.sum(wexpr).alias("x"))
+    wo = Window.orderBy(F.col("x"), F.col(group_col))
+    wall = Window.partitionBy()
+    ranked = per.select(
+        "x",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("tot"),
+    )
+    # decimal(38,0) accumulators: i·x and x² overflow bigint at real
+    # host counts (1e9 hosts × 1e11 weights), and exact decimal sums
+    # are ORDER-FREE — a float sum's last bits would vary with
+    # partitioning (the a21 ordered-fold lesson, solved here with
+    # exact arithmetic instead of an ordered fold)
+    xd = F.col("x").cast("decimal(19,0)")
+    idx = F.col("i").cast("decimal(19,0)")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_groups"),
+        F.max("tot").cast("long").alias("total"),
+        # exact-decimal sums cast to double BEFORE dividing: both
+        # engines take the nearest-double of the same exact integer,
+        # then divide the same doubles — no decimal-division scale
+        # rules in the loop
+        F.round(
+            F.lit(2.0) * F.sum(idx * xd).cast("double")
+            / (F.max("n").cast("double") * F.max("tot").cast("double"))
+            - (F.max("n") + 1).cast("double") / F.max("n").cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(xd * xd).cast("double")
+            / (F.max("tot").cast("double") * F.max("tot").cast("double")),
+            6,
+        ).alias("hhi"),
+        F.round(
+            F.max(F.col("x")).cast("double")
+            / F.max("tot").cast("double"),
+            6,
+        ).alias("top1_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") > F.col("n") - 10, F.col("x")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.max("tot").cast("double"),
+            6,
+        ).alias("top10_share"),
+    )
+
+
 def group_rank_buckets(
     df: DataFrame,
     value_col: str,

@@ -2146,3 +2146,61 @@ def o10_sized_shards(spark, sf_dir):
         d, target_bytes=65536, size_col="n_bytes"
     )
     return out.select("doc_id", "n_bytes", "shard_id")
+
+
+@register(
+    "a24_host_concentration",
+    """
+    WITH d AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'bighost'
+                  ELSE 'h' || CAST(doc_id % 23 AS varchar) END AS host,
+             CAST(n_chars AS bigint) AS w
+      FROM documents
+    ),
+    per AS (SELECT host, CAST(sum(w) AS bigint) AS x FROM d GROUP BY 1),
+    r AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x, host) AS i,
+             count(*) OVER () AS n,
+             sum(x) OVER () AS tot
+      FROM per
+    )
+    SELECT CAST(max(n) AS bigint) AS n_groups,
+           CAST(max(tot) AS bigint) AS total,
+           round(2.0 * CAST(sum(CAST(i AS hugeint) * x) AS double)
+                   / (CAST(max(n) AS double) * CAST(max(tot) AS double))
+                 - CAST(max(n) + 1 AS double) / CAST(max(n) AS double),
+                 6) AS gini,
+           round(CAST(sum(CAST(x AS hugeint) * x) AS double)
+                   / (CAST(max(tot) AS double) * CAST(max(tot) AS double)),
+                 6) AS hhi,
+           round(CAST(max(x) AS double) / CAST(max(tot) AS double), 6)
+             AS top1_share,
+           round(CAST(sum(CASE WHEN i > n - 10 THEN x ELSE 0 END)
+                      AS double)
+                   / CAST(max(tot) AS double), 6) AS top10_share
+    FROM r
+    """,
+    doc="corpus-concentration audit (operators/corpus.py::"
+        "concentration_stats): Gini, Herfindahl, top-1/top-10 shares "
+        "over per-host byte weights — the diversity gate a curator "
+        "runs before accepting a crawl (one host owning 40% of the "
+        "tokens is a dedup/bias incident waiting to happen). Fixture "
+        "plants a 'bighost' holding every third doc over a 23-host "
+        "tail. Accumulators are EXACT decimal sums (i·x and x² "
+        "overflow bigint at 1e9 hosts × 1e11 weights) cast to double "
+        "before one division — order-free, so the result can't wobble "
+        "with partitioning (the a21 ordered-fold lesson solved with "
+        "exact arithmetic). Scale shape: one groupBy collapses the "
+        "corpus; all ranking runs on the one-row-per-host frame",
+)
+def a24_host_concentration(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("bighost"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"))
+        )
+        .alias("host"),
+        F.col("n_chars").cast("long").alias("w"),
+    )
+    return corpus.concentration_stats(d, group_col="host", weight_col="w")

@@ -1618,3 +1618,34 @@ class TestGroupRankBuckets:
         rows = [(i, "a", float(i)) for i in range(4)]
         got = self._run(spark, rows, labels=("lo", "hi"))
         assert [got[i][0] for i in range(4)] == ["lo", "lo", "hi", "hi"]
+
+
+class TestConcentrationStats:
+    def _run(self, spark, rows, **kw):
+        from llm_pretraining_data_pipeline_spark.operators import corpus
+
+        df = spark.createDataFrame(rows, "g string, w long")
+        return corpus.concentration_stats(
+            df, group_col="g", **kw
+        ).collect()[0]
+
+    def test_perfectly_even(self, spark):
+        r = self._run(spark, [(f"g{i}", 10) for i in range(10)],
+                      weight_col="w")
+        assert r["gini"] == 0.0
+        assert r["hhi"] == 0.1
+        assert r["top1_share"] == 0.1
+        assert r["top10_share"] == 1.0
+        assert r["n_groups"] == 10 and r["total"] == 100
+
+    def test_total_domination(self, spark):
+        # one group holds everything: gini -> (n-1)/n, hhi -> 1
+        rows = [("big", 1000)] + [(f"g{i}", 0) for i in range(9)]
+        r = self._run(spark, rows, weight_col="w")
+        assert r["gini"] == 0.9
+        assert r["hhi"] == 1.0 and r["top1_share"] == 1.0
+
+    def test_row_counting_default(self, spark):
+        rows = [("a", 0)] * 3 + [("b", 0)]
+        r = self._run(spark, rows)
+        assert r["total"] == 4 and r["top1_share"] == 0.75
