@@ -501,3 +501,44 @@ def extract_main_content(
             )[0],
         )[0],
     )[0]
+
+
+# Soft-404 phrase battery: the page SAYS it's an error while the HTTP
+# status says 200 — a well-studied crawl pathology (Bar-Yossef et al.
+# 2004, "Sic transit gloria telae"); CC archives are full of them and
+# they poison dedup clusters (thousands of near-identical "not found"
+# pages) and quality stats. Matched case-insensitively against the
+# EARLY text (title + first lines carry the signal).
+SOFT404_PATTERNS = [
+    r"page (you requested )?(was |could )?not (be )?found",
+    r"404 (error|not found)",
+    r"error 404",
+    r"no longer (exists|available)",
+    r"page (has been|was) (removed|deleted|moved)",
+    r"this page (does not|doesn't) exist",
+    r"sorry, we (couldn't|could not) find",
+]
+SOFT404_COMBINED = "(" + "|".join(SOFT404_PATTERNS) + ")"
+
+
+def soft404_score(
+    c: Column | str, prefix_chars: int = 500
+) -> Column:
+    """Struct ``(soft404_hits, is_soft404)``: how many error-page
+    phrases appear in the first ``prefix_chars`` characters, and the
+    boolean gate (≥1 hit AND the prefix is at least half the document —
+    a long article that merely QUOTES '404 not found' deep in its body
+    is not an error page, but a short page leading with one is).
+
+    Composes after the HTTP split: ``status == 200 AND is_soft404`` is
+    the crawl-audit predicate. Pure per-row Catalyst (lower + one
+    regexp_count over a bounded prefix), zero shuffle.
+    """
+    s = F.coalesce(_col(c).cast("string"), F.lit(""))
+    prefix = F.lower(F.substring(s, 1, prefix_chars))
+    hits = F.regexp_count(prefix, F.lit(SOFT404_COMBINED))
+    short = F.length(s) <= 2 * prefix_chars
+    return F.struct(
+        hits.cast("int").alias("soft404_hits"),
+        ((hits > 0) & short).alias("is_soft404"),
+    )

@@ -6694,3 +6694,77 @@ def corp_ppl_terciles(spark, sf_dir):
         F.lit("empty").alias("bucket"),
     )
     return nonempty.unionByName(empty)
+
+
+def _f27_sql() -> str:
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        SOFT404_COMBINED,
+    )
+
+    pat = SOFT404_COMBINED.replace("'", "''")
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '404 Not Found - The page you requested '
+                       || 'was not found. Sorry, we couldn''t find it.'
+                  WHEN doc_id % 5 = 1
+                  THEN '404 error ' || repeat('filler words here ', 100)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+             lower(substr(text, 1, 500)), '{pat}')) AS int)
+             AS soft404_hits,
+           len(regexp_extract_all(
+             lower(substr(text, 1, 500)), '{pat}')) > 0
+             AND length(text) <= 1000 AS is_soft404
+    FROM d
+    """
+
+
+@register(
+    "f27_soft404",
+    _f27_sql(),
+    doc="soft-404 detection (functions/structural.py::soft404_score — "
+        "Bar-Yossef et al. 2004): pages whose HTTP status says 200 but "
+        "whose CONTENT is an error page. CC archives are full of them; "
+        "they poison dedup clusters (thousands of near-identical 'not "
+        "found' pages) and quality stats. Phrase battery counted over "
+        "the first 500 chars (title + lede carry the signal), gated by "
+        "document length so a long article QUOTING '404 not found' "
+        "deep in its body is not flagged. Fixture: every 5th doc a "
+        "short error page (flagged), every 5th+1 a LONG page leading "
+        "with '404 error' (hits > 0 but unflagged — the length gate), "
+        "the rest real corpus text through the same battery on both "
+        "engines. Pure per-row Catalyst (lower + one regexp_count on "
+        "a bounded prefix), zero shuffle",
+)
+def f27_soft404(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.structural import (
+        soft404_score,
+    )
+
+    d = F.col("doc_id")
+    text = (
+        F.when(
+            d % 5 == 0,
+            F.lit(
+                "404 Not Found - The page you requested was not "
+                "found. Sorry, we couldn't find it."
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("404 error "),
+                F.repeat(F.lit("filler words here "), 100),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    base = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return base.select(
+        "doc_id", soft404_score("text").alias("_s")
+    ).select("doc_id", "_s.soft404_hits", "_s.is_soft404")
