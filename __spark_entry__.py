@@ -178,16 +178,22 @@ _PRIORITY_R11 = [
 # hash-verified via check_oracle at sf0.01 AND sf0.001 on registration,
 # all covered by the suite's full oracle-parity replay and the
 # in-session full sweeps; they take head slots in r13.
-# The round-12 CONTINUATION session added eight more past-the-cap
+# The round-12 CONTINUATION session added thirteen more past-the-cap
 # queries, same discipline (each hash-verified at sf0.01 AND sf0.001 on
-# registration + final full sweep; r13 head candidates):
+# registration; full 238/238 sweep mid-continuation + final sweep at
+# the seal; r13 head candidates):
 # s13_warc_revisit (revisit-record resolution by payload digest),
+# s16_revisit_index (pywb warc/revisit CDX rows),
 # s14_charset_decode (WHATWG charset chain), s15_incremental_ingest +
 # ev_stream_incremental (only-new-digests anti-join, batch + stream,
 # one shared implementation), f26_anchor_text (anchor-text corpus),
-# corp_budget_select (global token-budget cut, histogram two-phase),
-# corp_host_prior (integer-exact host quality gate), o10_sized_shards
-# (byte-balanced shards, two-phase cumsum).
+# f27_soft404 (error-page content behind a 200), corp_budget_select
+# (global token-budget cut, histogram two-phase), corp_host_prior
+# (integer-exact host quality gate), corp_ppl_terciles (CCNet
+# percentile buckets with corpus-derived cutoffs), o10_sized_shards
+# (byte-balanced shards), a24_host_concentration (Gini/HHI diversity
+# audit), e2e_recrawl_plan (the recrawl capstone: drift + sitemap
+# gating + per-host scheduling composed and refereed closed-form).
 _PRIORITY_R12 = [
     # new this round — hash-matched via check_oracle at sf0.01 AND
     # sf0.001 on registration: robots-gated frontier expansion (VERDICT
