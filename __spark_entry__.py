@@ -178,7 +178,7 @@ _PRIORITY_R11 = [
 # hash-verified via check_oracle at sf0.01 AND sf0.001 on registration,
 # all covered by the suite's full oracle-parity replay and the
 # in-session full sweeps; they take head slots in r13.
-# The round-12 CONTINUATION session added thirteen more past-the-cap
+# The round-12 CONTINUATION session added fourteen more past-the-cap
 # queries, same discipline (each hash-verified at sf0.01 AND sf0.001 on
 # registration; full 238/238 sweep mid-continuation + final sweep at
 # the seal; r13 head candidates):
@@ -193,7 +193,9 @@ _PRIORITY_R11 = [
 # percentile buckets with corpus-derived cutoffs), o10_sized_shards
 # (byte-balanced shards), a24_host_concentration (Gini/HHI diversity
 # audit), e2e_recrawl_plan (the recrawl capstone: drift + sitemap
-# gating + per-host scheduling composed and refereed closed-form).
+# gating + per-host scheduling composed and refereed closed-form),
+# s17_incremental_fetch (the incremental loop closed over real bytes:
+# digest anti-join driving byte-range selective reads).
 _PRIORITY_R12 = [
     # new this round — hash-matched via check_oracle at sf0.01 AND
     # sf0.001 on registration: robots-gated frontier expansion (VERDICT
