@@ -149,6 +149,55 @@ def wav_feature_stats(
     return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
 
 
+def gif_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Image payloads → GIF STRUCTURE metadata via Arrow-batched
+    mapInPandas (``gif.parse_gif`` — strict block walk, frame count,
+    NETSCAPE loop extension, bomb-guarded declared dimensions): the
+    triage a multimodal pipeline needs to route animated media (a
+    12-frame banner ad and a photo are different corpus citizens)
+    without paying LZW pixel decode. Same error contract as the codec
+    family: malformed payloads are ``decode_ok=false`` rows."""
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import gif
+
+    schema = (
+        f"{id_col} bigint, version string, width int, height int, "
+        "gct_colors int, n_frames int, animated boolean, "
+        "loop_count int, n_extensions int, decode_ok boolean, "
+        "decode_err string"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    st = gif.parse_gif(raw)
+                    rows.append(
+                        (mid, st["version"], st["width"], st["height"],
+                         st["gct_colors"], st["n_frames"],
+                         st["animated"], st["loop_count"],
+                         st["n_extensions"], True, None)
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         None, False, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "version", "width", "height", "gct_colors",
+                    "n_frames", "animated", "loop_count",
+                    "n_extensions", "decode_ok", "decode_err",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
 def bmp_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Image payloads → decoded BMP statistics via Arrow-batched
     mapInPandas: the REAL decode step (``bmp.decode_bmp`` — BI_RGB 24/32
@@ -294,7 +343,7 @@ def magic_kind(payload_col="payload"):
     caught from the first handful of bytes, not by a failed decode in a
     Python worker.
 
-    Recognizes the repo's parser surface (png/jpeg/wav/mp4/warc) plus
+    Recognizes the repo's parser surface (png/jpeg/gif/wav/mp4/warc) plus
     gzip (the compression wrapper real WARC/CC payloads arrive in);
     anything else (including NULL/short payloads) is ``'unknown'``.
     First-match-wins, most-specific first — the same CaseWhen cascade
@@ -322,6 +371,7 @@ def magic_kind(payload_col="payload"):
             & (F.hex(F.substring(p, 5, 4)) == "66747970"),
             F.lit("mp4"),
         )
+        .when(head4 == "47494638", F.lit("gif"))
         .when(head4.startswith("1F8B"), F.lit("gzip"))
         .when(head4 == "57415243", F.lit("warc"))
         .when(

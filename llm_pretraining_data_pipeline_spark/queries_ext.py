@@ -2611,23 +2611,25 @@ def f19_robots_directives(spark, sf_dir):
     "mm_magic_sniff",
     """
     SELECT doc_id AS media_id,
-           CASE doc_id % 7
+           CASE doc_id % 8
              WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0'
              WHEN 2 THEN '52494646' WHEN 3 THEN '00000014'
              WHEN 4 THEN '1F8B0800' WHEN 5 THEN '57415243'
+             WHEN 6 THEN '47494638'
              ELSE 'DEADBEEF' END AS head4,
-           CASE doc_id % 7
+           CASE doc_id % 8
              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
              WHEN 3 THEN 'mp4' WHEN 4 THEN 'gzip' WHEN 5 THEN 'warc'
+             WHEN 6 THEN 'gif'
              ELSE 'unknown' END AS kind,
-           doc_id % 7 <= 3 AS is_media
+           doc_id % 8 <= 3 OR doc_id % 8 = 6 AS is_media
     FROM documents
     """,
     doc="Magic-byte container triage over binary payloads "
         "(multimodal/media.py::magic_kind): a PURE Catalyst CaseWhen on "
         "hex(substring(payload,...)) — zero Python, zero shuffle, fused "
         "into the scan by whole-stage codegen — routing every payload to "
-        "its decoder (png/jpeg/wav/mp4/warc/gzip) from the first bytes, "
+        "its decoder (png/jpeg/gif/wav/mp4/warc/gzip) from the first bytes, "
         "the way a 100 TB multimodal ingest must triage before any "
         "decode worker runs. Payloads are built in-fixture with the REAL "
         "encoders (encode_png/encode_jpeg_stub/encode_wav/"
@@ -2640,6 +2642,7 @@ def mm_magic_sniff(spark, sf_dir):
 
     import pandas as pd
 
+    from llm_pretraining_data_pipeline_spark.multimodal import gif as GIF
     from llm_pretraining_data_pipeline_spark.multimodal import jpeg as J
     from llm_pretraining_data_pipeline_spark.multimodal import media as mm
     from llm_pretraining_data_pipeline_spark.multimodal import mp4 as M4
@@ -2652,7 +2655,7 @@ def mm_magic_sniff(spark, sf_dir):
             out = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                k = did % 7
+                k = did % 8
                 if k == 0:
                     payload = PNG.encode_png(
                         2, 2, bytes((did + i) % 256 for i in range(12))
@@ -2672,6 +2675,10 @@ def mm_magic_sniff(spark, sf_dir):
                         "response", f"https://x.example/{did}",
                         f"r-{did}", b"body",
                     )
+                elif k == 6:
+                    payload = GIF.encode_gif(
+                        2 + did % 4, 2, n_frames=1 + did % 2
+                    )
                 else:
                     payload = b"\xde\xad\xbe\xef" + str(did).encode("ascii")
                 out.append((did, payload))
@@ -2687,7 +2694,7 @@ def mm_magic_sniff(spark, sf_dir):
         "media_id",
         F.hex(F.substring(F.col("payload"), 1, 4)).alias("head4"),
         kind.alias("kind"),
-        kind.isin("png", "jpeg", "wav", "mp4").alias("is_media"),
+        kind.isin("png", "jpeg", "wav", "mp4", "gif").alias("is_media"),
     )
 
 
@@ -6867,4 +6874,81 @@ def s17_incremental_fetch(spark, sf_dir):
         "target_uri",
         F.sha2("payload", 256).alias("payload_sha256"),
         F.length("payload").cast("long").alias("payload_len"),
+    )
+
+
+@register(
+    "mm_gif_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 43 = 0 AS corrupt,
+             CAST(3 + doc_id % 7 AS int) AS w,
+             CAST(2 + doc_id % 5 AS int) AS h,
+             CAST(1 + doc_id % 3 AS int) AS frames,
+             doc_id % 4 = 0 AS has_loop,
+             CAST(doc_id % 5 AS int) AS loop_n
+      FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN corrupt THEN NULL ELSE '89a' END AS version,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE CAST(2 AS int) END
+             AS gct_colors,
+           CASE WHEN corrupt THEN NULL ELSE frames END AS n_frames,
+           CASE WHEN corrupt THEN NULL ELSE frames > 1 END AS animated,
+           CASE WHEN corrupt OR NOT has_loop THEN NULL
+                ELSE loop_n END AS loop_count,
+           CASE WHEN corrupt THEN NULL
+                ELSE frames + CASE WHEN has_loop THEN 1 ELSE 0 END END
+             AS n_extensions,
+           NOT corrupt AS decode_ok
+    FROM ids
+    """,
+    doc="GIF structure parsing over binary payloads (multimodal/gif.py "
+        "+ media.py::gif_feature_stats — the animation tier of the "
+        "image codec set): strict 87a/89a block walk to the trailer, "
+        "frame count, NETSCAPE2.0 loop extension, color-table shape, "
+        "declared-dimension bomb guards BEFORE allocation, sub-block "
+        "chains validated byte-exactly — the triage that routes "
+        "animated media without paying LZW pixel decode. Fixture: "
+        "deterministic multi-frame GIFs (1-3 frames, every 4th with a "
+        "loop extension), id%43 corrupt payloads survive as "
+        "decode_ok=false on both engines. Scale shape: one Arrow "
+        "mapInPandas stage, zero shuffle; totality fuzz (mutation + "
+        "truncation battery) in tests/test_multimodal.py",
+)
+def mm_gif_features(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import gif as G
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 43 == 0:
+                    payload = b"GIF89a\x01\x00"  # truncated LSD
+                else:
+                    payload = G.encode_gif(
+                        3 + did % 7,
+                        2 + did % 5,
+                        n_frames=1 + did % 3,
+                        loop=(did % 5) if did % 4 == 0 else None,
+                    )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    return mm.gif_feature_stats(media).select(
+        "media_id", "version", "width", "height", "gct_colors",
+        "n_frames", "animated", "loop_count", "n_extensions",
+        "decode_ok",
     )

@@ -677,3 +677,94 @@ class TestMagicKindSpoofGuard:
         out = df.select("media_id", media.magic_kind("payload").alias("k"))
         kinds = [r["k"] for r in out.orderBy("media_id").collect()]
         assert kinds == ["mp4", "mp4", "unknown"]
+
+
+class TestGifParser:
+    """multimodal/gif.py: strict GIF structure walk (frame count,
+    NETSCAPE loop, bomb guards) — the animation-tier codec."""
+
+    def test_roundtrip_and_fields(self):
+        from llm_pretraining_data_pipeline_spark.multimodal import gif
+
+        st = gif.parse_gif(gif.encode_gif(10, 8, n_frames=3, loop=2))
+        assert st["width"] == 10 and st["height"] == 8
+        assert st["n_frames"] == 3 and st["animated"] is True
+        assert st["loop_count"] == 2 and st["gct_colors"] == 2
+        assert st["n_extensions"] == 4  # 3 GCEs + NETSCAPE
+        st1 = gif.parse_gif(gif.encode_gif(4, 4))
+        assert st1["n_frames"] == 1 and st1["animated"] is False
+        assert st1["loop_count"] is None
+        assert gif.parse_gif(
+            gif.encode_gif(2, 2, version=b"GIF87a")
+        )["version"] == "87a"
+
+    def test_strictness(self):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import gif
+
+        good = gif.encode_gif(6, 4, n_frames=2)
+        for bad, msg in [
+            (b"", "shorter"),
+            (b"NOTAGIF" + b"\x00" * 10, "bad magic"),
+            (good[:-1], "missing trailer"),
+            (good + b"x", "trailing"),
+            (good[:20], "truncated|missing|sub-block"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                gif.parse_gif(bad)
+        # declared-dimension bomb guard fires BEFORE any allocation
+        import struct
+        bomb = bytearray(gif.encode_gif(2, 2))
+        bomb[6:10] = struct.pack("<HH", 0xFFFF, 0xFFFF)
+        with pytest.raises(ValueError, match="bomb guard"):
+            gif.parse_gif(bytes(bomb))
+        # frame rect outside the logical screen
+        frame_oob = bytearray(gif.encode_gif(4, 4))
+        idx = bytes(frame_oob).index(b"\x2c")
+        frame_oob[idx + 5 : idx + 7] = struct.pack("<H", 9)
+        with pytest.raises(ValueError, match="outside logical screen"):
+            gif.parse_gif(bytes(frame_oob))
+
+    def test_fuzz_total(self):
+        import random
+
+        from llm_pretraining_data_pipeline_spark.multimodal import gif
+
+        good = gif.encode_gif(5, 3, n_frames=2, loop=0)
+        rng = random.Random(99)
+        for _ in range(2000):
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                gif.parse_gif(bytes(b))
+            except ValueError:
+                pass
+        for i in range(len(good)):
+            try:
+                gif.parse_gif(good[:i])
+            except ValueError:
+                pass
+        for n in (0, 1, 7, 13, 64):
+            try:
+                gif.parse_gif(bytes(rng.randrange(256) for _ in range(n)))
+            except ValueError:
+                pass
+
+    def test_magic_kind_gif_arm(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import gif, media
+
+        rows = [
+            (0, bytearray(gif.encode_gif(2, 2))),
+            (1, bytearray(b"GIF9")),      # not a GIF prefix
+            (2, bytearray(b"GIF8")),      # exact prefix: triage says gif
+        ]
+        df = spark.createDataFrame(rows, "i int, payload binary")
+        got = {
+            r["i"]: r["k"]
+            for r in df.select(
+                "i", media.magic_kind("payload").alias("k")
+            ).collect()
+        }
+        assert got[0] == "gif" and got[1] == "unknown" and got[2] == "gif"
