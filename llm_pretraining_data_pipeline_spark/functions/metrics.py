@@ -165,3 +165,68 @@ def flesch_reading_ease(
         - F.lit(84.6) * (syl.cast("double") / words.cast("double"))
     )
     return F.round(F.when(words > 0, score).otherwise(F.lit(0.0)), round_dp)
+
+
+# Unicode scripts the mixing detector distinguishes. Java regex uses
+# \p{IsXxx}, RE2 \p{Xxx} — the NAME list is the shared contract; each
+# engine renders its own property syntax. Kana merges Hiragana+Katakana
+# (one writing system for this purpose).
+SCRIPT_NAMES = (
+    "latin", "cyrillic", "greek", "arabic", "han", "hangul", "kana",
+    "devanagari",
+)
+_SCRIPT_JAVA = {
+    "latin": r"\p{IsLatin}", "cyrillic": r"\p{IsCyrillic}",
+    "greek": r"\p{IsGreek}", "arabic": r"\p{IsArabic}",
+    "han": r"\p{IsHan}", "hangul": r"\p{IsHangul}",
+    "kana": r"[\p{IsHiragana}\p{IsKatakana}]",
+    "devanagari": r"\p{IsDevanagari}",
+}
+
+
+def script_mix(c: Column | str) -> Column:
+    """Struct ``(n_letters, dominant_script, dominant_count,
+    mix_ratio)``: per-script letter counts over the fixed SCRIPT_NAMES
+    set, the dominant script (max count, ties to the lexicographically
+    LARGER name — an arbitrary but engine-agreed rule), and the
+    fraction of letters OUTSIDE the dominant script. Mixed-script text
+    is a classic corpus pathology: boilerplate-English nav wrapped
+    around a foreign-language page, mojibake, and homoglyph spam all
+    show up as high mix_ratio; single-script pages score 0.
+
+    ``n_letters`` counts ALL Unicode letters (``\\p{L}``), so scripts
+    outside the tracked set still raise ``mix_ratio`` (they are
+    letters that are not the dominant script). Empty/letterless text:
+    null dominant, 0.0 ratio. Pure per-row Catalyst (one regexp_count
+    per script), zero shuffle.
+    """
+    s = F.coalesce(_col(c).cast("string"), F.lit(""))
+    counts = [
+        F.regexp_count(s, F.lit(_SCRIPT_JAVA[name])).cast("long")
+        for name in SCRIPT_NAMES
+    ]
+    n_letters = F.regexp_count(s, F.lit(r"\p{L}")).cast("long")
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(cnt.alias("c"), F.lit(name).alias("s"))
+                for name, cnt in zip(SCRIPT_NAMES, counts)
+            ]
+        )
+    )
+    has = n_letters > 0
+    dom_cnt = F.when(has & (best["c"] > 0), best["c"])
+    return F.struct(
+        n_letters.alias("n_letters"),
+        F.when(has & (best["c"] > 0), best["s"]).alias("dominant_script"),
+        dom_cnt.alias("dominant_count"),
+        F.when(
+            has,
+            F.round(
+                F.lit(1.0)
+                - F.coalesce(dom_cnt, F.lit(0)).cast("double")
+                / n_letters.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("mix_ratio"),
+    )

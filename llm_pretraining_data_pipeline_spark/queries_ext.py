@@ -6952,3 +6952,102 @@ def mm_gif_features(spark, sf_dir):
         "n_frames", "animated", "loop_count", "n_extensions",
         "decode_ok",
     )
+
+
+@register(
+    "p45_script_mix",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE doc_id % 6
+               WHEN 1 THEN ' Привет мир'
+               WHEN 2 THEN ' γειά σου κόσμε'
+               WHEN 3 THEN ' 你好世界'
+               WHEN 4 THEN ' مرحبا بالعالم'
+               WHEN 5 THEN ' こんにちは'
+               ELSE '' END AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '\\p{L}')) AS bigint)
+               AS n_letters,
+             [struct_pack(
+                c := CAST(len(regexp_extract_all(t, '\\p{Latin}'))
+                          AS bigint), s := 'latin'),
+              struct_pack(
+                c := CAST(len(regexp_extract_all(t, '\\p{Cyrillic}'))
+                          AS bigint), s := 'cyrillic'),
+              struct_pack(
+                c := CAST(len(regexp_extract_all(t, '\\p{Greek}'))
+                          AS bigint), s := 'greek'),
+              struct_pack(
+                c := CAST(len(regexp_extract_all(t, '\\p{Arabic}'))
+                          AS bigint), s := 'arabic'),
+              struct_pack(
+                c := CAST(len(regexp_extract_all(t, '\\p{Han}'))
+                          AS bigint), s := 'han'),
+              struct_pack(
+                c := CAST(len(regexp_extract_all(t, '\\p{Hangul}'))
+                          AS bigint), s := 'hangul'),
+              struct_pack(
+                c := CAST(len(regexp_extract_all(
+                       t, '[\\p{Hiragana}\\p{Katakana}]')) AS bigint),
+                s := 'kana'),
+              struct_pack(
+                c := CAST(len(regexp_extract_all(t, '\\p{Devanagari}'))
+                          AS bigint), s := 'devanagari')
+             ] AS arr
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id, n_letters, (list_sort(arr))[-1] AS best FROM c
+    )
+    SELECT doc_id, n_letters,
+           CASE WHEN n_letters > 0 AND best.c > 0 THEN best.s END
+             AS dominant_script,
+           CASE WHEN n_letters > 0 AND best.c > 0 THEN best.c END
+             AS dominant_count,
+           CASE WHEN n_letters > 0
+                THEN round(1.0 - CAST(coalesce(
+                       CASE WHEN best.c > 0 THEN best.c END, 0)
+                       AS double) / CAST(n_letters AS double), 6)
+                ELSE 0.0 END AS mix_ratio
+    FROM b
+    """,
+    doc="script-mixing detection (functions/metrics.py::script_mix): "
+        "per-script letter counts over a fixed 8-script set, the "
+        "dominant script (ties to the lexicographically larger name — "
+        "an arbitrary but engine-agreed rule), and the fraction of "
+        "letters OUTSIDE it. Mixed-script text is a classic corpus "
+        "pathology — English boilerplate around a foreign page, "
+        "mojibake, homoglyph spam. Fixture appends per-arm script "
+        "suffixes (Cyrillic/Greek/Han/Arabic/Kana) to the real corpus "
+        "text so every script arm and the tie rule get rows; each "
+        "engine renders its own Unicode-property syntax (Java "
+        "\\p{IsXxx}, RE2 \\p{Xxx}) over the same script names. Pure "
+        "per-row Catalyst, zero shuffle",
+)
+def p45_script_mix(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.functions.metrics import (
+        script_mix,
+    )
+
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 6 == 1, F.lit(" Привет мир"))
+        .when(d % 6 == 2, F.lit(" γειά σου κόσμε"))
+        .when(d % 6 == 3, F.lit(" 你好世界"))
+        .when(d % 6 == 4, F.lit(" مرحبا بالعالم"))
+        .when(d % 6 == 5, F.lit(" こんにちは"))
+        .otherwise(F.lit(""))
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t")
+    )
+    return base.select(
+        "doc_id", script_mix("t").alias("_m")
+    ).select(
+        "doc_id", "_m.n_letters", "_m.dominant_script",
+        "_m.dominant_count", "_m.mix_ratio",
+    )
