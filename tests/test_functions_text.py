@@ -1037,3 +1037,43 @@ class TestExtractAnchors:
         assert self._run(spark, '<a href="/i"><img src="x"></a>') == [
             ("/i", "")
         ]
+
+
+class TestScriptMix:
+    def _run(self, spark, texts):
+        from llm_pretraining_data_pipeline_spark.functions.metrics import (
+            script_mix,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, t string"
+        )
+        return {
+            r["i"]: (r["n_letters"], r["dominant_script"], r["mix_ratio"])
+            for r in df.select("i", script_mix("t").alias("m"))
+            .select("i", "m.*").collect()
+        }
+
+    def test_single_and_mixed_scripts(self, spark):
+        got = self._run(spark, [
+            "hello world",            # pure latin
+            "Привет мир",             # pure cyrillic
+            "hello Привет",           # mixed: 5 latin + 6 cyrillic
+            "你好世界",                # han
+        ])
+        assert got[0] == (10, "latin", 0.0)
+        assert got[1] == (9, "cyrillic", 0.0)
+        n, dom, mix = got[2]
+        assert (n, dom) == (11, "cyrillic") and abs(mix - 5 / 11) < 1e-6
+        assert got[3] == (4, "han", 0.0)
+
+    def test_edge_cases(self, spark):
+        got = self._run(spark, [
+            "", "123 !!", None,
+            "ทดสอบ",  # Thai: letters outside the tracked set
+        ])
+        assert got[0] == (0, None, 0.0)
+        assert got[1] == (0, None, 0.0)
+        assert got[2] == (0, None, 0.0)
+        # untracked script: letters counted, no dominant, full mixing
+        assert got[3] == (5, None, 1.0)
