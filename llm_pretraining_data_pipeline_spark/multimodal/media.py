@@ -149,6 +149,54 @@ def wav_feature_stats(
     return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
 
 
+def mp3_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Audio payloads → MP3 frame-structure metadata via Arrow-batched
+    mapInPandas (``mp3.parse_mp3`` — strict MPEG-1 Layer III frame
+    walk, ID3v2 skip, CBR/VBR detection): duration/bitrate/sample-rate
+    triage before any entropy decoder runs — the compressed tier next
+    to ``wav_feature_stats``' PCM decode. Same error contract as the
+    codec family: malformed payloads are ``decode_ok=false`` rows."""
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import mp3
+
+    schema = (
+        f"{id_col} bigint, n_frames int, bitrate_kbps int, vbr boolean, "
+        "sample_rate int, channel_mode string, n_samples bigint, "
+        "duration_ms double, id3_size int, decode_ok boolean, "
+        "decode_err string"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    st = mp3.parse_mp3(raw)
+                    rows.append(
+                        (mid, st["n_frames"], st["bitrate_kbps"],
+                         st["vbr"], st["sample_rate"],
+                         st["channel_mode"], st["n_samples"],
+                         st["duration_ms"], st["id3_size"], True, None)
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         None, False, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "bitrate_kbps", "vbr",
+                    "sample_rate", "channel_mode", "n_samples",
+                    "duration_ms", "id3_size", "decode_ok", "decode_err",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
 def gif_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Image payloads → GIF STRUCTURE metadata via Arrow-batched
     mapInPandas (``gif.parse_gif`` — strict block walk, frame count,

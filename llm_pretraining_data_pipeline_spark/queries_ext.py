@@ -7051,3 +7051,106 @@ def p45_script_mix(spark, sf_dir):
         "doc_id", "_m.n_letters", "_m.dominant_script",
         "_m.dominant_count", "_m.mix_ratio",
     )
+
+
+@register(
+    "mm_mp3_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 47 = 0 AS corrupt,
+             CAST(1 + doc_id % 4 AS int) AS frames,
+             CAST(doc_id % 3 AS int) AS sri,
+             CAST(doc_id % 4 AS int) AS chan,
+             doc_id % 5 = 0 AS vbr_arm,
+             doc_id % 3 = 0 AS has_id3,
+             CAST(doc_id % 60 AS int) AS id3_body
+      FROM documents
+    ),
+    p AS (
+      SELECT media_id, corrupt, frames, vbr_arm, has_id3, id3_body,
+             ([44100, 48000, 32000])[sri + 1] AS sr,
+             (['stereo', 'joint_stereo', 'dual_channel', 'mono'])
+               [chan + 1] AS cm,
+             CASE WHEN vbr_arm THEN 128
+                  ELSE ([32,40,48,56,64,80,96,112,128,160,192,224,256,
+                         320])[1 + media_id % 14] END AS br
+      FROM ids
+    )
+    SELECT media_id,
+           CASE WHEN corrupt THEN NULL ELSE frames END AS n_frames,
+           CASE WHEN corrupt THEN NULL ELSE CAST(br AS int) END
+             AS bitrate_kbps,
+           CASE WHEN corrupt THEN NULL
+                ELSE vbr_arm AND frames > 1 END AS vbr,
+           CASE WHEN corrupt THEN NULL ELSE CAST(sr AS int) END
+             AS sample_rate,
+           CASE WHEN corrupt THEN NULL ELSE cm END AS channel_mode,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(frames * 1152 AS bigint) END AS n_samples,
+           CASE WHEN corrupt THEN NULL
+                ELSE round(frames * 1152 * 1000.0
+                           / CAST(sr AS double), 3) END AS duration_ms,
+           CASE WHEN corrupt THEN NULL
+                WHEN has_id3 THEN CAST(10 + id3_body AS int)
+                ELSE CAST(0 AS int) END AS id3_size,
+           NOT corrupt AS decode_ok
+    FROM p
+    """,
+    doc="MP3 frame-structure parsing over binary payloads "
+        "(multimodal/mp3.py + media.py::mp3_feature_stats — the "
+        "compressed tier of the audio codec set next to wav's PCM "
+        "decode): strict MPEG-1 Layer III frame walk to exact "
+        "end-of-buffer (sync pattern, bitrate/sample-rate tables, "
+        "padding-aware frame lengths), ID3v2 syncsafe skip, CBR/VBR "
+        "detection, duration from the frame count — the triage an "
+        "audio curation pipeline runs before any entropy decoder. "
+        "Fixture: 1-4 frames, all three sample rates, all four "
+        "channel modes, a VBR arm (alternating bitrates, flagged only "
+        "when >1 frame), ID3v2 tags of varying size; id%47 corrupt "
+        "payloads survive as decode_ok=false on both engines. Scale "
+        "shape: one Arrow mapInPandas stage, zero shuffle; "
+        "mutation/truncation fuzz in tests/test_multimodal.py",
+)
+def mm_mp3_features(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+    from llm_pretraining_data_pipeline_spark.multimodal import mp3 as M3
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 47 == 0:
+                    payload = b"\xff\xfbjunk but short"[:7]
+                else:
+                    frames = 1 + did % 4
+                    if did % 5 == 0:
+                        brs = [9 if i % 2 == 0 else 11
+                               for i in range(frames)]
+                    else:
+                        brs = 1 + did % 14
+                    payload = M3.encode_mp3_stub(
+                        frames,
+                        bitrate_indices=brs,
+                        sr_idx=did % 3,
+                        channel_bits=did % 4,
+                        id3_payload=(
+                            bytes(did % 60) if did % 3 == 0 else None
+                        ),
+                    )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    return mm.mp3_feature_stats(media).select(
+        "media_id", "n_frames", "bitrate_kbps", "vbr", "sample_rate",
+        "channel_mode", "n_samples", "duration_ms", "id3_size",
+        "decode_ok",
+    )

@@ -768,3 +768,70 @@ class TestGifParser:
             ).collect()
         }
         assert got[0] == "gif" and got[1] == "unknown" and got[2] == "gif"
+
+
+class TestMp3Parser:
+    """multimodal/mp3.py: strict MPEG-1 Layer III frame walk."""
+
+    def test_roundtrip_cbr_vbr_id3(self):
+        from llm_pretraining_data_pipeline_spark.multimodal import mp3
+
+        st = mp3.parse_mp3(mp3.encode_mp3_stub(3, 9, 0))
+        assert st["n_frames"] == 3 and st["bitrate_kbps"] == 128
+        assert st["sample_rate"] == 44100 and st["vbr"] is False
+        assert st["n_samples"] == 3456 and st["id3_size"] == 0
+        st2 = mp3.parse_mp3(
+            mp3.encode_mp3_stub(2, [9, 11], 1, channel_bits=3,
+                                id3_payload=b"t" * 5)
+        )
+        assert st2["vbr"] is True and st2["channel_mode"] == "mono"
+        assert st2["sample_rate"] == 48000 and st2["id3_size"] == 15
+        assert st2["duration_ms"] == 48.0
+
+    def test_strictness(self):
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import mp3
+
+        good = mp3.encode_mp3_stub(2, 9, 0)
+        for bad, msg in [
+            (b"", "no frames"),
+            (good[:-1], "declares"),
+            (good + b"\x00\x00\x00\x00", "lost sync"),
+            (b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f", "runs past"),
+            (b"ID3\x04\x00\x00\x00\x00\x80\x00" + b"x" * 200,
+             "non-syncsafe"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                mp3.parse_mp3(bad)
+        # MPEG-2 / other layers are out of scope, typed message
+        b = bytearray(good)
+        b[1] = 0xF3  # version bits 10 (MPEG-2), layer III
+        with pytest.raises(ValueError, match="only MPEG-1 Layer III"):
+            mp3.parse_mp3(bytes(b))
+        # free bitrate refused (frame length undefined)
+        b = bytearray(good)
+        b[2] = b[2] & 0x0F
+        with pytest.raises(ValueError, match="free/invalid bitrate"):
+            mp3.parse_mp3(bytes(b))
+
+    def test_fuzz_total(self):
+        import random
+
+        from llm_pretraining_data_pipeline_spark.multimodal import mp3
+
+        good = mp3.encode_mp3_stub(3, [9, 11, 9], 2, id3_payload=b"xy")
+        rng = random.Random(13)
+        for _ in range(2000):
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                mp3.parse_mp3(bytes(b))
+            except ValueError:
+                pass
+        for i in range(0, len(good), 3):
+            try:
+                mp3.parse_mp3(good[:i])
+            except ValueError:
+                pass
