@@ -391,7 +391,7 @@ def magic_kind(payload_col="payload"):
     caught from the first handful of bytes, not by a failed decode in a
     Python worker.
 
-    Recognizes the repo's parser surface (png/jpeg/gif/wav/mp4/warc) plus
+    Recognizes the repo's parser surface (png/jpeg/gif/wav/mp3/mp4/warc) plus
     gzip (the compression wrapper real WARC/CC payloads arrive in);
     anything else (including NULL/short payloads) is ``'unknown'``.
     First-match-wins, most-specific first — the same CaseWhen cascade
@@ -420,6 +420,16 @@ def magic_kind(payload_col="payload"):
             F.lit("mp4"),
         )
         .when(head4 == "47494638", F.lit("gif"))
+        .when(
+            # ID3v2-tagged or bare MPEG-1 Layer III stream: 'ID3', or a
+            # frame sync whose version/layer bits say MPEG-1 Layer III
+            # (0xFFFA/0xFFFB — protection bit either way). A bare 0xFFEx
+            # sync alone is NOT enough: random binary hits it ~1/2048.
+            head4.startswith("494433")
+            | head4.startswith("FFFA")
+            | head4.startswith("FFFB"),
+            F.lit("mp3"),
+        )
         .when(head4.startswith("1F8B"), F.lit("gzip"))
         .when(head4 == "57415243", F.lit("warc"))
         .when(

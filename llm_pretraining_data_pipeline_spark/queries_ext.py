@@ -2611,25 +2611,27 @@ def f19_robots_directives(spark, sf_dir):
     "mm_magic_sniff",
     """
     SELECT doc_id AS media_id,
-           CASE doc_id % 8
+           CASE doc_id % 9
              WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0'
              WHEN 2 THEN '52494646' WHEN 3 THEN '00000014'
              WHEN 4 THEN '1F8B0800' WHEN 5 THEN '57415243'
              WHEN 6 THEN '47494638'
+             WHEN 7 THEN CASE WHEN doc_id % 2 = 0
+                              THEN '49443304' ELSE 'FFFB9000' END
              ELSE 'DEADBEEF' END AS head4,
-           CASE doc_id % 8
+           CASE doc_id % 9
              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
              WHEN 3 THEN 'mp4' WHEN 4 THEN 'gzip' WHEN 5 THEN 'warc'
-             WHEN 6 THEN 'gif'
+             WHEN 6 THEN 'gif' WHEN 7 THEN 'mp3'
              ELSE 'unknown' END AS kind,
-           doc_id % 8 <= 3 OR doc_id % 8 = 6 AS is_media
+           doc_id % 9 <= 3 OR doc_id % 9 IN (6, 7) AS is_media
     FROM documents
     """,
     doc="Magic-byte container triage over binary payloads "
         "(multimodal/media.py::magic_kind): a PURE Catalyst CaseWhen on "
         "hex(substring(payload,...)) — zero Python, zero shuffle, fused "
         "into the scan by whole-stage codegen — routing every payload to "
-        "its decoder (png/jpeg/gif/wav/mp4/warc/gzip) from the first bytes, "
+        "its decoder (png/jpeg/gif/wav/mp3/mp4/warc/gzip) from the first bytes, "
         "the way a 100 TB multimodal ingest must triage before any "
         "decode worker runs. Payloads are built in-fixture with the REAL "
         "encoders (encode_png/encode_jpeg_stub/encode_wav/"
@@ -2644,6 +2646,7 @@ def mm_magic_sniff(spark, sf_dir):
 
     from llm_pretraining_data_pipeline_spark.multimodal import gif as GIF
     from llm_pretraining_data_pipeline_spark.multimodal import jpeg as J
+    from llm_pretraining_data_pipeline_spark.multimodal import mp3 as M3
     from llm_pretraining_data_pipeline_spark.multimodal import media as mm
     from llm_pretraining_data_pipeline_spark.multimodal import mp4 as M4
     from llm_pretraining_data_pipeline_spark.multimodal import png as PNG
@@ -2655,7 +2658,7 @@ def mm_magic_sniff(spark, sf_dir):
             out = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                k = did % 8
+                k = did % 9
                 if k == 0:
                     payload = PNG.encode_png(
                         2, 2, bytes((did + i) % 256 for i in range(12))
@@ -2679,6 +2682,11 @@ def mm_magic_sniff(spark, sf_dir):
                     payload = GIF.encode_gif(
                         2 + did % 4, 2, n_frames=1 + did % 2
                     )
+                elif k == 7:
+                    payload = M3.encode_mp3_stub(
+                        1, 9, 0,
+                        id3_payload=b"t" if did % 2 == 0 else None,
+                    )
                 else:
                     payload = b"\xde\xad\xbe\xef" + str(did).encode("ascii")
                 out.append((did, payload))
@@ -2694,7 +2702,9 @@ def mm_magic_sniff(spark, sf_dir):
         "media_id",
         F.hex(F.substring(F.col("payload"), 1, 4)).alias("head4"),
         kind.alias("kind"),
-        kind.isin("png", "jpeg", "wav", "mp4", "gif").alias("is_media"),
+        kind.isin(
+            "png", "jpeg", "wav", "mp4", "gif", "mp3"
+        ).alias("is_media"),
     )
 
 
