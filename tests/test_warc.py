@@ -2095,3 +2095,29 @@ class TestUtf16MalformedFallback:
             assert got[i][2] == "content"
         assert got[2] == ("abc", "utf-8", "content")  # valid utf-8 wins
         assert got[4] == ("\U00010000", "utf-16le", "bom")
+
+
+class TestCharsetDecodeNoHeaderColumn:
+    def test_charset_col_none_uses_sniff_chain(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        rows = [
+            (0, bytearray("plain café".encode("utf-8"))),
+            (1, bytearray(b"raw \x93cp1252\x94")),
+            (2, bytearray(b'<meta charset="latin1">x \x97')),
+        ]
+        df = spark.createDataFrame(rows, "i int, body binary")
+        got = {
+            r["i"]: (r["text"], r["charset_used"], r["charset_source"])
+            for r in df.select(
+                "i",
+                http_body_text_charset("body", charset_col=None).alias("d"),
+            ).select("i", "d.*").collect()
+        }
+        assert got[0] == ("plain café", "utf-8", "content")
+        assert got[1] == ("raw “cp1252”", "windows-1252", "content")
+        assert got[2] == (
+            '<meta charset="latin1">x —', "windows-1252", "meta",
+        )
