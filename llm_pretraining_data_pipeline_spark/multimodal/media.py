@@ -149,6 +149,51 @@ def wav_feature_stats(
     return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
 
 
+def webp_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Image payloads → WebP structure metadata via Arrow-batched
+    mapInPandas (``webp.parse_webp`` — RIFF chunk walk, all three
+    header shapes, bomb-guarded dims, ANMF frame counts): what CDNs
+    actually serve today, so a real CC image stream needs this tier
+    next to png/bmp/jpeg/gif. Same error contract as the codec family:
+    malformed payloads are ``decode_ok=false`` rows."""
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import webp
+
+    schema = (
+        f"{id_col} bigint, format string, width int, height int, "
+        "has_alpha boolean, animated boolean, n_frames int, "
+        "decode_ok boolean, decode_err string"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    st = webp.parse_webp(raw)
+                    rows.append(
+                        (mid, st["format"], st["width"], st["height"],
+                         st["has_alpha"], st["animated"],
+                         st["n_frames"], True, None)
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None,
+                         False, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "width", "height", "has_alpha",
+                    "animated", "n_frames", "decode_ok", "decode_err",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
 def mp3_feature_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Audio payloads → MP3 frame-structure metadata via Arrow-batched
     mapInPandas (``mp3.parse_mp3`` — strict MPEG-1 Layer III frame
@@ -391,7 +436,7 @@ def magic_kind(payload_col="payload"):
     caught from the first handful of bytes, not by a failed decode in a
     Python worker.
 
-    Recognizes the repo's parser surface (png/jpeg/gif/wav/mp3/mp4/warc) plus
+    Recognizes the repo's parser surface (png/jpeg/gif/webp/wav/mp3/mp4/warc) plus
     gzip (the compression wrapper real WARC/CC payloads arrive in);
     anything else (including NULL/short payloads) is ``'unknown'``.
     First-match-wins, most-specific first — the same CaseWhen cascade
@@ -406,6 +451,11 @@ def magic_kind(payload_col="payload"):
             (head4 == "52494646")
             & (F.hex(F.substring(p, 9, 4)) == "57415645"),
             F.lit("wav"),
+        )
+        .when(
+            (head4 == "52494646")
+            & (F.hex(F.substring(p, 9, 4)) == "57454250"),
+            F.lit("webp"),
         )
         .when(
             # 'ftyp' at bytes 5-8 alone is spoofable (a gzip mtime or a

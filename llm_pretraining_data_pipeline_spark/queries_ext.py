@@ -7164,3 +7164,94 @@ def mm_mp3_features(spark, sf_dir):
         "channel_mode", "n_samples", "duration_ms", "id3_size",
         "decode_ok",
     )
+
+
+@register(
+    "mm_webp_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 53 = 0 AS corrupt,
+             CAST(doc_id % 3 AS int) AS farm,
+             CAST(8 + doc_id % 40 AS int) AS w,
+             CAST(6 + doc_id % 30 AS int) AS h,
+             doc_id % 2 = 0 AS alpha_arm,
+             CAST(CASE WHEN doc_id % 4 = 0 THEN 2 + doc_id % 3
+                       ELSE 0 END AS int) AS frames
+      FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN corrupt THEN NULL
+                WHEN farm = 0 THEN 'lossy'
+                WHEN farm = 1 THEN 'lossless'
+                ELSE 'extended' END AS format,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL
+                WHEN farm = 0 THEN FALSE
+                ELSE alpha_arm END AS has_alpha,
+           CASE WHEN corrupt THEN NULL
+                ELSE farm = 2 AND frames > 0 END AS animated,
+           CASE WHEN corrupt THEN NULL
+                WHEN farm = 2 AND frames > 0 THEN frames
+                ELSE 1 END AS n_frames,
+           NOT corrupt AS decode_ok
+    FROM ids
+    """,
+    doc="WebP structure parsing over binary payloads "
+        "(multimodal/webp.py + media.py::webp_feature_stats — the "
+        "modern-web tier of the image codec set: CDNs serve WebP "
+        "today, so a real CC image stream needs this next to "
+        "png/bmp/jpeg/gif): strict RIFF chunk walk to the declared end "
+        "(odd-size pad bytes included), all THREE header shapes — "
+        "lossy VP8 keyframe tag + start code + 14-bit dims, lossless "
+        "VP8L packed dims + alpha bit, extended VP8X feature flags + "
+        "24-bit canvas + ANMF animation frame counts — with "
+        "declared-dimension bomb guards and chunk caps; magic_kind "
+        "gains the RIFF/WEBP arm. Fixture cycles the three formats "
+        "with alpha and animation arms; id%53 corrupt payloads "
+        "survive as decode_ok=false on both engines. Scale shape: one "
+        "Arrow mapInPandas stage, zero shuffle; fuzz battery in "
+        "tests/test_multimodal.py",
+)
+def mm_webp_features(spark, sf_dir):
+    import pandas as pd
+
+    from llm_pretraining_data_pipeline_spark.multimodal import media as mm
+    from llm_pretraining_data_pipeline_spark.multimodal import webp as WP
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 53 == 0:
+                    payload = b"RIFF\x04\x00\x00\x00WEBP"[:11]
+                else:
+                    farm = did % 3
+                    w, h = 8 + did % 40, 6 + did % 30
+                    alpha = did % 2 == 0
+                    frames = 2 + did % 3 if did % 4 == 0 else 0
+                    if farm == 0:
+                        payload = WP.encode_webp_stub(w, h, "lossy")
+                    elif farm == 1:
+                        payload = WP.encode_webp_stub(
+                            w, h, "lossless", alpha=alpha
+                        )
+                    else:
+                        payload = WP.encode_webp_stub(
+                            w, h, "extended", alpha=alpha,
+                            n_frames=frames,
+                        )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, "media_id bigint, payload binary")
+    )
+    return mm.webp_feature_stats(media).select(
+        "media_id", "format", "width", "height", "has_alpha",
+        "animated", "n_frames", "decode_ok",
+    )

@@ -835,3 +835,101 @@ class TestMp3Parser:
                 mp3.parse_mp3(good[:i])
             except ValueError:
                 pass
+
+
+class TestWebpParser:
+    """multimodal/webp.py: RIFF chunk walk, three header shapes."""
+
+    def test_three_formats(self):
+        from llm_pretraining_data_pipeline_spark.multimodal import webp
+
+        lossy = webp.parse_webp(webp.encode_webp_stub(64, 48, "lossy"))
+        assert lossy["format"] == "lossy" and lossy["width"] == 64
+        ll = webp.parse_webp(
+            webp.encode_webp_stub(33, 21, "lossless", alpha=True)
+        )
+        assert ll == {
+            "format": "lossless", "width": 33, "height": 21,
+            "has_alpha": True, "animated": False, "n_frames": 1,
+        }
+        anim = webp.parse_webp(
+            webp.encode_webp_stub(100, 80, "extended", n_frames=3)
+        )
+        assert anim["animated"] is True and anim["n_frames"] == 3
+        assert anim["width"] == 100 and anim["format"] == "extended"
+
+    def test_strictness_and_bomb_guard(self):
+        import struct
+
+        import pytest
+
+        from llm_pretraining_data_pipeline_spark.multimodal import webp
+
+        good = webp.encode_webp_stub(20, 20, "extended", n_frames=2)
+        for bad, msg in [
+            (b"", "shorter"),
+            (good[:-1], "declares"),
+            (good + b"x", "declares"),
+            (b"RIFX" + good[4:], "bad RIFF"),
+            (b"RIFF\x04\x00\x00\x00WEBP", "no image chunk"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                webp.parse_webp(bad)
+        # VP8X canvas bomb: 24-bit dims up to 16M x 16M
+        bomb = bytearray(webp.encode_webp_stub(4, 4, "extended"))
+        i = bytes(bomb).index(b"VP8X") + 8 + 4
+        bomb[i : i + 3] = struct.pack("<I", (1 << 24) - 1)[:3]
+        bomb[i + 3 : i + 6] = struct.pack("<I", (1 << 24) - 1)[:3]
+        with pytest.raises(ValueError, match="bomb guard"):
+            webp.parse_webp(bytes(bomb))
+        # lossy chunk must be a keyframe with the start code
+        nk = bytearray(webp.encode_webp_stub(8, 8, "lossy"))
+        j = bytes(nk).index(b"VP8 ") + 8
+        nk[j] |= 0x01
+        with pytest.raises(ValueError, match="keyframe"):
+            webp.parse_webp(bytes(nk))
+
+    def test_fuzz_total(self):
+        import random
+
+        from llm_pretraining_data_pipeline_spark.multimodal import webp
+
+        goods = [
+            webp.encode_webp_stub(9, 7, "lossy"),
+            webp.encode_webp_stub(9, 7, "lossless", alpha=True),
+            webp.encode_webp_stub(9, 7, "extended", n_frames=2),
+        ]
+        rng = random.Random(21)
+        for good in goods:
+            for _ in range(800):
+                b = bytearray(good)
+                for _ in range(rng.randrange(1, 4)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                try:
+                    webp.parse_webp(bytes(b))
+                except ValueError:
+                    pass
+            for i in range(len(good)):
+                try:
+                    webp.parse_webp(good[:i])
+                except ValueError:
+                    pass
+
+    def test_magic_kind_webp_vs_wav(self, spark):
+        from llm_pretraining_data_pipeline_spark.multimodal import (
+            media, wav, webp,
+        )
+
+        rows = [
+            (0, bytearray(webp.encode_webp_stub(4, 4, "lossy"))),
+            (1, bytearray(wav.encode_wav([1, 2, 3]))),
+            (2, bytearray(b"RIFF\x04\x00\x00\x00JUNK")),
+        ]
+        df = spark.createDataFrame(rows, "i int, payload binary")
+        got = {
+            r["i"]: r["k"]
+            for r in df.select(
+                "i", media.magic_kind("payload").alias("k")
+            ).collect()
+        }
+        assert got == {0: "webp", 1: "wav", 2: "unknown"}
