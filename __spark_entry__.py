@@ -178,7 +178,7 @@ _PRIORITY_R11 = [
 # hash-verified via check_oracle at sf0.01 AND sf0.001 on registration,
 # all covered by the suite's full oracle-parity replay and the
 # in-session full sweeps; they take head slots in r13.
-# The round-12 CONTINUATION session added eighteen more past-the-cap
+# The round-12 CONTINUATION session added nineteen more past-the-cap
 # queries, same discipline (each hash-verified at sf0.01 AND sf0.001 on
 # registration; full 238/238 sweep mid-continuation + final sweep at
 # the seal; r13 head candidates):
@@ -196,9 +196,10 @@ _PRIORITY_R11 = [
 # gating + per-host scheduling composed and refereed closed-form),
 # s17_incremental_fetch (the incremental loop closed over real bytes:
 # digest anti-join driving byte-range selective reads),
-# mm_gif_features + mm_mp3_features (GIF/MP3 structure codecs;
-# mm_magic_sniff CHANGED — 9-arm cycle with gif + mp3 arms, re-verified
-# both SFs) and p45_script_mix (dominant-script + mixing ratio).
+# mm_gif_features + mm_mp3_features + mm_webp_features (GIF/MP3/WebP
+# structure codecs; mm_magic_sniff CHANGED — 9-arm cycle with gif + mp3
+# arms plus the RIFF/WEBP arm, re-verified both SFs) and
+# p45_script_mix (dominant-script + mixing ratio).
 _PRIORITY_R12 = [
     # new this round — hash-matched via check_oracle at sf0.01 AND
     # sf0.001 on registration: robots-gated frontier expansion (VERDICT
