@@ -671,6 +671,102 @@ def main() -> int:
             f"plain={c2c_man['total_docs']} gz={c2c_gz_man['total_docs']}"
         )
 
+    # ---- round-12 continuation: the REVISIT arm — every third blob
+    # additionally carries a crawl-time-dedup revisit record claiming
+    # another capture's payload digest, and the funnel runs with
+    # resolve_revisits=True. Measures the cost of the digest groupBy +
+    # join the revisit path adds over the plain funnel (the number a CC
+    # operator plans with, since real crawls ship revisits). The
+    # revisit rows resolve to content that then LOSES exact dedup to
+    # the original, so kept count equals the plain arm's.
+    def _gen_crawl_revisit_blobs(it):
+        import hashlib
+
+        import pandas as pd
+
+        from llm_pretraining_data_pipeline_spark.sources import (
+            warc as WR4,
+        )
+
+        for pdf in it:
+            rows = []
+            for fid, text in zip(pdf["file_id"], pdf["text"]):
+                fid = int(fid)
+                uri = f"https://site-{fid % 997}.example/doc/{fid}"
+                sents = f"{text[:90]}. {text[45:135]}. {text[90:180]}."
+                status = b"404 Not Found" if fid % 9 == 0 else b"200 OK"
+                http = _bench_http_msg(
+                    sents.encode("utf-8"), fid % 3, status=status
+                )
+                recs = [("response", uri, f"rec-{fid}-0", http)]
+                if fid % 3 == 2:
+                    # revisit of THIS capture's entity body (the
+                    # self-digest shape: same page re-fetched unchanged
+                    # under a mirror URL)
+                    body = sents.encode("utf-8")
+                    digest = hashlib.sha256(body).hexdigest()
+                    recs.append((
+                        "revisit",
+                        f"https://mirror-{fid % 31}.example/m/{fid}",
+                        f"rev-{fid}", b"",
+                        (("WARC-Payload-Digest", f"sha256:{digest}"),),
+                    ))
+                rows.append((fid, WR4.encode_warc(recs)))
+            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+    def _crawl_revisit_once():
+        blobs = warc_ids.mapInPandas(
+            _gen_crawl_revisit_blobs, "file_id bigint, payload binary"
+        )
+        out = CR.run_crawl_to_corpus(
+            blobs,
+            CR.CrawlCorpusConfig(
+                resolve_revisits=True,
+                curation=WCC.WebCurationConfig(
+                    min_sentences=2, apply_gopher=False
+                ),
+            ),
+        )
+        # a RESOLVED revisit carries the original's content, so some
+        # dedup stage must catch it — here C4 span dedup fires first
+        # (the bodies are three-sentence, so their spans duplicate the
+        # original's before exact dedup ever sees them); an UNRESOLVED
+        # one would read 'revisit_unresolved' instead
+        dedup_reasons = (
+            "exact_duplicate", "empty_after_span_dedup",
+            "near_duplicate", "url_duplicate",
+        )
+        return out.agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(
+                F.col("drop_reason").isNull().cast("long")
+            ).alias("kept"),
+            F.sum(
+                (
+                    (F.col("rec_index") > 0)
+                    & F.col("drop_reason").isin(*dedup_reasons)
+                ).cast("long")
+            ).alias("dups"),
+            F.sum(
+                (F.col("drop_reason") == "revisit_unresolved").cast(
+                    "long"
+                )
+            ).alias("unresolved"),
+        ).collect()[0]
+
+    rev_row = timed("crawl_revisit_e2e", _crawl_revisit_once)
+    meta["crawl_revisit_records"] = int(rev_row["records"])
+    meta["crawl_revisit_kept"] = int(rev_row["kept"])
+    meta["crawl_revisit_resolved_dups"] = int(rev_row["dups"])
+    meta["crawl_revisit_unresolved"] = int(rev_row["unresolved"])
+    meta["crawl_revisit_docs_per_sec"] = round(
+        int(rev_row["records"]) / timings["crawl_revisit_e2e"], 1
+    )
+    if int(rev_row["kept"]) != int(c2c_man["total_docs"]):
+        meta["crawl_revisit_KEPT_MISMATCH"] = (
+            f"plain={c2c_man['total_docs']} revisit={rev_row['kept']}"
+        )
+
     # ---- round-8: the per-dump corpus audits at 100k docs — directional
     # gram novelty (one distinct + one groupBy on 60-bit gram hashes) and
     # the exact integer KS drift statistic (cumulative window over the
