@@ -28,10 +28,16 @@ MAX_PIXELS = 1 << 24
 MAX_BLOCKS = 1 << 16
 
 
-def _sub_blocks(data: bytes, pos: int, ctx: str) -> tuple[bytes, int]:
+def _sub_blocks(
+    data: bytes, pos: int, ctx: str, keep: bool = True
+) -> tuple[bytes, int]:
     """Walk a GIF sub-block chain (len byte + payload, 0-terminated).
-    Returns (concatenated payload, position after the terminator)."""
-    out = bytearray()
+    Returns (concatenated payload, position after the terminator).
+    ``keep=False`` validates and skips without copying — what the
+    image-data path uses, since a structure-only parser would
+    otherwise duplicate the whole LZW stream per frame just to
+    discard it (review finding)."""
+    out = bytearray() if keep else None
     n = len(data)
     blocks = 0
     while True:
@@ -40,7 +46,7 @@ def _sub_blocks(data: bytes, pos: int, ctx: str) -> tuple[bytes, int]:
         size = data[pos]
         pos += 1
         if size == 0:
-            return bytes(out), pos
+            return (bytes(out) if keep else b""), pos
         blocks += 1
         if blocks > MAX_BLOCKS:
             raise ValueError(f"parse_gif: sub-block cap exceeded in {ctx}")
@@ -48,7 +54,8 @@ def _sub_blocks(data: bytes, pos: int, ctx: str) -> tuple[bytes, int]:
             raise ValueError(
                 f"parse_gif: sub-block runs past buffer in {ctx}"
             )
-        out += data[pos : pos + size]
+        if keep:
+            out += data[pos : pos + size]
         pos += size
 
 
@@ -136,7 +143,7 @@ def parse_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             if pos >= n:
                 raise ValueError("parse_gif: truncated LZW code size")
             pos += 1  # LZW minimum code size (pixel decode out of scope)
-            _, pos = _sub_blocks(data, pos, "image data")
+            _, pos = _sub_blocks(data, pos, "image data", keep=False)
             n_frames += 1
         else:
             raise ValueError(

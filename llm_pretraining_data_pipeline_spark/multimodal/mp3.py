@@ -128,6 +128,11 @@ def encode_mp3_stub(
     frame (the VBR arm)."""
     if isinstance(bitrate_indices, int):
         bitrate_indices = [bitrate_indices] * n_frames
+    if len(bitrate_indices) < n_frames:
+        raise ValueError(
+            "encode_mp3_stub: bitrate_indices shorter than n_frames "
+            "(a silent short file would mislead a fixture's referee)"
+        )
     out = bytearray()
     if id3_payload is not None:
         size = len(id3_payload)

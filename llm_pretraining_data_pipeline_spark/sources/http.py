@@ -433,25 +433,38 @@ def _cp1252(b: Column) -> Column:
     )
 
 
-# Complete UTF-16 well-formedness over the latin-1 byte view, one
-# anchored rlike: every 2-byte unit is either a non-surrogate or a
-# high-surrogate unit (D800-DBFF) immediately followed by a low one
-# (DC00-DFFF); odd-length input fails the anchor. The alternatives are
-# disjoint on their first character class, so the scan is linear — no
-# catastrophic backtracking. Needed because Spark 4's ANSI decode
-# THROWS MALFORMED_CHARACTER_CODING on bad UTF-16 (fuzz finding): a
-# hostile body with a UTF-16 BOM must degrade, never kill the job.
-_UTF16BE_VALID_RE = (
-    "(?s)^(?:[^\\x{D8}-\\x{DF}].|[\\x{D8}-\\x{DB}].[\\x{DC}-\\x{DF}].)*$"
-)
-_UTF16LE_VALID_RE = (
-    "(?s)^(?:.[^\\x{D8}-\\x{DF}]|.[\\x{D8}-\\x{DB}].[\\x{DC}-\\x{DF}])*$"
-)
+# Complete UTF-16 well-formedness over the latin-1 byte view. Needed
+# because Spark 4's ANSI decode THROWS MALFORMED_CHARACTER_CODING on
+# bad UTF-16 (fuzz finding): a hostile body with a UTF-16 BOM must
+# degrade, never kill the job.
+#
+# Shape matters (review finding): an anchored `(?:pair|surrogatepair)*$`
+# regex is CORRECT but Java's Pattern recurses once per group-star
+# iteration — a well-formed 20 KB UTF-16 body StackOverflowErrors the
+# task, which is strictly worse than the throw being guarded. Instead:
+# (1) squeeze out the HIGH byte of every 2-byte unit with one
+# global regexp_replace (iterative, no recursion), then (2) search that
+# half-string for LOCAL violations — a high surrogate not followed by a
+# low, or a low not preceded by a high. Both patterns are bounded
+# (no nested quantifiers), so the whole check is linear at any size.
+# Plus the even-length check, this is complete: surrogate pairing is a
+# property of adjacent UNITS, which are adjacent chars in the squeezed
+# string.
+_UTF16_HI_BE = r"(?s)(.)."   # unit's first byte at even offsets (BE)
+_UTF16_HI_LE = r"(?s).(.)"   # ... at odd offsets (LE)
+_UTF16_VIOLATION_1 = "[\\x{D8}-\\x{DB}](?:[^\\x{DC}-\\x{DF}]|$)"
+_UTF16_VIOLATION_2 = "(?:^|[^\\x{D8}-\\x{DB}])[\\x{DC}-\\x{DF}]"
 
 
 def _utf16_valid(b: Column, le: bool) -> Column:
-    return F.decode(b, "ISO-8859-1").rlike(
-        _UTF16LE_VALID_RE if le else _UTF16BE_VALID_RE
+    s = F.decode(b, "ISO-8859-1")
+    highs = F.regexp_replace(
+        s, F.lit(_UTF16_HI_LE if le else _UTF16_HI_BE), "$1"
+    )
+    return (
+        (F.length(b) % 2 == 0)
+        & ~highs.rlike(_UTF16_VIOLATION_1)
+        & ~highs.rlike(_UTF16_VIOLATION_2)
     )
 
 

@@ -62,7 +62,8 @@ def main() -> int:
             df = QUERIES[name].spark(spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — audit must finish
-            errors.append((name, str(exc).splitlines()[0][:160]))
+            msg = (str(exc).splitlines() or ["<no message>"])[0][:160]
+            errors.append((name, msg))
             continue
         counts = {
             label: len(re.findall(pat, plan)) for label, pat in NODES

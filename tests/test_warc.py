@@ -2121,3 +2121,36 @@ class TestCharsetDecodeNoHeaderColumn:
         assert got[2] == (
             '<meta charset="latin1">x —', "windows-1252", "meta",
         )
+
+
+class TestUtf16LargeBodies:
+    def test_large_valid_and_invalid_utf16(self, spark):
+        # review finding: the first validity regex StackOverflowError'd
+        # on ~20 KB bodies; the violation-search form must stay linear
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        big = "héllo wörld \U0001F600 " * 8000  # ~120k chars, astral pairs
+        rows = [
+            (0, bytearray(b"\xff\xfe" + big.encode("utf-16-le")), None),
+            (1, bytearray(b"\xfe\xff" + big.encode("utf-16-be")), None),
+            (2, bytearray(big.encode("utf-16-le")), "utf-16"),
+            (3, bytearray(
+                b"\xfe\xff" + big[:50000].encode("utf-16-be")
+                + b"\xd8\x00\x00A" + b"\x00B" * 1000
+            ), None),
+        ]
+        df = spark.createDataFrame(rows, "i int, body binary, charset string")
+        got = {
+            r["i"]: (r["charset_used"], r["charset_source"],
+                     r["text"][:15])
+            for r in df.select(
+                "i", http_body_text_charset().alias("d")
+            ).select("i", "d.*").collect()
+        }
+        assert got[0] == ("utf-16le", "bom", big[:15])
+        assert got[1] == ("utf-16be", "bom", big[:15])
+        assert got[2][0] == "utf-16le" and got[2][1] == "declared"
+        # unpaired surrogate mid-body: degrades, never throws
+        assert got[3][0] == "windows-1252" and got[3][1] == "content"
