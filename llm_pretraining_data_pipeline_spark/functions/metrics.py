@@ -197,15 +197,25 @@ def script_mix(c: Column | str) -> Column:
     ``n_letters`` counts ALL Unicode letters (``\\p{L}``), so scripts
     outside the tracked set still raise ``mix_ratio`` (they are
     letters that are not the dominant script). Empty/letterless text:
-    null dominant, 0.0 ratio. Pure per-row Catalyst (one regexp_count
-    per script), zero shuffle.
+    null dominant, 0.0 ratio. Pure per-row Catalyst (one
+    regexp_replace + one regexp_count per script), zero shuffle.
+
+    Script property classes include non-letter codepoints (Mc/Mn
+    vowel signs, Nd script digits), so for abugida text (e.g. Hindi
+    consonant + matra) a raw per-script count would exceed the
+    ``\\p{L}`` letter count and drive ``mix_ratio`` negative. All
+    counting therefore runs over a letters-only projection of the
+    text (``\\P{L}`` stripped first): per-script counts are exact
+    script∩letter counts and ``dominant_count <= n_letters`` holds by
+    construction (ADVICE r12).
     """
     s = F.coalesce(_col(c).cast("string"), F.lit(""))
+    letters = F.regexp_replace(s, F.lit(r"\P{L}"), F.lit(""))
     counts = [
-        F.regexp_count(s, F.lit(_SCRIPT_JAVA[name])).cast("long")
+        F.regexp_count(letters, F.lit(_SCRIPT_JAVA[name])).cast("long")
         for name in SCRIPT_NAMES
     ]
-    n_letters = F.regexp_count(s, F.lit(r"\p{L}")).cast("long")
+    n_letters = F.length(letters).cast("long")
     best = F.array_max(
         F.array(
             *[

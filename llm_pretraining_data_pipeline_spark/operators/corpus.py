@@ -1201,11 +1201,17 @@ def concentration_stats(
         F.count(F.lit(1)).over(wall).alias("n"),
         F.sum("x").over(wall).alias("tot"),
     )
-    # decimal(38,0) accumulators: i·x and x² overflow bigint at real
-    # host counts (1e9 hosts × 1e11 weights), and exact decimal sums
-    # are ORDER-FREE — a float sum's last bits would vary with
-    # partitioning (the a21 ordered-fold lesson, solved here with
-    # exact arithmetic instead of an ordered fold)
+    # decimal(19,0)² → decimal(38,0) accumulators: i·x and x² overflow
+    # bigint at real host counts (1e9 hosts × 1e11 weights), and exact
+    # decimal sums are ORDER-FREE — a float sum's last bits would vary
+    # with partitioning (the a21 ordered-fold lesson, solved here with
+    # exact arithmetic instead of an ordered fold). The 38-digit ceiling
+    # is provably sufficient given the bigint `total` this function
+    # already promises: Σx² ≤ (Σx)² = total² ≤ (9.2e18)² ≈ 8.5e37 and
+    # Σi·x ≤ n·total ≤ the same bound — so the sums cannot hit Spark's
+    # non-ANSI overflow-to-NULL while total fits the output column
+    # (ADVICE r12: the earlier comment overstated the bound as
+    # arbitrary decimal(38,0) headroom).
     xd = F.col("x").cast("decimal(19,0)")
     idx = F.col("i").cast("decimal(19,0)")
     return ranked.agg(
@@ -1390,6 +1396,7 @@ def budget_select(
     buckets: int = 4096,
     value_min: float = 0.0,
     value_max: float = 1.0,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Global token-budget selection: keep the highest-``value_col``
     documents, in the exact total order ``(value desc, id asc)``, until
@@ -1418,9 +1425,26 @@ def budget_select(
     outside [value_min, value_max] clamp to the edge bins (their raw
     values still order them exactly within the bin); null scores sort
     last (never kept unless everything fits).
+
+    Two-phase caveat (ADVICE r12): the histogram ``collect()`` and the
+    returned plan each evaluate ``df``'s lineage once, so the input's
+    ``value_col``/``token_col`` MUST be deterministic — a
+    non-deterministic upstream (rand(), non-idempotent UDF, re-read of
+    mutating storage) could make the second pass disagree with the
+    boundary the first pass chose, yielding an inconsistent kept set —
+    and an expensive lineage computes twice. Pass ``checkpoint=True``
+    to LAZILY localCheckpoint ``df`` first, pinning both phases to one
+    materialization (the ``resolve_revisits`` convention: default off
+    because localCheckpoint truncates lineage — lost executors fail
+    the job instead of recomputing — so the caller, who knows the
+    input's cost and fault-tolerance needs, opts in). The same
+    two-phase determinism requirement applies to
+    ``assign_shards_sized``'s totals collect.
     """
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
+    if checkpoint:
+        df = df.localCheckpoint(eager=False)
     span = float(value_max) - float(value_min)
     if span <= 0:
         raise ValueError("value_max must exceed value_min")

@@ -46,6 +46,7 @@ def assign_shards_sized(
     size_col: str = "n_bytes",
     id_col: str = "doc_id",
     nlanes: int = 32,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Byte-balanced sharding: documents are laid end-to-end in the
     deterministic order ``(lane, id)`` with ``lane = h64(id) % nlanes``
@@ -64,9 +65,19 @@ def assign_shards_sized(
     cut by cumulative START position; oversize docs overflow their
     shard rather than split — splitting is ``pack_sequences``' job).
     Adds ``shard_id``; null sizes count as 0.
+
+    Two-phase caveat (ADVICE r12, shared with ``budget_select``): the
+    per-lane totals ``collect()`` and the returned plan each evaluate
+    ``df``'s lineage once — ``size_col``/``id_col`` must be
+    deterministic or the offsets from the first pass can disagree with
+    the rows of the second; pass ``checkpoint=True`` to lazily
+    localCheckpoint the input and pin both phases to one
+    materialization (opt-in: localCheckpoint truncates lineage).
     """
     if target_bytes < 1:
         raise ValueError("target_bytes must be >= 1")
+    if checkpoint:
+        df = df.localCheckpoint(eager=False)
     from llm_pretraining_data_pipeline_spark.functions.hashing import h64
 
     spark = df.sparkSession

@@ -5966,7 +5966,7 @@ def a23_drift_by_host(spark, sf_dir):
 
 
 # ===================================================== WARC revisit records
-def _warc_revisit_blobs(spark, sf_dir):
+def _warc_revisit_blobs(spark, sf_dir, sha1_claims=False):
     """Closed-form WARC blobs exercising crawl-time dedup records: every
     doc ships a plain Content-Length-framed HTTP response; id%3==1 docs
     ALSO ship a ``WARC-Type: revisit`` record claiming the response
@@ -5975,12 +5975,22 @@ def _warc_revisit_blobs(spark, sf_dir):
     capture); id%9==0 docs ship a revisit whose digest matches nothing
     (the original's WARC rotated out — must surface unresolved, not
     crash or fabricate). id%7==5 responses carry ``WARC-Truncated:
-    length`` (the CC >1 MiB payload-cap marker)."""
+    length`` (the CC >1 MiB payload-cap marker).
+
+    ``sha1_claims=True`` (s13 only) additionally gives id%3==2 & id%7==3
+    docs a revisit claiming ``sha1:<BASE32>`` over the RAW stored body —
+    the identity real archives (CommonCrawl/warcio, WARC §6.7.2) stamp,
+    which ``resolve_revisits`` must match alongside the engine's own
+    sha256 convention (ADVICE r12). s16 keeps the flag off: its oracle
+    indexes claimed digests verbatim and DuckDB 1.0 cannot recompute
+    sha1/base32 — resolution OUTCOMES (s13's contract) are referee-able
+    closed-form either way."""
     import pandas as pd
 
     from llm_pretraining_data_pipeline_spark.sources import warc as W
 
     def gen(it):
+        import base64
         import hashlib
 
         for pdf in it:
@@ -6006,6 +6016,15 @@ def _warc_revisit_blobs(spark, sf_dir):
                          ("WARC-Refers-To-Target-URI", uri),
                          ("WARC-Refers-To-Date",
                           "1970-01-01T00:00:00Z")),
+                    ))
+                elif sha1_claims and did % 3 == 2 and did % 7 == 3:
+                    b32 = base64.b32encode(
+                        hashlib.sha1(body).digest()
+                    ).decode("ascii")
+                    recs.append((
+                        "revisit", uri, f"rec-{did}-1", b"",
+                        (("WARC-Payload-Digest", f"sha1:{b32}"),
+                         ("WARC-Refers-To-Target-URI", uri)),
                     ))
                 elif did % 9 == 0:
                     gone = hashlib.sha256(
@@ -6072,6 +6091,17 @@ def _warc_revisit_blobs(spark, sf_dir):
       FROM m JOIN reps r ON r.body_digest = m.body_digest
       WHERE m.doc_id % 3 = 1
     ),
+    rev_sha1 AS (
+      SELECT m.doc_id AS file_id, CAST(1 AS int) AS rec_index,
+             'revisit' AS warc_type,
+             CAST(NULL AS varchar) AS warc_truncated,
+             TRUE AS revisit_resolved,
+             r.rid AS resolved_from,
+             sha256(r.rmsg) AS payload_sha256,
+             CAST(octet_length(encode(r.rmsg)) AS bigint) AS payload_len
+      FROM m JOIN reps r ON r.body_digest = m.body_digest
+      WHERE m.doc_id % 3 = 2 AND m.doc_id % 7 = 3
+    ),
     rev_miss AS (
       SELECT doc_id AS file_id, CAST(1 AS int) AS rec_index,
              'revisit' AS warc_type,
@@ -6084,6 +6114,7 @@ def _warc_revisit_blobs(spark, sf_dir):
     )
     SELECT * FROM resp
     UNION ALL SELECT * FROM rev
+    UNION ALL SELECT * FROM rev_sha1
     UNION ALL SELECT * FROM rev_miss
     """,
     doc="WARC revisit-record resolution (sources/cdx.py::"
@@ -6093,15 +6124,21 @@ def _warc_revisit_blobs(spark, sf_dir):
         "'revisit' record instead of the bytes, and a consumer must "
         "join it back to the original response by digest or silently "
         "lose every unchanged-since-last-crawl page). The original "
-        "side's digest is RECOMPUTED from the decoded entity body "
-        "(cdx_records' sha256 convention), never trusted from headers; "
-        "claimed digests accept an algo-label prefix. id%3==1 revisits "
-        "resolve (payload replaced by the original HTTP message — "
-        "referee recomputes the representative via arg_min over the "
-        "digest group, so duplicate-text docs pin the same original "
-        "both engines); id%9==0 revisits claim a digest that matches "
-        "nothing and surface revisit_resolved=false with their own "
-        "empty payload; id%7==5 responses carry WARC-Truncated: "
+        "side's digests are RECOMPUTED from the bytes under BOTH "
+        "identities a claim can carry — sha256-hex of the decoded body "
+        "(cdx_records' convention) and sha1-base32 of the raw stored "
+        "body (the WARC §6.7.2 / CommonCrawl convention; ADVICE r12) — "
+        "never trusted from headers; claimed digests accept an "
+        "algo-label prefix. id%3==1 revisits claim sha256 and resolve "
+        "(payload replaced by the original HTTP message — referee "
+        "recomputes the representative via arg_min over the digest "
+        "group, so duplicate-text docs pin the same original both "
+        "engines); id%3==2 & id%7==3 revisits claim sha1:<BASE32> and "
+        "must ALSO resolve to the same representative (raw body and "
+        "decoded body group identically in this fixture — the referee "
+        "reuses the sha256 reps); id%9==0 revisits claim a digest that "
+        "matches nothing and surface revisit_resolved=false with their "
+        "own empty payload; id%7==5 responses carry WARC-Truncated: "
         "length, read through the parser's generic header projection. "
         "Scale shape: one Arrow digest stage, ONE groupBy(digest) "
         "bounding each digest to one representative (join can never "
@@ -6112,7 +6149,7 @@ def s13_warc_revisit(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.sources import cdx as C
     from llm_pretraining_data_pipeline_spark.sources import warc as W
 
-    files = _warc_revisit_blobs(spark, sf_dir)
+    files = _warc_revisit_blobs(spark, sf_dir, sha1_claims=True)
     recs = W.warc_records(
         files, headers=("WARC-Payload-Digest", "WARC-Truncated")
     )
@@ -6969,19 +7006,22 @@ def mm_gif_features(spark, sf_dir):
     """
     WITH d AS (
       SELECT doc_id,
-             text || CASE doc_id % 6
+             text || CASE doc_id % 7
                WHEN 1 THEN ' Привет мир'
                WHEN 2 THEN ' γειά σου κόσμε'
                WHEN 3 THEN ' 你好世界'
                WHEN 4 THEN ' مرحبا بالعالم'
                WHEN 5 THEN ' こんにちは'
+               WHEN 6 THEN ' नमस्ते दुनिया यह हिंदी है'
                ELSE '' END AS t
       FROM documents
     ),
+    lo AS (
+      SELECT doc_id, regexp_replace(t, '\\P{L}', '', 'g') AS t FROM d
+    ),
     c AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(t, '\\p{L}')) AS bigint)
-               AS n_letters,
+             CAST(length(t) AS bigint) AS n_letters,
              [struct_pack(
                 c := CAST(len(regexp_extract_all(t, '\\p{Latin}'))
                           AS bigint), s := 'latin'),
@@ -7008,7 +7048,7 @@ def mm_gif_features(spark, sf_dir):
                 c := CAST(len(regexp_extract_all(t, '\\p{Devanagari}'))
                           AS bigint), s := 'devanagari')
              ] AS arr
-      FROM d
+      FROM lo
     ),
     b AS (
       SELECT doc_id, n_letters, (list_sort(arr))[-1] AS best FROM c
@@ -7031,12 +7071,16 @@ def mm_gif_features(spark, sf_dir):
         "an arbitrary but engine-agreed rule), and the fraction of "
         "letters OUTSIDE it. Mixed-script text is a classic corpus "
         "pathology — English boilerplate around a foreign page, "
-        "mojibake, homoglyph spam. Fixture appends per-arm script "
-        "suffixes (Cyrillic/Greek/Han/Arabic/Kana) to the real corpus "
-        "text so every script arm and the tie rule get rows; each "
-        "engine renders its own Unicode-property syntax (Java "
-        "\\p{IsXxx}, RE2 \\p{Xxx}) over the same script names. Pure "
-        "per-row Catalyst, zero shuffle",
+        "mojibake, homoglyph spam. All counting runs over a "
+        "letters-only projection (\\P{L} stripped first) so abugida "
+        "vowel signs / script digits never inflate a script count "
+        "past n_letters (ADVICE r12). Fixture appends per-arm script "
+        "suffixes (Cyrillic/Greek/Han/Arabic/Kana/Devanagari-with-"
+        "matras) to the real corpus text so every script arm, the tie "
+        "rule, and the abugida path get rows; each engine renders its "
+        "own Unicode-property syntax (Java \\p{IsXxx}, RE2 \\p{Xxx}) "
+        "over the same script names. Pure per-row Catalyst, zero "
+        "shuffle",
 )
 def p45_script_mix(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.functions.metrics import (
@@ -7045,11 +7089,12 @@ def p45_script_mix(spark, sf_dir):
 
     d = F.col("doc_id")
     suffix = (
-        F.when(d % 6 == 1, F.lit(" Привет мир"))
-        .when(d % 6 == 2, F.lit(" γειά σου κόσμε"))
-        .when(d % 6 == 3, F.lit(" 你好世界"))
-        .when(d % 6 == 4, F.lit(" مرحبا بالعالم"))
-        .when(d % 6 == 5, F.lit(" こんにちは"))
+        F.when(d % 7 == 1, F.lit(" Привет мир"))
+        .when(d % 7 == 2, F.lit(" γειά σου κόσμε"))
+        .when(d % 7 == 3, F.lit(" 你好世界"))
+        .when(d % 7 == 4, F.lit(" مرحبا بالعالم"))
+        .when(d % 7 == 5, F.lit(" こんにちは"))
+        .when(d % 7 == 6, F.lit(" नमस्ते दुनिया यह हिंदी है"))
         .otherwise(F.lit(""))
     )
     base = _docs(spark, sf_dir).select(

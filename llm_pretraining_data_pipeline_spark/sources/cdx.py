@@ -54,6 +54,43 @@ def _claimed_digest(col: Column) -> Column:
     return F.lower(F.regexp_replace(col, r"^[A-Za-z0-9-]+:", ""))
 
 
+def _sha1_b32_raw(col: Column) -> Column:
+    """Arrow expression: HTTP-message payload bytes → lowercase base32 of
+    the sha1 over the RAW entity body (everything after the first
+    ``\\r\\n\\r\\n`` header terminator; the whole payload when there is
+    none) — the digest real archives stamp in ``WARC-Payload-Digest``
+    (WARC §6.7.2 names sha1-base32 as the convention; CommonCrawl and
+    warcio both write ``sha1:<BASE32>`` over the payload AS STORED,
+    before any de-chunking or content-decoding). The engine's own
+    ``cdx_records`` convention is sha256-hex of the DECODED body; a
+    consumer that only knows one identity can never resolve the other
+    archive's revisits (ADVICE r12) — ``resolve_revisits`` therefore
+    keys originals under BOTH. Lowercased to match ``_claimed_digest``;
+    the two key spaces cannot collide (64 hex chars vs 32 base32
+    chars). Null/empty payload → digest of the empty payload (a real,
+    matchable identity — zero-length bodies do occur in archives)."""
+    import base64
+    import hashlib
+
+    import pandas as pd
+
+    def dig(s):
+        out = []
+        for v in s:
+            raw = bytes(v) if v is not None else b""
+            i = raw.find(b"\r\n\r\n")
+            body = raw[i + 4:] if i >= 0 else raw
+            out.append(
+                base64.b32encode(hashlib.sha1(body).digest())
+                .decode("ascii")
+                .lower()
+            )
+        return pd.Series(out)
+
+    dig.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(dig, "string")(col)
+
+
 def cdx_records(
     files: DataFrame,
     payload_col: str = "payload",
@@ -988,11 +1025,16 @@ def resolve_revisits(
 
     Input: ``warc_records(..., headers=("WARC-Payload-Digest",))``
     output (``digest_col`` names the claimed-digest column). The
-    original side's digest is recomputed from the bytes — the sha256
-    hex of the DECODED entity body (de-chunked, content-decoded), the
-    engine's ``cdx_records`` digest convention — never trusted from
-    headers. Claimed digests accept an optional ``algo:`` label prefix
-    (``sha256:<hex>``), compared case-insensitively.
+    original side's digests are recomputed from the bytes — never
+    trusted from headers — under BOTH identities a claim can carry:
+    the sha256 hex of the DECODED entity body (de-chunked,
+    content-decoded — the engine's ``cdx_records`` convention) AND the
+    sha1 base32 of the RAW stored entity body (pre-decode — what WARC
+    §6.7.2 names and what CommonCrawl/warcio actually stamp as
+    ``sha1:<BASE32>``; without this arm every real-archive revisit
+    would surface unresolved, ADVICE r12). Claimed digests accept an
+    optional ``algo:`` label prefix, compared case-insensitively; the
+    two key spaces cannot collide (64 hex vs 32 base32 chars).
 
     Output: the input rows unchanged, plus ``revisit_resolved``
     (boolean — null for non-revisit rows, false when no original
@@ -1036,10 +1078,18 @@ def resolve_revisits(
     originals = records.where(
         F.col("parse_ok") & (F.col("warc_type") == "response")
     ).withColumn("_h", http_response_split(F.col("payload")))
+    # each original is keyed under both digest identities (sha256-hex of
+    # the decoded body + sha1-base32 of the raw stored body); the explode
+    # doubles only the slim (digest, rep) projection, never the corpus
     reps = (
         originals.where(F.col("_h.http_ok"))
         .select(
-            F.sha2(F.col("_h.body"), 256).alias("_digest"),
+            F.explode(
+                F.array(
+                    F.sha2(F.col("_h.body"), 256),
+                    _sha1_b32_raw(F.col("payload")),
+                )
+            ).alias("_digest"),
             F.struct(
                 F.col("file_id"), F.col("rec_index"),
                 F.col("record_id").alias("rid"),

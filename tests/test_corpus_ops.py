@@ -1426,6 +1426,17 @@ class TestBudgetSelect:
         got = self._run(spark, rows, 15)
         assert got == {1: True, 2: True, 3: False}
 
+    def test_checkpoint_flag_pins_both_phases(self, spark):
+        # ADVICE r12: checkpoint=True lazily localCheckpoints the input
+        # so the histogram collect and the returned plan share one
+        # materialization; results are unchanged
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, rng.random(), rng.randrange(0, 40)) for i in range(120)]
+        got = self._run(spark, rows, 800, buckets=16, checkpoint=True)
+        assert got == self._naive(rows, 800)
+
     def test_null_scores_sort_last_and_clamping(self, spark):
         rows = [
             (1, None, 5),
@@ -1523,6 +1534,27 @@ class TestAssignShardsSized:
         }
         with pytest.raises(ValueError):
             sharding.assign_shards_sized(df, target_bytes=0)
+
+    def test_checkpoint_flag_same_assignment(self, spark):
+        # ADVICE r12: the totals collect and the returned plan share one
+        # materialization under checkpoint=True; assignment is unchanged
+        from llm_pretraining_data_pipeline_spark.operators import sharding
+
+        rows = [(i, (i * 37) % 90) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+        plain = {
+            r["doc_id"]: r["shard_id"]
+            for r in sharding.assign_shards_sized(
+                df, target_bytes=100, nlanes=4
+            ).collect()
+        }
+        pinned = {
+            r["doc_id"]: r["shard_id"]
+            for r in sharding.assign_shards_sized(
+                df, target_bytes=100, nlanes=4, checkpoint=True
+            ).collect()
+        }
+        assert plain == pinned
 
 
 class TestReviewFixesR12b:

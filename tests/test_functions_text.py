@@ -1077,3 +1077,20 @@ class TestScriptMix:
         assert got[2] == (0, None, 0.0)
         # untracked script: letters counted, no dominant, full mixing
         assert got[3] == (5, None, 1.0)
+
+    def test_abugida_marks_never_inflate_counts(self, spark):
+        # ADVICE r12: \p{IsDevanagari} includes Mc/Mn vowel signs and
+        # the virama, which are NOT \p{L}; a raw per-script count would
+        # exceed n_letters and drive mix_ratio negative. The letters-only
+        # projection makes single-script Hindi score exactly 0.
+        got = self._run(spark, [
+            "नमस्ते",            # 4 letters + virama + matra (both Mn)
+            "नमस्ते hello",      # mixed: 4 devanagari + 5 latin letters
+            "१२३ नमस्ते",        # script digits (Nd) must not count
+        ])
+        assert got[0] == (4, "devanagari", 0.0)
+        # 5 latin letters beat 4 devanagari LETTERS (raw property count
+        # would be 6 devanagari codepoints and flip the dominant script)
+        n, dom, mix = got[1]
+        assert (n, dom) == (9, "latin") and abs(mix - 4 / 9) < 1e-6
+        assert got[2] == (4, "devanagari", 0.0)

@@ -1839,6 +1839,56 @@ class TestRevisitResolution:
         with pytest.raises(ValueError, match="warc_payload_digest"):
             cdx.resolve_revisits(recs)
 
+    def test_sha1_base32_raw_payload_resolves(self, spark):
+        # ADVICE r12: real archives (CommonCrawl/warcio; WARC §6.7.2)
+        # stamp sha1:<BASE32> over the RAW stored payload. With a
+        # gzip Content-Encoding original, raw bytes != decoded body, so
+        # this claim can ONLY resolve through the sha1-raw identity —
+        # the sha256-of-decoded-body arm can never match it.
+        import base64
+        import gzip
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        body = b"the gzipped original body"
+        raw = gzip.compress(body, mtime=0)
+        msg = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            "Content-Encoding: gzip\r\n"
+            f"Content-Length: {len(raw)}\r\n\r\n"
+        ).encode("ascii") + raw
+        b32 = base64.b32encode(hashlib.sha1(raw).digest()).decode("ascii")
+        sha256_hex = hashlib.sha256(body).hexdigest()
+        rows = [
+            (1, self._blob([("response", "http://a/", "orig", msg)])),
+            (2, self._blob([
+                ("revisit", "http://a/", "cc", b"",
+                 (("WARC-Payload-Digest", f"sha1:{b32}"),)),
+            ])),
+            # the engine's own sha256-of-decoded-body claim still works
+            (3, self._blob([
+                ("revisit", "http://a/", "own", b"",
+                 (("WARC-Payload-Digest", f"sha256:{sha256_hex}"),)),
+            ])),
+            # sha1 over the DECODED body is nobody's convention: stays
+            # unresolved (proves the raw-vs-decoded distinction is real)
+            (4, self._blob([
+                ("revisit", "http://a/", "wrong", b"",
+                 (("WARC-Payload-Digest", "sha1:" + base64.b32encode(
+                     hashlib.sha1(body).digest()).decode("ascii")),)),
+            ])),
+        ]
+        out = {
+            r["record_id"]: r
+            for r in cdx.resolve_revisits(self._records(spark, rows))
+            .where("warc_type = 'revisit'").collect()
+        }
+        assert out["<urn:uuid:cc>"]["revisit_resolved"] is True
+        assert bytes(out["<urn:uuid:cc>"]["payload"]) == msg
+        assert out["<urn:uuid:own>"]["revisit_resolved"] is True
+        assert out["<urn:uuid:wrong>"]["revisit_resolved"] is False
+
 
 class TestHttpBodyTextCharset:
     """WHATWG-faithful charset decode (sources/http.py::
