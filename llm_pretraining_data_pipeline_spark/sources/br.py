@@ -25,11 +25,57 @@ case (pre-compressed media served with ``br`` anyway).
 uncompressed meta-blocks — what an encoder produces at quality 0 for
 incompressible input — used by the fixtures and usable as an
 identity-``br`` writer.
+
+Optional external decode (VERDICT r12 item 4): when a ``brotli`` or
+``brotlicffi`` module IS importable (neither ships in this container,
+but production clusters routinely carry the wheel), a compressed
+meta-block delegates the whole stream to it instead of refusing — the
+typed refusal stays the no-wheel fallback, so the pure-stdlib guarantee
+and the never-silently-wrong property both hold. The external path is
+capped by the same ``max_bytes`` (post-hoc: the one-shot ``decompress``
+API both wheels share has no incremental output bound, so the cap is
+enforced on the result — a bomb costs transient memory once, then
+surfaces as the same typed error).
 """
 
 from __future__ import annotations
 
 _MAX_STORED_CHUNK = 1 << 16  # 4 nibbles encode MLEN-1 <= 0xFFFF
+
+# tri-state import cache: unset sentinel -> module | None. Module-level so
+# executors pay the (negative) import scan once per worker process, and so
+# tests can monkeypatch a fake module in without touching sys.modules.
+_EXT_UNSET = object()
+_EXT_CACHE: object = _EXT_UNSET
+
+
+def _external_decoder():
+    """First importable external brotli module (``brotli``, then
+    ``brotlicffi``), or None. Cached per process."""
+    global _EXT_CACHE
+    if _EXT_CACHE is _EXT_UNSET:
+        mod = None
+        for name in ("brotli", "brotlicffi"):
+            try:
+                mod = __import__(name)
+                break
+            except ImportError:
+                continue
+        _EXT_CACHE = mod
+    return _EXT_CACHE
+
+
+def _external_decode(ext, data: bytes, max_bytes: int) -> bytes:
+    """Delegate a full brotli stream to the external module, mapping its
+    failures and the size cap onto this module's typed ValueError
+    surface (so ``http_ok=false`` reasons stay uniform)."""
+    try:
+        out = ext.decompress(data)
+    except Exception as exc:  # wheel-specific error types vary
+        raise ValueError(f"br: external decoder failed: {exc}") from exc
+    if len(out) > max_bytes:
+        raise ValueError(f"br: body inflates past {max_bytes} bytes")
+    return out
 
 
 class _BitReader:
@@ -98,9 +144,12 @@ def br_decode(data: bytes, max_bytes: int = 1 << 26) -> bytes:
     meta-blocks (copied), the ISLAST/ISLASTEMPTY termination, zero
     padding checks, and a decompression cap that raises BEFORE the
     output grows past ``max_bytes``. Raises ``ValueError`` on anything
-    malformed — and on a COMPRESSED meta-block, with an error naming the
-    missing machinery (entropy decoder + static dictionary), so the row
-    surfaces as ``http_ok=false`` with an actionable reason.
+    malformed — and on a COMPRESSED meta-block either delegates the
+    stream to an importable ``brotli``/``brotlicffi`` module (capped
+    post-hoc by the same ``max_bytes``) or, with no wheel present,
+    refuses with an error naming the missing machinery (entropy decoder
+    + static dictionary), so the row surfaces as ``http_ok=false`` with
+    an actionable reason.
     """
     if not data:
         raise ValueError("br: empty stream")
@@ -139,12 +188,18 @@ def br_decode(data: bytes, max_bytes: int = 1 << 26) -> bytes:
         mlen = mlen_m1 + 1
         is_uncompressed = 0 if islast else r.read(1)
         if not is_uncompressed:
+            ext = _external_decoder()
+            if ext is not None:
+                # delegate the WHOLE stream (the external decoder needs
+                # the header; any blocks already walked re-decode there)
+                return _external_decode(ext, data, max_bytes)
             raise ValueError(
-                "br: compressed meta-block — unsupported: decoding needs "
-                "the RFC 7932 entropy machinery and the 122 KB static "
+                "br: compressed meta-block — unsupported without an "
+                "external decoder: the stdlib path would need the RFC "
+                "7932 entropy machinery and the 122 KB static "
                 "dictionary, neither validatable in this environment "
-                "(see NOTES_r12); only metadata and uncompressed "
-                "meta-blocks decode"
+                "(see NOTES_r12); install brotli/brotlicffi to decode, "
+                "else only metadata and uncompressed meta-blocks decode"
             )
         total += mlen
         if total > max_bytes:
