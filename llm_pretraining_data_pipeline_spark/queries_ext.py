@@ -6204,7 +6204,7 @@ def s13_warc_revisit(spark, sf_dir):
     "s14_charset_decode",
     """
     WITH d AS (
-      SELECT doc_id, text, CAST(doc_id % 7 AS int) AS arm,
+      SELECT doc_id, text, CAST(doc_id % 11 AS int) AS arm,
              regexp_replace(text, '[^ -~]', '', 'g') AS ascii_part
       FROM documents
     )
@@ -6217,18 +6217,24 @@ def s13_warc_revisit(spark, sf_dir):
              WHEN 3 THEN text
              WHEN 4 THEN ascii_part || '“smart” — café €'
              WHEN 5 THEN text
-             ELSE ascii_part
+             WHEN 6 THEN ascii_part || ' こんにちは世界'
+             WHEN 7 THEN ascii_part || ' 안녕하세요'
+             WHEN 8 THEN ascii_part || ' 你好世界'
+             WHEN 9 THEN ascii_part || ' 你好世界'
+             ELSE '<meta charset="gb18030">' || ascii_part || ' €你好'
            END AS text,
            CASE arm
              WHEN 0 THEN 'utf-8' WHEN 3 THEN 'utf-8'
-             WHEN 5 THEN 'utf-16le' WHEN 6 THEN 'utf-8'
+             WHEN 5 THEN 'utf-16le' WHEN 6 THEN 'shift_jis'
+             WHEN 7 THEN 'euc-kr' WHEN 8 THEN 'gbk'
+             WHEN 9 THEN 'big5' WHEN 10 THEN 'gb18030'
              ELSE 'windows-1252'
            END AS charset_used,
            CASE arm
-             WHEN 0 THEN 'declared' WHEN 1 THEN 'declared'
              WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
              WHEN 4 THEN 'content' WHEN 5 THEN 'bom'
-             ELSE 'content'
+             WHEN 10 THEN 'meta'
+             ELSE 'declared'
            END AS charset_source
     FROM d
     """,
@@ -6240,15 +6246,23 @@ def s13_warc_revisit(spark, sf_dir):
         "latin-1-family label to windows-1252 (browsers never decode "
         "real ISO-8859-1) implemented as a latin-1 decode + one "
         "translate() over the C1 range — pure Catalyst, total, zero "
-        "Python. Fixture arms per doc_id%7: declared utf-8; declared "
-        "cp1252 bytes (smart quotes/em-dash/euro in the 0x80-0x9F "
-        "range the latin-1 fallback would mangle into C1 controls); "
-        "META-sniffed iso-8859-1 label with no header charset; UTF-8 "
-        "BOM; undeclared cp1252 (content fallback); UTF-16LE BOM; "
-        "declared-but-unsupported label (x-sjis) over ASCII falling "
-        "through to content sniff. The referee reconstructs every "
-        "arm's expected DECODED text closed-form. Scale shape: narrow "
-        "per-row projection, zero shuffle, whole-stage codegen",
+        "Python on the common path. multibyte=True (round 13, VERDICT "
+        "r12 item 5) adds the WHATWG multi-byte legacy labels "
+        "(shift_jis/euc-kr/gbk/gb18030/big5 + euc-jp/iso-2022-jp) "
+        "through ONE Arrow stage whose input bytes are NULLED for "
+        "non-multi-byte rows. Fixture arms per doc_id%11: declared "
+        "utf-8; declared cp1252 bytes (smart quotes/em-dash/euro in "
+        "the 0x80-0x9F range the latin-1 fallback would mangle into C1 "
+        "controls); META-sniffed iso-8859-1 label; UTF-8 BOM; "
+        "undeclared cp1252 (content fallback); UTF-16LE BOM; declared "
+        "x-sjis over real Shift_JIS kana/kanji; declared "
+        "ks_c_5601-1987 over EUC-KR hangul; declared gb2312 over GBK "
+        "hanzi (WHATWG maps the label up); declared big5; META-sniffed "
+        "gb18030 (euro + hanzi — the 4-byte-capable arm). The referee "
+        "reconstructs every arm's expected DECODED text closed-form "
+        "(round-trips of closed-form encodable strings). Scale shape: "
+        "narrow per-row projection, zero shuffle; the only Python is "
+        "the nulled-input Arrow stage for the %11>=6 minority",
 )
 def s14_charset_decode(spark, sf_dir):
     import pandas as pd
@@ -6266,7 +6280,7 @@ def s14_charset_decode(spark, sf_dir):
             out = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
-                arm = did % 7
+                arm = did % 11
                 ascii_part = _re.sub(r"[^ -~]", "", text)
                 if arm == 0:
                     body, cs = text.encode("utf-8"), "utf-8"
@@ -6286,8 +6300,24 @@ def s14_charset_decode(spark, sf_dir):
                     body, cs = ascii_part.encode("ascii") + suffix, None
                 elif arm == 5:
                     body, cs = b"\xff\xfe" + text.encode("utf-16-le"), None
+                elif arm == 6:
+                    body = (ascii_part + " こんにちは世界").encode(
+                        "shift_jis"
+                    )
+                    cs = "x-sjis"
+                elif arm == 7:
+                    body = (ascii_part + " 안녕하세요").encode("euc_kr")
+                    cs = "ks_c_5601-1987"
+                elif arm == 8:
+                    body = (ascii_part + " 你好世界").encode("gbk")
+                    cs = "gb2312"
+                elif arm == 9:
+                    body = (ascii_part + " 你好世界").encode("big5")
+                    cs = "BIG5"
                 else:
-                    body, cs = ascii_part.encode("ascii"), "x-sjis"
+                    body = ('<meta charset="gb18030">' + ascii_part
+                            + " €你好").encode("gb18030")
+                    cs = None
                 out.append((did, arm, body, cs))
             yield pd.DataFrame(
                 out, columns=["file_id", "arm", "body", "charset"]
@@ -6303,7 +6333,9 @@ def s14_charset_decode(spark, sf_dir):
     return frame.select(
         "file_id",
         "arm",
-        http_body_text_charset("body", "charset").alias("_d"),
+        http_body_text_charset("body", "charset", multibyte=True).alias(
+            "_d"
+        ),
     ).select(
         "file_id", "arm", "_d.text", "_d.charset_used", "_d.charset_source"
     )

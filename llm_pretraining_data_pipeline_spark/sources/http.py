@@ -426,6 +426,70 @@ _META_CHARSET_RE = (
     r"(?i)<meta[^>]{0,512}charset\s*=\s*['\"]?\s*([A-Za-z0-9._-]+)"
 )
 
+# WHATWG encoding labels for the MULTI-BYTE legacy charsets the JVM-side
+# translate() approach cannot express (VERDICT r12 item 5) — label →
+# canonical name. Disjoint from _CHARSET_ALIASES by construction (a label
+# maps in exactly one table). Decoding uses Python's codecs (the
+# canonical-name → codec map below) with errors='replace' — a pragmatic,
+# total stand-in for the full WHATWG index tables; the handful of
+# codepoints where Python and WHATWG indices disagree are corner cells of
+# vendor extensions, not the text body.
+_MB_CHARSET_ALIASES = {
+    # Shift_JIS
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "x-sjis": "shift_jis", "ms_kanji": "shift_jis",
+    "csshiftjis": "shift_jis", "windows-31j": "shift_jis",
+    "ms932": "shift_jis",
+    # EUC-JP / ISO-2022-JP
+    "euc-jp": "euc-jp", "x-euc-jp": "euc-jp",
+    "cseucpkdfmtjapanese": "euc-jp",
+    "iso-2022-jp": "iso-2022-jp", "csiso2022jp": "iso-2022-jp",
+    # EUC-KR
+    "euc-kr": "euc-kr", "korean": "euc-kr", "ks_c_5601-1987": "euc-kr",
+    "ks_c_5601-1989": "euc-kr", "ksc5601": "euc-kr", "ksc_5601": "euc-kr",
+    "csksc56011987": "euc-kr", "iso-ir-149": "euc-kr",
+    "windows-949": "euc-kr", "cseuckr": "euc-kr",
+    # GBK (WHATWG maps every gb2312-family label to GBK) / gb18030
+    "gbk": "gbk", "gb2312": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
+    "chinese": "gbk", "csgb2312": "gbk", "csiso58gb231280": "gbk",
+    "iso-ir-58": "gbk", "x-gbk": "gbk",
+    "gb18030": "gb18030",
+    # Big5
+    "big5": "big5", "big5-hkscs": "big5", "cn-big5": "big5",
+    "csbig5": "big5", "x-x-big5": "big5",
+}
+_MB_PY_CODECS = {
+    "shift_jis": "shift_jis", "euc-jp": "euc_jp",
+    "iso-2022-jp": "iso2022_jp", "euc-kr": "euc_kr", "gbk": "gbk",
+    "gb18030": "gb18030", "big5": "big5",
+}
+
+
+def _mb_decode(body: Column, label: Column) -> Column:
+    """Arrow stage: decode ``body`` with the Python codec for canonical
+    multi-byte charset ``label`` (errors='replace' — total). Callers
+    null the body for rows outside the multi-byte gate, so the Arrow
+    transfer carries bytes only for the minority that needs Python."""
+    import pandas as pd
+
+    def dec(body_s, label_s):
+        out = []
+        for v, lab in zip(body_s, label_s):
+            if v is None or lab is None:
+                out.append(None)
+                continue
+            codec = _MB_PY_CODECS.get(lab)
+            if codec is None:
+                out.append(None)
+                continue
+            out.append(bytes(v).decode(codec, errors="replace"))
+        return pd.Series(out, dtype=object)
+
+    dec.__annotations__ = {
+        "body_s": pd.Series, "label_s": pd.Series, "return": pd.Series,
+    }
+    return F.pandas_udf(dec, "string")(body, label)
+
 
 def _cp1252(b: Column) -> Column:
     return F.translate(
@@ -473,6 +537,7 @@ def http_body_text_charset(
     charset_col: Column | str | None = "charset",
     meta_sniff: bool = True,
     prefix_bytes: int = 1024,
+    multibyte: bool = False,
 ) -> Column:
     """Charset-honoring HTTP body decode — the WHATWG-faithful twin of
     ``http_body_text`` (which content-sniffs and ignores declarations).
@@ -498,13 +563,22 @@ def http_body_text_charset(
        decodes as UTF-8, anything else as windows-1252 (the WHATWG
        legacy default for the locales that dominate web corpora).
 
-    A label this table cannot honor (shift_jis, gbk, ... — outside the
-    JVM-side repertoire) is treated as absent and falls to step 3/4
-    rather than guessing: ``charset_source`` exposes the decision so a
-    curation pipeline can route those rows to a gated Python decoder.
+    A label the JVM-side table cannot honor is treated as absent and
+    falls to step 3/4 rather than guessing — UNLESS ``multibyte=True``
+    (VERDICT r12 item 5): then the WHATWG multi-byte legacy labels
+    (shift_jis, euc-jp, iso-2022-jp, euc-kr, gbk/gb2312, gb18030, big5)
+    are honored through ONE Arrow stage whose input bytes are NULLED
+    for every row outside the multi-byte gate — the dominant
+    UTF-8/cp1252 path stays pure Catalyst and the Arrow transfer
+    carries only the minority that needs Python. Precedence is
+    preserved across both tables: BOM > declared (either table) > meta
+    (either table) > content. Default False keeps today's zero-Python
+    plan bit-identical (``charset_source`` still exposes the fall-through
+    so callers can route).
 
     Returns a struct ``(text, charset_used, charset_source)`` —
-    ``charset_used`` ∈ {utf-8, windows-1252, utf-16le, utf-16be},
+    ``charset_used`` ∈ {utf-8, windows-1252, utf-16le, utf-16be} plus,
+    under ``multibyte=True``, the canonical multi-byte names;
     ``charset_source`` ∈ {bom, declared, meta, content}; all null for a
     null body. Unlike ``http_body_text`` this HONORS a non-UTF-8 label
     over content that happens to validate as UTF-8 — mislabeled servers
@@ -535,12 +609,45 @@ def http_body_text_charset(
         )
         meta_label = F.element_at(alias_map, meta_raw)
     else:
+        meta_raw = F.lit(None).cast("string")
         meta_label = F.lit(None).cast("string")
 
     label = F.coalesce(decl_label, meta_label)
     source = F.when(decl_label.isNotNull(), F.lit("declared")).when(
         meta_label.isNotNull(), F.lit("meta")
     )
+
+    if multibyte:
+        mb_map = F.create_map(
+            *[F.lit(x) for kv in _MB_CHARSET_ALIASES.items() for x in kv]
+        )
+        mb_decl = F.element_at(mb_map, F.lower(F.trim(declared)))
+        mb_meta = F.element_at(mb_map, meta_raw)
+        # cross-table precedence: a SUPPORTED declared label beats a
+        # multi-byte meta sniff, and a multi-byte declared label beats a
+        # supported meta sniff (declared > meta, table-independent)
+        mb_label = F.when(decl_label.isNull(), mb_decl).otherwise(
+            F.lit(None)
+        )
+        mb_label = F.coalesce(
+            mb_label,
+            F.when(
+                decl_label.isNull() & mb_decl.isNull()
+                & meta_label.isNull(),
+                mb_meta,
+            ),
+        )
+        mb_source = F.when(
+            decl_label.isNull() & mb_decl.isNotNull(), F.lit("declared")
+        ).when(mb_label.isNotNull(), F.lit("meta"))
+        # the Arrow stage sees bytes ONLY for multi-byte-gated rows
+        mb_text = _mb_decode(
+            F.when(mb_label.isNotNull(), b), mb_label
+        )
+    else:
+        mb_label = F.lit(None).cast("string")
+        mb_source = F.lit(None).cast("string")
+        mb_text = F.lit(None).cast("string")
 
     bom_utf8 = F.substring(b, 1, 3) == F.lit(b"\xef\xbb\xbf")
     head4 = F.substring(b, 1, 4)
@@ -586,6 +693,13 @@ def http_body_text_charset(
             bom_16be & _utf16_valid(rest16, le=False),
             _s(F.decode(b, "UTF-16"), "utf-16be", "bom"),
         )
+        # multi-byte legacy labels (multibyte=True only; mb_label is
+        # null-literal otherwise and Catalyst prunes the arm). Sits after
+        # the BOM arms (BOM wins) and before the JVM-side label arms —
+        # mb_label is non-null only when the cross-table precedence
+        # picked a multi-byte charset, so the two label families never
+        # shadow each other.
+        .when(mb_label.isNotNull(), _s(mb_text, mb_label, mb_source))
         .when(
             (label == "utf-8") & utf8_valid,
             _s(F.decode(b, "UTF-8"), "utf-8", source),

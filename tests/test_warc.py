@@ -1984,6 +1984,89 @@ class TestHttpBodyTextCharset:
         ])
         assert got[0][0] == "a\x81b\x90c"
 
+    def _run_mb(self, spark, rows):
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        df = spark.createDataFrame(
+            rows, "i int, body binary, charset string"
+        )
+        out = (
+            df.select(
+                "i",
+                http_body_text_charset(multibyte=True).alias("d"),
+            )
+            .select("i", "d.*")
+            .collect()
+        )
+        return {r["i"]: (r["text"], r["charset_used"], r["charset_source"])
+                for r in out}
+
+    def test_multibyte_labels_decode(self, spark):
+        # VERDICT r12 item 5: the WHATWG multi-byte legacy labels decode
+        # through the gated Arrow stage
+        got = self._run_mb(spark, [
+            (0, bytearray("a こんにちは".encode("shift_jis")), "x-sjis"),
+            (1, bytearray("b 안녕".encode("euc_kr")), "ks_c_5601-1987"),
+            (2, bytearray("c 你好".encode("gbk")), "GB2312"),
+            (3, bytearray("d 你好".encode("big5")), "big5"),
+            (4, bytearray("e €好".encode("gb18030")), "gb18030"),
+            (5, bytearray("f 日本".encode("euc_jp")), "euc-jp"),
+            # meta-sniffed multi-byte label, no header charset
+            (6, bytearray(
+                '<meta charset="shift_jis">g テスト'.encode("shift_jis")
+            ), None),
+            # undecodable bytes under the declared codec -> U+FFFD, total
+            (7, bytearray(b"h \x85\x40ok\xff\xff"), "sjis"),
+        ])
+        assert got[0] == ("a こんにちは", "shift_jis", "declared")
+        assert got[1] == ("b 안녕", "euc-kr", "declared")
+        assert got[2] == ("c 你好", "gbk", "declared")
+        assert got[3] == ("d 你好", "big5", "declared")
+        assert got[4] == ("e €好", "gb18030", "declared")
+        assert got[5] == ("f 日本", "euc-jp", "declared")
+        assert got[6][0].endswith("g テスト")
+        assert got[6][1:] == ("shift_jis", "meta")
+        assert got[7][1:] == ("shift_jis", "declared")
+        assert "ok" in got[7][0] and "�" in got[7][0]
+
+    def test_multibyte_precedence(self, spark):
+        got = self._run_mb(spark, [
+            # BOM beats a multi-byte declaration
+            (0, bytearray(b"\xef\xbb\xbf" + "bom".encode("utf-8")),
+             "shift_jis"),
+            # supported declared label beats a multi-byte META sniff
+            (1, bytearray(b'<meta charset="shift_jis">x'), "utf-8"),
+            # multi-byte declared label beats a supported META sniff
+            (2, bytearray(
+                '<meta charset="utf-8">y こ'.encode("shift_jis")),
+             "x-sjis"),
+            # no label anywhere: content chain unchanged
+            (3, bytearray("plain café".encode("utf-8")), None),
+        ])
+        assert got[0] == ("bom", "utf-8", "bom")
+        assert got[1][1:] == ("utf-8", "declared")
+        assert got[2][0].endswith("y こ")
+        assert got[2][1:] == ("shift_jis", "declared")
+        assert got[3] == ("plain café", "utf-8", "content")
+
+    def test_default_plan_stays_zero_python(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x"), "utf-8")],
+            "i int, body binary, charset string",
+        )
+        plain = df.select(http_body_text_charset().alias("d"))
+        assert "ArrowEvalPython" not in plain._jdf.queryExecution(
+        ).executedPlan().toString()
+        mb = df.select(http_body_text_charset(multibyte=True).alias("d"))
+        mb_plan = mb._jdf.queryExecution().executedPlan().toString()
+        assert mb_plan.count("ArrowEvalPython") == 1
+
 
 class TestCdxIncremental:
     """sources/cdx.py::cdx_incremental — only-new-digests anti-join."""
