@@ -5954,6 +5954,103 @@ def s12_wet_cdx(spark, sf_dir):
 
 
 @register(
+    "s18_warc_republish",
+    """
+    WITH d AS (
+      SELECT doc_id, text, doc_id % 50 AS dom,
+             'https://site-' || CAST(doc_id % 50 AS varchar)
+               || '.example/doc/' || CAST(doc_id AS varchar) AS uri,
+             octet_length(encode(text)) AS blen
+      FROM documents
+    ),
+    h AS (
+      SELECT *, 78 + length(CAST(blen AS varchar)) + blen AS hlen
+      FROM d
+    )
+    SELECT 'example,site-' || CAST(dom AS varchar) || ')/doc/'
+             || CAST(doc_id AS varchar) AS surt,
+           '19700101000000' AS ts,
+           uri AS target_uri,
+           CAST(200 AS int) AS status,
+           'text/plain' AS mime,
+           sha256(text) AS digest,
+           CAST(408 + length(uri) + length(CAST(hlen AS varchar)) + hlen
+                AS bigint) AS record_bytes,
+           TRUE AS cdx_ok,
+           CASE WHEN dom = 7 THEN sha256(text) END AS recovered_sha256,
+           CASE WHEN dom = 7 THEN TRUE END AS recovered_match
+    FROM h
+    """,
+    doc="WARC re-publication round trip (plans/exports.py::"
+        "warc_response_shard_frame -> cdx_records -> "
+        "read_warc_selective — VERDICT r12 item 6): curated corpora "
+        "written back as spec-shaped 'response' records (payload = a "
+        "complete HTTP/1.1 message; WARC-Payload-Digest/Block-Digest "
+        "stamped sha256:<hex>, the engine convention resolve_revisits "
+        "consumes), indexed by the engine's OWN cdx_records response "
+        "mode, then byte-range selective-read back for one host "
+        "prefix. The referee recomputes every index row closed-form "
+        "INCLUDING record_bytes (framing is byte-deterministic: WARC "
+        "head fixed 408 octets + uri + Content-Length digits, HTTP "
+        "head fixed 78 octets + digits + body — the s12 byte-level "
+        "pinning discipline, now for the response family), and pins "
+        "the site-7 selective read's recovered body sha256 equal to "
+        "the index digest (recovered_match TRUE for dom==7, null "
+        "otherwise — the slices re-parse and HTTP-split to the "
+        "original text bytes). Scale shape: ONE shuffle (shard "
+        "groupBy), file-granularity record explode, broadcast "
+        "selection join for the prefix read, no window",
+)
+def s18_warc_republish(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.plans import exports as E
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+    from llm_pretraining_data_pipeline_spark.sources.http import (
+        http_response_split,
+    )
+
+    d = _docs(spark, sf_dir)
+    dom = (F.col("doc_id") % 50).cast("string")
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), dom, F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        "text",
+    )
+    shards = E.warc_response_shard_frame(docs, num_shards=8)
+    idx = C.cdx_records(shards, payload_col="warc_file", id_col="shard_id")
+    sel = C.read_warc_selective(
+        shards, idx, surt_prefix="example,site-7)",
+        payload_col="warc_file", id_col="shard_id",
+    )
+    rec = sel.where(F.col("parse_ok")).select(
+        "target_uri",
+        F.sha2(
+            http_response_split(F.col("payload"))["body"], 256
+        ).alias("recovered_sha256"),
+    )
+    return (
+        idx.join(rec, "target_uri", "left")
+        .select(
+            "surt",
+            "ts",
+            "target_uri",
+            "status",
+            "mime",
+            "digest",
+            "record_bytes",
+            "cdx_ok",
+            "recovered_sha256",
+            F.when(
+                F.col("recovered_sha256").isNotNull(),
+                F.col("recovered_sha256") == F.col("digest"),
+            ).alias("recovered_match"),
+        )
+    )
+
+
+@register(
     "a23_drift_by_host",
     """
     WITH d AS (

@@ -295,6 +295,126 @@ class TestWetExport:
         assert "Python" not in plan and "Exchange" not in plan
 
 
+class TestWarcResponseExport:
+    """warc_response_record_frame / warc_response_shard_frame
+    (plans/exports.py, VERDICT r12 item 6): curated corpora re-published
+    as 'response' records must round-trip through the engine's own
+    strict reader, HTTP split, digest verification, and CDX indexing."""
+
+    DOCS = [
+        (1, "https://ex.org/a", "plain ascii body"),
+        (2, "https://ex.org/b", "unicode – ünïcødé 多字节 body"),
+        (3, "https://ex.org/c", ""),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id long, url string, text string"
+        )
+
+    def test_records_reparse_split_and_verify_digests(self, spark):
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            warc_response_record_frame,
+        )
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            parse_http_response,
+        )
+        from llm_pretraining_data_pipeline_spark.sources.warc import parse_warc
+
+        rows = {
+            r["doc_id"]: r
+            for r in warc_response_record_frame(self._df(spark)).collect()
+        }
+        for did, url, text in self.DOCS:
+            rec = bytes(rows[did]["warc_record"])
+            assert rows[did]["record_bytes"] == len(rec)
+            p = parse_warc(rec)[0]
+            assert p["warc_type"] == "response"
+            assert p["target_uri"] == url
+            assert p["record_id"] == f"<urn:uuid:{_wet_uuid('warc', did)}>"
+            assert (
+                p["headers"]["content-type"]
+                == "application/http; msgtype=response"
+            )
+            body = text.encode("utf-8")
+            # stamped digests match recomputation from the bytes
+            assert p["headers"]["warc-payload-digest"] == (
+                "sha256:" + hashlib.sha256(body).hexdigest()
+            )
+            assert p["headers"]["warc-block-digest"] == (
+                "sha256:" + hashlib.sha256(p["payload"]).hexdigest()
+            )
+            d = parse_http_response(p["payload"])
+            assert d["status"] == 200
+            assert d["content_type"] == "text/plain"
+            assert d["charset"] == "utf-8"
+            assert bytes(d["body"]) == body
+
+    def test_framing_constants_are_the_oracle_constants(self, spark):
+        # the s18 referee computes record_bytes closed-form as
+        # 408 + len(uri) + digits(hlen) + hlen with hlen = 78 +
+        # digits(blen) + blen — pin both constants against the bytes
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            warc_response_record_frame,
+        )
+        from llm_pretraining_data_pipeline_spark.sources.warc import parse_warc
+
+        for r in warc_response_record_frame(self._df(spark)).collect():
+            p = parse_warc(bytes(r["warc_record"]))[0]
+            did = r["doc_id"]
+            url, text = {
+                d: (u, t) for d, u, t in self.DOCS
+            }[did]
+            blen = len(text.encode("utf-8"))
+            hlen = 78 + len(str(blen)) + blen
+            assert p["content_length"] == hlen
+            assert r["record_bytes"] == (
+                408 + len(url) + len(str(hlen)) + hlen
+            )
+
+    def test_shards_reindex_and_selective_read(self, spark):
+        # the full s18 loop at unit scale: publish → cdx_records →
+        # read_warc_selective recovers the exact original bytes
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            warc_response_shard_frame,
+        )
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            parse_http_response,
+        )
+
+        shards = warc_response_shard_frame(self._df(spark), num_shards=2)
+        idx = cdx.cdx_records(
+            shards, payload_col="warc_file", id_col="shard_id"
+        )
+        assert idx.where("NOT cdx_ok").count() == 0
+        assert idx.count() == 3
+        sel = cdx.read_warc_selective(
+            shards, idx, surt_prefix="org,ex)/b",
+            payload_col="warc_file", id_col="shard_id",
+        ).collect()
+        assert len(sel) == 1
+        d = parse_http_response(bytes(sel[0]["payload"]))
+        assert bytes(d["body"]).decode("utf-8") == self.DOCS[1][2]
+
+    def test_plan_is_pure_catalyst_single_shuffle(self, spark):
+        from llm_pretraining_data_pipeline_spark.plans.exports import (
+            warc_response_shard_frame,
+        )
+
+        plan = (
+            warc_response_shard_frame(self._df(spark), num_shards=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "Arrow" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
 class TestWarcDateValidation:
     def test_trailing_newline_rejected(self, spark):
         # re.match with '$' forgives one trailing newline, which would
