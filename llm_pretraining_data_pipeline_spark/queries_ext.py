@@ -5701,53 +5701,10 @@ def f24_sitemap_recrawl(spark, sf_dir):
     )
 
 
-@register(
-    "o09_frontier_schedule",
-    """
-    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
-    SELECT 'site-' || CAST(dom AS varchar) || '.example' AS host,
-           'https://site-' || CAST(dom AS varchar) || '.example/a' AS url,
-           'example,site-' || CAST(dom AS varchar) || ')/a' AS surt,
-           CAST(3 AS bigint) AS n_sources,
-           1 AS fetch_rank,
-           CAST(0 AS double) AS start_offset_s
-    FROM doms
-    UNION ALL
-    SELECT 'site-' || CAST(dom AS varchar) || '.example',
-           'https://site-' || CAST(dom AS varchar) || '.example/b',
-           'example,site-' || CAST(dom AS varchar) || ')/b',
-           CAST(1 AS bigint),
-           2,
-           CAST(dom % 3 + 1 AS double)
-    FROM doms
-    UNION ALL
-    SELECT 'peer-' || CAST(dom AS varchar) || '.example',
-           'https://peer-' || CAST(dom AS varchar) || '.example/x',
-           'example,peer-' || CAST(dom AS varchar) || ')/x',
-           CAST(1 AS bigint),
-           1,
-           CAST(0 AS double)
-    FROM doms
-    """,
-    doc="per-host fetch-slot scheduling (sources/cdx.py::"
-        "frontier_schedule — the last scheduler step before the "
-        "fetcher): within each host, candidates order by in-link count "
-        "(n_sources desc, url asc for determinism) and space "
-        "crawl_delay seconds apart; hosts without a directive get the "
-        "default delay; per_host_budget caps each host's generation "
-        "slots. Fixture per domain: three site candidates (n_sources "
-        "3/1/1 — the url tiebreak orders /b before /c, and budget=2 "
-        "must DROP /c) with crawl_delay dom%3+1, plus a directive-less "
-        "peer host whose slot spacing falls back to the 1.0 s default. "
-        "Referee recomputes every surviving slot closed-form. Scale "
-        "shape: ONE window partitioned by host — politeness makes "
-        "per-host scheduling inherently serial (a mega-host IS one "
-        "ordered queue), per_host_budget bounds the partition's useful "
-        "length, every other host schedules in parallel",
-)
-def o09_frontier_schedule(spark, sf_dir):
-    from llm_pretraining_data_pipeline_spark.sources import cdx as C
-
+def _o09_frontier_rows(spark, sf_dir):
+    """o09/o09b shared fixture: per domain, three site candidates with a
+    crawl_delay directive of dom%3+1 s (n_sources 3/1/1 — budget=2 drops
+    /c) plus one directive-less peer host (default-delay path)."""
     doms = _docs(spark, sf_dir).select(
         (F.col("doc_id") % 50).alias("dom")
     ).distinct()
@@ -5792,10 +5749,127 @@ def o09_frontier_schedule(spark, sf_dir):
             )
         ).alias("_f")
     ).select("_f.*")
+    return rows
+
+
+@register(
+    "o09_frontier_schedule",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
+    SELECT 'site-' || CAST(dom AS varchar) || '.example' AS host,
+           'https://site-' || CAST(dom AS varchar) || '.example/a' AS url,
+           'example,site-' || CAST(dom AS varchar) || ')/a' AS surt,
+           CAST(3 AS bigint) AS n_sources,
+           1 AS fetch_rank,
+           CAST(0 AS double) AS start_offset_s
+    FROM doms
+    UNION ALL
+    SELECT 'site-' || CAST(dom AS varchar) || '.example',
+           'https://site-' || CAST(dom AS varchar) || '.example/b',
+           'example,site-' || CAST(dom AS varchar) || ')/b',
+           CAST(1 AS bigint),
+           2,
+           CAST(dom % 3 + 1 AS double)
+    FROM doms
+    UNION ALL
+    SELECT 'peer-' || CAST(dom AS varchar) || '.example',
+           'https://peer-' || CAST(dom AS varchar) || '.example/x',
+           'example,peer-' || CAST(dom AS varchar) || ')/x',
+           CAST(1 AS bigint),
+           1,
+           CAST(0 AS double)
+    FROM doms
+    """,
+    doc="per-host fetch-slot scheduling (sources/cdx.py::"
+        "frontier_schedule — the last scheduler step before the "
+        "fetcher): within each host, candidates order by in-link count "
+        "(n_sources desc, url asc for determinism) and space "
+        "crawl_delay seconds apart; hosts without a directive get the "
+        "default delay; per_host_budget caps each host's generation "
+        "slots. Fixture per domain: three site candidates (n_sources "
+        "3/1/1 — the url tiebreak orders /b before /c, and budget=2 "
+        "must DROP /c) with crawl_delay dom%3+1, plus a directive-less "
+        "peer host whose slot spacing falls back to the 1.0 s default. "
+        "Referee recomputes every surviving slot closed-form. Scale "
+        "shape: ONE window partitioned by host — politeness makes "
+        "per-host scheduling inherently serial (a mega-host IS one "
+        "ordered queue), per_host_budget bounds the partition's useful "
+        "length, every other host schedules in parallel",
+)
+
+
+def o09_frontier_schedule(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    rows = _o09_frontier_rows(spark, sf_dir)
     out = C.frontier_schedule(rows, default_delay=1.0, per_host_budget=2)
     return out.select(
         "host", "url", "surt", "n_sources", "fetch_rank",
         "start_offset_s",
+    )
+
+
+@register(
+    "o09b_schedule_replay",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 50 AS dom FROM documents)
+    SELECT 'site-' || CAST(dom AS varchar) || '.example' AS host,
+           CAST(2 AS bigint) AS n_slots,
+           CAST(dom % 3 + 1 AS double) AS required_delay_s,
+           CAST(dom % 3 + 1 AS double) AS min_gap_s,
+           CAST(0 AS bigint) AS early_hits,
+           TRUE AS rank_contiguous,
+           TRUE AS ok
+    FROM doms
+    UNION ALL
+    SELECT 'peer-' || CAST(dom AS varchar) || '.example',
+           CAST(1 AS bigint),
+           CAST(1.0 AS double),
+           CAST(NULL AS double),
+           CAST(0 AS bigint),
+           TRUE,
+           TRUE
+    FROM doms
+    """,
+    doc="fetch-simulation referee for the o09 schedule (sources/cdx.py"
+        "::schedule_replay — VERDICT r12 item 7): replay the emitted "
+        "fetch slots against the Crawl-delay directives and prove no "
+        "host is hit early, closed-form, before a single request is "
+        "sent. Shares o09's fixture and scheduler call (budget=2): "
+        "per-host slot gaps come back as min_gap_s, the required "
+        "delay is the MAX-merged directive (dom%3+1 for site hosts, "
+        "the 1.0 s default for the directive-less peer), early_hits "
+        "counts consecutive-slot violations (must be 0 everywhere), "
+        "rank_contiguous pins the 1..n slot sequence (budget "
+        "truncation must never leave holes). The referee recomputes "
+        "every host's replay verdict closed-form; the NEGATIVE path — "
+        "tampered schedules surfacing early_hits>0 / "
+        "rank_contiguous=false — is pytest-pinned. Scale shape: one "
+        "lag window + one host groupBy (the scheduler's own key), "
+        "broadcast directive join",
+)
+def o09b_schedule_replay(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.sources import cdx as C
+
+    rows = _o09_frontier_rows(spark, sf_dir)
+    sched = C.frontier_schedule(
+        rows, default_delay=1.0, per_host_budget=2
+    )
+    directives = (
+        rows.where(F.col("crawl_delay").isNotNull())
+        .select(
+            F.regexp_extract(
+                F.col("url"), r"https://([^/]+)/", 1
+            ).alias("host"),
+            "crawl_delay",
+        )
+    )
+    out = C.schedule_replay(
+        sched, directives=directives, default_delay=1.0
+    )
+    return out.select(
+        "host", "n_slots", "required_delay_s", "min_gap_s",
+        "early_hits", "rank_contiguous", "ok",
     )
 
 

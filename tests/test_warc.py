@@ -2068,6 +2068,95 @@ class TestHttpBodyTextCharset:
         assert mb_plan.count("ArrowEvalPython") == 1
 
 
+class TestScheduleReplay:
+    """sources/cdx.py::schedule_replay — the fetch-simulation referee
+    (VERDICT r12 item 7): a clean frontier_schedule replays ok=true on
+    every host; tampered schedules surface early_hits / rank holes."""
+
+    def _replay(self, spark, rows, directives=None, **kw):
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        sched = spark.createDataFrame(
+            rows, "host string, fetch_rank int, start_offset_s double"
+        )
+        dirs = None
+        if directives is not None:
+            dirs = spark.createDataFrame(
+                directives, "domain string, crawl_delay double"
+            )
+        out = cdx.schedule_replay(sched, directives=dirs, **kw)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        return {r["host"]: r for r in out.collect()}
+
+    def test_clean_schedule_replays_ok(self, spark):
+        got = self._replay(
+            spark,
+            [("a", 1, 0.0), ("a", 2, 2.0), ("a", 3, 4.0), ("b", 1, 0.0)],
+            directives=[("a", 2.0)],
+        )
+        assert got["a"]["ok"] and got["a"]["early_hits"] == 0
+        assert got["a"]["min_gap_s"] == 2.0
+        assert got["a"]["required_delay_s"] == 2.0
+        assert got["b"]["ok"] and got["b"]["min_gap_s"] is None
+        assert got["b"]["required_delay_s"] == 1.0  # default
+
+    def test_early_hit_detected(self, spark):
+        # slot 3 fires 1.5 s after slot 2 against a 2 s directive
+        got = self._replay(
+            spark,
+            [("a", 1, 0.0), ("a", 2, 2.0), ("a", 3, 3.5)],
+            directives=[("a", 2.0)],
+        )
+        assert got["a"]["early_hits"] == 1
+        assert not got["a"]["ok"]
+        assert got["a"]["rank_contiguous"]  # ranks fine, spacing not
+
+    def test_rank_holes_and_duplicates_detected(self, spark):
+        got = self._replay(
+            spark,
+            # hole: rank 2 missing; dup: host b has two rank-1 slots
+            [("a", 1, 0.0), ("a", 3, 4.0),
+             ("b", 1, 0.0), ("b", 1, 0.0),
+             ("c", 2, 0.0)],  # doesn't start at 1
+        )
+        assert not got["a"]["rank_contiguous"] and not got["a"]["ok"]
+        assert not got["b"]["rank_contiguous"]
+        assert not got["c"]["rank_contiguous"]
+
+    def test_max_merge_of_directives(self, spark):
+        # two directives for one host: the conservative MAX applies
+        got = self._replay(
+            spark,
+            [("a", 1, 0.0), ("a", 2, 2.0)],
+            directives=[("a", 1.0), ("a", 3.0)],
+        )
+        assert got["a"]["required_delay_s"] == 3.0
+        assert got["a"]["early_hits"] == 1 and not got["a"]["ok"]
+
+    def test_frontier_schedule_output_always_replays_clean(self, spark):
+        # property: whatever frontier_schedule emits must replay ok
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        frontier = spark.createDataFrame(
+            [(f"https://h{i % 5}.ex/p{i}", f"ex,h{i % 5})/p{i}",
+              (i * 7) % 13 + 1, float(i % 4) if i % 3 else None)
+             for i in range(60)],
+            "url string, surt string, n_sources long, crawl_delay double",
+        )
+        sched = cdx.frontier_schedule(
+            frontier, default_delay=0.5, per_host_budget=9
+        )
+        dirs = frontier.where("crawl_delay IS NOT NULL").selectExpr(
+            "regexp_extract(url, 'https://([^/]+)/', 1) AS domain",
+            "crawl_delay",
+        )
+        out = cdx.schedule_replay(
+            sched, directives=dirs, default_delay=0.5
+        ).collect()
+        assert out and all(r["ok"] for r in out)
+
+
 class TestCdxIncremental:
     """sources/cdx.py::cdx_incremental — only-new-digests anti-join."""
 
