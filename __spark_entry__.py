@@ -237,6 +237,56 @@ _PRIORITY_R12 = [
     "rel_sql_surface",
 ]
 
+# Round-13 priority (the driver caps each round at 50 rows): (a) the
+# 24 continuation queries that have NEVER received a driver CORRECTNESS
+# row (VERDICT r12 "What's wrong" item 1 — the entire late-wave list;
+# all re-verified green via check_oracle this round, several CHANGED
+# this round: p45_script_mix letters-only counting + a Devanagari
+# fixture arm (ADVICE r12), s13_warc_revisit sha1-base32 raw-payload
+# claims through the either-identity resolve (ADVICE r12; s16 shares
+# the fixture via a flag and is unchanged), s14_charset_decode grew
+# five multi-byte arms behind multibyte=True (VERDICT item 5),
+# corp_budget_select/o10_sized_shards gained the opt-in checkpoint
+# determinism pin (ADVICE r12, defaults unchanged)), then (b) the two
+# queries NEW this round — s18_warc_republish (VERDICT item 6: WARC
+# response-record re-publication, byte-level framing oracle) and
+# o09b_schedule_replay (VERDICT item 7: fetch-simulation politeness
+# referee) — plus the two CHANGED queries outside the never-list
+# (src_warc_http + ev_stream_warc: the br arm's compressed-block
+# sub-arm, VERDICT item 4), then (c) 22 of the 46-row r8-stale tail
+# (VERDICT item 2, alphabetical slice). The remaining 24 r8-stale rows
+# — ev_stream_tumbling, f06_token_bounds, f16_url_blocklist,
+# mm_frame_plan, mm_image_phash, mm_media_dedup, mm_phash_pairs,
+# mm_png_features, o02_shard_assign, o02b_shard_manifest,
+# o03_toy_sample, p01_doc_identity, p04_char_word_counts, p09_langid,
+# p09b_langid_trigram, p12_boilerplate_lines, p17_canonicalize,
+# p22e_token_contract, rel_q7_volume_shipping, rel_q8_market_share,
+# rel_q9_product_profit, rel_q15_top_supplier,
+# rel_q21_waiting_suppliers, u01_union_by_name — refresh in r14.
+_PRIORITY_R13 = [
+    # (a) never driver-checked (registered past the r12 cap)
+    "s11_cdx_digest_drift", "s12_wet_cdx", "s13_warc_revisit",
+    "s14_charset_decode", "s15_incremental_ingest", "s16_revisit_index",
+    "s17_incremental_fetch", "f24_sitemap_recrawl", "f25_redirect_resolve",
+    "f26_anchor_text", "f27_soft404", "o09_frontier_schedule",
+    "o10_sized_shards", "a23_drift_by_host", "a24_host_concentration",
+    "corp_budget_select", "corp_host_prior", "corp_ppl_terciles",
+    "e2e_recrawl_plan", "ev_stream_incremental", "mm_gif_features",
+    "mm_mp3_features", "mm_webp_features", "p45_script_mix",
+    # (b) new + changed this round
+    "s18_warc_republish", "o09b_schedule_replay", "src_warc_http",
+    "ev_stream_warc",
+    # (c) r8-stale tail, 22 of 46 (alphabetical slice)
+    "a11_quantiles", "a18_gram_novelty", "corp_cross_dup_ngrams",
+    "corp_decontaminate", "corp_para_dedup", "d04_ngram_jaccard_pairs",
+    "d05_simhash", "d07_simhash_pairs", "d13_exact_substr",
+    "d15_dup_token_fraction", "d16_containment_pairs", "emb_ivf_recall",
+    "emb_ivf_recall2", "emb_ivfpq_topk", "emb_lsh_bucket_sizes",
+    "emb_lsh_or_recall", "emb_near_dup_lsh_or", "ev_stream_dedup",
+    "ev_stream_enrich", "ev_stream_sessionize", "ev_stream_sliding",
+    "ev_stream_trending",
+]
+
 _PRIORITY_R10 = [
     # new this round: WARC→HTTP split (status/headers/de-chunked body —
     # VERDICT r9 item 1), jusText good-neighbor smoothing (item 6), WET
@@ -340,7 +390,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R12 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R13 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

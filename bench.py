@@ -340,28 +340,19 @@ def main() -> int:
     # (13.6-14.7 s vs 13.97-13.99 s full recipe) — the r12 quiet-min move
     # 12.7->18.0 s was cross-session environment drift, not code.
     if os.environ.get("BENCH_WC_STAGES"):
-        ladder = [
-            ("base", dict(gopher_min_words=10, gopher_min_stopwords=1,
-                          decode_entities=False), False),
-            ("robots", dict(gopher_min_words=10, gopher_min_stopwords=1,
-                            decode_entities=False), True),
-            ("extract", dict(gopher_min_words=10, gopher_min_stopwords=1,
-                             extract_main=True, decode_entities=False),
-             True),
-            ("smooth", dict(gopher_min_words=10, gopher_min_stopwords=1,
-                            extract_main=True, mc_smooth=True,
-                            decode_entities=False), True),
-            ("entities", dict(gopher_min_words=10, gopher_min_stopwords=1,
-                              extract_main=True, mc_smooth=True), True),
-        ]
+        # rung definitions shared with scripts/profile_web_curation.py
+        # (ONE source of truth: WC.BENCH_STAGE_LADDER); each rung is
+        # warmed once and the SECOND collect is timed, so the recorded
+        # deltas attribute stage cost rather than plan-compilation noise
         stage_secs = {}
-        for rung, kw, with_robots in ladder:
+        for rung, kw, with_robots in WC.BENCH_STAGE_LADDER:
             plan = WC.curation_summary(
                 WC.run_web_curation(
                     wc_raw, WC.WebCurationConfig(**kw), url_col="url",
                     robots_rules=wc_rules if with_robots else None,
                 )
             )
+            plan.collect()  # warm-up
             t0 = time.perf_counter()
             plan.collect()
             stage_secs[rung] = round(time.perf_counter() - t0, 2)

@@ -251,6 +251,44 @@ def wet_record_frame(
     )
 
 
+def _shard_file_frame(
+    recs: DataFrame, record_col: str, file_col: str, id_col: str
+) -> DataFrame:
+    """Shared shard assembly for the WARC-family exporters: group
+    per-record frames (already carrying ``shard_id``) into one ordered
+    FILE blob per shard. In-shard ordering rides the aggregation as
+    ``array_sort`` over (id, record) structs — no window, ONE shuffle.
+    array_join over the sorted records is LINEAR in shard bytes; a
+    binary aggregate(concat) fold would copy the accumulator per record
+    (quadratic). The decode/encode round-trip is exact: every record of
+    every caller is valid UTF-8 by construction (ASCII framing +
+    UTF-8-encoded payload).
+    """
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                F.col(record_col).alias("r")))
+    )
+    return (
+        recs.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.encode(
+                F.array_join(
+                    F.transform(ordered, lambda x: F.decode(x["r"], "UTF-8")),
+                    "",
+                ),
+                "UTF-8",
+            ).alias(file_col),
+        )
+        .select(
+            "shard_id",
+            file_col,
+            "n_records",
+            F.length(file_col).cast("long").alias("file_bytes"),
+        )
+    )
+
+
 def wet_shard_frame(
     df: DataFrame,
     num_shards: int,
@@ -263,11 +301,10 @@ def wet_shard_frame(
     bytes), and concatenate — one ``(shard_id, wet_file binary, n_records,
     file_bytes)`` row per non-empty shard, ready for a binary sink.
 
-    One shuffle (the shard groupBy); the in-shard ordering rides the
-    aggregation as ``array_sort`` over (id, record) structs, so no window
-    and no second exchange. Size shards so a shard's text fits an
-    executor (the same contract as the JSONL sharded writer —
-    ``num_shards`` scales with the corpus, records never cross shards).
+    One shuffle (the shard groupBy, via ``_shard_file_frame``). Size
+    shards so a shard's text fits an executor (the same contract as the
+    JSONL sharded writer — ``num_shards`` scales with the corpus,
+    records never cross shards).
     """
     from llm_pretraining_data_pipeline_spark.operators.sharding import (
         assign_shards_hashed,
@@ -278,33 +315,7 @@ def wet_shard_frame(
         url_col=url_col, text_col=text_col, id_col=id_col,
         keep=("shard_id",),
     )
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col(id_col).alias("i"),
-                                F.col("wet_record").alias("r")))
-    )
-    # array_join over the sorted records is LINEAR in shard bytes; a
-    # binary aggregate(concat) fold would copy the accumulator per record
-    # (quadratic). The decode/encode round-trip is exact: record bytes are
-    # valid UTF-8 by construction (ASCII headers + UTF-8-encoded text).
-    return (
-        recs.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_records"),
-            F.encode(
-                F.array_join(
-                    F.transform(ordered, lambda x: F.decode(x["r"], "UTF-8")),
-                    "",
-                ),
-                "UTF-8",
-            ).alias("wet_file"),
-        )
-        .select(
-            "shard_id",
-            "wet_file",
-            "n_records",
-            F.length("wet_file").cast("long").alias("file_bytes"),
-        )
-    )
+    return _shard_file_frame(recs, "wet_record", "wet_file", id_col)
 
 
 def wat_record_frame(
@@ -447,12 +458,11 @@ def warc_response_shard_frame(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Assemble per-shard WARC FILE blobs of ``response`` records — the
-    publishable artifact (``wet_shard_frame``'s exact discipline: hash
-    shard assignment, in-shard order by ``id_col`` via array_sort inside
-    the aggregation — deterministic file bytes, ONE shuffle, no window).
-    Records are valid UTF-8 by construction (ASCII framing + UTF-8 HTTP
-    message), so the linear array_join concat applies. Output:
-    ``(shard_id, warc_file binary, n_records, file_bytes)``.
+    publishable artifact (``wet_shard_frame``'s exact discipline via the
+    shared ``_shard_file_frame``: hash shard assignment, in-shard order
+    by ``id_col`` inside the aggregation — deterministic file bytes, ONE
+    shuffle, no window). Output: ``(shard_id, warc_file binary,
+    n_records, file_bytes)``.
     """
     from llm_pretraining_data_pipeline_spark.operators.sharding import (
         assign_shards_hashed,
@@ -463,26 +473,4 @@ def warc_response_shard_frame(
         url_col=url_col, text_col=text_col, id_col=id_col,
         keep=("shard_id",),
     )
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col(id_col).alias("i"),
-                                F.col("warc_record").alias("r")))
-    )
-    return (
-        recs.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_records"),
-            F.encode(
-                F.array_join(
-                    F.transform(ordered, lambda x: F.decode(x["r"], "UTF-8")),
-                    "",
-                ),
-                "UTF-8",
-            ).alias("warc_file"),
-        )
-        .select(
-            "shard_id",
-            "warc_file",
-            "n_records",
-            F.length("warc_file").cast("long").alias("file_bytes"),
-        )
-    )
+    return _shard_file_frame(recs, "warc_record", "warc_file", id_col)

@@ -5796,8 +5796,6 @@ def _o09_frontier_rows(spark, sf_dir):
         "ordered queue), per_host_budget bounds the partition's useful "
         "length, every other host schedules in parallel",
 )
-
-
 def o09_frontier_schedule(spark, sf_dir):
     from llm_pretraining_data_pipeline_spark.sources import cdx as C
 

@@ -938,34 +938,17 @@ def schedule_replay(
     surface ``early_hits>0`` / ``rank_contiguous=false``) is pinned in
     tests/test_warc.py::TestScheduleReplay.
 
-    Scale shape: ONE window (lag over fetch_rank, partitioned by host —
-    the same inherently-serial-per-host key as the scheduler) + ONE
-    host groupBy + an optional broadcast-sized directive join; never
+    Scale shape: the MAX-merged directive broadcast-joins onto the
+    per-SLOT frame BEFORE aggregation, so early hits fold as a plain
+    conditional sum — no per-host gap array anywhere (a mega-host's
+    million slots stream through the lag window and the aggregation
+    buffers stay O(1) per host; review finding r13). ONE window (lag
+    over fetch_rank, partitioned by host — the same inherently-serial-
+    per-host key as the scheduler) + ONE host groupBy; never
     corpus × corpus.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("host").orderBy("fetch_rank")
-    gap = F.col("start_offset_s") - F.lag("start_offset_s").over(w)
-    rank_step = F.col("fetch_rank") - F.lag("fetch_rank").over(w)
-    per = (
-        schedule.select(
-            "host",
-            "fetch_rank",
-            gap.alias("_gap"),
-            rank_step.alias("_step"),
-        )
-        .groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_slots"),
-            F.min("_gap").alias("min_gap_s"),
-            F.min("fetch_rank").alias("_min_rank"),
-            F.sum(
-                F.when(F.col("_step") != 1, 1).otherwise(0)
-            ).alias("_rank_breaks"),
-            F.collect_list(F.col("_gap")).alias("_gaps"),
-        )
-    )
     if directives is not None:
         host_col = (
             "host" if "host" in directives.columns else "domain"
@@ -975,20 +958,46 @@ def schedule_replay(
         ).agg(
             F.max(F.col("crawl_delay").cast("double")).alias("_req")
         )
-        per = per.join(F.broadcast(req), "host", "left")
+        slots = schedule.join(F.broadcast(req), "host", "left")
     else:
-        per = per.withColumn("_req", F.lit(None).cast("double"))
+        slots = schedule.withColumn("_req", F.lit(None).cast("double"))
     required = F.coalesce(F.col("_req"), F.lit(float(default_delay)))
-    early = F.size(
-        F.filter(F.col("_gaps"), lambda g: g < required - epsilon)
+
+    w = Window.partitionBy("host").orderBy("fetch_rank")
+    gap = F.col("start_offset_s") - F.lag("start_offset_s").over(w)
+    rank_step = F.col("fetch_rank") - F.lag("fetch_rank").over(w)
+    per = (
+        slots.select(
+            "host",
+            "fetch_rank",
+            required.alias("_required"),
+            gap.alias("_gap"),
+            rank_step.alias("_step"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.first("_required").alias("_req_host"),
+            F.min("_gap").alias("min_gap_s"),
+            F.min("fetch_rank").alias("_min_rank"),
+            F.sum(
+                F.when(F.col("_step") != 1, 1).otherwise(0)
+            ).alias("_rank_breaks"),
+            F.sum(
+                F.when(
+                    F.col("_gap") < F.col("_required") - epsilon, 1
+                ).otherwise(0)
+            ).alias("_early"),
+        )
     )
+    early = F.coalesce(F.col("_early"), F.lit(0))
     contiguous = (F.col("_min_rank") == 1) & (
         F.coalesce(F.col("_rank_breaks"), F.lit(0)) == 0
     )
     return per.select(
         "host",
         "n_slots",
-        F.round(required, 6).alias("required_delay_s"),
+        F.round(F.col("_req_host"), 6).alias("required_delay_s"),
         F.round(F.col("min_gap_s"), 6).alias("min_gap_s"),
         early.cast("long").alias("early_hits"),
         contiguous.alias("rank_contiguous"),
@@ -1100,6 +1109,7 @@ def resolve_revisits(
     digest_col: str = "warc_payload_digest",
     broadcast_originals: bool = False,
     checkpoint: bool = False,
+    sha1_raw: bool = True,
 ) -> DataFrame:
     """Resolve WARC ``revisit`` records against their original captures.
 
@@ -1126,7 +1136,11 @@ def resolve_revisits(
     ``sha1:<BASE32>``; without this arm every real-archive revisit
     would surface unresolved, ADVICE r12). Claimed digests accept an
     optional ``algo:`` label prefix, compared case-insensitively; the
-    two key spaces cannot collide (64 hex vs 32 base32 chars).
+    two key spaces cannot collide (64 hex vs 32 base32 chars). The
+    sha1 arm is an extra Arrow expression over the originals' payload
+    bytes — ``sha1_raw=False`` opts engine-internal round trips (whose
+    claims are all sha256 by construction) out of that cost, the same
+    knob discipline as ``checkpoint=`` (review finding r13).
 
     Output: the input rows unchanged, plus ``revisit_resolved``
     (boolean — null for non-revisit rows, false when no original
@@ -1173,15 +1187,13 @@ def resolve_revisits(
     # each original is keyed under both digest identities (sha256-hex of
     # the decoded body + sha1-base32 of the raw stored body); the explode
     # doubles only the slim (digest, rep) projection, never the corpus
+    keys = [F.sha2(F.col("_h.body"), 256)]
+    if sha1_raw:
+        keys.append(_sha1_b32_raw(F.col("payload")))
     reps = (
         originals.where(F.col("_h.http_ok"))
         .select(
-            F.explode(
-                F.array(
-                    F.sha2(F.col("_h.body"), 256),
-                    _sha1_b32_raw(F.col("payload")),
-                )
-            ).alias("_digest"),
+            F.explode(F.array(*keys)).alias("_digest"),
             F.struct(
                 F.col("file_id"), F.col("rec_index"),
                 F.col("record_id").alias("rid"),

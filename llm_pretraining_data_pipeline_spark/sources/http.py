@@ -430,10 +430,14 @@ _META_CHARSET_RE = (
 # translate() approach cannot express (VERDICT r12 item 5) — label →
 # canonical name. Disjoint from _CHARSET_ALIASES by construction (a label
 # maps in exactly one table). Decoding uses Python's codecs (the
-# canonical-name → codec map below) with errors='replace' — a pragmatic,
-# total stand-in for the full WHATWG index tables; the handful of
-# codepoints where Python and WHATWG indices disagree are corner cells of
-# vendor extensions, not the text body.
+# canonical-name → codec map below) with errors='replace'. The codec per
+# name is the WIDE vendor variant, because that is what WHATWG's indices
+# actually are (review finding r13): WHATWG EUC-KR IS the UHC index →
+# cp949 (strict euc_kr would U+FFFD every extended hangul syllable
+# outside KS X 1001); WHATWG Shift_JIS includes the NEC/IBM extensions →
+# cp932; WHATWG Big5 includes the HKSCS extensions → big5hkscs. Residual
+# divergence from the exact WHATWG tables is confined to a handful of
+# mapping corner cells, not whole character classes.
 _MB_CHARSET_ALIASES = {
     # Shift_JIS
     "shift_jis": "shift_jis", "shift-jis": "shift_jis",
@@ -459,9 +463,9 @@ _MB_CHARSET_ALIASES = {
     "csbig5": "big5", "x-x-big5": "big5",
 }
 _MB_PY_CODECS = {
-    "shift_jis": "shift_jis", "euc-jp": "euc_jp",
-    "iso-2022-jp": "iso2022_jp", "euc-kr": "euc_kr", "gbk": "gbk",
-    "gb18030": "gb18030", "big5": "big5",
+    "shift_jis": "cp932", "euc-jp": "euc_jp",
+    "iso-2022-jp": "iso2022_jp", "euc-kr": "cp949", "gbk": "gbk",
+    "gb18030": "gb18030", "big5": "big5hkscs",
 }
 
 

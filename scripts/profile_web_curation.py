@@ -99,17 +99,9 @@ def main():
     print(f"fixture: {n} docs, copies={wc_copies}, sf={SF_DIR}, "
           f"local[{CPUS}], runs={N_RUNS}")
 
-    base_kw = dict(gopher_min_words=10, gopher_min_stopwords=1)
-    rungs = [
-        ("base", dict(**base_kw, decode_entities=False), False),
-        ("+robots", dict(**base_kw, decode_entities=False), True),
-        ("+extract", dict(**base_kw, extract_main=True,
-                          decode_entities=False), True),
-        ("+smooth", dict(**base_kw, extract_main=True, mc_smooth=True,
-                         decode_entities=False), True),
-        ("+entities", dict(**base_kw, extract_main=True, mc_smooth=True),
-         True),  # auto -> ON: the exact bench config
-    ]
+    # ONE source of truth for the rung definitions (shared with bench.py's
+    # BENCH_WC_STAGES arm — review finding r13)
+    rungs = WC.BENCH_STAGE_LADDER
 
     def run(cfg_kw, robots):
         out = WC.curation_summary(

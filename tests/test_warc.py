@@ -2031,6 +2031,28 @@ class TestHttpBodyTextCharset:
         assert got[7][1:] == ("shift_jis", "declared")
         assert "ok" in got[7][0] and "�" in got[7][0]
 
+    def test_wide_vendor_codecs_are_the_whatwg_indices(self, spark):
+        # review finding r13: WHATWG EUC-KR IS the UHC index and WHATWG
+        # Shift_JIS includes the NEC/IBM extensions — strict euc_kr /
+        # shift_jis would U+FFFD real body text that cp949/cp932 decode
+        uhc_only = "똠"  # U+B620: 2-byte UHC-only, NOT in KS X 1001
+        # strict euc_kr cannot DECODE the UHC 2-byte form real Korean
+        # servers send (it only knows the 8-byte jamo composition)
+        assert "�" in uhc_only.encode("cp949").decode(
+            "euc_kr", errors="replace"
+        )
+        nec = "①"  # U+2460: NEC row 13, in cp932, NOT in JIS X 0208
+        import pytest as _pytest
+
+        with _pytest.raises(UnicodeEncodeError):
+            nec.encode("shift_jis")
+        got = self._run_mb(spark, [
+            (0, bytearray(("k " + uhc_only).encode("cp949")), "euc-kr"),
+            (1, bytearray(("j " + nec).encode("cp932")), "windows-31j"),
+        ])
+        assert got[0] == ("k " + uhc_only, "euc-kr", "declared")
+        assert got[1] == ("j " + nec, "shift_jis", "declared")
+
     def test_multibyte_precedence(self, spark):
         got = self._run_mb(spark, [
             # BOM beats a multi-byte declaration
