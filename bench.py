@@ -393,6 +393,49 @@ def main() -> int:
     finally:
         shutil.rmtree(sw_dir, ignore_errors=True)
 
+    # ---- round-13: WARC re-publication at the 50k-doc scale: curated
+    # docs -> response-record shards (byte-deterministic framing, sha256
+    # payload/block digests) -> CDX re-index over the engine's own
+    # output. Measures the publish-side counterpart of crawl_to_corpus.
+    wr_raw = (
+        docs.crossJoin(spark.range(10).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"),
+            F.concat(
+                F.lit("https://site-"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit(".bench/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            "text",
+        )
+        .repartition(CPUS)
+    )
+    from llm_pretraining_data_pipeline_spark.sources import cdx as CDX
+
+    n_wr = wr_raw.count()
+    wr_idx = timed(
+        "warc_republish_e2e",
+        lambda: CDX.cdx_records(
+            EXP.warc_response_shard_frame(wr_raw, num_shards=64),
+            payload_col="warc_file",
+            id_col="shard_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cdx_ok").cast("long")).alias("ok"),
+            F.sum("record_bytes").alias("bytes"),
+        )
+        .collect()[0],
+    )
+    meta["warc_republish_docs"] = int(n_wr)
+    meta["warc_republish_docs_per_sec"] = round(
+        n_wr / timings["warc_republish_e2e"], 1
+    )
+    meta["warc_republish_indexed_ok"] = int(wr_idx["ok"] or 0)
+    meta["warc_republish_bytes"] = int(wr_idx["bytes"] or 0)
+    assert int(wr_idx["n"]) == n_wr, "republish index row-count drift"
+
     # ---- round-8: perceptual image near-dup end-to-end at 50k images:
     # synthesize 16x16 PNGs (all five scanline filters), DECODE them with
     # the stdlib codec, integer aHash, banded Hamming pair join. Measures

@@ -66,6 +66,13 @@ class CrawlCorpusConfig:
     # benched funnel and its referees pin; flip for corpora where
     # declared-cp1252 bodies are material.
     charset_aware: bool = False
+    # with charset_aware: also honor the WHATWG multi-byte legacy labels
+    # (shift_jis/euc-kr/gbk/gb18030/big5, + euc-jp/iso-2022-jp) through
+    # http_body_text_charset's gated Arrow stage — the stage's input
+    # bytes are NULLED for every row outside the multi-byte gate, so the
+    # dominant path stays JVM-side. Off by default: the common funnel
+    # plan stays zero-extra-Python. No effect without charset_aware.
+    charset_multibyte: bool = False
     # resolve WARC 'revisit' records (crawl-time dedup: a re-fetch whose
     # payload digest matched an earlier capture ships a near-empty
     # record) against the originals IN THIS FRAME by payload digest
@@ -144,7 +151,9 @@ def run_crawl_to_corpus(
             "revisit_unresolved", F.lit(False)
         )
     dec = (
-        http_body_text_charset("body", "charset")
+        http_body_text_charset(
+            "body", "charset", multibyte=cfg.charset_multibyte
+        )
         if cfg.charset_aware
         else http_body_text("body")
     )

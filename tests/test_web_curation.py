@@ -520,6 +520,49 @@ class TestCrawlCharsetAware:
         # latin-1 fallback renders the cp1252 quotes as C1 controls
         assert "\x93hello there\x94" in (row["text_curated"] or "")
 
+    def test_multibyte_flag_decodes_declared_shift_jis(self, spark):
+        # charset_multibyte=True (round 13): a correctly-labeled
+        # Shift_JIS page survives the funnel with its kana intact
+        from llm_pretraining_data_pipeline_spark.plans.crawl import (
+            CrawlCorpusConfig, run_crawl_to_corpus,
+        )
+        from llm_pretraining_data_pipeline_spark.plans.web_curation import (
+            WebCurationConfig,
+        )
+        from llm_pretraining_data_pipeline_spark.sources import warc
+
+        text = ("the quick brown fox says こんにちは世界 today. "
+                "then everyone went home afterwards.")
+        body = text.encode("shift_jis")
+        msg = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain; charset=x-sjis\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+        files = spark.createDataFrame(
+            [(0, bytearray(warc.encode_warc(
+                [("response", "https://a.example/j", "rj", msg)]
+            )))],
+            "file_id long, payload binary",
+        )
+        cfg = WebCurationConfig(min_sentences=2, apply_gopher=False)
+        on = run_crawl_to_corpus(
+            files,
+            CrawlCorpusConfig(
+                charset_aware=True, charset_multibyte=True, curation=cfg
+            ),
+        ).collect()[0]
+        assert on["drop_reason"] is None
+        assert "こんにちは世界" in on["text_curated"]
+        # without the flag the label is outside the JVM repertoire and
+        # falls to the content chain (bytes are not valid UTF-8 ->
+        # cp1252 mojibake), proving the flag is what recovered the text
+        off = run_crawl_to_corpus(
+            files,
+            CrawlCorpusConfig(charset_aware=True, curation=cfg),
+        ).collect()[0]
+        assert "こんにちは世界" not in (off["text_curated"] or "")
+
 
 class TestCrawlRevisitResolution:
     """CrawlCorpusConfig(resolve_revisits=True): crawl-time dedup records
