@@ -342,19 +342,23 @@ def main() -> int:
     if os.environ.get("BENCH_WC_STAGES"):
         # rung definitions shared with scripts/profile_web_curation.py
         # (ONE source of truth: WC.BENCH_STAGE_LADDER); each rung is
-        # warmed once and the SECOND collect is timed, so the recorded
-        # deltas attribute stage cost rather than plan-compilation noise
+        # warmed once and a FRESH plan is timed — the recipe embeds a
+        # lazy localCheckpoint, so re-collecting the SAME DataFrame
+        # would read the checkpoint back (~0.1 s) instead of doing the
+        # work; rebuilding forces a real recompute with warm JIT/codegen
         stage_secs = {}
         for rung, kw, with_robots in WC.BENCH_STAGE_LADDER:
-            plan = WC.curation_summary(
-                WC.run_web_curation(
-                    wc_raw, WC.WebCurationConfig(**kw), url_col="url",
-                    robots_rules=wc_rules if with_robots else None,
+            def _build(kw=kw, with_robots=with_robots):
+                return WC.curation_summary(
+                    WC.run_web_curation(
+                        wc_raw, WC.WebCurationConfig(**kw), url_col="url",
+                        robots_rules=wc_rules if with_robots else None,
+                    )
                 )
-            )
-            plan.collect()  # warm-up
+
+            _build().collect()  # warm-up
             t0 = time.perf_counter()
-            plan.collect()
+            _build().collect()
             stage_secs[rung] = round(time.perf_counter() - t0, 2)
         meta["web_curation_stage_ladder_sec"] = stage_secs
 
