@@ -249,13 +249,16 @@ _PRIORITY_R12 = [
 # corp_budget_select/o10_sized_shards gained the opt-in checkpoint
 # determinism pin (ADVICE r12, defaults unchanged)), then (b) the two
 # queries NEW this round — s18_warc_republish (VERDICT item 6: WARC
-# response-record re-publication, byte-level framing oracle) and
+# response-record re-publication, byte-level framing oracle),
 # o09b_schedule_replay (VERDICT item 7: fetch-simulation politeness
-# referee) — plus the two CHANGED queries outside the never-list
-# (src_warc_http + ev_stream_warc: the br arm's compressed-block
-# sub-arm, VERDICT item 4), then (c) 22 of the 46-row r8-stale tail
-# (VERDICT item 2, alphabetical slice). The remaining 24 r8-stale rows
-# — ev_stream_tumbling, f06_token_bounds, f16_url_blocklist,
+# referee) and d23_near_index (incremental NEAR dedup against a
+# persisted LSH index — the nightly-crawl near twin of
+# dedup_against_snapshot) — plus the two CHANGED queries outside the
+# never-list (src_warc_http + ev_stream_warc: the br arm's
+# compressed-block sub-arm, VERDICT item 4), then (c) 21 of the 46-row
+# r8-stale tail (VERDICT item 2, alphabetical slice). The remaining 25
+# r8-stale rows — ev_stream_trending, ev_stream_tumbling,
+# f06_token_bounds, f16_url_blocklist,
 # mm_frame_plan, mm_image_phash, mm_media_dedup, mm_phash_pairs,
 # mm_png_features, o02_shard_assign, o02b_shard_manifest,
 # o03_toy_sample, p01_doc_identity, p04_char_word_counts, p09_langid,
@@ -274,9 +277,9 @@ _PRIORITY_R13 = [
     "e2e_recrawl_plan", "ev_stream_incremental", "mm_gif_features",
     "mm_mp3_features", "mm_webp_features", "p45_script_mix",
     # (b) new + changed this round
-    "s18_warc_republish", "o09b_schedule_replay", "src_warc_http",
-    "ev_stream_warc",
-    # (c) r8-stale tail, 22 of 46 (alphabetical slice)
+    "s18_warc_republish", "o09b_schedule_replay", "d23_near_index",
+    "src_warc_http", "ev_stream_warc",
+    # (c) r8-stale tail, 21 of 46 (alphabetical slice)
     "a11_quantiles", "a18_gram_novelty", "corp_cross_dup_ngrams",
     "corp_decontaminate", "corp_para_dedup", "d04_ngram_jaccard_pairs",
     "d05_simhash", "d07_simhash_pairs", "d13_exact_substr",
@@ -284,7 +287,6 @@ _PRIORITY_R13 = [
     "emb_ivf_recall2", "emb_ivfpq_topk", "emb_lsh_bucket_sizes",
     "emb_lsh_or_recall", "emb_near_dup_lsh_or", "ev_stream_dedup",
     "ev_stream_enrich", "ev_stream_sessionize", "ev_stream_sliding",
-    "ev_stream_trending",
 ]
 
 _PRIORITY_R10 = [

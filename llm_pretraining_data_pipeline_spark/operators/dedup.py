@@ -301,6 +301,78 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def _minhash_sig_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature frame ``(id, sig array<int>)`` — the
+    shared first stage of ``minhash_lsh_candidates`` /
+    ``minhash_index_frame`` / ``near_dedup_against_index``. One fold over
+    the hashed shingles per row, behind a Generate-node barrier (explode
+    of a 1-element struct array) so CollapseProject can never inline the
+    md5 pass into downstream band lambdas. Empty-shingle rows fold to the
+    init sentinel (every lane == 2^31-1, unreachable for non-empty input
+    since perms are mod 2^31-1) and are filtered AFTER the barrier —
+    pushing the predicate below the spread repartition would re-run the
+    whole md5 pass on the unspread input partitions."""
+    df = _spread_small_input(df)
+    hashed = F.transform(
+        hashing.token_shingles(text_col, shingle_size), lambda s: hashing.h32(s)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        hashing.minhash_signature_single_pass(hashed, num_hashes, seed).alias("sig"),
+    )
+    base = base.select(
+        F.explode(F.array(F.struct(F.col("id"), F.col("sig")))).alias("_r")
+    ).select("_r.id", "_r.sig")
+    return base.filter(F.col("sig")[0] != F.lit(hashing.MERSENNE_31))
+
+
+def _band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """``array<struct<band_id, band_sig>>`` of LSH band keys for one
+    signature — the one banding definition every consumer shares."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            ).alias("band_sig"),
+        ),
+    )
+
+
+def _minhash_banded_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, band_id, band_sig)`` — the exploded band-key frame over
+    ``_minhash_sig_frame``; fan-out is ``bands`` rows per doc."""
+    rows_per_band = num_hashes // bands
+    sigs = _minhash_sig_frame(
+        df, text_col, id_col=id_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, seed=seed,
+    )
+    return sigs.select(
+        "id",
+        F.explode(_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
+    ).select("id", "band.band_id", "band.band_sig")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -357,42 +429,10 @@ def minhash_lsh_candidates(
     the caller's first action — the "log dropped candidates" channel that
     needs no extra job.
     """
-    rows_per_band = num_hashes // bands
-    df = _spread_small_input(df)
-    hashed = F.transform(
-        hashing.token_shingles(text_col, shingle_size), lambda s: hashing.h32(s)
-    )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        hashing.minhash_signature_single_pass(hashed, num_hashes, seed).alias("_sig"),
-    )
-    base = base.select(
-        F.explode(F.array(F.struct(F.col("_id"), F.col("_sig")))).alias("_r")
-    ).select("_r._id", "_r._sig")
-    # Empty-shingle rows fold to the init sentinel (every lane == 2^31-1,
-    # unreachable for non-empty input since perms are mod 2^31-1). Filtering
-    # on the sentinel AFTER the Generate barrier keeps the predicate from
-    # being pushed below the spread repartition, where it would re-run the
-    # whole md5 pass on the unspread input partitions.
-    base = base.filter(F.col("_sig")[0] != F.lit(hashing.MERSENNE_31))
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.concat_ws(
-                        "-",
-                        F.transform(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("band_sig"),
-                ),
-            )
-        ).alias("band"),
-    ).select("_id", "band.band_id", "band.band_sig")
+    banded = _minhash_banded_frame(
+        df, text_col, id_col=id_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    ).select(F.col("id").alias("_id"), "band_id", "band_sig")
 
     grouped = (
         banded.groupBy("band_id", "band_sig")
@@ -1195,6 +1235,171 @@ def dedup_against_snapshot(
     )
     return flagged.withColumn("is_known", F.col("_snap_hash").isNotNull()).drop(
         "_snap_hash"
+    )
+
+
+def minhash_index_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable MinHash-LSH index of a corpus — the NEAR-dup twin of
+    ``dedup_against_snapshot``'s hash manifest: one row per (doc, band),
+    ``(id, band_id, band_sig, sig)``, text never stored. Write it
+    partitioned/bucketed by ``(band_id, band_sig)`` at snapshot time;
+    each nightly batch then joins its own band keys against the stored
+    index (``near_dedup_against_index``) without re-reading or
+    re-hashing a byte of historical text — the FineWeb/Dolma
+    keep-the-index-not-the-corpus discipline.
+
+    The per-doc signature rides every banded row (``bands`` copies of
+    ``num_hashes`` ints ≈ 1-2 KB/doc at the defaults) so the verify
+    stage needs NO second lookup table — at index-read time column
+    pruning drops ``sig`` for the candidate join and reads it only for
+    the matched buckets. Corpora where that duplication is material can
+    store ``select(id, sig).distinct()`` separately and join it back;
+    the consumer only needs the four columns, wherever they come from.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = _minhash_sig_frame(
+        df, text_col, id_col=id_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, seed=seed,
+    )
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
+    ).select("id", "band.band_id", "band.band_sig", "sig")
+
+
+def near_dedup_against_index(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """Incremental (cross-run) NEAR dedup: flag new documents whose
+    MinHash signature collides with a prior corpus snapshot's LSH index
+    (``minhash_index_frame`` output) and whose estimated Jaccard
+    clears ``threshold`` — the nightly-crawl shape for near-duplicates,
+    completing the snapshot family (exact: ``dedup_against_snapshot``;
+    Bloom: ``incremental_dedup``). Historical text is never read: the
+    candidate valve is a band-key equi-join and the verify stage is the
+    MinHash ESTIMATE (matching signature components / ``num_hashes``)
+    computed from the index's stored signatures.
+
+    Adds ``is_known_near`` (boolean), ``known_of`` (the best-matching
+    snapshot id: highest estimate, ties to the smallest id) and
+    ``known_est`` (its estimate, 6dp) to ``df``. Rows whose text yields
+    no shingles never match (no signature — same contract as
+    ``minhash_lsh_candidates``). MinHash parameters must equal the ones
+    the index was built with (same seed/hashes/bands or keys can never
+    collide).
+
+    100 TB shape: new-batch band keys (``bands`` narrow rows/doc) join
+    the index's bucketed sort key — with the index written bucketed by
+    ``(band_id, band_sig)`` this is a co-located join; candidates are
+    ``distinct`` (new_id, old_id, old_sig) pairs so a doc matching the
+    same snapshot doc in several bands verifies once; the estimate is a
+    zip_with over two in-row arrays (no shuffle); the best-match pick is
+    ONE groupBy over candidate pairs (never a window over the corpus).
+    ``max_bucket_size`` caps a hot index bucket (boilerplate-identical
+    snapshot docs) to its ``max_bucket_size`` smallest ids — the
+    ``minhash_lsh_candidates`` star rationale: the canonical (min-id)
+    members stand for the bucket, per-task fan-out drops from O(k) per
+    new doc to O(cap). None disables (the refereed mode).
+    """
+    rows_per_band = num_hashes // bands
+    clashes = {"is_known_near", "known_of", "known_est"} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"near_dedup_against_index would overwrite existing column(s) "
+            f"{sorted(clashes)} on df — rename or drop them first"
+        )
+    new_sigs = _minhash_sig_frame(
+        df, text_col, id_col=id_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, seed=seed,
+    )
+    new_banded = new_sigs.select(
+        F.col("id").alias("_new_id"),
+        F.col("sig").alias("_new_sig"),
+        F.explode(_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
+    ).select("_new_id", "_new_sig", "band.band_id", "band.band_sig")
+
+    idx = index.select(
+        F.col("band_id"), F.col("band_sig"),
+        F.col("id").alias("_old_id"), F.col("sig").alias("_old_sig"),
+    )
+    if max_bucket_size is not None:
+        # keep each bucket's max_bucket_size smallest ids (the canonical
+        # members); one groupBy over the narrow index, no window
+        idx = (
+            idx.groupBy("band_id", "band_sig")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("_old_id", "_old_sig"))
+                    ),
+                    1,
+                    max_bucket_size,
+                ).alias("_members"),
+            )
+            .select(
+                "band_id", "band_sig",
+                F.explode("_members").alias("_m"),
+            )
+            .select("band_id", "band_sig", "_m._old_id", "_m._old_sig")
+        )
+    cand = (
+        new_banded.join(idx, ["band_id", "band_sig"])
+        .select("_new_id", "_new_sig", "_old_id", "_old_sig")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_new_sig"), F.col("_old_sig"),
+                    lambda a, b: a == b,
+                ),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    best = (
+        cand.select(
+            "_new_id",
+            F.struct(
+                est.alias("e"),
+                (-F.col("_old_id")).alias("neg_id"),
+                F.col("_old_id").alias("oid"),
+            ).alias("_scored"),
+        )
+        .where(F.col("_scored.e") >= threshold)
+        .groupBy("_new_id")
+        .agg(F.max("_scored").alias("_best"))
+        .select(
+            F.col("_new_id"),
+            F.col("_best.oid").alias("known_of"),
+            F.round(F.col("_best.e"), 6).alias("known_est"),
+        )
+    )
+    out = df.join(
+        best, F.col(id_col) == F.col("_new_id"), "left"
+    ).drop("_new_id")
+    return out.withColumn(
+        "is_known_near", F.col("known_of").isNotNull()
     )
 
 

@@ -7534,3 +7534,125 @@ def mm_webp_features(spark, sf_dir):
         "media_id", "format", "width", "height", "has_alpha",
         "animated", "n_frames", "decode_ok",
     )
+
+
+# ============================================= incremental NEAR dedup (index)
+@register(
+    "d23_near_index",
+    f"""
+    WITH snap AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    newb AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 1 THEN p.text
+                  WHEN d.doc_id % 10 = 3
+                    THEN p.text || ' zq0 zq1 zq2 zq3 zq4 zq5'
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+      WHERE d.doc_id % 2 = 1
+    ),
+    st AS (SELECT doc_id, {O.toks('text')} AS tk FROM snap),
+    ssh AS (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM st),
+    ssig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM ssh WHERE len(sh) > 0
+    ),
+    nt AS (SELECT doc_id, {O.toks('text')} AS tk FROM newb),
+    nsh AS (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM nt),
+    nsig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM nsh WHERE len(sh) > 0
+    ),
+    sband AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM ssig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    nband AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM nsig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS nid, s.doc_id AS oid,
+             n.sig AS ns, s.sig AS os
+      FROM nband n
+      JOIN sband s ON n.band_id = s.band_id AND n.band_sig = s.band_sig
+    ),
+    est AS (
+      SELECT nid, oid,
+             cast(len(list_filter(range(1, 33), j -> ns[j] = os[j]))
+                  as double) / 32.0 AS e
+      FROM cand
+    ),
+    best AS (
+      SELECT nid,
+             (array_agg(struct_pack(e := e, oid := oid)
+                        ORDER BY e DESC, oid ASC))[1] AS b
+      FROM est WHERE e >= 0.5 GROUP BY nid
+    )
+    SELECT newb.doc_id,
+           best.nid IS NOT NULL AS is_known_near,
+           best.b.oid AS known_of,
+           CASE WHEN best.nid IS NOT NULL
+                THEN round(best.b.e, 6) END AS known_est
+    FROM newb LEFT JOIN best ON best.nid = newb.doc_id
+    """,
+    doc="incremental NEAR dedup against a persisted LSH index "
+        "(operators/dedup.py::minhash_index_frame + "
+        "near_dedup_against_index — the nightly-crawl shape for "
+        "near-duplicates, completing the snapshot family: exact = "
+        "dedup_against_snapshot, Bloom = incremental_dedup). The "
+        "snapshot half (even ids) builds the band index ONCE; the new "
+        "batch (odd ids) joins its own band keys against it and "
+        "verifies by MinHash estimate from the STORED signatures — "
+        "historical text is never re-read or re-hashed. Fixture arms: "
+        "id%10==1 new docs copy their predecessor's text (estimate "
+        "1.0), id%10==3 append six novel tokens (high-but-<1 "
+        "estimate), the rest keep their own text (matches only where "
+        "the corpus genuinely repeats — the referee recomputes, never "
+        "assumes). Best match = highest estimate, ties to smallest "
+        "snapshot id; threshold 0.5. Scale shape: band-key equi-join "
+        "against the index's bucketed sort key (co-located when the "
+        "index is written bucketed), distinct candidate pairs, "
+        "zip_with estimate in-row, ONE groupBy for the best pick — "
+        "no window, no all-pairs, max_bucket_size=None pins the "
+        "refereed uncapped mode (the capped star is "
+        "equivalence-tested in pytest)",
+)
+def d23_near_index(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    snap = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    prev = snap.select(
+        F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext")
+    )
+    newb = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .join(prev, F.col("_pid") == F.col("doc_id") - 1, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 1, F.col("_ptext"))
+            .when(
+                F.col("doc_id") % 10 == 3,
+                F.concat(F.col("_ptext"), F.lit(" zq0 zq1 zq2 zq3 zq4 zq5")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    idx = dedup_ops.minhash_index_frame(
+        snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42,
+    )
+    out = dedup_ops.near_dedup_against_index(
+        newb, idx, text_col="text", id_col="doc_id", shingle_size=3,
+        num_hashes=32, bands=8, seed=42, threshold=0.5,
+        max_bucket_size=None,
+    )
+    return out.select("doc_id", "is_known_near", "known_of", "known_est")

@@ -1114,3 +1114,106 @@ class TestWinnowPairs:
             ._jdf.queryExecution().optimizedPlan().toString()
         )
         assert "LeftSemi" in plan
+
+
+class TestNearDedupAgainstIndex:
+    """minhash_index_frame + near_dedup_against_index: incremental
+    near-dup against a persisted LSH index (round 13) — the near twin of
+    dedup_against_snapshot."""
+
+    SNAP = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+        (4, "completely different snapshot content with many words here"),
+    ]
+
+    def _index(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(self.SNAP, "doc_id long, text string")
+        return dedup.minhash_index_frame(snap, "text")
+
+    def _flag(self, spark, rows, index=None, **kw):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.near_dedup_against_index(
+            df, index if index is not None else self._index(spark), **kw
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_exact_copy_and_miss(self, spark):
+        got = self._flag(spark, [
+            (11, self.SNAP[0][1]),                      # copy of doc 0
+            (13, "totally novel text nothing like the snapshot corpus"),
+        ])
+        assert got[11]["is_known_near"] is True
+        assert got[11]["known_of"] == 0
+        assert got[11]["known_est"] == 1.0
+        assert got[13]["is_known_near"] is False
+        assert got[13]["known_of"] is None and got[13]["known_est"] is None
+
+    def test_near_copy_estimates_below_one(self, spark):
+        got = self._flag(spark, [
+            (21, self.SNAP[1][1] + " twelve thirteen"),
+        ], threshold=0.3)
+        assert got[21]["is_known_near"] is True
+        assert got[21]["known_of"] == 2
+        assert 0.3 <= got[21]["known_est"] < 1.0
+
+    def test_threshold_gates_the_flag(self, spark):
+        rows = [(31, self.SNAP[1][1] + " twelve thirteen fourteen")]
+        lo = self._flag(spark, rows, threshold=0.1)
+        hi = self._flag(spark, rows, threshold=0.99)
+        assert lo[31]["is_known_near"] is True
+        assert hi[31]["is_known_near"] is False
+
+    def test_empty_text_never_matches(self, spark):
+        got = self._flag(spark, [(41, ""), (43, None)])
+        assert got[41]["is_known_near"] is False
+        assert got[43]["is_known_near"] is False
+
+    def test_bucket_cap_keeps_canonical_members(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        # a hot bucket: five identical snapshot docs share every band;
+        # cap=2 keeps the two smallest ids as the bucket's canonicals
+        snap = spark.createDataFrame(
+            [(i, "same boilerplate text repeated across mirror hosts ok")
+             for i in (10, 11, 12, 13, 14)],
+            "doc_id long, text string",
+        )
+        idx = dedup.minhash_index_frame(snap, "text")
+        got = self._flag(
+            spark,
+            [(51, "same boilerplate text repeated across mirror hosts ok")],
+            index=idx, max_bucket_size=2,
+        )
+        # still resolves, and to the canonical (smallest) snapshot id
+        assert got[51]["is_known_near"] is True
+        assert got[51]["known_of"] == 10
+
+    def test_capped_equals_uncapped_on_small_buckets(self, spark):
+        rows = [(61, self.SNAP[0][1]), (63, "unrelated words entirely")]
+        a = self._flag(spark, rows, max_bucket_size=None)
+        b = self._flag(spark, rows, max_bucket_size=1024)
+        assert {
+            k: (v["is_known_near"], v["known_of"], v["known_est"])
+            for k, v in a.items()
+        } == {
+            k: (v["is_known_near"], v["known_of"], v["known_est"])
+            for k, v in b.items()
+        }
+
+    def test_column_clash_guard(self, spark):
+        import pytest as _pytest
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "x", True)], "doc_id long, text string, is_known_near boolean"
+        )
+        with _pytest.raises(ValueError, match="is_known_near"):
+            dedup.near_dedup_against_index(df, self._index(spark))
