@@ -253,11 +253,13 @@ _PRIORITY_R12 = [
 # o09b_schedule_replay (VERDICT item 7: fetch-simulation politeness
 # referee) and d23_near_index (incremental NEAR dedup against a
 # persisted LSH index — the nightly-crawl near twin of
-# dedup_against_snapshot) — plus the two CHANGED queries outside the
+# dedup_against_snapshot) plus its STREAMING twin ev_stream_near_index
+# (18th streaming query: stream-static band join, stateless via the
+# minimum-matching-band witness dedup) — plus the two CHANGED queries outside the
 # never-list (src_warc_http + ev_stream_warc: the br arm's
 # compressed-block sub-arm, VERDICT item 4), then (c) 21 of the 46-row
-# r8-stale tail (VERDICT item 2, alphabetical slice). The remaining 25
-# r8-stale rows — ev_stream_trending, ev_stream_tumbling,
+# r8-stale tail (VERDICT item 2, alphabetical slice). The remaining 26
+# r8-stale rows — ev_stream_sliding, ev_stream_trending, ev_stream_tumbling,
 # f06_token_bounds, f16_url_blocklist,
 # mm_frame_plan, mm_image_phash, mm_media_dedup, mm_phash_pairs,
 # mm_png_features, o02_shard_assign, o02b_shard_manifest,
@@ -278,7 +280,7 @@ _PRIORITY_R13 = [
     "mm_mp3_features", "mm_webp_features", "p45_script_mix",
     # (b) new + changed this round
     "s18_warc_republish", "o09b_schedule_replay", "d23_near_index",
-    "src_warc_http", "ev_stream_warc",
+    "ev_stream_near_index", "src_warc_http", "ev_stream_warc",
     # (c) r8-stale tail, 21 of 46 (alphabetical slice)
     "a11_quantiles", "a18_gram_novelty", "corp_cross_dup_ngrams",
     "corp_decontaminate", "corp_para_dedup", "d04_ngram_jaccard_pairs",
@@ -286,7 +288,7 @@ _PRIORITY_R13 = [
     "d15_dup_token_fraction", "d16_containment_pairs", "emb_ivf_recall",
     "emb_ivf_recall2", "emb_ivfpq_topk", "emb_lsh_bucket_sizes",
     "emb_lsh_or_recall", "emb_near_dup_lsh_or", "ev_stream_dedup",
-    "ev_stream_enrich", "ev_stream_sessionize", "ev_stream_sliding",
+    "ev_stream_enrich", "ev_stream_sessionize",
 ]
 
 _PRIORITY_R10 = [

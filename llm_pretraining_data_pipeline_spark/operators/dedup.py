@@ -1403,6 +1403,84 @@ def near_dedup_against_index(
     )
 
 
+def near_dup_verdicts_against_index(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """STATELESS near-dup verdict pairs against a persisted LSH index —
+    the streaming-safe sibling of ``near_dedup_against_index``: one row
+    per (new doc, matching snapshot doc) with the MinHash estimate,
+    ``(new_id, known_of, known_est)``, already distinct and already
+    thresholded. Because every stage is a per-row projection, a
+    stream-static equi-join, or an in-row expression, the SAME function
+    runs under batch and Structured Streaming append mode with
+    ``stateOperators == []`` — no ``distinct()``, no groupBy.
+
+    The distinctness trick: a pair colliding in several bands would
+    surface once per band after the join. Both signatures are in-row
+    after the join, so the set of MATCHING bands is computable there —
+    each pair is emitted only from its MINIMUM matching band (the
+    canonical witness), which deduplicates exactly without any stateful
+    operator. Batch callers who want the single best match + the
+    kept-rows frame use ``near_dedup_against_index``; this emits the
+    full verdict stream for downstream routing.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = _minhash_sig_frame(
+        df, text_col, id_col=id_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, seed=seed,
+    )
+    new_banded = new_sigs.select(
+        F.col("id").alias("_new_id"),
+        F.col("sig").alias("_new_sig"),
+        F.explode(_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
+    ).select("_new_id", "_new_sig", "band.band_id", "band.band_sig")
+    idx = index.select(
+        F.col("band_id"), F.col("band_sig"),
+        F.col("id").alias("_old_id"), F.col("sig").alias("_old_sig"),
+    )
+    joined = new_banded.join(idx, ["band_id", "band_sig"])
+    min_match_band = F.array_min(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.slice(
+                F.col("_new_sig"), b * rows_per_band + 1, rows_per_band
+            )
+            == F.slice(
+                F.col("_old_sig"), b * rows_per_band + 1, rows_per_band
+            ),
+        )
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_new_sig"), F.col("_old_sig"),
+                    lambda a, b: a == b,
+                ),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        joined.where(F.col("band_id") == min_match_band)
+        .where(est >= threshold)
+        .select(
+            F.col("_new_id").alias("new_id"),
+            F.col("_old_id").alias("known_of"),
+            F.round(est, 6).alias("known_est"),
+        )
+    )
+
+
 def semdedup(
     df: DataFrame,
     centroids: DataFrame,

@@ -7537,6 +7537,32 @@ def mm_webp_features(spark, sf_dir):
 
 
 # ============================================= incremental NEAR dedup (index)
+def _near_index_frames(spark, sf_dir):
+    """d23/ev_stream_near_index shared fixture: even ids are the
+    snapshot corpus, odd ids the new batch (id%10==1 copies its
+    predecessor's text, id%10==3 appends six novel tokens)."""
+    d = _docs(spark, sf_dir)
+    snap = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    prev = snap.select(
+        F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext")
+    )
+    newb = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .join(prev, F.col("_pid") == F.col("doc_id") - 1, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 1, F.col("_ptext"))
+            .when(
+                F.col("doc_id") % 10 == 3,
+                F.concat(F.col("_ptext"), F.lit(" zq0 zq1 zq2 zq3 zq4 zq5")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return snap, newb
+
+
 @register(
     "d23_near_index",
     f"""
@@ -7627,25 +7653,7 @@ def mm_webp_features(spark, sf_dir):
         "equivalence-tested in pytest)",
 )
 def d23_near_index(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    snap = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
-    prev = snap.select(
-        F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext")
-    )
-    newb = (
-        d.where(F.col("doc_id") % 2 == 1)
-        .join(prev, F.col("_pid") == F.col("doc_id") - 1, "left")
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") % 10 == 1, F.col("_ptext"))
-            .when(
-                F.col("doc_id") % 10 == 3,
-                F.concat(F.col("_ptext"), F.lit(" zq0 zq1 zq2 zq3 zq4 zq5")),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-    )
+    snap, newb = _near_index_frames(spark, sf_dir)
     idx = dedup_ops.minhash_index_frame(
         snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
         bands=8, seed=42,
@@ -7656,3 +7664,92 @@ def d23_near_index(spark, sf_dir):
         max_bucket_size=None,
     )
     return out.select("doc_id", "is_known_near", "known_of", "known_est")
+
+
+@register(
+    "ev_stream_near_index",
+    f"""
+    WITH snap AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    newb AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 1 THEN p.text
+                  WHEN d.doc_id % 10 = 3
+                    THEN p.text || ' zq0 zq1 zq2 zq3 zq4 zq5'
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+      WHERE d.doc_id % 2 = 1
+    ),
+    st AS (SELECT doc_id, {O.toks('text')} AS tk FROM snap),
+    ssh AS (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM st),
+    ssig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM ssh WHERE len(sh) > 0
+    ),
+    nt AS (SELECT doc_id, {O.toks('text')} AS tk FROM newb),
+    nsh AS (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM nt),
+    nsig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM nsh WHERE len(sh) > 0
+    ),
+    sband AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM ssig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    nband AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM nsig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS nid, s.doc_id AS oid,
+             n.sig AS ns, s.sig AS os
+      FROM nband n
+      JOIN sband s ON n.band_id = s.band_id AND n.band_sig = s.band_sig
+    )
+    SELECT nid AS new_id, oid AS known_of,
+           round(cast(len(list_filter(range(1, 33), j -> ns[j] = os[j]))
+                 as double) / 32.0, 6) AS known_est
+    FROM cand
+    WHERE cast(len(list_filter(range(1, 33), j -> ns[j] = os[j]))
+          as double) / 32.0 >= 0.5
+    """,
+    doc="STREAMING incremental NEAR dedup (streaming/events.py::"
+        "run_near_index_stream_once — 18th streaming query): new "
+        "documents arrive as a stream and each micro-batch band-joins "
+        "the STATIC snapshot LSH index, emitting thresholded verdict "
+        "pairs — near-duplicates of the historical corpus flagged at "
+        "capture time. SHARES d23_near_index's fixture; operators/"
+        "dedup.py::near_dup_verdicts_against_index is the single "
+        "implementation under batch and stream (the "
+        "ev_stream_incremental discipline) and is stateless BY "
+        "CONSTRUCTION: stream-static equi-join + in-row estimate, with "
+        "pair dedup done by the minimum-matching-band canonical "
+        "witness instead of a stateful distinct() — append mode, "
+        "stateOperators == [] pinned in pytest. The referee computes "
+        "the DISTINCT thresholded pair set; hash equality proves the "
+        "witness trick emits each pair exactly once",
+)
+def ev_stream_near_index(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_near_index_stream_once,
+    )
+
+    snap, newb = _near_index_frames(spark, sf_dir)
+    idx = dedup_ops.minhash_index_frame(
+        snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42,
+    )
+    drained = run_near_index_stream_once(
+        spark, newb, idx, stage_key=f"near_index:{sf_dir}",
+        text_col="text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42, threshold=0.5,
+    )
+    return drained.select("new_id", "known_of", "known_est")

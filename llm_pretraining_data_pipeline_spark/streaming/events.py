@@ -648,6 +648,34 @@ def run_cdx_incremental_stream_once(
     return _drain_to_memory(C.cdx_incremental(stream, prev), "append")
 
 
+def run_near_index_stream_once(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index: DataFrame,
+    stage_key: str,
+    **kwargs,
+) -> DataFrame:
+    """Streaming incremental NEAR dedup (18th streaming query): new
+    documents arrive as a stream and each micro-batch band-joins the
+    STATIC snapshot LSH index (``minhash_index_frame`` output), emitting
+    thresholded verdict pairs — near-duplicates of the historical corpus
+    are flagged at capture time, before any byte is curated.
+    ``operators/dedup.py::near_dup_verdicts_against_index`` is the
+    single implementation under batch and stream (the
+    ev_stream_incremental discipline); it is stateless BY CONSTRUCTION —
+    stream-static equi-join + in-row expressions, with pair
+    deduplication done by the minimum-matching-band canonical witness
+    instead of a stateful ``distinct()`` — so the query runs append-mode
+    with ``stateOperators == []``."""
+    from llm_pretraining_data_pipeline_spark.operators import dedup
+
+    stream = _stage_blob_stream(spark, new_docs, stage_key)
+    return _drain_to_memory(
+        dedup.near_dup_verdicts_against_index(stream, index, **kwargs),
+        "append",
+    )
+
+
 def run_warc_cdx_stream_once(
     spark: SparkSession, blobs: DataFrame, stage_key: str
 ) -> DataFrame:

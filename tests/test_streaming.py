@@ -794,3 +794,76 @@ class TestCdxIncrementalStream:
             for r in spark.sql("select * from cdx_incr_stateless").collect()
         }
         assert got == batch
+
+
+class TestNearIndexStream:
+    """run_near_index_stream_once / near_dup_verdicts_against_index:
+    stream-static LSH band join with the minimum-matching-band witness
+    dedup — stateless by construction (round 13)."""
+
+    SNAP = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ]
+    NEW = [
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (13, "totally novel text nothing like the snapshot corpus here"),
+    ]
+
+    def test_matches_batch_and_is_stateless(self, spark):
+        import tempfile
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(self.SNAP, "doc_id long, text string")
+        new = spark.createDataFrame(self.NEW, "doc_id long, text string")
+        idx = dedup.minhash_index_frame(snap, "text")
+
+        batch = {
+            (r["new_id"], r["known_of"], r["known_est"])
+            for r in dedup.near_dup_verdicts_against_index(
+                new, idx, threshold=0.5
+            ).collect()
+        }
+        assert batch == {(11, 0, 1.0)}
+
+        stage = tempfile.mkdtemp(prefix="near_idx_stage_")
+        new.write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = spark.readStream.schema(schema).parquet(stage)
+        out = dedup.near_dup_verdicts_against_index(
+            stream, idx, threshold=0.5
+        )
+        assert out.isStreaming
+        ckpt = tempfile.mkdtemp(prefix="near_idx_ckpt_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("near_idx_stateless").outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = q.lastProgress
+            assert prog is not None
+            assert prog["stateOperators"] == []  # witness dedup: no state
+        finally:
+            q.stop()
+        got = {
+            (r["new_id"], r["known_of"], r["known_est"])
+            for r in spark.sql("select * from near_idx_stateless").collect()
+        }
+        assert got == batch
+
+    def test_witness_emits_each_pair_exactly_once(self, spark):
+        # an exact copy collides in ALL 8 bands; the min-matching-band
+        # witness must still emit exactly ONE row (count, not a set)
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(self.SNAP, "doc_id long, text string")
+        new = spark.createDataFrame(self.NEW, "doc_id long, text string")
+        idx = dedup.minhash_index_frame(snap, "text")
+        rows = dedup.near_dup_verdicts_against_index(
+            new, idx, threshold=0.5
+        ).collect()
+        assert len(rows) == 1
