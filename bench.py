@@ -891,6 +891,60 @@ def main() -> int:
     meta["reference_docs_per_sec"] = 38.0
     meta["speedup_vs_reference"] = round(meta["pipeline_docs_per_sec"] / 38.0, 1)
 
+    # ---- round-13: incremental NEAR dedup at the 500k-doc scale — the
+    # nightly shape: HALF the corpus is the persisted snapshot (its LSH
+    # band index built in-flight here; production reads it from parquet),
+    # the other half is the new batch flagged against it. The 10x
+    # replication means most new docs genuinely near-match snapshot docs,
+    # so the candidate join and estimate verify do real work. Runs with
+    # the heavy LSH jobs at the END of the suite (same GC rationale).
+    from llm_pretraining_data_pipeline_spark.operators import dedup as DD
+
+    ni_base = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * PIPELINE_COPIES + F.col("copy")).alias(
+                "doc_id"
+            ),
+            "text",
+        )
+        .repartition(CPUS)
+    )
+    ni_snap = ni_base.where(F.col("doc_id") % 2 == 0)
+    ni_new = ni_base.where(F.col("doc_id") % 2 == 1)
+    n_ni = ni_new.count()  # untimed: input size
+    # the index build is the ONE-OFF snapshot cost (timed separately);
+    # the nightly number is the flag step against the PERSISTED index —
+    # history is never re-hashed, which is the operator's entire point
+    ni_dir = tempfile.mkdtemp(prefix="bench_near_index_")
+    try:
+        timed(
+            "near_index_build",
+            lambda: DD.minhash_index_frame(ni_snap, "text")
+            .write.mode("overwrite").parquet(f"{ni_dir}/idx"),
+        )
+        ni_flagged = timed(
+            "near_index_e2e",
+            lambda: DD.near_dedup_against_index(
+                ni_new,
+                spark.read.parquet(f"{ni_dir}/idx"),
+                threshold=0.7,
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("is_known_near").cast("long")).alias("flagged"),
+            )
+            .collect()[0],
+        )
+    finally:
+        shutil.rmtree(ni_dir, ignore_errors=True)
+    meta["near_index_new_docs"] = int(n_ni)
+    meta["near_index_docs_per_sec"] = round(
+        n_ni / timings["near_index_e2e"], 1
+    )
+    meta["near_index_flagged"] = int(ni_flagged["flagged"] or 0)
+    assert int(ni_flagged["n"]) == n_ni, "near_index row-count drift"
+
     # ---- pipeline with the optional MinHash near-dedup stage, LAST: its
     # LSH+verify+components job leaves the JVM cache/GC-pressured, so running
     # it earlier contaminated every subsequent timing (round-2 lesson — the

@@ -1306,93 +1306,47 @@ def near_dedup_against_index(
     the index was built with (same seed/hashes/bands or keys can never
     collide).
 
-    100 TB shape: new-batch band keys (``bands`` narrow rows/doc) join
-    the index's bucketed sort key — with the index written bucketed by
-    ``(band_id, band_sig)`` this is a co-located join; candidates are
-    ``distinct`` (new_id, old_id, old_sig) pairs so a doc matching the
-    same snapshot doc in several bands verifies once; the estimate is a
-    zip_with over two in-row arrays (no shuffle); the best-match pick is
-    ONE groupBy over candidate pairs (never a window over the corpus).
-    ``max_bucket_size`` caps a hot index bucket (boilerplate-identical
-    snapshot docs) to its ``max_bucket_size`` smallest ids — the
-    ``minhash_lsh_candidates`` star rationale: the canonical (min-id)
-    members stand for the bucket, per-task fan-out drops from O(k) per
-    new doc to O(cap). None disables (the refereed mode).
+    100 TB shape: built ON ``near_dup_verdicts_against_index`` — the
+    band-key equi-join against the index's bucketed sort key, with pair
+    deduplication done IN-MAP by the minimum-matching-band canonical
+    witness and the estimate computed before anything shuffles, so the
+    only exchange after the join is the best-pick groupBy over narrow
+    ``(new_id, struct(est, old_id))`` rows (a ``distinct()`` here
+    used to shuffle every candidate pair WITH both signature arrays —
+    measured ~35% of the 500k-doc bench entry, round 13). Never a
+    window over the corpus. ``max_bucket_size`` caps a hot index
+    bucket (boilerplate-identical snapshot docs) to its
+    ``max_bucket_size`` smallest ids — the ``minhash_lsh_candidates``
+    star rationale: the canonical (min-id) members stand for the
+    bucket, per-task fan-out drops from O(k) per new doc to O(cap).
+    None disables (the refereed mode).
     """
-    rows_per_band = num_hashes // bands
     clashes = {"is_known_near", "known_of", "known_est"} & set(df.columns)
     if clashes:
         raise ValueError(
             f"near_dedup_against_index would overwrite existing column(s) "
             f"{sorted(clashes)} on df — rename or drop them first"
         )
-    new_sigs = _minhash_sig_frame(
-        df, text_col, id_col=id_col, shingle_size=shingle_size,
-        num_hashes=num_hashes, seed=seed,
-    )
-    new_banded = new_sigs.select(
-        F.col("id").alias("_new_id"),
-        F.col("sig").alias("_new_sig"),
-        F.explode(_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
-    ).select("_new_id", "_new_sig", "band.band_id", "band.band_sig")
-
-    idx = index.select(
-        F.col("band_id"), F.col("band_sig"),
-        F.col("id").alias("_old_id"), F.col("sig").alias("_old_sig"),
-    )
-    if max_bucket_size is not None:
-        # keep each bucket's max_bucket_size smallest ids (the canonical
-        # members); one groupBy over the narrow index, no window
-        idx = (
-            idx.groupBy("band_id", "band_sig")
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(F.struct("_old_id", "_old_sig"))
-                    ),
-                    1,
-                    max_bucket_size,
-                ).alias("_members"),
-            )
-            .select(
-                "band_id", "band_sig",
-                F.explode("_members").alias("_m"),
-            )
-            .select("band_id", "band_sig", "_m._old_id", "_m._old_sig")
-        )
-    cand = (
-        new_banded.join(idx, ["band_id", "band_sig"])
-        .select("_new_id", "_new_sig", "_old_id", "_old_sig")
-        .distinct()
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.col("_new_sig"), F.col("_old_sig"),
-                    lambda a, b: a == b,
-                ),
-                lambda x: x,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
+    verdicts = near_dup_verdicts_against_index(
+        df, index, text_col=text_col, id_col=id_col,
+        shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
+        seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
     )
     best = (
-        cand.select(
-            "_new_id",
+        verdicts.select(
+            F.col("new_id").alias("_new_id"),
             F.struct(
-                est.alias("e"),
-                (-F.col("_old_id")).alias("neg_id"),
-                F.col("_old_id").alias("oid"),
+                F.col("known_est").alias("e"),
+                (-F.col("known_of")).alias("neg_id"),
+                F.col("known_of").alias("oid"),
             ).alias("_scored"),
         )
-        .where(F.col("_scored.e") >= threshold)
         .groupBy("_new_id")
         .agg(F.max("_scored").alias("_best"))
         .select(
             F.col("_new_id"),
             F.col("_best.oid").alias("known_of"),
-            F.round(F.col("_best.e"), 6).alias("known_est"),
+            F.col("_best.e").alias("known_est"),
         )
     )
     out = df.join(
@@ -1413,6 +1367,7 @@ def near_dup_verdicts_against_index(
     bands: int = 8,
     seed: int = 42,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """STATELESS near-dup verdict pairs against a persisted LSH index —
     the streaming-safe sibling of ``near_dedup_against_index``: one row
@@ -1429,8 +1384,13 @@ def near_dup_verdicts_against_index(
     each pair is emitted only from its MINIMUM matching band (the
     canonical witness), which deduplicates exactly without any stateful
     operator. Batch callers who want the single best match + the
-    kept-rows frame use ``near_dedup_against_index``; this emits the
-    full verdict stream for downstream routing.
+    kept-rows frame use ``near_dedup_against_index`` (built on this);
+    this emits the full verdict stream for downstream routing.
+
+    ``max_bucket_size`` caps a hot INDEX bucket to its smallest-id
+    canonical members (a batch-side groupBy on the static index — legal
+    under stream-static joins, where only the stream side must stay
+    stateless). None disables (the refereed mode).
     """
     rows_per_band = num_hashes // bands
     new_sigs = _minhash_sig_frame(
@@ -1446,18 +1406,57 @@ def near_dup_verdicts_against_index(
         F.col("band_id"), F.col("band_sig"),
         F.col("id").alias("_old_id"), F.col("sig").alias("_old_sig"),
     )
-    joined = new_banded.join(idx, ["band_id", "band_sig"])
-    min_match_band = F.array_min(
-        F.filter(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.slice(
-                F.col("_new_sig"), b * rows_per_band + 1, rows_per_band
+    if max_bucket_size is not None:
+        # keep each bucket's max_bucket_size smallest ids (the canonical
+        # members); one groupBy over the narrow static index, no window.
+        # Each surviving row is then annotated with ALL the bands its
+        # old_id survived in (_surv_bands) — the witness below must pick
+        # the minimum matching band AMONG THOSE, or a pair whose old doc
+        # was cap-evicted from its globally-minimum matching band's
+        # bucket would never be emitted at all (review-of-self, r13).
+        capped = (
+            idx.groupBy("band_id", "band_sig")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("_old_id", "_old_sig"))
+                    ),
+                    1,
+                    max_bucket_size,
+                ).alias("_members"),
             )
-            == F.slice(
-                F.col("_old_sig"), b * rows_per_band + 1, rows_per_band
-            ),
+            .select(
+                "band_id", "band_sig",
+                F.explode("_members").alias("_m"),
+            )
+            .select("band_id", "band_sig", "_m._old_id", "_m._old_sig")
         )
-    )
+        surv = capped.groupBy("_old_id").agg(
+            F.collect_set("band_id").alias("_surv_bands")
+        )
+        idx = capped.join(surv, "_old_id")
+    else:
+        idx = idx.withColumn(
+            "_surv_bands", F.sequence(F.lit(0), F.lit(bands - 1))
+        )
+    joined = new_banded.join(idx, ["band_id", "band_sig"])
+    # first-match-wins CASE chain == minimum matching band. Deliberately
+    # NOT an array_min(filter(sequence...)) higher-order function: HOFs
+    # are CodegenFallback (interpreted) and measured 13x slower than the
+    # codegen'd CASE at the 10M-joined-rows bench shape (round 13). The
+    # cap guard (band must be one the old doc SURVIVED in) rides each
+    # arm as a codegen'd array_contains.
+    min_match_band = None
+    for b in range(bands):
+        arm = F.array_contains(F.col("_surv_bands"), F.lit(b)) & (
+            F.slice(F.col("_new_sig"), b * rows_per_band + 1, rows_per_band)
+            == F.slice(F.col("_old_sig"), b * rows_per_band + 1, rows_per_band)
+        )
+        min_match_band = (
+            F.when(arm, F.lit(b))
+            if min_match_band is None
+            else min_match_band.when(arm, F.lit(b))
+        )
     est = (
         F.size(
             F.filter(

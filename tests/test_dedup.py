@@ -1217,3 +1217,48 @@ class TestNearDedupAgainstIndex:
         )
         with _pytest.raises(ValueError, match="is_known_near"):
             dedup.near_dedup_against_index(df, self._index(spark))
+
+    def test_cap_eviction_does_not_lose_cross_band_pairs(self, spark):
+        # the witness under a bucket cap must pick the minimum matching
+        # band AMONG THE BANDS THE OLD DOC SURVIVED IN: here old id 50
+        # matches the new doc in every band, but four smaller filler ids
+        # share (only) its band-0 bucket, so cap=4 evicts 50 from band 0
+        # while bands 1-7 keep it — the pair must still be emitted once
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        new = spark.createDataFrame(
+            [(100, self.SNAP[0][1])], "doc_id long, text string"
+        )
+        sig = dedup._minhash_sig_frame(new, "text").collect()[0]["sig"]
+        rows = []
+
+        def band_rows(oid, s):
+            out = []
+            for b in range(8):
+                key = "-".join(str(v) for v in s[b * 4:(b + 1) * 4])
+                out.append((oid, b, key, s))
+            return out
+
+        rows += band_rows(50, list(sig))  # full match, every band
+        for fid in (1, 2, 3, 4):
+            # fillers share ONLY band 0's slice; other lanes differ
+            fsig = [v if i < 4 else v + 1000 + fid for i, v in enumerate(sig)]
+            rows += band_rows(fid, fsig)
+        idx = spark.createDataFrame(
+            rows,
+            "id long, band_id int, band_sig string, sig array<int>",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in dedup.near_dedup_against_index(
+                new, idx, threshold=0.5, max_bucket_size=4
+            ).collect()
+        }
+        assert got[100]["is_known_near"] is True
+        assert got[100]["known_of"] == 50
+        assert got[100]["known_est"] == 1.0
+        # and the verdict stream emits the pair exactly once
+        pairs = dedup.near_dup_verdicts_against_index(
+            new, idx, threshold=0.5, max_bucket_size=4
+        ).collect()
+        assert [(r["new_id"], r["known_of"]) for r in pairs] == [(100, 50)]
