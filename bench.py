@@ -401,10 +401,17 @@ def main() -> int:
     # docs -> response-record shards (byte-deterministic framing, sha256
     # payload/block digests) -> CDX re-index over the engine's own
     # output. Measures the publish-side counterpart of crawl_to_corpus.
+    # two chained selects: the url must derive from the fanned-out
+    # doc_id, not the input one — in a single select the F.col("doc_id")
+    # inside the url expression binds to the INPUT column, collapsing
+    # all 10 copies onto one host (ADVICE r13).
     wr_raw = (
         docs.crossJoin(spark.range(10).withColumnRenamed("id", "copy"))
         .select(
-            (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"),
+            (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"), "text"
+        )
+        .select(
+            "doc_id",
             F.concat(
                 F.lit("https://site-"),
                 (F.col("doc_id") % 97).cast("string"),

@@ -1287,6 +1287,7 @@ def near_dedup_against_index(
     seed: int = 42,
     threshold: float = 0.7,
     max_bucket_size: int | None = 1024,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-run) NEAR dedup: flag new documents whose
     MinHash signature collides with a prior corpus snapshot's LSH index
@@ -1331,18 +1332,25 @@ def near_dedup_against_index(
         df, index, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
+        new_banded=new_banded,
     )
+    # best = highest estimate, ties to the SMALLEST id: min over
+    # struct(-est, id) — the estimate (a double) is what gets negated,
+    # never the id, so any orderable id_col type works (negating a
+    # STRING id yields null under non-ANSI casts, silently flipping the
+    # tie-break to the largest id — ADVICE r13). The original est rides
+    # the struct so it is never re-negated (exact 6dp value out).
     best = (
         verdicts.select(
             F.col("new_id").alias("_new_id"),
             F.struct(
-                F.col("known_est").alias("e"),
-                (-F.col("known_of")).alias("neg_id"),
+                (-F.col("known_est")).alias("neg_e"),
                 F.col("known_of").alias("oid"),
+                F.col("known_est").alias("e"),
             ).alias("_scored"),
         )
         .groupBy("_new_id")
-        .agg(F.max("_scored").alias("_best"))
+        .agg(F.min("_scored").alias("_best"))
         .select(
             F.col("_new_id"),
             F.col("_best.oid").alias("known_of"),
@@ -1357,6 +1365,31 @@ def near_dedup_against_index(
     )
 
 
+def _new_banded_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """``(_new_id, _new_sig, band_id, band_sig)`` — the new batch's
+    banded signature frame, the probe side of every against-index join.
+    Factored out so the stored-index reader can compute it ONCE and
+    share it between the touched-partition-key collect and the join."""
+    rows_per_band = num_hashes // bands
+    new_sigs = _minhash_sig_frame(
+        df, text_col, id_col=id_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, seed=seed,
+    )
+    return new_sigs.select(
+        F.col("id").alias("_new_id"),
+        F.col("sig").alias("_new_sig"),
+        F.explode(_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
+    ).select("_new_id", "_new_sig", "band.band_id", "band.band_sig")
+
+
 def near_dup_verdicts_against_index(
     df: DataFrame,
     index: DataFrame,
@@ -1368,6 +1401,7 @@ def near_dup_verdicts_against_index(
     seed: int = 42,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """STATELESS near-dup verdict pairs against a persisted LSH index —
     the streaming-safe sibling of ``near_dedup_against_index``: one row
@@ -1388,48 +1422,54 @@ def near_dup_verdicts_against_index(
     this emits the full verdict stream for downstream routing.
 
     ``max_bucket_size`` caps a hot INDEX bucket to its smallest-id
-    canonical members (a batch-side groupBy on the static index — legal
+    canonical members (a batch-side window on the static index — legal
     under stream-static joins, where only the stream side must stay
     stateless). None disables (the refereed mode).
+
+    ``new_banded`` injects a precomputed ``_new_banded_frame`` for the
+    new batch (same MinHash parameters) so a caller that already paid
+    for the new side's signatures — ``near_dedup_against_stored_index``
+    collects the touched partition keys from it — shares ONE
+    computation instead of re-hashing the batch.
     """
     rows_per_band = num_hashes // bands
-    new_sigs = _minhash_sig_frame(
-        df, text_col, id_col=id_col, shingle_size=shingle_size,
-        num_hashes=num_hashes, seed=seed,
-    )
-    new_banded = new_sigs.select(
-        F.col("id").alias("_new_id"),
-        F.col("sig").alias("_new_sig"),
-        F.explode(_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
-    ).select("_new_id", "_new_sig", "band.band_id", "band.band_sig")
+    if new_banded is None:
+        new_banded = _new_banded_frame(
+            df, text_col, id_col=id_col, shingle_size=shingle_size,
+            num_hashes=num_hashes, bands=bands, seed=seed,
+        )
     idx = index.select(
         F.col("band_id"), F.col("band_sig"),
         F.col("id").alias("_old_id"), F.col("sig").alias("_old_sig"),
     )
     if max_bucket_size is not None:
         # keep each bucket's max_bucket_size smallest ids (the canonical
-        # members); one groupBy over the narrow static index, no window.
-        # Each surviving row is then annotated with ALL the bands its
-        # old_id survived in (_surv_bands) — the witness below must pick
-        # the minimum matching band AMONG THOSE, or a pair whose old doc
-        # was cap-evicted from its globally-minimum matching band's
-        # bucket would never be emitted at all (review-of-self, r13).
+        # members). Sort-based window, NOT a collect_list-and-slice: the
+        # cap exists precisely for pathological boilerplate buckets, and
+        # an aggregation buffer holding a multi-million-member array of
+        # (id, sig~32 ints) structs can OOM an executor, while a window
+        # sort spills through the external sorter — per-task memory is
+        # bounded regardless of bucket size (ADVICE r13). dense_rank
+        # counts DISTINCT ids, so duplicate (id, band) index rows never
+        # eat cap slots; the lag predicate drops the duplicate rows
+        # themselves (a well-formed minhash_index_frame has none — this
+        # is defensive for hand-built indexes, which the pytest fixtures
+        # exercise; duplicate rows are assumed to carry the same sig,
+        # since one doc has one signature). Each surviving row is then
+        # annotated with ALL the bands its old_id survived in
+        # (_surv_bands) — the witness below must pick the minimum
+        # matching band AMONG THOSE, or a pair whose old doc was
+        # cap-evicted from its globally-minimum matching band's bucket
+        # would never be emitted at all (review-of-self, r13).
+        w = Window.partitionBy("band_id", "band_sig").orderBy("_old_id")
         capped = (
-            idx.groupBy("band_id", "band_sig")
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(F.struct("_old_id", "_old_sig"))
-                    ),
-                    1,
-                    max_bucket_size,
-                ).alias("_members"),
+            idx.withColumn("_prev", F.lag("_old_id").over(w))
+            .withColumn("_rk", F.dense_rank().over(w))
+            .where(
+                (F.col("_prev").isNull() | (F.col("_prev") != F.col("_old_id")))
+                & (F.col("_rk") <= max_bucket_size)
             )
-            .select(
-                "band_id", "band_sig",
-                F.explode("_members").alias("_m"),
-            )
-            .select("band_id", "band_sig", "_m._old_id", "_m._old_sig")
+            .select("band_id", "band_sig", "_old_id", "_old_sig")
         )
         surv = capped.groupBy("_old_id").agg(
             F.collect_set("band_id").alias("_surv_bands")
@@ -1477,6 +1517,189 @@ def near_dup_verdicts_against_index(
             F.col("_old_id").alias("known_of"),
             F.round(est, 6).alias("known_est"),
         )
+    )
+
+
+def _sig_bucket(band_sig: Column, sig_buckets: int) -> Column:
+    """Stable hash bucket of a band signature — the second partition key
+    of a stored MinHash index. One definition shared by the writer and
+    every pruned reader (a mismatch would silently read zero rows)."""
+    return F.pmod(F.xxhash64(band_sig), F.lit(sig_buckets)).cast("int")
+
+
+def write_minhash_index(
+    index: DataFrame,
+    path: str,
+    sig_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialise a ``minhash_index_frame`` partitioned for selective
+    reads: ``partitionBy(band_id, sig_bucket)`` where ``sig_bucket`` is a
+    stable hash of ``band_sig`` — the near-dedup twin of
+    ``write_ivf_index``'s partition-pruned cell layout. A nightly batch
+    touching a subset of band keys then reads ONLY the touched
+    ``(band_id, sig_bucket)`` directories (PartitionFilters at the file
+    listing, never a full-index scan) via
+    ``read_minhash_index_for_batch`` — the s17 anti-join→selective-read
+    discipline applied to the near family (VERDICT r13 item 1).
+
+    ``sig_buckets`` trades pruning granularity against file count:
+    ``bands × sig_buckets`` partition directories total (512 at the
+    defaults), each written as one file by the repartition below (rows
+    of one partition land in one task). At 100 TB the knob grows with
+    the index so a partition stays executor-sized; the reader must pass
+    the SAME value (it re-derives bucket ids with ``_sig_bucket``).
+    """
+    (
+        index.withColumn("sig_bucket", _sig_bucket(F.col("band_sig"), sig_buckets))
+        .repartition("band_id", "sig_bucket")
+        .write.mode(mode)
+        .partitionBy("band_id", "sig_bucket")
+        .parquet(path)
+    )
+
+
+def read_minhash_index_for_batch(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    sig_buckets: int = 64,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Selective read of a ``write_minhash_index`` table for one new
+    batch: returns ``(pruned_index, new_banded)`` where ``pruned_index``
+    scans ONLY the ``(band_id, sig_bucket)`` partitions the batch's own
+    band keys touch, and ``new_banded`` is the batch's banded signature
+    frame (pass it to the against-index operators via ``new_banded=`` so
+    the batch is hashed once, not twice).
+
+    The touched-key collect is bounded by ``bands × sig_buckets`` rows
+    (512 at the defaults) regardless of batch or index size — the
+    ``ivf_topk_indexed`` probe-cell discipline: tiny driver-side
+    literals buy partition pruning at the file listing
+    (``PartitionFilters`` in the scan, plan-pinned in pytest; bench
+    records files-read vs files-total). ``checkpoint=True`` (default —
+    this function's contract is one hash pass) lazily localCheckpoints
+    ``new_banded`` so the collect and the downstream join share one
+    computation; opting out re-derives it per consumer but keeps full
+    lineage fault tolerance.
+
+    MinHash parameters must equal the ones the index was built with,
+    and ``sig_buckets`` must equal the writer's (bucket ids are
+    re-derived, a mismatch reads the wrong — possibly empty —
+    partitions).
+    """
+    spark = df.sparkSession
+    new_banded = _new_banded_frame(
+        df, text_col, id_col=id_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    )
+    if checkpoint:
+        new_banded = new_banded.localCheckpoint(eager=False)
+    touched = (
+        new_banded.select(
+            "band_id",
+            _sig_bucket(F.col("band_sig"), sig_buckets).alias("sig_bucket"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_band: dict = {}
+    for r in touched:
+        by_band.setdefault(r["band_id"], []).append(r["sig_bucket"])
+    cond = None
+    for b in sorted(by_band):
+        arm = (F.col("band_id") == b) & F.col("sig_bucket").isin(
+            sorted(by_band[b])
+        )
+        cond = arm if cond is None else cond | arm
+    if cond is None:  # empty batch (no shingled docs): scan nothing
+        cond = F.lit(False)
+    pruned = spark.read.parquet(index_path).where(cond)
+    return pruned, new_banded
+
+
+def near_dedup_against_stored_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 1024,
+    sig_buckets: int = 64,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """``near_dedup_against_index`` against a PERSISTED
+    ``write_minhash_index`` table, reading only the partitions the new
+    batch's band keys touch — the operational nightly entry point: a
+    batch touching 1% of band keys reads ~1% of the index instead of
+    shuffling all of it (VERDICT r13 item 1). Same output contract as
+    ``near_dedup_against_index``; see ``read_minhash_index_for_batch``
+    for the pruning mechanics and parameter-matching requirements.
+    """
+    pruned, new_banded = read_minhash_index_for_batch(
+        df, index_path, text_col=text_col, id_col=id_col,
+        shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
+        seed=seed, sig_buckets=sig_buckets, checkpoint=checkpoint,
+    )
+    return near_dedup_against_index(
+        df, pruned, text_col=text_col, id_col=id_col,
+        shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
+        seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
+        new_banded=new_banded,
+    )
+
+
+def merge_minhash_index(
+    index: DataFrame,
+    delta: DataFrame,
+    max_bucket_size: int | None = None,
+    id_col_out: str = "id",
+) -> DataFrame:
+    """Merge a new batch's ``minhash_index_frame`` rows INTO a persisted
+    index so consecutive nights dedup against night N−1 without a
+    rebuild — the maintenance half of the incremental-NEAR loop
+    (VERDICT r13 item 6). Returns the merged ``(id, band_id, band_sig,
+    sig)`` frame; persist it with ``write_minhash_index`` (or append the
+    delta's partitions with ``mode="append"`` when no compaction is
+    wanted — parquet partition dirs compose).
+
+    ``max_bucket_size=None`` (default) is a pure ``unionByName`` —
+    ZERO shuffle, the append-only nightly path. A re-ingested doc id
+    present in both sides contributes duplicate rows in that mode;
+    callers that re-crawl anti-join the delta's ids first (the
+    ``dedup_against_snapshot`` discipline) or pass ``max_bucket_size``,
+    whose compaction also collapses duplicates. With a cap, each
+    ``(band_id, band_sig)`` bucket keeps its ``max_bucket_size``
+    smallest DISTINCT ids — the same spill-safe lag + dense_rank window
+    as the read-side cap (one sorted shuffle, no unbounded aggregation
+    buffer), so a bucket fed by boilerplate every night stays bounded
+    instead of growing without limit. Cap semantics match the read-side
+    star cap: evicted members are represented by the bucket's canonical
+    (smallest-id) survivors.
+    """
+    cols = [id_col_out, "band_id", "band_sig", "sig"]
+    merged = index.select(*cols).unionByName(delta.select(*cols))
+    if max_bucket_size is None:
+        return merged
+    w = Window.partitionBy("band_id", "band_sig").orderBy(id_col_out)
+    return (
+        merged.withColumn("_prev", F.lag(id_col_out).over(w))
+        .withColumn("_rk", F.dense_rank().over(w))
+        .where(
+            (F.col("_prev").isNull() | (F.col("_prev") != F.col(id_col_out)))
+            & (F.col("_rk") <= max_bucket_size)
+        )
+        .select(*cols)
     )
 
 

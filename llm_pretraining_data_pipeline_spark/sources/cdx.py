@@ -78,8 +78,22 @@ def _sha1_b32_raw(col: Column) -> Column:
         out = []
         for v in s:
             raw = bytes(v) if v is not None else b""
+            # entity body = after the header terminator. Lenient LF-only
+            # fallback (ADVICE r13): the raw bytes here come from OTHER
+            # archivers' captures, and a lenient archiver that stored an
+            # LF-only HTTP message stamps its payload digest over the
+            # bytes after b"\n\n" — without the fallback those originals
+            # digest their headers into the payload and their
+            # sha1:<BASE32> revisit claims can never resolve (silently).
+            # The engine's own splitter stays strict-CRLF (http_ok=false
+            # for LF-only messages) — resolution and text extraction are
+            # independent contracts.
             i = raw.find(b"\r\n\r\n")
-            body = raw[i + 4:] if i >= 0 else raw
+            if i >= 0:
+                body = raw[i + 4:]
+            else:
+                j = raw.find(b"\n\n")
+                body = raw[j + 2:] if j >= 0 else raw
             out.append(
                 base64.b32encode(hashlib.sha1(body).digest())
                 .decode("ascii")
@@ -1186,13 +1200,18 @@ def resolve_revisits(
     ).withColumn("_h", http_response_split(F.col("payload")))
     # each original is keyed under both digest identities (sha256-hex of
     # the decoded body + sha1-base32 of the raw stored body); the explode
-    # doubles only the slim (digest, rep) projection, never the corpus
-    keys = [F.sha2(F.col("_h.body"), 256)]
+    # doubles only the slim (digest, rep) projection, never the corpus.
+    # The sha256 identity exists only when the engine's strict HTTP split
+    # succeeds; the sha1-raw identity needs no split at all, so originals
+    # our splitter rejects (e.g. lenient LF-only messages, ADVICE r13)
+    # still key under it — a real archive's raw-bytes claim can resolve
+    # to a capture the engine cannot text-extract; null key slots are
+    # filtered after the explode.
+    keys = [F.when(F.col("_h.http_ok"), F.sha2(F.col("_h.body"), 256))]
     if sha1_raw:
         keys.append(_sha1_b32_raw(F.col("payload")))
     reps = (
-        originals.where(F.col("_h.http_ok"))
-        .select(
+        originals.select(
             F.explode(F.array(*keys)).alias("_digest"),
             F.struct(
                 F.col("file_id"), F.col("rec_index"),
@@ -1200,6 +1219,7 @@ def resolve_revisits(
                 F.col("payload").alias("orig_payload"),
             ).alias("_rep"),
         )
+        .where(F.col("_digest").isNotNull())
         .groupBy("_digest")
         .agg(F.min("_rep").alias("_rep"))
     )

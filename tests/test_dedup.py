@@ -1262,3 +1262,212 @@ class TestNearDedupAgainstIndex:
             new, idx, threshold=0.5, max_bucket_size=4
         ).collect()
         assert [(r["new_id"], r["known_of"]) for r in pairs] == [(100, 50)]
+
+    def test_string_ids_tie_break_to_smallest(self, spark):
+        # ADVICE r13: the best-pick tie-break used -id inside a max
+        # struct, which nulls out for STRING ids (non-ANSI) and silently
+        # flipped ties to the LARGEST id. Two identical snapshot docs
+        # under string ids: the flag must resolve to the smaller one.
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        snap = spark.createDataFrame(
+            [("doc-b", txt), ("doc-a", txt)], "doc_id string, text string"
+        )
+        idx = dedup.minhash_index_frame(snap, "text")
+        new = spark.createDataFrame(
+            [("doc-z", txt)], "doc_id string, text string"
+        )
+        got = dedup.near_dedup_against_index(
+            new, idx, threshold=0.5, max_bucket_size=None
+        ).collect()[0]
+        assert got["is_known_near"] is True
+        assert got["known_of"] == "doc-a"
+        assert got["known_est"] == 1.0
+
+    def test_duplicate_index_rows_do_not_eat_cap_slots(self, spark):
+        # ADVICE r13: duplicate (id, band) rows in a hand-built index
+        # must not count against max_bucket_size (dense_rank counts
+        # distinct ids) and must not surface duplicate verdicts.
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        new = spark.createDataFrame(
+            [(100, self.SNAP[0][1])], "doc_id long, text string"
+        )
+        sig = list(
+            dedup._minhash_sig_frame(new, "text").collect()[0]["sig"]
+        )
+        rows = []
+        for b in range(8):
+            key = "-".join(str(v) for v in sig[b * 4:(b + 1) * 4])
+            # id 7 present THREE times per band; id 9 once. cap=2 must
+            # keep BOTH distinct ids (dups don't eat slots).
+            rows += [(7, b, key, sig)] * 3
+            rows.append((9, b, key, sig))
+        idx = spark.createDataFrame(
+            rows, "id long, band_id int, band_sig string, sig array<int>"
+        )
+        pairs = sorted(
+            (r["new_id"], r["known_of"])
+            for r in dedup.near_dup_verdicts_against_index(
+                new, idx, threshold=0.5, max_bucket_size=2
+            ).collect()
+        )
+        assert pairs == [(100, 7), (100, 9)]
+        got = dedup.near_dedup_against_index(
+            new, idx, threshold=0.5, max_bucket_size=2
+        ).collect()[0]
+        assert got["known_of"] == 7 and got["known_est"] == 1.0
+
+
+class TestStoredMinhashIndex:
+    """write_minhash_index + read_minhash_index_for_batch +
+    near_dedup_against_stored_index + merge_minhash_index (round 14):
+    the persisted-index read path must PRUNE at the file listing, and
+    index maintenance must compose generations without a rebuild."""
+
+    SNAP = TestNearDedupAgainstIndex.SNAP
+
+    def _write(self, spark, tmp_path, sig_buckets=8, docs=None):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(
+            docs if docs is not None else self.SNAP,
+            "doc_id long, text string",
+        )
+        idx = dedup.minhash_index_frame(snap, "text")
+        path = str(tmp_path / "mh_index")
+        dedup.write_minhash_index(idx, path, sig_buckets=sig_buckets)
+        return path, idx
+
+    def test_pruned_read_prunes_and_matches_full(self, spark, tmp_path):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path, idx = self._write(spark, tmp_path)
+        new = spark.createDataFrame(
+            [(11, self.SNAP[0][1]),
+             (13, "totally novel text nothing like the snapshot corpus")],
+            "doc_id long, text string",
+        )
+        pruned, banded = dedup.read_minhash_index_for_batch(
+            new, path, sig_buckets=8
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "band_id" in pf_line and "sig_bucket" in pf_line
+        # the pruned scan must touch a strict subset of the index files
+        # (inputFiles() ignores partition filters — count the files that
+        # actually contribute rows; partition filters pass every row of
+        # a matched partition through, so this IS the matched file set)
+        n_total = len(spark.read.parquet(path).inputFiles())
+        n_read = (
+            pruned.select(F.input_file_name().alias("f")).distinct().count()
+        )
+        assert 0 < n_read < n_total
+
+        got = {
+            r["doc_id"]: r
+            for r in dedup.near_dedup_against_stored_index(
+                new, path, threshold=0.5, sig_buckets=8
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r
+            for r in dedup.near_dedup_against_index(
+                new, idx, threshold=0.5
+            ).collect()
+        }
+        assert {
+            k: (v["is_known_near"], v["known_of"], v["known_est"])
+            for k, v in got.items()
+        } == {
+            k: (v["is_known_near"], v["known_of"], v["known_est"])
+            for k, v in want.items()
+        }
+
+    def test_sig_bucket_mismatch_is_the_callers_contract(self, spark, tmp_path):
+        # documented contract: the reader must pass the writer's
+        # sig_buckets — asserted here as "matching values resolve,
+        # plan still prunes" under a non-default bucket count
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path, _ = self._write(spark, tmp_path, sig_buckets=3)
+        new = spark.createDataFrame(
+            [(11, self.SNAP[1][1])], "doc_id long, text string"
+        )
+        got = dedup.near_dedup_against_stored_index(
+            new, path, threshold=0.5, sig_buckets=3
+        ).collect()[0]
+        assert got["is_known_near"] is True and got["known_of"] == 2
+
+    def test_empty_batch_reads_nothing(self, spark, tmp_path):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path, _ = self._write(spark, tmp_path)
+        new = spark.createDataFrame(
+            [(41, ""), (43, None)], "doc_id long, text string"
+        )
+        pruned, _ = dedup.read_minhash_index_for_batch(
+            new, path, sig_buckets=8
+        )
+        assert pruned.count() == 0
+        out = {
+            r["doc_id"]: r["is_known_near"]
+            for r in dedup.near_dedup_against_stored_index(
+                new, path, sig_buckets=8
+            ).collect()
+        }
+        assert out == {41: False, 43: False}
+
+    def test_merge_append_is_shuffle_free_and_flags_both_generations(
+        self, spark, tmp_path
+    ):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        gen1 = spark.createDataFrame(
+            [self.SNAP[0]], "doc_id long, text string"
+        )
+        gen2 = spark.createDataFrame(
+            [self.SNAP[1]], "doc_id long, text string"
+        )
+        i1 = dedup.minhash_index_frame(gen1, "text")
+        i2 = dedup.minhash_index_frame(gen2, "text")
+        merged = dedup.merge_minhash_index(i1, i2)
+        assert "Exchange" not in (
+            merged._jdf.queryExecution().executedPlan().toString()
+        )
+        new = spark.createDataFrame(
+            [(101, self.SNAP[0][1]), (103, self.SNAP[1][1])],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["known_of"]
+            for r in dedup.near_dedup_against_index(
+                new, merged, threshold=0.5
+            ).collect()
+        }
+        assert got == {101: 0, 103: 2}
+
+    def test_merge_compaction_caps_and_collapses_duplicates(self, spark):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        txt = "same boilerplate text repeated across mirror hosts ok"
+        gen1 = spark.createDataFrame(
+            [(i, txt) for i in (10, 11, 12)], "doc_id long, text string"
+        )
+        # delta re-ingests id 11 (duplicate rows) and adds 13, 14
+        delta = spark.createDataFrame(
+            [(i, txt) for i in (11, 13, 14)], "doc_id long, text string"
+        )
+        i1 = dedup.minhash_index_frame(gen1, "text")
+        i2 = dedup.minhash_index_frame(delta, "text")
+        merged = dedup.merge_minhash_index(i1, i2, max_bucket_size=2)
+        per_bucket = (
+            merged.groupBy("band_id", "band_sig")
+            .agg(F.collect_set("id").alias("ids"), F.count("*").alias("n"))
+            .collect()
+        )
+        for r in per_bucket:
+            # 2 smallest distinct ids; duplicate (11, band) rows collapsed
+            assert sorted(r["ids"]) == [10, 11]
+            assert r["n"] == 2

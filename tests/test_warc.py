@@ -1889,6 +1889,37 @@ class TestRevisitResolution:
         assert out["<urn:uuid:own>"]["revisit_resolved"] is True
         assert out["<urn:uuid:wrong>"]["revisit_resolved"] is False
 
+    def test_lf_only_original_resolves_via_sha1_raw(self, spark):
+        # ADVICE r13: a lenient archiver that stored an LF-only HTTP
+        # message stamps its sha1:<BASE32> payload digest over the
+        # bytes after b"\n\n"; without the LF fallback the engine
+        # digested the header bytes into the payload and the claim
+        # silently never resolved. The engine's own splitter stays
+        # strict-CRLF (the original is http_ok=false downstream) —
+        # revisit resolution and text extraction are independent.
+        import base64
+        import hashlib
+
+        from llm_pretraining_data_pipeline_spark.sources import cdx
+
+        body = b"lf only body bytes"
+        msg = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\n" + body
+        b32 = base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
+        rows = [
+            (1, self._blob([("response", "http://lf/", "orig", msg)])),
+            (2, self._blob([
+                ("revisit", "http://lf/", "cc", b"",
+                 (("WARC-Payload-Digest", f"sha1:{b32}"),)),
+            ])),
+        ]
+        out = {
+            r["record_id"]: r
+            for r in cdx.resolve_revisits(self._records(spark, rows))
+            .where("warc_type = 'revisit'").collect()
+        }
+        assert out["<urn:uuid:cc>"]["revisit_resolved"] is True
+        assert bytes(out["<urn:uuid:cc>"]["payload"]) == msg
+
 
 class TestHttpBodyTextCharset:
     """WHATWG-faithful charset decode (sources/http.py::
