@@ -237,6 +237,54 @@ _PRIORITY_R12 = [
     "rel_sql_surface",
 ]
 
+# Round-14 priority (the driver caps each round at 50 rows): (a) the
+# two queries NEW this round — d24_pruned_index (the persisted LSH
+# index written partitionBy(band_id, sig_bucket) and consumed via a
+# provably PRUNED selective read, VERDICT r13 item 1) and
+# d25_index_merge (two-generation index maintenance:
+# merge_minhash_index append + flag night N against night N-1,
+# VERDICT r13 item 6); (b) the four queries whose implementation
+# CHANGED this round — d23_near_index + ev_stream_near_index (ADVICE
+# r13: spill-safe window bucket cap, type-safe min-struct tie-break)
+# and s13_warc_revisit + s16_revisit_index (ADVICE r13:
+# resolve_revisits LF-terminator fallback; the sha1-raw identity no
+# longer requires a successful strict HTTP split); (c) the full 26-row
+# r8-stale tail (VERDICT r13 item 4 — exact list from the r13
+# comment); (d) 18 of the 43 r9-stale rows (alphabetical slice). The
+# remaining 25 r9-stale rows — d20_quality_dedup, d21_winnowing,
+# d22_winnow_pairs, emb_decontaminate, emb_ivf_recall_trained,
+# emb_ivf_topk, emb_kmeans_stats, emb_matryoshka_recall, emb_pq_topk,
+# emb_semdedup, ev_stream_attribution, ev_stream_bloom, ev_stream_cms,
+# f12_source_median_gate, mm_jpeg_meta, mm_utf8_audit,
+# o04_source_quota, p08_model_quality, p10_non_latin_ratio,
+# p20_quality_score, p22_tokenize, p28_lm_logprob,
+# p39_calibration_curve, s04_jsonl_projection, u02_intersect_except —
+# refresh in r15.
+_PRIORITY_R14 = [
+    # (a) new this round
+    "d24_pruned_index", "d25_index_merge",
+    # (b) changed this round
+    "d23_near_index", "ev_stream_near_index", "s13_warc_revisit",
+    "s16_revisit_index",
+    # (c) the full r8-stale tail (26)
+    "ev_stream_sliding", "ev_stream_trending", "ev_stream_tumbling",
+    "f06_token_bounds", "f16_url_blocklist", "mm_frame_plan",
+    "mm_image_phash", "mm_media_dedup", "mm_phash_pairs",
+    "mm_png_features", "o02_shard_assign", "o02b_shard_manifest",
+    "o03_toy_sample", "p01_doc_identity", "p04_char_word_counts",
+    "p09_langid", "p09b_langid_trigram", "p12_boilerplate_lines",
+    "p17_canonicalize", "p22e_token_contract", "rel_q7_volume_shipping",
+    "rel_q8_market_share", "rel_q9_product_profit", "rel_q15_top_supplier",
+    "rel_q21_waiting_suppliers", "u01_union_by_name",
+    # (d) r9-stale, 18 of 43 (alphabetical slice)
+    "a17_ks_drift", "a19_type_token_stats", "a20_vocab_coverage",
+    "a21_psi_drift", "a22_countmin_sketch", "corp_chunk_spans",
+    "corp_domain_pagerank", "corp_dsir_select", "corp_tfidf_top3",
+    "corp_token_budget", "d01_exact_dedup", "d02_near_dedup",
+    "d03_minhash_lsh_pairs", "d08_minhash_dedup", "d09_incremental_dedup",
+    "d17_minhash_est_error", "d18_minhash_est_error_lsh", "d19_bloom_dedup",
+]
+
 # Round-13 priority (the driver caps each round at 50 rows): (a) the
 # 24 continuation queries that have NEVER received a driver CORRECTNESS
 # row (VERDICT r12 "What's wrong" item 1 — the entire late-wave list;
@@ -394,7 +442,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R13 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R14 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

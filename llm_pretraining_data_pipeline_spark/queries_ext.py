@@ -7753,3 +7753,327 @@ def ev_stream_near_index(spark, sf_dir):
         bands=8, seed=42, threshold=0.5,
     )
     return drained.select("new_id", "known_of", "known_est")
+
+
+_MHIDX_STAGING_REGISTERED: set = set()
+
+
+def _mhidx_staging_path(sf_dir: str) -> str:
+    """Deterministic per-(sf_dir, process) staging dir for the persisted
+    MinHash index — same lifecycle discipline as ``_ivf_staging_path``:
+    reused (overwrite mode) within a process, pid-keyed so concurrent
+    sessions never clobber each other, removed at interpreter exit."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mhidx_{key}_pid{os.getpid()}"
+    )
+    if root not in _MHIDX_STAGING_REGISTERED:
+        _MHIDX_STAGING_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, "index")
+
+
+@register(
+    "d24_pruned_index",
+    f"""
+    WITH snap AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    newb AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 1 THEN p.text
+                  WHEN d.doc_id % 10 = 3
+                    THEN p.text || ' zq0 zq1 zq2 zq3 zq4 zq5'
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+      WHERE d.doc_id % 8 = 1
+    ),
+    st AS (SELECT doc_id, {O.toks('text')} AS tk FROM snap),
+    ssh AS (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM st),
+    ssig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM ssh WHERE len(sh) > 0
+    ),
+    nt AS (SELECT doc_id, {O.toks('text')} AS tk FROM newb),
+    nsh AS (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM nt),
+    nsig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM nsh WHERE len(sh) > 0
+    ),
+    sband AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM ssig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    nband AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM nsig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS nid, s.doc_id AS oid,
+             n.sig AS ns, s.sig AS os
+      FROM nband n
+      JOIN sband s ON n.band_id = s.band_id AND n.band_sig = s.band_sig
+    ),
+    est AS (
+      SELECT nid, oid,
+             cast(len(list_filter(range(1, 33), j -> ns[j] = os[j]))
+                  as double) / 32.0 AS e
+      FROM cand
+    ),
+    best AS (
+      SELECT nid,
+             (array_agg(struct_pack(e := e, oid := oid)
+                        ORDER BY e DESC, oid ASC))[1] AS b
+      FROM est WHERE e >= 0.5 GROUP BY nid
+    )
+    SELECT newb.doc_id,
+           best.nid IS NOT NULL AS is_known_near,
+           best.b.oid AS known_of,
+           CASE WHEN best.nid IS NOT NULL
+                THEN round(best.b.e, 6) END AS known_est
+    FROM newb LEFT JOIN best ON best.nid = newb.doc_id
+    """,
+    doc="incremental NEAR dedup against a PERSISTED PARTITIONED LSH "
+        "index with a provably pruned read (operators/dedup.py::"
+        "write_minhash_index + near_dedup_against_stored_index, round "
+        "14): the snapshot index is WRITTEN partitionBy(band_id, "
+        "sig_bucket) and the nightly flag step reads ONLY the "
+        "partitions its own band keys touch — a bounded "
+        "(bands*sig_buckets <= 128 here) touched-key collect buys "
+        "PartitionFilters at the file listing, the s17 anti-join -> "
+        "selective-read discipline applied to the near family "
+        "(VERDICT r13 item 1). The oracle computes the FULL-index "
+        "verdicts, so hash equality IS the pruned-read == full-read "
+        "referee; the strict-file-subset property is plan-pinned in "
+        "pytest and measured (files-read vs files-total) in the bench "
+        "meta. Fixture: d23's snapshot (even ids) with the nightly "
+        "batch thinned to doc_id%8==1 (arms %10==1 copy / %10==3 "
+        "append / rest own text); threshold 0.5, uncapped",
+)
+def d24_pruned_index(spark, sf_dir):
+    snap, newb_all = _near_index_frames(spark, sf_dir)
+    newb = newb_all.where(F.col("doc_id") % 8 == 1)
+    idx = dedup_ops.minhash_index_frame(
+        snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42,
+    )
+    path = _mhidx_staging_path(sf_dir)
+    dedup_ops.write_minhash_index(idx, path, sig_buckets=16)
+    out = dedup_ops.near_dedup_against_stored_index(
+        newb, path, text_col="text", id_col="doc_id", shingle_size=3,
+        num_hashes=32, bands=8, seed=42, threshold=0.5,
+        max_bucket_size=None, sig_buckets=16,
+    )
+    return out.select("doc_id", "is_known_near", "known_of", "known_est")
+
+
+@register(
+    "d25_index_merge",
+    f"""
+    WITH g1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    b2 AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 8 = 2 THEN p.text ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents p ON p.doc_id = d.doc_id - 2
+      WHERE d.doc_id % 4 = 2
+    ),
+    b3 AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 1 THEN coalesce(b.text, p.text)
+                  WHEN d.doc_id % 10 = 3
+                    THEN coalesce(b.text, p.text)
+                         || ' zq0 zq1 zq2 zq3 zq4 zq5'
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+      LEFT JOIN b2 b ON b.doc_id = d.doc_id - 1
+      WHERE d.doc_id % 2 = 1
+    ),
+    g1sig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM (SELECT doc_id, {O.shingles(O.toks('text'), 3)} AS sh FROM g1)
+      WHERE len(sh) > 0
+    ),
+    b2sig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM (SELECT doc_id, {O.shingles(O.toks('text'), 3)} AS sh FROM b2)
+      WHERE len(sh) > 0
+    ),
+    b3sig AS (
+      SELECT doc_id, {O.minhash_signature('sh', _D08_A, _D08_B)} AS sig
+      FROM (SELECT doc_id, {O.shingles(O.toks('text'), 3)} AS sh FROM b3)
+      WHERE len(sh) > 0
+    ),
+    iB AS (
+      SELECT * FROM g1sig UNION ALL SELECT * FROM b2sig
+    ),
+    bandify_iA AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM g1sig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    bandify_nA AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM b2sig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    bandify_iB AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM iB, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    bandify_nB AS (
+      SELECT doc_id, sig, b.band_id,
+             array_to_string(list_transform(
+               list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4),
+               v -> cast(v as varchar)), '-') AS band_sig
+      FROM b3sig, (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    candA AS (
+      SELECT DISTINCT n.doc_id AS nid, s.doc_id AS oid,
+             n.sig AS ns, s.sig AS os
+      FROM bandify_nA n
+      JOIN bandify_iA s ON n.band_id = s.band_id AND n.band_sig = s.band_sig
+    ),
+    candB AS (
+      SELECT DISTINCT n.doc_id AS nid, s.doc_id AS oid,
+             n.sig AS ns, s.sig AS os
+      FROM bandify_nB n
+      JOIN bandify_iB s ON n.band_id = s.band_id AND n.band_sig = s.band_sig
+    ),
+    bestA AS (
+      SELECT nid,
+             (array_agg(struct_pack(e := e, oid := oid)
+                        ORDER BY e DESC, oid ASC))[1] AS b
+      FROM (
+        SELECT nid, oid,
+               cast(len(list_filter(range(1, 33), j -> ns[j] = os[j]))
+                    as double) / 32.0 AS e
+        FROM candA
+      ) WHERE e >= 0.5 GROUP BY nid
+    ),
+    bestB AS (
+      SELECT nid,
+             (array_agg(struct_pack(e := e, oid := oid)
+                        ORDER BY e DESC, oid ASC))[1] AS b
+      FROM (
+        SELECT nid, oid,
+               cast(len(list_filter(range(1, 33), j -> ns[j] = os[j]))
+                    as double) / 32.0 AS e
+        FROM candB
+      ) WHERE e >= 0.5 GROUP BY nid
+    )
+    SELECT 'b2' AS phase, b2.doc_id,
+           bestA.nid IS NOT NULL AS is_known_near,
+           bestA.b.oid AS known_of,
+           CASE WHEN bestA.nid IS NOT NULL
+                THEN round(bestA.b.e, 6) END AS known_est
+    FROM b2 LEFT JOIN bestA ON bestA.nid = b2.doc_id
+    UNION ALL
+    SELECT 'b3' AS phase, b3.doc_id,
+           bestB.nid IS NOT NULL AS is_known_near,
+           bestB.b.oid AS known_of,
+           CASE WHEN bestB.nid IS NOT NULL
+                THEN round(bestB.b.e, 6) END AS known_est
+    FROM b3 LEFT JOIN bestB ON bestB.nid = b3.doc_id
+    """,
+    doc="two-generation index MAINTENANCE for the incremental-NEAR "
+        "family (operators/dedup.py::merge_minhash_index, round 14 — "
+        "the operational loop d23 implies): night 2's batch is flagged "
+        "against the gen-1 index, its own index rows are MERGED in "
+        "(append-only unionByName — zero shuffle, plan-pinned in "
+        "pytest), and night 3's batch is flagged against the merged "
+        "index, so consecutive nights dedup against night N-1 without "
+        "a rebuild or any re-read of historical text. Fixture: gen1 = "
+        "doc_id%4==0; batch2 = doc_id%4==2 (arm %8==2 copies doc_id-2, "
+        "a gen-1 member — resolves in phase A); batch3 = odd ids (arm "
+        "%10==1 copies its predecessor's EFFECTIVE text — the "
+        "predecessor is gen-1 when doc_id%4==1 and batch-2 when "
+        "doc_id%4==3, so phase B hits BOTH generations, proving the "
+        "merge; %10==3 appends six novel tokens; rest own text). A "
+        "batch-2 doc that itself copied gen-1 yields an est-1.0 tie "
+        "for its batch-3 copier — resolved to the smallest id (the "
+        "gen-1 original) by the type-safe min-struct tie-break. "
+        "Output: (phase, doc_id, is_known_near, known_of, known_est); "
+        "threshold 0.5, uncapped (capped compaction is "
+        "equivalence-tested in pytest)",
+)
+def d25_index_merge(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    gen1 = d.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    prev2 = d.select(
+        F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext")
+    )
+    b2 = (
+        d.where(F.col("doc_id") % 4 == 2)
+        .join(prev2, F.col("_pid") == F.col("doc_id") - 2, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 8 == 2, F.col("_ptext"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    prev1 = d.select(
+        F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext")
+    )
+    b2prev = b2.select(
+        F.col("doc_id").alias("_bid"), F.col("text").alias("_btext")
+    )
+    eff_prev = F.coalesce(F.col("_btext"), F.col("_ptext"))
+    b3 = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .join(prev1, F.col("_pid") == F.col("doc_id") - 1, "left")
+        .join(b2prev, F.col("_bid") == F.col("doc_id") - 1, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 1, eff_prev)
+            .when(
+                F.col("doc_id") % 10 == 3,
+                F.concat(eff_prev, F.lit(" zq0 zq1 zq2 zq3 zq4 zq5")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    kw = dict(
+        text_col="text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42,
+    )
+    idx1 = dedup_ops.minhash_index_frame(gen1, **kw)
+    out_a = dedup_ops.near_dedup_against_index(
+        b2, idx1, threshold=0.5, max_bucket_size=None, **kw
+    )
+    merged = dedup_ops.merge_minhash_index(
+        idx1, dedup_ops.minhash_index_frame(b2, **kw)
+    )
+    out_b = dedup_ops.near_dedup_against_index(
+        b3, merged, threshold=0.5, max_bucket_size=None, **kw
+    )
+    cols = ["doc_id", "is_known_near", "known_of", "known_est"]
+    return (
+        out_a.select(F.lit("b2").alias("phase"), *cols)
+        .unionByName(out_b.select(F.lit("b3").alias("phase"), *cols))
+    )
