@@ -65,6 +65,16 @@ def _external_decoder():
     return _EXT_CACHE
 
 
+def external_brotli_available() -> bool:
+    """True when a real ``brotli``/``brotlicffi`` wheel is importable in
+    THIS process. Fixture/oracle builders branch on it so the
+    compressed-meta-block arm asserts RECOVERED text in a wheel-present
+    container and the typed refusal without one (VERDICT r13 item 4) —
+    probe it on the driver; local mode and any homogeneous cluster see
+    the same answer on executors."""
+    return _external_decoder() is not None
+
+
 def _external_decode(ext, data: bytes, max_bytes: int) -> bytes:
     """Delegate a full brotli stream to the external module, mapping its
     failures and the size cap onto this module's typed ValueError

@@ -277,8 +277,73 @@ class TestHttpBrArm:
         )
         assert http.parse_http_response(msg)["body"] == body
 
-    def test_compressed_br_surfaces_as_typed_error(self):
+    def test_compressed_br_surfaces_as_typed_error(self, monkeypatch):
+        # pinned to the NO-wheel branch so the assertion holds in a
+        # wheel-present container too (there the delegation raises the
+        # 'external decoder failed' flavor instead)
+        from llm_pretraining_data_pipeline_spark.sources import br
+
+        monkeypatch.setattr(br, "_EXT_CACHE", None)
         enc = bytearray(br_encode_stored(b"x"))
         enc[2] ^= 0x10
         with pytest.raises(ValueError, match="compressed meta-block"):
             http.parse_http_response(self._msg(bytes(enc)))
+
+
+class TestRealWheelEndToEnd:
+    """Wheel-gated (VERDICT r13 item 4): in a container that ships a
+    real brotli/brotlicffi wheel (the Dockerfile installs one), the
+    compressed-br recovery path must decode a REAL stream end-to-end —
+    br_decode, the HTTP split, and the distributed src_warc_http
+    fixture whose cbr arm flips to assert recovered text."""
+
+    pytestmark = pytest.mark.skipif(
+        not __import__(
+            "llm_pretraining_data_pipeline_spark.sources.br",
+            fromlist=["external_brotli_available"],
+        ).external_brotli_available(),
+        reason="no brotli/brotlicffi wheel in this container",
+    )
+
+    def test_real_compressed_stream_recovers(self):
+        from llm_pretraining_data_pipeline_spark.sources.br import (
+            _external_decoder,
+        )
+
+        body = b"real entropy-coded page content, repeated enough " * 64
+        enc = _external_decoder().compress(body)
+        assert br_decode(enc) == body
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: br\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(enc) + enc
+        )
+        assert http.parse_http_response(msg)["body"] == body
+
+    def test_fixture_compressed_arm_recovers_text(self, spark):
+        import pyspark.sql.functions as F
+
+        from llm_pretraining_data_pipeline_spark import queries_ext as QX
+        from llm_pretraining_data_pipeline_spark.sources import http as H
+
+        files = QX._warc_http_blobs(
+            spark, "/root/testdata/sf0.001", compressed_br=True
+        )
+        recs = H.warc_http_records(files)
+        cbr = recs.where(
+            (F.col("file_id") % 4 == 0) & (F.col("file_id") % 3 != 0)
+            & (F.col("file_id") % 5 != 0) & (F.col("file_id") % 7 != 0)
+            & (F.col("file_id") % 8 == 4) & (F.col("file_id") % 37 != 0)
+        ).collect()
+        assert cbr, "fixture has no cbr rows at this SF"
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/documents.parquet"
+            ).collect()
+        }
+        # wheel container: EVERY cbr row recovers (real compressed
+        # streams decode; empty bodies ship stored-empty, also ok)
+        for r in cbr:
+            assert r["http_ok"] is True
+            assert bytes(r["body"]).decode("utf-8") == docs[r["file_id"]]
