@@ -1249,12 +1249,13 @@ def minhash_index_frame(
 ) -> DataFrame:
     """Persistable MinHash-LSH index of a corpus — the NEAR-dup twin of
     ``dedup_against_snapshot``'s hash manifest: one row per (doc, band),
-    ``(id, band_id, band_sig, sig)``, text never stored. Write it
-    partitioned/bucketed by ``(band_id, band_sig)`` at snapshot time;
-    each nightly batch then joins its own band keys against the stored
-    index (``near_dedup_against_index``) without re-reading or
-    re-hashing a byte of historical text — the FineWeb/Dolma
-    keep-the-index-not-the-corpus discipline.
+    ``(id, band_id, band_sig, sig)``, text never stored. Persist it with
+    ``write_minhash_index`` (partitionBy(band_id, sig_bucket)) at
+    snapshot time; each nightly batch then reads ONLY the partitions its
+    own band keys touch (``near_dedup_against_stored_index``) without
+    re-reading or re-hashing a byte of historical text — the
+    FineWeb/Dolma keep-the-index-not-the-corpus discipline, and grow it
+    night over night with ``merge_minhash_index``.
 
     The per-doc signature rides every banded row (``bands`` copies of
     ``num_hashes`` ints ≈ 1-2 KB/doc at the defaults) so the verify
