@@ -1444,33 +1444,16 @@ def near_dup_verdicts_against_index(
         F.col("id").alias("_old_id"), F.col("sig").alias("_old_sig"),
     )
     if max_bucket_size is not None:
-        # keep each bucket's max_bucket_size smallest ids (the canonical
-        # members). Sort-based window, NOT a collect_list-and-slice: the
-        # cap exists precisely for pathological boilerplate buckets, and
-        # an aggregation buffer holding a multi-million-member array of
-        # (id, sig~32 ints) structs can OOM an executor, while a window
-        # sort spills through the external sorter — per-task memory is
-        # bounded regardless of bucket size (ADVICE r13). dense_rank
-        # counts DISTINCT ids, so duplicate (id, band) index rows never
-        # eat cap slots; the lag predicate drops the duplicate rows
-        # themselves (a well-formed minhash_index_frame has none — this
-        # is defensive for hand-built indexes, which the pytest fixtures
-        # exercise; duplicate rows are assumed to carry the same sig,
-        # since one doc has one signature). Each surviving row is then
-        # annotated with ALL the bands its old_id survived in
-        # (_surv_bands) — the witness below must pick the minimum
-        # matching band AMONG THOSE, or a pair whose old doc was
-        # cap-evicted from its globally-minimum matching band's bucket
-        # would never be emitted at all (review-of-self, r13).
-        w = Window.partitionBy("band_id", "band_sig").orderBy("_old_id")
-        capped = (
-            idx.withColumn("_prev", F.lag("_old_id").over(w))
-            .withColumn("_rk", F.dense_rank().over(w))
-            .where(
-                (F.col("_prev").isNull() | (F.col("_prev") != F.col("_old_id")))
-                & (F.col("_rk") <= max_bucket_size)
-            )
-            .select("band_id", "band_sig", "_old_id", "_old_sig")
+        # keep each bucket's max_bucket_size smallest distinct ids (the
+        # canonical members — spill-safety and duplicate-row rationale
+        # in _cap_bucket_members). Each surviving row is then annotated
+        # with ALL the bands its old_id survived in (_surv_bands) — the
+        # witness below must pick the minimum matching band AMONG
+        # THOSE, or a pair whose old doc was cap-evicted from its
+        # globally-minimum matching band's bucket would never be
+        # emitted at all (review-of-self, r13).
+        capped = _cap_bucket_members(idx, "_old_id", max_bucket_size).select(
+            "band_id", "band_sig", "_old_id", "_old_sig"
         )
         surv = capped.groupBy("_old_id").agg(
             F.collect_set("band_id").alias("_surv_bands")
@@ -1518,6 +1501,33 @@ def near_dup_verdicts_against_index(
             F.col("_old_id").alias("known_of"),
             F.round(est, 6).alias("known_est"),
         )
+    )
+
+
+def _cap_bucket_members(df: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Keep each ``(band_id, band_sig)`` bucket's ``cap`` smallest
+    DISTINCT ids — the ONE bucket-cap definition shared by the
+    against-index read path and ``merge_minhash_index`` compaction (a
+    semantics fix applied to one site but not the other would silently
+    diverge them — review finding r14). Sort-based window, NOT a
+    collect_list-and-slice: the cap exists precisely for pathological
+    boilerplate buckets, and an aggregation buffer holding a
+    multi-million-member array of (id, sig) structs can OOM an
+    executor, while a window sort spills through the external sorter —
+    per-task memory is bounded regardless of bucket size (ADVICE r13).
+    ``dense_rank`` counts DISTINCT ids, so duplicate (id, band) rows
+    never eat cap slots; the lag predicate drops the duplicate rows
+    themselves (duplicates are assumed to carry the same sig, since one
+    doc has one signature)."""
+    w = Window.partitionBy("band_id", "band_sig").orderBy(id_col)
+    return (
+        df.withColumn("_prev", F.lag(id_col).over(w))
+        .withColumn("_rk", F.dense_rank().over(w))
+        .where(
+            (F.col("_prev").isNull() | (F.col("_prev") != F.col(id_col)))
+            & (F.col("_rk") <= cap)
+        )
+        .drop("_prev", "_rk")
     )
 
 
@@ -1621,7 +1631,26 @@ def read_minhash_index_for_batch(
         cond = arm if cond is None else cond | arm
     if cond is None:  # empty batch (no shingled docs): scan nothing
         cond = F.lit(False)
-    pruned = spark.read.parquet(index_path).where(cond)
+    try:
+        pruned = spark.read.parquet(index_path).where(cond)
+    except Exception:
+        # bootstrap night: an EMPTY index write leaves only _SUCCESS, so
+        # the read cannot infer a schema. The in-memory path flags every
+        # doc is_known_near=false for an empty index — the stored path
+        # must not narrow that contract (review finding r14). id/sig
+        # types are taken from the batch (known_of is all-null anyway).
+        from pyspark.sql import types as T
+
+        nb = new_banded.schema
+        pruned = spark.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("id", nb["_new_id"].dataType, True),
+                T.StructField("band_id", nb["band_id"].dataType, True),
+                T.StructField("band_sig", nb["band_sig"].dataType, True),
+                T.StructField("sig", nb["_new_sig"].dataType, True),
+            ]),
+        )
     return pruned, new_banded
 
 
@@ -1665,6 +1694,7 @@ def merge_minhash_index(
     delta: DataFrame,
     max_bucket_size: int | None = None,
     id_col_out: str = "id",
+    dedupe_ids: bool = True,
 ) -> DataFrame:
     """Merge a new batch's ``minhash_index_frame`` rows INTO a persisted
     index so consecutive nights dedup against night N−1 without a
@@ -1674,33 +1704,35 @@ def merge_minhash_index(
     delta's partitions with ``mode="append"`` when no compaction is
     wanted — parquet partition dirs compose).
 
-    ``max_bucket_size=None`` (default) is a pure ``unionByName`` —
-    ZERO shuffle, the append-only nightly path. A re-ingested doc id
-    present in both sides contributes duplicate rows in that mode;
-    callers that re-crawl anti-join the delta's ids first (the
-    ``dedup_against_snapshot`` discipline) or pass ``max_bucket_size``,
-    whose compaction also collapses duplicates. With a cap, each
-    ``(band_id, band_sig)`` bucket keeps its ``max_bucket_size``
-    smallest DISTINCT ids — the same spill-safe lag + dense_rank window
-    as the read-side cap (one sorted shuffle, no unbounded aggregation
-    buffer), so a bucket fed by boilerplate every night stays bounded
-    instead of growing without limit. Cap semantics match the read-side
-    star cap: evicted members are represented by the bucket's canonical
-    (smallest-id) survivors.
+    ``dedupe_ids=True`` (default) anti-joins the delta against the
+    index's distinct ids first, so a RE-INGESTED doc never lands twice
+    — duplicate (id, band) rows would make the merged index violate
+    ``near_dup_verdicts_against_index``'s one-row-per-pair contract in
+    the uncapped/streaming mode (review finding r14). The anti-join
+    shuffles only narrow id projections (the ``dedup_against_snapshot``
+    discipline). Callers whose generations are disjoint by construction
+    pass ``dedupe_ids=False`` for a pure ``unionByName`` — ZERO
+    shuffle, the append-only nightly fast path.
+
+    With ``max_bucket_size``, each ``(band_id, band_sig)`` bucket keeps
+    its cap smallest DISTINCT ids via ``_cap_bucket_members`` — the
+    SAME spill-safe lag + dense_rank window as the read-side cap (one
+    sorted shuffle, no unbounded aggregation buffer; also collapses any
+    remaining duplicate rows), so a bucket fed by boilerplate every
+    night stays bounded instead of growing without limit. Cap semantics
+    match the read-side star cap: evicted members are represented by
+    the bucket's canonical (smallest-id) survivors.
     """
     cols = [id_col_out, "band_id", "band_sig", "sig"]
-    merged = index.select(*cols).unionByName(delta.select(*cols))
+    delta = delta.select(*cols)
+    if dedupe_ids:
+        known = index.select(F.col(id_col_out)).distinct()
+        delta = delta.join(known, id_col_out, "left_anti")
+    merged = index.select(*cols).unionByName(delta)
     if max_bucket_size is None:
         return merged
-    w = Window.partitionBy("band_id", "band_sig").orderBy(id_col_out)
-    return (
-        merged.withColumn("_prev", F.lag(id_col_out).over(w))
-        .withColumn("_rk", F.dense_rank().over(w))
-        .where(
-            (F.col("_prev").isNull() | (F.col("_prev") != F.col(id_col_out)))
-            & (F.col("_rk") <= max_bucket_size)
-        )
-        .select(*cols)
+    return _cap_bucket_members(merged, id_col_out, max_bucket_size).select(
+        *cols
     )
 
 

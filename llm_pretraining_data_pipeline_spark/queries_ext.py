@@ -560,17 +560,19 @@ def d07_simhash_pairs(spark, sf_dir):
 # ==================================================================== IVF
 
 
-_IVF_STAGING_REGISTERED: set = set()
+_STAGING_REGISTERED: set = set()
 
 
-def _ivf_staging_path(sf_dir: str) -> str:
-    """Deterministic per-(sf_dir, process) IVF index staging dir.
+def _staging_path(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(kind, sf_dir, process) on-disk staging dir for
+    queries that persist an index before reading it back (IVF, MinHash).
 
     Keyed by sf_dir hash so repeated invocations in one process REUSE the
     same directory (overwrite mode) instead of accumulating a fresh
     mkdtemp per call; keyed by pid so concurrent sessions on this shared
     VM (bench + driver) never overwrite each other's partitions mid-scan.
-    Removed at interpreter exit via atexit."""
+    Removed at interpreter exit via atexit. ONE lifecycle definition for
+    every staged index (review finding r14)."""
     import atexit
     import hashlib
     import os
@@ -579,12 +581,17 @@ def _ivf_staging_path(sf_dir: str) -> str:
 
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ivf_{key}_pid{os.getpid()}"
+        tempfile.gettempdir(), f"spark_graft_{kind}_{key}_pid{os.getpid()}"
     )
-    if root not in _IVF_STAGING_REGISTERED:
-        _IVF_STAGING_REGISTERED.add(root)
+    if root not in _STAGING_REGISTERED:
+        _STAGING_REGISTERED.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return os.path.join(root, "index")
+
+
+def _ivf_staging_path(sf_dir: str) -> str:
+    """IVF staging dir — the shared ``_staging_path`` lifecycle."""
+    return _staging_path("ivf", sf_dir)
 
 
 @register(
@@ -2032,12 +2039,23 @@ def _warc_http_blobs(
                             # recover the body byte-identically through
                             # the external-decode delegation (the arm
                             # collapses into the plain br arm — the
-                            # oracle's cbr branch is FALSE here)
+                            # oracle's cbr branch is FALSE here). The
+                            # probe is re-run in THIS (executor)
+                            # process: a driver-has-wheel /
+                            # executor-lacks-wheel cluster gets a
+                            # typed error, not an AttributeError.
                             from llm_pretraining_data_pipeline_spark.sources.br import (
                                 _external_decoder,
                             )
 
-                            enc = _external_decoder().compress(body)
+                            mod = _external_decoder()
+                            if mod is None:
+                                raise RuntimeError(
+                                    "brotli wheel importable on the "
+                                    "driver but missing on this "
+                                    "executor — install it cluster-wide"
+                                )
+                            enc = mod.compress(body)
                         else:
                             # no wheel: flip the first meta-block's
                             # ISUNCOMPRESSED bit -> the typed refusal.
@@ -5468,28 +5486,10 @@ def f23_frontier_polite(spark, sf_dir):
     return out.select("surt", "url", "n_sources", "crawl_delay")
 
 
-_CDXJ_STAGING_REGISTERED: set = set()
-
-
 def _cdxj_staging_path(sf_dir: str) -> str:
-    """Deterministic per-(sf_dir, process) CDXJ sidecar staging dir —
-    the IVF staging pattern: reused across invocations in one process
-    (write_cdxj overwrites), pid-keyed so concurrent sessions on this
-    shared VM never clobber each other, removed at interpreter exit."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_cdxj_{key}_pid{os.getpid()}"
-    )
-    if root not in _CDXJ_STAGING_REGISTERED:
-        _CDXJ_STAGING_REGISTERED.add(root)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return os.path.join(root, "sidecar")
+    """CDXJ sidecar staging dir — the shared ``_staging_path``
+    lifecycle (write_cdxj overwrites across invocations)."""
+    return _staging_path("cdxj", sf_dir)
 
 
 @register(
@@ -7792,28 +7792,11 @@ def ev_stream_near_index(spark, sf_dir):
     return drained.select("new_id", "known_of", "known_est")
 
 
-_MHIDX_STAGING_REGISTERED: set = set()
-
-
 def _mhidx_staging_path(sf_dir: str) -> str:
     """Deterministic per-(sf_dir, process) staging dir for the persisted
-    MinHash index — same lifecycle discipline as ``_ivf_staging_path``:
-    reused (overwrite mode) within a process, pid-keyed so concurrent
-    sessions never clobber each other, removed at interpreter exit."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_mhidx_{key}_pid{os.getpid()}"
-    )
-    if root not in _MHIDX_STAGING_REGISTERED:
-        _MHIDX_STAGING_REGISTERED.add(root)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return os.path.join(root, "index")
+    MinHash index — the shared ``_staging_path`` lifecycle (reused
+    within a process, pid-keyed, removed at interpreter exit)."""
+    return _staging_path("mhidx", sf_dir)
 
 
 @register(
@@ -8103,8 +8086,11 @@ def d25_index_merge(spark, sf_dir):
     out_a = dedup_ops.near_dedup_against_index(
         b2, idx1, threshold=0.5, max_bucket_size=None, **kw
     )
+    # generations are disjoint id classes by construction (%4==0 vs
+    # %4==2), so the ZERO-shuffle append fast path is the refereed one;
+    # the safe default's re-ingest anti-join is pytest-pinned
     merged = dedup_ops.merge_minhash_index(
-        idx1, dedup_ops.minhash_index_frame(b2, **kw)
+        idx1, dedup_ops.minhash_index_frame(b2, **kw), dedupe_ids=False
     )
     out_b = dedup_ops.near_dedup_against_index(
         b3, merged, threshold=0.5, max_bucket_size=None, **kw

@@ -24,7 +24,16 @@ import sys
 import time
 
 
-def run_once(env: dict) -> dict:
+def run_once(env: dict, run_idx: int) -> dict:
+    # read the FULL record from BENCH_JSON_OUT, not stdout: bench.py's
+    # LAST stdout line is the compact fallback (no meta, 2dp queries) —
+    # parsing it would silently drop every meta:* summary entry
+    # (review finding r14)
+    out_file = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"quiet_bench_run{run_idx}.json"
+    )
+    env = dict(env)
+    env["BENCH_JSON_OUT"] = out_file
     proc = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
         capture_output=True,
@@ -34,8 +43,10 @@ def run_once(env: dict) -> dict:
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         raise SystemExit(f"bench.py failed with rc={proc.returncode}")
-    last = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()][-1]
-    return json.loads(last)
+    with open(out_file) as fh:
+        rec = json.load(fh)
+    os.unlink(out_file)
+    return rec
 
 
 def summarize(runs: list[dict]) -> dict:
@@ -69,7 +80,7 @@ def main() -> int:
     runs = []
     for i in range(n_runs):
         t0 = time.time()
-        rec = run_once(env)
+        rec = run_once(env, i)
         rec["_wall_sec"] = round(time.time() - t0, 1)
         runs.append(rec)
         print(

@@ -1432,7 +1432,10 @@ class TestStoredMinhashIndex:
         )
         i1 = dedup.minhash_index_frame(gen1, "text")
         i2 = dedup.minhash_index_frame(gen2, "text")
-        merged = dedup.merge_minhash_index(i1, i2)
+        # disjoint generations: dedupe_ids=False is the ZERO-shuffle
+        # append fast path (the safe default's anti-join is covered by
+        # test_merge_default_drops_reingested_ids)
+        merged = dedup.merge_minhash_index(i1, i2, dedupe_ids=False)
         assert "Exchange" not in (
             merged._jdf.queryExecution().executedPlan().toString()
         )
@@ -1461,7 +1464,11 @@ class TestStoredMinhashIndex:
         )
         i1 = dedup.minhash_index_frame(gen1, "text")
         i2 = dedup.minhash_index_frame(delta, "text")
-        merged = dedup.merge_minhash_index(i1, i2, max_bucket_size=2)
+        # dedupe_ids=False: the CAP's window must collapse the duplicate
+        # rows on its own (dedupe_ids=True would remove them upstream)
+        merged = dedup.merge_minhash_index(
+            i1, i2, max_bucket_size=2, dedupe_ids=False
+        )
         per_bucket = (
             merged.groupBy("band_id", "band_sig")
             .agg(F.collect_set("id").alias("ids"), F.count("*").alias("n"))
@@ -1471,3 +1478,53 @@ class TestStoredMinhashIndex:
             # 2 smallest distinct ids; duplicate (11, band) rows collapsed
             assert sorted(r["ids"]) == [10, 11]
             assert r["n"] == 2
+
+    def test_merge_default_drops_reingested_ids(self, spark):
+        # review finding r14: a re-ingested id must not land twice in an
+        # UNCAPPED merged index — duplicate (id, band) rows would break
+        # near_dup_verdicts_against_index's one-row-per-pair contract
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        txt = "same boilerplate text repeated across mirror hosts ok"
+        gen1 = spark.createDataFrame(
+            [(10, txt), (12, txt)], "doc_id long, text string"
+        )
+        delta = spark.createDataFrame(
+            [(10, txt), (14, txt)], "doc_id long, text string"
+        )
+        i1 = dedup.minhash_index_frame(gen1, "text")
+        i2 = dedup.minhash_index_frame(delta, "text")
+        merged = dedup.merge_minhash_index(i1, i2)  # default dedupe_ids
+        counts = (
+            merged.groupBy("id", "band_id").count()
+            .where(F.col("count") > 1).count()
+        )
+        assert counts == 0
+        assert sorted(
+            r["id"] for r in merged.select("id").distinct().collect()
+        ) == [10, 12, 14]
+        new = spark.createDataFrame([(101, txt)], "doc_id long, text string")
+        pairs = dedup.near_dup_verdicts_against_index(
+            new, merged, threshold=0.5
+        ).collect()
+        assert sorted(
+            (r["new_id"], r["known_of"]) for r in pairs
+        ) == [(101, 10), (101, 12), (101, 14)]
+
+    def test_empty_stored_index_flags_all_false(self, spark, tmp_path):
+        # review finding r14 (bootstrap night): an EMPTY persisted index
+        # must flag every batch doc false, not crash the parquet read
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        path = str(tmp_path / "mh_empty")
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(empty, "text"), path, sig_buckets=8
+        )
+        new = spark.createDataFrame(
+            [(1, self.SNAP[0][1])], "doc_id long, text string"
+        )
+        got = dedup.near_dedup_against_stored_index(
+            new, path, sig_buckets=8
+        ).collect()[0]
+        assert got["is_known_near"] is False and got["known_of"] is None
