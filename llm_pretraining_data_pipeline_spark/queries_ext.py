@@ -7703,9 +7703,11 @@ def d23_near_index(spark, sf_dir):
     return out.select("doc_id", "is_known_near", "known_of", "known_est")
 
 
-@register(
-    "ev_stream_near_index",
-    f"""
+# shared referee for the streaming near-index pair: the in-memory
+# static side (ev_stream_near_index) and the PERSISTED partitioned
+# static side (ev_stream_near_stored) must produce the identical
+# distinct thresholded pair set.
+_EV_NEAR_INDEX_SQL = f"""
     WITH snap AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
     ),
@@ -7757,7 +7759,12 @@ def d23_near_index(spark, sf_dir):
     FROM cand
     WHERE cast(len(list_filter(range(1, 33), j -> ns[j] = os[j]))
           as double) / 32.0 >= 0.5
-    """,
+    """
+
+
+@register(
+    "ev_stream_near_index",
+    _EV_NEAR_INDEX_SQL,
     doc="STREAMING incremental NEAR dedup (streaming/events.py::"
         "run_near_index_stream_once — 18th streaming query): new "
         "documents arrive as a stream and each micro-batch band-joins "
@@ -7792,11 +7799,59 @@ def ev_stream_near_index(spark, sf_dir):
     return drained.select("new_id", "known_of", "known_est")
 
 
+@register(
+    "ev_stream_near_stored",
+    _EV_NEAR_INDEX_SQL,
+    doc="STREAMING incremental NEAR dedup against the PERSISTED "
+        "partitioned LSH index (19th streaming query, round 14): the "
+        "operational capture-time composition — last night's on-disk "
+        "write_minhash_index table (partitionBy(band_id, sig_bucket)) "
+        "is the stream-static side, read straight from parquet, so "
+        "documents are flagged as near-duplicates of the historical "
+        "corpus the moment they arrive, with NO in-memory index "
+        "rebuild. Shares ev_stream_near_index's fixture and referee "
+        "(the identical distinct thresholded pair set proves the "
+        "persisted layout — extra sig_bucket partition column and all "
+        "— feeds the same stateless witness join); "
+        "operators/dedup.py::near_dup_verdicts_against_index is still "
+        "the single implementation, append mode, stateOperators == []",
+)
+def ev_stream_near_stored(spark, sf_dir):
+    from llm_pretraining_data_pipeline_spark.streaming.events import (
+        run_near_index_stream_once,
+    )
+
+    path, newb = _stage_near_index(spark, sf_dir)
+    drained = run_near_index_stream_once(
+        spark, newb, spark.read.parquet(path),
+        stage_key=f"near_stored:{sf_dir}",
+        text_col="text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42, threshold=0.5,
+    )
+    return drained.select("new_id", "known_of", "known_est")
+
+
 def _mhidx_staging_path(sf_dir: str) -> str:
     """Deterministic per-(sf_dir, process) staging dir for the persisted
     MinHash index — the shared ``_staging_path`` lifecycle (reused
     within a process, pid-keyed, removed at interpreter exit)."""
     return _staging_path("mhidx", sf_dir)
+
+
+def _stage_near_index(spark, sf_dir):
+    """Build d23's snapshot LSH index and persist it partitioned —
+    shared by d24_pruned_index (batch pruned read) and
+    ev_stream_near_stored (stream-static side); same params, same
+    staging path, overwrite mode, so repeated invocations in one
+    process reuse the artifact."""
+    snap, newb = _near_index_frames(spark, sf_dir)
+    idx = dedup_ops.minhash_index_frame(
+        snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42,
+    )
+    path = _mhidx_staging_path(sf_dir)
+    dedup_ops.write_minhash_index(idx, path, sig_buckets=16)
+    return path, newb
 
 
 @register(
@@ -7884,14 +7939,8 @@ def _mhidx_staging_path(sf_dir: str) -> str:
         "append / rest own text); threshold 0.5, uncapped",
 )
 def d24_pruned_index(spark, sf_dir):
-    snap, newb_all = _near_index_frames(spark, sf_dir)
+    path, newb_all = _stage_near_index(spark, sf_dir)
     newb = newb_all.where(F.col("doc_id") % 8 == 1)
-    idx = dedup_ops.minhash_index_frame(
-        snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
-        bands=8, seed=42,
-    )
-    path = _mhidx_staging_path(sf_dir)
-    dedup_ops.write_minhash_index(idx, path, sig_buckets=16)
     out = dedup_ops.near_dedup_against_stored_index(
         newb, path, text_col="text", id_col="doc_id", shingle_size=3,
         num_hashes=32, bands=8, seed=42, threshold=0.5,

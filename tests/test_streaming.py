@@ -867,3 +867,43 @@ class TestNearIndexStream:
             new, idx, threshold=0.5
         ).collect()
         assert len(rows) == 1
+
+    def test_persisted_partitioned_index_as_static_side(self, spark, tmp_path):
+        # ev_stream_near_stored's shape (round 14): the stream-static
+        # side is the PERSISTED write_minhash_index table read straight
+        # from parquet (extra sig_bucket partition column and all) —
+        # same verdicts, still stateless
+        import tempfile
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(self.SNAP, "doc_id long, text string")
+        new = spark.createDataFrame(self.NEW, "doc_id long, text string")
+        path = str(tmp_path / "mh_idx")
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(snap, "text"), path, sig_buckets=8
+        )
+        stage = tempfile.mkdtemp(prefix="near_stored_stage_")
+        new.write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = spark.readStream.schema(schema).parquet(stage)
+        out = dedup.near_dup_verdicts_against_index(
+            stream, spark.read.parquet(path), threshold=0.5
+        )
+        ckpt = tempfile.mkdtemp(prefix="near_stored_ckpt_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("near_stored_stateless").outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert q.lastProgress["stateOperators"] == []
+        finally:
+            q.stop()
+        got = {
+            (r["new_id"], r["known_of"], r["known_est"])
+            for r in spark.sql("select * from near_stored_stateless").collect()
+        }
+        assert got == {(11, 0, 1.0)}
