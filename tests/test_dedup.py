@@ -1511,6 +1511,39 @@ class TestStoredMinhashIndex:
             (r["new_id"], r["known_of"]) for r in pairs
         ) == [(101, 10), (101, 12), (101, 14)]
 
+    def test_append_mode_composes_partition_dirs(self, spark, tmp_path):
+        # write_minhash_index(mode="append"): night N's delta partitions
+        # land beside night N-1's in the same layout, and the pruned
+        # reader sees BOTH generations — the on-disk counterpart of
+        # merge_minhash_index for disjoint ids
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        gen1 = spark.createDataFrame(
+            [self.SNAP[0]], "doc_id long, text string"
+        )
+        gen2 = spark.createDataFrame(
+            [self.SNAP[1]], "doc_id long, text string"
+        )
+        path = str(tmp_path / "mh_gen")
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(gen1, "text"), path, sig_buckets=8
+        )
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(gen2, "text"), path, sig_buckets=8,
+            mode="append",
+        )
+        new = spark.createDataFrame(
+            [(101, self.SNAP[0][1]), (103, self.SNAP[1][1])],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["known_of"]
+            for r in dedup.near_dedup_against_stored_index(
+                new, path, threshold=0.5, sig_buckets=8
+            ).collect()
+        }
+        assert got == {101: 0, 103: 2}
+
     def test_empty_stored_index_flags_all_false(self, spark, tmp_path):
         # review finding r14 (bootstrap night): an EMPTY persisted index
         # must flag every batch doc false, not crash the parquet read
