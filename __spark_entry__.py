@@ -238,13 +238,16 @@ _PRIORITY_R12 = [
 ]
 
 # Round-14 priority (the driver caps each round at 50 rows): (a) the
-# three queries NEW this round — d24_pruned_index (the persisted LSH
+# four queries NEW this round — d24_pruned_index (the persisted LSH
 # index written partitionBy(band_id, sig_bucket) and consumed via a
 # provably PRUNED selective read, VERDICT r13 item 1),
 # d25_index_merge (two-generation index maintenance:
 # merge_minhash_index append + flag night N against night N-1,
-# VERDICT r13 item 6) and ev_stream_near_stored (19th streaming
-# query: the persisted partitioned index as the stream-static side);
+# VERDICT r13 item 6), ev_stream_near_stored (19th streaming
+# query: the persisted partitioned index as the stream-static side)
+# and d26_split_index (the split-sig index layout: signature stored
+# once per doc, bands+sigs tables rejoined at read — shares d24's
+# referee, so hash equality proves layout never changes semantics);
 # (b) the four queries whose implementation
 # CHANGED this round — d23_near_index + ev_stream_near_index (ADVICE
 # r13: spill-safe window bucket cap, type-safe min-struct tie-break)
@@ -252,7 +255,7 @@ _PRIORITY_R12 = [
 # resolve_revisits LF-terminator fallback; the sha1-raw identity no
 # longer requires a successful strict HTTP split); (c) the full 26-row
 # r8-stale tail (VERDICT r13 item 4 — exact list from the r13
-# comment); (d) 17 of the 43 r9-stale rows (alphabetical slice). The
+# comment); (d) 16 of the 43 r9-stale rows (alphabetical slice). The
 # remaining 25 r9-stale rows — d20_quality_dedup, d21_winnowing,
 # d22_winnow_pairs, emb_decontaminate, emb_ivf_recall_trained,
 # emb_ivf_topk, emb_kmeans_stats, emb_matryoshka_recall, emb_pq_topk,
@@ -261,11 +264,13 @@ _PRIORITY_R12 = [
 # o04_source_quota, p08_model_quality, p10_non_latin_ratio,
 # p20_quality_score, p22_tokenize, p28_lm_logprob,
 # p39_calibration_curve, s04_jsonl_projection, u02_intersect_except —
-# refresh in r15, plus d19_bloom_dedup (r9-stale; yielded its slot to
-# ev_stream_near_stored, verified green via check_oracle in-session).
+# refresh in r15, plus d19_bloom_dedup and d18_minhash_est_error_lsh
+# (r9-stale; yielded their slots to ev_stream_near_stored and
+# d26_split_index, both verified green via check_oracle in-session).
 _PRIORITY_R14 = [
     # (a) new this round
     "d24_pruned_index", "d25_index_merge", "ev_stream_near_stored",
+    "d26_split_index",
     # (b) changed this round
     "d23_near_index", "ev_stream_near_index", "s13_warc_revisit",
     "s16_revisit_index",
@@ -279,13 +284,13 @@ _PRIORITY_R14 = [
     "p17_canonicalize", "p22e_token_contract", "rel_q7_volume_shipping",
     "rel_q8_market_share", "rel_q9_product_profit", "rel_q15_top_supplier",
     "rel_q21_waiting_suppliers", "u01_union_by_name",
-    # (d) r9-stale, 17 of 43 (alphabetical slice)
+    # (d) r9-stale, 16 of 43 (alphabetical slice)
     "a17_ks_drift", "a19_type_token_stats", "a20_vocab_coverage",
     "a21_psi_drift", "a22_countmin_sketch", "corp_chunk_spans",
     "corp_domain_pagerank", "corp_dsir_select", "corp_tfidf_top3",
     "corp_token_budget", "d01_exact_dedup", "d02_near_dedup",
     "d03_minhash_lsh_pairs", "d08_minhash_dedup", "d09_incremental_dedup",
-    "d17_minhash_est_error", "d18_minhash_est_error_lsh",
+    "d17_minhash_est_error",
 ]
 
 # Round-13 priority (the driver caps each round at 50 rows): (a) the

@@ -1036,6 +1036,52 @@ def main() -> int:
         meta["near_index_files_read_pct"] = round(
             100.0 * files_read / max(files_total, 1), 1
         )
+
+        # split-sig layout (round 14): signature stored ONCE per doc
+        # (bands table + sigs table, rejoined at read) — measure the
+        # storage saving against the duplicated layout and the full
+        # flag step through the rejoin read path; the flag count is the
+        # in-bench referee (layout must never change semantics)
+        def _dir_bytes(p):
+            total = 0
+            for root, _, names in os.walk(p):
+                for nm in names:
+                    total += os.path.getsize(os.path.join(root, nm))
+            return total
+
+        timed(
+            "near_index_split_build",
+            lambda: DD.write_minhash_index(
+                DD.minhash_index_frame(ni_snap, "text"),
+                f"{ni_dir}/idx_split",
+                sig_buckets=NI_SIG_BUCKETS,
+                split_sig=True,
+            ),
+        )
+        ni_split = timed(
+            "near_index_split_e2e",
+            lambda: DD.near_dedup_against_stored_index(
+                ni_new,
+                f"{ni_dir}/idx_split",
+                threshold=0.7,
+                sig_buckets=NI_SIG_BUCKETS,
+                split_sig=True,
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("is_known_near").cast("long")).alias("flagged"),
+            )
+            .collect()[0],
+        )
+        assert int(ni_split["n"]) == n_ni and int(
+            ni_split["flagged"] or 0
+        ) == int(ni_flagged["flagged"] or 0), "split-sig layout drift"
+        meta["near_index_bytes"] = int(_dir_bytes(f"{ni_dir}/idx"))
+        meta["near_index_split_bytes"] = int(_dir_bytes(f"{ni_dir}/idx_split"))
+        meta["near_index_split_bytes_ratio"] = round(
+            meta["near_index_split_bytes"] / max(meta["near_index_bytes"], 1),
+            3,
+        )
     finally:
         shutil.rmtree(ni_dir, ignore_errors=True)
 

@@ -1543,6 +1543,7 @@ def write_minhash_index(
     path: str,
     sig_buckets: int = 64,
     mode: str = "overwrite",
+    split_sig: bool = False,
 ) -> None:
     """Materialise a ``minhash_index_frame`` partitioned for selective
     reads: ``partitionBy(band_id, sig_bucket)`` where ``sig_bucket`` is a
@@ -1560,7 +1561,38 @@ def write_minhash_index(
     of one partition land in one task). At 100 TB the knob grows with
     the index so a partition stays executor-sized; the reader must pass
     the SAME value (it re-derives bucket ids with ``_sig_bucket``).
+
+    ``split_sig=True`` stores the signature ONCE per doc instead of
+    once per (doc, band): a narrow ``{path}/bands`` table
+    ``(id, band_id, band_sig)`` partitioned as above, plus a
+    ``{path}/sigs`` table ``(id, sig)`` — ~``bands``× less signature
+    bytes on disk (round-14 measurement in BENCH meta:
+    ``near_index_split_bytes`` vs ``near_index_bytes``). The reader
+    reconstructs the duplicated view with one narrow equi-join on id,
+    so every against-index consumer is layout-blind; the join is the
+    read-time price of the storage saving — pick per corpus. The
+    reader must pass the same ``split_sig`` (the layouts live in
+    different subdirectories, a mismatch fails fast on the read).
     """
+    if split_sig:
+        bands = index.select("id", "band_id", "band_sig").withColumn(
+            "sig_bucket", _sig_bucket(F.col("band_sig"), sig_buckets)
+        )
+        (
+            bands.repartition("band_id", "sig_bucket")
+            .write.mode(mode)
+            .partitionBy("band_id", "sig_bucket")
+            .parquet(f"{path}/bands")
+        )
+        # one row per doc; duplicate (id, band) inputs collapse (one doc
+        # has one signature, so any surviving row carries the same sig)
+        (
+            index.select("id", "sig")
+            .dropDuplicates(["id"])
+            .write.mode(mode)
+            .parquet(f"{path}/sigs")
+        )
+        return
     (
         index.withColumn("sig_bucket", _sig_bucket(F.col("band_sig"), sig_buckets))
         .repartition("band_id", "sig_bucket")
@@ -1581,13 +1613,18 @@ def read_minhash_index_for_batch(
     seed: int = 42,
     sig_buckets: int = 64,
     checkpoint: bool = True,
+    split_sig: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Selective read of a ``write_minhash_index`` table for one new
     batch: returns ``(pruned_index, new_banded)`` where ``pruned_index``
     scans ONLY the ``(band_id, sig_bucket)`` partitions the batch's own
     band keys touch, and ``new_banded`` is the batch's banded signature
     frame (pass it to the against-index operators via ``new_banded=`` so
-    the batch is hashed once, not twice).
+    the batch is hashed once, not twice). ``split_sig=True`` reads the
+    split layout (narrow pruned bands table + one sigs-per-doc table,
+    reconstructed with a narrow equi-join on id — only the PRUNED
+    bands' ids reach the join, and the runtime bloom-filter rewrite can
+    prefilter the sigs side).
 
     The touched-key collect is bounded by ``bands × sig_buckets`` rows
     (512 at the defaults) regardless of batch or index size — the
@@ -1632,7 +1669,12 @@ def read_minhash_index_for_batch(
     if cond is None:  # empty batch (no shingled docs): scan nothing
         cond = F.lit(False)
     try:
-        pruned = spark.read.parquet(index_path).where(cond)
+        if split_sig:
+            bands_t = spark.read.parquet(f"{index_path}/bands").where(cond)
+            sigs_t = spark.read.parquet(f"{index_path}/sigs")
+            pruned = bands_t.join(sigs_t, "id")
+        else:
+            pruned = spark.read.parquet(index_path).where(cond)
     except Exception:
         # bootstrap night: an EMPTY index write leaves only _SUCCESS, so
         # the read cannot infer a schema. The in-memory path flags every
@@ -1667,6 +1709,7 @@ def near_dedup_against_stored_index(
     max_bucket_size: int | None = 1024,
     sig_buckets: int = 64,
     checkpoint: bool = True,
+    split_sig: bool = False,
 ) -> DataFrame:
     """``near_dedup_against_index`` against a PERSISTED
     ``write_minhash_index`` table, reading only the partitions the new
@@ -1674,12 +1717,14 @@ def near_dedup_against_stored_index(
     batch touching 1% of band keys reads ~1% of the index instead of
     shuffling all of it (VERDICT r13 item 1). Same output contract as
     ``near_dedup_against_index``; see ``read_minhash_index_for_batch``
-    for the pruning mechanics and parameter-matching requirements.
+    for the pruning mechanics and parameter-matching requirements
+    (``split_sig`` must match the writer's layout).
     """
     pruned, new_banded = read_minhash_index_for_batch(
         df, index_path, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, sig_buckets=sig_buckets, checkpoint=checkpoint,
+        split_sig=split_sig,
     )
     return near_dedup_against_index(
         df, pruned, text_col=text_col, id_col=id_col,

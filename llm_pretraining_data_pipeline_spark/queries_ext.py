@@ -7854,9 +7854,10 @@ def _stage_near_index(spark, sf_dir):
     return path, newb
 
 
-@register(
-    "d24_pruned_index",
-    f"""
+# shared referee for the stored-index pair: the monolithic pruned read
+# (d24) and the split-sig layout (d26) are layout choices over the SAME
+# verdict semantics — both must hash-match the full-index computation.
+_D24_SQL = f"""
     WITH snap AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
     ),
@@ -7920,7 +7921,12 @@ def _stage_near_index(spark, sf_dir):
            CASE WHEN best.nid IS NOT NULL
                 THEN round(best.b.e, 6) END AS known_est
     FROM newb LEFT JOIN best ON best.nid = newb.doc_id
-    """,
+    """
+
+
+@register(
+    "d24_pruned_index",
+    _D24_SQL,
     doc="incremental NEAR dedup against a PERSISTED PARTITIONED LSH "
         "index with a provably pruned read (operators/dedup.py::"
         "write_minhash_index + near_dedup_against_stored_index, round "
@@ -7945,6 +7951,41 @@ def d24_pruned_index(spark, sf_dir):
         newb, path, text_col="text", id_col="doc_id", shingle_size=3,
         num_hashes=32, bands=8, seed=42, threshold=0.5,
         max_bucket_size=None, sig_buckets=16,
+    )
+    return out.select("doc_id", "is_known_near", "known_of", "known_est")
+
+
+@register(
+    "d26_split_index",
+    _D24_SQL,
+    doc="incremental NEAR dedup against the SPLIT-SIG persisted index "
+        "layout (operators/dedup.py::write_minhash_index(split_sig="
+        "True), round 14): the signature is stored ONCE per doc (a "
+        "narrow partitioned bands table + a sigs-per-doc table) — "
+        "~bands x less signature bytes on disk than the duplicated "
+        "layout (measured in BENCH meta near_index_split_bytes vs "
+        "near_index_bytes) — and the reader reconstructs the duplicated "
+        "view with one narrow equi-join on id, so every against-index "
+        "consumer is layout-blind. SHARES d24_pruned_index's fixture "
+        "and referee: the oracle computes the FULL-index verdicts from "
+        "first principles, so hash equality proves the split layout "
+        "changes STORAGE, never semantics; bands-table partition "
+        "pruning is plan-pinned in pytest alongside the "
+        "duplicated-layout parity",
+)
+def d26_split_index(spark, sf_dir):
+    snap, newb_all = _near_index_frames(spark, sf_dir)
+    newb = newb_all.where(F.col("doc_id") % 8 == 1)
+    idx = dedup_ops.minhash_index_frame(
+        snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42,
+    )
+    path = _staging_path("mhsplit", sf_dir)
+    dedup_ops.write_minhash_index(idx, path, sig_buckets=16, split_sig=True)
+    out = dedup_ops.near_dedup_against_stored_index(
+        newb, path, text_col="text", id_col="doc_id", shingle_size=3,
+        num_hashes=32, bands=8, seed=42, threshold=0.5,
+        max_bucket_size=None, sig_buckets=16, split_sig=True,
     )
     return out.select("doc_id", "is_known_near", "known_of", "known_est")
 

@@ -1511,6 +1511,45 @@ class TestStoredMinhashIndex:
             (r["new_id"], r["known_of"]) for r in pairs
         ) == [(101, 10), (101, 12), (101, 14)]
 
+    def test_split_sig_layout_is_consumer_blind(self, spark, tmp_path):
+        # split_sig=True stores the signature once per doc (bands table
+        # + sigs table, rejoined at read): same verdicts as the
+        # duplicated layout AND as the in-memory index, pruning intact
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(self.SNAP, "doc_id long, text string")
+        idx = dedup.minhash_index_frame(snap, "text")
+        mono = str(tmp_path / "mono")
+        split = str(tmp_path / "split")
+        dedup.write_minhash_index(idx, mono, sig_buckets=8)
+        dedup.write_minhash_index(idx, split, sig_buckets=8, split_sig=True)
+        new = spark.createDataFrame(
+            [(11, self.SNAP[0][1]),
+             (13, "totally novel text nothing like the snapshot corpus")],
+            "doc_id long, text string",
+        )
+
+        def flags(path, **kw):
+            return {
+                r["doc_id"]: (r["is_known_near"], r["known_of"],
+                              r["known_est"])
+                for r in dedup.near_dedup_against_stored_index(
+                    new, path, threshold=0.5, sig_buckets=8, **kw
+                ).collect()
+            }
+
+        a = flags(mono)
+        b = flags(split, split_sig=True)
+        assert a == b
+        assert a[11] == (True, 0, 1.0)
+        # the bands table still prunes at the file listing
+        pruned, _ = dedup.read_minhash_index_for_batch(
+            new, split, sig_buckets=8, split_sig=True
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "band_id" in pf_line and "sig_bucket" in pf_line
+
     def test_append_mode_composes_partition_dirs(self, spark, tmp_path):
         # write_minhash_index(mode="append"): night N's delta partitions
         # land beside night N-1's in the same layout, and the pruned
