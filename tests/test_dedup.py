@@ -1583,6 +1583,31 @@ class TestStoredMinhashIndex:
         }
         assert got == {101: 0, 103: 2}
 
+    def test_split_append_composes_both_tables(self, spark, tmp_path):
+        # split layout nightly maintenance: mode="append" lands night
+        # N's bands partitions AND sigs rows beside night N-1's
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = str(tmp_path / "mh_split_gen")
+        for rows in ([self.SNAP[0]], [self.SNAP[1]]):
+            gen = spark.createDataFrame(rows, "doc_id long, text string")
+            dedup.write_minhash_index(
+                dedup.minhash_index_frame(gen, "text"), path,
+                sig_buckets=8, split_sig=True,
+                mode="overwrite" if rows == [self.SNAP[0]] else "append",
+            )
+        new = spark.createDataFrame(
+            [(101, self.SNAP[0][1]), (103, self.SNAP[1][1])],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["known_of"]
+            for r in dedup.near_dedup_against_stored_index(
+                new, path, threshold=0.5, sig_buckets=8, split_sig=True
+            ).collect()
+        }
+        assert got == {101: 0, 103: 2}
+
     def test_empty_stored_index_flags_all_false(self, spark, tmp_path):
         # review finding r14 (bootstrap night): an EMPTY persisted index
         # must flag every batch doc false, not crash the parquet read
