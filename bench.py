@@ -1082,6 +1082,29 @@ def main() -> int:
             meta["near_index_split_bytes"] / max(meta["near_index_bytes"], 1),
             3,
         )
+        # the ratio above is duplicate-structure-dependent: THIS fixture
+        # replicates each text ~50x, so the monolithic layout's
+        # duplicated sigs compress as in-file runs and can even beat the
+        # split layout. Real corpora are dominated by UNIQUE docs, where
+        # the split layout wins by construction (sig bytes scale with
+        # docs, not docs x bands) — measured here on the unreplicated
+        # corpus (untimed; small by construction):
+        uq = docs.select("doc_id", "text")
+        DD.write_minhash_index(
+            DD.minhash_index_frame(uq, "text"),
+            f"{ni_dir}/uq_m", sig_buckets=NI_SIG_BUCKETS,
+        )
+        DD.write_minhash_index(
+            DD.minhash_index_frame(uq, "text"),
+            f"{ni_dir}/uq_s", sig_buckets=NI_SIG_BUCKETS, split_sig=True,
+        )
+        uq_m = _dir_bytes(f"{ni_dir}/uq_m")
+        uq_s = _dir_bytes(f"{ni_dir}/uq_s")
+        meta["near_index_unique_bytes"] = int(uq_m)
+        meta["near_index_unique_split_bytes"] = int(uq_s)
+        meta["near_index_unique_split_bytes_ratio"] = round(
+            uq_s / max(uq_m, 1), 3
+        )
     finally:
         shutil.rmtree(ni_dir, ignore_errors=True)
 

@@ -1565,21 +1565,32 @@ def write_minhash_index(
     ``split_sig=True`` stores the signature ONCE per doc instead of
     once per (doc, band): a narrow ``{path}/bands`` table
     ``(id, band_id, band_sig)`` partitioned as above, plus a
-    ``{path}/sigs`` table ``(id, sig)`` — ~``bands``× less signature
-    bytes on disk (round-14 measurement in BENCH meta:
-    ``near_index_split_bytes`` vs ``near_index_bytes``). The reader
+    ``{path}/sigs`` table ``(id, sig)``. Raw signature bytes then scale
+    with docs, not docs×bands; the ON-DISK ratio depends on duplicate
+    structure, because the monolithic layout's duplicated sigs land in
+    the same partition file as their band-mates and compress as runs —
+    measured round 14: **0.28×** on a unique-doc corpus (the real-web
+    shape), 1.13× on the bench's 50×-replicated fixture (both recorded
+    in BENCH meta ``near_index[_unique]_split_bytes_ratio``). The reader
     reconstructs the duplicated view with one narrow equi-join on id,
     so every against-index consumer is layout-blind; the join is the
     read-time price of the storage saving — pick per corpus. The
     reader must pass the same ``split_sig`` (the layouts live in
     different subdirectories, a mismatch fails fast on the read).
     """
+    # sortWithinPartitions before every write (no extra shuffle): rows
+    # sharing a band_sig — mirror-host boilerplate, near-dup clusters —
+    # land adjacent in the file, so parquet page compression and
+    # min/max column stats both bite; the sigs table sorts by the
+    # signature itself for the same locality (identical sigs from
+    # duplicate docs become runs). Write-side cost is a per-task sort.
     if split_sig:
         bands = index.select("id", "band_id", "band_sig").withColumn(
             "sig_bucket", _sig_bucket(F.col("band_sig"), sig_buckets)
         )
         (
             bands.repartition("band_id", "sig_bucket")
+            .sortWithinPartitions("band_sig", "id")
             .write.mode(mode)
             .partitionBy("band_id", "sig_bucket")
             .parquet(f"{path}/bands")
@@ -1589,6 +1600,7 @@ def write_minhash_index(
         (
             index.select("id", "sig")
             .dropDuplicates(["id"])
+            .sortWithinPartitions("sig")
             .write.mode(mode)
             .parquet(f"{path}/sigs")
         )
@@ -1596,6 +1608,7 @@ def write_minhash_index(
     (
         index.withColumn("sig_bucket", _sig_bucket(F.col("band_sig"), sig_buckets))
         .repartition("band_id", "sig_bucket")
+        .sortWithinPartitions("band_sig", "id")
         .write.mode(mode)
         .partitionBy("band_id", "sig_bucket")
         .parquet(path)

@@ -7961,10 +7961,13 @@ def d24_pruned_index(spark, sf_dir):
     doc="incremental NEAR dedup against the SPLIT-SIG persisted index "
         "layout (operators/dedup.py::write_minhash_index(split_sig="
         "True), round 14): the signature is stored ONCE per doc (a "
-        "narrow partitioned bands table + a sigs-per-doc table) — "
-        "~bands x less signature bytes on disk than the duplicated "
-        "layout (measured in BENCH meta near_index_split_bytes vs "
-        "near_index_bytes) — and the reader reconstructs the duplicated "
+        "narrow partitioned bands table + a sigs-per-doc table) — raw "
+        "sig bytes scale with docs, not docs x bands; measured 0.28x "
+        "the duplicated layout on a unique-doc corpus (the real-web "
+        "shape; the bench's replicated fixture compresses mono's "
+        "duplicates as in-file runs, so BOTH ratios are recorded in "
+        "BENCH meta near_index[_unique]_split_bytes_ratio) — and the "
+        "reader reconstructs the duplicated "
         "view with one narrow equi-join on id, so every against-index "
         "consumer is layout-blind. SHARES d24_pruned_index's fixture "
         "and referee: the oracle computes the FULL-index verdicts from "
