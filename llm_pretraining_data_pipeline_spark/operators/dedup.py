@@ -1569,9 +1569,11 @@ def write_minhash_index(
     with docs, not docs×bands; the ON-DISK ratio depends on duplicate
     structure, because the monolithic layout's duplicated sigs land in
     the same partition file as their band-mates and compress as runs —
-    measured round 14: **0.28×** on a unique-doc corpus (the real-web
-    shape), 1.13× on the bench's 50×-replicated fixture (both recorded
-    in BENCH meta ``near_index[_unique]_split_bytes_ratio``). The reader
+    measured round 14: **0.28–0.36×** on a unique-doc corpus (the
+    real-web shape; the range is per-file footer overhead across
+    ``sig_buckets`` settings), 1.13× on the bench's 50×-replicated
+    fixture (both in BENCH meta
+    ``near_index[_unique]_split_bytes_ratio``). The reader
     reconstructs the duplicated view with one narrow equi-join on id,
     so every against-index consumer is layout-blind; the join is the
     read-time price of the storage saving — pick per corpus. The
