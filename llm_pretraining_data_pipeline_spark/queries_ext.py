@@ -1935,6 +1935,28 @@ _SRC_WARC_HTTP_SQL = f"""
     """
 
 
+def _real_br_encode(body: bytes) -> bytes:
+    """Wheel-present encode arm of the cbr fixture, runs ON EXECUTORS:
+    re-probes the external decoder in THIS process so a
+    driver-has-wheel/executor-lacks-wheel cluster fails with a typed
+    RuntimeError instead of silently diverging from the driver-built
+    oracle (reachable because the caller branches on the DRIVER's
+    probe, closure-captured by value — ADVICE r14). Module-level so the
+    guard is directly pytest-reachable without a heterogeneous
+    cluster."""
+    from llm_pretraining_data_pipeline_spark.sources.br import (
+        _external_decoder,
+    )
+
+    mod = _external_decoder()
+    if mod is None:
+        raise RuntimeError(
+            "brotli wheel importable on the driver but missing on this "
+            "executor — install it cluster-wide"
+        )
+    return mod.compress(body)
+
+
 def _warc_http_blobs(
     spark, sf_dir, sentence: bool = False, compressed_br: bool = False
 ):
@@ -1958,6 +1980,15 @@ def _warc_http_blobs(
     import pandas as pd
 
     from llm_pretraining_data_pipeline_spark.sources import warc as W
+
+    # capture the DRIVER's wheel probe BY VALUE (a closure cell, shipped
+    # in the pickled function): referencing the module global from gen
+    # would rebind to the executor's re-imported queries_ext, where
+    # _BR_WHEEL re-evaluates against the EXECUTOR's environment — a
+    # driver-has-wheel/executor-lacks-wheel cluster would then silently
+    # take the bit-flip branch and the heterogeneous-cluster
+    # RuntimeError below could never fire (ADVICE r14)
+    use_real_br = _BR_WHEEL
 
     def gen(it):
         for pdf in it:
@@ -2033,29 +2064,20 @@ def _warc_http_blobs(
 
                     enc = br_encode_stored(body)
                     if compressed_br and did % 8 == 4 and body:
-                        if _BR_WHEEL:
-                            # wheel-present container: ship a REAL
-                            # compressed stream; warc_http_records must
-                            # recover the body byte-identically through
-                            # the external-decode delegation (the arm
-                            # collapses into the plain br arm — the
-                            # oracle's cbr branch is FALSE here). The
-                            # probe is re-run in THIS (executor)
-                            # process: a driver-has-wheel /
-                            # executor-lacks-wheel cluster gets a
-                            # typed error, not an AttributeError.
-                            from llm_pretraining_data_pipeline_spark.sources.br import (
-                                _external_decoder,
-                            )
-
-                            mod = _external_decoder()
-                            if mod is None:
-                                raise RuntimeError(
-                                    "brotli wheel importable on the "
-                                    "driver but missing on this "
-                                    "executor — install it cluster-wide"
-                                )
-                            enc = mod.compress(body)
+                        if use_real_br:
+                            # wheel-present DRIVER (closure-captured
+                            # value — see the binding above gen): ship
+                            # a REAL compressed stream; warc_http_
+                            # records must recover the body
+                            # byte-identically through the external-
+                            # decode delegation (the arm collapses
+                            # into the plain br arm — the oracle's cbr
+                            # branch is FALSE here). The probe below
+                            # re-runs in THIS (executor) process: a
+                            # driver-has-wheel/executor-lacks-wheel
+                            # cluster gets the typed error, not an
+                            # AttributeError.
+                            enc = _real_br_encode(body)
                         else:
                             # no wheel: flip the first meta-block's
                             # ISUNCOMPRESSED bit -> the typed refusal.

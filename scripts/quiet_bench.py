@@ -29,8 +29,12 @@ def run_once(env: dict, run_idx: int) -> dict:
     # LAST stdout line is the compact fallback (no meta, 2dp queries) —
     # parsing it would silently drop every meta:* summary entry
     # (review finding r14)
+    # pid-keyed so two concurrent quiet_bench invocations on a shared
+    # VM never overwrite each other's records mid-run (ADVICE r14 —
+    # the same discipline as the repo's pid-keyed staging dirs)
     out_file = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"quiet_bench_run{run_idx}.json"
+        os.environ.get("TMPDIR", "/tmp"),
+        f"quiet_bench_{os.getpid()}_run{run_idx}.json",
     )
     env = dict(env)
     env["BENCH_JSON_OUT"] = out_file

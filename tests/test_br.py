@@ -347,3 +347,33 @@ class TestRealWheelEndToEnd:
         for r in cbr:
             assert r["http_ok"] is True
             assert bytes(r["body"]).decode("utf-8") == docs[r["file_id"]]
+
+
+class TestHeterogeneousClusterGuard:
+    """ADVICE r14: the cbr fixture's wheel-present arm branches on the
+    DRIVER's probe (closure-captured by value), so the executor-side
+    re-probe in _real_br_encode is the only thing standing between a
+    driver-has-wheel/executor-lacks-wheel cluster and a silent
+    fixture/oracle divergence — both branches of that guard must be
+    reachable in-process."""
+
+    def test_guard_fires_when_this_process_lacks_the_wheel(
+        self, monkeypatch
+    ):
+        from llm_pretraining_data_pipeline_spark import queries_ext as QX
+        from llm_pretraining_data_pipeline_spark.sources import br
+
+        monkeypatch.setattr(br, "_EXT_CACHE", None)
+        with pytest.raises(RuntimeError, match="install it cluster-wide"):
+            QX._real_br_encode(b"page body")
+
+    def test_guard_delegates_when_the_wheel_is_present(self, monkeypatch):
+        from llm_pretraining_data_pipeline_spark import queries_ext as QX
+        from llm_pretraining_data_pipeline_spark.sources import br
+
+        class _FakeCompressor:
+            def compress(self, body):
+                return b"CBR:" + bytes(body)
+
+        monkeypatch.setattr(br, "_EXT_CACHE", _FakeCompressor())
+        assert QX._real_br_encode(b"page body") == b"CBR:page body"

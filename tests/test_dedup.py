@@ -1542,13 +1542,26 @@ class TestStoredMinhashIndex:
         b = flags(split, split_sig=True)
         assert a == b
         assert a[11] == (True, 0, 1.0)
-        # the bands table still prunes at the file listing
+        # BOTH tables prune at the file listing (round 15, VERDICT r14
+        # item 1): the bands scan on its (band_id, sig_bucket) keys and
+        # the sigs scan on the id-buckets derived from the pruned bands.
+        # checkpoint=False so the bands FileScan stays visible in the
+        # plan (the default lazy checkpoint, once materialised by the
+        # id-bucket collect, shows as ExistingRDD instead)
         pruned, _ = dedup.read_minhash_index_for_batch(
-            new, split, sig_buckets=8, split_sig=True
+            new, split, sig_buckets=8, split_sig=True, checkpoint=False
         )
         plan = pruned._jdf.queryExecution().executedPlan().toString()
-        pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
-        assert "band_id" in pf_line and "sig_bucket" in pf_line
+        pf_lines = [
+            seg.splitlines()[0]
+            for seg in plan.split("PartitionFilters:")[1:]
+        ]
+        assert any(
+            "band_id" in ln and "sig_bucket" in ln for ln in pf_lines
+        ), pf_lines
+        assert any(
+            "id_bucket" in ln and "IN" in ln for ln in pf_lines
+        ), pf_lines
 
     def test_append_mode_composes_partition_dirs(self, spark, tmp_path):
         # write_minhash_index(mode="append"): night N's delta partitions
@@ -1623,5 +1636,222 @@ class TestStoredMinhashIndex:
         )
         got = dedup.near_dedup_against_stored_index(
             new, path, sig_buckets=8
+        ).collect()[0]
+        assert got["is_known_near"] is False and got["known_of"] is None
+
+    def test_split_selective_read_prunes_sigs_files(self, spark, tmp_path):
+        # VERDICT r14 item 1: a selective night against the split
+        # layout must read a strict SUBSET of the sigs table's files —
+        # the id-buckets touched by the pruned bands — not O(index)
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        docs = [(i, f"unique snapshot document number {i} with body "
+                    f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+                for i in range(40)]
+        snap = spark.createDataFrame(docs, "doc_id long, text string")
+        idx = dedup.minhash_index_frame(snap, "text")
+        path = str(tmp_path / "mh_split_sel")
+        dedup.write_minhash_index(
+            idx, path, sig_buckets=8, split_sig=True, id_buckets=16
+        )
+        sigs_total = len(spark.read.parquet(f"{path}/sigs").inputFiles())
+        bands_total = len(spark.read.parquet(f"{path}/bands").inputFiles())
+        new = spark.createDataFrame(
+            [(101, docs[0][1])], "doc_id long, text string"
+        )
+        # checkpoint=False: a materialised lazy checkpoint turns the
+        # bands scan into ExistingRDD, where input_file_name() is ''
+        bands_t, sigs_t = dedup.read_minhash_split_frames(
+            new, path, sig_buckets=8, id_buckets=16, checkpoint=False
+        )
+
+        def files_read(frame):
+            return frame.select(
+                F.input_file_name().alias("f")
+            ).distinct().count()
+
+        assert 0 < files_read(sigs_t) < sigs_total
+        assert 0 < files_read(bands_t) < bands_total
+        # and the verdict is still the full-index one
+        got = dedup.near_dedup_against_stored_index(
+            new, path, threshold=0.5, sig_buckets=8, split_sig=True,
+            id_buckets=16,
+        ).collect()[0]
+        assert got["is_known_near"] is True and got["known_of"] == 0
+
+    def test_split_append_reingested_id_lands_once(self, spark, tmp_path):
+        # ADVICE r14: an appended night that re-ingests a known id must
+        # NOT land a second (id, sig) row — the read-time equi-join
+        # would fan out every matching band row into duplicate pairs
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        txt = self.SNAP[0][1]
+        path = str(tmp_path / "mh_split_reingest")
+        gen1 = spark.createDataFrame(
+            [(10, txt)], "doc_id long, text string"
+        )
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(gen1, "text"), path,
+            sig_buckets=8, split_sig=True,
+        )
+        # night 2 re-ingests 10 and adds 14
+        gen2 = spark.createDataFrame(
+            [(10, txt), (14, txt)], "doc_id long, text string"
+        )
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(gen2, "text"), path,
+            sig_buckets=8, split_sig=True, mode="append",
+        )
+        sigs = spark.read.parquet(f"{path}/sigs")
+        assert sigs.count() == 2  # one row per distinct id
+        new = spark.createDataFrame([(101, txt)], "doc_id long, text string")
+        pairs = dedup.near_dup_verdicts_against_index(
+            new,
+            dedup.read_minhash_index_for_batch(
+                new, path, sig_buckets=8, split_sig=True
+            )[0],
+            threshold=0.5,
+        ).collect()
+        assert sorted((r["new_id"], r["known_of"]) for r in pairs) == [
+            (101, 10), (101, 14)
+        ]
+
+    def test_monolithic_append_reingested_id_lands_once(
+        self, spark, tmp_path
+    ):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        txt = self.SNAP[0][1]
+        path = str(tmp_path / "mh_mono_reingest")
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(
+                spark.createDataFrame(
+                    [(10, txt)], "doc_id long, text string"
+                ),
+                "text",
+            ),
+            path, sig_buckets=8,
+        )
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(
+                spark.createDataFrame(
+                    [(10, txt), (14, txt)], "doc_id long, text string"
+                ),
+                "text",
+            ),
+            path, sig_buckets=8, mode="append",
+        )
+        dup_rows = (
+            spark.read.parquet(path)
+            .groupBy("id", "band_id").count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dup_rows == 0
+
+    def test_legacy_flat_sigs_reads_and_appends_flat(self, spark, tmp_path):
+        # a pre-round-15 split index (sigs written flat, no id_bucket
+        # dirs) must still read correctly (unpruned) AND a later append
+        # must keep the flat shape — mixing partitioned and flat files
+        # in one directory would corrupt the table
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = str(tmp_path / "mh_legacy")
+        gen1 = spark.createDataFrame(
+            [self.SNAP[0]], "doc_id long, text string"
+        )
+        idx1 = dedup.minhash_index_frame(gen1, "text")
+        dedup.write_minhash_index(
+            idx1, path, sig_buckets=8, split_sig=True
+        )
+        # rewrite sigs in the legacy flat shape
+        legacy = spark.read.parquet(f"{path}/sigs").select("id", "sig")
+        legacy.write.mode("overwrite").parquet(str(tmp_path / "flat_sigs"))
+        import shutil as _sh
+
+        _sh.rmtree(f"{path}/sigs")
+        _sh.copytree(str(tmp_path / "flat_sigs"), f"{path}/sigs")
+        gen2 = spark.createDataFrame(
+            [self.SNAP[1]], "doc_id long, text string"
+        )
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(gen2, "text"), path,
+            sig_buckets=8, split_sig=True, mode="append",
+        )
+        sigs = spark.read.parquet(f"{path}/sigs")
+        assert "id_bucket" not in sigs.columns  # still flat
+        assert sigs.count() == 2
+        new = spark.createDataFrame(
+            [(101, self.SNAP[0][1]), (103, self.SNAP[1][1])],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["known_of"]
+            for r in dedup.near_dedup_against_stored_index(
+                new, path, threshold=0.5, sig_buckets=8, split_sig=True
+            ).collect()
+        }
+        assert got == {101: 0, 103: 2}
+
+    def test_mistyped_index_path_raises(self, spark, tmp_path):
+        # ADVICE r14 (medium): a wrong path must FAIL, never silently
+        # flag every doc is_known_near=false — in both layouts
+        from pyspark.errors import AnalysisException
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        new = spark.createDataFrame(
+            [(1, self.SNAP[0][1])], "doc_id long, text string"
+        )
+        with pytest.raises(AnalysisException):
+            dedup.near_dedup_against_stored_index(
+                new, str(tmp_path / "no_such_index"), sig_buckets=8
+            ).collect()
+        with pytest.raises((AnalysisException, ValueError)):
+            dedup.near_dedup_against_stored_index(
+                new, str(tmp_path / "no_such_split"), sig_buckets=8,
+                split_sig=True,
+            ).collect()
+
+    def test_half_written_split_index_raises(self, spark, tmp_path):
+        # bands present but sigs missing (or vice versa) is a broken
+        # artifact, not an empty index
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = str(tmp_path / "mh_half")
+        gen = spark.createDataFrame(
+            [self.SNAP[0]], "doc_id long, text string"
+        )
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(gen, "text"), path,
+            sig_buckets=8, split_sig=True,
+        )
+        import shutil as _sh
+
+        _sh.rmtree(f"{path}/sigs")
+        new = spark.createDataFrame(
+            [(1, self.SNAP[0][1])], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="half-written"):
+            dedup.read_minhash_index_for_batch(
+                new, path, sig_buckets=8, split_sig=True
+            )
+
+    def test_empty_split_index_flags_all_false(self, spark, tmp_path):
+        # bootstrap night, split layout: empty write leaves both table
+        # dirs present with only _SUCCESS — must flag false, not raise
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        path = str(tmp_path / "mh_empty_split")
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(empty, "text"), path,
+            sig_buckets=8, split_sig=True,
+        )
+        new = spark.createDataFrame(
+            [(1, self.SNAP[0][1])], "doc_id long, text string"
+        )
+        got = dedup.near_dedup_against_stored_index(
+            new, path, sig_buckets=8, split_sig=True
         ).collect()[0]
         assert got["is_known_near"] is False and got["known_of"] is None
