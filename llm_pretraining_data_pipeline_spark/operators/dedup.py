@@ -1786,7 +1786,8 @@ def read_minhash_index_for_batch(
     )
     if checkpoint:
         new_banded = new_banded.localCheckpoint(eager=False)
-    cond = _touched_partition_cond(new_banded, sig_buckets)
+    cond, n_cells = _touched_partition_cond(new_banded, sig_buckets)
+
     def _empty_pruned():
         # bootstrap night: an EMPTY index write leaves only _SUCCESS, so
         # the read cannot infer a schema. The in-memory path flags every
@@ -1813,7 +1814,8 @@ def read_minhash_index_for_batch(
 
     if split_sig:
         frames = _pruned_split_frames(
-            spark, index_path, cond,
+            spark, index_path, cond, new_banded=new_banded,
+            selective=(n_cells * 4 <= bands * sig_buckets),
             checkpoint=checkpoint, id_buckets=id_buckets,
         )
         if frames is None:
@@ -1827,11 +1829,15 @@ def read_minhash_index_for_batch(
     return pruned, new_banded
 
 
-def _touched_partition_cond(new_banded: DataFrame, sig_buckets: int) -> Column:
+def _touched_partition_cond(
+    new_banded: DataFrame, sig_buckets: int
+) -> tuple[Column, int]:
     """Partition-filter predicate for the (band_id, sig_bucket) keys
-    one batch's banded frame touches — the bounded collect
-    (≤ bands × sig_buckets rows regardless of batch or index size)
-    whose literals buy PartitionFilters at the file listing."""
+    one batch's banded frame touches, plus the touched-cell count —
+    the bounded collect (≤ bands × sig_buckets rows regardless of
+    batch or index size) whose literals buy PartitionFilters at the
+    file listing. The cell count drives the split layout's
+    sigs-pruning regime decision downstream."""
     touched = (
         new_banded.select(
             "band_id",
@@ -1851,7 +1857,7 @@ def _touched_partition_cond(new_banded: DataFrame, sig_buckets: int) -> Column:
         cond = arm if cond is None else cond | arm
     if cond is None:  # empty batch (no shingled docs): scan nothing
         cond = F.lit(False)
-    return cond
+    return cond, len(touched)
 
 
 def read_minhash_split_frames(
@@ -1881,9 +1887,10 @@ def read_minhash_split_frames(
     )
     if checkpoint:
         new_banded = new_banded.localCheckpoint(eager=False)
-    cond = _touched_partition_cond(new_banded, sig_buckets)
+    cond, n_cells = _touched_partition_cond(new_banded, sig_buckets)
     frames = _pruned_split_frames(
-        df.sparkSession, index_path, cond,
+        df.sparkSession, index_path, cond, new_banded=new_banded,
+        selective=(n_cells * 4 <= bands * sig_buckets),
         checkpoint=checkpoint, id_buckets=id_buckets,
     )
     return (None, None) if frames is None else frames
@@ -1893,18 +1900,38 @@ def _pruned_split_frames(
     spark,
     index_path: str,
     cond: Column,
+    new_banded: DataFrame | None = None,
+    selective: bool = False,
     checkpoint: bool = True,
     id_buckets: int = 64,
 ) -> tuple[DataFrame, DataFrame] | None:
     """The split layout's two PRUNED scans, pre-join: the bands table
     filtered to the batch's touched ``(band_id, sig_bucket)`` keys
-    (``cond``), and the sigs table filtered to the id-buckets the
-    pruned bands actually reference. Returned separately so the bench
-    and tests can measure each table's files/bytes read on exactly the
-    frames the operator joins (``input_file_name`` on the joined frame
-    only surfaces the streamed side — the broadcast sigs build side
-    would be invisible). ``None`` means a bootstrap-night empty write
-    (both table dirs present, no data files)."""
+    (``cond``), and — on selective nights — the sigs table filtered to
+    the id-buckets of the batch's true CANDIDATE ids. Returned
+    separately so the bench and tests can measure each table's
+    files/bytes read on exactly the frames the operator joins
+    (``input_file_name`` on the joined frame only surfaces the
+    streamed side — the broadcast sigs build side would be invisible).
+    ``None`` means a bootstrap-night empty write (both table dirs
+    present, no data files).
+
+    Sigs pruning derives the touched id-buckets from the pruned bands
+    SEMI-JOINED against the batch's exact distinct ``(band_id,
+    band_sig)`` keys — not from every row in the touched partitions.
+    The downstream verdict join matches on exactly those keys, so the
+    semi-join is semantically a no-op, but it shrinks the id set from
+    'every cellmate sharing a hash bucket' (which saturates all
+    id-buckets even for a tiny batch) to the candidate ids alone —
+    without it the second pruning pass never bites (measured round
+    15: a 3-doc night read 64/64 sigs files before, a strict subset
+    after). AQE picks broadcast for the key side at runtime when the
+    batch is small. ``selective`` gates the derive job: when the batch
+    already touches more than a quarter of the ``bands × sig_buckets``
+    cells, nearly every id-bucket would be touched anyway, so the
+    full-batch path (e.g. the nightly e2e flag over the whole crawl)
+    skips the extra job and reads sigs whole — pruning is for the
+    selective regime it can actually help."""
     # a half-written split layout (one table present, the other
     # missing) must fail loudly, not flag every doc as novel
     bands_dir = _hadoop_dir_exists(spark, f"{index_path}/bands")
@@ -1922,25 +1949,27 @@ def _pruned_split_frames(
     if bands_t is None or sigs_t is None:
         return None
     bands_t = bands_t.where(cond)
-    if "id_bucket" in sigs_t.columns:
-        # second probe-cell pass (VERDICT r14 item 1): the pruned bands
-        # rows name the only ids whose sigs the rejoin can use, so
-        # their ≤ id_buckets distinct id-buckets become partition
+    if "id_bucket" in sigs_t.columns and selective and new_banded is not None:
+        # second probe-cell pass (VERDICT r14 item 1): candidate ids =
+        # pruned bands rows whose (band_id, band_sig) the batch really
+        # carries; their ≤ id_buckets distinct buckets become partition
         # filters on the sigs scan. The lazy localCheckpoint shares the
         # pruned bands scan between this collect and the caller's join.
         if checkpoint:
             bands_t = bands_t.localCheckpoint(eager=False)
+        keys = new_banded.select("band_id", "band_sig").distinct()
         tb = sorted(
             r["b"]
-            for r in bands_t.select(
-                _id_bucket(F.col("id"), id_buckets).alias("b")
-            )
+            for r in bands_t.join(keys, ["band_id", "band_sig"], "left_semi")
+            .select(_id_bucket(F.col("id"), id_buckets).alias("b"))
             .distinct()
             .collect()
         )
         sigs_t = sigs_t.where(
             F.col("id_bucket").isin(tb) if tb else F.lit(False)
         ).drop("id_bucket")
+    elif "id_bucket" in sigs_t.columns:
+        sigs_t = sigs_t.drop("id_bucket")
     # legacy flat sigs table (pre-round-15): no partition column to
     # prune on — read unpruned, semantics unchanged
     return bands_t, sigs_t
