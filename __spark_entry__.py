@@ -267,6 +267,51 @@ _PRIORITY_R12 = [
 # refresh in r15, plus d19_bloom_dedup and d18_minhash_est_error_lsh
 # (r9-stale; yielded their slots to ev_stream_near_stored and
 # d26_split_index, both verified green via check_oracle in-session).
+# Round-15 priority (50-row driver cap): (a) the 5 queries whose code
+# path CHANGED this round — the stored-index read path grew typed
+# error handling + the split layout's id-bucketed sigs pruning
+# (d24/d26 share that reader; d25 shares the write/merge helpers;
+# ev_stream_near_stored consumes the staged index; src_warc_http's
+# fixture closure now captures the brotli probe by value — identical
+# behavior in this container, but edits never ride on a stale green);
+# (b) the FULL 27-row r9-stale tail (VERDICT r14 item 2 — after this
+# round no registered query's freshest driver green is older than
+# r10); (c) 18 of the 45 r10-stale rows (alphabetical slice). The
+# remaining 27 r10-stale rows — p31_trained_lm_score, p32_fix_mojibake,
+# p34_bigram_lm_score, p41_main_content, p41b_main_content_smooth,
+# rel_anti_join, rel_cube_lineitem, rel_distinct_counts,
+# rel_grouping_sets, rel_having_large_orders, rel_in_subquery,
+# rel_outer_join, rel_pivot, rel_q12_shipmode_case, rel_q14_promo_ratio,
+# rel_q19_disjunctive, rel_q1_pricing_summary, rel_q3_shipping_priority,
+# rel_q5_local_supplier, rel_q6_revenue_delta, rel_rollup_orders,
+# rel_semi_join, s05_wet_export, s06_wat_export, win_above_avg_orders,
+# win_rank_family, win_top3_orders_per_customer, plus
+# p30_train_unigram_lm (yielded its slot to the new
+# d27_split_selective) — refresh in r16.
+_PRIORITY_R15 = [
+    # (a) new / changed this round
+    "d27_split_selective",
+    "d24_pruned_index", "d26_split_index", "d25_index_merge",
+    "ev_stream_near_stored", "src_warc_http",
+    # (b) the full r9-stale tail (27)
+    "d18_minhash_est_error_lsh", "d19_bloom_dedup", "d20_quality_dedup",
+    "d21_winnowing", "d22_winnow_pairs", "emb_decontaminate",
+    "emb_ivf_recall_trained", "emb_ivf_topk", "emb_kmeans_stats",
+    "emb_matryoshka_recall", "emb_pq_topk", "emb_semdedup",
+    "ev_stream_attribution", "ev_stream_bloom", "ev_stream_cms",
+    "f12_source_median_gate", "mm_jpeg_meta", "mm_utf8_audit",
+    "o04_source_quota", "p08_model_quality", "p10_non_latin_ratio",
+    "p20_quality_score", "p22_tokenize", "p28_lm_logprob",
+    "p39_calibration_curve", "s04_jsonl_projection", "u02_intersect_except",
+    # (c) r10-stale, 17 of 45 (alphabetical slice)
+    "ev_hourly_rollup", "ev_sessionize", "ev_tumbling_5min",
+    "f11_gopher_filter", "f14_refinedweb_lines", "f18_psl_domain",
+    "mm_bmp_features", "mm_magic_sniff", "mm_mp4_meta",
+    "mm_wav_features", "p05_quality_metrics", "p06_pii_hits",
+    "p07_toxicity", "p11_strip_html", "p15_token_stats",
+    "p16_pii_mask", "p23_pick_text",
+]
+
 _PRIORITY_R14 = [
     # (a) new this round
     "d24_pruned_index", "d25_index_merge", "ev_stream_near_stored",
@@ -450,7 +495,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R14 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R15 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 

@@ -7876,10 +7876,13 @@ def _stage_near_index(spark, sf_dir):
     return path, newb
 
 
-# shared referee for the stored-index pair: the monolithic pruned read
-# (d24) and the split-sig layout (d26) are layout choices over the SAME
-# verdict semantics — both must hash-match the full-index computation.
-_D24_SQL = f"""
+# shared referee for the stored-index family: the monolithic pruned
+# read (d24), the split-sig layout (d26) and the split SELECTIVE
+# regime (d27) are layout/regime choices over the SAME verdict
+# semantics — every one must hash-match the full-index computation,
+# parameterized only by how the nightly batch is thinned.
+def _d24_sql(batch_mod: int) -> str:
+    return f"""
     WITH snap AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
     ),
@@ -7891,7 +7894,7 @@ _D24_SQL = f"""
                   ELSE d.text END AS text
       FROM documents d
       LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
-      WHERE d.doc_id % 8 = 1
+      WHERE d.doc_id % {batch_mod} = 1
     ),
     st AS (SELECT doc_id, {O.toks('text')} AS tk FROM snap),
     ssh AS (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM st),
@@ -7944,6 +7947,9 @@ _D24_SQL = f"""
                 THEN round(best.b.e, 6) END AS known_est
     FROM newb LEFT JOIN best ON best.nid = newb.doc_id
     """
+
+
+_D24_SQL = _d24_sql(8)
 
 
 @register(
@@ -8011,6 +8017,47 @@ def d26_split_index(spark, sf_dir):
         newb, path, text_col="text", id_col="doc_id", shingle_size=3,
         num_hashes=32, bands=8, seed=42, threshold=0.5,
         max_bucket_size=None, sig_buckets=16, split_sig=True,
+    )
+    return out.select("doc_id", "is_known_near", "known_of", "known_est")
+
+
+@register(
+    "d27_split_selective",
+    _d24_sql(40),
+    doc="the split layout's SELECTIVE regime, driver-refereed "
+        "(operators/dedup.py::_pruned_split_frames, round 15 — VERDICT "
+        "r14 item 1): a thin nightly batch (doc_id%40==1) against a "
+        "sig_buckets=64 split index stays under the quarter-of-cells "
+        "threshold, so the reader takes the candidate-id path — pruned "
+        "bands SEMI-JOINED on the batch's exact (band_id, band_sig) "
+        "keys derive the touched id-buckets, and the sigs scan is "
+        "partition-filtered to those buckets (d26's batch saturates "
+        "the cells at oracle SFs and exercises only the full-sigs "
+        "regime, so the semi-join path needs its own referee row). "
+        "The oracle computes FULL-index verdicts from first "
+        "principles, so hash equality proves the double pruning pass "
+        "drops no candidate: whole (band_id, band_sig) buckets survive "
+        "or drop together, and every surviving row's id-bucket reaches "
+        "the sigs filter. Strict file-subset reads are pinned in "
+        "pytest and measured (files/bytes for BOTH tables) in bench "
+        "meta near_index_split_*",
+)
+def d27_split_selective(spark, sf_dir):
+    snap, newb_all = _near_index_frames(spark, sf_dir)
+    newb = newb_all.where(F.col("doc_id") % 40 == 1)
+    idx = dedup_ops.minhash_index_frame(
+        snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42,
+    )
+    path = _staging_path("mhsplitsel", sf_dir)
+    dedup_ops.write_minhash_index(
+        idx, path, sig_buckets=64, split_sig=True, id_buckets=32
+    )
+    out = dedup_ops.near_dedup_against_stored_index(
+        newb, path, text_col="text", id_col="doc_id", shingle_size=3,
+        num_hashes=32, bands=8, seed=42, threshold=0.5,
+        max_bucket_size=None, sig_buckets=64, split_sig=True,
+        id_buckets=32,
     )
     return out.select("doc_id", "is_known_near", "known_of", "known_est")
 
