@@ -267,8 +267,9 @@ _PRIORITY_R12 = [
 # refresh in r15, plus d19_bloom_dedup and d18_minhash_est_error_lsh
 # (r9-stale; yielded their slots to ev_stream_near_stored and
 # d26_split_index, both verified green via check_oracle in-session).
-# Round-15 priority (50-row driver cap): (a) the 5 queries whose code
-# path CHANGED this round — the stored-index read path grew typed
+# Round-15 priority (50-row driver cap): (a) the NEW
+# d27_split_selective plus the 5 queries whose code path CHANGED this
+# round — the stored-index read path grew typed
 # error handling + the split layout's id-bucketed sigs pruning
 # (d24/d26 share that reader; d25 shares the write/merge helpers;
 # ev_stream_near_stored consumes the staged index; src_warc_http's
@@ -276,8 +277,8 @@ _PRIORITY_R12 = [
 # behavior in this container, but edits never ride on a stale green);
 # (b) the FULL 27-row r9-stale tail (VERDICT r14 item 2 — after this
 # round no registered query's freshest driver green is older than
-# r10); (c) 18 of the 45 r10-stale rows (alphabetical slice). The
-# remaining 27 r10-stale rows — p31_trained_lm_score, p32_fix_mojibake,
+# r10); (c) 17 of the 45 r10-stale rows (alphabetical slice). The
+# remaining 28 r10-stale rows — p31_trained_lm_score, p32_fix_mojibake,
 # p34_bigram_lm_score, p41_main_content, p41b_main_content_smooth,
 # rel_anti_join, rel_cube_lineitem, rel_distinct_counts,
 # rel_grouping_sets, rel_having_large_orders, rel_in_subquery,

@@ -1641,41 +1641,44 @@ def write_minhash_index(
     contract as ``sig_buckets`` and the MinHash params.
 
     ``mode="append"`` guards re-ingestion (``dedupe_ids=True``,
-    default): the delta is anti-joined against the existing stored
-    ids (narrow id projections only) before anything is written,
+    default): each table's delta is anti-joined against THAT table's
+    existing ids (narrow id projections only) before it is written,
     because an appended night that re-ingests a known id would land a
     second ``(id, sig)`` row and the read-time equi-join would fan
     out every matching band row — duplicate verdict pairs, the same
     one-row-per-pair violation ``merge_minhash_index``'s
     ``dedupe_ids`` guard exists for, previously unguarded on the
-    on-disk append path (ADVICE r14). Generations disjoint by
-    construction pass ``dedupe_ids=False`` to skip the existing-ids
-    scan — the append-only nightly fast path. Appending to a
-    pre-round-15 split layout (sigs written flat, no ``id_bucket``
-    directories) keeps writing the legacy flat shape — mixing
-    partitioned and flat files in one directory would corrupt the
-    table; the reader detects the layout per-table and skips sigs
-    pruning on legacy indexes.
+    on-disk append path (ADVICE r14). Per-table (not a single probe)
+    because the split layout's two writes are two non-atomic commits
+    (review finding r15): if the bands write lands and the sigs write
+    fails, a retried append must re-write ONLY the missing sigs rows —
+    a shared guard keyed on one table would either double-append the
+    bands or leave the sigs hole permanent. With per-table guards any
+    partially-failed append heals on retry without duplicating either
+    table. Generations disjoint by construction pass
+    ``dedupe_ids=False`` to skip the existing-ids scans — the
+    append-only nightly fast path. Appending to a pre-round-15 split
+    layout (sigs written flat, no ``id_bucket`` directories) keeps
+    writing the legacy flat shape — mixing partitioned and flat files
+    in one directory would corrupt the table; the reader detects the
+    layout per-table and skips sigs pruning on legacy indexes.
     """
     spark = index.sparkSession
-    if mode == "append" and dedupe_ids:
-        # re-ingest guard: drop delta rows whose id is already stored.
-        # Probe the table that is one-row-per-id on disk (sigs in the
-        # split layout, the whole table otherwise); a first-ever
-        # append (nothing stored yet) is a no-op. The existing table's
-        # file listing is snapshotted when the read relation resolves
-        # — before the append job commits files — so reading the path
-        # being appended to is race-free within this call.
-        probe = f"{path}/sigs" if split_sig else path
-        existing = (
-            _read_index_or_empty(spark, probe)
-            if _hadoop_dir_exists(spark, probe)
-            else None
-        )
-        if existing is not None:
-            index = index.join(
-                existing.select("id").distinct(), "id", "left_anti"
-            )
+
+    def _prior(sub_path: str):
+        """Existing table at ``sub_path`` (None before the first
+        append). The file listing snapshots when the read relation
+        resolves — before the append job commits files — so reading
+        the path being appended to is race-free within this call."""
+        if mode != "append" or not _hadoop_dir_exists(spark, sub_path):
+            return None
+        return _read_index_or_empty(spark, sub_path)
+
+    def _without_known(delta: DataFrame, prior: DataFrame | None):
+        if not dedupe_ids or prior is None:
+            return delta
+        return delta.join(prior.select("id").distinct(), "id", "left_anti")
+
     # sortWithinPartitions before every write (no extra shuffle): rows
     # sharing a band_sig — mirror-host boilerplate, near-dup clusters —
     # land adjacent in the file, so parquet page compression and
@@ -1683,7 +1686,11 @@ def write_minhash_index(
     # signature itself for the same locality (identical sigs from
     # duplicate docs become runs). Write-side cost is a per-task sort.
     if split_sig:
-        bands = index.select("id", "band_id", "band_sig").withColumn(
+        prior_sigs = _prior(f"{path}/sigs")  # one read: guard + layout
+        bands = _without_known(
+            index.select("id", "band_id", "band_sig"),
+            _prior(f"{path}/bands"),
+        ).withColumn(
             "sig_bucket", _sig_bucket(F.col("band_sig"), sig_buckets)
         )
         (
@@ -1695,15 +1702,12 @@ def write_minhash_index(
         )
         # one row per doc; duplicate (id, band) inputs collapse (one doc
         # has one signature, so any surviving row carries the same sig)
-        sigs = index.select("id", "sig").dropDuplicates(["id"])
-        legacy_flat = False
-        if mode == "append":
-            prior = (
-                _read_index_or_empty(spark, f"{path}/sigs")
-                if _hadoop_dir_exists(spark, f"{path}/sigs")
-                else None
-            )
-            legacy_flat = prior is not None and "id_bucket" not in prior.columns
+        sigs = _without_known(
+            index.select("id", "sig").dropDuplicates(["id"]), prior_sigs
+        )
+        legacy_flat = (
+            prior_sigs is not None and "id_bucket" not in prior_sigs.columns
+        )
         if legacy_flat:
             (
                 sigs.sortWithinPartitions("sig")
@@ -1723,7 +1727,8 @@ def write_minhash_index(
             )
         return
     (
-        index.withColumn("sig_bucket", _sig_bucket(F.col("band_sig"), sig_buckets))
+        _without_known(index, _prior(path))
+        .withColumn("sig_bucket", _sig_bucket(F.col("band_sig"), sig_buckets))
         .repartition("band_id", "sig_bucket")
         .sortWithinPartitions("band_sig", "id")
         .write.mode(mode)
@@ -1815,7 +1820,7 @@ def read_minhash_index_for_batch(
     if split_sig:
         frames = _pruned_split_frames(
             spark, index_path, cond, new_banded=new_banded,
-            selective=(n_cells * 4 <= bands * sig_buckets),
+            selective=_sigs_prune_selective(n_cells, bands, sig_buckets),
             checkpoint=checkpoint, id_buckets=id_buckets,
         )
         if frames is None:
@@ -1860,6 +1865,17 @@ def _touched_partition_cond(
     return cond, len(touched)
 
 
+def _sigs_prune_selective(n_cells: int, bands: int, sig_buckets: int) -> bool:
+    """ONE definition of the split layout's sigs-pruning regime
+    decision, shared by the operator read path and its measurement
+    twin (a threshold tuned in one but not the other would make the
+    bench measure a different regime than production runs — review
+    finding r15): prune only when the batch touches at most a quarter
+    of the ``bands × sig_buckets`` cells; past that, nearly every
+    id-bucket would be touched anyway and the derive job is wasted."""
+    return n_cells * 4 <= bands * sig_buckets
+
+
 def read_minhash_split_frames(
     df: DataFrame,
     index_path: str,
@@ -1890,7 +1906,7 @@ def read_minhash_split_frames(
     cond, n_cells = _touched_partition_cond(new_banded, sig_buckets)
     frames = _pruned_split_frames(
         df.sparkSession, index_path, cond, new_banded=new_banded,
-        selective=(n_cells * 4 <= bands * sig_buckets),
+        selective=_sigs_prune_selective(n_cells, bands, sig_buckets),
         checkpoint=checkpoint, id_buckets=id_buckets,
     )
     return (None, None) if frames is None else frames

@@ -7881,7 +7881,12 @@ def _stage_near_index(spark, sf_dir):
 # regime (d27) are layout/regime choices over the SAME verdict
 # semantics — every one must hash-match the full-index computation,
 # parameterized only by how the nightly batch is thinned.
-def _d24_sql(batch_mod: int) -> str:
+def _d24_sql(batch_mod: int, batch_limit: int | None = None) -> str:
+    lim = (
+        f"ORDER BY d.doc_id LIMIT {batch_limit}"
+        if batch_limit is not None
+        else ""
+    )
     return f"""
     WITH snap AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
@@ -7895,6 +7900,7 @@ def _d24_sql(batch_mod: int) -> str:
       FROM documents d
       LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
       WHERE d.doc_id % {batch_mod} = 1
+      {lim}
     ),
     st AS (SELECT doc_id, {O.toks('text')} AS tk FROM snap),
     ssh AS (SELECT doc_id, {O.shingles('tk', 3)} AS sh FROM st),
@@ -8023,28 +8029,35 @@ def d26_split_index(spark, sf_dir):
 
 @register(
     "d27_split_selective",
-    _d24_sql(40),
+    _d24_sql(40, batch_limit=12),
     doc="the split layout's SELECTIVE regime, driver-refereed "
         "(operators/dedup.py::_pruned_split_frames, round 15 — VERDICT "
-        "r14 item 1): a thin nightly batch (doc_id%40==1) against a "
-        "sig_buckets=64 split index stays under the quarter-of-cells "
-        "threshold, so the reader takes the candidate-id path — pruned "
-        "bands SEMI-JOINED on the batch's exact (band_id, band_sig) "
-        "keys derive the touched id-buckets, and the sigs scan is "
-        "partition-filtered to those buckets (d26's batch saturates "
-        "the cells at oracle SFs and exercises only the full-sigs "
-        "regime, so the semi-join path needs its own referee row). "
-        "The oracle computes FULL-index verdicts from first "
-        "principles, so hash equality proves the double pruning pass "
-        "drops no candidate: whole (band_id, band_sig) buckets survive "
-        "or drop together, and every surviving row's id-bucket reaches "
-        "the sigs filter. Strict file-subset reads are pinned in "
-        "pytest and measured (files/bytes for BOTH tables) in bench "
-        "meta near_index_split_*",
+        "r14 item 1): a 12-doc nightly batch (doc_id%40==1, smallest "
+        "12 — the LIMIT pins the batch size at EVERY sf, so 12x8=96 "
+        "band keys stay under the 512/4 cell threshold and the "
+        "selective branch provably fires regardless of corpus size; "
+        "review finding r15) against a sig_buckets=64 split index "
+        "takes the candidate-id path — pruned bands SEMI-JOINED on "
+        "the batch's exact (band_id, band_sig) keys derive the "
+        "touched id-buckets, and the sigs scan is partition-filtered "
+        "to those buckets (d26's batch saturates the cells at oracle "
+        "SFs and exercises only the full-sigs regime, so the "
+        "semi-join path needs its own referee row). The oracle "
+        "computes FULL-index verdicts from first principles, so hash "
+        "equality proves the double pruning pass drops no candidate: "
+        "whole (band_id, band_sig) buckets survive or drop together, "
+        "and every surviving row's id-bucket reaches the sigs filter. "
+        "Strict file-subset reads are pinned in pytest and measured "
+        "(files/bytes for BOTH tables) in bench meta "
+        "near_index_split_*",
 )
 def d27_split_selective(spark, sf_dir):
     snap, newb_all = _near_index_frames(spark, sf_dir)
-    newb = newb_all.where(F.col("doc_id") % 40 == 1)
+    newb = (
+        newb_all.where(F.col("doc_id") % 40 == 1)
+        .orderBy("doc_id")
+        .limit(12)
+    )
     idx = dedup_ops.minhash_index_frame(
         snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
         bands=8, seed=42,

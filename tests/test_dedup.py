@@ -1718,6 +1718,64 @@ class TestStoredMinhashIndex:
             (101, 10), (101, 14)
         ]
 
+    def test_split_append_partial_failure_heals_on_retry(
+        self, spark, tmp_path
+    ):
+        # review finding r15: the split layout's append is two
+        # non-atomic commits. Simulate 'bands landed, sigs write
+        # failed' for night 2, then retry the full append — the
+        # per-table guards must re-write ONLY the missing sigs rows:
+        # no duplicate bands rows, no duplicate sigs rows, and the
+        # healed index answers correctly.
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = str(tmp_path / "mh_split_retry")
+        gen1 = spark.createDataFrame(
+            [self.SNAP[0]], "doc_id long, text string"
+        )
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(gen1, "text"), path,
+            sig_buckets=8, split_sig=True,
+        )
+        gen2 = spark.createDataFrame(
+            [self.SNAP[1]], "doc_id long, text string"
+        )
+        idx2 = dedup.minhash_index_frame(gen2, "text")
+        # partial failure: only the bands half of night 2 lands
+        (
+            idx2.select("id", "band_id", "band_sig")
+            .withColumn(
+                "sig_bucket", dedup._sig_bucket(F.col("band_sig"), 8)
+            )
+            .repartition("band_id", "sig_bucket")
+            .write.mode("append")
+            .partitionBy("band_id", "sig_bucket")
+            .parquet(f"{path}/bands")
+        )
+        # retry of the full append
+        dedup.write_minhash_index(
+            idx2, path, sig_buckets=8, split_sig=True, mode="append"
+        )
+        bands = spark.read.parquet(f"{path}/bands")
+        dup_bands = (
+            bands.groupBy("id", "band_id").count()
+            .where(F.col("count") > 1).count()
+        )
+        assert dup_bands == 0
+        sigs = spark.read.parquet(f"{path}/sigs")
+        assert sigs.count() == 2  # one row per distinct id
+        new = spark.createDataFrame(
+            [(101, self.SNAP[0][1]), (103, self.SNAP[1][1])],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["known_of"]
+            for r in dedup.near_dedup_against_stored_index(
+                new, path, threshold=0.5, sig_buckets=8, split_sig=True
+            ).collect()
+        }
+        assert got == {101: 0, 103: 2}
+
     def test_monolithic_append_reingested_id_lands_once(
         self, spark, tmp_path
     ):
