@@ -213,6 +213,22 @@ def main() -> int:
     # multibyte=True adds ONE Arrow stage whose input bytes are NULLED
     # outside the gate, so its cost must stay proportional to the gated
     # slice, not the corpus.
+    # mb_off > mb_on is EXPECTED on this fixture (adjudicated round 15,
+    # scripts/profile_charset_mb.py, alternating one-session A/B):
+    # baseline with no sjis labels 2.87 s; mb_off 4.45 s (+1.58);
+    # mb_on 3.77 s (+0.90). Under mb_off an unhonorable label falls
+    # through to the content arm and pays the full JVM validity chain
+    # (UTF-16LE/BE validity twice + UTF-8 validity + decode — a
+    # null label doesn't short-circuit the label-arm conjunctions);
+    # under mb_on the same rows short-circuit at the declared
+    # multi-byte arm and ONLY their bytes ship to Arrow workers, which
+    # replaces the JVM chain and runs in parallel Python processes.
+    # Isolations: meta-sniff on/off makes no difference (4.03 vs 4.42 s
+    # medians, inside noise) and a full-corpus is_valid_utf8 scan is
+    # 0.77 s, so neither regex nor validity-scan alone explains the
+    # gap — it is the whole fall-through chain. The default stays
+    # multibyte=False because the flag changes SEMANTICS (honoring
+    # multi-byte labels), not because it is the fast path.
     mb_bodies = raw.select(
         F.encode("text", "utf-8").alias("body"),
         F.when(F.crc32(F.col("url")) % 12 == 0, F.lit("shift_jis"))
