@@ -1070,7 +1070,15 @@ def main() -> int:
         # ~replication-factor cluster members), so the second pruning
         # pass is observable; the knob grows with the corpus at 100 TB
         # exactly like sig_buckets (partitions stay executor-sized,
-        # candidate sets stay a vanishing fraction of buckets)
+        # candidate sets stay a vanishing fraction of buckets).
+        # Measured trade (r15 quiet, n=6): the 2048-dir sigs table buys
+        # selective-night pruning (998/2048 files ~= the 1400 candidate
+        # ids; 144/2048 at sf0.01 where candidates=150) but costs the
+        # FULL-batch arms listing + small-file overhead (split_build
+        # 29.4->36.2 min, split_e2e 29.0->41.7 min vs the r14 flat
+        # layout) and inflates split_bytes_ratio via per-file footers.
+        # Per-corpus knob: a real deployment picks it from night size x
+        # dup rate; the bench pins the selective-regime proof.
         NI_ID_BUCKETS = 2048
         timed(
             "near_index_split_build",
