@@ -277,8 +277,8 @@ _PRIORITY_R12 = [
 # behavior in this container, but edits never ride on a stale green);
 # (b) the FULL 27-row r9-stale tail (VERDICT r14 item 2 — after this
 # round no registered query's freshest driver green is older than
-# r10); (c) 17 of the 45 r10-stale rows (alphabetical slice). The
-# remaining 28 r10-stale rows — p31_trained_lm_score, p32_fix_mojibake,
+# r10); (c) 16 of the 45 r10-stale rows (alphabetical slice). The
+# remaining 29 r10-stale rows — p31_trained_lm_score, p32_fix_mojibake,
 # p34_bigram_lm_score, p41_main_content, p41b_main_content_smooth,
 # rel_anti_join, rel_cube_lineitem, rel_distinct_counts,
 # rel_grouping_sets, rel_having_large_orders, rel_in_subquery,
@@ -287,11 +287,12 @@ _PRIORITY_R12 = [
 # rel_q5_local_supplier, rel_q6_revenue_delta, rel_rollup_orders,
 # rel_semi_join, s05_wet_export, s06_wat_export, win_above_avg_orders,
 # win_rank_family, win_top3_orders_per_customer, plus
-# p30_train_unigram_lm (yielded its slot to the new
-# d27_split_selective) — refresh in r16.
+# p30_train_unigram_lm and p23_pick_text (each yielded its slot to a
+# new query: d27_split_selective and d28_index_delete) — refresh in
+# r16.
 _PRIORITY_R15 = [
     # (a) new / changed this round
-    "d27_split_selective",
+    "d27_split_selective", "d28_index_delete",
     "d24_pruned_index", "d26_split_index", "d25_index_merge",
     "ev_stream_near_stored", "src_warc_http",
     # (b) the full r9-stale tail (27)
@@ -304,13 +305,13 @@ _PRIORITY_R15 = [
     "o04_source_quota", "p08_model_quality", "p10_non_latin_ratio",
     "p20_quality_score", "p22_tokenize", "p28_lm_logprob",
     "p39_calibration_curve", "s04_jsonl_projection", "u02_intersect_except",
-    # (c) r10-stale, 17 of 45 (alphabetical slice)
+    # (c) r10-stale, 16 of 45 (alphabetical slice)
     "ev_hourly_rollup", "ev_sessionize", "ev_tumbling_5min",
     "f11_gopher_filter", "f14_refinedweb_lines", "f18_psl_domain",
     "mm_bmp_features", "mm_magic_sniff", "mm_mp4_meta",
     "mm_wav_features", "p05_quality_metrics", "p06_pii_hits",
     "p07_toxicity", "p11_strip_html", "p15_token_stats",
-    "p16_pii_mask", "p23_pick_text",
+    "p16_pii_mask",
 ]
 
 _PRIORITY_R14 = [

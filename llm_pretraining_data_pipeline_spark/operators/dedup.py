@@ -1834,26 +1834,30 @@ def read_minhash_index_for_batch(
     return pruned, new_banded
 
 
-def _touched_partition_cond(
+def _touched_cells(
     new_banded: DataFrame, sig_buckets: int
-) -> tuple[Column, int]:
-    """Partition-filter predicate for the (band_id, sig_bucket) keys
-    one batch's banded frame touches, plus the touched-cell count —
-    the bounded collect (≤ bands × sig_buckets rows regardless of
-    batch or index size) whose literals buy PartitionFilters at the
-    file listing. The cell count drives the split layout's
-    sigs-pruning regime decision downstream."""
-    touched = (
-        new_banded.select(
+) -> list[tuple[int, int]]:
+    """The distinct (band_id, sig_bucket) cells one batch's banded
+    frame touches — the bounded collect (≤ bands × sig_buckets rows
+    regardless of batch or index size) behind every selective
+    stored-index operation (read, and round 15's targeted delete)."""
+    return sorted(
+        (r["band_id"], r["sig_bucket"])
+        for r in new_banded.select(
             "band_id",
             _sig_bucket(F.col("band_sig"), sig_buckets).alias("sig_bucket"),
         )
         .distinct()
         .collect()
     )
+
+
+def _cells_cond(cells: list[tuple[int, int]]) -> Column:
+    """Partition-filter predicate for a touched-cell list — the
+    literals buy PartitionFilters at the file listing."""
     by_band: dict = {}
-    for r in touched:
-        by_band.setdefault(r["band_id"], []).append(r["sig_bucket"])
+    for b, sb in cells:
+        by_band.setdefault(b, []).append(sb)
     cond = None
     for b in sorted(by_band):
         arm = (F.col("band_id") == b) & F.col("sig_bucket").isin(
@@ -1862,7 +1866,18 @@ def _touched_partition_cond(
         cond = arm if cond is None else cond | arm
     if cond is None:  # empty batch (no shingled docs): scan nothing
         cond = F.lit(False)
-    return cond, len(touched)
+    return cond
+
+
+def _touched_partition_cond(
+    new_banded: DataFrame, sig_buckets: int
+) -> tuple[Column, int]:
+    """Partition-filter predicate for the (band_id, sig_bucket) keys
+    one batch's banded frame touches, plus the touched-cell count —
+    the cell count drives the split layout's sigs-pruning regime
+    decision downstream."""
+    cells = _touched_cells(new_banded, sig_buckets)
+    return _cells_cond(cells), len(cells)
 
 
 def _sigs_prune_selective(n_cells: int, bands: int, sig_buckets: int) -> bool:
@@ -2074,6 +2089,181 @@ def merge_minhash_index(
         return merged
     return _cap_bucket_members(merged, id_col_out, max_bucket_size).select(
         *cols
+    )
+
+
+def _fs_delete_dirs(spark, dirs: list[str]) -> None:
+    """Recursively delete a BOUNDED list of directories through the
+    Hadoop FS API (scheme-agnostic). Missing dirs are skipped."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for d in dirs:
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def _delete_rows_in_partitions(
+    spark,
+    path: str,
+    cond: Column,
+    cell_dirs: list[str],
+    doomed_ids: DataFrame,
+    partition_cols: list[str],
+    sort_cols: list[str],
+) -> None:
+    """Targeted delete inside a partitioned index table: read ONLY the
+    touched partitions (``cond``), anti-join the doomed ids, and
+    dynamically overwrite exactly those partitions with the survivors.
+    The survivor frame is eagerly localCheckpointed first — it is
+    bounded by the touched partitions' size, and cutting lineage is
+    what makes overwriting the files it was read from safe. Partitions
+    left with ZERO survivors produce no output under dynamic overwrite
+    (nothing to replace them with), so their directories — an already
+    driver-side bounded list — are deleted through the FS API."""
+    table = _read_index_or_empty(spark, path)
+    if table is None:
+        return  # empty index: nothing to delete
+    survivors = (
+        table.where(cond)
+        .join(doomed_ids, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    present = {
+        tuple(r[c] for c in partition_cols)
+        for r in survivors.select(*partition_cols).distinct().collect()
+    }
+    (
+        survivors.repartition(*partition_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    emptied = [
+        d for cell, d in cell_dirs if tuple(cell) not in present
+    ]
+    _fs_delete_dirs(spark, emptied)
+
+
+def delete_from_minhash_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    sig_buckets: int = 64,
+    split_sig: bool = False,
+    id_buckets: int = 64,
+) -> None:
+    """TARGETED delete from a persisted ``write_minhash_index`` table —
+    the missing maintenance verb beside append/merge/compact (round
+    15): remove the given docs' rows by REWRITING ONLY THE PARTITIONS
+    THEY TOUCH, never the whole index. The probe-cell discipline a
+    third time: the doomed docs' band keys are recomputed from their
+    text (same MinHash/bucketing params as the build — the must-match
+    contract), the ≤ ``bands × sig_buckets`` touched cells become both
+    the read's partition filters and the write's dynamic-overwrite
+    scope, and cells left without survivors are removed through the FS
+    API (a bounded list). For the split layout the sigs table is
+    handled the same way on the ≤ ``id_buckets`` id-buckets derived
+    directly from the doomed ids; a legacy flat sigs table (no
+    ``id_bucket`` directories) falls back to a full single-table
+    rewrite.
+
+    Requirements and caveats, stated plainly:
+
+    - ``df`` must carry the SAME text the docs were indexed with — the
+      rows are located by re-hashing, so changed text locates the
+      wrong cells and silently misses rows. If the original text is
+      gone, rebuild the generation instead (or filter at read time).
+    - Docs that never produced shingles were never indexed; deleting
+      them is a no-op. Unknown ids are a no-op.
+    - Single-writer: dynamic partition overwrite replaces each touched
+      directory non-atomically; don't run concurrent
+      appends/deletes/compactions on one index path.
+    - A re-append of a deleted id afterwards works: the append guard
+      anti-joins against CURRENT stored ids.
+    """
+    spark = df.sparkSession
+    banded = _new_banded_frame(
+        df, text_col, id_col=id_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    ).localCheckpoint(eager=False)
+    cells = _touched_cells(banded, sig_buckets)
+    doomed = banded.select(F.col("_new_id").alias("id")).distinct()
+    if split_sig:
+        bands_dir = _hadoop_dir_exists(spark, f"{index_path}/bands")
+        sigs_dir = _hadoop_dir_exists(spark, f"{index_path}/sigs")
+        if bands_dir != sigs_dir:
+            raise ValueError(
+                f"half-written split index at {index_path!r}: bands "
+                f"{'present' if bands_dir else 'MISSING'}, sigs "
+                f"{'present' if sigs_dir else 'MISSING'} — restore or "
+                "rebuild the missing table before deleting from it"
+            )
+        if cells:
+            _delete_rows_in_partitions(
+                spark, f"{index_path}/bands", _cells_cond(cells),
+                [
+                    (
+                        (b, sb),
+                        f"{index_path}/bands/band_id={b}/sig_bucket={sb}",
+                    )
+                    for b, sb in cells
+                ],
+                doomed, ["band_id", "sig_bucket"], ["band_sig", "id"],
+            )
+        sigs_t = _read_index_or_empty(spark, f"{index_path}/sigs")
+        if sigs_t is None:
+            return
+        if "id_bucket" in sigs_t.columns:
+            buckets = sorted(
+                r["b"]
+                for r in doomed.select(
+                    _id_bucket(F.col("id"), id_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if buckets:
+                _delete_rows_in_partitions(
+                    spark, f"{index_path}/sigs",
+                    F.col("id_bucket").isin(buckets),
+                    [
+                        ((bk,), f"{index_path}/sigs/id_bucket={bk}")
+                        for bk in buckets
+                    ],
+                    doomed, ["id_bucket"], ["sig", "id"],
+                )
+        else:
+            # legacy flat sigs: no partition column to target — full
+            # single-table rewrite (eager checkpoint cuts lineage to
+            # the files being overwritten)
+            survivors = (
+                sigs_t.join(doomed, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            (
+                survivors.sortWithinPartitions("sig")
+                .write.mode("overwrite")
+                .parquet(f"{index_path}/sigs")
+            )
+        return
+    if not cells:
+        return
+    _delete_rows_in_partitions(
+        spark, index_path, _cells_cond(cells),
+        [
+            ((b, sb), f"{index_path}/band_id={b}/sig_bucket={sb}")
+            for b, sb in cells
+        ],
+        doomed, ["band_id", "sig_bucket"], ["band_sig", "id"],
     )
 
 

@@ -7881,7 +7881,11 @@ def _stage_near_index(spark, sf_dir):
 # regime (d27) are layout/regime choices over the SAME verdict
 # semantics — every one must hash-match the full-index computation,
 # parameterized only by how the nightly batch is thinned.
-def _d24_sql(batch_mod: int, batch_limit: int | None = None) -> str:
+def _d24_sql(
+    batch_mod: int,
+    batch_limit: int | None = None,
+    snap_where: str = "doc_id % 2 = 0",
+) -> str:
     lim = (
         f"ORDER BY d.doc_id LIMIT {batch_limit}"
         if batch_limit is not None
@@ -7889,7 +7893,7 @@ def _d24_sql(batch_mod: int, batch_limit: int | None = None) -> str:
     )
     return f"""
     WITH snap AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      SELECT doc_id, text FROM documents WHERE {snap_where}
     ),
     newb AS (
       SELECT d.doc_id,
@@ -8071,6 +8075,50 @@ def d27_split_selective(spark, sf_dir):
         num_hashes=32, bands=8, seed=42, threshold=0.5,
         max_bucket_size=None, sig_buckets=64, split_sig=True,
         id_buckets=32,
+    )
+    return out.select("doc_id", "is_known_near", "known_of", "known_est")
+
+
+@register(
+    "d28_index_delete",
+    _d24_sql(8, snap_where="doc_id % 2 = 0 AND doc_id % 6 <> 0"),
+    doc="TARGETED delete from the persisted LSH index, driver-refereed "
+        "(operators/dedup.py::delete_from_minhash_index, round 15): "
+        "the snapshot index is built over ALL even ids, then the "
+        "doc_id%6==0 slice is deleted — the doomed docs' band keys are "
+        "recomputed from their text and ONLY the touched (band_id, "
+        "sig_bucket) partitions are rewritten (dynamic partition "
+        "overwrite; cells left without survivors removed through the "
+        "FS API — the probe-cell discipline applied a third time, now "
+        "to index maintenance), never a full-index rewrite. The "
+        "nightly batch is then flagged against the mutated index, and "
+        "the oracle computes full verdicts over a snapshot that NEVER "
+        "CONTAINED the deleted docs — hash equality proves the "
+        "targeted rewrite is indistinguishable from never having "
+        "indexed them: no stale row survives in any rewritten or "
+        "skipped partition, and no surviving row was lost. Deletion "
+        "completes the maintenance verb set (write/append/merge/"
+        "compact/delete) a nightly 100 TB loop needs (GDPR-style "
+        "removals without an O(index) rebuild)",
+)
+def d28_index_delete(spark, sf_dir):
+    snap, newb_all = _near_index_frames(spark, sf_dir)
+    newb = newb_all.where(F.col("doc_id") % 8 == 1)
+    idx = dedup_ops.minhash_index_frame(
+        snap, "text", id_col="doc_id", shingle_size=3, num_hashes=32,
+        bands=8, seed=42,
+    )
+    path = _staging_path("mhdel", sf_dir)
+    dedup_ops.write_minhash_index(idx, path, sig_buckets=16)
+    doomed = snap.where(F.col("doc_id") % 6 == 0)
+    dedup_ops.delete_from_minhash_index(
+        doomed, path, text_col="text", id_col="doc_id", shingle_size=3,
+        num_hashes=32, bands=8, seed=42, sig_buckets=16,
+    )
+    out = dedup_ops.near_dedup_against_stored_index(
+        newb, path, text_col="text", id_col="doc_id", shingle_size=3,
+        num_hashes=32, bands=8, seed=42, threshold=0.5,
+        max_bucket_size=None, sig_buckets=16,
     )
     return out.select("doc_id", "is_known_near", "known_of", "known_est")
 

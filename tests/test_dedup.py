@@ -1915,3 +1915,147 @@ class TestStoredMinhashIndex:
             new, path, sig_buckets=8, split_sig=True
         ).collect()[0]
         assert got["is_known_near"] is False and got["known_of"] is None
+
+
+class TestDeleteFromMinhashIndex:
+    """delete_from_minhash_index (round 15): targeted removal from a
+    persisted index — only the partitions the doomed docs' band keys
+    touch are rewritten, cells emptied entirely are removed, and the
+    re-append path works afterwards."""
+
+    SNAP = TestNearDedupAgainstIndex.SNAP
+
+    def _build(self, spark, tmp_path, **kw):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(self.SNAP, "doc_id long, text string")
+        idx = dedup.minhash_index_frame(snap, "text")
+        path = str(tmp_path / "mh_del")
+        dedup.write_minhash_index(idx, path, sig_buckets=8, **kw)
+        return path
+
+    def test_monolithic_delete_targets_partitions(self, spark, tmp_path):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = self._build(spark, tmp_path)
+        before = set(spark.read.parquet(path).inputFiles())
+        doomed = spark.createDataFrame(
+            [self.SNAP[0]], "doc_id long, text string"
+        )
+        banded = dedup._new_banded_frame(doomed, "text")
+        touched = {
+            (r["band_id"], r["sig_bucket"])
+            for r in banded.select(
+                "band_id",
+                dedup._sig_bucket(F.col("band_sig"), 8).alias("sig_bucket"),
+            ).distinct().collect()
+        }
+        dedup.delete_from_minhash_index(doomed, path, sig_buckets=8)
+        after_df = spark.read.parquet(path)
+        # the doomed id is gone, the others fully intact
+        assert after_df.where(F.col("id") == 0).count() == 0
+        assert after_df.where(F.col("id") == 2).count() == 8
+        assert after_df.where(F.col("id") == 4).count() == 8
+        # untouched partitions' files were NOT rewritten
+        def cell_of(f):
+            import re as _re
+
+            m = _re.search(r"band_id=(\d+)/sig_bucket=(\d+)", f)
+            return (int(m.group(1)), int(m.group(2)))
+
+        untouched_before = {f for f in before if cell_of(f) not in touched}
+        after = set(after_df.inputFiles())
+        assert untouched_before <= after
+        # and no stale file from a touched cell survives
+        assert all(
+            f in untouched_before or cell_of(f) in touched for f in after
+        )
+
+    def test_delete_all_docs_empties_cells_and_flags_nothing(
+        self, spark, tmp_path
+    ):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = self._build(spark, tmp_path)
+        everything = spark.createDataFrame(
+            self.SNAP, "doc_id long, text string"
+        )
+        dedup.delete_from_minhash_index(everything, path, sig_buckets=8)
+        # every partition directory is gone or empty; the reader treats
+        # the result as an empty index (bootstrap contract)
+        new = spark.createDataFrame(
+            [(1, self.SNAP[0][1])], "doc_id long, text string"
+        )
+        got = dedup.near_dedup_against_stored_index(
+            new, path, sig_buckets=8
+        ).collect()[0]
+        assert got["is_known_near"] is False
+
+    def test_split_delete_removes_bands_and_sigs(self, spark, tmp_path):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = self._build(
+            spark, tmp_path, split_sig=True, id_buckets=16
+        )
+        doomed = spark.createDataFrame(
+            [self.SNAP[1]], "doc_id long, text string"
+        )
+        dedup.delete_from_minhash_index(
+            doomed, path, sig_buckets=8, split_sig=True, id_buckets=16
+        )
+        assert (
+            spark.read.parquet(f"{path}/bands")
+            .where(F.col("id") == 2).count() == 0
+        )
+        sigs = spark.read.parquet(f"{path}/sigs")
+        assert sigs.where(F.col("id") == 2).count() == 0
+        assert sigs.count() == 2  # the other two docs' sigs intact
+        # verdicts no longer name the deleted doc; others still match
+        new = spark.createDataFrame(
+            [(11, self.SNAP[1][1]), (13, self.SNAP[0][1])],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["is_known_near"], r["known_of"])
+            for r in dedup.near_dedup_against_stored_index(
+                new, path, threshold=0.5, sig_buckets=8, split_sig=True,
+                id_buckets=16,
+            ).collect()
+        }
+        assert got[11] == (False, None)
+        assert got[13] == (True, 0)
+
+    def test_unknown_id_is_noop(self, spark, tmp_path):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = self._build(spark, tmp_path)
+        n0 = spark.read.parquet(path).count()
+        dedup.delete_from_minhash_index(
+            spark.createDataFrame(
+                [(999, "text that was never indexed at all ok")],
+                "doc_id long, text string",
+            ),
+            path, sig_buckets=8,
+        )
+        assert spark.read.parquet(path).count() == n0
+
+    def test_delete_then_reappend_works(self, spark, tmp_path):
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        path = self._build(spark, tmp_path)
+        gen = spark.createDataFrame(
+            [self.SNAP[0]], "doc_id long, text string"
+        )
+        dedup.delete_from_minhash_index(gen, path, sig_buckets=8)
+        # re-append the same id: the guard anti-joins CURRENT ids, the
+        # deleted doc is absent, so the append lands exactly once
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(gen, "text"), path,
+            sig_buckets=8, mode="append",
+        )
+        t = spark.read.parquet(path)
+        assert t.where(F.col("id") == 0).count() == 8
+        assert (
+            t.groupBy("id", "band_id").count()
+            .where(F.col("count") > 1).count() == 0
+        )
