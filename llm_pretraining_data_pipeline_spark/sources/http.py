@@ -704,18 +704,36 @@ def http_body_text_charset(
         # picked a multi-byte charset, so the two label families never
         # shadow each other.
         .when(mb_label.isNotNull(), _s(mb_text, mb_label, mb_source))
+        # label arms compare with NULL-SAFE equality (<=>), not ==: for
+        # an absent/unhonorable label, `label == lit` is NULL and a
+        # NULL-valued AND cannot short-circuit (NULL AND x must still
+        # evaluate x to pick NULL vs false), so every fall-through row
+        # paid BOTH full-body UTF-16 validity scans + the UTF-8 validity
+        # chain before reaching the content arm — the measured cause of
+        # the r15 mb_off>mb_on inversion (scripts/profile_charset_mb.py:
+        # +1.58 s over 500k docs for an 8.4% unhonored slice). `<=>`
+        # yields a definite false for a null label, and codegen's AND
+        # skips the right side when the left is false — unlabeled rows
+        # now fall straight through to the content arm. Semantics are
+        # identical: CASE treats a NULL predicate exactly like false.
         .when(
-            (label == "utf-8") & utf8_valid,
+            label.eqNullSafe("utf-8") & utf8_valid,
             _s(F.decode(b, "UTF-8"), "utf-8", source),
         )
-        .when(label == "utf-8", _s(_cp1252(b), "windows-1252", "content"))
-        .when(label == "windows-1252", _s(_cp1252(b), "windows-1252", source))
         .when(
-            (label == "utf-16le") & _utf16_valid(b, le=True),
+            label.eqNullSafe("utf-8"),
+            _s(_cp1252(b), "windows-1252", "content"),
+        )
+        .when(
+            label.eqNullSafe("windows-1252"),
+            _s(_cp1252(b), "windows-1252", source),
+        )
+        .when(
+            label.eqNullSafe("utf-16le") & _utf16_valid(b, le=True),
             _s(F.decode(b, "UTF-16LE"), "utf-16le", source),
         )
         .when(
-            (label == "utf-16be") & _utf16_valid(b, le=False),
+            label.eqNullSafe("utf-16be") & _utf16_valid(b, le=False),
             _s(F.decode(b, "UTF-16BE"), "utf-16be", source),
         )
         .when(utf8_valid, _s(F.decode(b, "UTF-8"), "utf-8", "content"))
