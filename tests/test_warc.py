@@ -2372,6 +2372,68 @@ class TestUtf16MalformedFallback:
         assert got[4] == ("\U00010000", "utf-16le", "bom")
 
 
+class TestCharsetLabelArmShortCircuit:
+    """Round-15 optimization pin: the label arms must compare with
+    NULL-SAFE equality (<=>), not ==. With ==, an absent/unhonorable
+    label makes the CASE predicate NULL, and a NULL-valued AND cannot
+    short-circuit — every fall-through row then pays BOTH full-body
+    UTF-16 validity regex chains before reaching the content arm
+    (measured 5x on an unlabeled 500k-doc corpus,
+    scripts/ab_charset_nullsafe.py / OPTIMIZATION_r15.md §2)."""
+
+    def test_label_arms_are_null_safe(self, spark):
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        expr = str(http_body_text_charset("body", "charset"))
+        # 5 label arms: utf-8 (x2), windows-1252, utf-16le, utf-16be
+        assert expr.count("<=>") >= 5, expr[:2000]
+        # and no plain-equality label arm crept back in (the Column
+        # repr prints == as `=(x, y)` and <=> as `<=>(x, y)`)
+        import re
+
+        assert not re.search(r"(?<!<)=\(coalesce", expr), (
+            "label arm compares with ==; a null label would defeat "
+            "the short-circuit past the UTF-16 validity scans"
+        )
+
+    def test_unlabeled_rows_identical_to_labelless_call(self, spark):
+        # semantics referee: an all-null charset column must route every
+        # row exactly like the no-column sniff chain (the short-circuit
+        # is a speed fix, never a routing change)
+        from pyspark.sql import functions as F
+
+        from llm_pretraining_data_pipeline_spark.sources.http import (
+            http_body_text_charset,
+        )
+
+        rows = [
+            (0, bytearray("plain ascii".encode())),
+            (1, bytearray("café utf8".encode())),
+            (2, bytearray(b"caf\xe9 latin1")),
+            (3, bytearray(b"\xef\xbb\xbfbom utf8")),
+            (4, bytearray(b"\xff\xfea\x00b\x00")),
+            (5, bytearray(b"")),
+        ]
+        df = spark.createDataFrame(rows, "i int, body binary").withColumn(
+            "charset", F.lit(None).cast("string")
+        )
+        with_col = {
+            r["i"]: (r["text"], r["charset_used"], r["charset_source"])
+            for r in df.select(
+                "i", http_body_text_charset("body", "charset").alias("d")
+            ).select("i", "d.*").collect()
+        }
+        without = {
+            r["i"]: (r["text"], r["charset_used"], r["charset_source"])
+            for r in df.select(
+                "i", http_body_text_charset("body", None).alias("d")
+            ).select("i", "d.*").collect()
+        }
+        assert with_col == without
+
+
 class TestCharsetDecodeNoHeaderColumn:
     def test_charset_col_none_uses_sniff_chain(self, spark):
         from llm_pretraining_data_pipeline_spark.sources.http import (
