@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from llm_pretraining_data_pipeline_spark.functions import hashing
+from llm_pretraining_data_pipeline_spark.functions import hashing, minhash_vec
 from llm_pretraining_data_pipeline_spark.functions.text_norm import (
     canonicalize_for_exact,
     canonicalize_for_near,
@@ -308,46 +308,96 @@ def _minhash_sig_frame(
     shingle_size: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature frame ``(id, sig array<int>)`` — the
     shared first stage of ``minhash_lsh_candidates`` /
-    ``minhash_index_frame`` / ``near_dedup_against_index``. One fold over
-    the hashed shingles per row, behind a Generate-node barrier (explode
-    of a 1-element struct array) so CollapseProject can never inline the
-    md5 pass into downstream band lambdas. Empty-shingle rows fold to the
-    init sentinel (every lane == 2^31-1, unreachable for non-empty input
-    since perms are mod 2^31-1) and are filtered AFTER the barrier —
-    pushing the predicate below the spread repartition would re-run the
-    whole md5 pass on the unspread input partitions."""
+    ``minhash_index_frame`` / ``near_dedup_against_index``.
+
+    ``vectorized=True`` (default, round 15): ONE Arrow pass per
+    partition over the JVM-tokenised array (``minhash_vec`` — the
+    shingle join + md5 + affine-min fold in C-speed Python; measured
+    ~7x the Catalyst chain at the 500k-doc bench shape, because the
+    shingle-string HOFs are CodegenFallback). Bit-parity with the
+    Catalyst chain is pinned by tests/test_minhash_vec.py; the DuckDB
+    referee backs both.
+
+    ``vectorized=False`` is the zero-Python Catalyst chain: one fold
+    over the hashed shingles per row, behind a Generate-node barrier
+    (explode of a 1-element struct array) so CollapseProject can never
+    inline the md5 pass into downstream band lambdas.
+
+    Either way, empty-shingle rows fold to the init sentinel (every
+    lane == 2^31-1, unreachable for non-empty input since perms are
+    mod 2^31-1) and are filtered AFTER the opaque stage / barrier —
+    pushing the predicate below the spread repartition would re-run
+    the whole hash pass on the unspread input partitions."""
     df = _spread_small_input(df)
-    hashed = F.transform(
-        hashing.token_shingles(text_col, shingle_size), lambda s: hashing.h32(s)
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        hashing.minhash_signature_single_pass(hashed, num_hashes, seed).alias("sig"),
-    )
-    base = base.select(
-        F.explode(F.array(F.struct(F.col("id"), F.col("sig")))).alias("_r")
-    ).select("_r.id", "_r.sig")
+    if vectorized:
+        base = minhash_vec.minhash_sig_frame_arrow(
+            df, text_col, id_col=id_col, shingle_size=shingle_size,
+            num_hashes=num_hashes, seed=seed,
+        )
+    else:
+        hashed = F.transform(
+            hashing.token_shingles(text_col, shingle_size),
+            lambda s: hashing.h32(s),
+        )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            hashing.minhash_signature_single_pass(hashed, num_hashes, seed)
+            .alias("sig"),
+        )
+        base = base.select(
+            F.explode(F.array(F.struct(F.col("id"), F.col("sig")))).alias("_r")
+        ).select("_r.id", "_r.sig")
     return base.filter(F.col("sig")[0] != F.lit(hashing.MERSENNE_31))
+
+
+def _sig_match_count(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Number of matching lanes between two equal-length signatures —
+    the MinHash-estimate numerator, shared by the against-index verdict
+    path and the estimator audit. Deliberately the ``zip_with |> filter
+    |> size`` HOF chain, NOT an unrolled sum over ``GetArrayItem``:
+    measured round 15 on a 20M-row synthetic joined frame, the
+    interpreted HOF runs 2.8 s while the "codegen-friendly" unrolled
+    32-term sum (whether ``when(...,1,0)`` or boolean casts) runs
+    47-90 s — the generated method for 32 chained array accesses +
+    conditionals is too large for JIT and executes as interpreted
+    BYTECODE, far slower than Catalyst's interpreted expression walk.
+    (``num_hashes`` is kept for signature stability and future
+    variants.) An ``aggregate``-fold counter measured 3.4 s — no win
+    over this form."""
+    del num_hashes  # the HOF walks the arrays' own length
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda a, b: a == b), lambda x: x)
+    )
 
 
 def _band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     """``array<struct<band_id, band_sig>>`` of LSH band keys for one
-    signature — the one banding definition every consumer shares."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
-                ),
-            ).alias("band_sig"),
-        ),
+    signature — the one banding definition every consumer shares.
+
+    Unrolled over the plan-time-constant ``bands``/``rows_per_band``
+    (round 15): ``GetArrayItem`` + ``concat_ws`` are whole-stage-codegen
+    expressions, while the former ``transform``+``slice`` lambdas were
+    CodegenFallback (interpreted, one array allocation per band per
+    row). Values are identical by construction — ``sig[k]`` enumerates
+    exactly the elements ``slice(sig, k+1, rows_per_band)`` walked."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        sig[b * rows_per_band + j].cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -1469,30 +1519,29 @@ def near_dup_verdicts_against_index(
     # are CodegenFallback (interpreted) and measured 13x slower than the
     # codegen'd CASE at the 10M-joined-rows bench shape (round 13). The
     # cap guard (band must be one the old doc SURVIVED in) rides each
-    # arm as a codegen'd array_contains.
+    # arm as a codegen'd array_contains. Each arm compares the band's
+    # lanes element-by-element (``GetArrayItem`` conjunction) rather
+    # than ``slice == slice`` — same truth value over the equal-length
+    # signature arrays, but no per-row array allocations and the AND
+    # short-circuits on the first differing lane (round 15).
+    def _band_eq(b: int) -> Column:
+        eq = None
+        for j in range(b * rows_per_band, (b + 1) * rows_per_band):
+            e = F.col("_new_sig")[j] == F.col("_old_sig")[j]
+            eq = e if eq is None else eq & e
+        return eq
+
     min_match_band = None
     for b in range(bands):
-        arm = F.array_contains(F.col("_surv_bands"), F.lit(b)) & (
-            F.slice(F.col("_new_sig"), b * rows_per_band + 1, rows_per_band)
-            == F.slice(F.col("_old_sig"), b * rows_per_band + 1, rows_per_band)
-        )
+        arm = F.array_contains(F.col("_surv_bands"), F.lit(b)) & _band_eq(b)
         min_match_band = (
             F.when(arm, F.lit(b))
             if min_match_band is None
             else min_match_band.when(arm, F.lit(b))
         )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.col("_new_sig"), F.col("_old_sig"),
-                    lambda a, b: a == b,
-                ),
-                lambda x: x,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    est = _sig_match_count(
+        F.col("_new_sig"), F.col("_old_sig"), num_hashes
+    ).cast("double") / F.lit(float(num_hashes))
     return (
         joined.where(F.col("band_id") == min_match_band)
         .where(est >= threshold)
@@ -2403,11 +2452,7 @@ def minhash_estimate_error(
     a = sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    )
+    matches = _sig_match_count(F.col("sig_a"), F.col("sig_b"), num_hashes)
     est = matches.cast("double") / F.lit(float(num_hashes))
     return j.select(
         "id_a",
