@@ -133,3 +133,62 @@ def minhash_sig_frame_arrow(
             )
 
     return toks.mapInArrow(gen, out_schema)
+
+
+def ngram_h64_frame_arrow(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(*keep, gh array<long>)`` — the 60-bit h64 hashes of a row's
+    word n-grams in one Arrow pass: the vectorized twin of
+    ``explode(corpus.ngrams(ws_tokens(coalesce(text, '')), n))`` followed
+    by ``h64(gram)`` (same interpreted-HOF cost profile as the MinHash
+    shingle chain above; same md5-arithmetic parity argument — and the
+    same JVM-side tokenisation, so no regex mirror). ``ngrams`` semantics
+    mirrored exactly: fewer than ``n`` tokens (incl. null text) yields an
+    EMPTY list — there is no whole-text fallback here, unlike
+    ``token_shingles``. Callers explode ``gh`` where they exploded the
+    gram column; hash values are bit-identical so every downstream
+    distinct/groupBy/join sees the same keys."""
+    cols = [F.col(k) for k in keep]
+    toks = df.select(
+        *cols, ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks")
+    )
+    out_schema = T.StructType(
+        [toks.schema[k] for k in keep]
+        + [T.StructField("gh", T.ArrayType(T.LongType(), False), False)]
+    )
+    nn = int(n)
+    width = len(keep)
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for batch in batches:
+            tok_lists = batch.column(width).to_pylist()
+            flat: list[int] = []
+            offs = np.empty(len(tok_lists) + 1, np.int32)
+            offs[0] = 0
+            for k, tk in enumerate(tok_lists):
+                ln = 0 if tk is None else len(tk)
+                if ln >= nn:
+                    flat.extend(
+                        int.from_bytes(
+                            md5(" ".join(tk[i : i + nn]).encode()).digest()[:8],
+                            "big",
+                        )
+                        >> 4
+                        for i in range(ln - nn + 1)
+                    )
+                offs[k + 1] = len(flat)
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(np.asarray(flat, np.int64), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(width)] + [arr],
+                [*keep, "gh"],
+            )
+
+    return toks.mapInArrow(gen, out_schema)

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from llm_pretraining_data_pipeline_spark.functions import minhash_vec
 from llm_pretraining_data_pipeline_spark.functions.hashing import h64, sha256_hex
 from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
 
@@ -2450,14 +2451,20 @@ def gram_novelty(
     row (n_grams_old, n_grams_new, n_novel, novelty_rate 6dp).
     """
     g = F.col(group_col)
-    toks = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # Arrow-batched gram hashing (round 15): the former
+    # explode(ngrams(...)) + h64(gram) chain built every gram string
+    # through interpreted HOFs — ~half of the 100k-doc corpus-audit
+    # bench entry; ngram_h64_frame_arrow is hash-identical by
+    # construction (tests/test_minhash_vec.py pins it), so the
+    # distinct/groupBy below see exactly the same 60-bit keys.
     grams = (
-        df.filter(g.isin([old_group, new_group]))
-        .select(
-            (g == new_group).alias("is_new"),
-            F.explode(ngrams(toks, n)).alias("gram"),
+        minhash_vec.ngram_h64_frame_arrow(
+            df.filter(g.isin([old_group, new_group])).select(
+                (g == new_group).alias("is_new"), F.col(text_col)
+            ),
+            text_col, n, keep=("is_new",),
         )
-        .select("is_new", h64(F.col("gram")).alias("gh"))
+        .select("is_new", F.explode("gh").alias("gh"))
         .distinct()
     )
     flags = grams.groupBy("gh").agg(

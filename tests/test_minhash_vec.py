@@ -108,6 +108,36 @@ def test_sig_match_count_matches_manual(spark):
     assert got == [m for _, _, m in rows]
 
 
+@pytest.mark.parametrize("n", [1, 3, 5])
+def test_ngram_h64_arrow_matches_catalyst(spark, n):
+    """ngram_h64_frame_arrow == explode(ngrams(ws_tokens(coalesce(text,
+    ''))))+h64 — incl. the empty-list (NOT whole-text) short-doc rule."""
+    from llm_pretraining_data_pipeline_spark.functions import minhash_vec
+    from llm_pretraining_data_pipeline_spark.functions.hashing import h64
+    from llm_pretraining_data_pipeline_spark.functions.text_norm import ws_tokens
+    from llm_pretraining_data_pipeline_spark.operators.corpus import ngrams
+
+    df = spark.createDataFrame(TRICKY_ROWS, ["doc_id", "text"])
+    vec = sorted(
+        (r["doc_id"], r["gh"])
+        for r in minhash_vec.ngram_h64_frame_arrow(
+            df, "text", n, keep=("doc_id",)
+        )
+        .select("doc_id", F.explode("gh").alias("gh"))
+        .collect()
+    )
+    toks = ws_tokens(F.coalesce(F.col("text"), F.lit("")))
+    cat = sorted(
+        (r["doc_id"], r["gh"])
+        for r in df.select(
+            "doc_id", F.explode(ngrams(toks, n)).alias("gram")
+        )
+        .select("doc_id", h64(F.col("gram")).alias("gh"))
+        .collect()
+    )
+    assert vec == cat and len(vec) > 0
+
+
 def test_sentinel_unreachable_for_nonempty_docs(spark):
     """A one-token doc must NOT collide with the fold sentinel."""
     df = spark.createDataFrame([("x", "token")], ["doc_id", "text"])
