@@ -1735,6 +1735,13 @@ def write_minhash_index(
     # signature itself for the same locality (identical sigs from
     # duplicate docs become runs). Write-side cost is a per-task sort.
     if split_sig:
+        # the two table writes are two ACTIONS over the same upstream —
+        # un-checkpointed, a fresh minhash_index_frame lineage would run
+        # its whole signature pass once per table (measured round 15:
+        # the second pass was ~1/3 of the split-build bench entry). The
+        # lazy localCheckpoint materialises the narrow index rows at the
+        # bands write and the sigs write reuses them.
+        index = index.localCheckpoint(eager=False)
         prior_sigs = _prior(f"{path}/sigs")  # one read: guard + layout
         bands = _without_known(
             index.select("id", "band_id", "band_sig"),
