@@ -936,6 +936,13 @@ def embedding_near_dup_pairs(
     )
 
 
+# bound for connected_components' driver-side union-find fast path: 1M
+# narrow (src, dst) rows is tens of MB on the driver — far under the
+# repo's bounded-collect discipline — while anything bigger (a truly
+# corpus-scale duplicate graph) takes the distributed loop unchanged
+_CC_DRIVER_MAX_EDGES = 1_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -968,6 +975,54 @@ def connected_components(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+
+    # Small-graph fast path (round 15): each propagation round below is
+    # several jobs (two joins + groupBy + eager checkpoint + the changed
+    # count), so a TINY pair graph — the common case after LSH verify,
+    # e.g. the bench's 224 verified pairs — pays multiple seconds of pure
+    # job-scheduling overhead for microseconds of actual work. Up to
+    # _CC_DRIVER_MAX_EDGES the (already materialised, already distinct)
+    # edge list is collected and resolved with driver-side min-label
+    # union-find: labels are identical by definition (component = the
+    # set's minimum id; Spark's binary string min == Python's code-point
+    # min for valid UTF-8). The collect is BOUNDED by the constant —
+    # 1M narrow (src, dst) rows ≈ tens of MB — and corpus-scale graphs
+    # take the distributed loop exactly as before. The count that gates
+    # it is one cheap job over the checkpoint blocks.
+    n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # min-id root keeps the canonical-label invariant
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        spark = pairs.sparkSession
+        src_type = edges.schema["src"].dataType
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [(x, find(x)) for x in parent],
+            T.StructType(
+                [
+                    T.StructField("src", src_type, True),
+                    T.StructField("component", src_type, True),
+                ]
+            ),
+        ).withColumnRenamed("src", "id")
 
     labels = (
         edges.select("src").distinct().withColumn("component", F.col("src"))

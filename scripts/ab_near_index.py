@@ -42,15 +42,18 @@ base = (docs.crossJoin(copies)
 ni_snap = base.where(F.col("doc_id") % 2 == 0)
 ni_new = base.where(F.col("doc_id") % 2 == 1)
 spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().count()
+SPLIT = os.environ.get("AB_NI_SPLIT", "") == "1"  # split-layout arms instead
 d = tempfile.mkdtemp(prefix="ab_ni_")
+kw = (dict(split_sig=True, id_buckets=2048) if SPLIT else {})
+sub = "idx_split" if SPLIT else "idx"
 try:
     t0 = time.time()
     DD.write_minhash_index(DD.minhash_index_frame(ni_snap, "text"),
-                           f"{d}/idx", sig_buckets=256)
+                           f"{d}/{sub}", sig_buckets=256, **kw)
     build = round(time.time() - t0, 3)
     t0 = time.time()
     row = (DD.near_dedup_against_stored_index(
-               ni_new, f"{d}/idx", threshold=0.7, sig_buckets=256)
+               ni_new, f"{d}/{sub}", threshold=0.7, sig_buckets=256, **kw)
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("is_known_near").cast("long")).alias("f"))
            .collect()[0])

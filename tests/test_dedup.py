@@ -399,14 +399,34 @@ class TestEmbeddingSimilarity:
 
 
 class TestConnectedComponents:
-    def test_chain_and_star(self, spark):
+    def test_chain_and_star(self, spark, monkeypatch):
         # chain 1-2-3-4, star 10-(11,12), singleton edge 20-21
         pairs = spark.createDataFrame(
             [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
             "id_a long, id_b long",
         )
+        want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        # default: small graph takes the driver union-find fast path
         comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
-        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        assert comp == want
+        # forcing the distributed loop must give identical labels
+        monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", 0)
+        loop = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+        assert loop == want
+
+    def test_fast_path_matches_loop_on_string_ids(self, spark, monkeypatch):
+        """Union-find min-label == distributed min-label on string ids too
+        (Spark's binary string min == Python's code-point min)."""
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y"), ("é", "e")],
+            "id_a string, id_b string",
+        )
+        fast = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+        monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", 0)
+        loop = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+        assert fast == loop == {
+            "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "e": "e", "é": "e",
+        }
 
     def test_rejects_nonpositive_max_iter(self, spark):
         """max_iter <= 0 would return identity labels with no warning (the
@@ -416,9 +436,12 @@ class TestConnectedComponents:
             with pytest.raises(ValueError, match="max_iter"):
                 dedup.connected_components(pairs, max_iter=bad)
 
-    def test_warns_when_diameter_exceeds_max_iter(self, spark):
+    def test_warns_when_diameter_exceeds_max_iter(self, spark, monkeypatch):
         import warnings
 
+        # the warning is a distributed-loop contract; pin that path (the
+        # union-find fast path always converges and never warns)
+        monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", 0)
         # one round cannot finish any multi-hop chain
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(6)], "id_a long, id_b long"
@@ -435,11 +458,12 @@ class TestConnectedComponents:
         assert not any("did not converge" in str(x.message) for x in w)
         assert set(comp.values()) == {0}
 
-    def test_long_chain_converges_in_log_rounds(self, spark):
+    def test_long_chain_converges_in_log_rounds(self, spark, monkeypatch):
         """Pointer jumping: a 120-hop path converges well inside 10 rounds
         (O(log diameter)); plain min-label propagation would need 120."""
         import warnings
 
+        monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", 0)
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(120)], "id_a long, id_b long"
         )
