@@ -158,10 +158,13 @@ class TestLazyLshPlans:
         plan = buf.getvalue()
         assert "InMemoryTableScan" not in plan          # zero persisted state
         assert plan.count("Location: InMemoryFileIndex") == 1  # read ONCE
-        # the shingle/md5 expression must appear exactly once (the single-pass
-        # fold in the signature Project) — a Filter pushed below the spread
-        # repartition would duplicate it on the unspread input
-        assert plan.count("md5") == 1
+        # the signature pass must run exactly once: since round 15 it is
+        # ONE Arrow stage (minhash_vec) — a second MapInArrow, or any md5
+        # re-appearing in Catalyst around it, would mean the hash pass
+        # got duplicated (e.g. a Filter pushed below the spread
+        # repartition re-running it on the unspread input)
+        assert plan.split("\n\n")[0].count("MapInArrow") == 1  # tree section
+        assert plan.count("md5") == 0
         # bounded shuffles: band groupBy + pair distinct (+ the small-input
         # spread repartition on this single-file local fixture); count in
         # the tree section only (the details repeat each node name)
