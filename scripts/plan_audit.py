@@ -10,7 +10,7 @@ collected) and counts the plan nodes that matter at 100 TB:
   Window              sort-based windows — serial within a partition key
   CartesianProduct    must be ZERO everywhere (the audit FAILS otherwise)
   ArrowEvalPython     Arrow-batched pandas_udf stages
-  MapInPandas / FlatMapGroupsInPandas   Python fan-out/grouped stages
+  MapInPandas / MapInArrow / FlatMapGroupsInPandas   Python fan-out/batch stages
   BroadcastHashJoin / SortMergeJoin     join strategies chosen
 
 Writes PLAN_AUDIT.md (table per query + summary) so plan regressions
@@ -38,6 +38,7 @@ NODES = [
     ("Cartesian", r"\bCartesianProduct\b"),
     ("ArrowEval", r"\bArrowEvalPython\b"),
     ("MapInPandas", r"\bMapInPandas\b"),
+    ("MapInArrow", r"\bMapInArrow\b"),
     ("GroupsInPandas", r"FlatMapGroupsInPandas"),
     ("BHJ", r"\bBroadcastHashJoin\b"),
     ("SMJ", r"\bSortMergeJoin\b"),
