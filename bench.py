@@ -1065,21 +1065,16 @@ def main() -> int:
                     total += os.path.getsize(os.path.join(root, nm))
             return total
 
-        # id_buckets sized like sig_buckets: well above the candidate-id
-        # count a selective night produces on THIS fixture (25 docs x
-        # ~replication-factor cluster members), so the second pruning
-        # pass is observable; the knob grows with the corpus at 100 TB
-        # exactly like sig_buckets (partitions stay executor-sized,
-        # candidate sets stay a vanishing fraction of buckets).
-        # Measured trade (r15 quiet, n=6): the 2048-dir sigs table buys
-        # selective-night pruning (998/2048 files ~= the 1400 candidate
-        # ids; 144/2048 at sf0.01 where candidates=150) but costs the
-        # FULL-batch arms listing + small-file overhead (split_build
-        # 29.4->36.2 min, split_e2e 29.0->41.7 min vs the r14 flat
-        # layout) and inflates split_bytes_ratio via per-file footers.
-        # Per-corpus knob: a real deployment picks it from night size x
-        # dup rate; the bench pins the selective-regime proof.
-        NI_ID_BUCKETS = 2048
+        # id_buckets is AUTO-DERIVED by the writer since round 16
+        # (VERDICT r15 item 1: next-pow2 of docs/256 → 1024 for this
+        # 250k-doc snapshot, recorded below from the _index_meta.json
+        # sidecar) and loaded back by every reader from the sidecar —
+        # the r15 hand-pinned 2048 is gone, together with its
+        # full-batch listing/small-file tax (measured r15 quiet, n=6:
+        # split_build 29.4->36.2 min, split_e2e 29.0->41.7 min vs the
+        # r14 flat layout) and the silent writer/reader mismatch
+        # footgun. The selective-regime pruning proof below now runs
+        # at the derived bucket count.
         timed(
             "near_index_split_build",
             lambda: DD.write_minhash_index(
@@ -1087,18 +1082,18 @@ def main() -> int:
                 f"{ni_dir}/idx_split",
                 sig_buckets=NI_SIG_BUCKETS,
                 split_sig=True,
-                id_buckets=NI_ID_BUCKETS,
             ),
         )
+        with open(f"{ni_dir}/idx_split/_index_meta.json") as mf:
+            meta["near_index_split_id_buckets"] = int(
+                json.load(mf)["id_buckets"]
+            )
         ni_split = timed(
             "near_index_split_e2e",
             lambda: DD.near_dedup_against_stored_index(
                 ni_new,
                 f"{ni_dir}/idx_split",
                 threshold=0.7,
-                sig_buckets=NI_SIG_BUCKETS,
-                split_sig=True,
-                id_buckets=NI_ID_BUCKETS,
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -1120,8 +1115,8 @@ def main() -> int:
         # duplicated sigs compress as in-file runs and can even beat the
         # split layout (and the id-bucketed sigs dirs add per-file
         # footer overhead that inflates the ratio further at small SF —
-        # the prunability/bytes trade of NI_ID_BUCKETS). Real corpora
-        # are dominated by UNIQUE docs, where
+        # the prunability/bytes trade of the derived id_buckets). Real
+        # corpora are dominated by UNIQUE docs, where
         # the split layout wins by construction (sig bytes scale with
         # docs, not docs x bands) — measured here on the unreplicated
         # corpus (untimed; small by construction):
@@ -1157,9 +1152,6 @@ def main() -> int:
                 ni_small,
                 f"{ni_dir}/idx_split",
                 threshold=0.7,
-                sig_buckets=NI_SIG_BUCKETS,
-                split_sig=True,
-                id_buckets=NI_ID_BUCKETS,
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -1172,7 +1164,6 @@ def main() -> int:
         ) == int(ni_sel["flagged"] or 0), "split-selective layout drift"
         bands_t, sigs_t = DD.read_minhash_split_frames(
             ni_small, f"{ni_dir}/idx_split",
-            sig_buckets=NI_SIG_BUCKETS, id_buckets=NI_ID_BUCKETS,
             checkpoint=False,
         )
 

@@ -1409,20 +1409,111 @@ class TestStoredMinhashIndex:
             for k, v in want.items()
         }
 
-    def test_sig_bucket_mismatch_is_the_callers_contract(self, spark, tmp_path):
-        # documented contract: the reader must pass the writer's
-        # sig_buckets — asserted here as "matching values resolve,
-        # plan still prunes" under a non-default bucket count
+    def test_meta_sidecar_makes_bucket_mismatch_impossible(
+        self, spark, tmp_path
+    ):
+        # round 16 (VERDICT r15 item 2): the writer persists its layout
+        # knobs in _index_meta.json and every reader loads them back —
+        # a caller passing WRONG bucket counts (previously a silent
+        # wrong-partitions read) now resolves correctly, because the
+        # sidecar wins. This test replaces the old docstring-pinned
+        # "mismatch is the caller's contract" test.
+        import json
+
         from llm_pretraining_data_pipeline_spark.operators import dedup
 
         path, _ = self._write(spark, tmp_path, sig_buckets=3)
+        meta = json.load(open(f"{path}/_index_meta.json"))
+        assert meta["layout"] == "monolithic"
+        assert meta["sig_buckets"] == 3
         new = spark.createDataFrame(
             [(11, self.SNAP[1][1])], "doc_id long, text string"
         )
+        # deliberately wrong caller value: the sidecar must override it
         got = dedup.near_dedup_against_stored_index(
-            new, path, threshold=0.5, sig_buckets=3
+            new, path, threshold=0.5, sig_buckets=97
         ).collect()[0]
         assert got["is_known_near"] is True and got["known_of"] == 2
+
+    def test_split_auto_id_buckets_and_sidecar_roundtrip(
+        self, spark, tmp_path
+    ):
+        # id_buckets=None (the default) auto-derives from the doc count
+        # (next-pow2 of docs/256, floor 8 — a tiny index must NOT shard
+        # into thousands of directories), records the value in the
+        # sidecar, and the reader prunes with the recorded value even
+        # when the caller passes a wrong one.
+        import json
+        import os
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(self.SNAP, "doc_id long, text string")
+        idx = dedup.minhash_index_frame(snap, "text")
+        path = str(tmp_path / "mh_split_auto")
+        dedup.write_minhash_index(idx, path, sig_buckets=4, split_sig=True)
+        meta = json.load(open(f"{path}/_index_meta.json"))
+        assert meta == {
+            "version": 1, "layout": "split",
+            "sig_buckets": 4, "id_buckets": 8,
+        }
+        dirs = [
+            d for d in os.listdir(f"{path}/sigs")
+            if d.startswith("id_bucket=")
+        ]
+        assert 0 < len(dirs) <= 8
+        new = spark.createDataFrame(
+            [(11, self.SNAP[1][1])], "doc_id long, text string"
+        )
+        # wrong caller values everywhere, wrong layout flag too: the
+        # sidecar describes the index, so the read still resolves
+        got = dedup.near_dedup_against_stored_index(
+            new, path, threshold=0.5, sig_buckets=99, split_sig=False,
+            id_buckets=1234,
+        ).collect()[0]
+        assert got["is_known_near"] is True and got["known_of"] == 2
+
+    def test_append_adopts_sidecar_layout_and_explicit_mismatch_raises(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        snap = spark.createDataFrame(self.SNAP, "doc_id long, text string")
+        path = str(tmp_path / "mh_split_append")
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(snap, "text"), path,
+            sig_buckets=4, split_sig=True,
+        )
+        nb = spark.createDataFrame(
+            [(50, "a brand new night document with fresh words entirely")],
+            "doc_id long, text string",
+        )
+        # append states NO layout: adopts the sidecar's (split)
+        dedup.write_minhash_index(
+            dedup.minhash_index_frame(nb, "text"), path,
+            mode="append", dedupe_ids=False,
+        )
+        got = {
+            r["doc_id"]: r["is_known_near"]
+            for r in dedup.near_dedup_against_stored_index(
+                nb.unionByName(
+                    spark.createDataFrame(
+                        [(60, "nothing shared with anything here at all")],
+                        "doc_id long, text string",
+                    )
+                ),
+                path, threshold=0.5,
+            ).collect()
+        }
+        assert got == {50: True, 60: False}
+        # an EXPLICIT wrong layout on append must fail loudly
+        with _pytest.raises(ValueError, match="layout mismatch"):
+            dedup.write_minhash_index(
+                dedup.minhash_index_frame(nb, "text"), path,
+                mode="append", split_sig=False,
+            )
 
     def test_empty_batch_reads_nothing(self, spark, tmp_path):
         from llm_pretraining_data_pipeline_spark.operators import dedup
