@@ -12,6 +12,7 @@ sys.path.insert(
 )
 
 
+@pytest.mark.slowtier  # ~9 min full-registry replay; `pytest -m slowtier`
 def test_all_queries_match_oracle(spark, sf_dir):
     from check_oracle import run_checks
 
