@@ -32,7 +32,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from llm_pretraining_data_pipeline_spark.functions import structural, urls
+from llm_pretraining_data_pipeline_spark.functions import (
+    structural,
+    structural_vec,
+    urls,
+)
 from llm_pretraining_data_pipeline_spark.operators import corpus, dedup
 
 
@@ -61,6 +65,24 @@ class WebCurationConfig:
     mc_min_words: int = 5
     mc_max_link_density: float = 0.5
     mc_smooth: bool = False           # good-neighbor context pass (p41b)
+    # Arrow-batched block classifier (functions/structural_vec.py,
+    # bit-parity-enforced by tests/test_structural_vec.py): OFF by
+    # default — measured round 16 in isolation at the bench shape
+    # (50k pages x 3 blocks), the Catalyst chain and the mirror are
+    # BOTH ~0.4-0.5 s warm (the r15 '+7.7 s extract rung' was
+    # downstream-stage work over text_main, not the classifier), so
+    # the zero-Python plan stays the default per the guide's
+    # land-only-measured-wins rule. The mirror remains available for
+    # block-dense corpora where the interpreted HOF walk scales with
+    # blocks-per-page.
+    mc_vectorized: bool = False
+    # Arrow-batched HTML entity decoder (same module, same parity
+    # discipline): ON by default — the Catalyst decoder splits before
+    # every '&' and decodes through an interpreted transform, measured
+    # round 16 as +3.2 s of the ~14 s bench recipe (the largest rung),
+    # vs one C-engine re.sub per row in the mirror. Flip off for a
+    # zero-Python plan of identical output.
+    decode_vectorized: bool = True
     # HTML character-reference decode (&amp; &#233; &#xE9; → & é é), run
     # AFTER main-content extraction and BEFORE every text metric — tag
     # stripping alone leaves entity literals that poison alpha ratios,
@@ -129,12 +151,20 @@ def run_web_curation(
             reason, F.when(F.col("is_dup_url"), F.lit("url_duplicate"))
         )
     if cfg.extract_main:
-        mc = structural.extract_main_content(
-            text_col,
-            min_words=cfg.mc_min_words,
-            max_link_density=cfg.mc_max_link_density,
-            smooth=cfg.mc_smooth,
-        )
+        if cfg.mc_vectorized:
+            mc = structural_vec.main_content_struct(
+                text_col,
+                min_words=cfg.mc_min_words,
+                max_link_density=cfg.mc_max_link_density,
+                smooth=cfg.mc_smooth,
+            )
+        else:
+            mc = structural.extract_main_content(
+                text_col,
+                min_words=cfg.mc_min_words,
+                max_link_density=cfg.mc_max_link_density,
+                smooth=cfg.mc_smooth,
+            )
         # Generator barrier (the p41 inline(array(...)) discipline): the
         # downstream stages reference text_main MANY times, and a plain
         # withColumn alias would be substituted into every reference by
@@ -158,11 +188,19 @@ def run_web_curation(
     )
     if decode_entities:
         # Same generator-barrier discipline as text_main above: the
-        # decoder is an interpreted HOF chain and every downstream stage
-        # references the text — inline() makes it a real attribute so the
-        # chain evaluates once per row.
+        # decoder is referenced by every downstream stage — inline()
+        # makes it a real attribute so it evaluates once per row
+        # (needed for the interpreted HOF chain; harmless for the
+        # Arrow mirror, whose single ArrowEvalPython stage would
+        # otherwise still be duplicated per reference by
+        # CollapseProject).
+        decoded = (
+            structural_vec.decode_entities_str(F.col(text_col))
+            if cfg.decode_vectorized
+            else structural.decode_html_entities(F.col(text_col))
+        )
         dec_named = F.transform(
-            F.array(structural.decode_html_entities(F.col(text_col))),
+            F.array(decoded),
             lambda m: F.struct(m.alias("text_entities")),
         )[0]
         out = out.select("*", F.inline(F.array(dec_named)))

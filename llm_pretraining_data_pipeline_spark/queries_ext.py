@@ -4869,8 +4869,8 @@ def p41b_main_content_smooth(spark, sf_dir):
         "chr(). Pure Catalyst split/HOF, zero shuffle, inline() barrier",
 )
 def p42_html_entities(spark, sf_dir):
-    from llm_pretraining_data_pipeline_spark.functions.structural import (
-        decode_html_entities,
+    from llm_pretraining_data_pipeline_spark.functions.structural_vec import (
+        decode_entities_str,
     )
 
     k = F.col("doc_id") % 8
@@ -4886,10 +4886,12 @@ def p42_html_entities(spark, sf_dir):
         .otherwise(F.concat(F.lit("&#x1F600;"), n, F.lit("&#128169;")))
     )
     docs = _docs(spark, sf_dir).select("doc_id", raw.alias("raw"))
-    # generator barrier: changed + n_chars reference the decoded text —
-    # without inline() each reference re-runs the interpreted HOF chain
+    # Arrow-batched decoder (round 16, functions/structural_vec.py),
+    # bit-parity-enforced by tests/test_structural_vec.py. Generator
+    # barrier kept: changed + n_chars reference the decoded text —
+    # without inline() each reference re-evaluates the stage
     dec = F.transform(
-        F.array(decode_html_entities(F.col("raw"))),
+        F.array(decode_entities_str(F.col("raw"))),
         lambda m: F.struct(m.alias("text_decoded")),
     )[0]
     return docs.select("doc_id", "raw", F.inline(F.array(dec))).select(
