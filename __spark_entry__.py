@@ -290,6 +290,50 @@ _PRIORITY_R12 = [
 # p30_train_unigram_lm and p23_pick_text (each yielded its slot to a
 # new query: d27_split_selective and d28_index_delete) — refresh in
 # r16.
+# Round-16 priority (50-row driver cap): (a) the 7 queries whose code
+# path CHANGED this round — d24–d28 + ev_stream_near_stored sit on the
+# stored-index reader/writer that gained the _index_meta.json sidecar
+# and auto-derived id_buckets (layout only, results identical — but
+# edits never ride on a stale green), and p42_html_entities moved to
+# the Arrow-batched entity decoder (bit-parity-enforced); (b) the FULL
+# 29-row r10-stale tail (VERDICT r15 item 6 — exact list from the r15
+# comment below; after this round no registered query's freshest
+# driver green is older than r11; p41/p41b also re-green the
+# examined-and-reverted main-content path); (c) 14 of the 38 remaining
+# r11-stale rows (alphabetical slice). The other 24 r11-stale rows —
+# emb_pq_codes, ev_asof_last_click, ev_date_parts, ev_json_props,
+# ev_sliding_10m5m, ev_stream_cleanse, ev_user_stats, f01_prefilter,
+# f02_language_cascade, f03_quality_filter, f04_low_information,
+# f13_c4_filter, f15_model_quality_filter, f17_robots_gate,
+# f19_robots_directives, f20_sitemap_parse, p25_string_functions,
+# p26_array_ops, p27_url_normalize, p33_meta_robots,
+# win_lag_price_delta, win_range_frame, win_running_quantity,
+# win_value_family — refresh in r17.
+_PRIORITY_R16 = [
+    # (a) changed this round
+    "d24_pruned_index", "d25_index_merge", "d26_split_index",
+    "d27_split_selective", "d28_index_delete", "ev_stream_near_stored",
+    "p42_html_entities",
+    # (b) the full r10-stale tail (29)
+    "p23_pick_text", "p30_train_unigram_lm", "p31_trained_lm_score",
+    "p32_fix_mojibake", "p34_bigram_lm_score", "p41_main_content",
+    "p41b_main_content_smooth", "rel_anti_join", "rel_cube_lineitem",
+    "rel_distinct_counts", "rel_grouping_sets", "rel_having_large_orders",
+    "rel_in_subquery", "rel_outer_join", "rel_pivot",
+    "rel_q12_shipmode_case", "rel_q14_promo_ratio", "rel_q19_disjunctive",
+    "rel_q1_pricing_summary", "rel_q3_shipping_priority",
+    "rel_q5_local_supplier", "rel_q6_revenue_delta", "rel_rollup_orders",
+    "rel_semi_join", "s05_wet_export", "s06_wat_export",
+    "win_above_avg_orders", "win_rank_family",
+    "win_top3_orders_per_customer",
+    # (c) r11-stale, 14 of 38 (alphabetical slice)
+    "a01_source_counts", "a02_boolean_mask_sums", "a05_numeric_summary",
+    "a07_histogram", "a08_top_sources", "a09_lang_breakdown",
+    "a13_domain_stats", "a14_source_overlap", "a15_quality_deciles",
+    "corp_rep_signals", "d12_corpus_diff", "emb_cosine_topk",
+    "emb_knn_join", "emb_label_stats",
+]
+
 _PRIORITY_R15 = [
     # (a) new / changed this round
     "d27_split_selective", "d28_index_delete",
@@ -497,7 +541,7 @@ def _registry():
     from llm_pretraining_data_pipeline_spark import queries_ext  # noqa: F401 (registers)
     from llm_pretraining_data_pipeline_spark import queries_rel  # noqa: F401 (registers)
 
-    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R15 if n in q.QUERIES}
+    ordered = {n: q.QUERIES[n] for n in _PRIORITY_R16 if n in q.QUERIES}
     ordered.update({n: qd for n, qd in q.QUERIES.items() if n not in ordered})
     return ordered
 
