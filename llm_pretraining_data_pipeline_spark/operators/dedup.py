@@ -1394,6 +1394,7 @@ def near_dedup_against_index(
     threshold: float = 0.7,
     max_bucket_size: int | None = 1024,
     new_banded: DataFrame | None = None,
+    index_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-run) NEAR dedup: flag new documents whose
     MinHash signature collides with a prior corpus snapshot's LSH index
@@ -1438,7 +1439,7 @@ def near_dedup_against_index(
         df, index, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
-        new_banded=new_banded,
+        new_banded=new_banded, index_sigs=index_sigs,
     )
     # best = highest estimate, ties to the SMALLEST id: min over
     # struct(-est, id) — the estimate (a double) is what gets negated,
@@ -1508,6 +1509,7 @@ def near_dup_verdicts_against_index(
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
     new_banded: DataFrame | None = None,
+    index_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """STATELESS near-dup verdict pairs against a persisted LSH index —
     the streaming-safe sibling of ``near_dedup_against_index``: one row
@@ -1537,6 +1539,22 @@ def near_dup_verdicts_against_index(
     for the new side's signatures — ``near_dedup_against_stored_index``
     collects the touched partition keys from it — shares ONE
     computation instead of re-hashing the batch.
+
+    ``index_sigs`` (round 16, guide §8 "decide with small rows, move
+    big rows once"): a one-row-per-doc ``(id, sig)`` frame — the split
+    stored layout's sigs table. When given, ``index`` is consumed
+    NARROW (``id, band_id, band_sig`` only) so the bucket-cap window,
+    the survivor aggregation and the band-key equi-join never carry
+    the 32-lane signature arrays; ``_old_sig`` attaches with one
+    equi-join on ``_old_id`` AFTER the candidate join, just before the
+    in-row witness/estimate that needs it. Measured (round 16, 17k-doc
+    night vs 250k-doc index): the sig-bearing pruned scan alone was
+    6.2 s and the cap window over sig-bearing rows +3.2 s — both
+    collapse when the arrays stay in the (8x smaller) sigs table until
+    the candidate set exists. Requires exactly one sig row per indexed
+    id covering every id in ``index`` (the split writer's contract);
+    the attach is stream-static-legal, so the streaming path is
+    unchanged in kind.
     """
     rows_per_band = num_hashes // bands
     if new_banded is None:
@@ -1544,10 +1562,14 @@ def near_dup_verdicts_against_index(
             df, text_col, id_col=id_col, shingle_size=shingle_size,
             num_hashes=num_hashes, bands=bands, seed=seed,
         )
-    idx = index.select(
+    narrow = index_sigs is not None
+    idx_cols = [
         F.col("band_id"), F.col("band_sig"),
-        F.col("id").alias("_old_id"), F.col("sig").alias("_old_sig"),
-    )
+        F.col("id").alias("_old_id"),
+    ]
+    if not narrow:
+        idx_cols.append(F.col("sig").alias("_old_sig"))
+    idx = index.select(*idx_cols)
     if max_bucket_size is not None:
         # keep each bucket's max_bucket_size smallest distinct ids (the
         # canonical members — spill-safety and duplicate-row rationale
@@ -1558,7 +1580,8 @@ def near_dup_verdicts_against_index(
         # globally-minimum matching band's bucket would never be
         # emitted at all (review-of-self, r13).
         capped = _cap_bucket_members(idx, "_old_id", max_bucket_size).select(
-            "band_id", "band_sig", "_old_id", "_old_sig"
+            "band_id", "band_sig", "_old_id",
+            *([] if narrow else ["_old_sig"]),
         )
         surv = capped.groupBy("_old_id").agg(
             F.collect_set("band_id").alias("_surv_bands")
@@ -1569,6 +1592,14 @@ def near_dup_verdicts_against_index(
             "_surv_bands", F.sequence(F.lit(0), F.lit(bands - 1))
         )
     joined = new_banded.join(idx, ["band_id", "band_sig"])
+    if narrow:
+        joined = joined.join(
+            index_sigs.select(
+                F.col("id").alias("_old_id"),
+                F.col("sig").alias("_old_sig"),
+            ),
+            "_old_id",
+        )
     # first-match-wins CASE chain == minimum matching band. Deliberately
     # NOT an array_min(filter(sequence...)) higher-order function: HOFs
     # are CodegenFallback (interpreted) and measured 13x slower than the
@@ -2027,6 +2058,38 @@ def read_minhash_index_for_batch(
     CANNOT mismatch it); the parameters are the fallback contract for
     legacy indexes written before the sidecar existed.
     """
+    pruned, sigs, new_banded = _read_for_batch_frames(
+        df, index_path, text_col=text_col, id_col=id_col,
+        shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
+        seed=seed, sig_buckets=sig_buckets, checkpoint=checkpoint,
+        split_sig=split_sig, id_buckets=id_buckets,
+    )
+    if sigs is not None:
+        pruned = pruned.join(sigs, "id")
+    return pruned, new_banded
+
+
+def _read_for_batch_frames(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    sig_buckets: int = 64,
+    checkpoint: bool = True,
+    split_sig: bool = False,
+    id_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """``read_minhash_index_for_batch`` PRE-join: ``(index_frame,
+    sigs_or_None, new_banded)``. For the split layout the pruned bands
+    table stays NARROW (``id, band_id, band_sig``) and the pruned sigs
+    table comes back separately so the against-index verdict path can
+    attach signatures LATE (``index_sigs=`` — round 16, guide §8);
+    monolithic and bootstrap-empty reads return ``sigs=None`` with the
+    signature column riding the index frame as before."""
     spark = df.sparkSession
     meta = _read_index_meta(spark, index_path)
     if meta is not None:
@@ -2073,14 +2136,12 @@ def read_minhash_index_for_batch(
             checkpoint=checkpoint, id_buckets=id_buckets,
         )
         if frames is None:
-            pruned = _empty_pruned()
-        else:
-            bands_t, sigs_t = frames
-            pruned = bands_t.join(sigs_t, "id")
-    else:
-        full_t = _read_index_or_empty(spark, index_path)
-        pruned = _empty_pruned() if full_t is None else full_t.where(cond)
-    return pruned, new_banded
+            return _empty_pruned(), None, new_banded
+        bands_t, sigs_t = frames
+        return bands_t, sigs_t, new_banded
+    full_t = _read_index_or_empty(spark, index_path)
+    pruned = _empty_pruned() if full_t is None else full_t.where(cond)
+    return pruned, None, new_banded
 
 
 def _touched_cells(
@@ -2286,17 +2347,20 @@ def near_dedup_against_stored_index(
     for the pruning mechanics and parameter-matching requirements
     (``split_sig`` and ``id_buckets`` must match the writer's layout).
     """
-    pruned, new_banded = read_minhash_index_for_batch(
+    pruned, sigs, new_banded = _read_for_batch_frames(
         df, index_path, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, sig_buckets=sig_buckets, checkpoint=checkpoint,
         split_sig=split_sig, id_buckets=id_buckets,
     )
+    # split layout: the pruned bands table stays NARROW through the
+    # cap window and the band join; the pruned sigs table attaches
+    # late inside the verdict path (index_sigs= — round 16, guide §8)
     return near_dedup_against_index(
         df, pruned, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
-        new_banded=new_banded,
+        new_banded=new_banded, index_sigs=sigs,
     )
 
 

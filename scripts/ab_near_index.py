@@ -43,8 +43,16 @@ ni_snap = base.where(F.col("doc_id") % 2 == 0)
 ni_new = base.where(F.col("doc_id") % 2 == 1)
 spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().count()
 SPLIT = os.environ.get("AB_NI_SPLIT", "") == "1"  # split-layout arms instead
+# per-arm id_buckets (round 16): AB_NI_IDB unset/empty = the tree's own
+# default (auto-derive on sidecar-bearing trees, 64 on older ones);
+# a number pins the r15 hand-tuned layout
+IDB = os.environ.get("AB_NI_IDB", "")
 d = tempfile.mkdtemp(prefix="ab_ni_")
-kw = (dict(split_sig=True, id_buckets=2048) if SPLIT else {})
+kw = (
+    dict(split_sig=True, **({"id_buckets": int(IDB)} if IDB else {}))
+    if SPLIT
+    else {}
+)
 sub = "idx_split" if SPLIT else "idx"
 try:
     t0 = time.time()
@@ -84,9 +92,13 @@ def main() -> int:
     try:
         for _ in range(rounds):
             for label in ("a", "b"):  # interleaved: drift hits both
+                env = dict(os.environ)
+                arm_idb = os.environ.get(f"AB_NI_IDB_{label.upper()}")
+                if arm_idb is not None:
+                    env["AB_NI_IDB"] = arm_idb
                 proc = subprocess.run(
                     [sys.executable, runner, trees[label]],
-                    capture_output=True, text=True,
+                    capture_output=True, text=True, env=env,
                 )
                 if proc.returncode != 0:
                     sys.stderr.write(proc.stderr[-3000:])
