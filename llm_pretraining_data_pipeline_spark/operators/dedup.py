@@ -1395,6 +1395,7 @@ def near_dedup_against_index(
     max_bucket_size: int | None = 1024,
     new_banded: DataFrame | None = None,
     index_sigs: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-run) NEAR dedup: flag new documents whose
     MinHash signature collides with a prior corpus snapshot's LSH index
@@ -1439,7 +1440,7 @@ def near_dedup_against_index(
         df, index, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
-        new_banded=new_banded, index_sigs=index_sigs,
+        new_banded=new_banded, index_sigs=index_sigs, new_sigs=new_sigs,
     )
     # best = highest estimate, ties to the SMALLEST id: min over
     # struct(-est, id) — the estimate (a double) is what gets negated,
@@ -1472,6 +1473,32 @@ def near_dedup_against_index(
     )
 
 
+def _banded_from_sigs(
+    sig_frame: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    carry_sig: bool = True,
+) -> DataFrame:
+    """Band-key explosion of a ``(id, sig)`` frame — the probe side of
+    every against-index join. ``carry_sig=False`` (round 16) keeps the
+    banded rows NARROW (``_new_id, band_id, band_sig``) for callers
+    that attach ``_new_sig`` late (``new_sigs=`` in the verdict path):
+    the band explosion is a cheap codegen projection, so deriving both
+    the narrow banded view and the per-doc sig view from one
+    (checkpointed) sig frame costs nothing extra, while the checkpoint
+    itself shrinks ~8x (one sig per doc instead of one per band row)."""
+    cols = [F.col("id").alias("_new_id")]
+    if carry_sig:
+        cols.append(F.col("sig").alias("_new_sig"))
+    out_cols = ["_new_id"] + (["_new_sig"] if carry_sig else [])
+    return sig_frame.select(
+        *cols,
+        F.explode(
+            _band_keys(F.col("sig"), bands, rows_per_band)
+        ).alias("band"),
+    ).select(*out_cols, "band.band_id", "band.band_sig")
+
+
 def _new_banded_frame(
     df: DataFrame,
     text_col: str,
@@ -1490,11 +1517,7 @@ def _new_banded_frame(
         df, text_col, id_col=id_col, shingle_size=shingle_size,
         num_hashes=num_hashes, seed=seed,
     )
-    return new_sigs.select(
-        F.col("id").alias("_new_id"),
-        F.col("sig").alias("_new_sig"),
-        F.explode(_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
-    ).select("_new_id", "_new_sig", "band.band_id", "band.band_sig")
+    return _banded_from_sigs(new_sigs, bands, rows_per_band)
 
 
 def near_dup_verdicts_against_index(
@@ -1510,6 +1533,7 @@ def near_dup_verdicts_against_index(
     max_bucket_size: int | None = None,
     new_banded: DataFrame | None = None,
     index_sigs: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """STATELESS near-dup verdict pairs against a persisted LSH index —
     the streaming-safe sibling of ``near_dedup_against_index``: one row
@@ -1555,6 +1579,15 @@ def near_dup_verdicts_against_index(
     id covering every id in ``index`` (the split writer's contract);
     the attach is stream-static-legal, so the streaming path is
     unchanged in kind.
+
+    ``new_sigs`` is the batch-side twin: a one-row-per-doc ``(id,
+    sig)`` frame for the NEW batch, passed together with a NARROW
+    ``new_banded`` (no ``_new_sig`` column) so the band join does not
+    ship ``bands`` copies of every new signature either; ``_new_sig``
+    attaches by equi-join on ``_new_id`` after the candidate join.
+    BATCH callers only: under Structured Streaming the new side is the
+    stream and a stream-stream self-join is not stateless — streaming
+    callers keep the signature riding the banded stream rows.
     """
     rows_per_band = num_hashes // bands
     if new_banded is None:
@@ -1599,6 +1632,14 @@ def near_dup_verdicts_against_index(
                 F.col("sig").alias("_old_sig"),
             ),
             "_old_id",
+        )
+    if new_sigs is not None:
+        joined = joined.join(
+            new_sigs.select(
+                F.col("id").alias("_new_id"),
+                F.col("sig").alias("_new_sig"),
+            ),
+            "_new_id",
         )
     # first-match-wins CASE chain == minimum matching band. Deliberately
     # NOT an array_min(filter(sequence...)) higher-order function: HOFs
@@ -2058,7 +2099,7 @@ def read_minhash_index_for_batch(
     CANNOT mismatch it); the parameters are the fallback contract for
     legacy indexes written before the sidecar existed.
     """
-    pruned, sigs, new_banded = _read_for_batch_frames(
+    pruned, sigs, new_sigs, new_banded = _read_for_batch_frames(
         df, index_path, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, sig_buckets=sig_buckets, checkpoint=checkpoint,
@@ -2066,7 +2107,12 @@ def read_minhash_index_for_batch(
     )
     if sigs is not None:
         pruned = pruned.join(sigs, "id")
-    return pruned, new_banded
+    # public contract: new_banded carries _new_sig (callers pass it to
+    # the against-index operators without a separate sigs frame)
+    wide_banded = _banded_from_sigs(
+        new_sigs, bands, num_hashes // bands, carry_sig=True
+    )
+    return pruned, wide_banded
 
 
 def _read_for_batch_frames(
@@ -2082,14 +2128,20 @@ def _read_for_batch_frames(
     checkpoint: bool = True,
     split_sig: bool = False,
     id_buckets: int = 64,
-) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+) -> tuple[DataFrame, DataFrame | None, DataFrame, DataFrame]:
     """``read_minhash_index_for_batch`` PRE-join: ``(index_frame,
-    sigs_or_None, new_banded)``. For the split layout the pruned bands
-    table stays NARROW (``id, band_id, band_sig``) and the pruned sigs
-    table comes back separately so the against-index verdict path can
-    attach signatures LATE (``index_sigs=`` — round 16, guide §8);
-    monolithic and bootstrap-empty reads return ``sigs=None`` with the
-    signature column riding the index frame as before."""
+    index_sigs_or_None, new_sigs, new_banded_narrow)``. For the split
+    layout the pruned bands table stays NARROW (``id, band_id,
+    band_sig``) and the pruned sigs table comes back separately so the
+    against-index verdict path can attach signatures LATE
+    (``index_sigs=`` — round 16, guide §8); monolithic and
+    bootstrap-empty reads return ``index_sigs=None`` with the signature
+    column riding the index frame as before. The BATCH side follows the
+    same rule: ``new_sigs`` is the (lazily checkpointed) one-row-per-doc
+    sig frame — the checkpoint is ~``bands``x smaller than the old
+    banded checkpoint — and ``new_banded_narrow`` is the sig-free band
+    explosion derived from it (a cheap codegen projection), shared by
+    the touched-cell collect and the verdict join."""
     spark = df.sparkSession
     meta = _read_index_meta(spark, index_path)
     if meta is not None:
@@ -2097,12 +2149,15 @@ def _read_for_batch_frames(
         split_sig = meta.get("layout") == "split"
         if meta.get("id_buckets") is not None:
             id_buckets = int(meta["id_buckets"])
-    new_banded = _new_banded_frame(
+    new_sigs = _minhash_sig_frame(
         df, text_col, id_col=id_col, shingle_size=shingle_size,
-        num_hashes=num_hashes, bands=bands, seed=seed,
+        num_hashes=num_hashes, seed=seed,
     )
     if checkpoint:
-        new_banded = new_banded.localCheckpoint(eager=False)
+        new_sigs = new_sigs.localCheckpoint(eager=False)
+    new_banded = _banded_from_sigs(
+        new_sigs, bands, num_hashes // bands, carry_sig=False
+    )
     cond, n_cells = _touched_partition_cond(new_banded, sig_buckets)
 
     def _empty_pruned():
@@ -2125,7 +2180,9 @@ def _read_for_batch_frames(
                 T.StructField("id", nb["_new_id"].dataType, True),
                 T.StructField("band_id", nb["band_id"].dataType, True),
                 T.StructField("band_sig", nb["band_sig"].dataType, True),
-                T.StructField("sig", nb["_new_sig"].dataType, True),
+                T.StructField(
+                    "sig", new_sigs.schema["sig"].dataType, True
+                ),
             ]),
         )
 
@@ -2136,12 +2193,12 @@ def _read_for_batch_frames(
             checkpoint=checkpoint, id_buckets=id_buckets,
         )
         if frames is None:
-            return _empty_pruned(), None, new_banded
+            return _empty_pruned(), None, new_sigs, new_banded
         bands_t, sigs_t = frames
-        return bands_t, sigs_t, new_banded
+        return bands_t, sigs_t, new_sigs, new_banded
     full_t = _read_index_or_empty(spark, index_path)
     pruned = _empty_pruned() if full_t is None else full_t.where(cond)
-    return pruned, None, new_banded
+    return pruned, None, new_sigs, new_banded
 
 
 def _touched_cells(
@@ -2347,20 +2404,21 @@ def near_dedup_against_stored_index(
     for the pruning mechanics and parameter-matching requirements
     (``split_sig`` and ``id_buckets`` must match the writer's layout).
     """
-    pruned, sigs, new_banded = _read_for_batch_frames(
+    pruned, sigs, new_sigs, new_banded = _read_for_batch_frames(
         df, index_path, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, sig_buckets=sig_buckets, checkpoint=checkpoint,
         split_sig=split_sig, id_buckets=id_buckets,
     )
-    # split layout: the pruned bands table stays NARROW through the
-    # cap window and the band join; the pruned sigs table attaches
-    # late inside the verdict path (index_sigs= — round 16, guide §8)
+    # both sides stay NARROW through the cap window and the band join
+    # (round 16, guide §8): the split layout's pruned sigs table and
+    # the batch's per-doc sig frame attach late inside the verdict
+    # path (index_sigs= / new_sigs=), after the candidate join
     return near_dedup_against_index(
         df, pruned, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
-        new_banded=new_banded, index_sigs=sigs,
+        new_banded=new_banded, index_sigs=sigs, new_sigs=new_sigs,
     )
 
 
