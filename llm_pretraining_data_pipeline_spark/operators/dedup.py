@@ -1395,7 +1395,6 @@ def near_dedup_against_index(
     max_bucket_size: int | None = 1024,
     new_banded: DataFrame | None = None,
     index_sigs: DataFrame | None = None,
-    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-run) NEAR dedup: flag new documents whose
     MinHash signature collides with a prior corpus snapshot's LSH index
@@ -1440,7 +1439,7 @@ def near_dedup_against_index(
         df, index, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
-        new_banded=new_banded, index_sigs=index_sigs, new_sigs=new_sigs,
+        new_banded=new_banded, index_sigs=index_sigs,
     )
     # best = highest estimate, ties to the SMALLEST id: min over
     # struct(-est, id) — the estimate (a double) is what gets negated,
@@ -1533,7 +1532,6 @@ def near_dup_verdicts_against_index(
     max_bucket_size: int | None = None,
     new_banded: DataFrame | None = None,
     index_sigs: DataFrame | None = None,
-    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """STATELESS near-dup verdict pairs against a persisted LSH index —
     the streaming-safe sibling of ``near_dedup_against_index``: one row
@@ -1580,14 +1578,14 @@ def near_dup_verdicts_against_index(
     the attach is stream-static-legal, so the streaming path is
     unchanged in kind.
 
-    ``new_sigs`` is the batch-side twin: a one-row-per-doc ``(id,
-    sig)`` frame for the NEW batch, passed together with a NARROW
-    ``new_banded`` (no ``_new_sig`` column) so the band join does not
-    ship ``bands`` copies of every new signature either; ``_new_sig``
-    attaches by equi-join on ``_new_id`` after the candidate join.
-    BATCH callers only: under Structured Streaming the new side is the
-    stream and a stream-stream self-join is not stateless — streaming
-    callers keep the signature riding the banded stream rows.
+    The BATCH side deliberately keeps ``_new_sig`` riding its banded
+    rows: a symmetric late-attach of the batch sigs was built and
+    MEASURED 1.8–2.1x worse on the full-batch monolithic arm (e2e min
+    28.0 → 51.2 s, every interleaved fresh-JVM run worse, round 16) —
+    the attach join re-shuffles the candidate pair stream, which by
+    that point already carries ``_old_sig``, by ``_new_id`` instead of
+    broadcasting. Recorded so nobody re-tries it without forcing the
+    broadcast question first.
     """
     rows_per_band = num_hashes // bands
     if new_banded is None:
@@ -1632,14 +1630,6 @@ def near_dup_verdicts_against_index(
                 F.col("sig").alias("_old_sig"),
             ),
             "_old_id",
-        )
-    if new_sigs is not None:
-        joined = joined.join(
-            new_sigs.select(
-                F.col("id").alias("_new_id"),
-                F.col("sig").alias("_new_sig"),
-            ),
-            "_new_id",
         )
     # first-match-wins CASE chain == minimum matching band. Deliberately
     # NOT an array_min(filter(sequence...)) higher-order function: HOFs
@@ -2404,21 +2394,31 @@ def near_dedup_against_stored_index(
     for the pruning mechanics and parameter-matching requirements
     (``split_sig`` and ``id_buckets`` must match the writer's layout).
     """
-    pruned, sigs, new_sigs, new_banded = _read_for_batch_frames(
+    pruned, sigs, new_sigs, _ = _read_for_batch_frames(
         df, index_path, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, sig_buckets=sig_buckets, checkpoint=checkpoint,
         split_sig=split_sig, id_buckets=id_buckets,
     )
-    # both sides stay NARROW through the cap window and the band join
-    # (round 16, guide §8): the split layout's pruned sigs table and
-    # the batch's per-doc sig frame attach late inside the verdict
-    # path (index_sigs= / new_sigs=), after the candidate join
+    # the INDEX side stays narrow through the cap window and the band
+    # join (round 16, guide §8): the split layout's pruned sigs table
+    # attaches late inside the verdict path (index_sigs=). The BATCH
+    # side deliberately keeps _new_sig riding its banded rows: a
+    # late-attach of the batch sigs was measured 1.8-2.1x WORSE on the
+    # full-batch monolithic arm (e2e min 28.0 -> 51.2 s, every run
+    # worse) — the attach join re-shuffles the already-wide candidate
+    # pair stream by _new_id instead of broadcasting, exactly the
+    # guide-§8 re-attach trap. The wide banded view is derived from
+    # the checkpointed per-doc sig frame, so the checkpoint itself
+    # still shrinks ~bands x.
+    wide_banded = _banded_from_sigs(
+        new_sigs, bands, num_hashes // bands, carry_sig=True
+    )
     return near_dedup_against_index(
         df, pruned, text_col=text_col, id_col=id_col,
         shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
         seed=seed, threshold=threshold, max_bucket_size=max_bucket_size,
-        new_banded=new_banded, index_sigs=sigs, new_sigs=new_sigs,
+        new_banded=wide_banded, index_sigs=sigs,
     )
 
 
