@@ -132,7 +132,22 @@ def write_sharded_corpus_jsonl(
             "shard_id",
             F.to_json(F.struct(*[F.col(f) for f in fields])).alias("value"),
         )
-        frame.write.mode("overwrite").partitionBy("shard_id").text(path)
+        # Cluster by shard BEFORE the write (guide §6: REBALANCE before a
+        # partitioned write): each shard lands as ONE file — num_shards
+        # files total — instead of up to (write tasks x shards) small
+        # files (measured round 16 at 500k docs / 64 shards, interleaved
+        # one-JVM A/B: unclustered local[32] wrote 2048 files in
+        # 7.5-8.2 s and ran SLOWER than local[8] (0.48 scaling ratio);
+        # clustered writes 64 files, see OPTIMIZATION_r16.md for the
+        # A/B). The exchange moves already-serialised JSON lines once;
+        # shard_id is hash-derived so the shuffle is skew-free, and at
+        # scale one-file-per-shard is exactly the sized-shard contract.
+        (
+            frame.repartition("shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .text(path)
+        )
         man_rows = shard_manifest(out, token_col=token_col).collect()
     finally:
         out.unpersist()

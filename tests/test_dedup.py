@@ -1309,6 +1309,39 @@ class TestNearDedupAgainstIndex:
         assert got["known_of"] == "doc-a"
         assert got["known_est"] == 1.0
 
+    def test_late_sig_attach_matches_wide_path(self, spark):
+        # round 16 (guide §8): with index_sigs= the verdict path consumes
+        # the index NARROW — the frame passed here has NO sig column at
+        # all, so any code touching _old_sig before the late attach would
+        # fail analysis — and the output must equal the wide path's,
+        # capped and uncapped.
+        from llm_pretraining_data_pipeline_spark.operators import dedup
+
+        wide = self._index(spark)
+        narrow = wide.select("id", "band_id", "band_sig")
+        sigs = wide.select("id", "sig").dropDuplicates(["id"])
+        new = spark.createDataFrame(
+            [(11, self.SNAP[0][1]),
+             (13, self.SNAP[1][1] + " with a small tail change"),
+             (15, "entirely novel words never seen in the snapshot side")],
+            "doc_id long, text string",
+        )
+        for cap in (None, 2):
+            want = sorted(
+                tuple(r)
+                for r in dedup.near_dup_verdicts_against_index(
+                    new, wide, threshold=0.3, max_bucket_size=cap
+                ).collect()
+            )
+            got = sorted(
+                tuple(r)
+                for r in dedup.near_dup_verdicts_against_index(
+                    new, narrow, threshold=0.3, max_bucket_size=cap,
+                    index_sigs=sigs,
+                ).collect()
+            )
+            assert got == want and want, (cap, want, got)
+
     def test_duplicate_index_rows_do_not_eat_cap_slots(self, spark):
         # ADVICE r13: duplicate (id, band) rows in a hand-built index
         # must not count against max_bucket_size (dense_rank counts
